@@ -1,44 +1,195 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Pipelines exposed:
+- flagship (``entry``): documents(sf0.001) -> transcripts -> distributed
+  inverted-index build -> BM25 top-k over a reference query set.
+- ``queries()``: one entry per implemented operator family (SURVEY.md §2 +
+  training-data ops); each callable takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL where the op is SQL-expressible
+  (the analyzer chain — Porter stemming etc. — is not; those entries get
+  the driver's rows-only check and are instead pinned by tests/oracle.py).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+_CACHE_ROOT = "/tmp/rayse_entry_cache"
+
+# Fixed reference query set over the sf documents vocabulary (word soup of
+# data-engineering terms; see /root/testdata/*/documents.parquet).
+SEARCH_QUERIES = [
+    "table scan", "hash join merge", "window agg", "spark",
+    "customer query plan", "slow", "vector group filter",
+]
+PHRASE_QUERIES = ['"table scan"', '"hash join"', '"window agg batch"']
+BOOLEAN_QUERIES = [
+    '"table scan" AND "hash join"',
+    '"table scan" OR "hash join"',
+    '"table scan" NOT "hash join"',
+]
+
+
+def _index_for(sf_dir: str) -> str:
+    """Build (or reuse, via the build's own checkpoints) the transcripts
+    index for one sf dir; cached under /tmp keyed by the dir path."""
+    from rayse.pipelines.build_index import build_index
+    from rayse.pipelines.transcripts import write_transcripts_from_documents
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(_CACHE_ROOT, key)
+    tdir = os.path.join(root, "transcripts")
+    idir = os.path.join(root, "index")
+    marker = os.path.join(tdir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(tdir, exist_ok=True)
+        write_transcripts_from_documents(sf_dir, tdir)
+        open(marker, "w").close()
+    build_index(tdir, idir)  # resumable: no-op when manifests complete
+    return idir
+
+
+def _engine_for(sf_dir: str):
+    from rayse.query.engine import SearchEngine
+
+    return SearchEngine(_index_for(sf_dir))
+
+
+def _topk_table(engine, queries: list[str], k: int = 10) -> pa.Table:
+    rows_q, rows_r, rows_d, rows_s = [], [], [], []
+    for q in queries:
+        docs, scores = engine.search(q, k)
+        for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), 1):
+            rows_q.append(q)
+            rows_r.append(r)
+            rows_d.append(int(d))
+            rows_s.append(float(s))
+    return pa.table({
+        "query": pa.array(rows_q, pa.string()),
+        "rank": pa.array(rows_r, pa.int32()),
+        "doc_id": pa.array(np.asarray(rows_d, dtype=np.uint64)),
+        "score": pa.array(rows_s, pa.float64()),
+    })
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    eng = _engine_for("/root/testdata/sf0.001")
+    return _topk_table(eng, SEARCH_QUERIES + PHRASE_QUERIES + BOOLEAN_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# queries / oracle_sql
+# ---------------------------------------------------------------------------
+
+def _q_bm25_topk(sf_dir: str) -> pa.Table:
+    return _topk_table(_engine_for(sf_dir), SEARCH_QUERIES)
+
+
+def _q_phrase_topk(sf_dir: str) -> pa.Table:
+    return _topk_table(_engine_for(sf_dir), PHRASE_QUERIES)
+
+
+def _q_boolean_topk(sf_dir: str) -> pa.Table:
+    return _topk_table(_engine_for(sf_dir), BOOLEAN_QUERIES)
+
+
+def _q_term_stats(sf_dir: str) -> pa.Table:
+    """Global term dictionary: term, df, cf (replaces the reference's
+    `words` + `word_idf` tables, `Indexer/Entities/Word.java:6-22`)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    idir = _index_for(sf_dir)
+    tbls = [pq.read_table(f, columns=["term", "df", "cf"])
+            for f in sorted(glob.glob(
+                os.path.join(idir, "segments", "part=*", "segment.parquet")))]
+    t = pa.concat_tables(tbls)
+    # per-part partial stats -> global (tiny; vocab-sized)
+    import pandas as pd
+
+    df = t.to_pandas().groupby("term", as_index=False).agg(
+        df=("df", "sum"), cf=("cf", "sum"))
+    df = df.sort_values("term").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _q_doc_token_count(sf_dir: str):
+    """Whitespace token count per document (training-data op: token
+    counting), vectorized via pyarrow.compute — SQL-matched."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(batch["text"], " "), 1)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_dedup_exact(sf_dir: str):
+    """Exact dedup by content hash: keep the lowest doc_id per distinct
+    text (SE4 analog: `ReindexController.java:62-67` keep-first semantics),
+    as hash-partitioned groupby (no full-text shuffle: group on a 64-bit
+    content hash computed in a vectorized map)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big") >> 1
+             for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "h": pa.array(h, pa.int64())})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    agg = hashed.groupby("h").aggregate(
+        rd.aggregate.Min("doc_id"), rd.aggregate.Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["min(doc_id)"],
+            "n_copies": pa.compute.cast(batch["count()"], pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk": _q_bm25_topk,
+        "phrase_topk": _q_phrase_topk,
+        "boolean_topk": _q_boolean_topk,
+        "term_stats": _q_term_stats,
+        "doc_token_count": _q_doc_token_count,
+        "dedup_exact": _q_dedup_exact,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_count": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) "
+            "AS n_copies FROM documents GROUP BY text"
+        ),
+    }

@@ -1,0 +1,152 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Headline: distributed inverted-index build wall-seconds over a deterministic
+synthetic transcript corpus (~8 turns/conv; N_CONVS via RAYSE_BENCH_CONVS,
+default 15000 -> ~120k turns), plus the BM25/phrase/boolean query set, plus
+two sf-dir ops over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+    python bench.py              # one run at RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
+                                 # same input; prints throughputs + efficiency
+
+Owns its Ray session (ray.init/shutdown) — the only scripts allowed to.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_CONVS = int(os.environ.get("RAYSE_BENCH_CONVS", "15000"))
+CORPUS_DIR = f"/tmp/rayse_bench_corpus_{BENCH_CONVS}"
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def ensure_corpus() -> str:
+    """Generate the bench corpus once (parallel, deterministic per block)."""
+    marker = os.path.join(CORPUS_DIR, "_DONE")
+    if os.path.exists(marker):
+        return CORPUS_DIR
+    import ray.data as rd
+
+    from rayse.corpus.generator import generate_block
+
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    os.makedirs(CORPUS_DIR)
+    step = 1000
+    ranges = [{"start": s, "end": min(s + step, BENCH_CONVS)}
+              for s in range(0, BENCH_CONVS, step)]
+
+    def gen(batch):
+        import pyarrow as pa
+        tbls = [generate_block(int(s), int(e))
+                for s, e in zip(batch["start"], batch["end"])]
+        return pa.concat_tables(tbls)
+
+    (rd.from_items(ranges, override_num_blocks=len(ranges))
+     .map_batches(gen, batch_size=1, batch_format="default")
+     .write_parquet(CORPUS_DIR, min_rows_per_file=16000))
+    open(marker, "w").close()
+    return CORPUS_DIR
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    try:
+        timings: dict[str, float] = {}
+        corpus = ensure_corpus()
+
+        # warm OS page cache (measure compute+shuffle, not first disk read)
+        import pyarrow.parquet as pq
+        n_turns = 0
+        for f in sorted(os.listdir(corpus)):
+            if f.endswith(".parquet"):
+                n_turns += pq.read_table(os.path.join(corpus, f)).num_rows
+
+        from rayse.pipelines.build_index import build_index
+
+        idx_dir = f"/tmp/rayse_bench_index_{NUM_CPUS}"
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = build_index(corpus, idx_dir)
+        timings["index_build"] = time.perf_counter() - t0
+
+        # query set (rank-identity reference queries)
+        from rayse.query.engine import SearchEngine
+
+        eng = SearchEngine(idx_dir)
+        qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", "queries.json")
+        queries = json.load(open(qpath))
+        t0 = time.perf_counter()
+        n_q = 0
+        for _ in range(3):
+            for q in queries:
+                eng.search(q, 10)
+                n_q += 1
+        timings["query_set"] = time.perf_counter() - t0
+
+        # sf-dir ops
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __ray_entry__ as entrymod
+
+        for name in ("doc_token_count", "dedup_exact"):
+            fn = entrymod.queries()[name]
+            t0 = time.perf_counter()
+            out = fn(SF_DIR)
+            if hasattr(out, "materialize"):
+                out = out.materialize()
+            timings[name] = time.perf_counter() - t0
+
+        return {
+            "metric": "index_build_sec",
+            "value": round(timings["index_build"], 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "bench_turns": n_turns,
+            "turns_per_sec": round(n_turns / timings["index_build"], 1),
+            "queries_per_sec": round(n_q / timings["query_set"], 1),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo, hi = run(lo_cpus), run(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "turns_per_sec_lo": lo["turns_per_sec"],
+        "turns_per_sec_hi": hi["turns_per_sec"],
+        "bench_turns": lo["bench_turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

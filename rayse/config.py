@@ -1,0 +1,40 @@
+"""Engine configuration — the single tuning surface (SURVEY.md §2.10).
+
+Replaces the reference's scattered hardcoded knobs
+(`application.properties`, tag-importance map `IndexerService.java:263-268`,
+BM25 constants `IndexerService.java:1029-1030`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    # `IndexerService.java:1029-1030` — k1 controls TF scaling, b length norm
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # document partitioning: P = 2^part_bits doc partitions (top bits of the
+    # conversation hash). At cluster scale set part_bits so one partition's
+    # segment set fits a serving actor's memory (e.g. 8-10 at 10^12 turns
+    # with many files per part; 5 → 32 parts for the single-node tiers).
+    part_bits: int = 5
+    # salted two-phase aggregation: within a partition, hot-term groups are
+    # split into up to 2^salt_bits doc_id-contiguous runs (north rule skew
+    # handling). Runs re-merge at compaction unless larger than
+    # compact_max_postings.
+    salt_bits: int = 3
+    # runs whose combined length is below this re-encode into a single row
+    # at compaction; larger terms keep doc_id-contiguous runs (bounded tasks)
+    compact_max_postings: int = 1 << 20
+    block_size: int = 128          # postings per block-max block
+    with_positions: bool = True    # store positional postings (phrase queries)
+    bm25: BM25Params = field(default_factory=BM25Params)
+    # tokenize stage sizing
+    tokenize_batch_size: int = 1024
+    tokenize_concurrency: int | None = None   # None → let Ray size tasks

@@ -1,0 +1,104 @@
+"""Index readers: load merged segment files and serve posting lookups.
+
+Replaces the reference's serving-side RAM index load
+(`Indexer/Service/IndexerService.java:582-740`, static ``CacheHelper``) and
+the per-term PostgreSQL probes (`Query/QueryService.java:441-463`).
+
+A ``PartReader`` holds ONE doc-partition's segment table in memory (Arrow,
+blobs stay compressed; decode is per-term on demand, memoized).  An
+``IndexReader`` aggregates all parts for single-process use (tests, small
+corpora); the distributed serving path gives each actor a PartReader set
+(`rayse.query.serve`).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .segments import DecodedPostings, decode_rows
+
+
+class PartReader:
+    def __init__(self, part_dir: str):
+        self.part_dir = part_dir
+        tbl = pq.read_table(os.path.join(part_dir, "segment.parquet"))
+        self._tbl = tbl
+        # term -> (row_start, row_end) over rows sorted by (term, salt)
+        terms = tbl["term"].to_pylist()
+        self._rows: dict[str, tuple[int, int]] = {}
+        prev = None
+        start = 0
+        for i, t in enumerate(terms):
+            if t != prev:
+                if prev is not None:
+                    self._rows[prev] = (start, i)
+                prev = t
+                start = i
+        if prev is not None:
+            self._rows[prev] = (start, len(terms))
+        self._cache: dict[str, DecodedPostings] = {}
+
+    def df(self, term: str) -> int:
+        span = self._rows.get(term)
+        if span is None:
+            return 0
+        return sum(self._tbl["df"][i].as_py() for i in range(*span))
+
+    def postings(self, term: str) -> DecodedPostings | None:
+        hit = self._cache.get(term)
+        if hit is not None:
+            return hit
+        span = self._rows.get(term)
+        if span is None:
+            return None
+        rows = [
+            {name: self._tbl[name][i].as_py() for name in
+             ("doc_ids", "tfs", "dls", "positions", "block_max", "block_last")}
+            for i in range(*span)
+        ]
+        dec = decode_rows(rows)
+        self._cache[term] = dec
+        return dec
+
+    def terms(self) -> list[str]:
+        return list(self._rows.keys())
+
+
+class IndexReader:
+    """All parts of one index, plus corpus stats. Single-process view."""
+
+    def __init__(self, index_dir: str, parts: list[int] | None = None):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "corpus_stats.json")) as f:
+            stats = json.load(f)
+        with open(os.path.join(index_dir, "index_meta.json")) as f:
+            self.meta = json.load(f)
+        self.n_docs = stats["n_docs"]
+        self.avgdl = stats["avgdl"] if stats["avgdl"] > 0 else 1.0
+        part_dirs = sorted(
+            glob.glob(os.path.join(index_dir, "segments", "part=*")),
+            key=lambda p: int(p.rsplit("=", 1)[1]))
+        if parts is not None:
+            keep = {int(p) for p in parts}
+            part_dirs = [d for d in part_dirs
+                         if int(d.rsplit("=", 1)[1]) in keep]
+        self.parts = [PartReader(d) for d in part_dirs]
+
+    def df(self, term: str) -> int:
+        return sum(p.df(term) for p in self.parts)
+
+    def idf(self, term: str) -> float:
+        """Canonical IDF (SURVEY.md D2): ln((1+N)/(1+df)) + 1
+        (`IndexerService.java:966`)."""
+        return float(np.log((1.0 + self.n_docs) / (1.0 + self.df(term))) + 1.0)
+
+    def vocabulary(self) -> set[str]:
+        out: set[str] = set()
+        for p in self.parts:
+            out.update(p.terms())
+        return out

@@ -1,0 +1,150 @@
+"""Segment row codec: posting lists <-> Arrow rows.
+
+A *segment row* is one doc_id-contiguous run of one term's posting list
+inside one document partition:
+
+    term: string, salt: int32, df: int64, cf: int64,
+    doc_ids: binary   (delta-gap + varint, ascending doc_id)
+    tfs: binary       (varint)
+    dls: binary       (varint doc lengths, aligned with doc_ids — makes BM25
+                       scoring self-contained per row; the reference joins
+                       doc lengths from a RAM map instead,
+                       `IndexerService.java:827-879`)
+    positions: binary ([varint count][delta varint offsets]* per doc; empty
+                       when positions are disabled)
+    block_max: list<float64>  (per block of `block_size` postings: max BM25
+                       TF component, computed with the corpus avgdl — upper
+                       bound source for block-max WAND skipping)
+    block_last: list<uint64>  (last doc_id of each block)
+
+Most terms have exactly one row (salt 0 after compaction); hot terms keep
+multiple runs ordered by ascending salt == ascending doc_id range (north
+rule: salted two-phase aggregation). Decoders concatenate runs in salt order.
+
+Replaces `inverted_index` + `word_position` PostgreSQL rows
+(`Indexer/Entities/InvertedIndex.java:9-37`, `WordPosition.java:8-34`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import BM25Params
+from .encoding import (
+    decode_varints,
+    delta_decode,
+    delta_encode,
+    encode_varints,
+)
+
+SEGMENT_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("salt", pa.int32()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("doc_ids", pa.binary()),
+    ("tfs", pa.binary()),
+    ("dls", pa.binary()),
+    ("positions", pa.binary()),
+    ("block_max", pa.list_(pa.float64())),
+    ("block_last", pa.list_(pa.uint64())),
+])
+
+
+def bm25_tf(tf: np.ndarray, dl: np.ndarray, avgdl: float, p: BM25Params) -> np.ndarray:
+    """BM25 TF component, float64 (`IndexerService.java:1060-1070`):
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))."""
+    f = tf.astype(np.float64)
+    return f * (p.k1 + 1.0) / (f + p.k1 * (1.0 - p.b + p.b * (dl.astype(np.float64) / avgdl)))
+
+
+def assemble_positions(tfs: np.ndarray, pos_blobs: list[bytes]) -> bytes:
+    """Per-posting offset blobs (no count prefix, from the tokenize stage)
+    -> one [varint count][deltas]* stream aligned with doc_ids. Streams of
+    doc-disjoint runs concatenate directly (each doc block self-delimits)."""
+    chunks = bytearray()
+    append = chunks.append
+    for tf, blob in zip(tfs.tolist(), pos_blobs):
+        g = int(tf)
+        while g >= 0x80:
+            append((g & 0x7F) | 0x80)
+            g >>= 7
+        append(g)
+        chunks.extend(blob)
+    return bytes(chunks)
+
+
+def encode_segment_row(term: str, salt: int, doc_ids: np.ndarray,
+                       tfs: np.ndarray, dls: np.ndarray,
+                       positions: bytes,
+                       avgdl: float, params: BM25Params,
+                       block_size: int) -> dict:
+    """Build one segment row dict from doc_id-ascending posting arrays."""
+    n = doc_ids.size
+    comp = bm25_tf(tfs, dls, avgdl, params)
+    nblocks = (n + block_size - 1) // block_size
+    pad = nblocks * block_size - n
+    comp_p = np.pad(comp, (0, pad), constant_values=-np.inf)
+    block_max = comp_p.reshape(nblocks, block_size).max(axis=1)
+    block_last = doc_ids[np.minimum(np.arange(1, nblocks + 1) * block_size - 1, n - 1)]
+    return {
+        "term": term,
+        "salt": salt,
+        "df": int(n),
+        "cf": int(tfs.sum()),
+        "doc_ids": encode_varints(delta_encode(doc_ids)),
+        "tfs": encode_varints(tfs.astype(np.uint64)),
+        "dls": encode_varints(dls.astype(np.uint64)),
+        "positions": positions,
+        "block_max": block_max.tolist(),
+        "block_last": block_last.tolist(),
+    }
+
+
+class DecodedPostings:
+    """Posting list of one term within one partition (runs concatenated)."""
+
+    __slots__ = ("doc_ids", "tfs", "dls", "positions_blob", "block_max", "block_last")
+
+    def __init__(self, doc_ids, tfs, dls, positions_blob, block_max, block_last):
+        self.doc_ids = doc_ids
+        self.tfs = tfs
+        self.dls = dls
+        self.positions_blob = positions_blob
+        self.block_max = block_max
+        self.block_last = block_last
+
+    def positions(self) -> list[np.ndarray]:
+        """Decode per-doc position lists (lazy — phrase queries only)."""
+        vals = decode_varints(self.positions_blob)
+        out = []
+        i = 0
+        for _ in range(self.doc_ids.size):
+            c = int(vals[i])
+            i += 1
+            out.append(np.cumsum(vals[i:i + c], dtype=np.uint64))
+            i += c
+        return out
+
+
+def decode_rows(rows: list[dict]) -> DecodedPostings:
+    """Concatenate one term's segment rows (pre-sorted by ascending salt)."""
+    doc_parts, tf_parts, dl_parts = [], [], []
+    pos = bytearray()
+    bm, bl = [], []
+    for r in rows:
+        doc_parts.append(delta_decode(decode_varints(r["doc_ids"])))
+        tf_parts.append(decode_varints(r["tfs"]))
+        dl_parts.append(decode_varints(r["dls"]))
+        pos.extend(r["positions"])
+        bm.extend(r["block_max"])
+        bl.extend(r["block_last"])
+    return DecodedPostings(
+        np.concatenate(doc_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(dl_parts),
+        bytes(pos),
+        np.asarray(bm, dtype=np.float64),
+        np.asarray(bl, dtype=np.uint64),
+    )

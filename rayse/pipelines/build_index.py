@@ -1,0 +1,538 @@
+"""Distributed inverted-index build — the Ray-Data-native replacement for the
+reference's ``POST /reindex`` path (`ReindexController.java:40-89` →
+`Indexer/Service/IndexerService.java:370-452`: 20-doc batches × ≤8 raw Java
+threads upserting PostgreSQL rows).
+
+Pipeline (per input shard, then a per-part merge):
+
+  read_parquet(transcripts, columns=[conv_id, turn_idx, text])
+    → map_batches(TokenizeStage, batch_format="pyarrow")     # actor pool;
+        # phase-1 combiner: per-batch compressed posting runs
+    → write_parquet(runs/shard=S/, partition_cols=["part"])  # file-based
+        # exchange: the groupby-term shuffle, realized as partition-by-
+        # doc-part at write + per-part gather at merge
+  MergeWorker actor pool (one part per call):
+    read all shards' runs for the part → group by term → k-way merge runs
+    (decode, mergesort by doc_id, re-encode, block-max) → final segment
+    parquet + per-part manifest
+
+Index layout under ``out_dir``::
+
+    runs/shard={s}/part={p}/*.parquet     phase-1 runs (deleteable after merge)
+    segments/part={p}/segment.parquet     final per-part posting lists
+    _manifest/shard-{s}.json              per-shard build checkpoint
+    _manifest/part-{p}.json               per-part merge checkpoint (lineage)
+    corpus_stats.json                     N, total_tokens, avgdl
+    metrics.json                          throughput + per-stage wall times
+
+Resume: a shard/part whose manifest exists is skipped; outputs are written
+to a temp dir and atomically renamed, so a killed run never leaves a
+half-written partition (north rule: resumable from per-partition checkpoints
+with lineage + throughput metrics; analog of the crawler's DB-status resume,
+`CrawlerMainProcess.java:248-260`).
+
+Skew: two-phase aggregation — the tokenize combiner bounds any term's
+phase-1 row to one batch, and the merge splits hot terms into doc_id-
+contiguous output runs of ≤ ``compact_max_postings`` postings.  The
+alternative ``strategy="groupby_salted"`` path does the literal
+``groupby(part, term, salt)`` with doc_id-derived salts; both strategies
+produce byte-identical segments (asserted by tests/test_skew_salting.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import IndexConfig
+from ..index.encoding import (
+    decode_varints_concat,
+    encode_varints,
+    encode_varints_segmented,
+    segmented_cumsum_abs,
+)
+from ..index.segments import SEGMENT_SCHEMA, bm25_tf
+from ..stages.tokenize import RUNS_SCHEMA, TokenizeStage
+
+
+# --------------------------------------------------------------------------
+# small utilities
+# --------------------------------------------------------------------------
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _atomic_rename_dir(tmp_dir: str, final_dir: str) -> None:
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+
+
+def discover_input_files(input_path: str | list[str]) -> list[str]:
+    if isinstance(input_path, (list, tuple)):
+        return sorted(input_path)
+    if os.path.isdir(input_path):
+        return sorted(glob.glob(os.path.join(input_path, "**", "*.parquet"),
+                                recursive=True))
+    return [input_path]
+
+
+def shard_files(files: list[str], target_bytes: int) -> list[list[str]]:
+    """Greedy size-based sharding; shard = unit of build checkpointing.
+
+    At cluster scale, size shards so one shard's postings fit comfortably in
+    the aggregate object store (the shard pipeline streams regardless; the
+    bound matters for the runs/ directory fan-in per merge part)."""
+    shards: list[list[str]] = []
+    cur: list[str] = []
+    cur_b = 0
+    for f in files:
+        cur.append(f)
+        cur_b += os.path.getsize(f)
+        if cur_b >= target_bytes:
+            shards.append(cur)
+            cur, cur_b = [], 0
+    if cur:
+        shards.append(cur)
+    return shards
+
+
+# --------------------------------------------------------------------------
+# phase 1: shard -> compressed runs (the map/combine + shuffle-write)
+# --------------------------------------------------------------------------
+
+def _encode_group(group: pa.Table) -> pa.Table:
+    """groupby(part, term, salt).map_groups encoder for the salted strategy.
+
+    One group = one (part, term, salt)'s raw posting rows; sort by doc_id,
+    emit one compressed run row (RUNS_SCHEMA)."""
+    doc = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(doc, kind="stable")
+    doc = doc[order]
+    tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+    dl = group["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+    pos_blobs = group["pos_enc"].to_pylist()
+    # positions: [count varint][delta blob] per doc, in doc order
+    chunks = bytearray()
+    tf_list = tf.tolist()
+    for j, i in enumerate(order.tolist()):
+        g = tf_list[j]
+        while g >= 0x80:
+            chunks.append((g & 0x7F) | 0x80)
+            g >>= 7
+        chunks.append(g)
+        chunks.extend(pos_blobs[i])
+    gaps = np.empty_like(doc)
+    gaps[0] = doc[0]
+    np.subtract(doc[1:], doc[:-1], out=gaps[1:])
+    return pa.table(
+        {
+            "part": group["part"][:1],
+            "term": group["term"][:1],
+            "salt": group["salt"][:1],
+            "df": pa.array([len(doc)], pa.int64()),
+            "cf": pa.array([int(tf.sum())], pa.int64()),
+            "min_doc": pa.array([int(doc[0])], pa.uint64()),
+            "doc_ids": pa.array([encode_varints(gaps)], pa.binary()),
+            "tfs": pa.array([encode_varints(tf)], pa.binary()),
+            "dls": pa.array([encode_varints(dl)], pa.binary()),
+            "positions": pa.array([bytes(chunks)], pa.binary()),
+        },
+        schema=RUNS_SCHEMA,
+    )
+
+
+def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
+                         cfg: IndexConfig, strategy: str = "combine",
+                         concurrency: int | None = None) -> dict:
+    """Run phase 1 for one shard; returns the manifest dict (also written)."""
+    import ray
+    import ray.data as rd
+
+    manifest_path = os.path.join(out_dir, "_manifest", f"shard-{shard_id}.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+    n_turns = ds.count()  # parquet metadata count: no data scan
+
+    if concurrency is None:
+        concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
+
+    if strategy == "combine":
+        runs = ds.map_batches(
+            TokenizeStage,
+            fn_constructor_kwargs=dict(part_bits=cfg.part_bits,
+                                       with_positions=cfg.with_positions),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.tokenize_batch_size,
+            concurrency=concurrency,
+        )
+    elif strategy == "groupby_salted":
+        postings = ds.map_batches(
+            TokenizeStage,
+            fn_constructor_kwargs=dict(part_bits=cfg.part_bits,
+                                       with_positions=cfg.with_positions,
+                                       emit="postings", salt_bits=cfg.salt_bits),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.tokenize_batch_size,
+            concurrency=concurrency,
+        )
+        runs = postings.groupby(["part", "term", "salt"]).map_groups(
+            _encode_group, batch_format="pyarrow")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    tmp = os.path.join(out_dir, "runs", f"shard={shard_id}.tmp")
+    final = os.path.join(out_dir, "runs", f"shard={shard_id}")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    runs.write_parquet(tmp, partition_cols=["part"])
+    _atomic_rename_dir(tmp, final)
+
+    wall = time.perf_counter() - t0
+    man = {
+        "shard": shard_id,
+        "files": files,
+        "n_turns": int(n_turns),
+        "strategy": strategy,
+        "wall_s": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1) if wall > 0 else None,
+    }
+    os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+    _atomic_write_json(manifest_path, man)
+    return man
+
+
+# --------------------------------------------------------------------------
+# corpus stats (needs only run-file metadata columns: cheap column read)
+# --------------------------------------------------------------------------
+
+def compute_corpus_stats(out_dir: str, n_docs: int) -> dict:
+    """total_tokens = Σ cf over run rows (each token occurrence is counted in
+    exactly one run); avgdl = total_tokens / N. Replaces
+    `documentRepository.count()` + avg length (`IndexerService.java:1014-1020`)."""
+    total = 0
+    for f in glob.glob(os.path.join(out_dir, "runs", "shard=*", "**", "*.parquet"),
+                       recursive=True):
+        t = pq.read_table(f, columns=["cf"])
+        total += int(pa.compute.sum(t["cf"]).as_py() or 0)
+    stats = {
+        "n_docs": int(n_docs),
+        "total_tokens": int(total),
+        "avgdl": (total / n_docs) if n_docs else 0.0,
+    }
+    _atomic_write_json(os.path.join(out_dir, "corpus_stats.json"), stats)
+    return stats
+
+
+# --------------------------------------------------------------------------
+# phase 2: per-part k-way merge (stateful actor pool)
+# --------------------------------------------------------------------------
+
+class MergeWorker:
+    """Actor-pool stage: one ``__call__`` merges one doc-partition.
+
+    Stateful per north rule ("per-partition segment files merged via stateful
+    actor-pool k-way merge"): config + corpus stats load once per actor.
+    Memory bound: one part's compressed postings (size_total / n_parts) —
+    choose ``part_bits`` so this fits a worker heap at target scale.
+    """
+
+    def __init__(self, out_dir: str, cfg: IndexConfig, avgdl: float):
+        self.out_dir = out_dir
+        self.cfg = cfg
+        self.avgdl = avgdl if avgdl > 0 else 1.0
+
+    METRICS_SCHEMA = pa.schema([
+        ("part", pa.int64()),
+        ("n_terms", pa.int64()),
+        ("n_postings", pa.int64()),
+        ("wall_s", pa.float64()),
+        ("postings_per_sec", pa.float64()),
+    ])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metrics = [self.merge_part(int(p)) for p in batch["part"].to_pylist()]
+        return pa.table(
+            {k: [m.get(k) for m in metrics] for k in self.METRICS_SCHEMA.names},
+            schema=self.METRICS_SCHEMA)
+
+    # -- core ---------------------------------------------------------------
+    def merge_part(self, part: int) -> dict:
+        t0 = time.perf_counter()
+        man_path = os.path.join(self.out_dir, "_manifest", f"part-{part}.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                return json.load(f)
+        run_files = sorted(glob.glob(os.path.join(
+            self.out_dir, "runs", "shard=*", f"part={part}", "*.parquet")))
+        seg_dir = os.path.join(self.out_dir, "segments", f"part={part}")
+        if not run_files:
+            os.makedirs(seg_dir, exist_ok=True)
+            pq.write_table(pa.table({n: [] for n in SEGMENT_SCHEMA.names},
+                                    schema=SEGMENT_SCHEMA),
+                           os.path.join(seg_dir, "segment.parquet"))
+            man = {"part": part, "n_terms": 0, "n_postings": 0, "inputs": [],
+                   "wall_s": 0.0, "postings_per_sec": None}
+            _atomic_write_json(man_path, man)
+            return man
+
+        tbl = pa.concat_tables(
+            pq.read_table(f, columns=["term", "df", "cf", "min_doc", "doc_ids",
+                                      "tfs", "dls", "positions"])
+            for f in run_files)
+        tbl = tbl.sort_by([("term", "ascending"), ("min_doc", "ascending")])
+        seg_tbl, n_terms, n_postings = self._merge_table(tbl)
+        tmp_dir = seg_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
+        pq.write_table(seg_tbl, os.path.join(tmp_dir, "segment.parquet"))
+        _atomic_rename_dir(tmp_dir, seg_dir)
+        wall = time.perf_counter() - t0
+        man = {
+            "part": part,
+            "n_terms": int(n_terms),
+            "n_postings": int(n_postings),
+            "inputs": [os.path.relpath(f, self.out_dir) for f in run_files],
+            "wall_s": round(wall, 3),
+            "postings_per_sec": round(n_postings / wall, 1) if wall > 0 else None,
+        }
+        os.makedirs(os.path.dirname(man_path), exist_ok=True)
+        _atomic_write_json(man_path, man)
+        return man
+
+    def _merge_table(self, tbl: pa.Table):
+        """Vectorized whole-part merge: decode every run blob in ONE varint
+        pass, lexsort all postings by (term, doc_id), re-encode with ONE
+        segmented varint pass. Rows must be pre-sorted by (term, min_doc).
+
+        Returns (segment_table, n_terms, n_postings)."""
+        cap = self.cfg.compact_max_postings
+        bs = self.cfg.block_size
+        with_pos = self.cfg.with_positions
+        p = self.cfg.bm25
+
+        df_row = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms_rows = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        n_rows = df_row.size
+        if n_rows == 0:
+            empty = pa.table({n: [] for n in SEGMENT_SCHEMA.names},
+                             schema=SEGMENT_SCHEMA)
+            return empty, 0, 0
+
+        doc_blobs = tbl["doc_ids"].to_pylist()
+        tf_blobs = tbl["tfs"].to_pylist()
+        dl_blobs = tbl["dls"].to_pylist()
+
+        row_starts = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(df_row[:-1], out=row_starts[1:])
+        doc_abs = segmented_cumsum_abs(decode_varints_concat(doc_blobs),
+                                       row_starts)
+        tfs = decode_varints_concat(tf_blobs)
+        dls = decode_varints_concat(dl_blobs)
+        n_post = doc_abs.size
+
+        new_term = np.ones(n_rows, dtype=bool)
+        new_term[1:] = terms_rows[1:] != terms_rows[:-1]
+        term_id_row = np.cumsum(new_term) - 1
+        term_id = np.repeat(term_id_row, df_row)
+        uniq_terms = terms_rows[new_term]
+
+        order = np.lexsort((doc_abs, term_id))
+        sd = doc_abs[order]
+        st = tfs[order]
+        sl = dls[order]
+        stid = term_id[order]
+
+        # output rows: per term, split into <=cap chunks (deterministic)
+        t_starts = np.concatenate(
+            ([0], np.flatnonzero(stid[1:] != stid[:-1]) + 1))
+        t_ends = np.concatenate((t_starts[1:], [n_post]))
+        out_term_idx: list[int] = []
+        out_salt: list[int] = []
+        out_start: list[int] = []
+        out_end: list[int] = []
+        for ti, (s, e) in enumerate(zip(t_starts.tolist(), t_ends.tolist())):
+            n = e - s
+            if n <= cap:
+                out_term_idx.append(int(stid[s]))
+                out_salt.append(0)
+                out_start.append(s)
+                out_end.append(e)
+            else:
+                n_chunks = (n + cap - 1) // cap
+                size = (n + n_chunks - 1) // n_chunks
+                for ci in range(n_chunks):
+                    out_term_idx.append(int(stid[s]))
+                    out_salt.append(ci)
+                    out_start.append(s + ci * size)
+                    out_end.append(min(s + (ci + 1) * size, e))
+        ostart = np.asarray(out_start, dtype=np.int64)
+        oend = np.asarray(out_end, dtype=np.int64)
+
+        # delta-gap re-encode: diffs within rows, absolute at row starts
+        gaps = sd.copy()
+        gaps[1:] -= sd[:-1]          # uint64 wrap at boundaries is overwritten
+        gaps[ostart] = sd[ostart]
+        doc_out = encode_varints_segmented(gaps, ostart)
+        tf_out = encode_varints_segmented(st, ostart)
+        dl_out = encode_varints_segmented(sl, ostart)
+        df_out = (oend - ostart).astype(np.int64)
+        cf_out = np.add.reduceat(st.astype(np.int64), ostart)
+
+        # block-max metadata (list columns, one short loop per output row)
+        comp = bm25_tf(st, sl, self.avgdl, p)
+        block_max: list[list[float]] = []
+        block_last: list[list[int]] = []
+        for s, e in zip(ostart.tolist(), oend.tolist()):
+            m = e - s
+            nb = (m + bs - 1) // bs
+            c = comp[s:e]
+            pad = nb * bs - m
+            cm = np.pad(c, (0, pad), constant_values=-np.inf)
+            block_max.append(cm.reshape(nb, bs).max(axis=1).tolist())
+            block_last.append(
+                sd[s + np.minimum(np.arange(1, nb + 1) * bs - 1, m - 1)]
+                .tolist())
+
+        if with_pos:
+            pos_vals = decode_varints_concat(tbl["positions"].to_pylist())
+            # per-posting value segment = [count] + count deltas
+            seg_len = (tfs + np.uint64(1)).astype(np.int64)
+            seg_cum = np.cumsum(seg_len)
+            seg_start = np.concatenate(([0], seg_cum[:-1]))
+            lens_sorted = seg_len[order]
+            starts_sorted = seg_start[order]
+            out_cum = np.cumsum(lens_sorted)
+            out_begin = np.concatenate(([0], out_cum[:-1]))
+            idx = (np.repeat(starts_sorted - out_begin, lens_sorted)
+                   + np.arange(int(out_cum[-1]) if len(out_cum) else 0,
+                               dtype=np.int64))
+            perm_vals = pos_vals[idx]
+            row_val_starts = out_begin[ostart]
+            pos_out = encode_varints_segmented(perm_vals, row_val_starts)
+        else:
+            pos_out = [b""] * len(ostart)
+
+        seg_tbl = pa.table(
+            {
+                "term": pa.array([uniq_terms[i] for i in out_term_idx],
+                                 pa.string()),
+                "salt": pa.array(out_salt, pa.int32()),
+                "df": pa.array(df_out, pa.int64()),
+                "cf": pa.array(cf_out, pa.int64()),
+                "doc_ids": pa.array(doc_out, pa.binary()),
+                "tfs": pa.array(tf_out, pa.binary()),
+                "dls": pa.array(dl_out, pa.binary()),
+                "positions": pa.array(pos_out, pa.binary()),
+                "block_max": pa.array(block_max, pa.list_(pa.float64())),
+                "block_last": pa.array(block_last, pa.list_(pa.uint64())),
+            },
+            schema=SEGMENT_SCHEMA,
+        )
+        return seg_tbl, uniq_terms.size, n_post
+
+
+# --------------------------------------------------------------------------
+# orchestration
+# --------------------------------------------------------------------------
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    n_docs: int
+    total_tokens: int
+    avgdl: float
+    wall_s: float
+    turns_per_sec: float
+    shard_manifests: list = field(default_factory=list)
+    part_manifests: list = field(default_factory=list)
+
+
+def build_index(input_path: str | list[str], out_dir: str,
+                cfg: IndexConfig | None = None, *,
+                strategy: str = "combine",
+                shard_target_bytes: int = 2 << 30,
+                concurrency: int | None = None,
+                merge_concurrency: int | None = None,
+                keep_runs: bool = True) -> BuildResult:
+    """End-to-end index build. Safe to re-run: finished shards/parts skip."""
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or IndexConfig()
+    t0 = time.perf_counter()
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    _atomic_write_json(os.path.join(out_dir, "index_meta.json"), {
+        "part_bits": cfg.part_bits,
+        "block_size": cfg.block_size,
+        "with_positions": cfg.with_positions,
+        "compact_max_postings": cfg.compact_max_postings,
+        "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
+        "strategy": strategy,
+    })
+
+    files = discover_input_files(input_path)
+    shards = shard_files(files, shard_target_bytes)
+    shard_mans = [
+        build_runs_for_shard(s, fl, out_dir, cfg, strategy, concurrency)
+        for s, fl in enumerate(shards)
+    ]
+    n_docs = sum(m["n_turns"] for m in shard_mans)
+    stats = compute_corpus_stats(out_dir, n_docs)
+
+    n_parts = 1 << cfg.part_bits
+    if merge_concurrency is None:
+        merge_concurrency = max(1, min(
+            n_parts, int(ray.cluster_resources().get("CPU", 4)) - 1))
+    part_ds = rd.from_items([{"part": p} for p in range(n_parts)],
+                            override_num_blocks=n_parts)
+    metrics = part_ds.map_batches(
+        MergeWorker,
+        fn_constructor_args=(out_dir, cfg, stats["avgdl"]),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=merge_concurrency,
+    ).take_all()  # tiny: one row per part
+
+    if not keep_runs:
+        shutil.rmtree(os.path.join(out_dir, "runs"), ignore_errors=True)
+
+    wall = time.perf_counter() - t0
+    result = BuildResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        total_tokens=stats["total_tokens"],
+        avgdl=stats["avgdl"],
+        wall_s=round(wall, 3),
+        turns_per_sec=round(n_docs / wall, 1) if wall > 0 else 0.0,
+        shard_manifests=shard_mans,
+        part_manifests=metrics,
+    )
+    _atomic_write_json(os.path.join(out_dir, "metrics.json"), {
+        "n_docs": n_docs,
+        "total_tokens": stats["total_tokens"],
+        "wall_s": result.wall_s,
+        "turns_per_sec": result.turns_per_sec,
+        "shards": shard_mans,
+        "parts": [{k: v for k, v in m.items() if k != "inputs"} for m in metrics],
+    })
+    return result

@@ -1,0 +1,282 @@
+"""BM25 top-k query engine over merged segments.
+
+Replaces the reference's PostgreSQL TF-IDF query layer
+(`Query/QueryService.java:441-674`, `Ranker/RankerMainProcess/Ranker1.java:
+305-575`) with vectorized scoring over decoded posting lists.
+
+Canonical scoring contract (SURVEY.md D2, mirrored by tests/oracle.py):
+
+    idf(t)   = ln((1+N)/(1+df_t)) + 1                  `IndexerService.java:966`
+    tf(t,d)  = f*(k1+1) / (f + k1*(1-b+b*dl/avgdl))    `IndexerService.java:1060-1070`
+    score(d) = Σ_t idf(t)·tf(t,d)   over matching query terms
+    ties broken by ascending doc_id; float64 throughout.
+
+Query algebra (`QueryService.java:254-340`, `ComplexPhraseSearching.java:
+84-103`):
+    regular      — disjunctive union of terms (every doc matching >=1 term)
+    AND of A, B  — docs matching phrase A ∩ phrase B, score = s_A + s_B
+    OR of A, B   — union, missing side contributes 0
+    NOT of A, B  — A's docs minus B's docs, score = s_A
+    phrase       — positional adjacency (`Ranker1.java:370-449` semantics:
+                   word i of the phrase at position p0+i), scored as the sum
+                   of the phrase terms' BM25 contributions.
+
+Doc partitions are disjoint, so per-part top-k + merge == global top-k
+(the distributed plan: per-part serving actors, driver k-way merge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import BM25Params
+from ..index.reader import IndexReader, PartReader
+from ..index.segments import DecodedPostings, bm25_tf
+from .parser import ParsedQuery, parse_query
+
+_EMPTY_U64 = np.empty(0, dtype=np.uint64)
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
+
+
+class _PosCache:
+    """Per-engine memo of decoded per-doc position lists."""
+
+    def __init__(self):
+        self._m: dict[int, list[np.ndarray]] = {}
+
+    def get(self, pl: DecodedPostings) -> list[np.ndarray]:
+        key = id(pl)
+        hit = self._m.get(key)
+        if hit is None:
+            hit = self._m[key] = pl.positions()
+        return hit
+
+
+def accumulate_part(reader: PartReader, terms, idfs, avgdl: float,
+                    params: BM25Params):
+    """Union-accumulate BM25 contributions of ``terms`` over one part.
+
+    Returns (doc_ids asc, scores, nmatch) where nmatch[i] = how many of the
+    query terms doc i contains (drives AND and the >=50%-match fallback,
+    `QueryService.java:595-670`)."""
+    doc_arrs, score_arrs = [], []
+    for t, idf in zip(terms, idfs):
+        pl = reader.postings(t)
+        if pl is None:
+            continue
+        doc_arrs.append(pl.doc_ids)
+        score_arrs.append(idf * bm25_tf(pl.tfs, pl.dls, avgdl, params))
+    if not doc_arrs:
+        return _EMPTY_U64, _EMPTY_F64, np.empty(0, dtype=np.int64)
+    all_docs = np.concatenate(doc_arrs)
+    all_scores = np.concatenate(score_arrs)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, all_scores)
+    nmatch = np.bincount(inv, minlength=uniq.size)
+    return uniq, scores, nmatch
+
+
+def top_k(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    """Exact top-k, score desc, tie-break ascending doc_id (SURVEY.md §4.5-6:
+    pins the stable-sort behavior the reference gets from Java)."""
+    n = doc_ids.size
+    if n == 0:
+        return _EMPTY_U64, _EMPTY_F64
+    if n > 4 * k:
+        # prune to candidates with score >= k-th best (keeps boundary ties so
+        # the doc_id tie-break stays exact), then sort only the short head
+        kth_best = -np.partition(-scores, k - 1)[k - 1]
+        idx = np.flatnonzero(scores >= kth_best)
+        doc_ids, scores = doc_ids[idx], scores[idx]
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[order], scores[order]
+
+
+def phrase_match_part(reader: PartReader, phrase, pos_cache: _PosCache
+                      ) -> np.ndarray:
+    """doc_ids (ascending) in this part containing the exact phrase
+    (post-analyzer adjacency, `Ranker1.java:370-449`)."""
+    pls = []
+    for t in phrase:
+        pl = reader.postings(t)
+        if pl is None:
+            return _EMPTY_U64
+        pls.append(pl)
+    cand = pls[0].doc_ids
+    for pl in pls[1:]:
+        cand = np.intersect1d(cand, pl.doc_ids, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY_U64
+    if len(pls) == 1:
+        return cand
+    pos_lists = [pos_cache.get(pl) for pl in pls]
+    hits = []
+    for d in cand.tolist():
+        starts = None
+        ok = True
+        for i, pl in enumerate(pls):
+            j = int(np.searchsorted(pl.doc_ids, d))
+            p = pos_lists[i][j]
+            shifted = p - np.uint64(i) if i else p
+            starts = shifted if starts is None else np.intersect1d(
+                starts, shifted, assume_unique=True)
+            if starts.size == 0:
+                ok = False
+                break
+        if ok:
+            hits.append(d)
+    return np.asarray(hits, dtype=np.uint64)
+
+
+def score_docs_part(reader: PartReader, docs: np.ndarray, terms, idfs,
+                    avgdl: float, params: BM25Params) -> np.ndarray:
+    """BM25 score of the given docs for the given terms (0 for absent)."""
+    scores = np.zeros(docs.size, dtype=np.float64)
+    for t, idf in zip(terms, idfs):
+        pl = reader.postings(t)
+        if pl is None:
+            continue
+        j = np.searchsorted(pl.doc_ids, docs)
+        j_c = np.minimum(j, pl.doc_ids.size - 1)
+        present = pl.doc_ids[j_c] == docs
+        if present.any():
+            contrib = idf * bm25_tf(pl.tfs[j_c[present]],
+                                    pl.dls[j_c[present]], avgdl, params)
+            scores[present] += contrib
+    return scores
+
+
+class SearchEngine:
+    """Single-process engine over a built index (tests / driver-side serving).
+
+    The distributed variant (`rayse.query.serve.SearchCluster`) runs the
+    same per-part functions inside per-part actors and merges top-k on the
+    driver; both produce identical results because parts are doc-disjoint.
+    """
+
+    def __init__(self, index_dir: str, parts: list[int] | None = None):
+        self.reader = IndexReader(index_dir, parts)
+        self.params = BM25Params(**self.reader.meta.get("bm25", {}))
+        self._pos_cache = _PosCache()
+
+    # -- retrieval primitives ----------------------------------------------
+    def _idfs(self, terms) -> list[float]:
+        n = self.reader.n_docs
+        return [float(np.log((1.0 + n) / (1.0 + self.reader.df(t))) + 1.0)
+                for t in terms]
+
+    def regular(self, terms, k: int = 10):
+        idfs = self._idfs(terms)
+        avgdl = self.reader.avgdl
+        cand_docs, cand_scores = [], []
+        for pr in self.reader.parts:
+            d, s, _ = accumulate_part(pr, terms, idfs, avgdl, self.params)
+            if d.size:
+                dd, ss = top_k(d, s, k)
+                cand_docs.append(dd)
+                cand_scores.append(ss)
+        if not cand_docs:
+            return _EMPTY_U64, _EMPTY_F64
+        return top_k(np.concatenate(cand_docs), np.concatenate(cand_scores), k)
+
+    def conjunctive(self, terms, k: int = 10):
+        """Docs containing ALL terms (J5 semantics:
+        `WordDocumentMetricsRepository.java:32-38`)."""
+        idfs = self._idfs(terms)
+        avgdl = self.reader.avgdl
+        cand_docs, cand_scores = [], []
+        nt = len(terms)
+        for pr in self.reader.parts:
+            d, s, m = accumulate_part(pr, terms, idfs, avgdl, self.params)
+            keep = m == nt
+            if keep.any():
+                dd, ss = top_k(d[keep], s[keep], k)
+                cand_docs.append(dd)
+                cand_scores.append(ss)
+        if not cand_docs:
+            return _EMPTY_U64, _EMPTY_F64
+        return top_k(np.concatenate(cand_docs), np.concatenate(cand_scores), k)
+
+    def phrase(self, phrase, k: int = 10):
+        terms = list(dict.fromkeys(phrase))
+        idfs = self._idfs(terms)
+        avgdl = self.reader.avgdl
+        cand_docs, cand_scores = [], []
+        for pr in self.reader.parts:
+            docs = phrase_match_part(pr, phrase, self._pos_cache)
+            if docs.size:
+                s = score_docs_part(pr, docs, terms, idfs, avgdl, self.params)
+                dd, ss = top_k(docs, s, k)
+                cand_docs.append(dd)
+                cand_scores.append(ss)
+        if not cand_docs:
+            return _EMPTY_U64, _EMPTY_F64
+        return top_k(np.concatenate(cand_docs), np.concatenate(cand_scores), k)
+
+    def phrase_docs(self, phrase) -> np.ndarray:
+        """All matching doc_ids (ascending), across parts."""
+        out = [phrase_match_part(pr, phrase, self._pos_cache)
+               for pr in self.reader.parts]
+        out = [o for o in out if o.size]
+        if not out:
+            return _EMPTY_U64
+        return np.sort(np.concatenate(out))
+
+    def boolean(self, op: str, left, right, k: int = 10):
+        """SE1-SE3 set algebra over two phrases
+        (`ComplexPhraseSearching.java:84-103`)."""
+        ldocs = self.phrase_docs(left)
+        rdocs = self.phrase_docs(right)
+        if op == "AND":
+            docs = np.intersect1d(ldocs, rdocs, assume_unique=True)
+            score_terms = list(dict.fromkeys(list(left) + list(right)))
+        elif op == "OR":
+            docs = np.union1d(ldocs, rdocs)
+            score_terms = list(dict.fromkeys(list(left) + list(right)))
+        elif op == "NOT":
+            docs = np.setdiff1d(ldocs, rdocs, assume_unique=True)
+            score_terms = list(dict.fromkeys(left))
+        else:
+            raise ValueError(op)
+        if docs.size == 0:
+            return _EMPTY_U64, _EMPTY_F64
+        idfs = self._idfs(score_terms)
+        avgdl = self.reader.avgdl
+        cand_docs, cand_scores = [], []
+        shift = 64 - self.reader.meta["part_bits"]
+        # route docs to their parts (parts are doc_id-range partitions)
+        part_ids = np.array([int(p.part_dir.rsplit("=", 1)[1])
+                             for p in self.reader.parts])
+        doc_parts = (docs >> np.uint64(shift)).astype(np.int64)
+        for pi, pr in zip(part_ids, self.reader.parts):
+            sel = docs[doc_parts == pi]
+            if sel.size == 0:
+                continue
+            s = score_docs_part(pr, sel, score_terms, idfs, avgdl, self.params)
+            dd, ss = top_k(sel, s, k)
+            cand_docs.append(dd)
+            cand_scores.append(ss)
+        if not cand_docs:
+            return _EMPTY_U64, _EMPTY_F64
+        return top_k(np.concatenate(cand_docs), np.concatenate(cand_scores), k)
+
+    # -- entry --------------------------------------------------------------
+    def search(self, query: str, k: int = 10, mode: str = "or"):
+        """Parse & route per the reference grammar (`QueryService.java:73-134`).
+
+        ``mode`` applies to regular queries: "or" = disjunctive (default,
+        matching the canonical contract), "and" = conjunctive (J5)."""
+        pq_ = parse_query(query)
+        return self.execute(pq_, k, mode)
+
+    def execute(self, pq_: ParsedQuery, k: int = 10, mode: str = "or"):
+        if pq_.kind == "phrase":
+            return self.phrase(pq_.phrase, k)
+        if pq_.kind == "boolean":
+            return self.boolean(pq_.op, pq_.left, pq_.right, k)
+        if not pq_.terms:
+            return _EMPTY_U64, _EMPTY_F64
+        if mode == "and":
+            return self.conjunctive(pq_.terms, k)
+        return self.regular(pq_.terms, k)
