@@ -171,15 +171,102 @@ def _q_dedup_exact(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_quality_stats(sf_dir: str):
+    from rayse.ops.textstats import quality_stats
+
+    return quality_stats(sf_dir)
+
+
+def _q_lang_id(sf_dir: str):
+    from rayse.ops.textstats import lang_id
+
+    return lang_id(sf_dir)
+
+
+def _q_fingerprints(sf_dir: str):
+    from rayse.ops.textstats import fingerprints
+
+    return fingerprints(sf_dir)
+
+
+def _q_jaccard_pairs(sf_dir: str):
+    from rayse.ops.dedup import jaccard_pairs
+
+    return jaccard_pairs(sf_dir, shingle_k=1, threshold=0.9)
+
+
+def _q_minhash_lsh_pairs(sf_dir: str):
+    from rayse.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(sf_dir, shingle_k=3, threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from rayse.ops.dedup import simhash_pairs
+
+    return simhash_pairs(sf_dir, max_hamming=3)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from rayse.ops.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(sf_dir, threshold=0.4)
+
+
+def _q_ann_topk(sf_dir: str):
+    from rayse.ops.similarity import ann_topk
+
+    return ann_topk(sf_dir, n_queries=5, k=10)
+
+
+def _q_ann_lsh_topk(sf_dir: str):
+    from rayse.ops.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(sf_dir, n_queries=5, k=10)
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing demo: synthetic media table (payload bytes are
+    deterministic; sf_dir unused beyond scale hint) -> feature extraction
+    via the actor-pool stage with the stubbed decoder."""
+    import ray.data as rd
+
+    from rayse.ops.multimodal import media_features, synth_media_table
+
+    n = 200 if "0.01" in sf_dir else 50
+    ds = rd.from_arrow(synth_media_table(n))
+    return media_features(ds, concurrency=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # search-engine core (SURVEY.md §2; analyzer not SQL-expressible ->
+        # rows-only here, value-pinned by tests/oracle.py instead)
         "bm25_topk": _q_bm25_topk,
         "phrase_topk": _q_phrase_topk,
         "boolean_topk": _q_boolean_topk,
         "term_stats": _q_term_stats,
+        # training-data ops (SQL-checked where expressible)
         "doc_token_count": _q_doc_token_count,
         "dedup_exact": _q_dedup_exact,
+        "quality_stats": _q_quality_stats,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "media_features": _q_media_features,
     }
+
+
+def _stopword_sql_list() -> str:
+    from rayse.analyzer.stopwords import STOPWORDS_LIST
+
+    return ", ".join("'" + w.replace("'", "''") + "'"
+                     for w in STOPWORDS_LIST if w)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -192,4 +279,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) "
             "AS n_copies FROM documents GROUP BY text"
         ),
+        "quality_stats": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                          AS BIGINT) AS n_punct,
+                     len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_stopword_sql_list()}))) AS n_stop
+              FROM documents)
+            SELECT doc_id, n_chars, n_tokens, n_punct,
+                   CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)
+                     AS stopword_ratio,
+                   CAST(n_chars - (n_tokens - 1) AS DOUBLE)
+                     / greatest(n_tokens, 1) AS avg_token_chars
+            FROM t
+        """,
+        "jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)) >= 0.9
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+              ORDER BY vec_id LIMIT 5),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e),
+            ranked AS (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM scored)
+            SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id
+            FROM ranked WHERE rank <= 10
+        """,
     }

@@ -50,7 +50,7 @@ def ensure_corpus() -> str:
 
     (rd.from_items(ranges, override_num_blocks=len(ranges))
      .map_batches(gen, batch_size=1, batch_format="default")
-     .write_parquet(CORPUS_DIR, min_rows_per_file=16000))
+     .write_parquet(CORPUS_DIR, max_rows_per_file=8192))
     open(marker, "w").close()
     return CORPUS_DIR
 
@@ -120,6 +120,26 @@ def run_bench() -> dict:
         ray.shutdown()
 
 
+def measure_cpu_ceiling(lo: int, hi: int) -> dict:
+    """This box's own multiprocess scaling ceiling: N identical pure-python
+    busy processes, per-process throughput ratio lo->hi. A single shared-
+    memory machine throttles under full fan-out (frequency/SMT/memory-bus),
+    so even a perfectly parallel pipeline cannot exceed this ratio — report
+    it next to the pipeline efficiency (a real N->4N NODE cluster has no
+    such shared ceiling)."""
+    code = ("import time;t=time.perf_counter();x=0\n"
+            "while time.perf_counter()-t<2: x+=1\n"
+            "print(x)")
+
+    def total(n: int) -> int:
+        ps = [subprocess.Popen([sys.executable, "-c", code],
+                               stdout=subprocess.PIPE) for _ in range(n)]
+        return sum(int(p.communicate()[0]) for p in ps)
+
+    t_lo, t_hi = total(lo), total(hi)
+    return {"ceiling_efficiency": round((t_hi / t_lo) / (hi / lo), 3)}
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -131,6 +151,7 @@ def run_scaling() -> dict:
     lo_cpus, hi_cpus = 8, 32
     lo, hi = run(lo_cpus), run(hi_cpus)
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    ceiling = measure_cpu_ceiling(lo_cpus, hi_cpus)["ceiling_efficiency"]
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -142,6 +163,8 @@ def run_scaling() -> dict:
         "turns_per_sec_lo": lo["turns_per_sec"],
         "turns_per_sec_hi": hi["turns_per_sec"],
         "bench_turns": lo["bench_turns"],
+        "hardware_ceiling_efficiency": ceiling,
+        "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
     }
 
 

@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``ann_topk``: exact brute-force cosine top-k — numpy matmul per batch
+  against a broadcast query matrix (``ray.put`` once, read in every task),
+  per-batch partial top-k, tiny driver merge. The baseline the scale path
+  must match.
+- ``ann_lsh_topk``: random-hyperplane LSH-bucketed variant — queries only
+  score vectors sharing a bucket (multi-probe over H tables). The 100 TB
+  path: candidate sets shrink by ~bucket_count x; recall measured against
+  the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _load_queries(sf_dir: str, n_queries: int):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)[:n_queries]
+    q = np.array([t["embedding"][int(i)].as_py() for i in order],
+                 dtype=np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return ids[order], q
+
+
+def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
+    """Exact cosine top-k of the first ``n_queries`` vectors (by vec_id)
+    against the whole table. Ties broken by ascending vec_id."""
+    import ray
+    import ray.data as rd
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    q_ref = ray.put(q_mat)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qm @ m.T                      # (Q, B)
+        rows = {"q_id": [], "vec_id": [], "sim": []}
+        top = min(k, ids.size)
+        for qi in range(qm.shape[0]):
+            s = sims[qi]
+            idx = np.lexsort((ids, -s))[:top]
+            rows["q_id"].extend([int(q_ids[qi])] * top)
+            rows["vec_id"].extend(ids[idx].tolist())
+            rows["sim"].extend(s[idx].tolist())
+        return pa.table({"q_id": pa.array(rows["q_id"], pa.int64()),
+                         "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                         "sim": pa.array(rows["sim"], pa.float64())})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()  # tiny: Q*k/batch
+    out_q, out_r, out_v = [], [], []
+    by_q: dict[int, list] = {}
+    for row in parts:
+        by_q.setdefault(row["q_id"], []).append((row["sim"], row["vec_id"]))
+    for qid in sorted(by_q):
+        cand = by_q[qid]
+        sims = np.array([c[0] for c in cand])
+        vids = np.array([c[1] for c in cand])
+        idx = np.lexsort((vids, -sims))[:k]
+        for r, i in enumerate(idx, 1):
+            out_q.append(qid)
+            out_r.append(r)
+            out_v.append(int(vids[i]))
+    return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int32()),
+                     "vec_id": pa.array(out_v, pa.int64())})
+
+
+class LshIndexStage:
+    """Actor-pool stage holding H random-hyperplane tables (built once per
+    actor in __init__): maps each vector to H bucket keys."""
+
+    def __init__(self, dim: int, n_tables: int = 8, n_bits: int = 12,
+                 seed: int = 99):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, n_bits, dim))
+        self.n_tables = n_tables
+        self.n_bits = n_bits
+
+    def keys(self, mat: np.ndarray) -> np.ndarray:
+        """(N, H) bucket keys."""
+        out = np.empty((mat.shape[0], self.n_tables), dtype=np.int64)
+        for h in range(self.n_tables):
+            bits = (mat @ self.planes[h].T) > 0           # (N, n_bits)
+            out[:, h] = bits @ (1 << np.arange(self.n_bits))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        keys = self.keys(m)
+        n, h = keys.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, h), pa.int64()),
+            "table": pa.array(np.tile(np.arange(h, dtype=np.int32), n),
+                              pa.int32()),
+            "bucket": pa.array(keys.reshape(-1), pa.int64()),
+        })
+
+
+def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                 n_tables: int = 16, n_bits: int = 4) -> pa.Table:
+    """LSH-bucketed approximate top-k: score only vectors sharing >=1
+    bucket with the query. Same output schema as ``ann_topk``."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    dim = q_mat.shape[1]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    stage = LshIndexStage(dim, n_tables, n_bits)
+    q_keys = stage.keys(q_mat)                      # (Q, H)
+    q_buckets = {(h, int(q_keys[qi, h])): qi
+                 for qi in range(q_mat.shape[0]) for h in range(n_tables)}
+    b_ref = ray.put((q_buckets, q_mat))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        qb, qm = ray.get(b_ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        keys = stage.keys(m)
+        out_q, out_v, out_s = [], [], []
+        hit: dict[int, set] = {}
+        for i in range(ids.size):
+            for h in range(keys.shape[1]):
+                qi = qb.get((h, int(keys[i, h])))
+                if qi is not None:
+                    hit.setdefault(qi, set()).add(i)
+        for qi, idxs in hit.items():
+            idx = np.fromiter(idxs, dtype=np.int64)
+            s = qm[qi] @ m[idx].T
+            out_q.extend([int(q_ids[qi])] * idx.size)
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(np.atleast_1d(s).tolist())
+        return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    rows = ds.map_batches(candidates, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    by_q: dict[int, list] = {}
+    for row in rows:
+        by_q.setdefault(row["q_id"], []).append((row["sim"], row["vec_id"]))
+    out_q, out_r, out_v = [], [], []
+    for qid in sorted(by_q):
+        cand = by_q[qid]
+        sims = np.array([c[0] for c in cand])
+        vids = np.array([c[1] for c in cand])
+        idx = np.lexsort((vids, -sims))[:k]
+        for r, i in enumerate(idx, 1):
+            out_q.append(qid)
+            out_r.append(r)
+            out_v.append(int(vids[i]))
+    return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int32()),
+                     "vec_id": pa.array(out_v, pa.int64())})

@@ -113,6 +113,19 @@ def shard_files(files: list[str], target_bytes: int) -> list[list[str]]:
 # phase 1: shard -> compressed runs (the map/combine + shuffle-write)
 # --------------------------------------------------------------------------
 
+_TOKENIZE_SINGLETON: dict = {}
+
+
+def _tokenize_task(batch: pa.Table, *, part_bits: int,
+                   with_positions: bool) -> pa.Table:
+    """Task-form wrapper: one TokenizeStage instance per worker process."""
+    key = (part_bits, with_positions)
+    stage = _TOKENIZE_SINGLETON.get(key)
+    if stage is None:
+        stage = _TOKENIZE_SINGLETON[key] = TokenizeStage(
+            part_bits=part_bits, with_positions=with_positions)
+    return stage(batch)
+
 def _encode_group(group: pa.Table) -> pa.Table:
     """groupby(part, term, salt).map_groups encoder for the salted strategy.
 
@@ -167,21 +180,29 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
             return json.load(f)
 
     t0 = time.perf_counter()
-    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+    n_read_blocks = max(2 * int(ray.cluster_resources().get("CPU", 4)),
+                        len(files))
+    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"],
+                         override_num_blocks=n_read_blocks)
     n_turns = ds.count()  # parquet metadata count: no data scan
 
     if concurrency is None:
         concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
 
     if strategy == "combine":
+        # Stateless Ray tasks over the warm worker pool: the analyzer's
+        # stem/stop cache is module state shared per worker process, so the
+        # actor-pool benefit (state amortization) comes for free while
+        # scheduling stays elastic and pays no pool spin-up. (The stage
+        # class itself is actor-pool-capable; the groupby_salted path and
+        # heavier stages use explicit pools.)
         runs = ds.map_batches(
-            TokenizeStage,
-            fn_constructor_kwargs=dict(part_bits=cfg.part_bits,
-                                       with_positions=cfg.with_positions),
+            _tokenize_task,
+            fn_kwargs=dict(part_bits=cfg.part_bits,
+                           with_positions=cfg.with_positions),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.tokenize_batch_size,
-            concurrency=concurrency,
         )
     elif strategy == "groupby_salted":
         postings = ds.map_batches(
@@ -227,12 +248,17 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
 def compute_corpus_stats(out_dir: str, n_docs: int) -> dict:
     """total_tokens = Σ cf over run rows (each token occurrence is counted in
     exactly one run); avgdl = total_tokens / N. Replaces
-    `documentRepository.count()` + avg length (`IndexerService.java:1014-1020`)."""
-    total = 0
-    for f in glob.glob(os.path.join(out_dir, "runs", "shard=*", "**", "*.parquet"),
-                       recursive=True):
-        t = pq.read_table(f, columns=["cf"])
-        total += int(pa.compute.sum(t["cf"]).as_py() or 0)
+    `documentRepository.count()` + avg length (`IndexerService.java:1014-1020`).
+    One threaded pyarrow-dataset scan of the single ``cf`` column."""
+    import pyarrow.dataset as pads
+
+    files = glob.glob(os.path.join(out_dir, "runs", "shard=*", "**",
+                                   "*.parquet"), recursive=True)
+    if files:
+        t = pads.dataset(files).to_table(columns=["cf"])
+        total = int(pa.compute.sum(t["cf"]).as_py() or 0)
+    else:
+        total = 0
     stats = {
         "n_docs": int(n_docs),
         "total_tokens": int(total),
@@ -255,27 +281,12 @@ class MergeWorker:
     choose ``part_bits`` so this fits a worker heap at target scale.
     """
 
-    def __init__(self, out_dir: str, cfg: IndexConfig, avgdl: float):
+    def __init__(self, out_dir: str, cfg: IndexConfig):
         self.out_dir = out_dir
         self.cfg = cfg
-        self.avgdl = avgdl if avgdl > 0 else 1.0
-
-    METRICS_SCHEMA = pa.schema([
-        ("part", pa.int64()),
-        ("n_terms", pa.int64()),
-        ("n_postings", pa.int64()),
-        ("wall_s", pa.float64()),
-        ("postings_per_sec", pa.float64()),
-    ])
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        metrics = [self.merge_part(int(p)) for p in batch["part"].to_pylist()]
-        return pa.table(
-            {k: [m.get(k) for m in metrics] for k in self.METRICS_SCHEMA.names},
-            schema=self.METRICS_SCHEMA)
 
     # -- core ---------------------------------------------------------------
-    def merge_part(self, part: int) -> dict:
+    def merge_part(self, part: int, avgdl: float) -> dict:
         t0 = time.perf_counter()
         man_path = os.path.join(self.out_dir, "_manifest", f"part-{part}.json")
         if os.path.exists(man_path):
@@ -294,12 +305,16 @@ class MergeWorker:
             _atomic_write_json(man_path, man)
             return man
 
-        tbl = pa.concat_tables(
-            pq.read_table(f, columns=["term", "df", "cf", "min_doc", "doc_ids",
-                                      "tfs", "dls", "positions"])
-            for f in run_files)
+        import pyarrow.dataset as pads
+
+        # single-threaded read: each merge actor owns one CPU; a threaded
+        # arrow read pool per actor would thrash at pool_size x cpu threads
+        tbl = pads.dataset(run_files).to_table(
+            columns=["term", "df", "cf", "min_doc", "doc_ids",
+                     "tfs", "dls", "positions"], use_threads=False)
         tbl = tbl.sort_by([("term", "ascending"), ("min_doc", "ascending")])
-        seg_tbl, n_terms, n_postings = self._merge_table(tbl)
+        seg_tbl, n_terms, n_postings = self._merge_table(
+            tbl, avgdl if avgdl > 0 else 1.0)
         tmp_dir = seg_dir + ".tmp"
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
@@ -319,7 +334,7 @@ class MergeWorker:
         _atomic_write_json(man_path, man)
         return man
 
-    def _merge_table(self, tbl: pa.Table):
+    def _merge_table(self, tbl: pa.Table, avgdl: float):
         """Vectorized whole-part merge: decode every run blob in ONE varint
         pass, lexsort all postings by (term, doc_id), re-encode with ONE
         segmented varint pass. Rows must be pre-sorted by (term, min_doc).
@@ -331,7 +346,11 @@ class MergeWorker:
         p = self.cfg.bm25
 
         df_row = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        terms_rows = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        # dictionary-encode terms: int codes for grouping, strings only
+        # materialized once for the output column (no object arrays)
+        tdict = tbl["term"].combine_chunks().dictionary_encode()
+        tcodes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tvalues = tdict.dictionary
         n_rows = df_row.size
         if n_rows == 0:
             empty = pa.table({n: [] for n in SEGMENT_SCHEMA.names},
@@ -351,10 +370,10 @@ class MergeWorker:
         n_post = doc_abs.size
 
         new_term = np.ones(n_rows, dtype=bool)
-        new_term[1:] = terms_rows[1:] != terms_rows[:-1]
+        new_term[1:] = tcodes[1:] != tcodes[:-1]
         term_id_row = np.cumsum(new_term) - 1
         term_id = np.repeat(term_id_row, df_row)
-        uniq_terms = terms_rows[new_term]
+        uniq_codes = tcodes[new_term]   # term_id -> dictionary code
 
         order = np.lexsort((doc_abs, term_id))
         sd = doc_abs[order]
@@ -398,20 +417,26 @@ class MergeWorker:
         df_out = (oend - ostart).astype(np.int64)
         cf_out = np.add.reduceat(st.astype(np.int64), ostart)
 
-        # block-max metadata (list columns, one short loop per output row)
-        comp = bm25_tf(st, sl, self.avgdl, p)
-        block_max: list[list[float]] = []
-        block_last: list[list[int]] = []
-        for s, e in zip(ostart.tolist(), oend.tolist()):
-            m = e - s
-            nb = (m + bs - 1) // bs
-            c = comp[s:e]
-            pad = nb * bs - m
-            cm = np.pad(c, (0, pad), constant_values=-np.inf)
-            block_max.append(cm.reshape(nb, bs).max(axis=1).tolist())
-            block_last.append(
-                sd[s + np.minimum(np.arange(1, nb + 1) * bs - 1, m - 1)]
-                .tolist())
+        # block-max metadata: ONE reduceat over all output rows' blocks
+        comp = bm25_tf(st, sl, avgdl, p)
+        n_blocks_row = (df_out + bs - 1) // bs
+        blk_row_off = np.zeros(len(ostart) + 1, dtype=np.int64)
+        np.cumsum(n_blocks_row, out=blk_row_off[1:])
+        total_blocks = int(blk_row_off[-1])
+        within = (np.arange(total_blocks, dtype=np.int64)
+                  - np.repeat(blk_row_off[:-1], n_blocks_row))
+        blk_starts = np.repeat(ostart, n_blocks_row) + within * bs
+        blk_last_idx = np.minimum(blk_starts + bs - 1,
+                                  np.repeat(oend - 1, n_blocks_row))
+        bm_flat = np.maximum.reduceat(comp, blk_starts) \
+            if total_blocks else np.empty(0, np.float64)
+        bl_flat = sd[blk_last_idx] if total_blocks else np.empty(0, np.uint64)
+        block_max = pa.ListArray.from_arrays(
+            pa.array(blk_row_off, pa.int32()),
+            pa.array(bm_flat, pa.float64()))
+        block_last = pa.ListArray.from_arrays(
+            pa.array(blk_row_off, pa.int32()),
+            pa.array(bl_flat, pa.uint64()))
 
         if with_pos:
             pos_vals = decode_varints_concat(tbl["positions"].to_pylist())
@@ -432,10 +457,12 @@ class MergeWorker:
         else:
             pos_out = [b""] * len(ostart)
 
+        out_codes = uniq_codes[np.asarray(out_term_idx, dtype=np.int64)]
+        term_col = pa.compute.take(tvalues,
+                                   pa.array(out_codes, pa.int64()))
         seg_tbl = pa.table(
             {
-                "term": pa.array([uniq_terms[i] for i in out_term_idx],
-                                 pa.string()),
+                "term": pa.compute.cast(term_col, pa.string()),
                 "salt": pa.array(out_salt, pa.int32()),
                 "df": pa.array(df_out, pa.int64()),
                 "cf": pa.array(cf_out, pa.int64()),
@@ -443,12 +470,14 @@ class MergeWorker:
                 "tfs": pa.array(tf_out, pa.binary()),
                 "dls": pa.array(dl_out, pa.binary()),
                 "positions": pa.array(pos_out, pa.binary()),
-                "block_max": pa.array(block_max, pa.list_(pa.float64())),
-                "block_last": pa.array(block_last, pa.list_(pa.uint64())),
+                "block_max": pa.compute.cast(block_max,
+                                             pa.list_(pa.float64())),
+                "block_last": pa.compute.cast(block_last,
+                                              pa.list_(pa.uint64())),
             },
             schema=SEGMENT_SCHEMA,
         )
-        return seg_tbl, uniq_terms.size, n_post
+        return seg_tbl, int(uniq_codes.size), n_post
 
 
 # --------------------------------------------------------------------------
@@ -499,19 +528,26 @@ def build_index(input_path: str | list[str], out_dir: str,
     n_docs = sum(m["n_turns"] for m in shard_mans)
     stats = compute_corpus_stats(out_dir, n_docs)
 
+    # Stateful actor-pool k-way merge (north rule): raw Ray actors with a
+    # dynamic work queue — the part list is fixed, ActorPool load-balances
+    # uneven parts. Created after phase 1 so actor spin-up (process fork +
+    # imports) does not compete with the tokenize scan for cores.
+    from ray.util import ActorPool
+
     n_parts = 1 << cfg.part_bits
     if merge_concurrency is None:
         merge_concurrency = max(1, min(
-            n_parts, int(ray.cluster_resources().get("CPU", 4)) - 1))
-    part_ds = rd.from_items([{"part": p} for p in range(n_parts)],
-                            override_num_blocks=n_parts)
-    metrics = part_ds.map_batches(
-        MergeWorker,
-        fn_constructor_args=(out_dir, cfg, stats["avgdl"]),
-        batch_format="pyarrow",
-        batch_size=1,
-        concurrency=merge_concurrency,
-    ).take_all()  # tiny: one row per part
+            n_parts, int(ray.cluster_resources().get("CPU", 4))))
+    RemoteMergeWorker = ray.remote(num_cpus=1)(MergeWorker)
+    merge_actors = [RemoteMergeWorker.remote(out_dir, cfg)
+                    for _ in range(merge_concurrency)]
+    merge_pool = ActorPool(merge_actors)
+    metrics = list(merge_pool.map_unordered(
+        lambda a, p: a.merge_part.remote(p, stats["avgdl"]),
+        list(range(n_parts))))
+    metrics.sort(key=lambda m: m["part"])
+    for a in merge_actors:
+        ray.kill(a)
 
     if not keep_runs:
         shutil.rmtree(os.path.join(out_dir, "runs"), ignore_errors=True)

@@ -159,11 +159,20 @@ class SearchEngine:
         self.reader = IndexReader(index_dir, parts)
         self.params = BM25Params(**self.reader.meta.get("bm25", {}))
         self._pos_cache = _PosCache()
+        # distributed serving: an engine holding a SUBSET of parts must
+        # score with GLOBAL df (idf is corpus-level); the driver injects it
+        # (`rayse.query.serve.SearchCluster` gathers per-actor dfs first)
+        self.global_df: dict[str, int] | None = None
 
     # -- retrieval primitives ----------------------------------------------
+    def _df(self, term: str) -> int:
+        if self.global_df is not None:
+            return self.global_df.get(term, 0)
+        return self.reader.df(term)
+
     def _idfs(self, terms) -> list[float]:
         n = self.reader.n_docs
-        return [float(np.log((1.0 + n) / (1.0 + self.reader.df(t))) + 1.0)
+        return [float(np.log((1.0 + n) / (1.0 + self._df(t))) + 1.0)
                 for t in terms]
 
     def regular(self, terms, k: int = 10):

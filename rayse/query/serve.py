@@ -1,0 +1,107 @@
+"""Distributed query serving: per-part actors + driver top-k merge.
+
+The distributed analog of the reference's serving stack (RAM index load
+`IndexerService.java:582-740` + query fan-out over a thread pool
+`QueryService.java:714-818`): each ``QueryActor`` loads a disjoint set of
+doc-partitions ONCE in ``__init__`` and answers per-part top-k; the driver
+merges k-way — correct because parts partition the doc space, so global
+top-k = top-k of the per-part top-k union (O1 semantics, docID tie-breaks).
+
+IDF is corpus-global while each actor sees a df subset, so every query is
+two-phase (J2 broadcast-small-side semantics): (1) driver broadcasts the
+tiny query-term list, actors return local dfs, driver sums; (2) actors
+score with the injected global stats. Rank-identity with the single-process
+engine is asserted in tests/test_serve.py.
+
+Sizing: pool_size actors, each owning ``n_parts / pool_size`` partitions at
+``num_cpus=1``; at cluster scale resident set per actor = index / pool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .engine import SearchEngine, top_k
+from .parser import parse_query
+
+
+def _query_terms(pq_) -> list[str]:
+    terms: list[str] = []
+    for seq in (pq_.terms, pq_.phrase, pq_.left, pq_.right):
+        for t in seq:
+            if t not in terms:
+                terms.append(t)
+    return terms
+
+
+class QueryActor:
+    """Holds a SearchEngine over a subset of parts (state loaded once)."""
+
+    def __init__(self, index_dir: str, parts: list[int]):
+        self.engine = SearchEngine(index_dir, parts=parts)
+
+    def local_df(self, terms: list[str]) -> dict[str, int]:
+        return {t: self.engine.reader.df(t) for t in terms}
+
+    def search(self, query: str, k: int, mode: str, global_df: dict):
+        self.engine.global_df = global_df
+        docs, scores = self.engine.search(query, k, mode)
+        return np.asarray(docs), np.asarray(scores)
+
+
+class SearchCluster:
+    """Driver-side facade over a pool of QueryActors."""
+
+    def __init__(self, index_dir: str, pool_size: int = 4):
+        import ray
+
+        from ..index.reader import IndexReader
+
+        meta_reader = IndexReader(index_dir, parts=[])  # stats only
+        self.n_docs = meta_reader.n_docs
+        n_parts = 1 << meta_reader.meta["part_bits"]
+        pool_size = min(pool_size, n_parts)
+        assign: list[list[int]] = [[] for _ in range(pool_size)]
+        for p in range(n_parts):
+            assign[p % pool_size].append(p)
+        Remote = ray.remote(num_cpus=1)(QueryActor)
+        self.actors = [Remote.remote(index_dir, parts) for parts in assign]
+        self._ray = ray
+
+    def _global_df(self, query: str) -> dict[str, int]:
+        terms = _query_terms(parse_query(query))
+        if not terms:
+            return {}
+        partials = self._ray.get([a.local_df.remote(terms)
+                                  for a in self.actors])
+        return {t: sum(p[t] for p in partials) for t in terms}
+
+    def search(self, query: str, k: int = 10, mode: str = "or"):
+        gdf = self._global_df(query)
+        refs = [a.search.remote(query, k, mode, gdf) for a in self.actors]
+        parts = self._ray.get(refs)
+        docs = np.concatenate([np.asarray(d, dtype=np.uint64)
+                               for d, _ in parts])
+        scores = np.concatenate([np.asarray(s, dtype=np.float64)
+                                 for _, s in parts])
+        return top_k(docs, scores, k)
+
+    def search_many(self, queries: list[str], k: int = 10, mode: str = "or"):
+        """Pipelined batch: df gathers and scoring calls all in flight."""
+        gdfs = [self._global_df(q) for q in queries]
+        refs = [[a.search.remote(q, k, mode, gdf) for a in self.actors]
+                for q, gdf in zip(queries, gdfs)]
+        out = []
+        for row in refs:
+            parts = self._ray.get(row)
+            docs = np.concatenate([np.asarray(d, dtype=np.uint64)
+                                   for d, _ in parts])
+            scores = np.concatenate([np.asarray(s, dtype=np.float64)
+                                     for _, s in parts])
+            out.append(top_k(docs, scores, k))
+        return out
+
+    def shutdown(self):
+        for a in self.actors:
+            self._ray.kill(a)
+        self.actors = []

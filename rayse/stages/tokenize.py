@@ -35,7 +35,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..analyzer import analyze
-from ..index.encoding import encode_small_deltas
+from ..index.encoding import encode_small_deltas, encode_varints_segmented
 from .doc_ids import assign_doc_ids
 
 RUNS_SCHEMA = pa.schema([
@@ -64,30 +64,14 @@ POSTINGS_SCHEMA = pa.schema([
 ])
 
 
-def _encode_varint_list(vals: list) -> bytes:
-    """Plain (non-delta) varints for a short python list."""
-    out = bytearray()
-    append = out.append
-    for g in vals:
-        while g >= 0x80:
-            append((g & 0x7F) | 0x80)
-            g >>= 7
-        append(g)
-    return bytes(out)
-
-
-def _encode_delta_varints(vals: list) -> bytes:
-    out = bytearray()
-    append = out.append
-    prev = 0
-    for v in vals:
-        g = v - prev
-        prev = v
-        while g >= 0x80:
-            append((g & 0x7F) | 0x80)
-            g >>= 7
-        append(g)
-    return bytes(out)
+def _positions_within_doc(docord: np.ndarray) -> np.ndarray:
+    """Token offset within its doc, given non-decreasing doc ranks."""
+    n = docord.size
+    starts = np.flatnonzero(
+        np.concatenate(([True], docord[1:] != docord[:-1])))
+    idx = np.arange(n, dtype=np.int64)
+    lens = np.diff(np.concatenate((starts, [n])))
+    return idx - np.repeat(idx[starts], lens)
 
 
 class TokenizeStage:
@@ -128,62 +112,120 @@ class TokenizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.emit == "postings":
             return self._call_postings(batch)
-        shift = 64 - self.part_bits
-        with_pos = self.with_positions
+        return self._call_runs_vectorized(batch)
 
-        # term -> [doc_ids, tfs, dls, pos_blobs]; docs arrive in ascending
-        # doc_id order, so every per-term list is born sorted.
-        acc: dict = {}
-        for d, doc_len, occ in self._analyze_batch(batch):
-            for t, positions in occ.items():
-                entry = acc.get(t)
-                if entry is None:
-                    entry = acc[t] = ([], [], [], [])
-                entry[0].append(d)
-                entry[1].append(len(positions))
-                entry[2].append(doc_len)
-                if with_pos:
-                    entry[3].append(encode_small_deltas(positions))
+    def _call_runs_vectorized(self, batch: pa.Table) -> pa.Table:
+        """Hot path: one Python pass over tokens (intern to int ids), then
+        pure-numpy grouping + ONE segmented varint encode per output column.
+        Per-posting Python loops eliminated (SURVEY.md §2 'stay vectorized')."""
+        doc_ids = assign_doc_ids(batch["conv_id"], batch["turn_idx"].to_numpy(),
+                                 self.conv_cache)
+        texts = batch["text"].to_pylist()
+        doc_order = np.argsort(doc_ids, kind="stable")
+        sorted_docs = doc_ids[doc_order]
 
-        n = len(acc)
-        terms = []
-        parts = np.empty(n, dtype=np.int32)
-        dfs = np.empty(n, dtype=np.int64)
-        cfs = np.empty(n, dtype=np.int64)
-        min_docs = np.empty(n, dtype=np.uint64)
-        b_docs: list = []
-        b_tfs: list = []
-        b_dls: list = []
-        b_pos: list = []
-        for j, (t, (ds_, ts_, ls_, ps_)) in enumerate(acc.items()):
-            terms.append(t)
-            parts[j] = ds_[0] >> shift
-            dfs[j] = len(ds_)
-            cfs[j] = sum(ts_)
-            min_docs[j] = ds_[0]
-            b_docs.append(_encode_delta_varints(ds_))
-            b_tfs.append(_encode_varint_list(ts_))
-            b_dls.append(_encode_varint_list(ls_))
-            if with_pos:
-                chunks = bytearray()
-                for tf, blob in zip(ts_, ps_):
-                    g = tf
-                    while g >= 0x80:
-                        chunks.append((g & 0x7F) | 0x80)
-                        g >>= 7
-                    chunks.append(g)
-                    chunks.extend(blob)
-                b_pos.append(bytes(chunks))
-            else:
-                b_pos.append(b"")
+        intern: dict = {}
+        terms_list: list = []           # int id -> term string
+        tok_tid: list = []              # per token: interned term id
+        tok_docord: list = []           # per token: position in doc_order
+        dls = np.zeros(len(texts), dtype=np.int64)   # by doc_order rank
+        n_tok = 0
+        for rank, i in enumerate(doc_order.tolist()):
+            text = texts[i]
+            tokens = analyze(text if text is not None else "")
+            dls[rank] = len(tokens)
+            n_tok += len(tokens)
+            for t in tokens:
+                tid = intern.get(t)
+                if tid is None:
+                    tid = intern[t] = len(terms_list)
+                    terms_list.append(t)
+                tok_tid.append(tid)
+                tok_docord.append(rank)
+        if n_tok == 0:
+            return pa.table({n: [] for n in RUNS_SCHEMA.names},
+                            schema=RUNS_SCHEMA)
 
-        # NOTE: a batch run can span partition boundaries only if a term's
-        # postings fall in multiple parts; split rows per part.
-        # (doc partition = top bits of doc_id, docs within a batch span parts,
-        # so per-term runs must be split at part boundaries.)
-        return _split_runs_by_part(terms, parts, dfs, cfs, min_docs,
-                                   b_docs, b_tfs, b_dls, b_pos,
-                                   acc, self.part_bits, with_pos)
+        tid = np.asarray(tok_tid, dtype=np.int64)
+        docord = np.asarray(tok_docord, dtype=np.int64)
+        pos = _positions_within_doc(docord)
+
+        # group tokens into postings: sort by (tid, docord); stable keeps
+        # ascending position order within a posting
+        order = np.lexsort((docord, tid))
+        g_tid = tid[order]
+        g_doc = docord[order]
+        g_pos = pos[order]
+        new_post = np.ones(n_tok, dtype=bool)
+        new_post[1:] = (g_tid[1:] != g_tid[:-1]) | (g_doc[1:] != g_doc[:-1])
+        post_starts = np.flatnonzero(new_post)
+        n_post = post_starts.size
+        post_tf = np.diff(np.concatenate((post_starts, [n_tok]))).astype(np.int64)
+        p_tid = g_tid[post_starts]
+        p_docord = g_doc[post_starts]
+        p_doc = sorted_docs[p_docord]
+        p_dl = dls[p_docord].astype(np.uint64)
+
+        # runs = maximal (term, part) groups of postings (doc ascending within
+        # a term because docord ascends; part ascends with doc_id)
+        shift = np.uint64(64 - self.part_bits)
+        p_part = (p_doc >> shift).astype(np.int64)
+        new_run = np.ones(n_post, dtype=bool)
+        new_run[1:] = (p_tid[1:] != p_tid[:-1]) | (p_part[1:] != p_part[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.concatenate((run_starts[1:], [n_post]))
+
+        # encode postings columns (one segmented pass each)
+        gaps = p_doc.copy()
+        gaps[1:] -= p_doc[:-1]
+        gaps[run_starts] = p_doc[run_starts]
+        b_docs = encode_varints_segmented(gaps, run_starts)
+        b_tfs = encode_varints_segmented(post_tf.astype(np.uint64), run_starts)
+        b_dls = encode_varints_segmented(p_dl, run_starts)
+
+        if self.with_positions:
+            # positions value stream: per posting [tf][delta positions...]
+            # built by scatter into a preallocated array
+            val_len = post_tf + 1
+            val_starts = np.zeros(n_post, dtype=np.int64)
+            np.cumsum(val_len[:-1], out=val_starts[1:])
+            total = int(val_len.sum())
+            vals = np.empty(total, dtype=np.uint64)
+            vals[val_starts] = post_tf.astype(np.uint64)
+            # token value slots: within-posting rank + posting offset + 1
+            tok_rank = np.arange(n_tok, dtype=np.int64) - np.repeat(
+                post_starts, post_tf)
+            slot = np.repeat(val_starts, post_tf) + 1 + tok_rank
+            # delta-encode positions within posting (first absolute)
+            pdelta = g_pos.copy()
+            pdelta[1:] -= g_pos[:-1]
+            pdelta[post_starts] = g_pos[post_starts]
+            vals[slot] = pdelta.astype(np.uint64)
+            b_pos = encode_varints_segmented(vals, val_starts[run_starts])
+        else:
+            b_pos = [b""] * run_starts.size
+
+        run_df = (run_ends - run_starts).astype(np.int64)
+        run_cf = np.add.reduceat(post_tf, run_starts)
+        run_min = p_doc[run_starts]
+        run_terms = [terms_list[i] for i in p_tid[run_starts].tolist()]
+        return pa.table(
+            {
+                "part": pa.array(p_part[run_starts].astype(np.int32),
+                                 pa.int32()),
+                "term": pa.array(run_terms, pa.string()),
+                "salt": pa.array(np.zeros(run_starts.size, np.int32),
+                                 pa.int32()),
+                "df": pa.array(run_df, pa.int64()),
+                "cf": pa.array(run_cf, pa.int64()),
+                "min_doc": pa.array(run_min, pa.uint64()),
+                "doc_ids": pa.array(b_docs, pa.binary()),
+                "tfs": pa.array(b_tfs, pa.binary()),
+                "dls": pa.array(b_dls, pa.binary()),
+                "positions": pa.array(b_pos, pa.binary()),
+            },
+            schema=RUNS_SCHEMA,
+        )
 
     def _call_postings(self, batch: pa.Table) -> pa.Table:
         shift = 64 - self.part_bits
@@ -217,75 +259,3 @@ class TokenizeStage:
             },
             schema=POSTINGS_SCHEMA,
         )
-
-
-def _split_runs_by_part(terms, parts, dfs, cfs, min_docs, b_docs, b_tfs, b_dls,
-                        b_pos, acc, part_bits, with_pos) -> pa.Table:
-    """Split any run whose postings cross a doc-partition boundary.
-
-    Most runs live in one part (parts = 2^part_bits, docs hash-uniform, so a
-    small-df run usually stays put; big runs split into <= n_parts rows).
-    """
-    shift = 64 - part_bits
-    o_term, o_part, o_salt, o_df, o_cf, o_min = [], [], [], [], [], []
-    o_docs, o_tfs, o_dls, o_positions = [], [], [], []
-
-    for j, t in enumerate(terms):
-        ds_, ts_, ls_, ps_ = acc[t]
-        last_part = ds_[-1] >> shift
-        if last_part == parts[j]:
-            o_term.append(t)
-            o_part.append(parts[j])
-            o_salt.append(0)
-            o_df.append(dfs[j])
-            o_cf.append(cfs[j])
-            o_min.append(min_docs[j])
-            o_docs.append(b_docs[j])
-            o_tfs.append(b_tfs[j])
-            o_dls.append(b_dls[j])
-            o_positions.append(b_pos[j])
-            continue
-        # crosses parts: re-encode per part slice
-        darr = np.asarray(ds_, dtype=np.uint64)
-        p_of = (darr >> np.uint64(shift)).astype(np.int64)
-        bounds = np.flatnonzero(p_of[1:] != p_of[:-1]) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(ds_)]))
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            o_term.append(t)
-            o_part.append(int(p_of[s]))
-            o_salt.append(0)
-            o_df.append(e - s)
-            o_cf.append(sum(ts_[s:e]))
-            o_min.append(ds_[s])
-            o_docs.append(_encode_delta_varints(ds_[s:e]))
-            o_tfs.append(_encode_varint_list(ts_[s:e]))
-            o_dls.append(_encode_varint_list(ls_[s:e]))
-            if with_pos:
-                chunks = bytearray()
-                for tf, blob in zip(ts_[s:e], ps_[s:e]):
-                    g = tf
-                    while g >= 0x80:
-                        chunks.append((g & 0x7F) | 0x80)
-                        g >>= 7
-                    chunks.append(g)
-                    chunks.extend(blob)
-                o_positions.append(bytes(chunks))
-            else:
-                o_positions.append(b"")
-
-    return pa.table(
-        {
-            "part": pa.array(o_part, pa.int32()),
-            "term": pa.array(o_term, pa.string()),
-            "salt": pa.array(o_salt, pa.int32()),
-            "df": pa.array(o_df, pa.int64()),
-            "cf": pa.array(o_cf, pa.int64()),
-            "min_doc": pa.array(o_min, pa.uint64()),
-            "doc_ids": pa.array(o_docs, pa.binary()),
-            "tfs": pa.array(o_tfs, pa.binary()),
-            "dls": pa.array(o_dls, pa.binary()),
-            "positions": pa.array(o_positions, pa.binary()),
-        },
-        schema=RUNS_SCHEMA,
-    )

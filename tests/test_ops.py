@@ -1,0 +1,176 @@
+"""Training-data ops: dedup families, similarity search, text stats,
+multimodal plumbing — verified against brute-force computations on the
+sf0.001 tables (the SQL-expressible ones are additionally DuckDB-checked by
+the driver via __ray_entry__.oracle_sql)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def _exact_jaccard_pairs(docs, k, threshold):
+    from rayse.ops.dedup import _word_shingles
+
+    ids = sorted(docs)
+    sh = {d: _word_shingles(docs[d], k) for d in ids}
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_jaccard_pairs_exact(ray_session, docs):
+    from rayse.ops.dedup import jaccard_pairs
+
+    got = jaccard_pairs(SF, shingle_k=3, threshold=0.2).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in got}
+    want = _exact_jaccard_pairs(docs, 3, 0.2)
+    assert got == want
+
+
+def test_minhash_lsh_recall(ray_session, docs):
+    """LSH-generated pairs are true positives (exact-verified) and recall
+    every pair well above the banding threshold."""
+    from rayse.ops.dedup import minhash_lsh_pairs
+
+    got = minhash_lsh_pairs(SF, shingle_k=3, threshold=0.2)
+    got = {(a, b) for a, b in zip(got["doc_a"].to_pylist(),
+                                  got["doc_b"].to_pylist())}
+    exact = _exact_jaccard_pairs(docs, 3, 0.2)
+    assert got <= exact                     # no false positives
+    strong = _exact_jaccard_pairs(docs, 3, 0.7)
+    assert strong <= got                    # high-sim pairs are not missed
+
+
+def test_simhash_pairs_bruteforce(ray_session, docs):
+    from rayse.ops.dedup import simhash_batch, simhash_pairs
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sh = simhash_batch(t)
+    hv = dict(zip(sh["doc_id"].to_pylist(), sh["simhash"].to_pylist()))
+    ids = sorted(hv)
+    want = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(hv[a] ^ hv[b]).count("1") <= 3}
+    got = simhash_pairs(SF, max_hamming=3).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert got == want
+
+
+def test_embedding_neardup_bruteforce(ray_session):
+    from rayse.ops.dedup import embedding_neardup_pairs
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ia, ib = np.nonzero(np.triu(sims >= 0.35, k=1))
+    want = {(int(ids[a]), int(ids[b])) if ids[a] < ids[b]
+            else (int(ids[b]), int(ids[a])) for a, b in zip(ia, ib)}
+    got = embedding_neardup_pairs(SF, threshold=0.35).take_all()
+    got = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert got == want
+
+
+def test_ann_topk_bruteforce(ray_session):
+    from rayse.ops.similarity import ann_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    got = ann_topk(SF, n_queries=3, k=5)
+    by_q: dict[int, list[int]] = {}
+    for r in got.to_pylist():
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    for qi in range(3):
+        qrow = order[qi]
+        sims = m[qrow] @ m.T
+        want = ids[np.lexsort((ids, -sims))[:5]].tolist()
+        assert by_q[int(ids[qrow])] == want
+
+
+def test_ann_lsh_recall(ray_session):
+    """Bucketed ANN finds the exact top-1 (self) and >=60% of exact top-10
+    on the test embeddings."""
+    from rayse.ops.similarity import ann_lsh_topk, ann_topk
+
+    exact = ann_topk(SF, n_queries=5, k=10).to_pylist()
+    approx = ann_lsh_topk(SF, n_queries=5, k=10).to_pylist()
+    ex_by_q: dict[int, set] = {}
+    ap_by_q: dict[int, set] = {}
+    for r in exact:
+        ex_by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in approx:
+        ap_by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for q, want in ex_by_q.items():
+        got = ap_by_q.get(q, set())
+        assert q in got                      # self always found
+        assert len(got & want) >= 6          # decent recall on tiny data
+
+
+def test_lang_id_accuracy(ray_session):
+    from rayse.ops.textstats import lang_id
+
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(SF).take_all()}
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    want = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+    # the sf corpus is english-ish word soup for every lang label; assert
+    # the heuristic is deterministic and labels the 'en' docs as en-dominant
+    en = [d for d, l in want.items() if l == "en"]
+    acc = sum(1 for d in en if got[d] == "en") / max(1, len(en))
+    assert acc >= 0.5
+    again = {r["doc_id"]: r["lang_pred"] for r in lang_id(SF).take_all()}
+    assert got == again
+
+
+def test_fingerprint_properties(ray_session):
+    from rayse.ops.textstats import fingerprint_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b c d e f", "a b c d e f",
+                                    "f e d c b a"], pa.string())})
+    fp = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert fp[0] == fp[1]        # identical text -> identical fingerprint
+    assert fp[0] != fp[2]        # order-sensitive
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from rayse.ops.multimodal import (FEATURE_DIM, media_features,
+                                      media_frames, synth_media_table)
+
+    tbl = synth_media_table(40)
+    ds = rd.from_arrow(tbl)
+    feats = media_features(ds, concurrency=2).take_all()
+    assert len(feats) == 40
+    assert all(len(r["feature"]) == FEATURE_DIM for r in feats)
+    # determinism: same payload -> same feature
+    feats2 = media_features(rd.from_arrow(tbl), concurrency=2).take_all()
+    f1 = {r["media_id"]: r["feature"] for r in feats}
+    f2 = {r["media_id"]: r["feature"] for r in feats2}
+    assert f1 == f2
+    frames = media_frames(rd.from_arrow(tbl), n_samples=3).take_all()
+    assert len(frames) == 120
+    assert all(isinstance(r["frame"], bytes) for r in frames)
+
+
+def test_real_codec_stub_raises():
+    from rayse.ops.multimodal import _decode_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"x", "image")

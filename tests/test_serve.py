@@ -1,0 +1,35 @@
+"""Distributed serving == single-process engine (rank identity across the
+actor fan-out; SURVEY.md ST2/J2)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+QUERIES = json.loads((Path(__file__).parent / "queries.json").read_text())
+
+
+@pytest.fixture(scope="module")
+def cluster(ray_session, index_dir):
+    from rayse.query.serve import SearchCluster
+
+    c = SearchCluster(index_dir, pool_size=3)
+    yield c
+    c.shutdown()
+
+
+def test_cluster_rank_identity(cluster, engine):
+    for q in QUERIES[::3] + ['"rate limit exceeded"', "us uk eu war"]:
+        cd, cs = cluster.search(q, 10)
+        ed, es = engine.search(q, 10)
+        assert [int(x) for x in cd] == [int(x) for x in ed], q
+        np.testing.assert_allclose(cs, es, rtol=0, atol=1e-12, err_msg=q)
+
+
+def test_cluster_search_many(cluster, engine):
+    qs = QUERIES[:6]
+    batch = cluster.search_many(qs, 10)
+    for q, (cd, cs) in zip(qs, batch):
+        ed, es = engine.search(q, 10)
+        assert [int(x) for x in cd] == [int(x) for x in ed], q
