@@ -38,3 +38,6 @@ class IndexConfig:
     # tokenize stage sizing
     tokenize_batch_size: int = 1024
     tokenize_concurrency: int | None = None   # None → let Ray size tasks
+    # conv_map sidecar (doc hydration J4: conv_hash -> conv_id); cheap
+    # single-column scan per shard
+    build_conv_map: bool = True

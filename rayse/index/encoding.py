@@ -39,6 +39,9 @@ def decode_varints(buf: bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if not (b & 0x80).any():
+        # all-1-byte fast path (typical for tf / position-delta streams)
+        return b.astype(np.uint64)
     is_end = (b & 0x80) == 0
     ends = np.flatnonzero(is_end)
     starts = np.concatenate(([0], ends[:-1] + 1))
@@ -120,6 +123,32 @@ def encode_varints_segmented(values: np.ndarray,
     bounds = np.concatenate((bounds, [len(buf)]))
     return [buf[int(bounds[i]):int(bounds[i + 1])]
             for i in range(len(seg_starts))]
+
+
+def encode_varints_offsets(values: np.ndarray,
+                           seg_starts: np.ndarray):
+    """Like :func:`encode_varints_segmented` but returns ``(buf, offsets)``
+    where offsets (int64, len(seg_starts)+1) delimit each segment inside the
+    single encoded buffer — ready for zero-copy Arrow BinaryArray assembly
+    (no per-segment bytes copies)."""
+    buf = encode_varints(values)
+    nb = varint_byte_lengths(values)
+    byte_off = np.zeros(values.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=byte_off[1:])
+    offsets = np.empty(len(seg_starts) + 1, dtype=np.int64)
+    offsets[:-1] = byte_off[seg_starts]
+    offsets[-1] = len(buf)
+    return buf, offsets
+
+
+def binary_array_from_offsets(buf: bytes, offsets: np.ndarray) -> "pa.Array":
+    """Zero-copy pyarrow binary array over one contiguous buffer."""
+    import pyarrow as pa
+
+    off32 = offsets.astype(np.int32)   # per-partition blobs stay < 2 GiB
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), len(offsets) - 1,
+        [None, pa.py_buffer(off32.tobytes()), pa.py_buffer(buf)])
 
 
 def decode_varints_concat(blobs: list[bytes]) -> np.ndarray:

@@ -54,9 +54,10 @@ import pyarrow.parquet as pq
 
 from ..config import IndexConfig
 from ..index.encoding import (
+    binary_array_from_offsets,
     decode_varints_concat,
     encode_varints,
-    encode_varints_segmented,
+    encode_varints_offsets,
     segmented_cumsum_abs,
 )
 from ..index.segments import SEGMENT_SCHEMA, bm25_tf
@@ -407,13 +408,18 @@ class MergeWorker:
         ostart = np.asarray(out_start, dtype=np.int64)
         oend = np.asarray(out_end, dtype=np.int64)
 
-        # delta-gap re-encode: diffs within rows, absolute at row starts
+        # delta-gap re-encode: diffs within rows, absolute at row starts;
+        # each column encoded ONCE into a contiguous buffer + offsets ->
+        # zero-copy arrow binary columns (no per-row bytes objects)
         gaps = sd.copy()
         gaps[1:] -= sd[:-1]          # uint64 wrap at boundaries is overwritten
         gaps[ostart] = sd[ostart]
-        doc_out = encode_varints_segmented(gaps, ostart)
-        tf_out = encode_varints_segmented(st, ostart)
-        dl_out = encode_varints_segmented(sl, ostart)
+        doc_out = binary_array_from_offsets(
+            *encode_varints_offsets(gaps, ostart))
+        tf_out = binary_array_from_offsets(
+            *encode_varints_offsets(st, ostart))
+        dl_out = binary_array_from_offsets(
+            *encode_varints_offsets(sl, ostart))
         df_out = (oend - ostart).astype(np.int64)
         cf_out = np.add.reduceat(st.astype(np.int64), ostart)
 
@@ -439,23 +445,35 @@ class MergeWorker:
             pa.array(bl_flat, pa.uint64()))
 
         if with_pos:
-            pos_vals = decode_varints_concat(tbl["positions"].to_pylist())
-            # per-posting value segment = [count] + count deltas
-            seg_len = (tfs + np.uint64(1)).astype(np.int64)
-            seg_cum = np.cumsum(seg_len)
-            seg_start = np.concatenate(([0], seg_cum[:-1]))
-            lens_sorted = seg_len[order]
-            starts_sorted = seg_start[order]
-            out_cum = np.cumsum(lens_sorted)
+            # Positions are NEVER decoded: per-posting varint byte slices
+            # are self-delimited ([count][deltas restarting at 0]) and thus
+            # relocatable — permute RAW BYTES (uint8 gather, ~1-2 B/value)
+            # instead of uint64 value streams (8 B/value): the merge's
+            # memory traffic is what bounds multi-worker scaling.
+            pos_blob = np.frombuffer(
+                b"".join(tbl["positions"].to_pylist()), dtype=np.uint8)
+            v_ends = np.flatnonzero((pos_blob & 0x80) == 0)  # varint ends
+            # values per posting = tf + 1 (count prefix + tf deltas)
+            vcum = np.cumsum((tfs + np.uint64(1)).astype(np.int64))
+            p_end_b = v_ends[vcum - 1] + 1        # excl. byte end per posting
+            p_start_b = np.concatenate(([0], p_end_b[:-1]))
+            blen = p_end_b - p_start_b
+            sb = p_start_b[order]
+            ln = blen[order]
+            out_cum = np.cumsum(ln)
             out_begin = np.concatenate(([0], out_cum[:-1]))
-            idx = (np.repeat(starts_sorted - out_begin, lens_sorted)
-                   + np.arange(int(out_cum[-1]) if len(out_cum) else 0,
+            idx = (np.repeat(sb - out_begin, ln)
+                   + np.arange(int(out_cum[-1]) if ln.size else 0,
                                dtype=np.int64))
-            perm_vals = pos_vals[idx]
-            row_val_starts = out_begin[ostart]
-            pos_out = encode_varints_segmented(perm_vals, row_val_starts)
+            out_bytes = pos_blob[idx]
+            row_offsets = np.empty(len(ostart) + 1, dtype=np.int64)
+            row_offsets[:-1] = out_begin[ostart]
+            row_offsets[-1] = out_bytes.size
+            pos_out = binary_array_from_offsets(out_bytes.tobytes(),
+                                                row_offsets)
         else:
-            pos_out = [b""] * len(ostart)
+            pos_out = binary_array_from_offsets(
+                b"", np.zeros(len(ostart) + 1, dtype=np.int64))
 
         out_codes = uniq_codes[np.asarray(out_term_idx, dtype=np.int64)]
         term_col = pa.compute.take(tvalues,
@@ -466,10 +484,10 @@ class MergeWorker:
                 "salt": pa.array(out_salt, pa.int32()),
                 "df": pa.array(df_out, pa.int64()),
                 "cf": pa.array(cf_out, pa.int64()),
-                "doc_ids": pa.array(doc_out, pa.binary()),
-                "tfs": pa.array(tf_out, pa.binary()),
-                "dls": pa.array(dl_out, pa.binary()),
-                "positions": pa.array(pos_out, pa.binary()),
+                "doc_ids": doc_out,
+                "tfs": tf_out,
+                "dls": dl_out,
+                "positions": pos_out,
                 "block_max": pa.compute.cast(block_max,
                                              pa.list_(pa.float64())),
                 "block_last": pa.compute.cast(block_last,
@@ -525,6 +543,11 @@ def build_index(input_path: str | list[str], out_dir: str,
         build_runs_for_shard(s, fl, out_dir, cfg, strategy, concurrency)
         for s, fl in enumerate(shards)
     ]
+    if cfg.build_conv_map:
+        from .hydrate import build_conv_map
+
+        for s_id, fl in enumerate(shards):
+            build_conv_map(fl, out_dir, s_id)
     n_docs = sum(m["n_turns"] for m in shard_mans)
     stats = compute_corpus_stats(out_dir, n_docs)
 
@@ -536,8 +559,12 @@ def build_index(input_path: str | list[str], out_dir: str,
 
     n_parts = 1 << cfg.part_bits
     if merge_concurrency is None:
+        # merge is memory-bandwidth-bound: beyond ~16 concurrent mergers a
+        # single node's DRAM saturates and per-actor CPU time inflates (on a
+        # real multi-node cluster each node brings its own bandwidth, so
+        # there cap at per-node cores instead)
         merge_concurrency = max(1, min(
-            n_parts, int(ray.cluster_resources().get("CPU", 4))))
+            n_parts, int(ray.cluster_resources().get("CPU", 4)), 16))
     RemoteMergeWorker = ray.remote(num_cpus=1)(MergeWorker)
     merge_actors = [RemoteMergeWorker.remote(out_dir, cfg)
                     for _ in range(merge_concurrency)]

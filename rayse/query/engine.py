@@ -155,10 +155,14 @@ class SearchEngine:
     driver; both produce identical results because parts are doc-disjoint.
     """
 
-    def __init__(self, index_dir: str, parts: list[int] | None = None):
+    def __init__(self, index_dir: str, parts: list[int] | None = None,
+                 idf_variant: str = "v2"):
         self.reader = IndexReader(index_dir, parts)
         self.params = BM25Params(**self.reader.meta.get("bm25", {}))
         self._pos_cache = _PosCache()
+        # A4: "v2" = ln((1+N)/(1+df))+1 (canonical, `IndexerService.java:966`);
+        # "v1" = log10(N/(df+1)) (`IndexerService.java:507`)
+        self.idf_variant = idf_variant
         # distributed serving: an engine holding a SUBSET of parts must
         # score with GLOBAL df (idf is corpus-level); the driver injects it
         # (`rayse.query.serve.SearchCluster` gathers per-actor dfs first)
@@ -172,6 +176,9 @@ class SearchEngine:
 
     def _idfs(self, terms) -> list[float]:
         n = self.reader.n_docs
+        if self.idf_variant == "v1":
+            return [float(np.log10(n / (self._df(t) + 1.0)))
+                    for t in terms]
         return [float(np.log((1.0 + n) / (1.0 + self._df(t))) + 1.0)
                 for t in terms]
 
@@ -288,4 +295,52 @@ class SearchEngine:
             return _EMPTY_U64, _EMPTY_F64
         if mode == "and":
             return self.conjunctive(pq_.terms, k)
+        if mode == "blockmax":
+            from .wand import regular_blockmax
+
+            return regular_blockmax(self, pq_.terms, k)
+        if mode == "fallback":
+            from .postprocess import search_with_fallback
+
+            d, s, _ = search_with_fallback(self, pq_.terms, k)
+            return d, s
         return self.regular(pq_.terms, k)
+
+    def search_hydrated(self, query: str, transcripts_path, k: int = 10,
+                        mode: str = "or", page: int = 1,
+                        page_size: int | None = None,
+                        snippets: bool = True):
+        """Full result pipeline: top-k -> hydrate (J4) -> snippets (M9) ->
+        pagination (O2). Returns a list of result dicts."""
+        from ..pipelines.hydrate import hydrate
+        from .postprocess import (format_result_text, make_phrase_snippet,
+                                  make_snippet, paginate)
+
+        pq_ = parse_query(query)
+        docs, scores = self.execute(pq_, k, mode)
+        if docs.size == 0:
+            return []
+        tbl = hydrate(self.reader.index_dir, transcripts_path, docs)
+        rows = []
+        for i in range(tbl.num_rows):
+            text = tbl["text"][i].as_py() or ""
+            if snippets and pq_.kind == "phrase":
+                snip = make_phrase_snippet(text, list(pq_.phrase))
+            elif snippets:
+                terms = (pq_.terms if pq_.kind == "regular"
+                         else tuple(pq_.left) + tuple(pq_.right))
+                snip = make_snippet(text, set(terms))
+            else:
+                snip = format_result_text(text)
+            rows.append({
+                "doc_id": int(docs[i]),
+                "score": float(scores[i]),
+                "conv_id": tbl["conv_id"][i].as_py(),
+                "turn_idx": tbl["turn_idx"][i].as_py(),
+                "role": tbl["role"][i].as_py(),
+                "text": text,
+                "snippet": snip,
+            })
+        if page_size is not None:
+            rows = paginate(rows, page, page_size)
+        return rows
