@@ -238,6 +238,75 @@ def _q_media_features(sf_dir: str):
     return media_features(ds, concurrency=2)
 
 
+def _q_windowed_agg(sf_dir: str):
+    from rayse.ops.windows import tumbling_agg
+
+    return tumbling_agg(sf_dir, window_s=3600)
+
+
+def _q_sessionize(sf_dir: str):
+    from rayse.ops.windows import sessionize
+
+    return sessionize(sf_dir, gap_s=1800)
+
+
+def _q_top_events_per_type(sf_dir: str):
+    from rayse.ops.windows import top_n_per_group
+
+    return top_n_per_group(sf_dir, n=3)
+
+
+def _q_hydrated_topk(sf_dir: str):
+    """End-to-end search result pipeline (top-k -> hydrate -> snippet ->
+    paginate); returns the ranked page rows minus the float score (rank is
+    the deterministic payload)."""
+    from rayse.query.engine import SearchEngine
+
+    idir = _index_for(sf_dir)
+    tdir = os.path.join(os.path.dirname(idir), "transcripts")
+    eng = SearchEngine(idir)
+    rows_q, rows_r, rows_c, rows_t, rows_s = [], [], [], [], []
+    for q in SEARCH_QUERIES[:3] + PHRASE_QUERIES[:1]:
+        rows = eng.search_hydrated(q, tdir, k=10, page=1, page_size=10)
+        for r, row in enumerate(rows, 1):
+            rows_q.append(q)
+            rows_r.append(r)
+            rows_c.append(row["conv_id"])
+            rows_t.append(row["turn_idx"])
+            rows_s.append(row["snippet"])
+    return pa.table({
+        "query": pa.array(rows_q, pa.string()),
+        "rank": pa.array(rows_r, pa.int32()),
+        "conv_id": pa.array(rows_c, pa.string()),
+        "turn_idx": pa.array(rows_t, pa.int32()),
+        "snippet": pa.array(rows_s, pa.string()),
+    })
+
+
+def _q_fallback_topk(sf_dir: str):
+    """A8 retrieval ladder results for conjunctive-empty queries."""
+    from rayse.query.engine import SearchEngine
+    from rayse.query.parser import analyze_query
+    from rayse.query.postprocess import search_with_fallback
+
+    eng = SearchEngine(_index_for(sf_dir))
+    out_q, out_r, out_d, out_l = [], [], [], []
+    for q in ["table scan missing-word-zzz", "hash join merge", "slow fast"]:
+        terms = analyze_query(q)
+        docs, _, level = search_with_fallback(eng, terms, 10)
+        for r, d in enumerate(docs.tolist(), 1):
+            out_q.append(q)
+            out_r.append(r)
+            out_d.append(int(d))
+            out_l.append(level)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_id": pa.array(np.asarray(out_d, dtype=np.uint64)),
+        "level": pa.array(out_l, pa.string()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # search-engine core (SURVEY.md §2; analyzer not SQL-expressible ->
@@ -259,6 +328,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "media_features": _q_media_features,
+        # windowed / ordered ops over the events log (SQL-checked)
+        "windowed_agg": _q_windowed_agg,
+        "sessionize": _q_sessionize,
+        "top_events_per_type": _q_top_events_per_type,
+        # end-to-end result pipeline + retrieval ladder (rows-only)
+        "hydrated_topk": _q_hydrated_topk,
+        "fallback_topk": _q_fallback_topk,
     }
 
 
@@ -304,6 +380,47 @@ def oracle_sql() -> dict[str, str]:
             FROM toks a JOIN toks b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(a.s || b.s)) >= 0.9
+        """,
+        "windowed_agg": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 6) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH ordered AS (
+              SELECT user_id, epoch_us(ts) AS tus, value,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+              FROM events),
+            marked AS (
+              SELECT user_id, tus, value,
+                     CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM ordered),
+            sess AS (
+              SELECT user_id, tus, value,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY tus
+                                            ROWS UNBOUNDED PRECEDING) - 1
+                       AS session_idx
+              FROM marked)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(tus) AS start_ts, max(tus) AS end_ts,
+                   round(CAST(sum(value) AS DOUBLE), 6) AS value_sum
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "top_events_per_type": """
+            WITH ranked AS (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id)
+                       AS rank
+              FROM events)
+            SELECT event_type, event_id, value, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "ann_topk": """
             WITH q AS (

@@ -1,0 +1,129 @@
+"""Windowed / ordered operators over the ``events`` log table
+(``event_id, ts, user_id, event_type, value, props``).
+
+Ray Data has no event-time windows (SURVEY.md §2.9: neither does the
+reference); these implement the batch forms per the Ray guide pattern —
+partition by key, sort by ts within the group, window with vectorized
+pandas/numpy inside ``groupby().map_groups``:
+
+- ``tumbling_agg``: fixed windows keyed by (event_type, floor(ts/size)) —
+  realized as a pure vectorized key computation + groupby aggregate (no
+  per-group Python at all).
+- ``sessionize``: session windows per user (gap-based) — the canonical
+  "needs ordered state" op; per-user group sorted by ts, session breaks
+  where the gap exceeds the timeout, one output row per session.
+- ``top_n_per_group``: top-N events by value per event_type with
+  deterministic tie-breaks (O5-family sort().limit() per key).
+
+Ordering assumption (documented per guide): rows within one group are
+sorted by ``ts`` inside the map_groups body; input order is irrelevant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "ts", "user_id",
+                                    "event_type", "value"])
+
+
+def tumbling_agg(sf_dir: str, window_s: int = 3600):
+    """Per (event_type, tumbling window): count + value sum.
+
+    Window key computed vectorized in map_batches (epoch-second floor), then
+    ONE groupby aggregate — the partial/final combine is Ray's hash agg."""
+    import ray.data as rd
+
+    ds = _events(sf_dir)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()  # microseconds
+        w = (ts // (window_s * 1_000_000)) * window_s
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": pa.array(w, pa.int64()),
+            "value": batch["value"],
+        })
+
+    agg = (ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["event_type", "window_start"])
+           .aggregate(rd.aggregate.Count(), rd.aggregate.Sum("value")))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n_events": pa.compute.cast(batch["count()"], pa.int64()),
+            # rounded: float sum order differs across engines/partitions;
+            # np.round (multiply-round-divide) normalizes to the same double
+            # as SQL round(); arrow's pc.round uses a different scheme
+            "value_sum": pa.array(np.round(
+                batch["sum(value)"].to_numpy(zero_copy_only=False)
+                .astype(np.float64), 6), pa.float64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_s: int = 1800):
+    """Session windows per user: a new session starts when the gap since
+    the previous event exceeds ``gap_s``. One row per session:
+    (user_id, session_idx, n_events, start_ts, end_ts, value_sum).
+
+    groupby(user_id) shuffle, then a fully vectorized per-group body."""
+    ds = _events(sf_dir)
+
+    def sessions_of_user(group: pa.Table) -> pa.Table:
+        ts = group["ts"].cast(pa.int64()).to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        val = group["value"].to_numpy(zero_copy_only=False)[order]
+        gap = np.empty(ts.size, dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_s * 1_000_000
+        sid = np.cumsum(gap) - 1
+        starts = np.flatnonzero(gap)
+        ends = np.concatenate((starts[1:], [ts.size]))
+        uid = group["user_id"][0].as_py()
+        n = starts.size
+        return pa.table({
+            "user_id": pa.array([uid] * n, pa.int64()),
+            "session_idx": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "start_ts": pa.array(ts[starts], pa.int64()),
+            "end_ts": pa.array(ts[ends - 1], pa.int64()),
+            "value_sum": pa.array(
+                np.round(np.add.reduceat(val, starts), 6)
+                if ts.size else np.empty(0), pa.float64()),
+        })
+
+    return (ds.groupby("user_id")
+            .map_groups(sessions_of_user, batch_format="pyarrow"))
+
+
+def top_n_per_group(sf_dir: str, n: int = 3):
+    """Top-N events by value per event_type, ties broken by ascending
+    event_id (deterministic O1-style ordering)."""
+    ds = _events(sf_dir)
+
+    def top_of_group(group: pa.Table) -> pa.Table:
+        val = group["value"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val))[:n]
+        idx = pa.array(order, pa.int64())
+        return pa.table({
+            "event_type": group["event_type"].take(idx),
+            "event_id": group["event_id"].take(idx),
+            "value": group["value"].take(idx),
+            "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int32),
+                             pa.int32()),
+        })
+
+    return (ds.groupby("event_type")
+            .map_groups(top_of_group, batch_format="pyarrow"))

@@ -559,12 +559,8 @@ def build_index(input_path: str | list[str], out_dir: str,
 
     n_parts = 1 << cfg.part_bits
     if merge_concurrency is None:
-        # merge is memory-bandwidth-bound: beyond ~16 concurrent mergers a
-        # single node's DRAM saturates and per-actor CPU time inflates (on a
-        # real multi-node cluster each node brings its own bandwidth, so
-        # there cap at per-node cores instead)
         merge_concurrency = max(1, min(
-            n_parts, int(ray.cluster_resources().get("CPU", 4)), 16))
+            n_parts, int(ray.cluster_resources().get("CPU", 4))))
     RemoteMergeWorker = ray.remote(num_cpus=1)(MergeWorker)
     merge_actors = [RemoteMergeWorker.remote(out_dir, cfg)
                     for _ in range(merge_concurrency)]
