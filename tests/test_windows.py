@@ -1,0 +1,64 @@
+"""Windowed/ordered operators vs DuckDB on sf0.001 (the driver re-checks
+these at sf0.01 via __ray_entry__.oracle_sql)."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    return c
+
+
+def _cmp(ray_tbl, sql_df):
+    a = ray_tbl.to_pandas() if hasattr(ray_tbl, "to_pandas") else ray_tbl
+    if hasattr(a, "to_pandas"):
+        a = a.to_pandas()
+    a = a.sort_index(axis=1).sort_values(list(sorted(a.columns))).reset_index(drop=True)
+    b = sql_df.sort_index(axis=1).sort_values(list(sorted(sql_df.columns))).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_tumbling_agg(ray_session, con):
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import __ray_entry__ as e
+
+    _cmp(e.queries()["windowed_agg"](SF),
+         con.sql(e.oracle_sql()["windowed_agg"]).df())
+
+
+def test_sessionize(ray_session, con):
+    import __ray_entry__ as e
+
+    _cmp(e.queries()["sessionize"](SF),
+         con.sql(e.oracle_sql()["sessionize"]).df())
+
+
+def test_top_n_per_group(ray_session, con):
+    import __ray_entry__ as e
+
+    _cmp(e.queries()["top_events_per_type"](SF),
+         con.sql(e.oracle_sql()["top_events_per_type"]).df())
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """Gap strictly greater than timeout starts a new session."""
+    from rayse.ops.windows import sessionize
+
+    out = sessionize(SF, gap_s=1800).take_all()
+    assert out
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["session_idx"])
+        for a, b in zip(rows, rows[1:]):
+            # consecutive sessions are separated by more than the gap
+            assert b["start_ts"] - a["end_ts"] > 1800 * 1_000_000
