@@ -1,0 +1,109 @@
+"""CLI entry points — the ``ray job submit`` surface (north rule: "run via
+ray job submit on fixed clusters").
+
+    ray job submit -- python -m rayse.cli build --input /data/transcripts \
+        --out /data/index [--part-bits 12] [--strategy combine]
+    ray job submit -- python -m rayse.cli query --index /data/index \
+        --query '"rate limit exceeded"' [--k 10] [--mode or] \
+        [--transcripts /data/transcripts]   # hydrated results
+    python -m rayse.cli stats --index /data/index
+
+Owns its Ray session (guarded init; the driver/test harness never imports
+this module).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True)
+
+
+def cmd_build(args) -> int:
+    from .config import IndexConfig
+    from .pipelines.build_index import build_index
+
+    _ray_init()
+    cfg = IndexConfig(part_bits=args.part_bits,
+                      with_positions=not args.no_positions)
+    res = build_index(args.input, args.out, cfg, strategy=args.strategy,
+                      shard_target_bytes=args.shard_bytes)
+    print(json.dumps({
+        "n_docs": res.n_docs, "total_tokens": res.total_tokens,
+        "avgdl": round(res.avgdl, 3), "wall_s": res.wall_s,
+        "turns_per_sec": res.turns_per_sec,
+    }))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .query.engine import SearchEngine
+
+    eng = SearchEngine(args.index)
+    if args.transcripts:
+        rows = eng.search_hydrated(args.query, args.transcripts, k=args.k,
+                                   mode=args.mode, page=args.page,
+                                   page_size=args.page_size)
+        for r in rows:
+            print(json.dumps({k: v for k, v in r.items() if k != "text"}))
+    else:
+        docs, scores = eng.search(args.query, args.k, args.mode)
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            print(json.dumps({"doc_id": int(d), "score": s}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    import os
+
+    for name in ("corpus_stats.json", "metrics.json"):
+        p = os.path.join(args.index, name)
+        if os.path.exists(p):
+            print(open(p).read())
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rayse")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--part-bits", type=int, default=9)
+    b.add_argument("--strategy", default="combine",
+                   choices=["combine", "groupby_salted"])
+    b.add_argument("--shard-bytes", type=int, default=2 << 30)
+    b.add_argument("--no-positions", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="query a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="or",
+                   choices=["or", "and", "blockmax", "fallback"])
+    q.add_argument("--transcripts", default=None,
+                   help="transcripts path for hydrated results")
+    q.add_argument("--page", type=int, default=1)
+    q.add_argument("--page-size", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("stats", help="print index stats/metrics")
+    s.add_argument("--index", required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
