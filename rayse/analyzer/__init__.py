@@ -26,7 +26,8 @@ from .porter import porter_stem
 from .stopwords import STOPWORDS
 from .tokenizer import tokenize
 
-__all__ = ["tokenize", "porter_stem", "STOPWORDS", "analyze"]
+__all__ = ["tokenize", "porter_stem", "STOPWORDS", "analyze", "analyze_ids",
+           "term_string", "term_strings"]
 
 # token -> stemmed token, or None if the token is filtered out
 _CACHE: dict = {}
@@ -54,3 +55,50 @@ def analyze(text: str) -> List[str]:
         if stemmed is not None:
             append(stemmed)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Interned-id variant — the index-build hot path. Per-worker-process state
+# (append-only, vocab-bounded): raw token -> interned id of its stem (-1 if
+# filtered), so the steady-state cost is ONE dict lookup per token. Ids are
+# process-local and never serialized; stages translate back to strings via
+# term_string()/term_strings() before emitting Arrow rows.
+# ---------------------------------------------------------------------------
+
+_ID_CACHE: dict = {}        # raw token -> id or -1
+_ID_STRINGS: List[str] = []  # id -> stemmed term
+_STEM_IDS: dict = {}        # stemmed term -> id
+
+
+def analyze_ids(text: str) -> List[int]:
+    """Stemmed token stream as interned ids (same stream as ``analyze``:
+    ``[term_string(i) for i in analyze_ids(t)] == analyze(t)``)."""
+    cache = _ID_CACHE
+    if len(cache) > _CACHE_MAX:
+        cache.clear()
+    out: List[int] = []
+    append = out.append
+    for token in tokenize(text):
+        tid = cache.get(token)
+        if tid is None:
+            stemmed = _decide(token)
+            if stemmed is None:
+                tid = -1
+            else:
+                tid = _STEM_IDS.get(stemmed)
+                if tid is None:
+                    tid = _STEM_IDS[stemmed] = len(_ID_STRINGS)
+                    _ID_STRINGS.append(stemmed)
+            cache[token] = tid
+        if tid >= 0:
+            append(tid)
+    return out
+
+
+def term_string(tid: int) -> str:
+    return _ID_STRINGS[tid]
+
+
+def term_strings(tids) -> List[str]:
+    s = _ID_STRINGS
+    return [s[i] for i in tids]

@@ -43,7 +43,13 @@ _HAS_OP_RE = re.compile(r"[+\-*/=]")
 
 
 def tokenize(text: str) -> List[str]:
-    """Token stream incl. sub-token expansion, matching PreIndexer.tokenize."""
+    """Token stream incl. sub-token expansion, matching PreIndexer.tokenize.
+
+    Hot-path note: the operator-split branch fires iff the token contains
+    one of ``+-*/=`` — provably equivalent to ``token[0] == '/'`` under the
+    token grammar (alternatives 1-2 match only ``[a-z0-9_.]``; only the
+    path alternative can contain ``-`` or ``/``), so the per-token regex
+    search is replaced by one char test."""
     words: List[str] = []
     seen = set()  # mirrors `words.contains(...)` in O(1)
     append = words.append
@@ -56,7 +62,7 @@ def tokenize(text: str) -> List[str]:
                 if part and part not in seen:
                     append(part)
                     add(part)
-        if _HAS_OP_RE.search(token):
+        if token[0] == "/":
             for part in _OP_SPLIT_RE.split(token):
                 if part and part not in seen:
                     append(part)

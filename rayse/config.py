@@ -25,7 +25,7 @@ class IndexConfig:
     # 2.4M turns) and more merge/serve parallelism; size so one partition
     # fits a worker's cache-friendly zone and a serving actor's memory
     # (at 10^12 turns this wants 2^12+ together with more shards).
-    part_bits: int = 9
+    part_bits: int = 8
     # salted two-phase aggregation: within a partition, hot-term groups are
     # split into up to 2^salt_bits doc_id-contiguous runs (north rule skew
     # handling). Runs re-merge at compaction unless larger than

@@ -34,7 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..analyzer import analyze
+from ..analyzer import analyze, analyze_ids, term_strings
 from ..index.encoding import encode_small_deltas, encode_varints_segmented
 from .doc_ids import assign_doc_ids
 
@@ -124,24 +124,17 @@ class TokenizeStage:
         doc_order = np.argsort(doc_ids, kind="stable")
         sorted_docs = doc_ids[doc_order]
 
-        intern: dict = {}
-        terms_list: list = []           # int id -> term string
-        tok_tid: list = []              # per token: interned term id
+        tok_tid: list = []              # per token: worker-interned term id
         tok_docord: list = []           # per token: position in doc_order
         dls = np.zeros(len(texts), dtype=np.int64)   # by doc_order rank
         n_tok = 0
         for rank, i in enumerate(doc_order.tolist()):
             text = texts[i]
-            tokens = analyze(text if text is not None else "")
-            dls[rank] = len(tokens)
-            n_tok += len(tokens)
-            for t in tokens:
-                tid = intern.get(t)
-                if tid is None:
-                    tid = intern[t] = len(terms_list)
-                    terms_list.append(t)
-                tok_tid.append(tid)
-                tok_docord.append(rank)
+            ids = analyze_ids(text if text is not None else "")
+            dls[rank] = len(ids)
+            n_tok += len(ids)
+            tok_tid.extend(ids)
+            tok_docord.extend([rank] * len(ids))
         if n_tok == 0:
             return pa.table({n: [] for n in RUNS_SCHEMA.names},
                             schema=RUNS_SCHEMA)
@@ -208,7 +201,7 @@ class TokenizeStage:
         run_df = (run_ends - run_starts).astype(np.int64)
         run_cf = np.add.reduceat(post_tf, run_starts)
         run_min = p_doc[run_starts]
-        run_terms = [terms_list[i] for i in p_tid[run_starts].tolist()]
+        run_terms = term_strings(p_tid[run_starts].tolist())
         return pa.table(
             {
                 "part": pa.array(p_part[run_starts].astype(np.int32),
