@@ -225,6 +225,12 @@ def _q_ann_lsh_topk(sf_dir: str):
     return ann_lsh_topk(sf_dir, n_queries=5, k=10)
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    from rayse.ops.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(sf_dir, n_queries=5, k=10)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing demo: synthetic media table (payload bytes are
     deterministic; sf_dir unused beyond scale hint) -> feature extraction
@@ -327,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "media_features": _q_media_features,
         # windowed / ordered ops over the events log (SQL-checked)
         "windowed_agg": _q_windowed_agg,

@@ -79,6 +79,88 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
                      "vec_id": pa.array(out_v, pa.int64())})
 
 
+def _kmeans_lite(mat: np.ndarray, n_lists: int, seed: int = 5,
+                 n_iter: int = 8) -> np.ndarray:
+    """Deterministic mini k-means (seeded init, fixed iterations) on
+    L2-normalized vectors — the IVF coarse quantizer. At cluster scale the
+    training sample is a small deterministic head of the table; assignment
+    is a matmul per batch."""
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(mat.shape[0], size=min(n_lists, mat.shape[0]),
+                          replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = mat[assign == c]
+            if members.shape[0]:
+                v = members.mean(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    cent[c] = v / nrm
+    return cent
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                 n_lists: int = 16, n_probe: int = 4) -> pa.Table:
+    """IVF-style ANN: coarse k-means quantizer (trained once on a
+    deterministic sample, broadcast), queries probe the ``n_probe`` nearest
+    lists and score only vectors assigned to those lists. Same output
+    schema as ``ann_topk``; recall vs the brute-force baseline is tested."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    train = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+    tm = np.array(train["embedding"].to_pylist(), dtype=np.float64)
+    tm /= np.linalg.norm(tm, axis=1, keepdims=True)
+    cent = _kmeans_lite(tm, n_lists)
+    probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]  # (Q, P)
+    ref = ray.put((cent, probe, q_mat))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        cents, probes, qm = ray.get(ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        assign = np.argmax(m @ cents.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(assign, probes[qi])
+            if not mask.any():
+                continue
+            s = qm[qi] @ m[mask].T
+            out_q.extend([int(q_ids[qi])] * int(mask.sum()))
+            out_v.extend(ids[mask].tolist())
+            out_s.extend(np.atleast_1d(s).tolist())
+        return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    rows = ds.map_batches(candidates, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    by_q: dict[int, list] = {}
+    for row in rows:
+        by_q.setdefault(row["q_id"], []).append((row["sim"], row["vec_id"]))
+    out_q, out_r, out_v = [], [], []
+    for qid in sorted(by_q):
+        cand = by_q[qid]
+        sims = np.array([c[0] for c in cand])
+        vids = np.array([c[1] for c in cand])
+        idx = np.lexsort((vids, -sims))[:k]
+        for r, i in enumerate(idx, 1):
+            out_q.append(qid)
+            out_r.append(r)
+            out_v.append(int(vids[i]))
+    return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int32()),
+                     "vec_id": pa.array(out_v, pa.int64())})
+
+
 class LshIndexStage:
     """Actor-pool stage holding H random-hyperplane tables (built once per
     actor in __init__): maps each vector to H bucket keys."""
