@@ -116,7 +116,6 @@ def _q_term_stats(sf_dir: str) -> pa.Table:
                 os.path.join(idir, "segments", "part=*", "segment.parquet")))]
     t = pa.concat_tables(tbls)
     # per-part partial stats -> global (tiny; vocab-sized)
-    import pandas as pd
 
     df = t.to_pandas().groupby("term", as_index=False).agg(
         df=("df", "sum"), cf=("cf", "sum"))

@@ -140,6 +140,23 @@ def measure_cpu_ceiling(lo: int, hi: int) -> dict:
     return {"ceiling_efficiency": round((t_hi / t_lo) / (hi / lo), 3)}
 
 
+def _same_index(a_dir: str, b_dir: str) -> bool:
+    """Segment-level equality of two builds (FIXTURES.md test_scaling_smoke:
+    identical output at different num_cpus)."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    fa = sorted(g.glob(os.path.join(a_dir, "segments", "part=*",
+                                    "segment.parquet")))
+    fb = sorted(g.glob(os.path.join(b_dir, "segments", "part=*",
+                                    "segment.parquet")))
+    if len(fa) != len(fb) or not fa:
+        return False
+    return all(pq.read_table(x).equals(pq.read_table(y))
+               for x, y in zip(fa, fb))
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -158,6 +175,8 @@ def run_scaling() -> dict:
     eff_2_8 = (r2["value"] / r8["value"]) / 4
     eff_8_32 = (r8["value"] / r32["value"]) / 4
     ceil_8_32 = measure_cpu_ceiling(8, 32)["ceiling_efficiency"]
+    deterministic = _same_index("/tmp/rayse_bench_index_8",
+                                "/tmp/rayse_bench_index_32")
     return {
         "metric": "scaling_efficiency",
         "value": round(eff_2_8, 3),
@@ -174,6 +193,7 @@ def run_scaling() -> dict:
         "hardware_ceiling_8_32": ceil_8_32,
         "eff_8_32_vs_ceiling": round(eff_8_32 / ceil_8_32, 3)
         if ceil_8_32 else None,
+        "deterministic_across_parallelism": deterministic,
     }
 
 

@@ -5,7 +5,6 @@ test_skew_salting, test_scaling_smoke reduced)."""
 import glob
 import json
 import os
-import shutil
 from pathlib import Path
 
 import pyarrow.parquet as pq

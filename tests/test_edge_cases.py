@@ -3,7 +3,7 @@ CLI surface."""
 
 import numpy as np
 import pyarrow as pa
-import pytest
+
 
 from rayse.analyzer import analyze, tokenize
 from rayse.corpus.generator import TRANSCRIPTS_SCHEMA

@@ -3,8 +3,7 @@
 import json
 
 import pyarrow as pa
-import pyarrow.parquet as pq
-import pytest
+
 
 
 def _sample_rows():
