@@ -6,8 +6,11 @@ default 15000 -> ~120k turns), plus the BM25/phrase/boolean query set, plus
 two sf-dir ops over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
     python bench.py              # one run at RAY_GRAFT_CPUS (default 32)
-    python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
-                                 # same input; prints throughputs + efficiency
+    python bench.py --scaling    # fresh processes at 2, 8 and 32 CPUs on
+                                 # the same input; prints throughputs, both
+                                 # N->4N efficiencies, the measured hardware
+                                 # ceiling, and a cross-parallelism
+                                 # index-determinism check
 
 Owns its Ray session (ray.init/shutdown) — the only scripts allowed to.
 """

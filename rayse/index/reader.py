@@ -24,8 +24,9 @@ from .segments import DecodedPostings, decode_rows
 
 
 class PartReader:
-    def __init__(self, part_dir: str):
+    def __init__(self, part_dir: str, block_size: int = 128):
         self.part_dir = part_dir
+        self.block_size = block_size
         tbl = pq.read_table(os.path.join(part_dir, "segment.parquet"))
         self._tbl = tbl
         # term -> (row_start, row_end) over rows sorted by (term, salt)
@@ -61,7 +62,7 @@ class PartReader:
              ("doc_ids", "tfs", "dls", "positions", "block_max", "block_last")}
             for i in range(*span)
         ]
-        dec = decode_rows(rows)
+        dec = decode_rows(rows, self.block_size)
         self._cache[term] = dec
         return dec
 
@@ -70,7 +71,13 @@ class PartReader:
 
 
 class IndexReader:
-    """All parts of one index, plus corpus stats. Single-process view."""
+    """All parts of one index, plus corpus stats. Single-process view.
+
+    ``merged(term)`` is the query hot path: parts are doc_id-RANGE
+    partitions in ascending part order, so per-part posting lists
+    concatenate into one globally doc-ascending list — scoring then runs
+    one vectorized pass per term instead of ~n_parts small ones (the
+    per-part numpy fixed cost dominated query latency at 256+ parts)."""
 
     def __init__(self, index_dir: str, parts: list[int] | None = None):
         self.index_dir = index_dir
@@ -87,10 +94,48 @@ class IndexReader:
             keep = {int(p) for p in parts}
             part_dirs = [d for d in part_dirs
                          if int(d.rsplit("=", 1)[1]) in keep]
-        self.parts = [PartReader(d) for d in part_dirs]
+        bs = self.meta.get("block_size", 128)
+        self.parts = [PartReader(d, bs) for d in part_dirs]
+        self._merged: dict[str, DecodedPostings | None] = {}
 
     def df(self, term: str) -> int:
         return sum(p.df(term) for p in self.parts)
+
+    def merged(self, term: str) -> DecodedPostings | None:
+        """One term's postings across ALL loaded parts, doc_id-ascending
+        (memoized). Positions/block arrays concatenate alignment-safely
+        (the positions byte stream is per-doc self-delimited)."""
+        hit = self._merged.get(term, False)
+        if hit is not False:
+            return hit
+        pls = []
+        for pr in self.parts:
+            pl = pr.postings(term)
+            if pl is not None:
+                pls.append(pl)
+        if not pls:
+            out = None
+        elif len(pls) == 1:
+            out = pls[0]
+        else:
+            offs = np.concatenate(
+                ([0], np.cumsum([p.doc_ids.size for p in pls])[:-1]))
+            out = DecodedPostings(
+                np.concatenate([p.doc_ids for p in pls]),
+                np.concatenate([p.tfs for p in pls]),
+                np.concatenate([p.dls for p in pls]),
+                b"".join(p.positions_blob for p in pls),
+                np.concatenate([p.block_max for p in pls]),
+                np.concatenate([p.block_last for p in pls]),
+                np.concatenate([p.block_starts + o
+                                for p, o in zip(pls, offs.tolist())]),
+            )
+        if len(pls) > 1:
+            # drop per-part cached copies: the merged view supersedes them
+            for pr in self.parts:
+                pr._cache.pop(term, None)
+        self._merged[term] = out
+        return out
 
     def idf(self, term: str) -> float:
         """Canonical IDF (SURVEY.md D2): ln((1+N)/(1+df)) + 1

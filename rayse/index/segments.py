@@ -103,17 +103,24 @@ def encode_segment_row(term: str, salt: int, doc_ids: np.ndarray,
 
 
 class DecodedPostings:
-    """Posting list of one term within one partition (runs concatenated)."""
+    """Posting list of one term within one partition (runs concatenated).
 
-    __slots__ = ("doc_ids", "tfs", "dls", "positions_blob", "block_max", "block_last")
+    ``block_starts[b]`` = posting offset of block b in the concatenated
+    arrays (strictly increasing; block size = next start - start, blocks of
+    consecutive runs are contiguous), enabling exact block skipping."""
 
-    def __init__(self, doc_ids, tfs, dls, positions_blob, block_max, block_last):
+    __slots__ = ("doc_ids", "tfs", "dls", "positions_blob", "block_max",
+                 "block_last", "block_starts")
+
+    def __init__(self, doc_ids, tfs, dls, positions_blob, block_max,
+                 block_last, block_starts=None):
         self.doc_ids = doc_ids
         self.tfs = tfs
         self.dls = dls
         self.positions_blob = positions_blob
         self.block_max = block_max
         self.block_last = block_last
+        self.block_starts = block_starts
 
     def positions(self) -> list[np.ndarray]:
         """Decode per-doc position lists (lazy — phrase queries only)."""
@@ -128,18 +135,23 @@ class DecodedPostings:
         return out
 
 
-def decode_rows(rows: list[dict]) -> DecodedPostings:
+def decode_rows(rows: list[dict], block_size: int = 128) -> DecodedPostings:
     """Concatenate one term's segment rows (pre-sorted by ascending salt)."""
     doc_parts, tf_parts, dl_parts = [], [], []
     pos = bytearray()
-    bm, bl = [], []
+    bm, bl, bs_parts = [], [], []
+    off = 0
     for r in rows:
-        doc_parts.append(delta_decode(decode_varints(r["doc_ids"])))
+        d = delta_decode(decode_varints(r["doc_ids"]))
+        doc_parts.append(d)
         tf_parts.append(decode_varints(r["tfs"]))
         dl_parts.append(decode_varints(r["dls"]))
         pos.extend(r["positions"])
         bm.extend(r["block_max"])
         bl.extend(r["block_last"])
+        nb = len(r["block_max"])
+        bs_parts.append(off + np.arange(nb, dtype=np.int64) * block_size)
+        off += d.size
     return DecodedPostings(
         np.concatenate(doc_parts),
         np.concatenate(tf_parts),
@@ -147,4 +159,5 @@ def decode_rows(rows: list[dict]) -> DecodedPostings:
         bytes(pos),
         np.asarray(bm, dtype=np.float64),
         np.asarray(bl, dtype=np.uint64),
+        np.concatenate(bs_parts) if bs_parts else np.empty(0, np.int64),
     )

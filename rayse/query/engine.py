@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import BM25Params
-from ..index.reader import IndexReader, PartReader
+from ..index.reader import IndexReader
 from ..index.segments import DecodedPostings, bm25_tf
 from .parser import ParsedQuery, parse_query
 
@@ -52,16 +52,16 @@ class _PosCache:
         return hit
 
 
-def accumulate_part(reader: PartReader, terms, idfs, avgdl: float,
-                    params: BM25Params):
-    """Union-accumulate BM25 contributions of ``terms`` over one part.
+def accumulate(reader, terms, idfs, avgdl: float, params: BM25Params):
+    """Union-accumulate BM25 contributions of ``terms`` over merged
+    posting lists (one vectorized pass per term).
 
     Returns (doc_ids asc, scores, nmatch) where nmatch[i] = how many of the
     query terms doc i contains (drives AND and the >=50%-match fallback,
     `QueryService.java:595-670`)."""
     doc_arrs, score_arrs = [], []
     for t, idf in zip(terms, idfs):
-        pl = reader.postings(t)
+        pl = reader.merged(t)
         if pl is None:
             continue
         doc_arrs.append(pl.doc_ids)
@@ -93,19 +93,32 @@ def top_k(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     return doc_ids[order], scores[order]
 
 
-def phrase_match_part(reader: PartReader, phrase, pos_cache: _PosCache
-                      ) -> np.ndarray:
-    """doc_ids (ascending) in this part containing the exact phrase
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two sorted unique arrays; binary-search probe when
+    sizes are skewed (rare-term ∩ hot-term is the common phrase case)."""
+    if a.size > b.size:
+        a, b = b, a
+    if b.size > 8 * a.size:
+        j = np.searchsorted(b, a)
+        j_c = np.minimum(j, b.size - 1)
+        return a[b[j_c] == a]
+    return np.intersect1d(a, b, assume_unique=True)
+
+
+def phrase_match(reader, phrase, pos_cache: _PosCache) -> np.ndarray:
+    """doc_ids (ascending) containing the exact phrase
     (post-analyzer adjacency, `Ranker1.java:370-449`)."""
     pls = []
     for t in phrase:
-        pl = reader.postings(t)
+        pl = reader.merged(t)
         if pl is None:
             return _EMPTY_U64
         pls.append(pl)
-    cand = pls[0].doc_ids
-    for pl in pls[1:]:
-        cand = np.intersect1d(cand, pl.doc_ids, assume_unique=True)
+    # intersect starting from the rarest list (same set, fastest order)
+    by_df = sorted(range(len(pls)), key=lambda i: pls[i].doc_ids.size)
+    cand = pls[by_df[0]].doc_ids
+    for i in by_df[1:]:
+        cand = _intersect_sorted(cand, pls[i].doc_ids)
         if cand.size == 0:
             return _EMPTY_U64
     if len(pls) == 1:
@@ -129,12 +142,12 @@ def phrase_match_part(reader: PartReader, phrase, pos_cache: _PosCache
     return np.asarray(hits, dtype=np.uint64)
 
 
-def score_docs_part(reader: PartReader, docs: np.ndarray, terms, idfs,
-                    avgdl: float, params: BM25Params) -> np.ndarray:
+def score_docs(reader, docs: np.ndarray, terms, idfs,
+               avgdl: float, params: BM25Params) -> np.ndarray:
     """BM25 score of the given docs for the given terms (0 for absent)."""
     scores = np.zeros(docs.size, dtype=np.float64)
     for t, idf in zip(terms, idfs):
-        pl = reader.postings(t)
+        pl = reader.merged(t)
         if pl is None:
             continue
         j = np.searchsorted(pl.doc_ids, docs)
@@ -184,60 +197,32 @@ class SearchEngine:
 
     def regular(self, terms, k: int = 10):
         idfs = self._idfs(terms)
-        avgdl = self.reader.avgdl
-        cand_docs, cand_scores = [], []
-        for pr in self.reader.parts:
-            d, s, _ = accumulate_part(pr, terms, idfs, avgdl, self.params)
-            if d.size:
-                dd, ss = top_k(d, s, k)
-                cand_docs.append(dd)
-                cand_scores.append(ss)
-        if not cand_docs:
-            return _EMPTY_U64, _EMPTY_F64
-        return top_k(np.concatenate(cand_docs), np.concatenate(cand_scores), k)
+        d, s, _ = accumulate(self.reader, terms, idfs, self.reader.avgdl,
+                             self.params)
+        return top_k(d, s, k)
 
     def conjunctive(self, terms, k: int = 10):
         """Docs containing ALL terms (J5 semantics:
         `WordDocumentMetricsRepository.java:32-38`)."""
         idfs = self._idfs(terms)
-        avgdl = self.reader.avgdl
-        cand_docs, cand_scores = [], []
-        nt = len(terms)
-        for pr in self.reader.parts:
-            d, s, m = accumulate_part(pr, terms, idfs, avgdl, self.params)
-            keep = m == nt
-            if keep.any():
-                dd, ss = top_k(d[keep], s[keep], k)
-                cand_docs.append(dd)
-                cand_scores.append(ss)
-        if not cand_docs:
-            return _EMPTY_U64, _EMPTY_F64
-        return top_k(np.concatenate(cand_docs), np.concatenate(cand_scores), k)
+        d, s, m = accumulate(self.reader, terms, idfs, self.reader.avgdl,
+                             self.params)
+        keep = m == len(terms)
+        return top_k(d[keep], s[keep], k)
 
     def phrase(self, phrase, k: int = 10):
         terms = list(dict.fromkeys(phrase))
-        idfs = self._idfs(terms)
-        avgdl = self.reader.avgdl
-        cand_docs, cand_scores = [], []
-        for pr in self.reader.parts:
-            docs = phrase_match_part(pr, phrase, self._pos_cache)
-            if docs.size:
-                s = score_docs_part(pr, docs, terms, idfs, avgdl, self.params)
-                dd, ss = top_k(docs, s, k)
-                cand_docs.append(dd)
-                cand_scores.append(ss)
-        if not cand_docs:
+        docs = phrase_match(self.reader, phrase, self._pos_cache)
+        if docs.size == 0:
             return _EMPTY_U64, _EMPTY_F64
-        return top_k(np.concatenate(cand_docs), np.concatenate(cand_scores), k)
+        idfs = self._idfs(terms)
+        s = score_docs(self.reader, docs, terms, idfs, self.reader.avgdl,
+                       self.params)
+        return top_k(docs, s, k)
 
     def phrase_docs(self, phrase) -> np.ndarray:
-        """All matching doc_ids (ascending), across parts."""
-        out = [phrase_match_part(pr, phrase, self._pos_cache)
-               for pr in self.reader.parts]
-        out = [o for o in out if o.size]
-        if not out:
-            return _EMPTY_U64
-        return np.sort(np.concatenate(out))
+        """All matching doc_ids (ascending)."""
+        return phrase_match(self.reader, phrase, self._pos_cache)
 
     def boolean(self, op: str, left, right, k: int = 10):
         """SE1-SE3 set algebra over two phrases
@@ -258,24 +243,9 @@ class SearchEngine:
         if docs.size == 0:
             return _EMPTY_U64, _EMPTY_F64
         idfs = self._idfs(score_terms)
-        avgdl = self.reader.avgdl
-        cand_docs, cand_scores = [], []
-        shift = 64 - self.reader.meta["part_bits"]
-        # route docs to their parts (parts are doc_id-range partitions)
-        part_ids = np.array([int(p.part_dir.rsplit("=", 1)[1])
-                             for p in self.reader.parts])
-        doc_parts = (docs >> np.uint64(shift)).astype(np.int64)
-        for pi, pr in zip(part_ids, self.reader.parts):
-            sel = docs[doc_parts == pi]
-            if sel.size == 0:
-                continue
-            s = score_docs_part(pr, sel, score_terms, idfs, avgdl, self.params)
-            dd, ss = top_k(sel, s, k)
-            cand_docs.append(dd)
-            cand_scores.append(ss)
-        if not cand_docs:
-            return _EMPTY_U64, _EMPTY_F64
-        return top_k(np.concatenate(cand_docs), np.concatenate(cand_scores), k)
+        s = score_docs(self.reader, docs, score_terms, idfs,
+                       self.reader.avgdl, self.params)
+        return top_k(docs, s, k)
 
     # -- entry --------------------------------------------------------------
     def search(self, query: str, k: int = 10, mode: str = "or"):
@@ -295,16 +265,19 @@ class SearchEngine:
             return _EMPTY_U64, _EMPTY_F64
         if mode == "and":
             return self.conjunctive(pq_.terms, k)
-        if mode == "blockmax":
-            from .wand import regular_blockmax
-
-            return regular_blockmax(self, pq_.terms, k)
         if mode == "fallback":
             from .postprocess import search_with_fallback
 
             d, s, _ = search_with_fallback(self, pq_.terms, k)
             return d, s
-        return self.regular(pq_.terms, k)
+        if mode == "exhaustive":
+            return self.regular(pq_.terms, k)
+        # default ("or"/"blockmax"): block-max pruned scoring — EXACTLY the
+        # exhaustive top-k (tests/test_wand.py) but skips low-upper-bound
+        # postings, which dominates latency on hot terms at large N
+        from .wand import regular_blockmax
+
+        return regular_blockmax(self, pq_.terms, k)
 
     def search_hydrated(self, query: str, transcripts_path, k: int = 10,
                         mode: str = "or", page: int = 1,

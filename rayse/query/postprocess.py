@@ -146,21 +146,13 @@ def search_with_fallback(engine, terms, k: int = 10):
 
 
 def _min_match(engine, terms, min_match: int, k: int):
-    from .engine import accumulate_part, top_k
+    from .engine import accumulate, top_k
 
     idfs = engine._idfs(terms)
-    avgdl = engine.reader.avgdl
-    cand_d, cand_s = [], []
-    for pr in engine.reader.parts:
-        d, s, m = accumulate_part(pr, terms, idfs, avgdl, engine.params)
-        keep = m >= min_match
-        if keep.any():
-            dd, ss = top_k(d[keep], s[keep], k)
-            cand_d.append(dd)
-            cand_s.append(ss)
-    if not cand_d:
-        return np.empty(0, np.uint64), np.empty(0, np.float64)
-    return top_k(np.concatenate(cand_d), np.concatenate(cand_s), k)
+    d, s, m = accumulate(engine.reader, terms, idfs, engine.reader.avgdl,
+                         engine.params)
+    keep = m >= min_match
+    return top_k(d[keep], s[keep], k)
 
 
 def _token_set(text: str) -> set:

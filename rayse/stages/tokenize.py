@@ -24,9 +24,11 @@ This replaces the reference's per-page ``indexPage`` + JDBC upserts
 (word, doc) rows into PostgreSQL, each batch emits mergeable compressed
 partial posting lists that the merge phase combines per (part, term).
 
-Used as an actor-pool stage (callable class): the stem/stop decision cache
-(module-level in ``rayse.analyzer``) warms once per worker and is shared
-across batches.
+Deployed as stateless Ray tasks over the warm worker pool (the analyzer's
+stem/stop/intern caches are module state shared per worker process, so the
+actor-pool benefit — state amortized across batches — comes for free while
+scheduling stays elastic); the class is also directly usable as a
+``map_batches(TokenizeStage, concurrency=N)`` actor pool.
 """
 
 from __future__ import annotations
