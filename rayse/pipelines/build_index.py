@@ -229,6 +229,10 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
     _atomic_rename_dir(tmp, final)
 
     wall = time.perf_counter() - t0
+    try:  # per-stage lineage from Ray's own executor stats (A12 metrics)
+        stage_stats = runs.stats().split("\n\nDataset")[0][:4000]
+    except Exception:
+        stage_stats = None
     man = {
         "shard": shard_id,
         "files": files,
@@ -236,6 +240,7 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
         "strategy": strategy,
         "wall_s": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1) if wall > 0 else None,
+        "ray_stage_stats": stage_stats,
     }
     os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
     _atomic_write_json(manifest_path, man)

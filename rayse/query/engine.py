@@ -203,12 +203,25 @@ class SearchEngine:
 
     def conjunctive(self, terms, k: int = 10):
         """Docs containing ALL terms (J5 semantics:
-        `WordDocumentMetricsRepository.java:32-38`)."""
+        `WordDocumentMetricsRepository.java:32-38`): sorted-list
+        intersection from the rarest list (not a union accumulate — the
+        intersection is never larger than the smallest df)."""
+        pls = []
+        for t in terms:
+            pl = self.reader.merged(t)
+            if pl is None:
+                return _EMPTY_U64, _EMPTY_F64
+            pls.append(pl)
+        by_df = sorted(range(len(pls)), key=lambda i: pls[i].doc_ids.size)
+        cand = pls[by_df[0]].doc_ids
+        for i in by_df[1:]:
+            cand = _intersect_sorted(cand, pls[i].doc_ids)
+            if cand.size == 0:
+                return _EMPTY_U64, _EMPTY_F64
         idfs = self._idfs(terms)
-        d, s, m = accumulate(self.reader, terms, idfs, self.reader.avgdl,
-                             self.params)
-        keep = m == len(terms)
-        return top_k(d[keep], s[keep], k)
+        s = score_docs(self.reader, cand, terms, idfs, self.reader.avgdl,
+                       self.params)
+        return top_k(cand, s, k)
 
     def phrase(self, phrase, k: int = 10):
         terms = list(dict.fromkeys(phrase))
