@@ -312,6 +312,18 @@ def _q_fallback_topk(sf_dir: str):
     })
 
 
+def _q_pagerank(sf_dir: str):
+    from rayse.ops.graph import pagerank_events
+
+    return pagerank_events(sf_dir, variant="ranker1")
+
+
+def _q_props_extract(sf_dir: str):
+    from rayse.ops.graph import props_extract
+
+    return props_extract(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # search-engine core (SURVEY.md §2; analyzer not SQL-expressible ->
@@ -341,6 +353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end-to-end result pipeline + retrieval ladder (rows-only)
         "hydrated_topk": _q_hydrated_topk,
         "fallback_topk": _q_fallback_topk,
+        # link-graph + JSON scalar ops (A13; pagerank rows-only: iterative)
+        "pagerank": _q_pagerank,
+        "props_extract": _q_props_extract,
     }
 
 
@@ -387,6 +402,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(a.s || b.s)) >= 0.9
         """,
+        "props_extract": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) "
+            "AS k FROM events"
+        ),
         "windowed_agg": """
             SELECT event_type,
                    (epoch_us(ts) // 3600000000) * 3600 AS window_start,

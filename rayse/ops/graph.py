@@ -1,0 +1,136 @@
+"""Link-graph operators: PageRank over an edges table (SURVEY.md A13).
+
+The reference computes PageRank over crawled-page links with a dense
+in-memory matrix capped at 6000x6000 (`Ranker/RankerMainProcess/
+Ranker1.java:163-185,699-749`). Transcripts carry no link graph (SURVEY.md
+D5), so the operator is generic over any ``(src, dst)`` edges Dataset; for
+the sf tables a deterministic demo graph is derived from the events log
+(src = user_id, dst = json k mod a fixed vertex space).
+
+Distributed shape (guide pattern: iterative map_batches with score
+broadcast): vertex ids are densified once, then each power iteration is
+
+    ray.put(rank vector)  ->  map_batches(edges: partial dst sums per
+    batch) -> groupby(dst).sum -> tiny table -> driver update + teleport
+
+so the edges Dataset streams every iteration while the rank vector (one
+float per vertex) is the only broadcast state. Two formulas:
+
+- ``variant="ranker1"``: T = (1-d)/outdeg links + d/N teleport with d=0.15,
+  L2 convergence 1e-4, <=100 iters (`Ranker1.java:46-49,719-746` — the
+  reference's inverted-damping quirk, reproduced verbatim).
+- ``variant="classic"``: standard rank = (1-d)/N + d * Σ rank/outdeg with
+  d=0.85 (`Ranker2.java:16-17,71-84`, the reference's unused variant).
+
+Dangling vertices (no out-edges) contribute only teleport mass, matching
+the reference (columns of an isolated page are pure teleport).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+DEMO_VERTEX_SPACE = 200
+
+
+def derived_edges(sf_dir: str):
+    """Deterministic demo edge table from events: (user_id -> k mod V)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "props"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = np.array([json.loads(p)["k"] for p in
+                       batch["props"].to_pylist()], dtype=np.int64)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(ks % DEMO_VERTEX_SPACE, pa.int64())})
+
+    return ds.map_batches(to_edges, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def pagerank(edges_ds, variant: str = "ranker1", d: float | None = None,
+             max_iter: int = 100, tol: float = 1e-4):
+    """Power-iteration PageRank over an (src:int64, dst:int64) Dataset.
+    Returns a pyarrow table (vertex, rank) sorted by vertex."""
+    import ray
+    import ray.data as rd
+
+    if d is None:
+        d = 0.15 if variant == "ranker1" else 0.85
+
+    # densify vertex space + out-degrees (two tiny aggregates)
+    verts_tbl = edges_ds.map_batches(
+        lambda b: pa.table({"v": pa.array(
+            np.unique(np.concatenate([
+                b["src"].to_numpy(zero_copy_only=False),
+                b["dst"].to_numpy(zero_copy_only=False)])), pa.int64())}),
+        batch_format="pyarrow").groupby("v").count()
+    verts = np.sort(np.asarray([r["v"] for r in verts_tbl.take_all()],
+                               dtype=np.int64))
+    n = verts.size
+    deg_rows = edges_ds.groupby("src").count().take_all()
+    outdeg = np.zeros(n, dtype=np.float64)
+    for r in deg_rows:
+        outdeg[np.searchsorted(verts, r["src"])] = r["count()"]
+
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(max_iter):
+        ref = ray.put((verts, rank, outdeg))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vs, rk, od = ray.get(ref)
+            src = np.searchsorted(vs, batch["src"].to_numpy(
+                zero_copy_only=False))
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            w = rk[src] / np.maximum(od[src], 1.0)
+            # per-batch combine (pre-aggregation before the groupby)
+            uniq, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(sums, inv, w)
+            return pa.table({"dst": pa.array(uniq, pa.int64()),
+                             "contrib": pa.array(sums, pa.float64())})
+
+        agg = (edges_ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+               .groupby("dst").sum("contrib").take_all())
+        link = np.zeros(n, dtype=np.float64)
+        for r in agg:
+            link[np.searchsorted(verts, r["dst"])] = r["sum(contrib)"]
+        if variant == "ranker1":
+            # `Ranker1.java:719-746`: rank = (1-d)*link + d/N, d=0.15
+            new_rank = (1.0 - d) * link + d / n
+        else:
+            new_rank = (1.0 - d) / n + d * link
+        delta = float(np.linalg.norm(new_rank - rank))
+        rank = new_rank
+        if delta < tol:
+            break
+    return pa.table({"vertex": pa.array(verts, pa.int64()),
+                     "rank": pa.array(np.round(rank, 10), pa.float64())})
+
+
+def pagerank_events(sf_dir: str, variant: str = "ranker1"):
+    return pagerank(derived_edges(sf_dir), variant=variant)
+
+
+def props_extract(sf_dir: str):
+    """JSON scalar extraction over the events props column (vectorized
+    per-batch json parse) — SQL-matched via DuckDB json_extract."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "props"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ks = np.array([json.loads(p)["k"] for p in
+                       batch["props"].to_pylist()], dtype=np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "k": pa.array(ks, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,70 @@
+"""PageRank (A13) vs dense numpy power iteration; JSON extraction op."""
+
+import json
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _dense_pagerank(edges, variant, d, max_iter=100, tol=1e-4):
+    verts = np.sort(np.unique(np.concatenate(
+        [edges[:, 0], edges[:, 1]])))
+    n = verts.size
+    src = np.searchsorted(verts, edges[:, 0])
+    dst = np.searchsorted(verts, edges[:, 1])
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        link = np.zeros(n)
+        np.add.at(link, dst, rank[src] / np.maximum(outdeg[src], 1.0))
+        if variant == "ranker1":
+            new = (1 - d) * link + d / n
+        else:
+            new = (1 - d) / n + d * link
+        delta = np.linalg.norm(new - rank)
+        rank = new
+        if delta < tol:
+            break
+    return verts, rank
+
+
+@pytest.fixture(scope="module")
+def demo_edges():
+    from rayse.ops.graph import DEMO_VERTEX_SPACE
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "props"])
+    src = np.asarray(t["user_id"].to_pylist(), dtype=np.int64)
+    dst = np.array([json.loads(p)["k"] % DEMO_VERTEX_SPACE
+                    for p in t["props"].to_pylist()], dtype=np.int64)
+    return np.stack([src, dst], axis=1)
+
+
+@pytest.mark.parametrize("variant,d", [("ranker1", 0.15), ("classic", 0.85)])
+def test_pagerank_matches_dense(ray_session, demo_edges, variant, d):
+    from rayse.ops.graph import pagerank_events
+
+    got = pagerank_events(SF, variant=variant)
+    verts, want = _dense_pagerank(demo_edges, variant, d)
+    assert got["vertex"].to_pylist() == verts.tolist()
+    np.testing.assert_allclose(got["rank"].to_numpy(), np.round(want, 10),
+                               rtol=0, atol=1e-9)
+    # ranks form a probability-ish vector (positive, bounded)
+    r = got["rank"].to_numpy()
+    assert (r > 0).all() and r.sum() < 2.0
+
+
+def test_props_extract(ray_session):
+    import duckdb
+
+    from rayse.ops.graph import props_extract
+
+    got = props_extract(SF).to_pandas().sort_values("event_id").reset_index(
+        drop=True)
+    con = duckdb.connect()
+    want = con.sql(
+        f"SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+        f"FROM '{SF}/events.parquet' ORDER BY event_id").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
