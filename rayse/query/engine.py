@@ -123,23 +123,29 @@ def phrase_match(reader, phrase, pos_cache: _PosCache) -> np.ndarray:
             return _EMPTY_U64
     if len(pls) == 1:
         return cand
+    # Vectorized adjacency over ALL candidates at once: encode each term's
+    # occurrences as (candidate_rank << 32 | position - i) keys and chain
+    # set intersections — a start position p survives iff term_i occurs at
+    # p+i for every i (`Ranker1.java:370-449` semantics, no per-doc loop).
     pos_lists = [pos_cache.get(pl) for pl in pls]
-    hits = []
-    for d in cand.tolist():
-        starts = None
-        ok = True
-        for i, pl in enumerate(pls):
-            j = int(np.searchsorted(pl.doc_ids, d))
-            p = pos_lists[i][j]
-            shifted = p - np.uint64(i) if i else p
-            starts = shifted if starts is None else np.intersect1d(
-                starts, shifted, assume_unique=True)
-            if starts.size == 0:
-                ok = False
-                break
-        if ok:
-            hits.append(d)
-    return np.asarray(hits, dtype=np.uint64)
+    SHIFT = np.uint64(32)
+    start_keys = None
+    for i, pl in enumerate(pls):
+        j = np.searchsorted(pl.doc_ids, cand)
+        lens = np.array([pos_lists[i][int(x)].size for x in j],
+                        dtype=np.int64)
+        ranks = np.repeat(np.arange(cand.size, dtype=np.uint64), lens)
+        pos = (np.concatenate([pos_lists[i][int(x)] for x in j])
+               if j.size else np.empty(0, np.uint64))
+        # underflow (pos < i) wraps to huge values that never intersect
+        keys = (ranks << SHIFT) | ((pos - np.uint64(i)) & np.uint64(0xFFFFFFFF))
+        keys.sort()
+        start_keys = keys if start_keys is None else _intersect_sorted(
+            start_keys, keys)
+        if start_keys.size == 0:
+            return _EMPTY_U64
+    hit_ranks = np.unique(start_keys >> SHIFT).astype(np.int64)
+    return cand[hit_ranks]
 
 
 def score_docs(reader, docs: np.ndarray, terms, idfs,
