@@ -145,7 +145,11 @@ def binary_array_from_offsets(buf: bytes, offsets: np.ndarray) -> "pa.Array":
     """Zero-copy pyarrow binary array over one contiguous buffer."""
     import pyarrow as pa
 
-    off32 = offsets.astype(np.int32)   # per-partition blobs stay < 2 GiB
+    if len(buf) > 0x7FFFFFFF:
+        raise ValueError(
+            f"partition blob is {len(buf)} bytes (> int32 offsets); "
+            "increase IndexConfig.part_bits so partitions shrink")
+    off32 = offsets.astype(np.int32)
     return pa.BinaryArray.from_buffers(
         pa.binary(), len(offsets) - 1,
         [None, pa.py_buffer(off32.tobytes()), pa.py_buffer(buf)])

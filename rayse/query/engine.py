@@ -229,6 +229,31 @@ class SearchEngine:
                        self.params)
         return top_k(cand, s, k)
 
+    def regular_capped(self, terms, k: int = 10, cap: int = 1000):
+        """Reference-parity O3 behavior (`QueryService.java:448-450`): each
+        term contributes only its first ``cap`` postings in docID order (the
+        reference's LIMIT 1000 in DB order). OFF by default — D3 makes the
+        canonical mode exact; this flag reproduces the reference's capped
+        approximation deterministically (docID order, not DB row order)."""
+        idfs = self._idfs(terms)
+        avgdl = self.reader.avgdl
+        doc_arrs, score_arrs = [], []
+        for t, idf in zip(terms, idfs):
+            pl = self.reader.merged(t)
+            if pl is None:
+                continue
+            n = min(cap, pl.doc_ids.size)
+            doc_arrs.append(pl.doc_ids[:n])
+            score_arrs.append(idf * bm25_tf(pl.tfs[:n], pl.dls[:n], avgdl,
+                                            self.params))
+        if not doc_arrs:
+            return _EMPTY_U64, _EMPTY_F64
+        all_docs = np.concatenate(doc_arrs)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(score_arrs))
+        return top_k(uniq, scores, k)
+
     def phrase(self, phrase, k: int = 10):
         terms = list(dict.fromkeys(phrase))
         docs = phrase_match(self.reader, phrase, self._pos_cache)
@@ -291,6 +316,8 @@ class SearchEngine:
             return d, s
         if mode == "exhaustive":
             return self.regular(pq_.terms, k)
+        if mode == "capped":
+            return self.regular_capped(pq_.terms, k)
         # default ("or"/"blockmax"): block-max pruned scoring — EXACTLY the
         # exhaustive top-k (tests/test_wand.py) but skips low-upper-bound
         # postings, which dominates latency on hot terms at large N
