@@ -51,22 +51,27 @@ def tokenize(text: str) -> List[str]:
     path alternative can contain ``-`` or ``/``), so the per-token regex
     search is replaced by one char test."""
     words: List[str] = []
-    seen = set()  # mirrors `words.contains(...)` in O(1)
+    seen = None  # mirrors `words.contains(...)`; built lazily — it is only
+    # consulted by sub-token dedup, so token streams with no compound
+    # tokens (no '.'/'/') never pay the per-token set insert
     append = words.append
-    add = seen.add
     for token in _TOKEN_RE.findall(text.lower()):
         append(token)
-        add(token)
-        if "." in token:
-            for part in token.split("."):
-                if part and part not in seen:
-                    append(part)
-                    add(part)
-        if token[0] == "/":
-            for part in _OP_SPLIT_RE.split(token):
-                if part and part not in seen:
-                    append(part)
-                    add(part)
+        if seen is not None:
+            seen.add(token)
+        if "." in token or token[0] == "/":
+            if seen is None:
+                seen = set(words)
+            if "." in token:
+                for part in token.split("."):
+                    if part and part not in seen:
+                        append(part)
+                        seen.add(part)
+            if token[0] == "/":
+                for part in _OP_SPLIT_RE.split(token):
+                    if part and part not in seen:
+                        append(part)
+                        seen.add(part)
         # bracket handling (`PreIndexer.java:146-159`) is unreachable: no
         # alternative of the token regex can emit '[' — kept out by design.
     return words
