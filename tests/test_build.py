@@ -84,6 +84,20 @@ def test_rerun_is_noop(ray_session, small_corpus, tmp_path):
     assert r2.n_docs > 0
 
 
+def test_multi_shard_equals_single_shard(ray_session, small_corpus, tmp_path):
+    """Sharding is an execution detail: N-shard and 1-shard builds produce
+    identical segments (the cross-shard k-way merge is content-transparent;
+    also verified at 2.4M turns in BASELINE.md)."""
+    multi = tmp_path / "multi"
+    single = tmp_path / "single"
+    cfg = IndexConfig()
+    build_index(small_corpus, str(multi), cfg, shard_target_bytes=1,
+                concurrency=2, merge_concurrency=2)      # 3 shards
+    build_index(small_corpus, str(single), cfg,
+                concurrency=2, merge_concurrency=2)      # 1 shard
+    _assert_same_index(str(multi), str(single))
+
+
 def test_skew_salting_parity(ray_session, small_corpus, tmp_path):
     """groupby(part, term, salt) strategy and the combiner strategy produce
     identical segments (north rule: salted two-phase aggregation)."""
