@@ -88,7 +88,9 @@ class IndexReader:
         self.n_docs = stats["n_docs"]
         self.avgdl = stats["avgdl"] if stats["avgdl"] > 0 else 1.0
         part_dirs = sorted(
-            glob.glob(os.path.join(index_dir, "segments", "part=*")),
+            (d for d in glob.glob(os.path.join(index_dir, "segments",
+                                               "part=*"))
+             if not d.endswith(".tmp")),   # crash-leftover temp dirs
             key=lambda p: int(p.rsplit("=", 1)[1]))
         if parts is not None:
             keep = {int(p) for p in parts}

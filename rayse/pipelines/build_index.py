@@ -258,8 +258,9 @@ def compute_corpus_stats(out_dir: str, n_docs: int) -> dict:
     One threaded pyarrow-dataset scan of the single ``cf`` column."""
     import pyarrow.dataset as pads
 
-    files = glob.glob(os.path.join(out_dir, "runs", "shard=*", "**",
-                                   "*.parquet"), recursive=True)
+    files = [f for f in glob.glob(os.path.join(
+        out_dir, "runs", "shard=*", "**", "*.parquet"), recursive=True)
+        if ".tmp" not in f]  # exclude crash-leftover temp dirs
     if files:
         t = pads.dataset(files).to_table(columns=["cf"])
         total = int(pa.compute.sum(t["cf"]).as_py() or 0)
@@ -298,8 +299,11 @@ class MergeWorker:
         if os.path.exists(man_path):
             with open(man_path) as f:
                 return json.load(f)
-        run_files = sorted(glob.glob(os.path.join(
-            self.out_dir, "runs", "shard=*", f"part={part}", "*.parquet")))
+        run_files = sorted(
+            f for f in glob.glob(os.path.join(
+                self.out_dir, "runs", "shard=*", f"part={part}",
+                "*.parquet"))
+            if ".tmp" not in f)  # exclude crash-leftover temp dirs
         seg_dir = os.path.join(self.out_dir, "segments", f"part={part}")
         if not run_files:
             os.makedirs(seg_dir, exist_ok=True)
