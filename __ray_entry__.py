@@ -324,6 +324,24 @@ def _q_props_extract(sf_dir: str):
     return props_extract(sf_dir)
 
 
+def _q_pricing_summary(sf_dir: str):
+    from rayse.ops.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _q_top_customer_revenue(sf_dir: str):
+    from rayse.ops.relational import top_customer_revenue
+
+    return top_customer_revenue(sf_dir)
+
+
+def _q_trailing_window(sf_dir: str):
+    from rayse.ops.relational import trailing_window_counts
+
+    return trailing_window_counts(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # search-engine core (SURVEY.md §2; analyzer not SQL-expressible ->
@@ -356,6 +374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link-graph + JSON scalar ops (A13; pagerank rows-only: iterative)
         "pagerank": _q_pagerank,
         "props_extract": _q_props_extract,
+        # relational breadth (wide aggregate, broadcast join, sliding window)
+        "pricing_summary": _q_pricing_summary,
+        "top_customer_revenue": _q_top_customer_revenue,
+        "trailing_window": _q_trailing_window,
     }
 
 
@@ -402,6 +424,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(a.s || b.s)) >= 0.9
         """,
+        "pricing_summary": __import__(
+            "rayse.ops.relational", fromlist=["x"]).PRICING_SUMMARY_SQL,
+        "top_customer_revenue": __import__(
+            "rayse.ops.relational", fromlist=["x"]).TOP_CUSTOMER_REVENUE_SQL,
+        "trailing_window": __import__(
+            "rayse.ops.relational", fromlist=["x"]).TRAILING_WINDOW_SQL,
         "props_extract": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) "
             "AS k FROM events"

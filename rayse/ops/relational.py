@@ -1,0 +1,158 @@
+"""Relational operators over the TPC-H-ish sf tables — broad-coverage
+demonstrations of the guide's aggregation/join patterns on the engine's
+non-search side (wide groupby aggregate, broadcast hash join, trailing
+sliding window). All DuckDB-oracle-matched.
+
+Float policy: money sums are rounded to 1 decimal on both sides — float64
+summation order differs between engines and partitions, so hash-exact
+comparison needs a rounding step far coarser than the ~1e-7 absolute drift
+at 1e8 magnitudes (counts and keys are exact integers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pricing_summary(sf_dir: str):
+    """Q1-style pricing summary: per (returnflag, linestatus) sums/counts
+    over lineitem — partial per-batch combine + one small groupby."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(rd.aggregate.Sum("sum_qty"),
+                      rd.aggregate.Sum("sum_base_price"),
+                      rd.aggregate.Sum("sum_disc_price"),
+                      rd.aggregate.Sum("count_order")))
+
+    def final(batch: pa.Table) -> pa.Table:
+        def money(col):
+            return pa.array(np.round(
+                batch[col].to_numpy(zero_copy_only=False).astype(np.float64),
+                1), pa.float64())
+
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": money("sum(sum_qty)"),
+            "sum_base_price": money("sum(sum_base_price)"),
+            "sum_disc_price": money("sum(sum_disc_price)"),
+            "count_order": pa.compute.cast(batch["sum(count_order)"],
+                                           pa.int64()),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+PRICING_SUMMARY_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 1) AS sum_qty,
+           round(sum(l_extendedprice), 1) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 1)
+             AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_customer_revenue(sf_dir: str, n: int = 10):
+    """Top-N customers by total order value: BROADCAST hash join (customer
+    side shipped once via ray.put, looked up per batch — the guide's
+    small-side join pattern; no shuffle) + groupby + deterministic top-N."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    name_of = dict(zip(cust["c_custkey"].to_pylist(),
+                       cust["c_name"].to_pylist()))
+    ref = ray.put(name_of)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    agg = orders.groupby("o_custkey").aggregate(
+        rd.aggregate.Sum("o_totalprice"), rd.aggregate.Count())
+
+    def hydrate(batch: pa.Table) -> pa.Table:
+        names = ray.get(ref)
+        keys = batch["o_custkey"].to_pylist()
+        return pa.table({
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array([names.get(k, "") for k in keys],
+                               pa.string()),
+            "revenue": pa.array(np.round(
+                batch["sum(o_totalprice)"].to_numpy(zero_copy_only=False)
+                .astype(np.float64), 1), pa.float64()),
+            "n_orders": pa.compute.cast(batch["count()"], pa.int64()),
+        })
+
+    rows = agg.map_batches(hydrate, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["revenue"], r["c_custkey"]))
+    return pa.Table.from_pylist(rows[:n])
+
+
+TOP_CUSTOMER_REVENUE_SQL = """
+    SELECT c_custkey, c_name,
+           round(sum(o_totalprice), 1) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 10
+"""
+
+
+def trailing_window_counts(sf_dir: str, window_s: int = 3600):
+    """Per event: number of same-type events in the trailing ``window_s``
+    seconds (inclusive of ts peers) — the sliding-window analog of
+    ``windows.tumbling_agg``; per-type sorted group + two searchsorteds."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+
+    def per_type(group: pa.Table) -> pa.Table:
+        ts = group["ts"].cast(pa.int64()).to_numpy()
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        lo = np.searchsorted(ts_s, ts_s - window_s * 1_000_000, side="left")
+        hi = np.searchsorted(ts_s, ts_s, side="right")
+        counts = (hi - lo).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "trailing_count": pa.array(counts, pa.int64()),
+        })
+
+    return ds.groupby("event_type").map_groups(per_type,
+                                               batch_format="pyarrow")
+
+
+TRAILING_WINDOW_SQL = """
+    SELECT event_id,
+           CAST(count(*) OVER (
+             PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS trailing_count
+    FROM events
+"""
