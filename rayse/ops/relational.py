@@ -3,10 +3,11 @@ demonstrations of the guide's aggregation/join patterns on the engine's
 non-search side (wide groupby aggregate, broadcast hash join, trailing
 sliding window). All DuckDB-oracle-matched.
 
-Float policy: money sums are rounded to 1 decimal on both sides — float64
-summation order differs between engines and partitions, so hash-exact
-comparison needs a rounding step far coarser than the ~1e-7 absolute drift
-at 1e8 magnitudes (counts and keys are exact integers).
+Float policy: money values are converted to integer cents PER ROW (both
+sides compute round(x*100) on identical double operands -> identical
+integers) and summed as int64 — integer sums are order-independent, so the
+hash-exact comparison cannot be broken by float summation order, unlike
+any "round the float sum" scheme (boundary flips).
 """
 
 from __future__ import annotations
@@ -26,14 +27,17 @@ def pricing_summary(sf_dir: str):
                  "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = batch.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        df["sum_qty"] = np.round(df["l_quantity"] * 100).astype(np.int64)
+        df["sum_base_price"] = np.round(
+            df["l_extendedprice"] * 100).astype(np.int64)
+        df["sum_disc_price"] = np.round(
+            df["l_extendedprice"] * (1.0 - df["l_discount"]) * 10000
+        ).astype(np.int64)
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            sum_qty=("sum_qty", "sum"),
+            sum_base_price=("sum_base_price", "sum"),
+            sum_disc_price=("sum_disc_price", "sum"),
             count_order=("l_quantity", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -46,17 +50,15 @@ def pricing_summary(sf_dir: str):
                       rd.aggregate.Sum("count_order")))
 
     def final(batch: pa.Table) -> pa.Table:
-        def money(col):
-            return pa.array(np.round(
-                batch[col].to_numpy(zero_copy_only=False).astype(np.float64),
-                1), pa.float64())
+        def cents(col):
+            return pa.compute.cast(batch[col], pa.int64())
 
         return pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
-            "sum_qty": money("sum(sum_qty)"),
-            "sum_base_price": money("sum(sum_base_price)"),
-            "sum_disc_price": money("sum(sum_disc_price)"),
+            "sum_qty": cents("sum(sum_qty)"),            # qty * 100
+            "sum_base_price": cents("sum(sum_base_price)"),   # cents
+            "sum_disc_price": cents("sum(sum_disc_price)"),   # 1e-4 units
             "count_order": pa.compute.cast(batch["sum(count_order)"],
                                            pa.int64()),
         })
@@ -66,10 +68,12 @@ def pricing_summary(sf_dir: str):
 
 PRICING_SUMMARY_SQL = """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 1) AS sum_qty,
-           round(sum(l_extendedprice), 1) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 1)
-             AS sum_disc_price,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS sum_disc_price,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -91,8 +95,19 @@ def top_customer_revenue(sf_dir: str, n: int = 10):
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    agg = orders.groupby("o_custkey").aggregate(
-        rd.aggregate.Sum("o_totalprice"), rd.aggregate.Count())
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "cents": pa.array(np.round(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64), pa.int64()),
+        })
+
+    agg = (orders.map_batches(to_cents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("o_custkey")
+           .aggregate(rd.aggregate.Sum("cents"), rd.aggregate.Count()))
 
     def hydrate(batch: pa.Table) -> pa.Table:
         names = ray.get(ref)
@@ -101,9 +116,7 @@ def top_customer_revenue(sf_dir: str, n: int = 10):
             "c_custkey": pa.array(keys, pa.int64()),
             "c_name": pa.array([names.get(k, "") for k in keys],
                                pa.string()),
-            "revenue": pa.array(np.round(
-                batch["sum(o_totalprice)"].to_numpy(zero_copy_only=False)
-                .astype(np.float64), 1), pa.float64()),
+            "revenue": pa.compute.cast(batch["sum(cents)"], pa.int64()),
             "n_orders": pa.compute.cast(batch["count()"], pa.int64()),
         })
 
@@ -114,7 +127,8 @@ def top_customer_revenue(sf_dir: str, n: int = 10):
 
 TOP_CUSTOMER_REVENUE_SQL = """
     SELECT c_custkey, c_name,
-           round(sum(o_totalprice), 1) AS revenue,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey, c_name
