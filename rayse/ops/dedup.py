@@ -193,9 +193,10 @@ def minhash_lsh_pairs(sf_dir: str, n_hashes: int = 64, bands: int = 16,
 
     import ray
 
-    # leave a core for the read/write tasks: an actor pool that reserves
-    # every CPU starves the rest of the pipeline (ray_guide: pool sizing)
-    pool = max(1, min(4, int(ray.cluster_resources().get("CPU", 2)) - 1))
+    # scale with the cluster, leaving one core for read/write tasks: an
+    # actor pool that reserves every CPU starves the rest of the pipeline
+    # (ray_guide: pool sizing) — floor-capped only, never ceiling-capped
+    pool = max(1, int(ray.cluster_resources().get("CPU", 2)) - 1)
     sigs = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(n_hashes=n_hashes, shingle_k=shingle_k),
@@ -303,8 +304,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
         ia, ib = np.triu_indices(d.size, k=1)
-        ham = np.array([bin(int(x) ^ int(y)).count("1")
-                        for x, y in zip(h[ia], h[ib])])
+        x = (h[ia].astype(np.uint64) ^ h[ib].astype(np.uint64))
+        # vectorized popcount (numpy<2 has no bitwise_count): unpack the 8
+        # bytes of each xor and sum the bits
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
         m = ham <= max_hamming
         return pa.table({"a": pa.array(d[ia][m], pa.int64()),
                          "b": pa.array(d[ib][m], pa.int64())})
@@ -333,10 +337,12 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4):
     import ray.data as rd
     import pyarrow.parquet as pq
 
+    from .similarity import _ids_from, _mat_from_list
+
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = _ids_from(tbl["vec_id"])
+    mat = _mat_from_list(tbl["embedding"])
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     mat_ref = ray.put((ids, mat))
 
@@ -345,8 +351,8 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4):
 
     def block(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(mat_ref)
-        bid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bm = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        bid = _ids_from(batch["vec_id"])
+        bm = _mat_from_list(batch["embedding"])
         bm /= np.linalg.norm(bm, axis=1, keepdims=True)
         sims = bm @ all_mat.T
         ia, ib = np.nonzero(sims >= threshold)

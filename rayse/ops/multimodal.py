@@ -127,8 +127,9 @@ def media_features(media_ds, concurrency: int | None = None):
     """documents-of-media -> features, with large-payload batch sizing."""
     if concurrency is None:
         import ray
-        concurrency = max(1, min(
-            4, int(ray.cluster_resources().get("CPU", 2)) - 1))
+        # scale with cluster CPUs (floor-capped only; a hard min(4, ...) cap
+        # starved 32-CPU runs at 4-way)
+        concurrency = max(1, int(ray.cluster_resources().get("CPU", 2)) - 1)
     return media_ds.map_batches(
         FeatureExtractStage, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=64, concurrency=concurrency)
@@ -138,8 +139,9 @@ def media_frames(media_ds, concurrency: int | None = None,
                  n_samples: int = 4):
     if concurrency is None:
         import ray
-        concurrency = max(1, min(
-            4, int(ray.cluster_resources().get("CPU", 2)) - 1))
+        # scale with cluster CPUs (floor-capped only; a hard min(4, ...) cap
+        # starved 32-CPU runs at 4-way)
+        concurrency = max(1, int(ray.cluster_resources().get("CPU", 2)) - 1)
     return media_ds.map_batches(
         FrameSampleStage, fn_constructor_kwargs=dict(n_samples=n_samples),
         batch_format="pyarrow", zero_copy_batch=True,

@@ -4,16 +4,26 @@ non-search side (wide groupby aggregate, broadcast hash join, trailing
 sliding window). All DuckDB-oracle-matched.
 
 Float policy: money values are converted to integer cents PER ROW (both
-sides compute round(x*100) on identical double operands -> identical
-integers) and summed as int64 — integer sums are order-independent, so the
-hash-exact comparison cannot be broken by float summation order, unlike
-any "round the float sum" scheme (boundary flips).
+sides compute half-away-from-zero rounding on identical double operands ->
+identical integers) and summed as int64 — integer sums are
+order-independent, so the hash-exact comparison cannot be broken by float
+summation order, unlike any "round the float sum" scheme (boundary flips).
+Rounding is ``floor(x*100 + 0.5)`` (half-AWAY for non-negative money),
+matching DuckDB's ``round()`` on DOUBLE exactly; ``np.round`` would be
+half-to-even and disagree on exact .5 cents (e.g. 246.5 -> 246 vs 247).
+All money columns here are non-negative, which the floor form requires.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+
+def _cents(x: np.ndarray, scale: float = 100.0) -> np.ndarray:
+    """Half-away-from-zero integer scaling for non-negative doubles
+    (identical to DuckDB round(x*scale))."""
+    return np.floor(x * scale + 0.5).astype(np.int64)
 
 
 def pricing_summary(sf_dir: str):
@@ -27,19 +37,30 @@ def pricing_summary(sf_dir: str):
                  "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["sum_qty"] = np.round(df["l_quantity"] * 100).astype(np.int64)
-        df["sum_base_price"] = np.round(
-            df["l_extendedprice"] * 100).astype(np.int64)
-        df["sum_disc_price"] = np.round(
-            df["l_extendedprice"] * (1.0 - df["l_discount"]) * 10000
-        ).astype(np.int64)
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("sum_qty", "sum"),
-            sum_base_price=("sum_base_price", "sum"),
-            sum_disc_price=("sum_disc_price", "sum"),
-            count_order=("l_quantity", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pure Arrow/numpy partial combine (no pandas conversion): group key
+        # = dictionary codes of "returnflag|linestatus", sums via bincount
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        key = pa.compute.binary_join_element_wise(
+            batch["l_returnflag"], batch["l_linestatus"], "|")
+        dic = key.combine_chunks().dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_g = len(dic.dictionary)
+        labels = [s.split("|") for s in dic.dictionary.to_pylist()]
+        return pa.table({
+            "l_returnflag": pa.array([l[0] for l in labels], pa.string()),
+            "l_linestatus": pa.array([l[1] for l in labels], pa.string()),
+            "sum_qty": pa.array(
+                np.bincount(codes, _cents(qty), n_g).astype(np.int64)),
+            "sum_base_price": pa.array(
+                np.bincount(codes, _cents(price), n_g).astype(np.int64)),
+            "sum_disc_price": pa.array(
+                np.bincount(codes, _cents(price * (1.0 - disc), 10000.0),
+                            n_g).astype(np.int64)),
+            "count_order": pa.array(np.bincount(codes, None, n_g)
+                                    .astype(np.int64)),
+        })
 
     agg = (ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -99,15 +120,29 @@ def top_customer_revenue(sf_dir: str, n: int = 10):
     def to_cents(batch: pa.Table) -> pa.Table:
         return pa.table({
             "o_custkey": batch["o_custkey"],
-            "cents": pa.array(np.round(
-                batch["o_totalprice"].to_numpy(zero_copy_only=False)
-                * 100).astype(np.int64), pa.int64()),
+            "cents": pa.array(_cents(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
         })
 
     agg = (orders.map_batches(to_cents, batch_format="pyarrow",
                               zero_copy_batch=True)
            .groupby("o_custkey")
            .aggregate(rd.aggregate.Sum("cents"), rd.aggregate.Count()))
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        # per-batch partial top-N: the global top-N is a subset of the union
+        # of per-batch top-Ns (keys are distinct after the groupby), so only
+        # N rows per batch reach the driver — never one row per customer
+        cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        rev = batch["sum(cents)"].to_numpy(zero_copy_only=False)
+        cnt = batch["count()"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((cust, -rev))[:n]
+        return pa.table({
+            "o_custkey": pa.array(cust[idx], pa.int64()),
+            "revenue": pa.array(rev[idx].astype(np.int64), pa.int64()),
+            "n_orders": pa.array(cnt[idx].astype(np.int64), pa.int64()),
+        })
 
     def hydrate(batch: pa.Table) -> pa.Table:
         names = ray.get(ref)
@@ -116,11 +151,12 @@ def top_customer_revenue(sf_dir: str, n: int = 10):
             "c_custkey": pa.array(keys, pa.int64()),
             "c_name": pa.array([names.get(k, "") for k in keys],
                                pa.string()),
-            "revenue": pa.compute.cast(batch["sum(cents)"], pa.int64()),
-            "n_orders": pa.compute.cast(batch["count()"], pa.int64()),
+            "revenue": batch["revenue"],
+            "n_orders": batch["n_orders"],
         })
 
-    rows = agg.map_batches(hydrate, batch_format="pyarrow").take_all()
+    rows = (agg.map_batches(partial_topn, batch_format="pyarrow")
+            .map_batches(hydrate, batch_format="pyarrow").take_all())
     rows.sort(key=lambda r: (-r["revenue"], r["c_custkey"]))
     return pa.Table.from_pylist(rows[:n])
 

@@ -16,15 +16,32 @@ import numpy as np
 import pyarrow as pa
 
 
+def _mat_from_list(col) -> np.ndarray:
+    """``list<float>`` column -> (n, dim) float64 matrix via Arrow flatten +
+    reshape (zero-copy from the value buffer; the only copy is the float64
+    cast)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
+
+
+def _ids_from(col) -> np.ndarray:
+    return (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col).to_numpy(zero_copy_only=False).astype(np.int64,
+                                                            copy=False)
+
+
 def _load_queries(sf_dir: str, n_queries: int):
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    ids = _ids_from(t["vec_id"])
     order = np.argsort(ids)[:n_queries]
-    q = np.array([t["embedding"][int(i)].as_py() for i in order],
-                 dtype=np.float64)
+    q = _mat_from_list(t["embedding"])[order]
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     return ids[order], q
 
@@ -43,8 +60,8 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = _ids_from(batch["vec_id"])
+        m = _mat_from_list(batch["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         sims = qm @ m.T                      # (Q, B)
         rows = {"q_id": [], "vec_id": [], "sim": []}
@@ -100,21 +117,37 @@ def _kmeans_lite(mat: np.ndarray, n_lists: int, seed: int = 5,
     return cent
 
 
+def _train_sample(sf_dir: str, n_train: int) -> np.ndarray:
+    """Deterministic bounded training sample: the FIRST ``n_train`` rows in
+    file order (never the whole column — at 100 TB the quantizer trains on
+    a fixed-size head while assignment streams over everything)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    got, rows = 0, []
+    for rb in pf.iter_batches(batch_size=min(n_train, 8192),
+                              columns=["embedding"]):
+        rows.append(_mat_from_list(pa.Table.from_batches([rb])["embedding"]))
+        got += rb.num_rows
+        if got >= n_train:
+            break
+    tm = np.concatenate(rows)[:n_train]
+    tm /= np.linalg.norm(tm, axis=1, keepdims=True)
+    return tm
+
+
 def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
-                 n_lists: int = 16, n_probe: int = 4) -> pa.Table:
+                 n_lists: int = 16, n_probe: int = 4,
+                 n_train: int = 4096) -> pa.Table:
     """IVF-style ANN: coarse k-means quantizer (trained once on a
-    deterministic sample, broadcast), queries probe the ``n_probe`` nearest
-    lists and score only vectors assigned to those lists. Same output
+    deterministic bounded sample, broadcast), queries probe the ``n_probe``
+    nearest lists and score only vectors assigned to those lists. Same output
     schema as ``ann_topk``; recall vs the brute-force baseline is tested."""
     import ray
     import ray.data as rd
-    import pyarrow.parquet as pq
 
     q_ids, q_mat = _load_queries(sf_dir, n_queries)
-    train = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                          columns=["embedding"])
-    tm = np.array(train["embedding"].to_pylist(), dtype=np.float64)
-    tm /= np.linalg.norm(tm, axis=1, keepdims=True)
+    tm = _train_sample(sf_dir, n_train)
     cent = _kmeans_lite(tm, n_lists)
     probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]  # (Q, P)
     ref = ray.put((cent, probe, q_mat))
@@ -124,8 +157,8 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
 
     def candidates(batch: pa.Table) -> pa.Table:
         cents, probes, qm = ray.get(ref)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = _ids_from(batch["vec_id"])
+        m = _mat_from_list(batch["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         assign = np.argmax(m @ cents.T, axis=1)
         out_q, out_v, out_s = [], [], []
@@ -209,25 +242,26 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                          columns=["vec_id", "embedding"])
     stage = LshIndexStage(dim, n_tables, n_bits)
     q_keys = stage.keys(q_mat)                      # (Q, H)
-    q_buckets = {(h, int(q_keys[qi, h])): qi
-                 for qi in range(q_mat.shape[0]) for h in range(n_tables)}
-    b_ref = ray.put((q_buckets, q_mat))
+    b_ref = ray.put((q_keys, q_mat))
 
     def candidates(batch: pa.Table) -> pa.Table:
-        qb, qm = ray.get(b_ref)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        qk, qm = ray.get(b_ref)
+        ids = _ids_from(batch["vec_id"])
+        m = _mat_from_list(batch["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        keys = stage.keys(m)
+        keys = stage.keys(m)                        # (N, H)
+        n_q = qm.shape[0]
+        # a vector is a candidate for EVERY query sharing >=1 (table, bucket)
+        # — per-query boolean accumulation, no shared-bucket overwrite and no
+        # per-row Python probing: Q x N comparisons per table, vectorized
+        hit = np.zeros((n_q, ids.size), dtype=bool)
+        for h in range(keys.shape[1]):
+            hit |= keys[:, h][None, :] == qk[:, h][:, None]
         out_q, out_v, out_s = [], [], []
-        hit: dict[int, set] = {}
-        for i in range(ids.size):
-            for h in range(keys.shape[1]):
-                qi = qb.get((h, int(keys[i, h])))
-                if qi is not None:
-                    hit.setdefault(qi, set()).add(i)
-        for qi, idxs in hit.items():
-            idx = np.fromiter(idxs, dtype=np.int64)
+        for qi in range(n_q):
+            idx = np.flatnonzero(hit[qi])
+            if idx.size == 0:
+                continue
             s = qm[qi] @ m[idx].T
             out_q.extend([int(q_ids[qi])] * idx.size)
             out_v.extend(ids[idx].tolist())

@@ -43,7 +43,9 @@ def topk_single_term(pl: DecodedPostings, idf: float, avgdl: float,
     whose total score is exactly this term's contribution, strictly below
     θ (bound <= idf x block_max < θ)."""
     n = pl.doc_ids.size
-    if n <= 8 * k or pl.block_starts is None or pl.block_max.size < 4:
+    # idf < 0 (possible under idf_variant="v1") breaks the bound direction:
+    # score everything instead (bounds are only valid for idf >= 0)
+    if idf < 0 or n <= 8 * k or pl.block_starts is None or pl.block_max.size < 4:
         d, s = pl.doc_ids, idf * bm25_tf(pl.tfs, pl.dls, avgdl, params)
         return top_k(d, s, k)
     bounds = idf * pl.block_max
@@ -81,7 +83,18 @@ def topk_single_term(pl: DecodedPostings, idf: float, avgdl: float,
 
 def topk_blockmax(reader, terms, idfs, avgdl: float,
                   params: BM25Params, k: int):
-    """Exact disjunctive top-k over merged lists with block-max pruning."""
+    """Exact disjunctive top-k over merged lists with block-max pruning.
+
+    Every pruning bound below assumes idf >= 0 (contributions only ever
+    raise a doc's score). idf_variant="v1" (log10(N/(df+1))) can be
+    negative when df == N, which would flip caps/bounds into lower bounds
+    and break the exactness guarantee — such queries fall back to the
+    exhaustive path (identical results, no pruning)."""
+    if any(i < 0 for i in idfs):
+        from .engine import accumulate
+
+        d, s, _ = accumulate(reader, terms, idfs, avgdl, params)
+        return top_k(d, s, k)
     entries = []
     for t, idf in zip(terms, idfs):
         pl = reader.merged(t)
