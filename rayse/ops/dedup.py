@@ -6,21 +6,27 @@ near-dup. All are Ray-Data-first:
 
 - exact:      vectorized content hash -> groupby(hash) (64-bit key, no
               full-text shuffle)
-- jaccard:    explode word shingles -> groupby(shingle) -> pairs -> exact
-              verify (an exact-recall candidate join: any pair with J > 0
-              shares a shingle)
+- jaccard:    EXACT prefix-filtered set-similarity join (PPJoin family):
+              explode shingles -> attach df -> per-doc df-ordered prefix
+              -> candidate pairs from prefix-shingle groups -> exact
+              distributed verify. Hot shingles sort out of prefixes, so
+              candidate generation is df-bounded, not quadratic in the
+              hottest shingle's df.
 - minhash:    per-batch shingle->minhash signatures -> band rows ->
               groupby(band, band_hash) -> candidates -> exact verify
 - simhash:    64-bit simhash per doc -> bucket by 4 x 16-bit sub-bands ->
               hamming verify (all pairs <= k bits differ share a sub-band
               for k <= 3)
 - embedding:  blockwise cosine of L2-normalized vectors (numpy matmul per
-              block pair; small side broadcast)
+              block pair; small side broadcast); LSH-bucketed route above
+              a size threshold
 
-Scale notes: groupby keys are 64-bit hashes (skew-safe for natural text;
-a stop-shingle frequency cap bounds hot groups); pair verification is
-vectorized per group. At 100 TB the shingle groupby is the one all-to-all
-exchange; MinHash reduces its payload to fixed-size signatures.
+Scale notes: groupby keys are 64-bit hashes (skew-safe for natural text).
+Candidate-pair verification is a shared distributed semi-join over the
+documents table (``verify_pairs_distributed``): the candidate pair ids are
+the broadcast side, text never reaches the driver. At 100 TB the shingle
+groupby is the one all-to-all exchange; MinHash reduces its payload to
+fixed-size signatures.
 """
 
 from __future__ import annotations
@@ -78,19 +84,9 @@ def exact_dedup(sf_dir: str):
 
 # -- exact n-gram Jaccard ----------------------------------------------------
 
-def jaccard_pairs(sf_dir: str, shingle_k: int = 3, threshold: float = 0.5):
-    """All document pairs with word-``shingle_k``-gram Jaccard >=
-    ``threshold`` (exact). Candidate join via shared shingles (exact recall),
-    verification via |A∩B| counts from the join itself:
-
-        explode (shingle_hash, doc) -> groupby(shingle_hash) -> per-group
-        pairs -> groupby(pair).count = |A∩B| -> J = c / (|A|+|B|-c)
-    """
-    import ray.data as rd
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-
+def _explode_shingles(ds, shingle_k: int):
+    """documents Dataset -> (doc_id, sh, set_size) rows, one per DISTINCT
+    shingle per doc."""
     def explode(batch: pa.Table) -> pa.Table:
         docs, shs, sizes = [], [], []
         for did, t in zip(batch["doc_id"].to_pylist(),
@@ -104,32 +100,87 @@ def jaccard_pairs(sf_dir: str, shingle_k: int = 3, threshold: float = 0.5):
                          "sh": pa.array(shs, pa.int64()),
                          "set_size": pa.array(sizes, pa.int64())})
 
-    shingles = ds.map_batches(explode, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
-    def pairs_of_group(group: pa.Table) -> pa.Table:
-        d = np.sort(np.unique(group["doc_id"].to_numpy(zero_copy_only=False)))
-        sizes = {int(r["doc_id"]): int(r["set_size"])
-                 for r in group.to_pylist()}
-        if d.size < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "sa": pa.array([], pa.int64()),
-                             "sb": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(d.size, k=1)
-        a, b = d[ia], d[ib]
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(b, pa.int64()),
-                         "sa": pa.array([sizes[int(x)] for x in a], pa.int64()),
-                         "sb": pa.array([sizes[int(x)] for x in b], pa.int64())})
 
-    pair_counts = (shingles.groupby("sh")
-                   .map_groups(pairs_of_group, batch_format="pyarrow")
+def verify_pairs_distributed(sf_dir: str, cand_pairs, shingle_k: int,
+                             threshold: float):
+    """EXACT Jaccard verification of candidate pairs as a distributed
+    semi-join over ``documents.parquet`` — the replacement for driver-side
+    text materialization (the pattern the reference's batched hydration
+    plays, `QueryService.java:739-746`):
+
+    broadcast the candidate doc->partners map (``ray.put`` once, read in
+    every task; its size is bounded by the candidate-pair set, never the
+    corpus) -> re-explode ONLY candidate docs' shingles -> per-shingle
+    groups emit only candidate pairs -> groupby(pair).count == |A∩B| exactly
+    -> J = c / (|A|+|B|-c). No task ever holds more than one batch of text,
+    and the driver never sees any text. For candidate sets too large to
+    broadcast, the same verify runs as a hash-join of the pair table
+    against the exploded shingles (one extra shuffle)."""
+    import ray
+    import ray.data as rd
+
+    cand_pairs = sorted({(int(a), int(b)) if a < b else (int(b), int(a))
+                         for a, b in cand_pairs})
+    if not cand_pairs:
+        return rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                       "doc_b": pa.array([], pa.int64())}))
+    partners: dict[int, set] = {}
+    for a, b in cand_pairs:
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+    ref = ray.put(partners)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode_cands(batch: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        docs, shs, sizes = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            if did not in p:
+                continue
+            sset = _word_shingles(t, shingle_k)
+            for s in sset:
+                docs.append(did)
+                shs.append(_hash64(s))
+                sizes.append(len(sset))
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "sh": pa.array(shs, pa.int64()),
+                         "set_size": pa.array(sizes, pa.int64())})
+
+    def pairs_in_candset(group: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        sz = group["set_size"].to_numpy(zero_copy_only=False)
+        size_of = dict(zip(d.tolist(), sz.tolist()))
+        present = set(size_of)
+        oa, ob, osa, osb = [], [], [], []
+        for a in size_of:
+            for b in p.get(a, ()):
+                if a < b and b in present:
+                    oa.append(a)
+                    ob.append(b)
+                    osa.append(size_of[a])
+                    osb.append(size_of[b])
+        return pa.table({"a": pa.array(oa, pa.int64()),
+                         "b": pa.array(ob, pa.int64()),
+                         "sa": pa.array(osa, pa.int64()),
+                         "sb": pa.array(osb, pa.int64())})
+
+    pair_counts = (ds.map_batches(explode_cands, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby("sh")
+                   .map_groups(pairs_in_candset, batch_format="pyarrow")
                    .groupby(["a", "b", "sa", "sb"])
                    .aggregate(rd.aggregate.Count()))
 
     def verify(batch: pa.Table) -> pa.Table:
-        inter = batch["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+        inter = batch["count()"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
         sa = batch["sa"].to_numpy(zero_copy_only=False).astype(np.float64)
         sb = batch["sb"].to_numpy(zero_copy_only=False).astype(np.float64)
         j = inter / (sa + sb - inter)
@@ -142,6 +193,73 @@ def jaccard_pairs(sf_dir: str, shingle_k: int = 3, threshold: float = 0.5):
         })
 
     return pair_counts.map_batches(verify, batch_format="pyarrow")
+
+
+def jaccard_pairs(sf_dir: str, shingle_k: int = 3, threshold: float = 0.5,
+                  _cand_stats: dict | None = None):
+    """All document pairs with word-``shingle_k``-gram Jaccard >=
+    ``threshold`` — EXACT, via a prefix-filtered set-similarity join
+    (PPJoin-family, Xiao et al., WWW'08):
+
+    1. explode (doc_id, sh, set_size)
+    2. groupby(sh): attach each shingle's df (group row count — no second
+       aggregation pass)
+    3. groupby(doc_id): order each doc's shingles by ascending (df, sh)
+       and keep only the PREFIX of length n - ceil(t*n) + 1
+    4. groupby(sh) over prefix rows only: per-group candidate pairs
+    5. exact |A∩B| verification via the distributed semi-join
+       (``verify_pairs_distributed``)
+
+    Exactness: under any global shingle order, two sets with J >= t must
+    share a shingle within both prefixes (prefix-filter theorem; pinned by
+    a brute-force-equality test incl. Zipf-skewed fixtures). Scale: hot
+    shingles have maximal df, so they sort to the END of every doc's order
+    and almost never enter a prefix — pair generation is df-bounded instead
+    of quadratic in the hottest shingle's df (the round-1 blowup: one
+    shingle in 1e6 docs emitted 5e11 pairs)."""
+    import math
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    shingles = _explode_shingles(ds, shingle_k)
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        return group.append_column(
+            "df", pa.array(np.full(len(group), len(group), dtype=np.int64)))
+
+    def doc_prefix(group: pa.Table) -> pa.Table:
+        sh = group["sh"].to_numpy(zero_copy_only=False)
+        df = group["df"].to_numpy(zero_copy_only=False)
+        n = sh.size
+        p = n - math.ceil(threshold * n) + 1
+        idx = np.lexsort((sh, df))[:p]
+        return pa.table({
+            "doc_id": group["doc_id"].take(pa.array(idx, pa.int64())),
+            "sh": pa.array(sh[idx], pa.int64()),
+        })
+
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        d = np.sort(np.unique(group["doc_id"].to_numpy(zero_copy_only=False)))
+        if d.size < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(d.size, k=1)
+        return pa.table({"a": pa.array(d[ia], pa.int64()),
+                         "b": pa.array(d[ib], pa.int64())})
+
+    cands = (shingles
+             .groupby("sh").map_groups(attach_df, batch_format="pyarrow")
+             .groupby("doc_id").map_groups(doc_prefix,
+                                           batch_format="pyarrow")
+             .groupby("sh").map_groups(pairs_of_group,
+                                       batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(rd.aggregate.Count()))
+    cand_pairs = [(r["a"], r["b"]) for r in cands.take_all()]
+    if _cand_stats is not None:
+        _cand_stats["n_candidates"] = len(cand_pairs)
+    return verify_pairs_distributed(sf_dir, cand_pairs, shingle_k, threshold)
 
 
 # -- MinHash + LSH -----------------------------------------------------------
@@ -228,23 +346,18 @@ def minhash_lsh_pairs(sf_dir: str, n_hashes: int = 64, bands: int = 16,
              .groupby(["band", "bh"])
              .map_groups(pairs_of_bucket, batch_format="pyarrow")
              .groupby(["a", "b"]).aggregate(rd.aggregate.Count()))
-    cand_pairs = [(r["a"], r["b"]) for r in cands.take_all()]  # candidate
-    # set is small by construction (near-dups only); verify exactly
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text"])
-    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
-    out_a, out_b = [], []
-    for a, b in sorted(cand_pairs):
-        sa = _word_shingles(texts[a], shingle_k)
-        sb = _word_shingles(texts[b], shingle_k)
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                     "doc_b": pa.array(out_b, pa.int64())})
+    # candidate pair IDS are small by construction (near-dups only) and
+    # become the broadcast side; the exact-Jaccard verify is a distributed
+    # semi-join over the documents table — no driver text materialization
+    cand_pairs = [(r["a"], r["b"]) for r in cands.take_all()]
+    verified = verify_pairs_distributed(sf_dir, cand_pairs, shingle_k,
+                                        threshold)
+    rows = verified.take_all()   # tiny: verified near-dup pairs only
+    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return pa.table({
+        "doc_a": pa.array([r["doc_a"] for r in rows], pa.int64()),
+        "doc_b": pa.array([r["doc_b"] for r in rows], pa.int64()),
+    })
 
 
 # -- SimHash -----------------------------------------------------------------
@@ -326,16 +439,35 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
 # -- embedding cosine near-dup ----------------------------------------------
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4):
-    """Vector pairs with cosine similarity >= threshold: L2-normalize per
-    batch, blockwise matmul against the (broadcast) full matrix.
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4,
+                            method: str = "auto",
+                            max_exact_rows: int = 200_000,
+                            lsh_tables: int = 24, lsh_bits: int = 3):
+    """Vector pairs with cosine similarity >= threshold.
 
-    Scale path: the full matrix broadcast works to ~1e6 x few hundred dims
-    per node; beyond that, LSH/IVF bucketing (see
-    `rayse.ops.similarity.ann_lsh`) bounds the candidate set first."""
+    ``method="exact"``: L2-normalize per batch, blockwise matmul against
+    the (broadcast) full matrix — O(n²) compute, full-matrix broadcast;
+    the small-n oracle (works to ~1e6 x few hundred dims per node).
+
+    ``method="lsh"``: the 100 TB route — random-hyperplane bucketing
+    (``lsh_tables`` x ``lsh_bits``), pairwise cosine only within buckets,
+    distinct pairs across tables. Approximate: a true pair is missed only
+    if it shares NO bucket in any table (P_miss = (1-p^bits)^tables with
+    p = 1 - angle/pi; ~1e-3 at threshold 0.4 with 24x3). Equality with the
+    exact path on the test fixtures is pinned by pytest.
+
+    ``method="auto"``: exact below ``max_exact_rows`` (parquet metadata
+    row count — no scan), LSH above."""
     import ray
     import ray.data as rd
     import pyarrow.parquet as pq
+
+    if method == "auto":
+        n_rows = pq.ParquetFile(
+            f"{sf_dir}/embeddings.parquet").metadata.num_rows
+        method = "exact" if n_rows <= max_exact_rows else "lsh"
+    if method == "lsh":
+        return _embedding_lsh_pairs(sf_dir, threshold, lsh_tables, lsh_bits)
 
     from .similarity import _ids_from, _mat_from_list
 
@@ -362,3 +494,68 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4):
                          "vec_b": pa.array(b[m], pa.int64())})
 
     return ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _embedding_lsh_pairs(sf_dir: str, threshold: float, n_tables: int,
+                         n_bits: int, seed: int = 7):
+    """LSH-bucketed near-dup pairs: explode (table, bucket) rows carrying
+    the vector, pairwise cosine within each bucket group, distinct pairs
+    across tables. No full-matrix broadcast anywhere — the one all-to-all
+    exchange is the bucket groupby, and each group is bucket-sized."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from .similarity import LshIndexStage, _ids_from, _mat_from_list
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+    stage = LshIndexStage(dim, n_tables, n_bits, seed=seed)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = _ids_from(batch["vec_id"])
+        m = _mat_from_list(batch["embedding"])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        keys = stage.keys(m)                       # (N, H)
+        n, h = keys.shape
+        rep = np.repeat(np.arange(n, dtype=np.int64), h)
+        emb = (batch["embedding"].combine_chunks()
+               if isinstance(batch["embedding"], pa.ChunkedArray)
+               else batch["embedding"]).take(pa.array(rep, pa.int64()))
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, h), pa.int64()),
+            "table": pa.array(np.tile(np.arange(h, dtype=np.int32), n),
+                              pa.int32()),
+            "bucket": pa.array(keys.reshape(-1), pa.int64()),
+            "embedding": emb,
+        })
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        ids = _ids_from(group["vec_id"])
+        m = _mat_from_list(group["embedding"])
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        keep = np.concatenate(([True], ids[1:] != ids[:-1]))
+        ids, m = ids[keep], m[keep]
+        if ids.size < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pa.table({"a": pa.array(ids[ia], pa.int64()),
+                         "b": pa.array(ids[ib], pa.int64())})
+
+    pairs = (ds.map_batches(bucketize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["table", "bucket"])
+             .map_groups(pairs_of_bucket, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(rd.aggregate.Count()))
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_a": batch["a"], "vec_b": batch["b"]})
+
+    return pairs.map_batches(strip, batch_format="pyarrow")

@@ -174,3 +174,53 @@ def test_real_codec_stub_raises():
 
     with pytest.raises(NotImplementedError):
         _decode_real(b"x", "image")
+
+
+def test_jaccard_prefix_filter_zipf(ray_session, tmp_path):
+    """Exactness + candidate boundedness on a Zipf-skewed fixture: every
+    doc shares three corpus-wide hot words (the round-1 blowup case at
+    shingle_k=1 — one hot shingle used to emit all-pairs); the prefix
+    filter keeps hot shingles out of candidate generation while staying
+    EXACT (equal to brute force)."""
+    import random
+
+    from rayse.ops.dedup import jaccard_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    texts = []
+    for i in range(120):
+        words = ["hot1", "hot2", "hot3"] + [
+            vocab[min(int(rng.expovariate(0.01)), 499)] for _ in range(20)]
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    for i in range(0, 20, 2):          # 10 exact near-dup clone pairs
+        texts[i + 1] = texts[i]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    d = tmp_path / "zipf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    docs = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    want = _exact_jaccard_pairs(docs, 1, 0.8)
+    stats = {}
+    got = jaccard_pairs(str(d), shingle_k=1, threshold=0.8,
+                        _cand_stats=stats).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert got == want
+    n = len(texts)
+    all_pairs = n * (n - 1) // 2
+    # hot shingles must not drive candidate generation: far below all-pairs
+    assert stats["n_candidates"] < all_pairs / 4, stats
+
+
+def test_embedding_lsh_route_matches_exact(ray_session):
+    from rayse.ops.dedup import embedding_neardup_pairs
+
+    exact = embedding_neardup_pairs(SF, threshold=0.35,
+                                    method="exact").take_all()
+    exact = {(r["vec_a"], r["vec_b"]) for r in exact}
+    lsh = embedding_neardup_pairs(SF, threshold=0.35, method="lsh").take_all()
+    lsh = {(r["vec_a"], r["vec_b"]) for r in lsh}
+    assert lsh == exact
