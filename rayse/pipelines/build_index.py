@@ -118,13 +118,15 @@ _TOKENIZE_SINGLETON: dict = {}
 
 
 def _tokenize_task(batch: pa.Table, *, part_bits: int,
-                   with_positions: bool) -> pa.Table:
+                   with_positions: bool,
+                   remap: dict | None = None) -> pa.Table:
     """Task-form wrapper: one TokenizeStage instance per worker process."""
-    key = (part_bits, with_positions)
+    key = (part_bits, with_positions,
+           tuple(sorted(remap.items())) if remap else None)
     stage = _TOKENIZE_SINGLETON.get(key)
     if stage is None:
         stage = _TOKENIZE_SINGLETON[key] = TokenizeStage(
-            part_bits=part_bits, with_positions=with_positions)
+            part_bits=part_bits, with_positions=with_positions, remap=remap)
     return stage(batch)
 
 def _encode_group(group: pa.Table) -> pa.Table:
@@ -170,7 +172,8 @@ def _encode_group(group: pa.Table) -> pa.Table:
 
 def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
                          cfg: IndexConfig, strategy: str = "combine",
-                         concurrency: int | None = None) -> dict:
+                         concurrency: int | None = None,
+                         remap: dict | None = None) -> dict:
     """Run phase 1 for one shard; returns the manifest dict (also written)."""
     import ray
     import ray.data as rd
@@ -200,7 +203,8 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
         runs = ds.map_batches(
             _tokenize_task,
             fn_kwargs=dict(part_bits=cfg.part_bits,
-                           with_positions=cfg.with_positions),
+                           with_positions=cfg.with_positions,
+                           remap=remap),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.tokenize_batch_size,
@@ -210,7 +214,8 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
             TokenizeStage,
             fn_constructor_kwargs=dict(part_bits=cfg.part_bits,
                                        with_positions=cfg.with_positions,
-                                       emit="postings", salt_bits=cfg.salt_bits),
+                                       emit="postings", salt_bits=cfg.salt_bits,
+                                       remap=remap),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.tokenize_batch_size,
@@ -508,6 +513,105 @@ class MergeWorker:
 
 
 # --------------------------------------------------------------------------
+# conv-hash collision handling (doc_id integrity)
+# --------------------------------------------------------------------------
+
+def resolve_conv_collisions(out_dir: str, max_rounds: int = 5) -> dict:
+    """Detect 43-bit conv-hash collisions and build the deterministic
+    exception map {conv_id: overridden_hash} — the validation promised by
+    `rayse.stages.doc_ids` (without it, colliding conversations would
+    produce duplicate doc_ids that corrupt searchsorted probes and hydrate
+    the wrong text; P(any collision) ≈ n²/2^44 ≈ 30% at 2.4M convs).
+
+    Distributed shape: one groupby over the (already-built) conv_map's
+    distinct (conv_hash, conv_id) rows; only COLLIDING groups reach the
+    driver (expected size n²/2^44, e.g. ~57k entries at 1e9 convs). Within
+    a group, the lexicographically-first conv keeps the hash; the rest get
+    salted rehashes. New hashes are then validated against the whole corpus
+    by a broadcast-set scan of the conv_map (repeat with a higher salt on
+    the astronomically-unlikely secondary conflict). The result is written
+    to ``_manifest/conv_remap.json`` (resume: loaded if present) and is a
+    pure function of the distinct conv_id set — independent of sharding,
+    batch boundaries and CPU count."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.doc_ids import _CONV_MASK, fnv1a64
+
+    remap_path = os.path.join(out_dir, "_manifest", "conv_remap.json")
+    if os.path.exists(remap_path):
+        with open(remap_path) as f:
+            return json.load(f)
+
+    files = [f for f in glob.glob(os.path.join(
+        out_dir, "conv_map", "shard=*", "*.parquet")) if ".tmp" not in f]
+    ds = rd.read_parquet(files)
+
+    def colliding(group: pa.Table) -> pa.Table:
+        convs = sorted(set(group["conv_id"].to_pylist()))
+        if len(convs) < 2:
+            return pa.table({"conv_hash": pa.array([], pa.uint64()),
+                             "conv_id": pa.array([], pa.string())})
+        return pa.table({
+            "conv_hash": pa.array([group["conv_hash"][0].as_py()]
+                                  * len(convs), pa.uint64()),
+            "conv_id": pa.array(convs, pa.string()),
+        })
+
+    rows = (ds.groupby("conv_hash")
+            .map_groups(colliding, batch_format="pyarrow").take_all())
+    by_hash: dict[int, list] = {}
+    for r in rows:
+        by_hash.setdefault(int(r["conv_hash"]), []).append(r["conv_id"])
+
+    remap: dict[str, int] = {}
+    if by_hash:
+        taken = set(by_hash)
+        salts: dict[str, int] = {}
+
+        def rehash(conv: str, start_salt: int) -> int:
+            salt = start_salt
+            while True:
+                nh = fnv1a64(f"{conv}\x00{salt}") & _CONV_MASK
+                if nh not in taken:
+                    salts[conv] = salt
+                    taken.add(nh)
+                    return nh
+                salt += 1
+
+        for h in sorted(by_hash):
+            for conv in sorted(by_hash[h])[1:]:
+                remap[conv] = rehash(conv, 1)
+
+        # global validation: no new hash may equal ANY other conv's hash
+        for _ in range(max_rounds):
+            inv = {nh: c for c, nh in remap.items()}
+            ref = ray.put(inv)
+
+            def scan(batch: pa.Table) -> pa.Table:
+                m = ray.get(ref)
+                bad = [h for h, c in zip(batch["conv_hash"].to_pylist(),
+                                         batch["conv_id"].to_pylist())
+                       if h in m and m[h] != c]
+                return pa.table({"h": pa.array(bad, pa.uint64())})
+
+            conflicts = {int(r["h"]) for r in ds.map_batches(
+                scan, batch_format="pyarrow").take_all()}
+            if not conflicts:
+                break
+            for h in conflicts:
+                conv = inv[h]
+                remap[conv] = rehash(conv, salts[conv] + 1)
+        else:
+            raise RuntimeError(
+                f"conv-hash remap failed to converge in {max_rounds} rounds")
+
+    os.makedirs(os.path.dirname(remap_path), exist_ok=True)
+    _atomic_write_json(remap_path, remap)
+    return remap
+
+
+# --------------------------------------------------------------------------
 # orchestration
 # --------------------------------------------------------------------------
 
@@ -548,15 +652,20 @@ def build_index(input_path: str | list[str], out_dir: str,
 
     files = discover_input_files(input_path)
     shards = shard_files(files, shard_target_bytes)
-    shard_mans = [
-        build_runs_for_shard(s, fl, out_dir, cfg, strategy, concurrency)
-        for s, fl in enumerate(shards)
-    ]
+    # conv_map FIRST (cheap single-column scan): collision detection must
+    # complete before any doc_id is minted by the tokenize stage
+    remap: dict = {}
     if cfg.build_conv_map:
         from .hydrate import build_conv_map
 
         for s_id, fl in enumerate(shards):
             build_conv_map(fl, out_dir, s_id)
+        remap = resolve_conv_collisions(out_dir)
+    shard_mans = [
+        build_runs_for_shard(s, fl, out_dir, cfg, strategy, concurrency,
+                             remap=remap)
+        for s, fl in enumerate(shards)
+    ]
     n_docs = sum(m["n_turns"] for m in shard_mans)
     stats = compute_corpus_stats(out_dir, n_docs)
 

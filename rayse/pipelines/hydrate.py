@@ -54,10 +54,36 @@ def build_conv_map(files: list[str], out_dir: str, shard_id: int) -> str:
     return dest
 
 
+def _load_remap(index_dir: str) -> dict[str, int]:
+    """Collision exception map written by the build (conv_id -> hash);
+    empty when no collisions exist (the overwhelmingly common case)."""
+    import json
+
+    p = os.path.join(index_dir, "_manifest", "conv_remap.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
 def resolve_conv_ids(index_dir: str, doc_ids: np.ndarray) -> dict[int, str]:
-    """conv_hash -> conv_id for the given docs (tiny filtered read)."""
+    """conv_hash -> conv_id for the given docs (tiny filtered read).
+
+    Collision-remapped conversations resolve through the exception map
+    (their conv_map rows still carry the ORIGINAL hash, which belongs to
+    the collision group's first conv — those rows are dropped here so the
+    kept conv wins its own hash)."""
     hashes = set((np.asarray(doc_ids, dtype=np.uint64)
                   >> np.uint64(TURN_BITS)).tolist())
+    remap = _load_remap(index_dir)
+    out: dict[int, str] = {}
+    if remap:
+        for conv, nh in remap.items():
+            if nh in hashes:
+                out[nh] = conv
+                hashes.discard(nh)
+    if not hashes:
+        return out
     files = glob.glob(os.path.join(index_dir, "conv_map", "shard=*",
                                    "*.parquet"))
     if not files:
@@ -65,8 +91,11 @@ def resolve_conv_ids(index_dir: str, doc_ids: np.ndarray) -> dict[int, str]:
             f"no conv_map under {index_dir} (build with cfg.build_conv_map)")
     tbl = pads.dataset(files).to_table(
         filter=pc.field("conv_hash").isin(list(hashes)))
-    return dict(zip(tbl["conv_hash"].to_pylist(),
-                    tbl["conv_id"].to_pylist()))
+    for h, c in zip(tbl["conv_hash"].to_pylist(),
+                    tbl["conv_id"].to_pylist()):
+        if c not in remap:          # drop vacated-original rows
+            out[h] = c
+    return out
 
 
 def hydrate(index_dir: str, transcripts_path: str | list[str],

@@ -14,10 +14,23 @@ ordering):
 - bits 20..0: turn_idx (up to 2M turns per conversation).
 
 doc_id order within a conversation == turn order, so ascending-docID
-tie-breaks are deterministic and conversation-coherent. Hash collisions
-between conversations are possible in principle (2^43 space); the build
-validates uniqueness of (conv_id, turn_idx) → doc_id on the fixture tiers and
-`validate_doc_ids` can be run on any corpus.
+tie-breaks are deterministic and conversation-coherent.
+
+Collision handling: two conversations CAN hash to the same 43 bits
+(P ≈ n²/2^44 — about 30% that at least one pair collides at 2.4M convs),
+which would corrupt searchsorted probes and hydrate to the wrong
+conversation. The build therefore detects collisions up front
+(`rayse.pipelines.build_index.resolve_conv_collisions`: distributed
+distinct-(hash, conv) scan over the conv_map) and deterministically
+re-salts every colliding conversation except the lexicographically first
+(``fnv1a64(conv_id + "\\0" + salt)``), validating the final assignment is
+injective before any posting is written. The tiny exception map is carried
+by every doc_id producer/consumer (tokenize seeds its conv cache with it;
+hydrate overlays it on conv_map lookups). At 10^10+ conversations the
+43-bit space itself saturates — the documented scale path is a global
+ordinal assignment (one groupby over conv_ids), which this exception-map
+mechanism degrades into gracefully (the map IS the ordinal table for the
+colliding subset).
 """
 
 from __future__ import annotations
@@ -55,7 +68,10 @@ def part_of(doc_id: int, part_bits: int) -> int:
 def assign_doc_ids(conv_ids: pa.Array | list, turn_idxs: np.ndarray,
                    cache: dict | None = None) -> np.ndarray:
     """Vector doc_id assignment for one batch (conv hash memoized — convs
-    repeat ~n_turns times and batches keep conversations contiguous)."""
+    repeat ~n_turns times and batches keep conversations contiguous).
+
+    Collision remaps enter by pre-seeding ``cache`` with the exception map
+    (conv_id -> overridden hash): zero hot-path cost."""
     if cache is None:
         cache = {}
     convs = conv_ids.to_pylist() if isinstance(conv_ids, (pa.Array, pa.ChunkedArray)) else list(conv_ids)

@@ -85,12 +85,15 @@ class TokenizeStage:
     """
 
     def __init__(self, part_bits: int = 5, with_positions: bool = True,
-                 emit: str = "runs", salt_bits: int = 0):
+                 emit: str = "runs", salt_bits: int = 0,
+                 remap: dict | None = None):
         self.part_bits = part_bits
         self.with_positions = with_positions
         self.emit = emit
         self.salt_bits = salt_bits
-        self.conv_cache: dict = {}
+        # conv-hash memo, pre-seeded with the collision exception map
+        # (conv_id -> overridden hash) so remapped convs cost nothing extra
+        self.conv_cache: dict = dict(remap) if remap else {}
 
     def _analyze_batch(self, batch: pa.Table):
         """Common front half: doc ids + per-doc (term -> positions) maps,
