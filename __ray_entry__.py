@@ -23,7 +23,7 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
-_CACHE_ROOT = "/tmp/rayse_entry_cache"
+_CACHE_ROOT = "/tmp/rayse_entry_cache_v2"   # v2: role-scoped segment schema
 
 # Fixed reference query set over the sf documents vocabulary (word soup of
 # data-engineering terms; see /root/testdata/*/documents.parquet).
@@ -312,6 +312,33 @@ def _q_fallback_topk(sf_dir: str):
     })
 
 
+def _q_role_filtered_topk(sf_dir: str) -> pa.Table:
+    """Role-scoped retrieval answered FROM THE INDEX (M6 parity: per-tag
+    posting stats, `WordDocumentTag.java:8-43`): BM25 top-k restricted to
+    assistant turns, plus a role-boosted variant (A7 importance,
+    `IndexerService.java:263-331`). Rows-only here; rank-identity is
+    pinned against the brute-force oracle in tests/test_roles.py."""
+    eng = _engine_for(sf_dir)
+    rows_q, rows_m, rows_r, rows_d = [], [], [], []
+    for q in SEARCH_QUERIES[:4]:
+        for mode, kwargs in (
+                ("assistant_only", {"role": "assistant"}),
+                ("assistant_boost", {"role_weights": {"assistant": 3.0,
+                                                      "user": 0.5}})):
+            docs, _ = eng.search(q, 10, **kwargs)
+            for r, d in enumerate(docs.tolist(), 1):
+                rows_q.append(q)
+                rows_m.append(mode)
+                rows_r.append(r)
+                rows_d.append(int(d))
+    return pa.table({
+        "query": pa.array(rows_q, pa.string()),
+        "variant": pa.array(rows_m, pa.string()),
+        "rank": pa.array(rows_r, pa.int32()),
+        "doc_id": pa.array(np.asarray(rows_d, dtype=np.uint64)),
+    })
+
+
 def _q_pagerank(sf_dir: str):
     from rayse.ops.graph import pagerank_events
 
@@ -371,6 +398,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end-to-end result pipeline + retrieval ladder (rows-only)
         "hydrated_topk": _q_hydrated_topk,
         "fallback_topk": _q_fallback_topk,
+        # role(field)-scoped retrieval from per-posting role stats (M6/A7;
+        # rows-only — rank-identity pinned by tests/test_roles.py)
+        "role_filtered_topk": _q_role_filtered_topk,
         # link-graph + JSON scalar ops (A13; pagerank rows-only: iterative)
         "pagerank": _q_pagerank,
         "props_extract": _q_props_extract,

@@ -57,9 +57,12 @@ class PartReader:
         span = self._rows.get(term)
         if span is None:
             return None
+        names = ["doc_ids", "tfs", "dls", "positions", "block_max",
+                 "block_last"]
+        if "roles" in self._tbl.column_names:   # absent on legacy indexes
+            names.append("roles")
         rows = [
-            {name: self._tbl[name][i].as_py() for name in
-             ("doc_ids", "tfs", "dls", "positions", "block_max", "block_last")}
+            {name: self._tbl[name][i].as_py() for name in names}
             for i in range(*span)
         ]
         dec = decode_rows(rows, self.block_size)
@@ -131,6 +134,8 @@ class IndexReader:
                 np.concatenate([p.block_last for p in pls]),
                 np.concatenate([p.block_starts + o
                                 for p, o in zip(pls, offs.tolist())]),
+                (np.concatenate([p.roles for p in pls])
+                 if all(p.roles is not None for p in pls) else None),
             )
         if len(pls) > 1:
             # drop per-part cached copies: the merged view supersedes them

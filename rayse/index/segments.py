@@ -46,10 +46,20 @@ SEGMENT_SCHEMA = pa.schema([
     ("doc_ids", pa.binary()),
     ("tfs", pa.binary()),
     ("dls", pa.binary()),
+    ("roles", pa.binary()),      # one role code byte per posting (M6: the
+    #                              reference's per-tag posting stats,
+    #                              `Indexer/Entities/WordDocumentTag.java:8-43`;
+    #                              a transcript turn has exactly ONE role, so
+    #                              the per-posting role IS the field scope)
     ("positions", pa.binary()),
     ("block_max", pa.list_(pa.float64())),
     ("block_last", pa.list_(pa.uint64())),
 ])
+
+# role -> stable code (0 = unknown/other). Deterministic module constant —
+# NOT data-derived — so segments from different shards/builds agree.
+ROLE_CODES = {"system": 1, "user": 2, "assistant": 3, "tool": 4}
+ROLE_NAMES = {v: k for k, v in ROLE_CODES.items()}
 
 
 def bm25_tf(tf: np.ndarray, dl: np.ndarray, avgdl: float, p: BM25Params) -> np.ndarray:
@@ -107,13 +117,16 @@ class DecodedPostings:
 
     ``block_starts[b]`` = posting offset of block b in the concatenated
     arrays (strictly increasing; block size = next start - start, blocks of
-    consecutive runs are contiguous), enabling exact block skipping."""
+    consecutive runs are contiguous), enabling exact block skipping.
+
+    ``roles`` is a per-posting uint8 role-code array (None on indexes built
+    without roles)."""
 
     __slots__ = ("doc_ids", "tfs", "dls", "positions_blob", "block_max",
-                 "block_last", "block_starts")
+                 "block_last", "block_starts", "roles")
 
     def __init__(self, doc_ids, tfs, dls, positions_blob, block_max,
-                 block_last, block_starts=None):
+                 block_last, block_starts=None, roles=None):
         self.doc_ids = doc_ids
         self.tfs = tfs
         self.dls = dls
@@ -121,6 +134,7 @@ class DecodedPostings:
         self.block_max = block_max
         self.block_last = block_last
         self.block_starts = block_starts
+        self.roles = roles
 
     def positions(self) -> list[np.ndarray]:
         """Decode per-doc position lists (lazy — phrase queries only)."""
@@ -139,6 +153,7 @@ def decode_rows(rows: list[dict], block_size: int = 128) -> DecodedPostings:
     """Concatenate one term's segment rows (pre-sorted by ascending salt)."""
     doc_parts, tf_parts, dl_parts = [], [], []
     pos = bytearray()
+    role_blobs: list[bytes] = []
     bm, bl, bs_parts = [], [], []
     off = 0
     for r in rows:
@@ -147,11 +162,16 @@ def decode_rows(rows: list[dict], block_size: int = 128) -> DecodedPostings:
         tf_parts.append(decode_varints(r["tfs"]))
         dl_parts.append(decode_varints(r["dls"]))
         pos.extend(r["positions"])
+        rb = r.get("roles")
+        if rb is not None:
+            role_blobs.append(rb)
         bm.extend(r["block_max"])
         bl.extend(r["block_last"])
         nb = len(r["block_max"])
         bs_parts.append(off + np.arange(nb, dtype=np.int64) * block_size)
         off += d.size
+    roles = (np.frombuffer(b"".join(role_blobs), dtype=np.uint8)
+             if len(role_blobs) == len(rows) and rows else None)
     return DecodedPostings(
         np.concatenate(doc_parts),
         np.concatenate(tf_parts),
@@ -160,4 +180,5 @@ def decode_rows(rows: list[dict], block_size: int = 128) -> DecodedPostings:
         np.asarray(bm, dtype=np.float64),
         np.asarray(bl, dtype=np.uint64),
         np.concatenate(bs_parts) if bs_parts else np.empty(0, np.int64),
+        roles,
     )

@@ -139,6 +139,7 @@ def _encode_group(group: pa.Table) -> pa.Table:
     doc = doc[order]
     tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
     dl = group["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+    role = group["role"].to_numpy(zero_copy_only=False).astype(np.uint8)[order]
     pos_blobs = group["pos_enc"].to_pylist()
     # positions: [count varint][delta blob] per doc, in doc order
     chunks = bytearray()
@@ -164,6 +165,7 @@ def _encode_group(group: pa.Table) -> pa.Table:
             "doc_ids": pa.array([encode_varints(gaps)], pa.binary()),
             "tfs": pa.array([encode_varints(tf)], pa.binary()),
             "dls": pa.array([encode_varints(dl)], pa.binary()),
+            "roles": pa.array([role.tobytes()], pa.binary()),
             "positions": pa.array([bytes(chunks)], pa.binary()),
         },
         schema=RUNS_SCHEMA,
@@ -186,7 +188,10 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
     t0 = time.perf_counter()
     n_read_blocks = max(2 * int(ray.cluster_resources().get("CPU", 4)),
                         len(files))
-    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"],
+    cols = ["conv_id", "turn_idx", "text"]
+    if "role" in pq.ParquetFile(files[0]).schema_arrow.names:
+        cols.append("role")     # M6 role-scoped posting stats
+    ds = rd.read_parquet(files, columns=cols,
                          override_num_blocks=n_read_blocks)
     n_turns = ds.count()  # parquet metadata count: no data scan
 
@@ -326,7 +331,7 @@ class MergeWorker:
         # arrow read pool per actor would thrash at pool_size x cpu threads
         tbl = pads.dataset(run_files).to_table(
             columns=["term", "df", "cf", "min_doc", "doc_ids",
-                     "tfs", "dls", "positions"], use_threads=False)
+                     "tfs", "dls", "roles", "positions"], use_threads=False)
         tbl = tbl.sort_by([("term", "ascending"), ("min_doc", "ascending")])
         seg_tbl, n_terms, n_postings = self._merge_table(
             tbl, avgdl if avgdl > 0 else 1.0)
@@ -390,10 +395,14 @@ class MergeWorker:
         term_id = np.repeat(term_id_row, df_row)
         uniq_codes = tcodes[new_term]   # term_id -> dictionary code
 
+        roles_all = np.frombuffer(b"".join(tbl["roles"].to_pylist()),
+                                  dtype=np.uint8)
+
         order = np.lexsort((doc_abs, term_id))
         sd = doc_abs[order]
         st = tfs[order]
         sl = dls[order]
+        sr = roles_all[order]
         stid = term_id[order]
 
         # output rows: per term, split into <=cap chunks (deterministic)
@@ -434,6 +443,10 @@ class MergeWorker:
             *encode_varints_offsets(st, ostart))
         dl_out = binary_array_from_offsets(
             *encode_varints_offsets(sl, ostart))
+        role_offsets = np.empty(len(ostart) + 1, dtype=np.int64)
+        role_offsets[:-1] = ostart
+        role_offsets[-1] = n_post
+        role_out = binary_array_from_offsets(sr.tobytes(), role_offsets)
         df_out = (oend - ostart).astype(np.int64)
         cf_out = np.add.reduceat(st.astype(np.int64), ostart)
 
@@ -501,6 +514,7 @@ class MergeWorker:
                 "doc_ids": doc_out,
                 "tfs": tf_out,
                 "dls": dl_out,
+                "roles": role_out,
                 "positions": pos_out,
                 "block_max": pa.compute.cast(block_max,
                                              pa.list_(pa.float64())),

@@ -52,9 +52,17 @@ class _PosCache:
         return hit
 
 
-def accumulate(reader, terms, idfs, avgdl: float, params: BM25Params):
+def accumulate(reader, terms, idfs, avgdl: float, params: BM25Params,
+               role_code: int | None = None,
+               role_lut: np.ndarray | None = None):
     """Union-accumulate BM25 contributions of ``terms`` over merged
     posting lists (one vectorized pass per term).
+
+    ``role_code`` restricts scoring to postings of that role (M6 field
+    scope: "search only assistant turns" answered FROM THE INDEX, no
+    hydration); ``role_lut`` is a 256-entry per-role score multiplier (A7
+    importance analog, `IndexerService.java:263-331` — the reference's tag
+    weight becomes the turn's role weight).
 
     Returns (doc_ids asc, scores, nmatch) where nmatch[i] = how many of the
     query terms doc i contains (drives AND and the >=50%-match fallback,
@@ -64,8 +72,18 @@ def accumulate(reader, terms, idfs, avgdl: float, params: BM25Params):
         pl = reader.merged(t)
         if pl is None:
             continue
-        doc_arrs.append(pl.doc_ids)
-        score_arrs.append(idf * bm25_tf(pl.tfs, pl.dls, avgdl, params))
+        if (role_code is not None or role_lut is not None) \
+                and pl.roles is None:
+            raise ValueError("index was built without role stats")
+        contrib = idf * bm25_tf(pl.tfs, pl.dls, avgdl, params)
+        d = pl.doc_ids
+        if role_lut is not None:
+            contrib = contrib * role_lut[pl.roles]
+        if role_code is not None:
+            m = pl.roles == role_code
+            d, contrib = d[m], contrib[m]
+        doc_arrs.append(d)
+        score_arrs.append(contrib)
     if not doc_arrs:
         return _EMPTY_U64, _EMPTY_F64, np.empty(0, dtype=np.int64)
     all_docs = np.concatenate(doc_arrs)
@@ -149,8 +167,10 @@ def phrase_match(reader, phrase, pos_cache: _PosCache) -> np.ndarray:
 
 
 def score_docs(reader, docs: np.ndarray, terms, idfs,
-               avgdl: float, params: BM25Params) -> np.ndarray:
-    """BM25 score of the given docs for the given terms (0 for absent)."""
+               avgdl: float, params: BM25Params,
+               role_lut: np.ndarray | None = None) -> np.ndarray:
+    """BM25 score of the given docs for the given terms (0 for absent);
+    optional per-role score multiplier (A7 importance analog)."""
     scores = np.zeros(docs.size, dtype=np.float64)
     for t, idf in zip(terms, idfs):
         pl = reader.merged(t)
@@ -162,6 +182,8 @@ def score_docs(reader, docs: np.ndarray, terms, idfs,
         if present.any():
             contrib = idf * bm25_tf(pl.tfs[j_c[present]],
                                     pl.dls[j_c[present]], avgdl, params)
+            if role_lut is not None:
+                contrib = contrib * role_lut[pl.roles[j_c[present]]]
             scores[present] += contrib
     return scores
 
@@ -206,6 +228,65 @@ class SearchEngine:
         d, s, _ = accumulate(self.reader, terms, idfs, self.reader.avgdl,
                              self.params)
         return top_k(d, s, k)
+
+    # -- role-scoped retrieval (M6/A7) --------------------------------------
+    @staticmethod
+    def _role_lut(role_weights: dict | None) -> np.ndarray | None:
+        """{role_name: weight} -> 256-entry multiplier LUT (unnamed roles
+        keep weight 1)."""
+        if role_weights is None:
+            return None
+        from ..index.segments import ROLE_CODES
+
+        lut = np.ones(256, dtype=np.float64)
+        for name, w in role_weights.items():
+            code = 0 if name == "other" else ROLE_CODES[name]
+            lut[code] = float(w)
+        return lut
+
+    def _role_of_docs(self, docs: np.ndarray, term: str) -> np.ndarray:
+        """Role codes of docs, probed from any posting list containing them
+        all (a turn has one role, so any term's postings agree)."""
+        pl = self.reader.merged(term)
+        if pl.roles is None:
+            raise ValueError("index was built without role stats")
+        j = np.searchsorted(pl.doc_ids, docs)
+        return pl.roles[j]
+
+    def regular_role(self, terms, k: int = 10, role: str | None = None,
+                     role_weights: dict | None = None):
+        """Disjunctive BM25 restricted to one role and/or with per-role
+        score boosts, answered from the index's per-posting role codes
+        (M6 parity: `WordDocumentTag.java:8-43`; boost = A7 importance,
+        `IndexerService.java:263-331`). idf/avgdl stay corpus-level, like
+        the reference's global word stats. Exhaustive scoring path (the
+        block-max bounds don't carry role weights)."""
+        from ..index.segments import ROLE_CODES
+
+        idfs = self._idfs(terms)
+        code = ROLE_CODES[role] if role is not None else None
+        d, s, _ = accumulate(self.reader, terms, idfs, self.reader.avgdl,
+                             self.params, role_code=code,
+                             role_lut=self._role_lut(role_weights))
+        return top_k(d, s, k)
+
+    def phrase_role(self, phrase, k: int = 10, role: str | None = None,
+                    role_weights: dict | None = None):
+        """Phrase match restricted to a role (post-filter on matched docs —
+        role is a doc attribute) with optional per-role boost."""
+        from ..index.segments import ROLE_CODES
+
+        terms = list(dict.fromkeys(phrase))
+        docs = phrase_match(self.reader, phrase, self._pos_cache)
+        if docs.size and role is not None:
+            docs = docs[self._role_of_docs(docs, phrase[0])
+                        == ROLE_CODES[role]]
+        if docs.size == 0:
+            return _EMPTY_U64, _EMPTY_F64
+        idfs = self._idfs(terms)
+        s = score_docs(self.reader, docs, terms, idfs, self.reader.avgdl,
+                       self.params, role_lut=self._role_lut(role_weights))
+        return top_k(docs, s, k)
 
     def conjunctive(self, terms, k: int = 10):
         """Docs containing ALL terms (J5 semantics:
@@ -292,15 +373,27 @@ class SearchEngine:
         return top_k(docs, s, k)
 
     # -- entry --------------------------------------------------------------
-    def search(self, query: str, k: int = 10, mode: str = "or"):
+    def search(self, query: str, k: int = 10, mode: str = "or",
+               role: str | None = None, role_weights: dict | None = None):
         """Parse & route per the reference grammar (`QueryService.java:73-134`).
 
         ``mode`` applies to regular queries: "or" = disjunctive (default,
-        matching the canonical contract), "and" = conjunctive (J5)."""
+        matching the canonical contract), "and" = conjunctive (J5).
+        ``role`` restricts results to turns of that role; ``role_weights``
+        boosts per-role contributions (M6/A7)."""
         pq_ = parse_query(query)
-        return self.execute(pq_, k, mode)
+        return self.execute(pq_, k, mode, role=role,
+                            role_weights=role_weights)
 
-    def execute(self, pq_: ParsedQuery, k: int = 10, mode: str = "or"):
+    def execute(self, pq_: ParsedQuery, k: int = 10, mode: str = "or",
+                role: str | None = None, role_weights: dict | None = None):
+        if role is not None or role_weights is not None:
+            if pq_.kind == "phrase":
+                return self.phrase_role(pq_.phrase, k, role, role_weights)
+            if pq_.kind != "regular":
+                raise ValueError(
+                    "role-scoped search supports regular and phrase queries")
+            return self.regular_role(pq_.terms, k, role, role_weights)
         if pq_.kind == "phrase":
             return self.phrase(pq_.phrase, k)
         if pq_.kind == "boolean":

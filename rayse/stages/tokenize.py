@@ -38,7 +38,17 @@ import pyarrow as pa
 
 from ..analyzer import analyze, analyze_ids, term_strings
 from ..index.encoding import encode_small_deltas, encode_varints_segmented
+from ..index.segments import ROLE_CODES
 from .doc_ids import assign_doc_ids
+
+
+def _role_codes_of(batch: pa.Table) -> np.ndarray:
+    """Per-turn role codes (0 when the input has no role column)."""
+    if "role" not in batch.column_names:
+        return np.zeros(len(batch), dtype=np.uint8)
+    return np.fromiter((ROLE_CODES.get(r, 0)
+                        for r in batch["role"].to_pylist()),
+                       dtype=np.uint8, count=len(batch))
 
 RUNS_SCHEMA = pa.schema([
     ("part", pa.int32()),
@@ -50,6 +60,7 @@ RUNS_SCHEMA = pa.schema([
     ("doc_ids", pa.binary()),
     ("tfs", pa.binary()),
     ("dls", pa.binary()),
+    ("roles", pa.binary()),     # one role code byte per posting (M6)
     ("positions", pa.binary()),
 ])
 
@@ -63,6 +74,7 @@ POSTINGS_SCHEMA = pa.schema([
     ("tf", pa.int32()),
     ("pos_enc", pa.binary()),
     ("doc_len", pa.int32()),
+    ("role", pa.int32()),
 ])
 
 
@@ -101,6 +113,7 @@ class TokenizeStage:
         doc_ids = assign_doc_ids(batch["conv_id"], batch["turn_idx"].to_numpy(),
                                  self.conv_cache)
         texts = batch["text"].to_pylist()
+        roles = _role_codes_of(batch)
         order = np.argsort(doc_ids, kind="stable")
         for i in order.tolist():
             text = texts[i]
@@ -112,7 +125,7 @@ class TokenizeStage:
                     occ[t] = [pos]
                 else:
                     lst.append(pos)
-            yield int(doc_ids[i]), len(tokens), occ
+            yield int(doc_ids[i]), len(tokens), occ, int(roles[i])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.emit == "postings":
@@ -128,6 +141,7 @@ class TokenizeStage:
         texts = batch["text"].to_pylist()
         doc_order = np.argsort(doc_ids, kind="stable")
         sorted_docs = doc_ids[doc_order]
+        doc_roles = _role_codes_of(batch)[doc_order]   # by doc_order rank
 
         tok_tid: list = []              # per token: worker-interned term id
         tok_docord: list = []           # per token: position in doc_order
@@ -163,6 +177,7 @@ class TokenizeStage:
         p_docord = g_doc[post_starts]
         p_doc = sorted_docs[p_docord]
         p_dl = dls[p_docord].astype(np.uint64)
+        p_role = doc_roles[p_docord]                  # uint8 per posting
 
         # runs = maximal (term, part) groups of postings (doc ascending within
         # a term because docord ascends; part ascends with doc_id)
@@ -207,6 +222,9 @@ class TokenizeStage:
         run_cf = np.add.reduceat(post_tf, run_starts)
         run_min = p_doc[run_starts]
         run_terms = term_strings(p_tid[run_starts].tolist())
+        role_bytes = p_role.tobytes()   # 1 byte/posting, slice per run
+        b_roles = [role_bytes[s:e] for s, e in
+                   zip(run_starts.tolist(), run_ends.tolist())]
         return pa.table(
             {
                 "part": pa.array(p_part[run_starts].astype(np.int32),
@@ -220,6 +238,7 @@ class TokenizeStage:
                 "doc_ids": pa.array(b_docs, pa.binary()),
                 "tfs": pa.array(b_tfs, pa.binary()),
                 "dls": pa.array(b_dls, pa.binary()),
+                "roles": pa.array(b_roles, pa.binary()),
                 "positions": pa.array(b_pos, pa.binary()),
             },
             schema=RUNS_SCHEMA,
@@ -234,14 +253,16 @@ class TokenizeStage:
         out_tf: list = []
         out_pos: list = []
         out_dl: list = []
+        out_role: list = []
         with_pos = self.with_positions
-        for d, doc_len, occ in self._analyze_batch(batch):
+        for d, doc_len, occ, role in self._analyze_batch(batch):
             for t, positions in occ.items():
                 terms.append(t)
                 out_doc.append(d)
                 out_tf.append(len(positions))
                 out_pos.append(encode_small_deltas(positions) if with_pos else b"")
                 out_dl.append(doc_len)
+                out_role.append(role)
         doc_arr = np.asarray(out_doc, dtype=np.uint64)
         salt = ((doc_arr >> np.uint64(salt_shift)) & np.uint64(salt_mask)
                 ).astype(np.int32) if self.salt_bits else np.zeros(len(out_doc), np.int32)
@@ -254,6 +275,7 @@ class TokenizeStage:
                 "tf": pa.array(out_tf, pa.int32()),
                 "pos_enc": pa.array(out_pos, pa.binary()),
                 "doc_len": pa.array(out_dl, pa.int32()),
+                "role": pa.array(out_role, pa.int32()),
             },
             schema=POSTINGS_SCHEMA,
         )

@@ -23,13 +23,17 @@ class OracleIndex:
         conv = table["conv_id"].to_pylist()
         turn = table["turn_idx"].to_pylist()
         texts = table["text"].to_pylist()
+        roles = (table["role"].to_pylist()
+                 if "role" in table.column_names else [""] * len(conv))
         self.postings: dict[str, dict[int, list[int]]] = {}
         self.doc_len: dict[int, int] = {}
+        self.doc_role: dict[int, str] = {}
         total = 0
-        for c, t, x in zip(conv, turn, texts):
+        for c, t, x, r in zip(conv, turn, texts, roles):
             d = doc_id_of(c, t)
             toks = analyze(x or "")
             self.doc_len[d] = len(toks)
+            self.doc_role[d] = r
             total += len(toks)
             for pos, w in enumerate(toks):
                 self.postings.setdefault(w, {}).setdefault(d, []).append(pos)
@@ -104,6 +108,38 @@ class OracleIndex:
         else:
             raise ValueError(op)
         return self._topk(self.score_docs(sorted(docs), terms), k)
+
+    # -- role-scoped retrieval (M6/A7 oracle) --------------------------------
+    def score_docs_weighted(self, docs, terms, role_weights=None):
+        scores = {d: 0.0 for d in docs}
+        for t in terms:
+            idf = self.idf(t)
+            pl = self.postings.get(t, {})
+            for d in docs:
+                ps = pl.get(d)
+                if ps is not None:
+                    w = (role_weights.get(self.doc_role[d], 1.0)
+                         if role_weights else 1.0)
+                    scores[d] += w * idf * self.tf_bm25(len(ps),
+                                                        self.doc_len[d])
+        return scores
+
+    def regular_role(self, terms, k: int = 10, role=None, role_weights=None):
+        docs = set()
+        for t in terms:
+            docs.update(self.postings.get(t, {}).keys())
+        if role is not None:
+            docs = {d for d in docs if self.doc_role[d] == role}
+        return self._topk(
+            self.score_docs_weighted(sorted(docs), terms, role_weights), k)
+
+    def phrase_role(self, phrase, k: int = 10, role=None, role_weights=None):
+        docs = self.phrase_docs(phrase)
+        if role is not None:
+            docs = [d for d in docs if self.doc_role[d] == role]
+        terms = list(dict.fromkeys(phrase))
+        return self._topk(
+            self.score_docs_weighted(docs, terms, role_weights), k)
 
     @staticmethod
     def _topk(scores: dict[int, float], k: int):
