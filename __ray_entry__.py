@@ -64,6 +64,21 @@ def _engine_for(sf_dir: str):
     return SearchEngine(_index_for(sf_dir))
 
 
+def _ws_index_for(sf_dir: str) -> str:
+    """Whitespace-analyzer index over the same derived transcripts — the
+    SQL-checkable ranked-retrieval path (rayse.ops.ws_search)."""
+    from rayse.config import IndexConfig
+    from rayse.pipelines.build_index import build_index
+
+    _index_for(sf_dir)              # ensures transcripts exist (cached)
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(_CACHE_ROOT, key)
+    tdir = os.path.join(root, "transcripts")
+    idir = os.path.join(root, "index_ws")
+    build_index(tdir, idir, IndexConfig(analyzer="whitespace"))
+    return idir
+
+
 def _topk_table(engine, queries: list[str], k: int = 10) -> pa.Table:
     rows_q, rows_r, rows_d, rows_s = [], [], [], []
     for q in queries:
@@ -339,6 +354,31 @@ def _q_role_filtered_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_ws_bm25_topk(sf_dir: str) -> pa.Table:
+    """Ranked BM25 retrieval end-to-end through the REAL index pipeline
+    (whitespace analyzer -> tokenize combiner -> partitioned runs ->
+    per-part merge -> exhaustive scoring) — DuckDB hash-matched."""
+    from rayse.ops.ws_search import ws_bm25_topk
+
+    return ws_bm25_topk(_ws_index_for(sf_dir))
+
+
+def _q_ws_phrase_matches(sf_dir: str) -> pa.Table:
+    """Positional phrase matching (J6 adjacency) over the whitespace index
+    — DuckDB hash-matched via the padded-substring equivalence."""
+    from rayse.ops.ws_search import ws_phrase_matches
+
+    return ws_phrase_matches(_ws_index_for(sf_dir))
+
+
+def _q_ws_role_topk(sf_dir: str) -> pa.Table:
+    """Role-scoped BM25 from per-posting role codes (M6) — DuckDB
+    hash-matched (assistant turns are the odd turn_idx by derivation)."""
+    from rayse.ops.ws_search import ws_bm25_topk
+
+    return ws_bm25_topk(_ws_index_for(sf_dir), role="assistant")
+
+
 def _q_pagerank(sf_dir: str):
     from rayse.ops.graph import pagerank_events
 
@@ -401,6 +441,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # role(field)-scoped retrieval from per-posting role stats (M6/A7;
         # rows-only — rank-identity pinned by tests/test_roles.py)
         "role_filtered_topk": _q_role_filtered_topk,
+        # SQL-checkable ranked retrieval through the real index pipeline
+        # (whitespace analyzer; DuckDB hash-matched incl. the role path)
+        "ws_bm25_topk": _q_ws_bm25_topk,
+        "ws_phrase_matches": _q_ws_phrase_matches,
+        "ws_role_topk": _q_ws_role_topk,
         # link-graph + JSON scalar ops (A13; pagerank rows-only: iterative)
         "pagerank": _q_pagerank,
         "props_extract": _q_props_extract,
@@ -505,6 +550,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, event_id, value, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 3
         """,
+        "ws_bm25_topk": __import__(
+            "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
+        "ws_phrase_matches": __import__(
+            "rayse.ops.ws_search", fromlist=["x"]).ws_phrase_sql(),
+        "ws_role_topk": __import__(
+            "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(
+                assistant_only=True),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS qe FROM embeddings

@@ -36,6 +36,10 @@ class IndexConfig:
     compact_max_postings: int = 1 << 20
     block_size: int = 128          # postings per block-max block
     with_positions: bool = True    # store positional postings (phrase queries)
+    # "porter" = reference-parity chain (tokenize -> stopwords -> Porter);
+    # "whitespace" = text.split(" ") verbatim — SQL-oracle-matchable, used
+    # by the DuckDB-green ranked-retrieval queries (rayse.ops.ws_search)
+    analyzer: str = "porter"
     bm25: BM25Params = field(default_factory=BM25Params)
     # tokenize stage sizing
     tokenize_batch_size: int = 1024

@@ -119,14 +119,16 @@ _TOKENIZE_SINGLETON: dict = {}
 
 def _tokenize_task(batch: pa.Table, *, part_bits: int,
                    with_positions: bool,
-                   remap: dict | None = None) -> pa.Table:
+                   remap: dict | None = None,
+                   analyzer: str = "porter") -> pa.Table:
     """Task-form wrapper: one TokenizeStage instance per worker process."""
-    key = (part_bits, with_positions,
+    key = (part_bits, with_positions, analyzer,
            tuple(sorted(remap.items())) if remap else None)
     stage = _TOKENIZE_SINGLETON.get(key)
     if stage is None:
         stage = _TOKENIZE_SINGLETON[key] = TokenizeStage(
-            part_bits=part_bits, with_positions=with_positions, remap=remap)
+            part_bits=part_bits, with_positions=with_positions, remap=remap,
+            analyzer=analyzer)
     return stage(batch)
 
 def _encode_group(group: pa.Table) -> pa.Table:
@@ -209,7 +211,7 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
             _tokenize_task,
             fn_kwargs=dict(part_bits=cfg.part_bits,
                            with_positions=cfg.with_positions,
-                           remap=remap),
+                           remap=remap, analyzer=cfg.analyzer),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.tokenize_batch_size,
@@ -220,7 +222,7 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
             fn_constructor_kwargs=dict(part_bits=cfg.part_bits,
                                        with_positions=cfg.with_positions,
                                        emit="postings", salt_bits=cfg.salt_bits,
-                                       remap=remap),
+                                       remap=remap, analyzer=cfg.analyzer),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.tokenize_batch_size,
@@ -661,6 +663,7 @@ def build_index(input_path: str | list[str], out_dir: str,
         "with_positions": cfg.with_positions,
         "compact_max_postings": cfg.compact_max_postings,
         "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
+        "analyzer": cfg.analyzer,
         "strategy": strategy,
     })
 

@@ -36,7 +36,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..analyzer import analyze, analyze_ids, term_strings
+from ..analyzer import analyze, analyze_ids, analyze_ids_ws, term_strings
 from ..index.encoding import encode_small_deltas, encode_varints_segmented
 from ..index.segments import ROLE_CODES
 from .doc_ids import assign_doc_ids
@@ -98,11 +98,14 @@ class TokenizeStage:
 
     def __init__(self, part_bits: int = 5, with_positions: bool = True,
                  emit: str = "runs", salt_bits: int = 0,
-                 remap: dict | None = None):
+                 remap: dict | None = None, analyzer: str = "porter"):
         self.part_bits = part_bits
         self.with_positions = with_positions
         self.emit = emit
         self.salt_bits = salt_bits
+        self.analyze_ids = (analyze_ids_ws if analyzer == "whitespace"
+                            else analyze_ids)
+        self.analyzer = analyzer
         # conv-hash memo, pre-seeded with the collision exception map
         # (conv_id -> overridden hash) so remapped convs cost nothing extra
         self.conv_cache: dict = dict(remap) if remap else {}
@@ -117,7 +120,10 @@ class TokenizeStage:
         order = np.argsort(doc_ids, kind="stable")
         for i in order.tolist():
             text = texts[i]
-            tokens = analyze(text if text is not None else "")
+            if self.analyzer == "whitespace":
+                tokens = (text or "").split(" ")
+            else:
+                tokens = analyze(text if text is not None else "")
             occ: dict = {}
             for pos, t in enumerate(tokens):
                 lst = occ.get(t)
@@ -147,9 +153,10 @@ class TokenizeStage:
         tok_docord: list = []           # per token: position in doc_order
         dls = np.zeros(len(texts), dtype=np.int64)   # by doc_order rank
         n_tok = 0
+        analyze_fn = self.analyze_ids
         for rank, i in enumerate(doc_order.tolist()):
             text = texts[i]
-            ids = analyze_ids(text if text is not None else "")
+            ids = analyze_fn(text if text is not None else "")
             dls[rank] = len(ids)
             n_tok += len(ids)
             tok_tid.extend(ids)

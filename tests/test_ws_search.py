@@ -1,0 +1,68 @@
+"""Whitespace-analyzer ranked retrieval vs DuckDB — the hash-matched oracle
+for the flagship machinery (build pipeline + BM25 scoring + positional
+phrase + role scope), pinned at sf0.001 (the driver re-checks at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ws_index(ray_session, tmp_path_factory):
+    from rayse.config import IndexConfig
+    from rayse.pipelines.build_index import build_index
+    from rayse.pipelines.transcripts import write_transcripts_from_documents
+
+    root = tmp_path_factory.mktemp("ws")
+    tdir = root / "transcripts"
+    tdir.mkdir()
+    write_transcripts_from_documents(SF, str(tdir))
+    idir = str(root / "index")
+    build_index(str(tdir), idir, IndexConfig(analyzer="whitespace"))
+    return idir
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{SF}/documents.parquet')")
+    return c
+
+
+def _cmp(got, want: pd.DataFrame, keys):
+    got = got.to_pandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    a = got.sort_values(keys).reset_index(drop=True)
+    b = want.sort_values(keys).reset_index(drop=True)[list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ws_bm25_matches_duckdb(ws_index, con):
+    from rayse.ops.ws_search import ws_bm25_sql, ws_bm25_topk
+
+    got = ws_bm25_topk(ws_index)
+    want = con.execute(ws_bm25_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+
+
+def test_ws_phrase_matches_duckdb(ws_index, con):
+    from rayse.ops.ws_search import ws_phrase_matches, ws_phrase_sql
+
+    got = ws_phrase_matches(ws_index)
+    want = con.execute(ws_phrase_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["phrase", "conv_id", "turn_idx"])
+
+
+def test_ws_role_matches_duckdb(ws_index, con):
+    from rayse.ops.ws_search import ws_bm25_sql, ws_bm25_topk
+
+    got = ws_bm25_topk(ws_index, role="assistant")
+    want = con.execute(ws_bm25_sql(assistant_only=True)).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
