@@ -44,6 +44,21 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    from .pipelines.build_index import append_index
+
+    _ray_init()
+    res = append_index(args.index, args.input,
+                       shard_target_bytes=args.shard_bytes)
+    print(json.dumps({
+        "n_docs": res.n_docs, "total_tokens": res.total_tokens,
+        "avgdl": round(res.avgdl, 3), "wall_s": res.wall_s,
+        "appended_turns_per_sec": res.turns_per_sec,
+        "remerged_parts": len(res.part_manifests),
+    }))
+    return 0
+
+
 def cmd_query(args) -> int:
     from .query.engine import SearchEngine
 
@@ -84,6 +99,15 @@ def main(argv=None) -> int:
     b.add_argument("--shard-bytes", type=int, default=2 << 30)
     b.add_argument("--no-positions", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    a = sub.add_parser("append",
+                       help="incrementally index new files into an "
+                            "existing index (only new data tokenizes; "
+                            "only affected partitions re-merge)")
+    a.add_argument("--index", required=True)
+    a.add_argument("--input", required=True)
+    a.add_argument("--shard-bytes", type=int, default=2 << 30)
+    a.set_defaults(fn=cmd_append)
 
     q = sub.add_parser("query", help="query a built index")
     q.add_argument("--index", required=True)

@@ -24,9 +24,15 @@ from .segments import DecodedPostings, decode_rows
 
 
 class PartReader:
-    def __init__(self, part_dir: str, block_size: int = 128):
+    def __init__(self, part_dir: str, block_size: int = 128,
+                 bound_scale: float = 1.0):
         self.part_dir = part_dir
         self.block_size = block_size
+        # block_max upper-bound correction for parts merged with an OLDER
+        # avgdl (incremental append): bm25_tf(avgdl') <= bm25_tf(avgdl) *
+        # (avgdl'/avgdl) for avgdl' > avgdl, so scaling bounds by
+        # max(1, avgdl_now/avgdl_at_merge) keeps block-max pruning exact
+        self.bound_scale = bound_scale
         tbl = pq.read_table(os.path.join(part_dir, "segment.parquet"))
         self._tbl = tbl
         # term -> (row_start, row_end) over rows sorted by (term, salt)
@@ -66,6 +72,8 @@ class PartReader:
             for i in range(*span)
         ]
         dec = decode_rows(rows, self.block_size)
+        if self.bound_scale != 1.0:
+            dec.block_max = dec.block_max * self.bound_scale
         self._cache[term] = dec
         return dec
 
@@ -100,8 +108,23 @@ class IndexReader:
             part_dirs = [d for d in part_dirs
                          if int(d.rsplit("=", 1)[1]) in keep]
         bs = self.meta.get("block_size", 128)
-        self.parts = [PartReader(d, bs) for d in part_dirs]
+        self.parts = [PartReader(d, bs, self._bound_scale(d))
+                      for d in part_dirs]
         self._merged: dict[str, DecodedPostings | None] = {}
+
+    def _bound_scale(self, part_dir: str) -> float:
+        """Exact block-max correction for parts merged under an older
+        avgdl (incremental append); 1.0 for freshly-merged parts."""
+        pid = part_dir.rsplit("=", 1)[1]
+        man = os.path.join(self.index_dir, "_manifest", f"part-{pid}.json")
+        try:
+            with open(man) as f:
+                avgdl_m = json.load(f).get("avgdl")
+        except OSError:
+            return 1.0
+        if not avgdl_m or avgdl_m <= 0:
+            return 1.0
+        return max(1.0, self.avgdl / avgdl_m)
 
     def df(self, term: str) -> int:
         return sum(p.df(term) for p in self.parts)

@@ -323,7 +323,7 @@ class MergeWorker:
                                     schema=SEGMENT_SCHEMA),
                            os.path.join(seg_dir, "segment.parquet"))
             man = {"part": part, "n_terms": 0, "n_postings": 0, "inputs": [],
-                   "wall_s": 0.0, "postings_per_sec": None}
+                   "avgdl": avgdl, "wall_s": 0.0, "postings_per_sec": None}
             _atomic_write_json(man_path, man)
             return man
 
@@ -349,6 +349,8 @@ class MergeWorker:
             "n_terms": int(n_terms),
             "n_postings": int(n_postings),
             "inputs": [os.path.relpath(f, self.out_dir) for f in run_files],
+            "avgdl": avgdl,     # bound provenance: block_max was computed
+            #                     with THIS avgdl (append bound-correction)
             "wall_s": round(wall, 3),
             "postings_per_sec": round(n_postings / wall, 1) if wall > 0 else None,
         }
@@ -532,7 +534,8 @@ class MergeWorker:
 # conv-hash collision handling (doc_id integrity)
 # --------------------------------------------------------------------------
 
-def resolve_conv_collisions(out_dir: str, max_rounds: int = 5) -> dict:
+def resolve_conv_collisions(out_dir: str, max_rounds: int = 5,
+                            append_from: int | None = None) -> dict:
     """Detect 43-bit conv-hash collisions and build the deterministic
     exception map {conv_id: overridden_hash} — the validation promised by
     `rayse.stages.doc_ids` (without it, colliding conversations would
@@ -548,16 +551,26 @@ def resolve_conv_collisions(out_dir: str, max_rounds: int = 5) -> dict:
     the astronomically-unlikely secondary conflict). The result is written
     to ``_manifest/conv_remap.json`` (resume: loaded if present) and is a
     pure function of the distinct conv_id set — independent of sharding,
-    batch boundaries and CPU count."""
+    batch boundaries and CPU count.
+
+    ``append_from``: when appending (new shard ids >= append_from), hashes
+    already minted into the index are FROZEN — the existing remap is kept
+    verbatim, and within a colliding group old conversations take
+    precedence over new ones regardless of lexicographic order (an old
+    conv's postings must never move)."""
     import ray
     import ray.data as rd
 
     from ..stages.doc_ids import _CONV_MASK, fnv1a64
 
     remap_path = os.path.join(out_dir, "_manifest", "conv_remap.json")
+    base_remap: dict[str, int] = {}
     if os.path.exists(remap_path):
         with open(remap_path) as f:
-            return json.load(f)
+            loaded = json.load(f)
+        if append_from is None:
+            return loaded
+        base_remap = loaded
 
     files = [f for f in glob.glob(os.path.join(
         out_dir, "conv_map", "shard=*", "*.parquet")) if ".tmp" not in f]
@@ -580,9 +593,25 @@ def resolve_conv_collisions(out_dir: str, max_rounds: int = 5) -> dict:
     for r in rows:
         by_hash.setdefault(int(r["conv_hash"]), []).append(r["conv_id"])
 
-    remap: dict[str, int] = {}
+    old_convs: set = set()
+    if append_from is not None and by_hash:
+        # which colliding convs pre-exist? one tiny filtered read over the
+        # OLD conv_map shards (the colliding set is small by construction)
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        all_colliding = [c for convs in by_hash.values() for c in convs]
+        old_files = [f for f in files
+                     if int(f.split("shard=")[1].split(os.sep)[0])
+                     < append_from]
+        if old_files:
+            t = pads.dataset(old_files).to_table(
+                filter=pc.field("conv_id").isin(all_colliding))
+            old_convs = set(t["conv_id"].to_pylist())
+
+    remap: dict[str, int] = dict(base_remap)
     if by_hash:
-        taken = set(by_hash)
+        taken = set(by_hash) | set(base_remap.values())
         salts: dict[str, int] = {}
 
         def rehash(conv: str, start_salt: int) -> int:
@@ -596,28 +625,46 @@ def resolve_conv_collisions(out_dir: str, max_rounds: int = 5) -> dict:
                 salt += 1
 
         for h in sorted(by_hash):
-            for conv in sorted(by_hash[h])[1:]:
-                remap[conv] = rehash(conv, 1)
+            members = by_hash[h]
+            # old convs outrank new ones (frozen hashes); ties lexicographic
+            members = (sorted(c for c in members if c in old_convs)
+                       + sorted(c for c in members if c not in old_convs)
+                       if append_from is not None else sorted(members))
+            for conv in members[1:]:
+                if conv not in remap:
+                    remap[conv] = rehash(conv, 1)
 
         # global validation: no new hash may equal ANY other conv's hash
+        frozen = set(base_remap)
         for _ in range(max_rounds):
             inv = {nh: c for c, nh in remap.items()}
             ref = ray.put(inv)
 
             def scan(batch: pa.Table) -> pa.Table:
                 m = ray.get(ref)
-                bad = [h for h, c in zip(batch["conv_hash"].to_pylist(),
-                                         batch["conv_id"].to_pylist())
-                       if h in m and m[h] != c]
-                return pa.table({"h": pa.array(bad, pa.uint64())})
+                bad_h, bad_c = [], []
+                for h, c in zip(batch["conv_hash"].to_pylist(),
+                                batch["conv_id"].to_pylist()):
+                    if h in m and m[h] != c:
+                        bad_h.append(h)
+                        bad_c.append(c)
+                return pa.table({"h": pa.array(bad_h, pa.uint64()),
+                                 "c": pa.array(bad_c, pa.string())})
 
-            conflicts = {int(r["h"]) for r in ds.map_batches(
+            conflicts = {(int(r["h"]), r["c"]) for r in ds.map_batches(
                 scan, batch_format="pyarrow").take_all()}
             if not conflicts:
                 break
-            for h in conflicts:
+            for h, other in conflicts:
+                if other in remap:
+                    continue    # other's original hash is vacated — no clash
                 conv = inv[h]
-                remap[conv] = rehash(conv, salts[conv] + 1)
+                if conv in frozen:
+                    # an append must never move an already-minted hash: the
+                    # CONFLICTING (necessarily new) conv is remapped instead
+                    remap[other] = rehash(other, 1)
+                else:
+                    remap[conv] = rehash(conv, salts[conv] + 1)
         else:
             raise RuntimeError(
                 f"conv-hash remap failed to converge in {max_rounds} rounds")
@@ -728,5 +775,155 @@ def build_index(input_path: str | list[str], out_dir: str,
         "turns_per_sec": result.turns_per_sec,
         "shards": shard_mans,
         "parts": [{k: v for k, v in m.items() if k != "inputs"} for m in metrics],
+    })
+    return result
+
+
+def append_index(out_dir: str, new_input: str | list[str], *,
+                 shard_target_bytes: int = 2 << 30,
+                 concurrency: int | None = None,
+                 merge_concurrency: int | None = None) -> BuildResult:
+    """Incrementally index a GROWN corpus into an existing index — the
+    re-crawl/re-index path the reference gets from DB upserts
+    (`IndexerService.java:58-68`, resume `CrawlerMainProcess.java:248-260`)
+    without a full rebuild:
+
+    - only the NEW files are tokenized (new shard ids continue the old
+      sequence; finished shards skip via their manifests)
+    - only parts that received new runs re-merge, with the NEW corpus
+      avgdl; their manifests record it
+    - untouched parts keep their segments verbatim; their block_max was
+      computed under the old avgdl, so the reader scales those bounds by
+      max(1, avgdl_now/avgdl_then) — pruning stays EXACT, and scoring is
+      exact regardless (raw tf/dl stored; avgdl applied at query time)
+    - already-minted conv hashes are frozen: collision resolution runs
+      append-aware (new colliding convs are re-salted, old ones never move)
+
+    Equivalence with a from-scratch build over the union corpus (same
+    shard boundaries): byte-identical segments for every re-merged part,
+    byte-identical except block_max for untouched parts, rank-identical
+    queries — pinned by tests/test_append.py. Safe to re-run after a
+    crash (same manifest discipline as build_index)."""
+    import ray
+
+    t0 = time.perf_counter()
+    with open(os.path.join(out_dir, "index_meta.json")) as f:
+        meta = json.load(f)
+    from ..config import BM25Params
+
+    cfg = IndexConfig(
+        part_bits=meta["part_bits"], block_size=meta["block_size"],
+        with_positions=meta["with_positions"],
+        compact_max_postings=meta["compact_max_postings"],
+        bm25=BM25Params(**meta["bm25"]),
+        analyzer=meta.get("analyzer", "porter"))
+    strategy = meta.get("strategy", "combine")
+
+    old_mans = sorted(glob.glob(os.path.join(out_dir, "_manifest",
+                                             "shard-*.json")))
+    old_ids = []
+    known_inputs: dict[tuple, int] = {}   # file-set -> existing shard id
+    for p in old_mans:
+        with open(p) as f:
+            m = json.load(f)
+        old_ids.append(int(m["shard"]))
+        known_inputs[tuple(m["files"])] = int(m["shard"])
+    next_id = (max(old_ids) + 1) if old_ids else 0
+
+    files = discover_input_files(new_input)
+    # idempotence: a shard whose exact file list was already indexed reuses
+    # its id (re-running append with the same input is a no-op, and a
+    # crashed append resumes instead of duplicating documents)
+    shard_ids: list[int] = []
+    new_shards = shard_files(files, shard_target_bytes)
+    for fl in new_shards:
+        sid = known_inputs.get(tuple(fl))
+        if sid is None:
+            sid = next_id
+            next_id += 1
+        shard_ids.append(sid)
+    first_new = min((sid for sid in shard_ids if sid not in old_ids),
+                    default=next_id)
+
+    remap: dict = {}
+    if os.path.isdir(os.path.join(out_dir, "conv_map")):
+        from .hydrate import build_conv_map
+
+        for sid, fl in zip(shard_ids, new_shards):
+            build_conv_map(fl, out_dir, sid)
+        remap = resolve_conv_collisions(out_dir, append_from=first_new)
+
+    new_mans = [
+        build_runs_for_shard(sid, fl, out_dir, cfg, strategy,
+                             concurrency, remap=remap)
+        for sid, fl in zip(shard_ids, new_shards)
+    ]
+    n_docs = 0
+    for p in glob.glob(os.path.join(out_dir, "_manifest", "shard-*.json")):
+        with open(p) as f:
+            n_docs += json.load(f)["n_turns"]
+    stats = compute_corpus_stats(out_dir, n_docs)
+
+    # parts touched by any new shard re-merge with the new avgdl; a part
+    # whose manifest already reflects the current inputs+avgdl (crash
+    # re-run) skips
+    affected: set[int] = set()
+    for sid in shard_ids:
+        for d in glob.glob(os.path.join(out_dir, "runs",
+                                        f"shard={sid}", "part=*")):
+            affected.add(int(d.rsplit("=", 1)[1]))
+    to_merge = []
+    for part in sorted(affected):
+        man_path = os.path.join(out_dir, "_manifest", f"part-{part}.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                man = json.load(f)
+            cur = sorted(os.path.relpath(f_, out_dir) for f_ in glob.glob(
+                os.path.join(out_dir, "runs", "shard=*", f"part={part}",
+                             "*.parquet")) if ".tmp" not in f_)
+            if (man.get("avgdl") == stats["avgdl"]
+                    and sorted(man.get("inputs", [])) == cur):
+                continue
+            os.remove(man_path)
+        to_merge.append(part)
+
+    from ray.util import ActorPool
+
+    if merge_concurrency is None:
+        merge_concurrency = max(1, min(
+            max(1, len(to_merge)),
+            int(ray.cluster_resources().get("CPU", 4))))
+    RemoteMergeWorker = ray.remote(num_cpus=1)(MergeWorker)
+    merge_actors = [RemoteMergeWorker.remote(out_dir, cfg)
+                    for _ in range(merge_concurrency)]
+    merge_pool = ActorPool(merge_actors)
+    metrics = list(merge_pool.map_unordered(
+        lambda a, p: a.merge_part.remote(p, stats["avgdl"]), to_merge))
+    metrics.sort(key=lambda m: m["part"])
+    for a in merge_actors:
+        ray.kill(a)
+
+    wall = time.perf_counter() - t0
+    n_new = sum(m["n_turns"] for m in new_mans)
+    result = BuildResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        total_tokens=stats["total_tokens"],
+        avgdl=stats["avgdl"],
+        wall_s=round(wall, 3),
+        turns_per_sec=round(n_new / wall, 1) if wall > 0 else 0.0,
+        shard_manifests=new_mans,
+        part_manifests=metrics,
+    )
+    _atomic_write_json(os.path.join(out_dir, "metrics.json"), {
+        "n_docs": n_docs,
+        "total_tokens": stats["total_tokens"],
+        "appended_turns": n_new,
+        "remerged_parts": len(to_merge),
+        "wall_s": result.wall_s,
+        "turns_per_sec": result.turns_per_sec,
+        "shards": new_mans,
+        "parts": [{k: v for k, v in m.items() if k != "inputs"}
+                  for m in metrics],
     })
     return result
