@@ -574,24 +574,72 @@ def resolve_conv_collisions(out_dir: str, max_rounds: int = 5,
 
     files = [f for f in glob.glob(os.path.join(
         out_dir, "conv_map", "shard=*", "*.parquet")) if ".tmp" not in f]
-    ds = rd.read_parquet(files)
 
-    def colliding(group: pa.Table) -> pa.Table:
-        convs = sorted(set(group["conv_id"].to_pylist()))
-        if len(convs) < 2:
-            return pa.table({"conv_hash": pa.array([], pa.uint64()),
-                             "conv_id": pa.array([], pa.string())})
-        return pa.table({
-            "conv_hash": pa.array([group["conv_hash"][0].as_py()]
-                                  * len(convs), pa.uint64()),
-            "conv_id": pa.array(convs, pa.string()),
-        })
-
-    rows = (ds.groupby("conv_hash")
-            .map_groups(colliding, batch_format="pyarrow").take_all())
+    # detection: colliding hashes + their conv_ids (vectorized, no
+    # per-group Python). Two routes with identical semantics:
+    # - small conv_map (compressed bytes under the threshold): one
+    #   threaded driver-side read + numpy/pandas distinct — the two Ray
+    #   shuffles cost ~3 s of fixed overhead at 120k-turn scale, dwarfing
+    #   the microseconds of actual work
+    # - large conv_map: distributed distinct-pair groupby + per-hash
+    #   count (linear shuffles of (hash, conv) pairs only — never texts)
+    DRIVER_BYTES_CAP = 256 << 20
+    total_bytes = sum(os.path.getsize(f) for f in files)
     by_hash: dict[int, list] = {}
-    for r in rows:
-        by_hash.setdefault(int(r["conv_hash"]), []).append(r["conv_id"])
+    if total_bytes <= DRIVER_BYTES_CAP:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(files).to_table()
+        df = t.to_pandas().drop_duplicates()
+        dup = df[df.duplicated("conv_hash", keep=False)]
+        for h, conv in zip(dup["conv_hash"].tolist(),
+                           dup["conv_id"].tolist()):
+            by_hash.setdefault(int(h), []).append(conv)
+        for h in by_hash:
+            by_hash[h].sort()
+        ds = rd.read_parquet(files)    # validation scan input (below)
+    else:
+        ds = rd.read_parquet(files)
+        pairs = ds.groupby(["conv_hash", "conv_id"]).aggregate(
+            rd.aggregate.Count())
+
+        def hashes_only(batch: pa.Table) -> pa.Table:
+            return pa.table({"conv_hash": batch["conv_hash"]})
+
+        hash_counts = (pairs.map_batches(hashes_only,
+                                         batch_format="pyarrow")
+                       .groupby("conv_hash").aggregate(rd.aggregate.Count()))
+
+        def colliding_hashes(batch: pa.Table) -> pa.Table:
+            m = pa.compute.greater(batch["count()"], 1)
+            return pa.table({"conv_hash": batch["conv_hash"].filter(m)})
+
+        coll = {int(r["conv_hash"]) for r in hash_counts.map_batches(
+            colliding_hashes, batch_format="pyarrow").take_all()}
+        if coll:
+            ref0 = ray.put(coll)
+
+            def members(batch: pa.Table) -> pa.Table:
+                want = ray.get(ref0)
+                hs = batch["conv_hash"].to_pylist()
+                cs = batch["conv_id"].to_pylist()
+                keep = [i for i, h in enumerate(hs) if h in want]
+                return pa.table({
+                    "conv_hash": pa.array([hs[i] for i in keep],
+                                          pa.uint64()),
+                    "conv_id": pa.array([cs[i] for i in keep],
+                                        pa.string()),
+                })
+
+            seen_members = set()
+            for r in ds.map_batches(members,
+                                    batch_format="pyarrow").take_all():
+                key = (int(r["conv_hash"]), r["conv_id"])
+                if key not in seen_members:
+                    seen_members.add(key)
+                    by_hash.setdefault(key[0], []).append(key[1])
+            for h in by_hash:
+                by_hash[h].sort()
 
     old_convs: set = set()
     if append_from is not None and by_hash:
