@@ -118,6 +118,27 @@ def _q_boolean_topk(sf_dir: str) -> pa.Table:
     return _topk_table(_engine_for(sf_dir), BOOLEAN_QUERIES)
 
 
+def _q_complex_boolean_topk(sf_dir: str) -> pa.Table:
+    """Reference ComplexPhraseSearching scoring-parity flag (mode=complex):
+    log10(N/df) idf, tf/doc_len, running-score x2 per matched phrase.
+    Rows-only; rank-identity pinned vs the oracle in tests/test_query.py."""
+    eng = _engine_for(sf_dir)
+    rows_q, rows_r, rows_d, rows_s = [], [], [], []
+    for q in BOOLEAN_QUERIES:
+        docs, scores = eng.search(q, 10, mode="complex")
+        for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), 1):
+            rows_q.append(q)
+            rows_r.append(r)
+            rows_d.append(int(d))
+            rows_s.append(float(s))
+    return pa.table({
+        "query": pa.array(rows_q, pa.string()),
+        "rank": pa.array(rows_r, pa.int32()),
+        "doc_id": pa.array(np.asarray(rows_d, dtype=np.uint64)),
+        "score": pa.array(rows_s, pa.float64()),
+    })
+
+
 def _q_term_stats(sf_dir: str) -> pa.Table:
     """Global term dictionary: term, df, cf (replaces the reference's
     `words` + `word_idf` tables, `Indexer/Entities/Word.java:6-22`)."""
@@ -416,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "phrase_topk": _q_phrase_topk,
         "boolean_topk": _q_boolean_topk,
+        "complex_boolean_topk": _q_complex_boolean_topk,
         "term_stats": _q_term_stats,
         # training-data ops (SQL-checked where expressible)
         "doc_token_count": _q_doc_token_count,
@@ -550,6 +572,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, event_id, value, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 3
         """,
+        "lang_id": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).lang_id_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

@@ -161,8 +161,17 @@ def _same_index(a_dir: str, b_dir: str) -> bool:
 
 
 def run_scaling() -> dict:
+    # Efficiency must measure the PIPELINE, not fixed startup/conv_map
+    # overheads: at the 120k-turn default the 2-CPU leg finishes in ~13 s
+    # and constants dominate. Scaling runs use >= 2.4M turns unless the
+    # caller pinned a size explicitly.
+    scaling_convs = str(max(BENCH_CONVS, 300_000)) \
+        if "RAYSE_BENCH_CONVS" not in os.environ \
+        else os.environ["RAYSE_BENCH_CONVS"]
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAYSE_BENCH_CONVS=scaling_convs)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -78,6 +78,38 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
                      "lang_pred": pa.array(langs, pa.string())})
 
 
+def lang_id_sql() -> str:
+    """DuckDB oracle for ``lang_id`` — argmax of marker-set overlap with
+    earliest-language tie-breaks (the Python loop updates only on strictly
+    greater counts, so a >=-chain in dict order picks the same winner)."""
+    langs = list(_LANG_MARKERS)
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])) \
+            + "]"
+
+    counts = ",\n  ".join(
+        f"len(list_intersect(toks, {lst(lg)})) AS n_{lg}" for lg in langs)
+    allc = ", ".join(f"n_{lg}" for lg in langs)
+    chain = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"n_{lg} >= n_{o}" for o in langs[i + 1:])
+        chain.append(f"WHEN {conds} THEN '{lg}'")
+    case = "\n       ".join(chain)
+    return f"""
+WITH t AS (SELECT doc_id,
+                  list_distinct(string_split(lower(text), ' ')) AS toks
+           FROM documents),
+c AS (SELECT doc_id,
+  {counts}
+  FROM t)
+SELECT doc_id,
+  CASE WHEN greatest({allc}) = 0 THEN 'und'
+       {case}
+       ELSE '{langs[-1]}' END AS lang_pred
+FROM c"""
+
+
 _FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV64_PRIME = np.uint64(0x100000001B3)
 

@@ -372,6 +372,58 @@ class SearchEngine:
                        self.reader.avgdl, self.params)
         return top_k(docs, s, k)
 
+    def boolean_complex(self, op: str, left, right, k: int = 10):
+        """Reference-parity flag for the ComplexPhraseSearching scoring path
+        (`ComplexPhraseSearching.java:67-246`), OFF by default (D2 keeps the
+        canonical BM25 contract). Reproduced semantics, incl. the quirks:
+
+        - result set: phrase-set algebra (our docs come from POSITIONAL
+          match; the reference substring-verifies stemmed words against raw
+          title/content — a web-page predicate, seam documented in SURVEY)
+        - per doc: for EVERY phrase in query order (even the NOT-negated
+          one — its words still score if present individually):
+          Σ_words (freq/doc_len) * log10(N/df), then the RUNNING score
+          doubles if the doc matches that phrase — so for "A" OP "B" a doc
+          matching both scores 4*s_A + 2*s_B (order-dependent multiplier,
+          reproduced verbatim)
+        - title boost (3x) is vacuous for transcripts (no title field);
+          doc_len is the analyzer token count (the reference uses raw
+          whitespace count of the page content, unavailable post-index —
+          documented deviation)
+        - ties broken by ascending doc_id (the reference's HashSet order
+          is unstable; D-decision pins determinism)."""
+        ldocs = self.phrase_docs(left)
+        rdocs = self.phrase_docs(right)
+        if op == "AND":
+            docs = np.intersect1d(ldocs, rdocs, assume_unique=True)
+        elif op == "OR":
+            docs = np.union1d(ldocs, rdocs)
+        elif op == "NOT":
+            docs = np.setdiff1d(ldocs, rdocs, assume_unique=True)
+        else:
+            raise ValueError(op)
+        if docs.size == 0:
+            return _EMPTY_U64, _EMPTY_F64
+        n = self.reader.n_docs
+        scores = np.zeros(docs.size, dtype=np.float64)
+        for phrase, pdocs in ((left, ldocs), (right, rdocs)):
+            for t in phrase:
+                pl = self.reader.merged(t)
+                if pl is None:
+                    continue
+                df = self._df(t)
+                j = np.searchsorted(pl.doc_ids, docs)
+                j_c = np.minimum(j, pl.doc_ids.size - 1)
+                present = pl.doc_ids[j_c] == docs
+                if present.any():
+                    tf = (pl.tfs[j_c[present]].astype(np.float64)
+                          / np.maximum(
+                              pl.dls[j_c[present]].astype(np.float64), 1.0))
+                    scores[present] += tf * np.log10(n / max(df, 1))
+            hit = np.isin(docs, pdocs, assume_unique=True)
+            scores[hit] *= 2.0
+        return top_k(docs, scores, k)
+
     # -- entry --------------------------------------------------------------
     def search(self, query: str, k: int = 10, mode: str = "or",
                role: str | None = None, role_weights: dict | None = None):
@@ -397,6 +449,8 @@ class SearchEngine:
         if pq_.kind == "phrase":
             return self.phrase(pq_.phrase, k)
         if pq_.kind == "boolean":
+            if mode == "complex":   # reference ComplexPhraseSearching parity
+                return self.boolean_complex(pq_.op, pq_.left, pq_.right, k)
             return self.boolean(pq_.op, pq_.left, pq_.right, k)
         if not pq_.terms:
             return _EMPTY_U64, _EMPTY_F64

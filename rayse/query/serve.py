@@ -43,9 +43,11 @@ class QueryActor:
     def local_df(self, terms: list[str]) -> dict[str, int]:
         return {t: self.engine.reader.df(t) for t in terms}
 
-    def search(self, query: str, k: int, mode: str, global_df: dict):
+    def search(self, query: str, k: int, mode: str, global_df: dict,
+               role: str | None = None, role_weights: dict | None = None):
         self.engine.global_df = global_df
-        docs, scores = self.engine.search(query, k, mode)
+        docs, scores = self.engine.search(query, k, mode, role=role,
+                                          role_weights=role_weights)
         return np.asarray(docs), np.asarray(scores)
 
 
@@ -76,9 +78,14 @@ class SearchCluster:
                                   for a in self.actors])
         return {t: sum(p[t] for p in partials) for t in terms}
 
-    def search(self, query: str, k: int = 10, mode: str = "or"):
+    def search(self, query: str, k: int = 10, mode: str = "or",
+               role: str | None = None, role_weights: dict | None = None):
+        """Role filter/boost (M6/A7) pass straight through: the role mask
+        and multiplier are per-posting, hence partition-local — the
+        per-part top-k union argument is unchanged."""
         gdf = self._global_df(query)
-        refs = [a.search.remote(query, k, mode, gdf) for a in self.actors]
+        refs = [a.search.remote(query, k, mode, gdf, role, role_weights)
+                for a in self.actors]
         parts = self._ray.get(refs)
         docs = np.concatenate([np.asarray(d, dtype=np.uint64)
                                for d, _ in parts])

@@ -109,6 +109,34 @@ class OracleIndex:
             raise ValueError(op)
         return self._topk(self.score_docs(sorted(docs), terms), k)
 
+    def boolean_complex(self, op, left, right, k: int = 10):
+        """ComplexPhraseSearching-parity oracle (running-score x2 per
+        matched phrase, log10(N/df) idf, tf = freq/doc_len)."""
+        l = set(self.phrase_docs(left))
+        r = set(self.phrase_docs(right))
+        if op == "AND":
+            docs = l & r
+        elif op == "OR":
+            docs = l | r
+        elif op == "NOT":
+            docs = l - r
+        else:
+            raise ValueError(op)
+        scores = {d: 0.0 for d in docs}
+        for phrase, pdocs in ((left, l), (right, r)):
+            for t in phrase:
+                pl = self.postings.get(t, {})
+                df = len(pl)
+                for d in docs:
+                    ps = pl.get(d)
+                    if ps:
+                        tf = len(ps) / max(self.doc_len[d], 1)
+                        scores[d] += tf * math.log10(self.n_docs / max(df, 1))
+            for d in docs:
+                if d in pdocs:
+                    scores[d] *= 2.0
+        return self._topk(scores, k)
+
     # -- role-scoped retrieval (M6/A7 oracle) --------------------------------
     def score_docs_weighted(self, docs, terms, role_weights=None):
         scores = {d: 0.0 for d in docs}

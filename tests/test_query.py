@@ -104,3 +104,30 @@ def test_empty_and_unknown_queries(engine, oracle):
         ed, _ = engine.search(q)
         od, _ = oracle.search(q)
         assert [int(x) for x in ed] == od == []
+
+
+def test_complex_boolean_parity(engine, oracle):
+    """Reference ComplexPhraseSearching scoring flag (mode="complex"):
+    rank-identical to the oracle reimplementation, including the
+    running-score x2-per-matched-phrase quirk and log10(N/df) idf."""
+    for q in QUERIES:
+        pq_ = parse_query(q)
+        if pq_.kind != "boolean":
+            continue
+        ed, es = engine.search(q, 10, mode="complex")
+        od, os_ = oracle.boolean_complex(pq_.op, list(pq_.left),
+                                         list(pq_.right), 10)
+        assert [int(x) for x in ed] == od, q
+        np.testing.assert_allclose(es, os_, rtol=0, atol=1e-12, err_msg=q)
+
+
+def test_complex_differs_from_canonical(engine):
+    """The flag is a real behavioral switch (scores differ from D2)."""
+    for q in QUERIES:
+        if parse_query(q).kind != "boolean":
+            continue
+        _, s_complex = engine.search(q, 10, mode="complex")
+        _, s_canon = engine.search(q, 10)
+        if s_complex.size and s_canon.size:
+            assert s_complex.tolist() != s_canon.tolist()
+            break

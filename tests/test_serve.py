@@ -33,3 +33,17 @@ def test_cluster_search_many(cluster, engine):
     for q, (cd, cs) in zip(qs, batch):
         ed, es = engine.search(q, 10)
         assert [int(x) for x in cd] == [int(x) for x in ed], q
+
+
+def test_serving_role_identity(cluster, engine):
+    """Distributed role-filtered/boosted search == single-process engine
+    (role ops are partition-local, so the per-part merge stays exact).
+    Reuses the module cluster — its 3 actors hold 3 of the session's 4
+    CPUs, so a second pool would pend forever."""
+    for q in ["table scan", "hash join merge"]:
+        for kwargs in ({"role": "assistant"},
+                       {"role_weights": {"assistant": 3.0, "user": 0.5}}):
+            dd, ds_ = cluster.search(q, 10, **kwargs)
+            ld, ls = engine.search(q, 10, **kwargs)
+            assert [int(x) for x in dd] == [int(x) for x in ld], (q, kwargs)
+            assert ds_.tolist() == ls.tolist(), (q, kwargs)
