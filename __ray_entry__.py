@@ -206,6 +206,20 @@ def _q_dedup_exact(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_bpe_token_count(sf_dir: str):
+    from rayse.ops.textstats import bpe_token_count
+
+    return bpe_token_count(sf_dir)
+
+
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster assignment (connected components over the verified
+    Jaccard pair graph; cluster id = keep-first canonical doc)."""
+    from rayse.ops.dedup import dedup_clusters
+
+    return dedup_clusters(sf_dir, shingle_k=1, threshold=0.9)
+
+
 def _q_quality_stats(sf_dir: str):
     from rayse.ops.textstats import quality_stats
 
@@ -441,7 +455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": _q_term_stats,
         # training-data ops (SQL-checked where expressible)
         "doc_token_count": _q_doc_token_count,
+        "bpe_token_count": _q_bpe_token_count,
         "dedup_exact": _q_dedup_exact,
+        "dedup_clusters": _q_dedup_clusters,
         "quality_stats": _q_quality_stats,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -572,6 +588,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, event_id, value, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 3
         """,
+        "bpe_token_count": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).bpe_token_count_sql(),
+        "dedup_clusters": __import__(
+            "rayse.ops.dedup", fromlist=["x"]).dedup_clusters_sql(0.9),
         "lang_id": __import__(
             "rayse.ops.textstats", fromlist=["x"]).lang_id_sql(),
         "ws_bm25_topk": __import__(

@@ -262,6 +262,74 @@ def jaccard_pairs(sf_dir: str, shingle_k: int = 3, threshold: float = 0.5,
     return verify_pairs_distributed(sf_dir, cand_pairs, shingle_k, threshold)
 
 
+def dedup_clusters(sf_dir: str, shingle_k: int = 3, threshold: float = 0.5,
+                   pairs: pa.Table | None = None):
+    """Near-dup CLUSTER assignment: connected components over the verified
+    near-dup pair graph; ``cluster_id`` = smallest doc_id in the component
+    (the keep-first canonical — SE4 semantics lifted from exact to near
+    duplicates). Only docs appearing in >= 1 pair get a row.
+
+    The pair graph comes from the exact prefix-filtered Jaccard join; the
+    component reduction (union-find with path compression) runs
+    driver-side over the PAIR SET — which is the already-reduced dedup
+    output, orders of magnitude smaller than the corpus. If a corpus ever
+    produces a pair graph too large for one machine, the same result
+    falls out of an iterated distributed min-label propagation
+    (map_batches join per round); the SQL oracle's recursive CTE is
+    exactly that algorithm."""
+    if pairs is None:
+        pairs = pa.Table.from_pylist(
+            jaccard_pairs(sf_dir, shingle_k, threshold).take_all())
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:        # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        label[r] = min(label.get(r, r), n)
+    nodes = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "cluster_id": pa.array([label[find(n)] for n in nodes], pa.int64()),
+    })
+
+
+def dedup_clusters_sql(threshold: float = 0.9) -> str:
+    """DuckDB oracle: the word-shingle (k=1) Jaccard pair graph + recursive
+    min-label propagation to the component minimum."""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= {threshold}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+lbl(node, lbl) AS (
+  SELECT a AS node, least(a, min(b)) AS lbl FROM edges GROUP BY a
+  UNION
+  SELECT e.a AS node, least(l.lbl, e.a) AS lbl
+  FROM edges e JOIN lbl l ON e.b = l.node)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM lbl GROUP BY node"""
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 _MH_PRIME = (1 << 61) - 1

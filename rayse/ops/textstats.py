@@ -34,6 +34,36 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
                      "n_tokens": pc.cast(n, pa.int64())})
 
 
+# GPT-2-style pre-tokenizer-lite, restricted to classes with identical
+# semantics in Python re and DuckDB's RE2 (no \p{L} in Python's re):
+# optional-space letter runs / digit runs / punctuation runs, else
+# whitespace runs. Alternation-order preference matches in both engines.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE = None
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish token counting (task brief): number of pre-tokenizer
+    segments per document under ``BPE_PATTERN`` — the per-doc unit a BPE
+    tokenizer's merge phase would start from. Pattern compiled once per
+    worker process."""
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+
+        _BPE_RE = re.compile(BPE_PATTERN)
+    n = np.fromiter((len(_BPE_RE.findall(t or ""))
+                     for t in batch["text"].to_pylist()),
+                    dtype=np.int64, count=len(batch))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_bpe_tokens": pa.array(n, pa.int64())})
+
+
+def bpe_token_count_sql() -> str:
+    return (f"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            f"'{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens FROM documents")
+
+
 def quality_stats_batch(batch: pa.Table) -> pa.Table:
     """Quality-scoring features: length, word stats, stopword ratio,
     punctuation ratio. Vectorized via pyarrow.compute kernels."""
@@ -197,6 +227,12 @@ def _docs(sf_dir: str):
 
 def token_count(sf_dir: str):
     return _docs(sf_dir).map_batches(token_count_batch,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
+def bpe_token_count(sf_dir: str):
+    return _docs(sf_dir).map_batches(bpe_token_count_batch,
                                      batch_format="pyarrow",
                                      zero_copy_batch=True)
 

@@ -224,3 +224,68 @@ def test_embedding_lsh_route_matches_exact(ray_session):
     lsh = embedding_neardup_pairs(SF, threshold=0.35, method="lsh").take_all()
     lsh = {(r["vec_a"], r["vec_b"]) for r in lsh}
     assert lsh == exact
+
+
+def test_dedup_clusters_bruteforce(ray_session, docs):
+    """Cluster assignment == connected components of the brute-force pair
+    graph, labeled by component minimum (BFS reimplementation)."""
+    from rayse.ops.dedup import dedup_clusters
+
+    pairs = _exact_jaccard_pairs(docs, 1, 0.8)
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            comp.append(n)
+            stack.extend(adj[n] - seen)
+        m = min(comp)
+        for n in comp:
+            want[n] = m
+
+    got = dedup_clusters(SF, shingle_k=1, threshold=0.8)
+    got = dict(zip(got["doc_id"].to_pylist(),
+                   got["cluster_id"].to_pylist()))
+    assert got == want
+
+
+def test_dedup_clusters_matches_duckdb(ray_session):
+    import duckdb
+
+    from rayse.ops.dedup import dedup_clusters, dedup_clusters_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(dedup_clusters_sql(0.9)).fetchdf()
+    got = dedup_clusters(SF, shingle_k=1, threshold=0.9).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = want.sort_values("doc_id").reset_index(drop=True).astype(
+        a.dtypes.to_dict())
+    assert a.equals(b)
+
+
+def test_bpe_token_count_matches_duckdb(ray_session):
+    import duckdb
+
+    from rayse.ops.textstats import bpe_token_count, bpe_token_count_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(bpe_token_count_sql()).fetchdf()
+    got = bpe_token_count(SF).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = want.sort_values("doc_id").reset_index(drop=True).astype(
+        a.dtypes.to_dict())
+    assert a.equals(b)
