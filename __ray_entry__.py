@@ -299,6 +299,12 @@ def _q_windowed_agg(sf_dir: str):
     return tumbling_agg(sf_dir, window_s=3600)
 
 
+def _q_hopping_agg(sf_dir: str):
+    from rayse.ops.windows import hopping_agg
+
+    return hopping_agg(sf_dir, window_s=3600, hop_s=900)
+
+
 def _q_sessionize(sf_dir: str):
     from rayse.ops.windows import sessionize
 
@@ -471,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         # windowed / ordered ops over the events log (SQL-checked)
         "windowed_agg": _q_windowed_agg,
+        "hopping_agg": _q_hopping_agg,
         "sessionize": _q_sessionize,
         "top_events_per_type": _q_top_events_per_type,
         # end-to-end result pipeline + retrieval ladder (rows-only)
@@ -554,6 +561,8 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(value) AS DOUBLE), 6) AS value_sum
             FROM events GROUP BY 1, 2
         """,
+        "hopping_agg": __import__(
+            "rayse.ops.windows", fromlist=["x"]).hopping_agg_sql(3600, 900),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,

@@ -216,7 +216,14 @@ def jaccard_pairs(sf_dir: str, shingle_k: int = 3, threshold: float = 0.5,
     shingles have maximal df, so they sort to the END of every doc's order
     and almost never enter a prefix — pair generation is df-bounded instead
     of quadratic in the hottest shingle's df (the round-1 blowup: one
-    shingle in 1e6 docs emitted 5e11 pairs)."""
+    shingle in 1e6 docs emitted 5e11 pairs).
+
+    Scale note: the per-key ``map_groups`` stages pay Ray's per-group
+    Python-call overhead (~0.2 ms/group) — the repo-wide idiom for keyed
+    work (windows/sessionize use it per user). At extreme key cardinality
+    (1e9+ distinct shingles), the established alternative is the index
+    build's own file-based exchange (write partitioned by hash(key),
+    vectorize whole partitions), which this join would adopt wholesale."""
     import math
 
     import ray.data as rd

@@ -127,3 +127,68 @@ def top_n_per_group(sf_dir: str, n: int = 3):
 
     return (ds.groupby("event_type")
             .map_groups(top_of_group, batch_format="pyarrow"))
+
+
+def hopping_agg(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
+    """Per (event_type, HOPPING window): count + value sum. Overlapping
+    windows (size ``window_s``, advancing every ``hop_s``; ``window_s``
+    must be a multiple of ``hop_s``): each event belongs to exactly
+    ``window_s/hop_s`` windows — exploded vectorized (constant factor,
+    one np.repeat per batch), then ONE groupby aggregate. The same
+    constant-factor explode + hash-agg shape holds at any scale."""
+    import ray.data as rd
+
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k = window_s // hop_s
+    ds = _events(sf_dir)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()      # microseconds
+        base = ts // (hop_s * 1_000_000)                  # hop index
+        offs = np.arange(k, dtype=np.int64)
+        starts = ((base[:, None] - offs[None, :]) * hop_s).reshape(-1)
+        n = len(batch)
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        et = (batch["event_type"].combine_chunks()
+              if isinstance(batch["event_type"], pa.ChunkedArray)
+              else batch["event_type"]).take(pa.array(idx, pa.int64()))
+        val = (batch["value"].combine_chunks()
+               if isinstance(batch["value"], pa.ChunkedArray)
+               else batch["value"]).take(pa.array(idx, pa.int64()))
+        return pa.table({
+            "event_type": et,
+            "window_start": pa.array(starts, pa.int64()),
+            "value": val,
+        })
+
+    agg = (ds.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "window_start"])
+           .aggregate(rd.aggregate.Count(), rd.aggregate.Sum("value")))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n_events": pa.compute.cast(batch["count()"], pa.int64()),
+            "value_sum": pa.array(
+                np.round(batch["sum(value)"].to_numpy(zero_copy_only=False)
+                         .astype(np.float64), 6), pa.float64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def hopping_agg_sql(window_s: int = 3600, hop_s: int = 900) -> str:
+    k = window_s // hop_s
+    offs = ", ".join(str(i) for i in range(k))
+    return f"""
+        SELECT event_type,
+               ((epoch_us(ts) // {hop_s * 1_000_000}) - i.i) * {hop_s}
+                 AS window_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(value) AS DOUBLE), 6) AS value_sum
+        FROM events, UNNEST([{offs}]) AS i(i)
+        GROUP BY 1, 2
+    """

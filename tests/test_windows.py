@@ -62,3 +62,24 @@ def test_sessionize_gap_semantics(ray_session):
         for a, b in zip(rows, rows[1:]):
             # consecutive sessions are separated by more than the gap
             assert b["start_ts"] - a["end_ts"] > 1800 * 1_000_000
+
+
+def test_hopping_agg_matches_duckdb(ray_session):
+    import duckdb
+
+    from rayse.ops.windows import hopping_agg, hopping_agg_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(hopping_agg_sql(3600, 900)).fetchdf()
+    got = hopping_agg(SF, 3600, 900).to_pandas()
+    keys = ["event_type", "window_start"]
+    a = got.sort_values(keys).reset_index(drop=True)
+    b = want.sort_values(keys).reset_index(drop=True)[list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    assert a.equals(b)
+    # every tumbling count is <= the containing hopping-window count, and
+    # each event lands in exactly window/hop windows
+    assert got["n_events"].sum() == 4 * con.execute(
+        "SELECT count(*) FROM events").fetchone()[0]
