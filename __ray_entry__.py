@@ -601,6 +601,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).bpe_token_count_sql(),
         "dedup_clusters": __import__(
             "rayse.ops.dedup", fromlist=["x"]).dedup_clusters_sql(0.9),
+        "fingerprints": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).fingerprint_sql(4),
         "lang_id": __import__(
             "rayse.ops.textstats", fromlist=["x"]).lang_id_sql(),
         "ws_bm25_topk": __import__(

@@ -216,6 +216,33 @@ def fingerprint_batch(batch: pa.Table, window: int = 4) -> pa.Table:
                      "fingerprint": pa.array(fps, pa.uint64())})
 
 
+def fingerprint_sql(window: int = 4) -> str:
+    """DuckDB oracle for ``fingerprints``: the FNV-1a fold runs as a
+    HUGEINT ``list_reduce`` over per-character codes (exact mod-2^64
+    arithmetic). Valid for ASCII corpora (``ascii(c)`` = byte value only
+    there — true of the sf tables; the Python side hashes UTF-8 bytes)."""
+    return f"""
+WITH g AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {window} THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(list_slice(w, j + 1, j + {window}), ' ')
+                    FOR j IN range(len(w) - {window - 1})]
+         END AS gs
+  FROM g),
+hashed AS (
+  SELECT doc_id,
+         [list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+                         [ascii(c)::HUGEINT FOR c IN string_split(gram, '')]),
+            (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT)
+          FOR gram IN gs] AS hs
+  FROM grams)
+SELECT doc_id, CAST(list_min(hs) AS UBIGINT) AS fingerprint FROM hashed"""
+
+
 # -- dataset-level wrappers --------------------------------------------------
 
 def _docs(sf_dir: str):

@@ -289,3 +289,19 @@ def test_bpe_token_count_matches_duckdb(ray_session):
     b = want.sort_values("doc_id").reset_index(drop=True).astype(
         a.dtypes.to_dict())
     assert a.equals(b)
+
+
+def test_fingerprints_match_duckdb(ray_session):
+    import duckdb
+
+    from rayse.ops.textstats import fingerprint_sql, fingerprints
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(fingerprint_sql(4)).fetchdf()
+    got = fingerprints(SF).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = want.sort_values("doc_id").reset_index(drop=True).astype(
+        a.dtypes.to_dict())
+    assert a.equals(b)
