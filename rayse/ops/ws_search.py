@@ -171,6 +171,37 @@ def ws_bm25_topk(index_dir: str, queries: list[str] | None = None,
     })
 
 
+def ws_term_stats(index_dir: str) -> pa.Table:
+    """Global term dictionary (term, df, cf) from the whitespace index's
+    per-part segment stats — the A1-A3 words/word_idf analog under a SQL
+    oracle (per-part partial sums -> one vocab-sized aggregate)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    reader, _ = _ws_reader(index_dir)
+    tbls = [pq.read_table(f, columns=["term", "df", "cf"])
+            for f in sorted(glob.glob(os.path.join(
+                index_dir, "segments", "part=*", "segment.parquet")))]
+    t = pa.concat_tables(tbls)
+    df = t.to_pandas().groupby("term", as_index=False).agg(
+        df=("df", "sum"), cf=("cf", "sum"))
+    df = df.sort_values("term").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def ws_term_stats_sql() -> str:
+    return f"""
+WITH {_TURNS_CTE},
+tok AS (SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS term
+        FROM turns),
+tf AS (SELECT conv_id, turn_idx, term, count(*) AS tf
+       FROM tok GROUP BY 1, 2, 3)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf GROUP BY term"""
+
+
 def ws_phrase_matches(index_dir: str,
                       phrases: list[str] | None = None) -> pa.Table:
     """ALL turns containing each phrase as adjacent tokens — the positional

@@ -66,3 +66,12 @@ def test_ws_role_matches_duckdb(ws_index, con):
     want = con.execute(ws_bm25_sql(assistant_only=True)).fetchdf()
     assert len(want) > 0
     _cmp(got, want, ["query", "rank"])
+
+
+def test_ws_term_stats_matches_duckdb(ws_index, con):
+    from rayse.ops.ws_search import ws_term_stats, ws_term_stats_sql
+
+    got = ws_term_stats(ws_index)
+    want = con.execute(ws_term_stats_sql()).fetchdf()
+    assert len(want) > 10   # word-soup corpus: ~31 distinct words
+    _cmp(got, want, ["term"])
