@@ -84,13 +84,23 @@ def exact_dedup(sf_dir: str):
 
 # -- exact n-gram Jaccard ----------------------------------------------------
 
-def _explode_shingles(ds, shingle_k: int):
+def _explode_shingles(ds, shingle_k: int, cand_ref=None):
     """documents Dataset -> (doc_id, sh, set_size) rows, one per DISTINCT
-    shingle per doc."""
+    shingle per doc. ``cand_ref``: optional ray.ObjectRef of a container of
+    doc_ids — only those docs explode (the semi-join filter shared with
+    pair verification; ONE copy of the shingling loop to keep candidate
+    generation and verification in sync)."""
     def explode(batch: pa.Table) -> pa.Table:
+        cand = None
+        if cand_ref is not None:
+            import ray
+
+            cand = ray.get(cand_ref)
         docs, shs, sizes = [], [], []
         for did, t in zip(batch["doc_id"].to_pylist(),
                           batch["text"].to_pylist()):
+            if cand is not None and did not in cand:
+                continue
             sset = _word_shingles(t, shingle_k)
             for s in sset:
                 docs.append(did)
@@ -135,22 +145,7 @@ def verify_pairs_distributed(sf_dir: str, cand_pairs, shingle_k: int,
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-
-    def explode_cands(batch: pa.Table) -> pa.Table:
-        p = ray.get(ref)
-        docs, shs, sizes = [], [], []
-        for did, t in zip(batch["doc_id"].to_pylist(),
-                          batch["text"].to_pylist()):
-            if did not in p:
-                continue
-            sset = _word_shingles(t, shingle_k)
-            for s in sset:
-                docs.append(did)
-                shs.append(_hash64(s))
-                sizes.append(len(sset))
-        return pa.table({"doc_id": pa.array(docs, pa.int64()),
-                         "sh": pa.array(shs, pa.int64()),
-                         "set_size": pa.array(sizes, pa.int64())})
+    exploded = _explode_shingles(ds, shingle_k, cand_ref=ref)
 
     def pairs_in_candset(group: pa.Table) -> pa.Table:
         p = ray.get(ref)
@@ -171,8 +166,7 @@ def verify_pairs_distributed(sf_dir: str, cand_pairs, shingle_k: int,
                          "sa": pa.array(osa, pa.int64()),
                          "sb": pa.array(osb, pa.int64())})
 
-    pair_counts = (ds.map_batches(explode_cands, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+    pair_counts = (exploded
                    .groupby("sh")
                    .map_groups(pairs_in_candset, batch_format="pyarrow")
                    .groupby(["a", "b", "sa", "sb"])
@@ -224,8 +218,6 @@ def jaccard_pairs(sf_dir: str, shingle_k: int = 3, threshold: float = 0.5,
     (1e9+ distinct shingles), the established alternative is the index
     build's own file-based exchange (write partitioned by hash(key),
     vectorize whole partitions), which this join would adopt wholesale."""
-    import math
-
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -236,11 +228,26 @@ def jaccard_pairs(sf_dir: str, shingle_k: int = 3, threshold: float = 0.5,
         return group.append_column(
             "df", pa.array(np.full(len(group), len(group), dtype=np.int64)))
 
+    # ceil(t*n) without float overshoot: math.ceil(0.28*25) == 8 (the
+    # double 0.28 is a hair ABOVE 7/25), which would shorten the prefix
+    # below the theorem's minimum and silently DROP the J == 7/25 pair the
+    # float verification accepts. Exact rational ceil, with remainders
+    # below 2^-40 relative (pure float-representation artifacts — any real
+    # fraction at feasible n is vastly larger) treated as zero. Erring to
+    # LONGER prefixes is always safe: verification is exact.
+    t_num, t_den = float(threshold).as_integer_ratio()
+
+    def _ceil_tn(n: int) -> int:
+        q, rem = divmod(t_num * n, t_den)
+        if rem and rem * (1 << 40) >= t_den:
+            q += 1
+        return q
+
     def doc_prefix(group: pa.Table) -> pa.Table:
         sh = group["sh"].to_numpy(zero_copy_only=False)
         df = group["df"].to_numpy(zero_copy_only=False)
         n = sh.size
-        p = n - math.ceil(threshold * n) + 1
+        p = n - _ceil_tn(n) + 1
         idx = np.lexsort((sh, df))[:p]
         return pa.table({
             "doc_id": group["doc_id"].take(pa.array(idx, pa.int64())),
@@ -541,6 +548,15 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4,
         n_rows = pq.ParquetFile(
             f"{sf_dir}/embeddings.parquet").metadata.num_rows
         method = "exact" if n_rows <= max_exact_rows else "lsh"
+        if method == "lsh":
+            import warnings
+
+            warnings.warn(
+                f"embedding_neardup_pairs: {n_rows} rows > "
+                f"max_exact_rows={max_exact_rows}; routing to the "
+                "APPROXIMATE LSH path (P_miss ~ (1-p^bits)^tables). Pass "
+                "method='exact' to force the O(n^2) exact join.",
+                stacklevel=2)
     if method == "lsh":
         return _embedding_lsh_pairs(sf_dir, threshold, lsh_tables, lsh_bits)
 

@@ -18,14 +18,18 @@ import pyarrow as pa
 
 def _mat_from_list(col) -> np.ndarray:
     """``list<float>`` column -> (n, dim) float64 matrix via Arrow flatten +
-    reshape (zero-copy from the value buffer; the only copy is the float64
-    cast)."""
+    reshape. Always WRITABLE: for list<float64> the zero-copy view is
+    read-only and every caller normalizes in place, so that case pays one
+    explicit copy (float32 already copies via the cast)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
     flat = arr.flatten().to_numpy(zero_copy_only=False)
     if n == 0:
         return np.empty((0, 0), dtype=np.float64)
-    return flat.astype(np.float64, copy=False).reshape(n, -1)
+    m = flat.astype(np.float64, copy=False)
+    if not m.flags.writeable:
+        m = m.copy()
+    return m.reshape(n, -1)
 
 
 def _ids_from(col) -> np.ndarray:

@@ -162,19 +162,28 @@ def hopping_agg(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
             "value": val,
         })
 
+    # float policy (see rayse.ops.relational): per-ROW half-away integer
+    # micros, summed as int64 — order-independent exactness; rounding the
+    # float SUM would flip on summation-order boundaries
     agg = (ds.map_batches(keyed, batch_format="pyarrow",
                           zero_copy_batch=True)
+           .map_batches(lambda b: pa.table({
+               "event_type": b["event_type"],
+               "window_start": b["window_start"],
+               "micros": pa.array(np.floor(
+                   b["value"].to_numpy(zero_copy_only=False)
+                   * 1e6 + 0.5).astype(np.int64), pa.int64()),
+           }), batch_format="pyarrow")
            .groupby(["event_type", "window_start"])
-           .aggregate(rd.aggregate.Count(), rd.aggregate.Sum("value")))
+           .aggregate(rd.aggregate.Count(), rd.aggregate.Sum("micros")))
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({
             "event_type": batch["event_type"],
             "window_start": batch["window_start"],
             "n_events": pa.compute.cast(batch["count()"], pa.int64()),
-            "value_sum": pa.array(
-                np.round(batch["sum(value)"].to_numpy(zero_copy_only=False)
-                         .astype(np.float64), 6), pa.float64()),
+            "value_sum_micros": pa.compute.cast(batch["sum(micros)"],
+                                                pa.int64()),
         })
 
     return agg.map_batches(rename, batch_format="pyarrow")
@@ -188,7 +197,8 @@ def hopping_agg_sql(window_s: int = 3600, hop_s: int = 900) -> str:
                ((epoch_us(ts) // {hop_s * 1_000_000}) - i.i) * {hop_s}
                  AS window_start,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(CAST(sum(value) AS DOUBLE), 6) AS value_sum
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS value_sum_micros
         FROM events, UNNEST([{offs}]) AS i(i)
         GROUP BY 1, 2
     """

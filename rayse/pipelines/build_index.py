@@ -331,9 +331,12 @@ class MergeWorker:
 
         # single-threaded read: each merge actor owns one CPU; a threaded
         # arrow read pool per actor would thrash at pool_size x cpu threads
-        tbl = pads.dataset(run_files).to_table(
-            columns=["term", "df", "cf", "min_doc", "doc_ids",
-                     "tfs", "dls", "roles", "positions"], use_threads=False)
+        dset = pads.dataset(run_files)
+        cols = ["term", "df", "cf", "min_doc", "doc_ids",
+                "tfs", "dls", "positions"]
+        if "roles" in dset.schema.names:   # absent in pre-role run files
+            cols.insert(7, "roles")
+        tbl = dset.to_table(columns=cols, use_threads=False)
         tbl = tbl.sort_by([("term", "ascending"), ("min_doc", "ascending")])
         seg_tbl, n_terms, n_postings = self._merge_table(
             tbl, avgdl if avgdl > 0 else 1.0)
@@ -399,8 +402,15 @@ class MergeWorker:
         term_id = np.repeat(term_id_row, df_row)
         uniq_codes = tcodes[new_term]   # term_id -> dictionary code
 
-        roles_all = np.frombuffer(b"".join(tbl["roles"].to_pylist()),
-                                  dtype=np.uint8)
+        if "roles" in tbl.column_names:
+            # mixed legacy/new runs surface missing blobs as None: code 0
+            roles_all = np.frombuffer(
+                b"".join(b if b is not None else b"\x00" * int(d)
+                         for b, d in zip(tbl["roles"].to_pylist(),
+                                         df_row.tolist())),
+                dtype=np.uint8)
+        else:                              # pre-role index (append path)
+            roles_all = np.zeros(n_post, dtype=np.uint8)
 
         order = np.lexsort((doc_abs, term_id))
         sd = doc_abs[order]
@@ -857,6 +867,22 @@ def append_index(out_dir: str, new_input: str | list[str], *,
     t0 = time.perf_counter()
     with open(os.path.join(out_dir, "index_meta.json")) as f:
         meta = json.load(f)
+    # pre-role part manifests carry no "avgdl"; their block_max WAS built
+    # with the pre-append avgdl — backfill it NOW (before stats change) so
+    # the reader's bound correction stays exact for untouched legacy parts
+    try:
+        with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+            old_avgdl = json.load(f).get("avgdl")
+    except OSError:
+        old_avgdl = None
+    if old_avgdl:
+        for mp in glob.glob(os.path.join(out_dir, "_manifest",
+                                         "part-*.json")):
+            with open(mp) as f:
+                man = json.load(f)
+            if "avgdl" not in man:
+                man["avgdl"] = old_avgdl
+                _atomic_write_json(mp, man)
     from ..config import BM25Params
 
     cfg = IndexConfig(

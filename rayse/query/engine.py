@@ -183,6 +183,8 @@ def score_docs(reader, docs: np.ndarray, terms, idfs,
             contrib = idf * bm25_tf(pl.tfs[j_c[present]],
                                     pl.dls[j_c[present]], avgdl, params)
             if role_lut is not None:
+                if pl.roles is None:
+                    raise ValueError("index was built without role stats")
                 contrib = contrib * role_lut[pl.roles[j_c[present]]]
             scores[present] += contrib
     return scores
@@ -244,14 +246,29 @@ class SearchEngine:
             lut[code] = float(w)
         return lut
 
-    def _role_of_docs(self, docs: np.ndarray, term: str) -> np.ndarray:
-        """Role codes of docs, probed from any posting list containing them
-        all (a turn has one role, so any term's postings agree)."""
-        pl = self.reader.merged(term)
-        if pl.roles is None:
-            raise ValueError("index was built without role stats")
-        j = np.searchsorted(pl.doc_ids, docs)
-        return pl.roles[j]
+    def _role_of_docs(self, docs: np.ndarray, terms) -> np.ndarray:
+        """Role codes of docs, probed from the given terms' posting lists
+        (a turn has one role, so any containing term agrees). Every doc
+        must appear in at least one term's postings — raises otherwise
+        (an unguarded searchsorted would return a NEIGHBOR's role)."""
+        if isinstance(terms, str):
+            terms = [terms]
+        out = np.zeros(docs.size, dtype=np.uint8)
+        found = np.zeros(docs.size, dtype=bool)
+        for t in terms:
+            pl = self.reader.merged(t)
+            if pl is None:
+                continue
+            if pl.roles is None:
+                raise ValueError("index was built without role stats")
+            j = np.searchsorted(pl.doc_ids, docs)
+            j_c = np.minimum(j, pl.doc_ids.size - 1)
+            hit = (pl.doc_ids[j_c] == docs) & ~found
+            out[hit] = pl.roles[j_c[hit]]
+            found |= hit
+        if not found.all():
+            raise ValueError("doc(s) absent from every probed term")
+        return out
 
     def regular_role(self, terms, k: int = 10, role: str | None = None,
                      role_weights: dict | None = None):

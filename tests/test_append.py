@@ -108,3 +108,58 @@ def test_append_idempotent(dirs, tmp_path_factory):
         m = json.load(f)
     assert m["remerged_parts"] == 0
     assert m["appended_turns"] == 0 or again.part_manifests == []
+
+
+def test_append_to_legacy_index(ray_session, tmp_path):
+    """Appending to a pre-role index (run files and segments without the
+    'roles' column, part manifests without 'avgdl') must work: merges
+    tolerate missing blobs (role code 0), and the pre-append avgdl is
+    backfilled into legacy part manifests so untouched parts' block-max
+    correction stays exact."""
+    import shutil
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    pq.write_table(generate_block(0, 100), str(a / "000.parquet"))
+    pq.write_table(generate_block(100, 104), str(b / "001.parquet"))
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(part_bits=4)
+    build_index(str(a), idx, cfg, shard_target_bytes=1,
+                concurrency=3, merge_concurrency=3)
+
+    # simulate a round-1 index: strip roles from runs + segments, drop
+    # avgdl from part manifests
+    for f in glob.glob(os.path.join(idx, "runs", "shard=*", "part=*",
+                                    "*.parquet")):
+        t = pq.read_table(f)
+        pq.write_table(t.drop_columns(["roles"]), f)
+    for f in glob.glob(os.path.join(idx, "segments", "part=*",
+                                    "segment.parquet")):
+        t = pq.read_table(f)
+        pq.write_table(t.drop_columns(["roles"]), f)
+    for f in glob.glob(os.path.join(idx, "_manifest", "part-*.json")):
+        with open(f) as fh:
+            man = json.load(fh)
+        man.pop("avgdl", None)
+        with open(f, "w") as fh:
+            json.dump(man, fh)
+
+    res = append_index(idx, str(b), shard_target_bytes=1,
+                       concurrency=3, merge_concurrency=3)
+    assert res.n_docs > 0 and res.part_manifests
+
+    # legacy manifests got the pre-append avgdl backfilled
+    remerged = {m["part"] for m in res.part_manifests}
+    for f in glob.glob(os.path.join(idx, "_manifest", "part-*.json")):
+        with open(f) as fh:
+            man = json.load(fh)
+        assert "avgdl" in man, f
+
+    # index is queryable and the block-max path stays exact
+    eng = SearchEngine(idx)
+    for q in QUERIES:
+        d_bm, s_bm = eng.search(q, 10)
+        d_ex, s_ex = eng.search(q, 10, mode="exhaustive")
+        assert [int(x) for x in d_bm] == [int(x) for x in d_ex], q
+    assert 0 < len(remerged)

@@ -305,3 +305,46 @@ def test_fingerprints_match_duckdb(ray_session):
     b = want.sort_values("doc_id").reset_index(drop=True).astype(
         a.dtypes.to_dict())
     assert a.equals(b)
+
+
+def test_float64_embeddings_supported(ray_session, tmp_path):
+    """list<float64> embedding columns (zero-copy arrow views are
+    read-only) must not crash the in-place normalization paths."""
+    import numpy as np
+
+    from rayse.ops.dedup import embedding_neardup_pairs
+    from rayse.ops.similarity import ann_topk
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((24, 8))
+    tbl = pa.table({
+        "vec_id": pa.array(range(24), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in mat],
+                              pa.list_(pa.float64())),
+    })
+    d = tmp_path / "f64"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    top = ann_topk(str(d), n_queries=2, k=3)
+    assert top.num_rows == 6
+    embedding_neardup_pairs(str(d), threshold=0.5,
+                            method="exact").take_all()
+    embedding_neardup_pairs(str(d), threshold=0.5, method="lsh").take_all()
+
+
+def test_jaccard_prefix_float_ceil_regression(ray_session, tmp_path):
+    """threshold*n float overshoot (0.28*25 -> ceil 8 instead of 7) used
+    to shorten prefixes and silently drop qualifying pairs."""
+    from rayse.ops.dedup import jaccard_pairs
+
+    shared = [f"s{i:02d}" for i in range(7)]        # df=2 -> sort last
+    only_a = [f"a{i:02d}" for i in range(18)]       # df=1
+    texts = [" ".join(only_a + shared), " ".join(shared)]
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(texts)})
+    d = tmp_path / "ceil"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    # J(A, B) = 7/25 = 0.28 exactly >= threshold
+    got = jaccard_pairs(str(d), shingle_k=1, threshold=0.28).take_all()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}

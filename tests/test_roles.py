@@ -72,8 +72,7 @@ def test_role_boost_promotes_role(engine, oracle):
             continue
         boosted, _ = engine.search(
             q, 5, role_weights={"assistant": 1e6})
-        roles = engine._role_of_docs(boosted,
-                                     next(iter(pq_.terms)))
+        roles = engine._role_of_docs(boosted, list(pq_.terms))
         n_assist = min(5, filt.size)
         from rayse.index.segments import ROLE_CODES
 
