@@ -220,6 +220,14 @@ def _q_dedup_clusters(sf_dir: str):
     return dedup_clusters(sf_dir, shingle_k=1, threshold=0.9)
 
 
+def _q_near_dedup_keep(sf_dir: str):
+    """Cleaned-corpus doc_ids after near-dup removal (keep-first per
+    connected component)."""
+    from rayse.ops.dedup import near_dedup_keep
+
+    return near_dedup_keep(sf_dir, shingle_k=1, threshold=0.9)
+
+
 def _q_quality_stats(sf_dir: str):
     from rayse.ops.textstats import quality_stats
 
@@ -472,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": _q_bpe_token_count,
         "dedup_exact": _q_dedup_exact,
         "dedup_clusters": _q_dedup_clusters,
+        "near_dedup_keep": _q_near_dedup_keep,
         "quality_stats": _q_quality_stats,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -612,6 +621,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.dedup", fromlist=["x"]).dedup_clusters_sql(0.9),
         "fingerprints": __import__(
             "rayse.ops.textstats", fromlist=["x"]).fingerprint_sql(4),
+        "near_dedup_keep": __import__(
+            "rayse.ops.dedup", fromlist=["x"]).near_dedup_keep_sql(0.9),
         "lang_id": __import__(
             "rayse.ops.textstats", fromlist=["x"]).lang_id_sql(),
         "ws_bm25_topk": __import__(

@@ -344,6 +344,42 @@ lbl(node, lbl) AS (
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM lbl GROUP BY node"""
 
 
+def near_dedup_keep(sf_dir: str, shingle_k: int = 3,
+                    threshold: float = 0.5):
+    """THE training-data dedup output: doc_ids surviving near-duplicate
+    removal — every doc except non-canonical cluster members (keep-first
+    per connected component). The tiny drop set broadcasts; the keep
+    filter streams over the corpus (never materialized)."""
+    import ray
+    import ray.data as rd
+
+    clusters = dedup_clusters(sf_dir, shingle_k, threshold)
+    drop = {int(d) for d, c in zip(clusters["doc_id"].to_pylist(),
+                                   clusters["cluster_id"].to_pylist())
+            if d != c}
+    ref = ray.put(drop)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dset = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(i) not in dset for i in ids),
+                           dtype=bool, count=ids.size)
+        return pa.table({"doc_id": pa.array(ids[mask], pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def near_dedup_keep_sql(threshold: float = 0.9) -> str:
+    return f"""
+WITH clusters AS ({dedup_clusters_sql(threshold)})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters
+                     WHERE doc_id != cluster_id)"""
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 _MH_PRIME = (1 << 61) - 1

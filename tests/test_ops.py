@@ -348,3 +348,20 @@ def test_jaccard_prefix_float_ceil_regression(ray_session, tmp_path):
     # J(A, B) = 7/25 = 0.28 exactly >= threshold
     got = jaccard_pairs(str(d), shingle_k=1, threshold=0.28).take_all()
     assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}
+
+
+def test_near_dedup_keep_matches_duckdb(ray_session):
+    import duckdb
+
+    from rayse.ops.dedup import near_dedup_keep, near_dedup_keep_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = sorted(r[0] for r in
+                  con.execute(near_dedup_keep_sql(0.9)).fetchall())
+    got = sorted(r["doc_id"] for r in
+                 near_dedup_keep(SF, shingle_k=1, threshold=0.9).take_all())
+    assert got == want
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(got) < n_docs     # something kept, something dropped
