@@ -111,6 +111,16 @@ class IndexReader:
         self.parts = [PartReader(d, bs, self._bound_scale(d))
                       for d in part_dirs]
         self._merged: dict[str, DecodedPostings | None] = {}
+        # role-integrity: role-scoped queries are sound only when every
+        # posting carries a REAL role code (build/append record the flag;
+        # for older indexes fall back to "all loaded parts have the roles
+        # column" — an index with any pre-role part raises uniformly
+        # instead of silently excluding its postings from role results)
+        rr = self.meta.get("roles_real")
+        if rr is None:
+            rr = bool(self.parts) and all(
+                "roles" in p._tbl.column_names for p in self.parts)
+        self.roles_real = bool(rr)
 
     def _bound_scale(self, part_dir: str) -> float:
         """Exact block-max correction for parts merged under an older

@@ -145,6 +145,13 @@ def hopping_agg(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
 
     def keyed(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy()      # microseconds
+        # SQL-parity precondition (same policy as rayse.ops.relational):
+        # python // is floor division while the oracle's epoch_us(ts)//N
+        # truncates toward zero, so the two diverge for pre-epoch
+        # timestamps — guard instead of silently mismatching
+        if ts.size and ts.min() < 0:
+            raise ValueError("hopping_agg requires non-negative (post-epoch)"
+                             " timestamps for SQL-oracle parity")
         base = ts // (hop_s * 1_000_000)                  # hop index
         offs = np.arange(k, dtype=np.int64)
         starts = ((base[:, None] - offs[None, :]) * hop_s).reshape(-1)
@@ -164,15 +171,20 @@ def hopping_agg(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
 
     # float policy (see rayse.ops.relational): per-ROW half-away integer
     # micros, summed as int64 — order-independent exactness; rounding the
-    # float SUM would flip on summation-order boundaries
+    # float SUM would flip on summation-order boundaries. Sign-aware
+    # half-AWAY-FROM-ZERO (sign * floor(|v|*1e6 + 0.5)) matches DuckDB
+    # round() for negative values too — plain floor(v*1e6+0.5) is half-UP
+    # and flips the x.5 boundary for v < 0
+    def _micros(v: np.ndarray) -> np.ndarray:
+        return (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)).astype(np.int64)
+
     agg = (ds.map_batches(keyed, batch_format="pyarrow",
                           zero_copy_batch=True)
            .map_batches(lambda b: pa.table({
                "event_type": b["event_type"],
                "window_start": b["window_start"],
-               "micros": pa.array(np.floor(
-                   b["value"].to_numpy(zero_copy_only=False)
-                   * 1e6 + 0.5).astype(np.int64), pa.int64()),
+               "micros": pa.array(_micros(
+                   b["value"].to_numpy(zero_copy_only=False)), pa.int64()),
            }), batch_format="pyarrow")
            .groupby(["event_type", "window_start"])
            .aggregate(rd.aggregate.Count(), rd.aggregate.Sum("micros")))

@@ -191,7 +191,19 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
     n_read_blocks = max(2 * int(ray.cluster_resources().get("CPU", 4)),
                         len(files))
     cols = ["conv_id", "turn_idx", "text"]
-    if "role" in pq.ParquetFile(files[0]).schema_arrow.names:
+    # role detection must inspect EVERY file: a shard mixing role-bearing
+    # and role-less parquet would either fail the columns= read or silently
+    # index part of the corpus as role 0 — refuse it explicitly
+    with_role = ["role" in pq.ParquetFile(f).schema_arrow.names
+                 for f in files]
+    has_role = all(with_role)
+    if any(with_role) and not has_role:
+        bad = [f for f, w in zip(files, with_role) if not w]
+        raise ValueError(
+            f"shard {shard_id} mixes role-bearing and role-less parquet "
+            f"files (role column missing from {bad[:3]}...); add the "
+            "column or split the inputs")
+    if has_role:
         cols.append("role")     # M6 role-scoped posting stats
     ds = rd.read_parquet(files, columns=cols,
                          override_num_blocks=n_read_blocks)
@@ -249,6 +261,7 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
         "shard": shard_id,
         "files": files,
         "n_turns": int(n_turns),
+        "has_role": has_role,
         "strategy": strategy,
         "wall_s": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1) if wall > 0 else None,
@@ -791,6 +804,18 @@ def build_index(input_path: str | list[str], out_dir: str,
     n_docs = sum(m["n_turns"] for m in shard_mans)
     stats = compute_corpus_stats(out_dir, n_docs)
 
+    # per-index role-integrity flag: role queries are only sound when EVERY
+    # shard carried real role data (a role-less shard's postings are all
+    # code 0 and would silently vanish from role-scoped results). Missing
+    # has_role (pre-round-3 manifests) defaults to True: those builds read
+    # the role column whenever files[0] had one.
+    meta_path = os.path.join(out_dir, "index_meta.json")
+    with open(meta_path) as f:
+        meta_now = json.load(f)
+    meta_now["roles_real"] = all(m.get("has_role", True)
+                                 for m in shard_mans) if shard_mans else False
+    _atomic_write_json(meta_path, meta_now)
+
     # Stateful actor-pool k-way merge (north rule): raw Ray actors with a
     # dynamic work queue — the part list is fixed, ActorPool load-balances
     # uneven parts. Created after phase 1 so actor spin-up (process fork +
@@ -937,6 +962,23 @@ def append_index(out_dir: str, new_input: str | list[str], *,
         with open(p) as f:
             n_docs += json.load(f)["n_turns"]
     stats = compute_corpus_stats(out_dir, n_docs)
+
+    # role-integrity after append: appending onto a PRE-ROLE index
+    # backfills legacy postings as role code 0 in re-merged parts while
+    # untouched parts carry no roles at all — role queries would behave
+    # differently depending on which parts a term touches. Record one
+    # uniform per-index flag (the reader/engine raise on role queries when
+    # it is false) instead of depending on per-term part coverage.
+    old_real = meta.get("roles_real")
+    if old_real is None:
+        seg_files = glob.glob(os.path.join(out_dir, "segments", "part=*",
+                                           "segment.parquet"))
+        old_real = bool(seg_files) and all(
+            "roles" in pq.ParquetFile(s).schema_arrow.names
+            for s in seg_files)
+    meta["roles_real"] = bool(old_real) and all(
+        m.get("has_role", True) for m in new_mans)
+    _atomic_write_json(os.path.join(out_dir, "index_meta.json"), meta)
 
     # parts touched by any new shard re-merge with the new avgdl; a part
     # whose manifest already reflects the current inputs+avgdl (crash

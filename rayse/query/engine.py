@@ -305,6 +305,35 @@ class SearchEngine:
                        self.params, role_lut=self._role_lut(role_weights))
         return top_k(docs, s, k)
 
+    def conjunctive_role(self, terms, k: int = 10, role: str | None = None,
+                         role_weights: dict | None = None):
+        """Conjunctive (all-terms) search restricted to a role and/or with
+        per-role boosts — J5 ∘ M6: rarest-first intersection, then a role
+        post-filter on the candidate set (role is a doc attribute), then
+        BM25 scoring with the optional per-role multiplier LUT."""
+        from ..index.segments import ROLE_CODES
+
+        pls = []
+        for t in terms:
+            pl = self.reader.merged(t)
+            if pl is None:
+                return _EMPTY_U64, _EMPTY_F64
+            pls.append(pl)
+        by_df = sorted(range(len(pls)), key=lambda i: pls[i].doc_ids.size)
+        cand = pls[by_df[0]].doc_ids
+        for i in by_df[1:]:
+            cand = _intersect_sorted(cand, pls[i].doc_ids)
+            if cand.size == 0:
+                return _EMPTY_U64, _EMPTY_F64
+        if role is not None:
+            cand = cand[self._role_of_docs(cand, terms) == ROLE_CODES[role]]
+            if cand.size == 0:
+                return _EMPTY_U64, _EMPTY_F64
+        idfs = self._idfs(terms)
+        s = score_docs(self.reader, cand, terms, idfs, self.reader.avgdl,
+                       self.params, role_lut=self._role_lut(role_weights))
+        return top_k(cand, s, k)
+
     def conjunctive(self, terms, k: int = 10):
         """Docs containing ALL terms (J5 semantics:
         `WordDocumentMetricsRepository.java:32-38`): sorted-list
@@ -457,11 +486,22 @@ class SearchEngine:
     def execute(self, pq_: ParsedQuery, k: int = 10, mode: str = "or",
                 role: str | None = None, role_weights: dict | None = None):
         if role is not None or role_weights is not None:
+            if not getattr(self.reader, "roles_real", True):
+                raise ValueError(
+                    "index contains postings without real role data "
+                    "(built or appended from role-less input) — "
+                    "role-scoped search would silently mis-scope")
             if pq_.kind == "phrase":
                 return self.phrase_role(pq_.phrase, k, role, role_weights)
             if pq_.kind != "regular":
                 raise ValueError(
                     "role-scoped search supports regular and phrase queries")
+            if mode == "and":
+                return self.conjunctive_role(pq_.terms, k, role, role_weights)
+            if mode not in ("or", "blockmax", "exhaustive"):
+                raise ValueError(
+                    f"mode {mode!r} is not supported with role scoping "
+                    "(role paths score exhaustively: or/and only)")
             return self.regular_role(pq_.terms, k, role, role_weights)
         if pq_.kind == "phrase":
             return self.phrase(pq_.phrase, k)

@@ -161,6 +161,15 @@ class OracleIndex:
         return self._topk(
             self.score_docs_weighted(sorted(docs), terms, role_weights), k)
 
+    def conjunctive_role(self, terms, k: int = 10, role=None,
+                         role_weights=None):
+        sets = [set(self.postings.get(t, {}).keys()) for t in terms]
+        docs = set.intersection(*sets) if sets else set()
+        if role is not None:
+            docs = {d for d in docs if self.doc_role[d] == role}
+        return self._topk(
+            self.score_docs_weighted(sorted(docs), terms, role_weights), k)
+
     def phrase_role(self, phrase, k: int = 10, role=None, role_weights=None):
         docs = self.phrase_docs(phrase)
         if role is not None:

@@ -144,10 +144,22 @@ def test_append_to_legacy_index(ray_session, tmp_path):
         man.pop("avgdl", None)
         with open(f, "w") as fh:
             json.dump(man, fh)
+    meta_path = os.path.join(idx, "index_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta.pop("roles_real", None)    # pre-role meta carries no flag
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
 
     res = append_index(idx, str(b), shard_target_bytes=1,
                        concurrency=3, merge_concurrency=3)
     assert res.n_docs > 0 and res.part_manifests
+
+    # the appended index mixes backfilled (code-0) and real role postings:
+    # the per-index flag must be recorded false and role queries raise
+    # UNIFORMLY, not per-term depending on which parts the term touches
+    with open(meta_path) as fh:
+        assert json.load(fh)["roles_real"] is False
 
     # legacy manifests got the pre-append avgdl backfilled
     remerged = {m["part"] for m in res.part_manifests}
@@ -163,3 +175,10 @@ def test_append_to_legacy_index(ray_session, tmp_path):
         d_ex, s_ex = eng.search(q, 10, mode="exhaustive")
         assert [int(x) for x in d_bm] == [int(x) for x in d_ex], q
     assert 0 < len(remerged)
+    assert eng.reader.roles_real is False
+    import pytest
+
+    with pytest.raises(ValueError, match="role"):
+        eng.search(QUERIES[0], 5, role="assistant")
+    with pytest.raises(ValueError, match="role"):
+        eng.search(QUERIES[0], 5, role_weights={"assistant": 2.0})

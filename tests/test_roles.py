@@ -93,3 +93,37 @@ def test_role_filter_matches_hydrated_roles(engine, corpus_dir):
             tbl = hydrate(engine.reader.index_dir, corpus_dir, docs)
             rows = tbl["role"].to_pylist()
         assert all(r == "tool" for r in rows)
+
+
+def test_role_conjunctive_rank_identity(engine, oracle):
+    """mode="and" + role scoping (round-2 ADVICE: previously the role path
+    silently discarded mode and returned disjunctive results)."""
+    w = {"assistant": 2.0, "user": 0.5}
+    hit = 0
+    for q in QUERIES:
+        pq_ = parse_query(q)
+        if pq_.kind != "regular" or len(pq_.terms) < 2:
+            continue
+        for role in (None, "assistant", "user"):
+            ed, es = engine.search(q, 10, mode="and", role=role,
+                                   role_weights=w)
+            od, os_ = oracle.conjunctive_role(list(pq_.terms), 10,
+                                              role=role, role_weights=w)
+            assert [int(x) for x in ed] == od, (q, role)
+            np.testing.assert_allclose(es, os_, rtol=1e-12,
+                                       err_msg=f"{q} role={role}")
+            hit += ed.size > 0
+    assert hit > 0      # the fixture corpus exercises non-empty results
+
+
+def test_role_rejects_unsupported_mode(engine):
+    """Unsupported mode x role combinations raise instead of silently
+    returning disjunctive results."""
+    import pytest
+
+    for mode in ("fallback", "capped"):
+        with pytest.raises(ValueError, match="mode"):
+            engine.search(QUERIES[0], 10, mode=mode, role="assistant")
+        with pytest.raises(ValueError, match="mode"):
+            engine.search(QUERIES[0], 10, mode=mode,
+                          role_weights={"user": 2.0})
