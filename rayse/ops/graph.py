@@ -54,6 +54,23 @@ def derived_edges(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def write_edges(edges_ds, out_dir: str) -> str:
+    """Edge-table sink (S5): persist an (src, dst) edges Dataset as
+    partitioned Parquet — the analog of the reference's link-edge
+    persistence (`Crawler/ServeDataBase.java:66-116` inserts crawled link
+    edges row-by-row into PostgreSQL). Streaming write, one file per
+    block, resumable at the directory level."""
+    edges_ds.write_parquet(out_dir)
+    return out_dir
+
+
+def read_edges(out_dir: str):
+    """Companion source: re-open a persisted edge table as a Dataset."""
+    import ray.data as rd
+
+    return rd.read_parquet(out_dir)
+
+
 def pagerank(edges_ds, variant: str = "ranker1", d: float | None = None,
              max_iter: int = 100, tol: float = 1e-4):
     """Power-iteration PageRank over an (src:int64, dst:int64) Dataset.

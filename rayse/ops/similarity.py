@@ -218,8 +218,8 @@ class LshIndexStage:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = _ids_from(batch["vec_id"])
+        m = _mat_from_list(batch["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         keys = self.keys(m)
         n, h = keys.shape

@@ -19,10 +19,56 @@ Sizing: pool_size actors, each owning ``n_parts / pool_size`` partitions at
 
 from __future__ import annotations
 
+import time
+from collections import OrderedDict
+
 import numpy as np
 
 from .engine import SearchEngine, top_k
 from .parser import parse_query
+
+
+class ResultCache:
+    """Size- and TTL-bounded LRU for search results — the ST4 analog of the
+    reference's serving cache (`controllers/SearchController.java:33-143`:
+    500-entry / 30-minute LRU over query results; the smaller
+    `Query/QueryController.java:44-47` variant is the same shape).
+
+    Driver-side only: entries are the tiny (docs, scores) top-k arrays,
+    never posting data. ``now`` is injectable for deterministic expiry
+    tests."""
+
+    def __init__(self, max_entries: int = 500, ttl_s: float = 1800.0,
+                 now=time.monotonic):
+        self.max_entries = max_entries
+        self.ttl_s = ttl_s
+        self._now = now
+        self._d: OrderedDict = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        ent = self._d.get(key)
+        if ent is None:
+            self.misses += 1
+            return None
+        ts, val = ent
+        if self._now() - ts > self.ttl_s:
+            del self._d[key]
+            self.misses += 1
+            return None
+        self._d.move_to_end(key)
+        self.hits += 1
+        return val
+
+    def put(self, key, val):
+        self._d[key] = (self._now(), val)
+        self._d.move_to_end(key)
+        while len(self._d) > self.max_entries:
+            self._d.popitem(last=False)
+
+    def clear(self):
+        self._d.clear()
 
 
 def _query_terms(pq_) -> list[str]:
@@ -54,7 +100,8 @@ class QueryActor:
 class SearchCluster:
     """Driver-side facade over a pool of QueryActors."""
 
-    def __init__(self, index_dir: str, pool_size: int = 4):
+    def __init__(self, index_dir: str, pool_size: int = 4,
+                 cache_entries: int = 500, cache_ttl_s: float = 1800.0):
         import ray
 
         from ..index.reader import IndexReader
@@ -69,6 +116,15 @@ class SearchCluster:
         Remote = ray.remote(num_cpus=1)(QueryActor)
         self.actors = [Remote.remote(index_dir, parts) for parts in assign]
         self._ray = ray
+        # ST4-analog result cache (size/TTL-bounded; 0 entries disables)
+        self.cache = (ResultCache(cache_entries, cache_ttl_s)
+                      if cache_entries > 0 else None)
+
+    @staticmethod
+    def _cache_key(query: str, k: int, mode: str, role, role_weights):
+        return (query, k, mode, role,
+                tuple(sorted(role_weights.items()))
+                if role_weights else None)
 
     def _global_df(self, query: str) -> dict[str, int]:
         terms = _query_terms(parse_query(query))
@@ -82,7 +138,14 @@ class SearchCluster:
                role: str | None = None, role_weights: dict | None = None):
         """Role filter/boost (M6/A7) pass straight through: the role mask
         and multiplier are per-posting, hence partition-local — the
-        per-part top-k union argument is unchanged."""
+        per-part top-k union argument is unchanged. Results are memoized in
+        the ST4-analog LRU (copies returned, so callers can't mutate
+        cached arrays)."""
+        key = self._cache_key(query, k, mode, role, role_weights)
+        if self.cache is not None:
+            hit = self.cache.get(key)
+            if hit is not None:
+                return hit[0].copy(), hit[1].copy()
         gdf = self._global_df(query)
         refs = [a.search.remote(query, k, mode, gdf, role, role_weights)
                 for a in self.actors]
@@ -91,7 +154,10 @@ class SearchCluster:
                                for d, _ in parts])
         scores = np.concatenate([np.asarray(s, dtype=np.float64)
                                  for _, s in parts])
-        return top_k(docs, scores, k)
+        out = top_k(docs, scores, k)
+        if self.cache is not None:
+            self.cache.put(key, (out[0].copy(), out[1].copy()))
+        return out
 
     def search_many(self, queries: list[str], k: int = 10, mode: str = "or"):
         """Pipelined batch: df gathers and scoring calls all in flight."""

@@ -47,3 +47,46 @@ def test_serving_role_identity(cluster, engine):
             ld, ls = engine.search(q, 10, **kwargs)
             assert [int(x) for x in dd] == [int(x) for x in ld], (q, kwargs)
             assert ds_.tolist() == ls.tolist(), (q, kwargs)
+
+
+def test_result_cache_hit_identity(cluster, engine):
+    """ST4 analog (`SearchController.java:33-143`): cached results are
+    identical to fresh ones and hits skip the actor fan-out."""
+    q = QUERIES[0]
+    cluster.cache.clear()
+    h0, m0 = cluster.cache.hits, cluster.cache.misses
+    d1, s1 = cluster.search(q, 10)
+    d2, s2 = cluster.search(q, 10)
+    assert cluster.cache.misses == m0 + 1
+    assert cluster.cache.hits == h0 + 1
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    ed, es = engine.search(q, 10)
+    assert [int(x) for x in d2] == [int(x) for x in ed]
+    # mutating a returned array must not poison the cache
+    if d2.size:
+        d2[0] = 0
+        d3, _ = cluster.search(q, 10)
+        assert [int(x) for x in d3] == [int(x) for x in ed]
+    # different k / mode / role are distinct entries
+    cluster.search(q, 5)
+    assert cluster.cache.misses == m0 + 2
+
+
+def test_result_cache_lru_and_ttl():
+    """Pure cache semantics: LRU eviction at max_entries, TTL expiry via an
+    injected clock (no Ray needed)."""
+    from rayse.query.serve import ResultCache
+
+    t = [0.0]
+    c = ResultCache(max_entries=2, ttl_s=10.0, now=lambda: t[0])
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1          # refreshes a's recency
+    c.put("c", 3)                   # evicts b (LRU)
+    assert c.get("b") is None
+    assert c.get("a") == 1 and c.get("c") == 3
+    t[0] = 10.1                     # both entries age out
+    assert c.get("a") is None and c.get("c") is None
+    c.put("d", 4)
+    t[0] = 15.0
+    assert c.get("d") == 4          # within TTL of its own insertion
