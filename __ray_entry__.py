@@ -623,6 +623,10 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).fingerprint_sql(4),
         "near_dedup_keep": __import__(
             "rayse.ops.dedup", fromlist=["x"]).near_dedup_keep_sql(0.9),
+        "simhash_pairs": __import__(
+            "rayse.ops.dedup", fromlist=["x"]).simhash_pairs_sql(3),
+        "embedding_neardup": __import__(
+            "rayse.ops.dedup", fromlist=["x"]).embedding_neardup_sql(0.4),
         "lang_id": __import__(
             "rayse.ops.textstats", fromlist=["x"]).lang_id_sql(),
         "ws_bm25_topk": __import__(

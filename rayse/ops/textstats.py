@@ -144,23 +144,17 @@ _FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV64_PRIME = np.uint64(0x100000001B3)
 
 
-def fingerprint_batch(batch: pa.Table, window: int = 4) -> pa.Table:
-    """Winnowing-style document fingerprint: rolling FNV-1a over word
-    ``window``-grams, fingerprint = min hash over windows (deterministic,
-    order-sensitive — a reordered document fingerprints differently).
+def word_bounds(texts: list):
+    """Vectorized word-boundary scan shared by fingerprints / shingles /
+    SimHash: UTF-8-concatenate the batch's texts and find the per-word byte
+    ranges with ONE numpy space scan (split(" ")/join(" ") are inverses, so
+    any space-joined word slice of a doc is a byte SLICE of the buffer).
 
-    Fully vectorized: a word ``window``-gram (space-joined) is exactly a
-    byte SLICE of the original text (split(" ")/join(" ") are inverses), so
-    gram boundaries come from one numpy scan for spaces — no per-gram
-    Python strings. All the batch's grams pack into one padded uint8 matrix
-    hashed column-by-column (one xor+multiply pass per byte POSITION across
-    every gram at once, uint64 wraparound native); per-doc min via one
-    reduceat. Output is bit-identical to the per-byte scalar loop."""
-    texts = batch["text"].to_pylist()
+    Returns ``(buf, doc_off, w_starts, w_ends, w_cum)``: the uint8 buffer,
+    per-doc byte offsets (n+1), global word start/end byte positions, and
+    per-doc word-count offsets (n+1). Empty texts contribute one
+    zero-length word — identical to ``"".split(" ") == [""]``."""
     n_docs = len(texts)
-    if n_docs == 0:
-        return pa.table({"doc_id": batch["doc_id"],
-                         "fingerprint": pa.array([], pa.uint64())})
     enc = [(t or "").encode() for t in texts]
     doc_len = np.fromiter((len(e) for e in enc), np.int64, n_docs)
     doc_off = np.zeros(n_docs + 1, dtype=np.int64)
@@ -175,8 +169,41 @@ def fingerprint_batch(batch: pa.Table, window: int = 4) -> pa.Table:
     n_words = np.diff(np.searchsorted(sp, doc_off)) + 1   # per doc
     w_cum = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(n_words, out=w_cum[1:])
+    return buf, doc_off, w_starts, w_ends, w_cum
 
-    # gram index ranges per doc (short docs: one whole-text gram)
+
+def fnv64_slices(buf: np.ndarray, starts: np.ndarray,
+                 lens: np.ndarray) -> np.ndarray:
+    """FNV-1a 64-bit hash of ``len(starts)`` byte slices of ``buf``, fully
+    vectorized: slices sorted by length DESC so at byte position j the
+    still-active slices are a prefix — the hash loop is pure slicing (no
+    masks, no wasted work on finished slices; total work ∝ Σ lens). Bytes
+    are gathered straight from the buffer per position (no padded matrix).
+    Bit-identical to the per-byte scalar loop."""
+    total = starts.size
+    max_len = int(lens.max()) if lens.size else 0
+    ord_len = np.argsort(-lens, kind="stable")
+    lens_s = lens[ord_len]
+    start_s = starts[ord_len]
+    counts = np.bincount(lens_s, minlength=max_len + 1)
+    act = total - np.cumsum(counts)      # active prefix per byte position
+    h = np.full(total, _FNV64_OFFSET, dtype=np.uint64)
+    for j in range(max_len):
+        k = int(act[j])
+        h[:k] = (h[:k] ^ buf[start_s[:k] + j]) * _FNV64_PRIME
+    final = np.empty(total, dtype=np.uint64)
+    final[ord_len] = h
+    return final
+
+
+def gram_slices(texts: list, window: int):
+    """Byte ranges of every word ``window``-gram of every text (short docs:
+    one whole-text gram) plus per-doc gram-count offsets. Vectorized from
+    the ``word_bounds`` scan; shared by fingerprints and the dedup family's
+    shingle explode (ONE definition of what a shingle is)."""
+    n_docs = len(texts)
+    buf, doc_off, w_starts, w_ends, w_cum = word_bounds(texts)
+    n_words = np.diff(w_cum)
     short = n_words < window
     n_grams = np.where(short, 1, n_words - window + 1)
     g_cum = np.zeros(n_docs + 1, dtype=np.int64)
@@ -191,26 +218,21 @@ def fingerprint_batch(batch: pa.Table, window: int = 4) -> pa.Table:
     short_g = np.repeat(short, n_grams)
     g_start[short_g] = np.repeat(doc_off[:-1], n_grams)[short_g]
     g_end[short_g] = np.repeat(doc_off[1:], n_grams)[short_g]
-    lens = g_end - g_start
+    return buf, g_start, g_end - g_start, g_cum
 
-    # grams sorted by length DESC: at byte position j the still-active
-    # grams are a prefix, so the hash loop is pure slicing (no masks, no
-    # wasted work on finished grams — total work ∝ sum of gram lengths).
-    # Bytes are gathered straight from the text buffer per position (no
-    # padded matrix materialization).
-    max_len = int(lens.max()) if lens.size else 0
-    ord_len = np.argsort(-lens, kind="stable")
-    lens_s = lens[ord_len]
-    start_s = g_start[ord_len]
-    counts = np.bincount(lens_s, minlength=max_len + 1)
-    act = total_g - np.cumsum(counts)    # active prefix per byte position
-    h = np.full(total_g, _FNV64_OFFSET, dtype=np.uint64)
-    for j in range(max_len):
-        k = int(act[j])
-        h[:k] = (h[:k] ^ buf[start_s[:k] + j]) * _FNV64_PRIME
-    final = np.empty(total_g, dtype=np.uint64)
-    final[ord_len] = h
 
+def fingerprint_batch(batch: pa.Table, window: int = 4) -> pa.Table:
+    """Winnowing-style document fingerprint: rolling FNV-1a over word
+    ``window``-grams, fingerprint = min hash over windows (deterministic,
+    order-sensitive — a reordered document fingerprints differently).
+    Fully vectorized via ``gram_slices`` + ``fnv64_slices``; per-doc min
+    via one reduceat."""
+    texts = batch["text"].to_pylist()
+    if not texts:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fingerprint": pa.array([], pa.uint64())})
+    buf, g_start, lens, g_cum = gram_slices(texts, window)
+    final = fnv64_slices(buf, g_start, lens)
     fps = np.minimum.reduceat(final, g_cum[:-1])
     return pa.table({"doc_id": batch["doc_id"],
                      "fingerprint": pa.array(fps, pa.uint64())})

@@ -365,3 +365,77 @@ def test_near_dedup_keep_matches_duckdb(ray_session):
     assert got == want
     n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
     assert 0 < len(got) < n_docs     # something kept, something dropped
+
+
+def test_shingle_arrays_match_scalar(docs):
+    """Vectorized FNV shingle explode == hashing _word_shingles per doc."""
+    from rayse.ops.dedup import _hash64, _shingle_arrays, _word_shingles
+
+    texts = [docs[d] for d in sorted(docs)][:60] + ["", "one", "a b"]
+    d2, h2, sizes = _shingle_arrays(texts, 3)
+    for i, x in enumerate(texts):
+        want = sorted(_hash64(s) for s in _word_shingles(x, 3))
+        assert sorted(h2[d2 == i].tolist()) == want, i
+        assert sizes[i] == len(want), i
+
+
+def test_minhash_signatures_vectorized(docs):
+    """Batch-vectorized signatures == the scalar per-doc reference path."""
+    from rayse.ops.dedup import MinHashStage
+
+    texts = [docs[d] for d in sorted(docs)][:30] + ["", "x"]
+    st = MinHashStage(n_hashes=64, shingle_k=3)
+    sigs = st.signatures(texts)
+    for i, x in enumerate(texts):
+        assert (sigs[i] == st.signature(x)).all(), i
+
+
+def test_verify_hashjoin_route_equality(ray_session, docs):
+    """The no-broadcast hash-join verify (large-candidate-set route)
+    produces exactly the broadcast route's pairs."""
+    from rayse.ops.dedup import jaccard_pairs
+
+    want = _exact_jaccard_pairs(docs, 3, 0.2)
+    got = jaccard_pairs(SF, shingle_k=3, threshold=0.2,
+                        verify_route="hashjoin").take_all()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == want
+
+
+def test_dedup_clusters_distributed_route(ray_session):
+    """Distributed min-label propagation == driver union-find."""
+    from rayse.ops.dedup import dedup_clusters
+
+    drv = dedup_clusters(SF, shingle_k=1, threshold=0.8, route="driver")
+    dst = dedup_clusters(SF, shingle_k=1, threshold=0.8,
+                         route="distributed")
+    assert drv.to_pydict() == dst.to_pydict()
+    assert drv.num_rows > 0
+
+
+def test_simhash_matches_duckdb(ray_session):
+    import duckdb
+
+    from rayse.ops.dedup import simhash_pairs, simhash_pairs_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = sorted(con.execute(simhash_pairs_sql(3)).fetchall())
+    got = sorted((r["doc_a"], r["doc_b"])
+                 for r in simhash_pairs(SF, 3).take_all())
+    assert got == want and len(got) > 0
+
+
+def test_embedding_neardup_matches_duckdb(ray_session):
+    import duckdb
+
+    from rayse.ops.dedup import (embedding_neardup_pairs,
+                                 embedding_neardup_sql)
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    want = sorted(con.execute(embedding_neardup_sql(0.4)).fetchall())
+    got = sorted((r["vec_a"], r["vec_b"])
+                 for r in embedding_neardup_pairs(SF, 0.4).take_all())
+    assert got == want and len(got) > 0
