@@ -142,21 +142,9 @@ def _q_complex_boolean_topk(sf_dir: str) -> pa.Table:
 def _q_term_stats(sf_dir: str) -> pa.Table:
     """Global term dictionary: term, df, cf (replaces the reference's
     `words` + `word_idf` tables, `Indexer/Entities/Word.java:6-22`)."""
-    import glob
+    from rayse.index.stats import term_stats_table
 
-    import pyarrow.parquet as pq
-
-    idir = _index_for(sf_dir)
-    tbls = [pq.read_table(f, columns=["term", "df", "cf"])
-            for f in sorted(glob.glob(
-                os.path.join(idir, "segments", "part=*", "segment.parquet")))]
-    t = pa.concat_tables(tbls)
-    # per-part partial stats -> global (tiny; vocab-sized)
-
-    df = t.to_pandas().groupby("term", as_index=False).agg(
-        df=("df", "sum"), cf=("cf", "sum"))
-    df = df.sort_values("term").reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return term_stats_table(_index_for(sf_dir))
 
 
 def _q_doc_token_count(sf_dir: str):

@@ -174,21 +174,11 @@ def ws_bm25_topk(index_dir: str, queries: list[str] | None = None,
 def ws_term_stats(index_dir: str) -> pa.Table:
     """Global term dictionary (term, df, cf) from the whitespace index's
     per-part segment stats — the A1-A3 words/word_idf analog under a SQL
-    oracle (per-part partial sums -> one vocab-sized aggregate)."""
-    import glob
-    import os
+    oracle (per-part partial sums -> one distributed groupby-sum)."""
+    from rayse.index.stats import term_stats_table
 
-    import pyarrow.parquet as pq
-
-    reader, _ = _ws_reader(index_dir)
-    tbls = [pq.read_table(f, columns=["term", "df", "cf"])
-            for f in sorted(glob.glob(os.path.join(
-                index_dir, "segments", "part=*", "segment.parquet")))]
-    t = pa.concat_tables(tbls)
-    df = t.to_pandas().groupby("term", as_index=False).agg(
-        df=("df", "sum"), cf=("cf", "sum"))
-    df = df.sort_values("term").reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    _ws_reader(index_dir)  # ensure the index exists / is cached
+    return term_stats_table(index_dir)
 
 
 def ws_term_stats_sql() -> str:
