@@ -613,6 +613,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.dedup", fromlist=["x"]).near_dedup_keep_sql(0.9),
         "simhash_pairs": __import__(
             "rayse.ops.dedup", fromlist=["x"]).simhash_pairs_sql(3),
+        "minhash_lsh_pairs": __import__(
+            "rayse.ops.dedup", fromlist=["x"]).minhash_lsh_pairs_sql(
+                shingle_k=3, threshold=0.5),
         "embedding_neardup": __import__(
             "rayse.ops.dedup", fromlist=["x"]).embedding_neardup_sql(0.4),
         "lang_id": __import__(

@@ -834,6 +834,70 @@ def minhash_lsh_pairs(sf_dir: str, n_hashes: int = 64, bands: int = 16,
     })
 
 
+def minhash_lsh_pairs_sql(n_hashes: int = 64, bands: int = 16,
+                          shingle_k: int = 3, threshold: float = 0.5,
+                          seed: int = 1234) -> str:
+    """DuckDB oracle for ``minhash_lsh_pairs`` — the WHOLE pipeline in SQL,
+    bit-exact: word shingles (k-grams, whole-text fallback below k words),
+    63-bit FNV-1a shingle hashes (``fingerprint_sql`` recipe, exact
+    mod-2^64 HUGEINT arithmetic), the 64 affine permutations
+    ``(h*a+b) mod 2^64`` with the stage's rng constants EMBEDDED as a
+    VALUES table, per-band FNV folds of the signature words, the
+    bucket-share candidate join, and the exact-Jaccard verify over the
+    distinct hash sets. Candidate recall is part of the contract, so a
+    banding bug on either side breaks the match. ASCII-valid like
+    ``fingerprint_sql`` (``ascii(c)`` = byte value; true of the sf
+    tables); the ``s = ''`` guard covers DuckDB's ``['']`` char-split of
+    the empty string (FNV of zero bytes is the offset basis)."""
+    rng = np.random.default_rng(seed)
+    pa_ = (rng.integers(1, 1 << 62, n_hashes).astype(np.uint64)
+           | np.uint64(1))
+    pb_ = rng.integers(0, 1 << 62, n_hashes).astype(np.uint64)
+    perm_rows = ",\n    ".join(
+        f"({j}, {int(pa_[j])}::HUGEINT, {int(pb_[j])}::HUGEINT)"
+        for j in range(n_hashes))
+    m = "18446744073709551616::HUGEINT"          # 2^64
+    off = "14695981039346656037::HUGEINT"        # FNV-1a offset basis
+    prime = "1099511628211::HUGEINT"             # FNV-1a prime
+    rpb = n_hashes // bands
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (SELECT doc_id,
+         CASE WHEN len(ws) < {shingle_k} THEN [array_to_string(ws, ' ')]
+              ELSE [array_to_string(list_slice(ws, i, i + {shingle_k - 1}),
+                                    ' ')
+                    FOR i IN range(1, len(ws) - {shingle_k - 2})]
+         END AS shs FROM w),
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS s FROM sh0),
+hs AS (SELECT doc_id,
+        (CASE WHEN s = '' THEN {off}
+              ELSE list_reduce(
+                list_prepend({off},
+                             [ascii(c)::HUGEINT FOR c IN string_split(s, '')]),
+                (h, b) -> (xor(h, b) * {prime}) % {m})
+         END // 2) AS h
+       FROM shd),
+hsd AS (SELECT DISTINCT doc_id, h FROM hs),
+perms(j, pa, pb) AS (VALUES {perm_rows}),
+sig AS (SELECT doc_id, j, min((h * pa + pb) % {m}) AS mn
+        FROM hsd, perms GROUP BY doc_id, j),
+bandh AS (SELECT doc_id, j // {rpb} AS band,
+                 list_reduce(list_prepend({off}, list(mn ORDER BY j)),
+                             (h, x) -> (xor(h, x) * {prime}) % {m}) // 2 AS bh
+          FROM sig GROUP BY doc_id, j // {rpb}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bandh x JOIN bandh y
+           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+sets AS (SELECT doc_id, list(h) AS hl, count(*) AS n FROM hsd
+         GROUP BY doc_id)
+SELECT c.doc_a, c.doc_b
+FROM cand c JOIN sets p ON p.doc_id = c.doc_a
+            JOIN sets q ON q.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(p.hl, q.hl)) AS DOUBLE)
+      / (p.n + q.n - len(list_intersect(p.hl, q.hl))) >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
 # -- SimHash -----------------------------------------------------------------
 
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)

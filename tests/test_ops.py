@@ -426,6 +426,24 @@ def test_simhash_matches_duckdb(ray_session):
     assert got == want and len(got) > 0
 
 
+def test_minhash_lsh_matches_duckdb(ray_session):
+    """The FULL MinHash pipeline (shingle FNV, 64 affine perms, band
+    folds, bucket join, exact verify) against its all-SQL mirror —
+    candidate recall is part of the contract."""
+    import duckdb
+
+    from rayse.ops.dedup import minhash_lsh_pairs, minhash_lsh_pairs_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = sorted(con.execute(
+        minhash_lsh_pairs_sql(shingle_k=3, threshold=0.5)).fetchall())
+    t = minhash_lsh_pairs(SF, shingle_k=3, threshold=0.5)
+    got = sorted(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
+    assert got == want and len(got) > 0
+
+
 def test_embedding_neardup_matches_duckdb(ray_session):
     import duckdb
 
