@@ -416,6 +416,14 @@ def _q_ws_term_stats(sf_dir: str) -> pa.Table:
     return ws_term_stats(_ws_index_for(sf_dir))
 
 
+def _q_ws_boolean_topk(sf_dir: str) -> pa.Table:
+    """Boolean AND/OR/NOT set algebra over positional phrase matches with
+    BM25 scoring (SE1-SE3 through the real index) — DuckDB hash-matched."""
+    from rayse.ops.ws_search import ws_boolean_topk
+
+    return ws_boolean_topk(_ws_index_for(sf_dir))
+
+
 def _q_ws_role_topk(sf_dir: str) -> pa.Table:
     """Role-scoped BM25 from per-posting role codes (M6) — DuckDB
     hash-matched (assistant turns are the odd turn_idx by derivation)."""
@@ -495,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (whitespace analyzer; DuckDB hash-matched incl. the role path)
         "ws_bm25_topk": _q_ws_bm25_topk,
         "ws_phrase_matches": _q_ws_phrase_matches,
+        "ws_boolean_topk": _q_ws_boolean_topk,
         "ws_term_stats": _q_ws_term_stats,
         "ws_role_topk": _q_ws_role_topk,
         # link-graph + JSON scalar ops (A13; pagerank rows-only: iterative)
@@ -624,6 +633,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_phrase_sql(),
+        "ws_boolean_topk": __import__(
+            "rayse.ops.ws_search", fromlist=["x"]).ws_boolean_sql(),
         "ws_term_stats": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_term_stats_sql(),
         "ws_role_topk": __import__(

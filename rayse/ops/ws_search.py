@@ -35,6 +35,11 @@ from ..stages.doc_ids import TURN_BITS
 WS_QUERIES = ["table scan", "hash join merge", "window agg",
               "customer query plan"]
 WS_PHRASES = ["table scan", "hash join", "query plan"]
+# (op, left phrase, right phrase) — SE1-SE3 set algebra exercised through
+# the positional index under the same SQL oracle machinery
+WS_BOOLEANS = [("AND", "table scan", "merge sort"),
+               ("OR", "hash join", "window agg"),
+               ("NOT", "sort merge", "table scan")]
 
 _TURNS_CTE = """
 words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -169,6 +174,122 @@ def ws_bm25_topk(index_dir: str, queries: list[str] | None = None,
         "turn_idx": pa.array(out_t, pa.int32()),
         "score_q": pa.array(out_s, pa.int64()),
     })
+
+
+def ws_boolean_topk(index_dir: str,
+                    exprs: list[tuple] | None = None,
+                    k: int = 10) -> pa.Table:
+    """SE1-SE3 boolean set algebra over POSITIONAL phrase matches, BM25
+    scored (the engine's `boolean()` semantics: AND/OR score the union of
+    both phrases' terms, NOT scores only the kept side's terms), ranked by
+    quantized score with (conv_id, turn_idx) tie-breaks — the boolean
+    retrieval path (`ComplexPhraseSearching.java:84-103` set algebra)
+    under a DuckDB oracle."""
+    from ..query.engine import SearchEngine, score_docs
+
+    exprs = exprs if exprs is not None else WS_BOOLEANS
+    _ws_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for op, left, right in exprs:
+        lt, rt = left.split(" "), right.split(" ")
+        ldocs = eng.phrase_docs(lt)
+        rdocs = eng.phrase_docs(rt)
+        if op == "AND":
+            docs = np.intersect1d(ldocs, rdocs, assume_unique=True)
+            terms = list(dict.fromkeys(lt + rt))
+        elif op == "OR":
+            docs = np.union1d(ldocs, rdocs)
+            terms = list(dict.fromkeys(lt + rt))
+        elif op == "NOT":
+            docs = np.setdiff1d(ldocs, rdocs, assume_unique=True)
+            terms = list(dict.fromkeys(lt))
+        else:
+            raise ValueError(op)
+        if docs.size == 0:
+            continue
+        scores = score_docs(eng.reader, docs, terms, eng._idfs(terms),
+                            eng.reader.avgdl, eng.params)
+        score_q = np.floor(scores * 1e7).astype(np.int64)
+        if docs.size > k:
+            kth = -np.partition(-score_q, k - 1)[k - 1]
+            keep = score_q >= kth     # keep boundary ties for the tie-break
+            docs, score_q = docs[keep], score_q[keep]
+        cmap = resolve_conv_ids(eng.reader.index_dir, docs)
+        label = f"{left} {op} {right}"
+        rows = sorted(
+            ((-int(sq), cmap[int(d) >> TURN_BITS],
+              int(d) & ((1 << TURN_BITS) - 1))
+             for d, sq in zip(docs.tolist(), score_q.tolist())))[:k]
+        for r, (nsq, conv, turn) in enumerate(rows, 1):
+            out_q.append(label)
+            out_r.append(r)
+            out_c.append(conv)
+            out_t.append(turn)
+            out_s.append(-nsq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def ws_boolean_sql(exprs: list[tuple] | None = None, k: int = 10) -> str:
+    """DuckDB oracle for ``ws_boolean_topk``: per-expression phrase-match
+    sets via the padded-substring equivalence, INTERSECT / UNION / EXCEPT
+    set algebra, BM25 scoring restricted to the eligible set (every
+    eligible turn contains at least one score term by construction, so
+    the scoring join drops nothing), quantized ranking."""
+    exprs = exprs if exprs is not None else WS_BOOLEANS
+    setop = {"AND": "INTERSECT", "OR": "UNION", "NOT": "EXCEPT"}
+    parts = []
+    for op, left, right in exprs:
+        terms = (left.split(" ") if op == "NOT"
+                 else left.split(" ") + right.split(" "))
+        vals = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
+        parts.append(f"""
+  SELECT '{left} {op} {right}' AS query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM (VALUES {vals}) qt(term)
+  JOIN tf USING (term) JOIN df USING (term)
+  JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+  JOIN (SELECT conv_id, turn_idx FROM turns
+        WHERE contains(' ' || text || ' ', ' {left} ')
+        {setop[op]}
+        SELECT conv_id, turn_idx FROM turns
+        WHERE contains(' ' || text || ' ', ' {right} ')) e
+    ON tf.conv_id = e.conv_id AND tf.turn_idx = e.turn_idx
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH {_TURNS_CTE},
+dl AS (SELECT conv_id, turn_idx, len(string_split(text, ' ')) AS dl
+       FROM turns),
+tok AS (SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS term
+        FROM turns),
+tf AS (SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2, 3),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+scored AS ({union}),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
 
 
 def ws_term_stats(index_dir: str) -> pa.Table:

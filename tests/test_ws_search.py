@@ -75,3 +75,15 @@ def test_ws_term_stats_matches_duckdb(ws_index, con):
     want = con.execute(ws_term_stats_sql()).fetchdf()
     assert len(want) > 10   # word-soup corpus: ~31 distinct words
     _cmp(got, want, ["term"])
+
+
+def test_ws_boolean_matches_duckdb(ws_index, con):
+    from rayse.ops.ws_search import ws_boolean_sql, ws_boolean_topk
+
+    got = ws_boolean_topk(ws_index)
+    want = con.execute(ws_boolean_sql()).fetchdf()
+    assert len(want) > 0
+    assert got.num_rows > 0
+    # all three set ops must actually produce rows on this corpus
+    assert len(set(got["query"].to_pylist())) == 3
+    _cmp(got, want, ["query", "rank"])
