@@ -438,6 +438,15 @@ def _q_pagerank(sf_dir: str):
     return pagerank_events(sf_dir, variant="ranker1")
 
 
+def _q_pagerank_fixed(sf_dir: str):
+    """Fixed-iteration integer fixed-point PageRank — the same streaming
+    iteration machinery as `pagerank`, bit-exact under a recursive-CTE
+    DuckDB oracle (integer sums are order-independent)."""
+    from rayse.ops.graph import pagerank_fixed_events
+
+    return pagerank_fixed_events(sf_dir)
+
+
 def _q_props_extract(sf_dir: str):
     from rayse.ops.graph import props_extract
 
@@ -508,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ws_role_topk": _q_ws_role_topk,
         # link-graph + JSON scalar ops (A13; pagerank rows-only: iterative)
         "pagerank": _q_pagerank,
+        "pagerank_fixed": _q_pagerank_fixed,
         "props_extract": _q_props_extract,
         # relational breadth (wide aggregate, broadcast join, sliding window)
         "pricing_summary": _q_pricing_summary,
@@ -625,6 +635,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": __import__(
             "rayse.ops.dedup", fromlist=["x"]).minhash_lsh_pairs_sql(
                 shingle_k=3, threshold=0.5),
+        "pagerank_fixed": __import__(
+            "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql(),
         "embedding_neardup": __import__(
             "rayse.ops.dedup", fromlist=["x"]).embedding_neardup_sql(0.4),
         "lang_id": __import__(

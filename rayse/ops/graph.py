@@ -136,6 +136,108 @@ def pagerank_events(sf_dir: str, variant: str = "ranker1"):
     return pagerank(derived_edges(sf_dir), variant=variant)
 
 
+def pagerank_fixed(edges_ds, iters: int = 20, scale: int = 10**12,
+                   d_num: int = 15, d_den: int = 100):
+    """Fixed-iteration PageRank in INTEGER fixed-point — the SQL-exact
+    variant of ``pagerank`` (ranker1 formula, d = d_num/d_den).
+
+    Same distributed shape as ``pagerank`` (edges stream per iteration,
+    rank vector broadcast, per-batch partial sums before the groupby), but
+    every operation is int64 with explicit floor division:
+
+        link[v]  = Σ_{(u,v) ∈ E} rank[u] // outdeg[u]
+        rank'[v] = ((d_den - d_num) * link[v]) // d_den
+                   + (d_num * scale) // (d_den * n)
+
+    Integer sums are order-independent, so the DuckDB recursive-CTE
+    oracle (``pagerank_fixed_sql``) matches BIT-EXACTLY — no float
+    summation-order luck, unlike a quantized-float oracle. Ranges:
+    rank <= scale, (d_den-d_num)*link <= 100*scale << 2^63."""
+    import ray
+
+    verts_tbl = edges_ds.map_batches(
+        lambda b: pa.table({"v": pa.array(
+            np.unique(np.concatenate([
+                b["src"].to_numpy(zero_copy_only=False),
+                b["dst"].to_numpy(zero_copy_only=False)])), pa.int64())}),
+        batch_format="pyarrow").groupby("v").count()
+    verts = np.sort(np.asarray([r["v"] for r in verts_tbl.take_all()],
+                               dtype=np.int64))
+    n = verts.size
+    deg_rows = edges_ds.groupby("src").count().take_all()
+    outdeg = np.ones(n, dtype=np.int64)    # dangling: divisor unused
+    for r in deg_rows:
+        outdeg[np.searchsorted(verts, r["src"])] = r["count()"]
+
+    rank = np.full(n, scale // n, dtype=np.int64)
+    teleport = (d_num * scale) // (d_den * n)
+    for _ in range(iters):
+        ref = ray.put((verts, rank, outdeg))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vs, rk, od = ray.get(ref)
+            src = np.searchsorted(vs, batch["src"].to_numpy(
+                zero_copy_only=False))
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            w = rk[src] // od[src]
+            uniq, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(sums, inv, w)
+            return pa.table({"dst": pa.array(uniq, pa.int64()),
+                             "contrib": pa.array(sums, pa.int64())})
+
+        agg = (edges_ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+               .groupby("dst").sum("contrib").take_all())
+        link = np.zeros(n, dtype=np.int64)
+        for r in agg:
+            link[np.searchsorted(verts, r["dst"])] = r["sum(contrib)"]
+        rank = ((d_den - d_num) * link) // d_den + teleport
+    return pa.table({"vertex": pa.array(verts, pa.int64()),
+                     "rank_fp": pa.array(rank, pa.int64())})
+
+
+def pagerank_fixed_events(sf_dir: str, iters: int = 20):
+    return pagerank_fixed(derived_edges(sf_dir), iters=iters)
+
+
+def pagerank_fixed_sql(iters: int = 20, scale: int = 10**12,
+                       d_num: int = 15, d_den: int = 100,
+                       vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    """DuckDB oracle for ``pagerank_fixed_events``: the same integer
+    recursion as a recursive CTE (the recursive term sees only the
+    previous iteration's working rows, i.e. exactly the power-iteration
+    state). Bit-exact by construction — all int64 floor arithmetic."""
+    return f"""
+WITH RECURSIVE
+edges AS (SELECT user_id AS src,
+                 CAST(json_extract(props, '$.k') AS BIGINT)
+                   % {vertex_space} AS dst
+          FROM events),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM edges UNION SELECT dst FROM edges)),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges
+        GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+pr(iter, v, r) AS (
+  SELECT 0, v, {scale} // (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT p.iter + 1, x.v,
+         (({d_den - d_num}) * x.link) // {d_den}
+         + ({d_num} * {scale}) // ({d_den} * (SELECT n FROM nn))
+  FROM (
+    SELECT vv.v, coalesce(sum(pp.r // d.od), 0) AS link
+    FROM verts vv
+    LEFT JOIN edges e ON e.dst = vv.v
+    LEFT JOIN pr pp ON pp.v = e.src
+    LEFT JOIN deg d ON d.src = e.src
+    GROUP BY vv.v) x
+  JOIN (SELECT max(iter) AS iter FROM pr) p ON TRUE
+  WHERE p.iter < {iters})
+SELECT v AS vertex, CAST(r AS BIGINT) AS rank_fp
+FROM pr WHERE iter = {iters} ORDER BY vertex"""
+
+
 def props_extract(sf_dir: str):
     """JSON scalar extraction over the events props column (vectorized
     per-batch json parse) — SQL-matched via DuckDB json_extract."""

@@ -81,3 +81,26 @@ def test_edge_sink_roundtrip(ray_session, tmp_path):
     a = sorted((r["src"], r["dst"]) for r in derived_edges(sf).take_all())
     b = sorted((r["src"], r["dst"]) for r in read_edges(out).take_all())
     assert a == b and len(a) > 0
+
+
+def test_pagerank_fixed_matches_duckdb(ray_session):
+    """Integer fixed-point PageRank == its recursive-CTE oracle,
+    bit-exact (integer sums are order-independent, so no quantization
+    luck is involved)."""
+    import duckdb
+
+    from rayse.ops.graph import pagerank_fixed_events, pagerank_fixed_sql
+
+    t = pagerank_fixed_events(SF)
+    got = sorted(zip(t["vertex"].to_pylist(), t["rank_fp"].to_pylist()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(pagerank_fixed_sql()).fetchall())
+    assert got == want and len(got) > 0
+    # mass sanity: positive, bounded by scale (the ranker1 formula sheds
+    # dangling-vertex mass by design — the reference quirk — so no
+    # conservation bound applies)
+    assert 0 < sum(r for _, r in got) <= 10**12
+    assert all(r >= 0 for _, r in got)
