@@ -424,6 +424,14 @@ def _q_ws_boolean_topk(sf_dir: str) -> pa.Table:
     return ws_boolean_topk(_ws_index_for(sf_dir))
 
 
+def _q_ws_fallback_topk(sf_dir: str) -> pa.Table:
+    """A8 retrieval ladder (all -> half -> any) through the real index,
+    tier choice and ranking both DuckDB hash-matched."""
+    from rayse.ops.ws_search import ws_fallback_topk
+
+    return ws_fallback_topk(_ws_index_for(sf_dir))
+
+
 def _q_ws_role_topk(sf_dir: str) -> pa.Table:
     """Role-scoped BM25 from per-posting role codes (M6) — DuckDB
     hash-matched (assistant turns are the odd turn_idx by derivation)."""
@@ -513,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ws_bm25_topk": _q_ws_bm25_topk,
         "ws_phrase_matches": _q_ws_phrase_matches,
         "ws_boolean_topk": _q_ws_boolean_topk,
+        "ws_fallback_topk": _q_ws_fallback_topk,
         "ws_term_stats": _q_ws_term_stats,
         "ws_role_topk": _q_ws_role_topk,
         # link-graph + JSON scalar ops (A13; pagerank rows-only: iterative)
@@ -647,6 +656,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.ws_search", fromlist=["x"]).ws_phrase_sql(),
         "ws_boolean_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_boolean_sql(),
+        "ws_fallback_topk": __import__(
+            "rayse.ops.ws_search", fromlist=["x"]).ws_fallback_sql(),
         "ws_term_stats": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_term_stats_sql(),
         "ws_role_topk": __import__(

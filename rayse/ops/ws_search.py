@@ -40,6 +40,12 @@ WS_PHRASES = ["table scan", "hash join", "query plan"]
 WS_BOOLEANS = [("AND", "table scan", "merge sort"),
                ("OR", "hash join", "window agg"),
                ("NOT", "sort merge", "table scan")]
+# A8 retrieval-ladder queries: the word-soup corpus co-locates every vocab
+# word, so the lower tiers are forced with out-of-vocabulary terms
+# (mx < ceil(n/2) can only happen when some query terms have df = 0)
+WS_FALLBACKS = ["table scan",               # 'all': both words co-occur
+                "scan merge qqoovhalf",     # 'half': 2 of 3 present
+                "scan qqoova qqoovb"]       # 'any': 1 of 3 present
 
 _TURNS_CTE = """
 words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -289,6 +295,124 @@ ranked AS (
                             ORDER BY score_q DESC, conv_id, turn_idx) AS rn
   FROM quant)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+def ws_fallback_topk(index_dir: str, queries: list[str] | None = None,
+                     k: int = 10) -> pa.Table:
+    """A8 retrieval ladder (all terms -> >=ceil(n/2) -> any,
+    `QueryService.java:595-670` semantics via `postprocess.
+    search_with_fallback`) through the whitespace index: one
+    union-accumulate pass yields (docs, scores, nmatch); the highest
+    non-empty tier is selected and BM25-ranked with quantized scores —
+    tier choice AND ranking both under the SQL oracle."""
+    from ..query.engine import SearchEngine, accumulate
+
+    queries = queries if queries is not None else WS_FALLBACKS
+    _ws_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    out = {c: [] for c in
+           ("query", "tier", "rank", "conv_id", "turn_idx", "score_q")}
+    for q in queries:
+        terms = list(dict.fromkeys(q.split(" ")))
+        n = len(terms)
+        d, s, m = accumulate(eng.reader, terms, eng._idfs(terms),
+                             eng.reader.avgdl, eng.params)
+        mx = int(m.max()) if d.size else 0
+        half = (n + 1) // 2
+        if mx == n and d.size:
+            tier, thr = "all", n
+        elif n > 1 and mx >= half:
+            tier, thr = "half", half
+        else:
+            tier, thr = "any", 1
+        keep = m >= thr
+        docs, score_q = d[keep], np.floor(s[keep] * 1e7).astype(np.int64)
+        if docs.size == 0:
+            continue
+        if docs.size > k:
+            kth = -np.partition(-score_q, k - 1)[k - 1]
+            sel = score_q >= kth      # keep boundary ties for the tie-break
+            docs, score_q = docs[sel], score_q[sel]
+        cmap = resolve_conv_ids(eng.reader.index_dir, docs)
+        rows = sorted(
+            ((-int(sq), cmap[int(dd) >> TURN_BITS],
+              int(dd) & ((1 << TURN_BITS) - 1))
+             for dd, sq in zip(docs.tolist(), score_q.tolist())))[:k]
+        for r, (nsq, conv, turn) in enumerate(rows, 1):
+            out["query"].append(q)
+            out["tier"].append(tier)
+            out["rank"].append(r)
+            out["conv_id"].append(conv)
+            out["turn_idx"].append(turn)
+            out["score_q"].append(-nsq)
+    return pa.table({
+        "query": pa.array(out["query"], pa.string()),
+        "tier": pa.array(out["tier"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "conv_id": pa.array(out["conv_id"], pa.string()),
+        "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+        "score_q": pa.array(out["score_q"], pa.int64()),
+    })
+
+
+def ws_fallback_sql(queries: list[str] | None = None, k: int = 10) -> str:
+    """DuckDB oracle for ``ws_fallback_topk``: per-turn nmatch from the
+    scoring join, per-query tier via max(nmatch) against the baked-in
+    term count (OOV terms count toward n but never match), threshold
+    filter, quantized ranking."""
+    queries = queries if queries is not None else WS_FALLBACKS
+    vals = ", ".join(
+        f"('{q}', '{t}')" for q in queries for t in dict.fromkeys(q.split()))
+    qn = ", ".join(f"('{q}', {len(dict.fromkeys(q.split()))})"
+                   for q in queries)
+    return f"""
+WITH {_TURNS_CTE},
+dl AS (SELECT conv_id, turn_idx, len(string_split(text, ' ')) AS dl
+       FROM turns),
+tok AS (SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS term
+        FROM turns),
+tf AS (SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2, 3),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+qt(query, term) AS (VALUES {vals}),
+qn(query, n_terms) AS (VALUES {qn}),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score,
+         count(*) AS nmatch
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+sel AS (
+  SELECT q.query,
+         CASE WHEN m.mx = q.n_terms THEN 'all'
+              WHEN q.n_terms > 1 AND m.mx >= (q.n_terms + 1) // 2
+                THEN 'half'
+              ELSE 'any' END AS tier,
+         CASE WHEN m.mx = q.n_terms THEN q.n_terms
+              WHEN q.n_terms > 1 AND m.mx >= (q.n_terms + 1) // 2
+                THEN (q.n_terms + 1) // 2
+              ELSE 1 END AS thr
+  FROM qn q JOIN (SELECT query, max(nmatch) AS mx FROM scored
+                  GROUP BY query) m USING (query)),
+quant AS (
+  SELECT s.query, sel.tier, s.conv_id, s.turn_idx,
+         CAST(floor(s.score * 10000000) AS BIGINT) AS score_q
+  FROM scored s JOIN sel USING (query)
+  WHERE s.nmatch >= sel.thr),
+ranked AS (
+  SELECT query, tier, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, tier, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
 
 

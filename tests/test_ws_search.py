@@ -87,3 +87,14 @@ def test_ws_boolean_matches_duckdb(ws_index, con):
     # all three set ops must actually produce rows on this corpus
     assert len(set(got["query"].to_pylist())) == 3
     _cmp(got, want, ["query", "rank"])
+
+
+def test_ws_fallback_matches_duckdb(ws_index, con):
+    from rayse.ops.ws_search import ws_fallback_sql, ws_fallback_topk
+
+    got = ws_fallback_topk(ws_index)
+    want = con.execute(ws_fallback_sql()).fetchdf()
+    assert len(want) > 0
+    # the three ladder tiers must all trigger on this corpus
+    assert set(got["tier"].to_pylist()) == {"all", "half", "any"}
+    _cmp(got, want, ["query", "rank"])
