@@ -276,6 +276,16 @@ def _q_ann_ivf_topk(sf_dir: str):
     return ann_ivf_topk(sf_dir, n_queries=5, k=10)
 
 
+def _q_ann_ivf_exact_topk(sf_dir: str):
+    """IVF machinery at full probe (n_probe == n_lists): every list is
+    scanned, so the result is exactly the brute-force top-k — the IVF
+    exactness theorem under the same DuckDB oracle as ``ann_topk``. The
+    default (approximate) `ann_ivf_topk` entry keeps its recall tests."""
+    from rayse.ops.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(sf_dir, n_queries=5, k=10, n_lists=16, n_probe=16)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing demo: synthetic media table (payload bytes are
     deterministic; sf_dir unused beyond scale hint) -> feature extraction
@@ -287,6 +297,15 @@ def _q_media_features(sf_dir: str):
     n = 200 if "0.01" in sf_dir else 50
     ds = rd.from_arrow(synth_media_table(n))
     return media_features(ds, concurrency=2)
+
+
+def _q_media_frames(sf_dir: str):
+    """Frame-sampling stage over payloads derived from documents text —
+    the multimodal byte-window layout under a hash-matched DuckDB
+    ``substr`` oracle (see media_frames_sql for the linspace mirror)."""
+    from rayse.ops.multimodal import media_frames_from_documents
+
+    return media_frames_from_documents(sf_dir)
 
 
 def _q_windowed_agg(sf_dir: str):
@@ -504,7 +523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_exact_topk": _q_ann_ivf_exact_topk,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         # windowed / ordered ops over the events log (SQL-checked)
         "windowed_agg": _q_windowed_agg,
         "hopping_agg": _q_hopping_agg,
@@ -650,6 +671,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.dedup", fromlist=["x"]).embedding_neardup_sql(0.4),
         "lang_id": __import__(
             "rayse.ops.textstats", fromlist=["x"]).lang_id_sql(),
+        "media_frames": __import__(
+            "rayse.ops.multimodal", fromlist=["x"]).media_frames_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(
@@ -664,6 +687,23 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(
                 assistant_only=True),
         "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+              ORDER BY vec_id LIMIT 5),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e),
+            ranked AS (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM scored)
+            SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id
+            FROM ranked WHERE rank <= 10
+        """,
+        # full-probe IVF is exact, so the brute-force oracle applies verbatim
+        "ann_ivf_exact_topk": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS qe FROM embeddings
               ORDER BY vec_id LIMIT 5),

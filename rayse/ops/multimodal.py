@@ -135,6 +135,64 @@ def media_features(media_ds, concurrency: int | None = None):
         batch_size=64, concurrency=concurrency)
 
 
+def media_frames_from_documents(sf_dir: str, n_samples: int = 4,
+                                window: int = 64):
+    """Frame sampling under a HARD oracle: payloads derived from the ascii
+    ``documents.text`` bytes (instead of rng bytes), so the byte-window
+    frames the stage emits are exactly expressible as DuckDB ``substr``
+    over the text — flipping the multimodal plumbing from rows-only to a
+    hash-matched signal. Returns (media_id, frame_idx, frame_text)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["media_id"]
+            if "media_id" in batch.column_names else batch["doc_id"],
+            "payload": pc.cast(batch["text"], pa.binary()),
+        })
+
+    frames = media_frames(ds.map_batches(to_media, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          n_samples=n_samples)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["media_id"],
+            "frame_idx": batch["frame_idx"],
+            "frame_text": pc.cast(batch["frame"], pa.string()),
+        })
+
+    return frames.map_batches(decode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def media_frames_sql(n_samples: int = 4, window: int = 64) -> str:
+    """DuckDB oracle for ``media_frames_from_documents``. Mirrors numpy's
+    ``linspace(0, n, k).astype(int64)`` offset semantics exactly: step is
+    the float64 quotient ``n / (k-1)``, interior offsets are
+    ``trunc(j * step)`` (identical IEEE ops both sides), and the endpoint
+    is set to ``n`` exactly (numpy pins ``y[-1] = stop``)."""
+    div = n_samples - 1
+    return f"""
+WITH d AS (SELECT doc_id, text,
+                  greatest(1, length(text) - {window}) AS n
+           FROM documents),
+offs AS (
+  SELECT doc_id, text, CAST(u.j AS INTEGER) AS frame_idx,
+         CASE WHEN u.j = {div} THEN n
+              ELSE CAST(trunc(CAST(u.j AS DOUBLE)
+                              * (CAST(n AS DOUBLE) / {div}.0)) AS BIGINT)
+         END AS o
+  FROM d, UNNEST(range({n_samples})) u(j))
+SELECT doc_id AS media_id, frame_idx,
+       substr(text, CAST(o AS INTEGER) + 1, {window}) AS frame_text
+FROM offs"""
+
+
 def media_frames(media_ds, concurrency: int | None = None,
                  n_samples: int = 4):
     if concurrency is None:

@@ -122,6 +122,16 @@ def test_ann_lsh_recall(ray_session):
         assert len(got & want) >= 6          # decent recall on tiny data
 
 
+def test_ann_ivf_full_probe_exact(ray_session):
+    """IVF exactness theorem: probing every list (n_probe == n_lists)
+    reduces IVF to brute force — table-identical to ann_topk."""
+    from rayse.ops.similarity import ann_ivf_topk, ann_topk
+
+    exact = ann_topk(SF, n_queries=4, k=8)
+    full = ann_ivf_topk(SF, n_queries=4, k=8, n_lists=8, n_probe=8)
+    assert full.equals(exact)
+
+
 def test_lang_id_accuracy(ray_session):
     from rayse.ops.textstats import lang_id
 
@@ -167,6 +177,26 @@ def test_multimodal_plumbing(ray_session):
     frames = media_frames(rd.from_arrow(tbl), n_samples=3).take_all()
     assert len(frames) == 120
     assert all(isinstance(r["frame"], bytes) for r in frames)
+
+
+def test_media_frames_matches_duckdb(ray_session):
+    """Frame sampling over text-derived payloads == SQL substr with the
+    numpy-linspace offset mirror (the media_frames driver oracle)."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.multimodal import (media_frames_from_documents,
+                                      media_frames_sql)
+
+    got = pd.DataFrame(media_frames_from_documents(SF).take_all())
+    got = got.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(media_frames_sql()).df()
+    want = (want.sort_values(["media_id", "frame_idx"])
+            .reset_index(drop=True).astype(got.dtypes.to_dict()))
+    assert got.equals(want)
 
 
 def test_real_codec_stub_raises():
