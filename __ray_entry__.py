@@ -451,6 +451,14 @@ def _q_ws_fallback_topk(sf_dir: str) -> pa.Table:
     return ws_fallback_topk(_ws_index_for(sf_dir))
 
 
+def _q_ws_proximity_topk(sf_dir: str) -> pa.Table:
+    """A11 proximity-boosted ranking (tiered min-pairwise-distance bonus
+    from index positions + BM25) — DuckDB hash-matched."""
+    from rayse.ops.ws_search import ws_proximity_topk
+
+    return ws_proximity_topk(_ws_index_for(sf_dir))
+
+
 def _q_ws_role_topk(sf_dir: str) -> pa.Table:
     """Role-scoped BM25 from per-posting role codes (M6) — DuckDB
     hash-matched (assistant turns are the odd turn_idx by derivation)."""
@@ -543,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ws_phrase_matches": _q_ws_phrase_matches,
         "ws_boolean_topk": _q_ws_boolean_topk,
         "ws_fallback_topk": _q_ws_fallback_topk,
+        "ws_proximity_topk": _q_ws_proximity_topk,
         "ws_term_stats": _q_ws_term_stats,
         "ws_role_topk": _q_ws_role_topk,
         # link-graph + JSON scalar ops (A13; pagerank rows-only: iterative)
@@ -681,6 +690,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.ws_search", fromlist=["x"]).ws_boolean_sql(),
         "ws_fallback_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_fallback_sql(),
+        "ws_proximity_topk": __import__(
+            "rayse.ops.ws_search", fromlist=["x"]).ws_proximity_sql(),
         "ws_term_stats": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_term_stats_sql(),
         "ws_role_topk": __import__(

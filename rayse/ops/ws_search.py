@@ -461,3 +461,121 @@ def ws_phrase_matches(index_dir: str,
         "conv_id": pa.array(out_c, pa.string()),
         "turn_idx": pa.array(out_t, pa.int32()),
     })
+
+
+def ws_proximity_topk(index_dir: str, queries: list[str] | None = None,
+                      k: int = 10) -> pa.Table:
+    """A11 proximity-boosted ranking through the real positional index:
+    BM25 union score + the production tiered proximity bonus
+    (``postprocess.proximity_bonus`` — min pairwise token distance between
+    DIFFERENT query terms: <=3 -> +2.0, <=10 -> +1.0, <=50 -> +0.5),
+    ranked by quantized total with (conv_id, turn_idx) tie-breaks. Flips
+    the A11 scorer from pytest-only to a hash-matched DuckDB oracle."""
+    from ..index.segments import bm25_tf as _bm25_tf
+    from ..query.postprocess import proximity_bonus
+
+    queries = queries if queries is not None else WS_QUERIES
+    reader, params = _ws_reader(index_dir)
+    n, avgdl = reader.n_docs, reader.avgdl
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for q in queries:
+        terms = list(dict.fromkeys(q.split(" ")))
+        present = []                     # (doc_ids, contrib, per-doc pos)
+        for t in terms:
+            pl = reader.merged(t)
+            if pl is None:
+                continue
+            idf = float(np.log((1.0 + n) / (1.0 + pl.doc_ids.size)) + 1.0)
+            contrib = idf * _bm25_tf(pl.tfs, pl.dls, avgdl, params)
+            present.append((pl.doc_ids, contrib, pl.positions()))
+        if not present:
+            continue
+        uniq, inv = np.unique(np.concatenate([p[0] for p in present]),
+                              return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate([p[1] for p in present]))
+        # per-doc per-term position lists -> the production A11 scorer
+        pos_by_doc: list[list] = [[None] * len(present)
+                                  for _ in range(uniq.size)]
+        for ti, (d, _, plist) in enumerate(present):
+            rows = np.searchsorted(uniq, d)
+            for r, parr in zip(rows.tolist(), plist):
+                pos_by_doc[r][ti] = parr
+        bonus = np.fromiter((proximity_bonus(p) for p in pos_by_doc),
+                            dtype=np.float64, count=uniq.size)
+        score_q = np.floor((scores + bonus) * 1e7).astype(np.int64)
+        if uniq.size > k:
+            kth = -np.partition(-score_q, k - 1)[k - 1]
+            keep = score_q >= kth     # keep boundary ties for the tie-break
+            uniq, score_q = uniq[keep], score_q[keep]
+        cmap = resolve_conv_ids(reader.index_dir, uniq)
+        rows = sorted(
+            ((-int(sq), cmap[int(d) >> TURN_BITS],
+              int(d) & ((1 << TURN_BITS) - 1))
+             for d, sq in zip(uniq.tolist(), score_q.tolist())))[:k]
+        for r, (nsq, conv, turn) in enumerate(rows, 1):
+            out_q.append(q)
+            out_r.append(r)
+            out_c.append(conv)
+            out_t.append(turn)
+            out_s.append(-nsq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def ws_proximity_sql(queries: list[str] | None = None, k: int = 10) -> str:
+    """DuckDB oracle for ``ws_proximity_topk``: token positions via
+    list indexing over the split text, min pairwise distance per
+    (query, turn) over all distinct term pairs, tier CASE, and the same
+    quantized ranking. Docs matching only one query term get no bonus row
+    (LEFT JOIN -> coalesce 0), mirroring proximity_bonus's <2-terms
+    short-circuit."""
+    queries = queries if queries is not None else WS_QUERIES
+    pair_vals = []
+    for q in queries:
+        ts = list(dict.fromkeys(q.split(" ")))
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                pair_vals.append(f"('{q}', '{ts[i]}', '{ts[j]}')")
+    pairs = ", ".join(pair_vals)
+    return f"""{_scoring_ctes(queries)},
+tokp AS (
+  SELECT w.conv_id, w.turn_idx, CAST(u.i AS BIGINT) AS pos,
+         w.wl[CAST(u.i AS INTEGER) + 1] AS term
+  FROM (SELECT conv_id, turn_idx, string_split(text, ' ') AS wl
+        FROM turns) w,
+       UNNEST(range(len(w.wl))) u(i)),
+qp(query, t1, t2) AS (VALUES {pairs}),
+mind AS (
+  SELECT qp.query, a.conv_id, a.turn_idx, min(abs(a.pos - b.pos)) AS d
+  FROM qp
+  JOIN tokp a ON a.term = qp.t1
+  JOIN tokp b ON b.term = qp.t2
+   AND a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+  GROUP BY 1, 2, 3),
+bon AS (
+  SELECT query, conv_id, turn_idx,
+         CASE WHEN min(d) <= 3 THEN 2.0
+              WHEN min(d) <= 10 THEN 1.0
+              WHEN min(d) <= 50 THEN 0.5
+              ELSE 0.0 END AS b
+  FROM mind GROUP BY 1, 2, 3),
+quant AS (
+  SELECT s.query, s.conv_id, s.turn_idx,
+         CAST(floor((s.score + coalesce(bon.b, 0.0)) * 10000000) AS BIGINT)
+           AS score_q
+  FROM scored s LEFT JOIN bon
+    ON s.query = bon.query AND s.conv_id = bon.conv_id
+   AND s.turn_idx = bon.turn_idx),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""

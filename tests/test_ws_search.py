@@ -98,3 +98,24 @@ def test_ws_fallback_matches_duckdb(ws_index, con):
     # the three ladder tiers must all trigger on this corpus
     assert set(got["tier"].to_pylist()) == {"all", "half", "any"}
     _cmp(got, want, ["query", "rank"])
+
+
+def test_ws_proximity_matches_duckdb(ws_index, con):
+    """A11 tiered proximity bonus + BM25 through the positional index
+    equals the SQL min-pairwise-distance oracle (quantized ranking)."""
+    from rayse.ops.ws_search import ws_proximity_sql, ws_proximity_topk
+
+    got = ws_proximity_topk(ws_index)
+    want = con.execute(ws_proximity_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+
+
+def test_ws_proximity_bonus_changes_ranking(ws_index):
+    """The bonus is live: at least one query's quantized scores differ
+    from plain BM25 (the corpus co-locates query words within turns)."""
+    from rayse.ops.ws_search import ws_bm25_topk, ws_proximity_topk
+
+    plain = ws_bm25_topk(ws_index).to_pandas()
+    prox = ws_proximity_topk(ws_index).to_pandas()
+    assert not plain["score_q"].equals(prox["score_q"])
