@@ -451,6 +451,31 @@ def _q_ws_fallback_topk(sf_dir: str) -> pa.Table:
     return ws_fallback_topk(_ws_index_for(sf_dir))
 
 
+def _q_porter_bm25_topk(sf_dir: str) -> pa.Table:
+    """The FLAGSHIP Porter-analyzer BM25 ranking under a DIRECT DuckDB
+    oracle: the closed corpus vocabulary makes the analyzer chain
+    enumerable as a stem-map CTE (rayse.ops.porter_oracle)."""
+    from rayse.ops.porter_oracle import porter_bm25_topk
+
+    return porter_bm25_topk(_index_for(sf_dir))
+
+
+def _q_porter_phrase_matches(sf_dir: str) -> pa.Table:
+    """J6 positional phrase verification on the Porter index — DuckDB
+    hash-matched via the filtered-stream padded-substring equivalence."""
+    from rayse.ops.porter_oracle import porter_phrase_matches
+
+    return porter_phrase_matches(_index_for(sf_dir))
+
+
+def _q_porter_term_stats(sf_dir: str) -> pa.Table:
+    """A1-A3 stemmed term dictionary from the Porter index (distributed
+    Ray aggregate) — DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_term_stats
+
+    return porter_term_stats(_index_for(sf_dir))
+
+
 def _q_ws_proximity_topk(sf_dir: str) -> pa.Table:
     """A11 proximity-boosted ranking (tiered min-pairwise-distance bonus
     from index positions + BM25) — DuckDB hash-matched."""
@@ -545,6 +570,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # role(field)-scoped retrieval from per-posting role stats (M6/A7;
         # rows-only — rank-identity pinned by tests/test_roles.py)
         "role_filtered_topk": _q_role_filtered_topk,
+        # DIRECT Porter-path oracles (closed-vocab stem-map mirror):
+        # the flagship analyzer chain itself, DuckDB hash-matched
+        "porter_bm25_topk": _q_porter_bm25_topk,
+        "porter_phrase_matches": _q_porter_phrase_matches,
+        "porter_term_stats": _q_porter_term_stats,
         # SQL-checkable ranked retrieval through the real index pipeline
         # (whitespace analyzer; DuckDB hash-matched incl. the role path)
         "ws_bm25_topk": _q_ws_bm25_topk,
@@ -682,6 +712,12 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).lang_id_sql(),
         "media_frames": __import__(
             "rayse.ops.multimodal", fromlist=["x"]).media_frames_sql(),
+        "porter_bm25_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_bm25_sql(),
+        "porter_phrase_matches": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_phrase_sql(),
+        "porter_term_stats": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_term_stats_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

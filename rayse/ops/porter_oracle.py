@@ -1,0 +1,262 @@
+"""Full Porter-analyzer retrieval under DuckDB oracles — the flagship path.
+
+Rounds 1-2 closed the flagship's oracle gap indirectly: the whitespace
+variants (``rayse.ops.ws_search``) run the same build/merge/score pipeline
+under SQL oracles, while the Porter chain itself stayed rows-only. This
+module closes it DIRECTLY: the synthetic corpus draws from a CLOSED
+31-word vocabulary (identical at sf0.001/0.01/0.1), so the Porter analyzer
+chain — regex tokenize (`PreIndexer.java:93-163` semantics) -> length/
+stopword filter (`PreIndexer.java:41-46`) -> Porter stem
+(`PreIndexer.java:165-178`) — is fully enumerable as a (word -> stem)
+mapping computed by the PRODUCTION analyzer and embedded as a VALUES CTE.
+On this corpus ``tokenize(text) == text.split(' ')`` (plain lowercase
+words, single spaces — pinned by test), so ``string_split`` + the mapping
+join reproduces the analyzed token stream exactly, and ranked BM25,
+positional phrase matching, and the term dictionary over the REAL Porter
+index become hash-matched DuckDB oracles.
+
+Failure mode is loud, never silent: an out-of-vocabulary word in the data
+is indexed by the engine but dropped by the oracle's inner join, so the
+driver records a hash mismatch instead of a false pass.
+
+Score quantization follows the ws recipe: both sides rank by
+``floor(score * 1e7)`` with (conv_id, turn_idx) tie-breaks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..index.reader import IndexReader
+from ..index.segments import bm25_tf
+from ..config import BM25Params
+from ..pipelines.hydrate import resolve_conv_ids
+from ..stages.doc_ids import TURN_BITS
+from .ws_search import _TURNS_CTE
+
+# The generator's closed word list (every sf dir; pinned by
+# tests/test_porter_oracle.py::test_vocab_closure).
+CORPUS_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+# Flagship query sets (mirrors __ray_entry__ SEARCH/PHRASE_QUERIES).
+PORTER_QUERIES = ["table scan", "hash join merge", "window agg", "spark",
+                  "customer query plan", "slow", "vector group filter"]
+PORTER_PHRASES = ["table scan", "hash join", "window agg batch"]
+
+
+def _analyzed(q: str) -> list[str]:
+    """Deduped analyzed term set (bm25 scoring)."""
+    from ..analyzer import analyze
+
+    return list(dict.fromkeys(analyze(q)))
+
+
+def _analyzed_seq(p: str) -> list[str]:
+    """Analyzed term SEQUENCE (phrases: order and duplicates preserved)."""
+    from ..analyzer import analyze
+
+    return analyze(p)
+
+
+def _stem_map() -> list[tuple[str, str]]:
+    """(word, stem) pairs from the production analyzer; filtered words
+    (stopword / length <= 1) are omitted -> the SQL inner join drops them,
+    mirroring the analyzer's None decision."""
+    from ..analyzer import analyze
+
+    out = []
+    for w in CORPUS_VOCAB:
+        s = analyze(w)
+        if s:
+            out.append((w, s[0]))
+    return out
+
+
+def _porter_reader(index_dir: str) -> tuple[IndexReader, BM25Params]:
+    reader = IndexReader(index_dir)
+    if reader.meta.get("analyzer") != "porter":
+        raise ValueError(f"{index_dir} is not a porter-analyzer index")
+    return reader, BM25Params(**reader.meta.get("bm25", {}))
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+# ---------------------------------------------------------------------------
+
+def _analysis_ctes() -> str:
+    """turns -> raw word positions -> analyzer map join -> tf/df/dl/stats.
+
+    ``n`` counts ALL turns (compute_corpus_stats uses the full turn count)
+    and ``avgdl = sum(kept tokens) / n`` — exactly the build's
+    ``total_tokens / n_docs`` float division."""
+    vals = ", ".join(f"('{w}', '{s}')" for w, s in _stem_map())
+    return f"""WITH {_TURNS_CTE},
+stemmap(word, stem) AS (VALUES {vals}),
+raw AS (
+  SELECT t.conv_id, t.turn_idx, CAST(u.i AS BIGINT) AS rawpos,
+         t.wl[CAST(u.i AS INTEGER) + 1] AS word
+  FROM (SELECT conv_id, turn_idx, string_split(text, ' ') AS wl
+        FROM turns) t,
+       UNNEST(range(len(t.wl))) u(i)),
+ptok AS (
+  SELECT r.conv_id, r.turn_idx, r.rawpos, sm.stem AS term
+  FROM raw r JOIN stemmap sm ON r.word = sm.word),
+dl AS (SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS dl
+       FROM ptok GROUP BY 1, 2),
+tf AS (SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf
+       FROM ptok GROUP BY 1, 2, 3),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM turns) AS n,
+                 (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+                   / (SELECT count(*) FROM turns) AS avgdl)"""
+
+
+def porter_bm25_sql(queries: list[str] | None = None, k: int = 10) -> str:
+    """DuckDB oracle for ``porter_bm25_topk``: BM25 over the analyzed
+    stream, quantized ranking (identical formula/op order to the engine:
+    idf v2 ``ln((1+N)/(1+df)) + 1``, tf part ``tf*(k1+1)/(tf + k1*(1-b
+    + b*(dl/avgdl)))`` with k1=1.2, b=0.75)."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in _analyzed(q))
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+def porter_phrase_sql(phrases: list[str] | None = None) -> str:
+    """DuckDB oracle for ``porter_phrase_matches``. Positions are indices
+    in the FILTERED+STEMMED stream (`rayse.analyzer` docstring), so
+    adjacency there == adjacency in the single-space re-join of the kept
+    stems — the ws padded-substring equivalence applied post-analysis."""
+    phrases = phrases if phrases is not None else PORTER_PHRASES
+    vals = ", ".join(f"('{p}', '{' '.join(_analyzed_seq(p))}')"
+                     for p in phrases)
+    return f"""{_analysis_ctes()},
+ftext AS (
+  SELECT conv_id, turn_idx,
+         string_agg(term, ' ' ORDER BY rawpos) AS ft
+  FROM ptok GROUP BY 1, 2),
+ph(phrase, stemmed) AS (VALUES {vals})
+SELECT ph.phrase, f.conv_id, f.turn_idx
+FROM ftext f JOIN ph
+  ON contains(' ' || f.ft || ' ', ' ' || ph.stemmed || ' ')"""
+
+
+def porter_term_stats_sql() -> str:
+    return f"""{_analysis_ctes()}
+SELECT term, df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf JOIN df USING (term) GROUP BY term, df"""
+
+
+# ---------------------------------------------------------------------------
+# Ray-side queries over the real Porter index
+# ---------------------------------------------------------------------------
+
+def porter_bm25_topk(index_dir: str, queries: list[str] | None = None,
+                     k: int = 10) -> pa.Table:
+    """Exhaustive disjunctive BM25 through the Porter index (same
+    union-accumulate shape as ``ws_bm25_topk``; terms from the production
+    analyzer), quantized ranking with (conv_id, turn_idx) tie-breaks."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, params = _porter_reader(index_dir)
+    n, avgdl = reader.n_docs, reader.avgdl
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for q in queries:
+        doc_arrs, contrib_arrs = [], []
+        for t in _analyzed(q):
+            pl = reader.merged(t)
+            if pl is None:
+                continue
+            idf = float(np.log((1.0 + n) / (1.0 + pl.doc_ids.size)) + 1.0)
+            doc_arrs.append(pl.doc_ids)
+            contrib_arrs.append(idf * bm25_tf(pl.tfs, pl.dls, avgdl, params))
+        if not doc_arrs:
+            continue
+        uniq, inv = np.unique(np.concatenate(doc_arrs), return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(contrib_arrs))
+        score_q = np.floor(scores * 1e7).astype(np.int64)
+        if uniq.size > k:
+            kth = -np.partition(-score_q, k - 1)[k - 1]
+            keep = score_q >= kth     # keep boundary ties for the tie-break
+            uniq, score_q = uniq[keep], score_q[keep]
+        cmap = resolve_conv_ids(reader.index_dir, uniq)
+        rows = sorted(
+            ((-int(sq), cmap[int(d) >> TURN_BITS],
+              int(d) & ((1 << TURN_BITS) - 1))
+             for d, sq in zip(uniq.tolist(), score_q.tolist())))[:k]
+        for r, (nsq, conv, turn) in enumerate(rows, 1):
+            out_q.append(q)
+            out_r.append(r)
+            out_c.append(conv)
+            out_t.append(turn)
+            out_s.append(-nsq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_phrase_matches(index_dir: str,
+                          phrases: list[str] | None = None) -> pa.Table:
+    """ALL turns containing each analyzed phrase as adjacent positions in
+    the Porter index — J6 positional verification on the flagship path."""
+    from ..query.engine import _PosCache, phrase_match
+
+    phrases = phrases if phrases is not None else PORTER_PHRASES
+    reader, _ = _porter_reader(index_dir)
+    cache = _PosCache()
+    out_p, out_c, out_t = [], [], []
+    for p in phrases:
+        docs = phrase_match(reader, _analyzed_seq(p), cache)
+        if docs.size == 0:
+            continue
+        cmap = resolve_conv_ids(reader.index_dir, docs)
+        for d in docs.tolist():
+            out_p.append(p)
+            out_c.append(cmap[int(d) >> TURN_BITS])
+            out_t.append(int(d) & ((1 << TURN_BITS) - 1))
+    return pa.table({
+        "phrase": pa.array(out_p, pa.string()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+    })
+
+
+def porter_term_stats(index_dir: str) -> pa.Table:
+    """Stemmed term dictionary (term, df, cf) from the Porter index's
+    segment stats — A1-A3 on the flagship path, as a Ray aggregate."""
+    from ..index.stats import term_stats_table
+
+    _porter_reader(index_dir)
+    return term_stats_table(index_dir)

@@ -1,0 +1,145 @@
+"""Direct DuckDB oracles for the FLAGSHIP Porter-analyzer path.
+
+The corpus vocabulary is a closed 31-word list, so the Porter chain is
+enumerable as a (word -> stem) map computed by the production analyzer —
+these tests pin the closure assumptions AND the hash-matches at sf0.001
+(the driver re-checks at sf0.01)."""
+
+import glob
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def porter_index(ray_session, tmp_path_factory):
+    from rayse.config import IndexConfig
+    from rayse.pipelines.build_index import build_index
+    from rayse.pipelines.transcripts import write_transcripts_from_documents
+
+    root = tmp_path_factory.mktemp("porter")
+    tdir = root / "transcripts"
+    tdir.mkdir()
+    write_transcripts_from_documents(SF, str(tdir))
+    idir = str(root / "index")
+    build_index(str(tdir), idir, IndexConfig())   # default: porter
+    return idir
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{SF}/documents.parquet')")
+    return c
+
+
+def _cmp(got, want: pd.DataFrame, keys):
+    got = got.to_pandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    a = got.sort_values(keys).reset_index(drop=True)
+    b = want.sort_values(keys).reset_index(drop=True)[list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_vocab_closure():
+    """Every sf dir's documents draw exclusively from CORPUS_VOCAB, and on
+    these texts the Porter tokenizer degenerates to a whitespace split (no
+    dots/paths/operators in the word soup) — the two assumptions the SQL
+    stem-map mirror rests on."""
+    from rayse.analyzer.tokenizer import tokenize
+    from rayse.ops.porter_oracle import CORPUS_VOCAB
+
+    vocab = set(CORPUS_VOCAB)
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        texts = pq.read_table(f"{d}/documents.parquet",
+                              columns=["text"])["text"].to_pylist()
+        words = set()
+        for t in texts:
+            words.update(t.split(" "))
+            assert tokenize(t) == t.split(" ")
+        assert words <= vocab, d
+
+
+def test_stem_map_is_production_analyzer():
+    """The embedded map is exactly the analyzer's decision per word
+    (filtered words omitted), recomputed fresh here."""
+    from rayse.analyzer import analyze
+    from rayse.ops.porter_oracle import CORPUS_VOCAB, _stem_map
+
+    want = {}
+    for w in CORPUS_VOCAB:
+        s = analyze(w)
+        if s:
+            want[w] = s[0]
+    assert dict(_stem_map()) == want
+    # and the interesting cases are live: drops + non-identity stems
+    assert "the" not in want and "a" not in want
+    assert want["table"] == "tabl" and want["query"] == "queri"
+
+
+def test_porter_bm25_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import porter_bm25_sql, porter_bm25_topk
+
+    got = porter_bm25_topk(porter_index)
+    want = con.execute(porter_bm25_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+
+
+def test_porter_phrase_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import (porter_phrase_matches,
+                                         porter_phrase_sql)
+
+    got = porter_phrase_matches(porter_index)
+    want = con.execute(porter_phrase_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["phrase", "conv_id", "turn_idx"])
+
+
+def test_porter_term_stats_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import (porter_term_stats,
+                                         porter_term_stats_sql)
+
+    got = porter_term_stats(porter_index)
+    want = con.execute(porter_term_stats_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["term"])
+
+
+def test_porter_topk_agrees_with_engine(porter_index):
+    """The quantized-ranked oracle table and the engine's own search()
+    route (block-max) agree on the returned doc set per query — ties the
+    oracle back to the production serving path."""
+    from rayse.ops.porter_oracle import PORTER_QUERIES, porter_bm25_topk
+    from rayse.pipelines.hydrate import resolve_conv_ids
+    from rayse.query.engine import SearchEngine
+    from rayse.stages.doc_ids import TURN_BITS
+
+    import numpy as np
+
+    eng = SearchEngine(porter_index)
+    tbl = porter_bm25_topk(porter_index).to_pandas()
+    for q in PORTER_QUERIES:
+        docs, scores = eng.search(q, k=10)
+        cmap = resolve_conv_ids(porter_index, docs)
+        eng_q = np.floor(scores * 1e7).astype(np.int64)
+        ora = tbl[tbl["query"] == q]
+        # identical quantized score multisets (same ranking strength)
+        assert sorted(eng_q.tolist()) == sorted(ora["score_q"]), q
+        # membership may differ ONLY among docs tied at the k-th score:
+        # the engine tie-breaks by doc_id (hash order, O1 parity), the
+        # oracle by (conv_id, turn_idx) — both contracts, different order
+        eng_set = {(cmap[int(d) >> TURN_BITS],
+                    int(d) & ((1 << TURN_BITS) - 1), int(sq))
+                   for d, sq in zip(docs.tolist(), eng_q.tolist())}
+        ora_set = set(zip(ora["conv_id"], ora["turn_idx"],
+                          ora["score_q"].astype(int)))
+        boundary = min(int(x) for x in eng_q) if len(eng_q) else None
+        for _, _, sq in eng_set ^ ora_set:
+            assert sq == boundary, q
