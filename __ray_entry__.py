@@ -476,6 +476,40 @@ def _q_porter_term_stats(sf_dir: str) -> pa.Table:
     return porter_term_stats(_index_for(sf_dir))
 
 
+def _q_porter_boolean_topk(sf_dir: str) -> pa.Table:
+    """SE1-SE3 boolean phrase algebra through the Porter engine — DuckDB
+    hash-matched."""
+    from rayse.ops.porter_oracle import porter_boolean_topk
+
+    return porter_boolean_topk(_index_for(sf_dir))
+
+
+def _q_porter_fallback_topk(sf_dir: str) -> pa.Table:
+    """A8 retrieval ladder with the Porter analyzer — DuckDB
+    hash-matched (tier choice and ranking)."""
+    from rayse.ops.porter_oracle import porter_fallback_topk
+
+    return porter_fallback_topk(_index_for(sf_dir))
+
+
+def _q_porter_role_topk(sf_dir: str) -> pa.Table:
+    """M6 role-scoped BM25 on the Porter index (per-posting role codes)
+    — DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_bm25_topk
+
+    return porter_bm25_topk(_index_for(sf_dir), role="assistant")
+
+
+def _q_porter_hydrated_topk(sf_dir: str) -> pa.Table:
+    """J4 hydration (ranked top-k joined back to source turns via the
+    pushdown read) — DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_hydrated_topk
+
+    idir = _index_for(sf_dir)
+    tdir = os.path.join(os.path.dirname(idir), "transcripts")
+    return porter_hydrated_topk(idir, tdir)
+
+
 def _q_ws_proximity_topk(sf_dir: str) -> pa.Table:
     """A11 proximity-boosted ranking (tiered min-pairwise-distance bonus
     from index positions + BM25) — DuckDB hash-matched."""
@@ -575,6 +609,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_bm25_topk": _q_porter_bm25_topk,
         "porter_phrase_matches": _q_porter_phrase_matches,
         "porter_term_stats": _q_porter_term_stats,
+        "porter_boolean_topk": _q_porter_boolean_topk,
+        "porter_fallback_topk": _q_porter_fallback_topk,
+        "porter_role_topk": _q_porter_role_topk,
+        "porter_hydrated_topk": _q_porter_hydrated_topk,
         # SQL-checkable ranked retrieval through the real index pipeline
         # (whitespace analyzer; DuckDB hash-matched incl. the role path)
         "ws_bm25_topk": _q_ws_bm25_topk,
@@ -718,6 +756,15 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_phrase_sql(),
         "porter_term_stats": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_term_stats_sql(),
+        "porter_boolean_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_boolean_sql(),
+        "porter_fallback_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_fallback_sql(),
+        "porter_role_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_bm25_sql(
+                assistant_only=True),
+        "porter_hydrated_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_hydrated_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

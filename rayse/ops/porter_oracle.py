@@ -48,6 +48,15 @@ CORPUS_VOCAB = [
 PORTER_QUERIES = ["table scan", "hash join merge", "window agg", "spark",
                   "customer query plan", "slow", "vector group filter"]
 PORTER_PHRASES = ["table scan", "hash join", "window agg batch"]
+# SE1-SE3 boolean set algebra (the flagship BOOLEAN_QUERIES operands).
+PORTER_BOOLEANS = [("AND", "table scan", "hash join"),
+                   ("OR", "table scan", "hash join"),
+                   ("NOT", "table scan", "hash join")]
+# A8 ladder: lower tiers forced with out-of-vocabulary (df = 0) words that
+# SURVIVE the analyzer (length > 1, not stopwords).
+PORTER_FALLBACKS = ["table scan",
+                    "scan merge qqoovhalf",
+                    "scan qqoova qqoovb"]
 
 
 def _analyzed(q: str) -> list[str]:
@@ -117,14 +126,17 @@ stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM turns) AS n,
                    / (SELECT count(*) FROM turns) AS avgdl)"""
 
 
-def porter_bm25_sql(queries: list[str] | None = None, k: int = 10) -> str:
+def porter_bm25_sql(queries: list[str] | None = None, k: int = 10,
+                    assistant_only: bool = False) -> str:
     """DuckDB oracle for ``porter_bm25_topk``: BM25 over the analyzed
     stream, quantized ranking (identical formula/op order to the engine:
     idf v2 ``ln((1+N)/(1+df)) + 1``, tf part ``tf*(k1+1)/(tf + k1*(1-b
-    + b*(dl/avgdl)))`` with k1=1.2, b=0.75)."""
+    + b*(dl/avgdl)))`` with k1=1.2, b=0.75). ``assistant_only`` mirrors
+    the role filter (assistant turns are odd turn_idx by derivation)."""
     queries = queries if queries is not None else PORTER_QUERIES
     vals = ", ".join(f"('{q}', '{t}')"
                      for q in queries for t in _analyzed(q))
+    where = "WHERE turn_idx % 2 = 1" if assistant_only else ""
     return f"""{_analysis_ctes()},
 qt(query, term) AS (VALUES {vals}),
 scored AS (
@@ -140,7 +152,7 @@ scored AS (
 quant AS (
   SELECT query, conv_id, turn_idx,
          CAST(floor(score * 10000000) AS BIGINT) AS score_q
-  FROM scored),
+  FROM scored {where}),
 ranked AS (
   SELECT query, conv_id, turn_idx, score_q,
          row_number() OVER (PARTITION BY query
@@ -180,12 +192,16 @@ FROM tf JOIN df USING (term) GROUP BY term, df"""
 # ---------------------------------------------------------------------------
 
 def porter_bm25_topk(index_dir: str, queries: list[str] | None = None,
-                     k: int = 10) -> pa.Table:
+                     k: int = 10, role: str | None = None) -> pa.Table:
     """Exhaustive disjunctive BM25 through the Porter index (same
     union-accumulate shape as ``ws_bm25_topk``; terms from the production
-    analyzer), quantized ranking with (conv_id, turn_idx) tie-breaks."""
+    analyzer), quantized ranking with (conv_id, turn_idx) tie-breaks.
+    ``role`` filters postings by the M6 per-posting role code."""
+    from ..index.segments import ROLE_CODES
+
     queries = queries if queries is not None else PORTER_QUERIES
     reader, params = _porter_reader(index_dir)
+    role_code = ROLE_CODES[role] if role is not None else None
     n, avgdl = reader.n_docs, reader.avgdl
     out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
     for q in queries:
@@ -195,8 +211,13 @@ def porter_bm25_topk(index_dir: str, queries: list[str] | None = None,
             if pl is None:
                 continue
             idf = float(np.log((1.0 + n) / (1.0 + pl.doc_ids.size)) + 1.0)
-            doc_arrs.append(pl.doc_ids)
-            contrib_arrs.append(idf * bm25_tf(pl.tfs, pl.dls, avgdl, params))
+            contrib = idf * bm25_tf(pl.tfs, pl.dls, avgdl, params)
+            d = pl.doc_ids
+            if role_code is not None:
+                m = pl.roles == role_code
+                d, contrib = d[m], contrib[m]
+            doc_arrs.append(d)
+            contrib_arrs.append(contrib)
         if not doc_arrs:
             continue
         uniq, inv = np.unique(np.concatenate(doc_arrs), return_inverse=True)
@@ -260,3 +281,274 @@ def porter_term_stats(index_dir: str) -> pa.Table:
 
     _porter_reader(index_dir)
     return term_stats_table(index_dir)
+
+
+def porter_boolean_topk(index_dir: str, exprs: list[tuple] | None = None,
+                        k: int = 10) -> pa.Table:
+    """SE1-SE3 boolean set algebra over POSITIONAL phrase matches through
+    the Porter engine (AND/OR/NOT on analyzed phrases; scoring semantics
+    of ``SearchEngine.boolean``), quantized ranking — the flagship
+    boolean path under a DuckDB oracle."""
+    from ..query.engine import SearchEngine, score_docs
+
+    exprs = exprs if exprs is not None else PORTER_BOOLEANS
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for op, left, right in exprs:
+        lt, rt = _analyzed_seq(left), _analyzed_seq(right)
+        ldocs = eng.phrase_docs(lt)
+        rdocs = eng.phrase_docs(rt)
+        if op == "AND":
+            docs = np.intersect1d(ldocs, rdocs, assume_unique=True)
+            terms = list(dict.fromkeys(lt + rt))
+        elif op == "OR":
+            docs = np.union1d(ldocs, rdocs)
+            terms = list(dict.fromkeys(lt + rt))
+        elif op == "NOT":
+            docs = np.setdiff1d(ldocs, rdocs, assume_unique=True)
+            terms = list(dict.fromkeys(lt))
+        else:
+            raise ValueError(op)
+        if docs.size == 0:
+            continue
+        scores = score_docs(eng.reader, docs, terms, eng._idfs(terms),
+                            eng.reader.avgdl, eng.params)
+        score_q = np.floor(scores * 1e7).astype(np.int64)
+        if docs.size > k:
+            kth = -np.partition(-score_q, k - 1)[k - 1]
+            keep = score_q >= kth     # keep boundary ties for the tie-break
+            docs, score_q = docs[keep], score_q[keep]
+        cmap = resolve_conv_ids(eng.reader.index_dir, docs)
+        label = f"{left} {op} {right}"
+        rows = sorted(
+            ((-int(sq), cmap[int(d) >> TURN_BITS],
+              int(d) & ((1 << TURN_BITS) - 1))
+             for d, sq in zip(docs.tolist(), score_q.tolist())))[:k]
+        for r, (nsq, conv, turn) in enumerate(rows, 1):
+            out_q.append(label)
+            out_r.append(r)
+            out_c.append(conv)
+            out_t.append(turn)
+            out_s.append(-nsq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_boolean_sql(exprs: list[tuple] | None = None,
+                       k: int = 10) -> str:
+    """DuckDB oracle for ``porter_boolean_topk``: phrase-match sets via
+    the filtered-stream padded-substring equivalence, INTERSECT / UNION /
+    EXCEPT, BM25 scoring restricted to the eligible set, quantized
+    ranking."""
+    exprs = exprs if exprs is not None else PORTER_BOOLEANS
+    setop = {"AND": "INTERSECT", "OR": "UNION", "NOT": "EXCEPT"}
+    parts = []
+    for op, left, right in exprs:
+        lt, rt = _analyzed_seq(left), _analyzed_seq(right)
+        terms = lt if op == "NOT" else lt + rt
+        vals = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
+        lp, rp = " ".join(lt), " ".join(rt)
+        parts.append(f"""
+  SELECT '{left} {op} {right}' AS query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM (VALUES {vals}) qt(term)
+  JOIN tf USING (term) JOIN df USING (term)
+  JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+  JOIN (SELECT conv_id, turn_idx FROM ftext
+        WHERE contains(' ' || ft || ' ', ' {lp} ')
+        {setop[op]}
+        SELECT conv_id, turn_idx FROM ftext
+        WHERE contains(' ' || ft || ' ', ' {rp} ')) e
+    ON tf.conv_id = e.conv_id AND tf.turn_idx = e.turn_idx
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""{_analysis_ctes()},
+ftext AS (
+  SELECT conv_id, turn_idx,
+         string_agg(term, ' ' ORDER BY rawpos) AS ft
+  FROM ptok GROUP BY 1, 2),
+scored AS ({union}),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+def porter_fallback_topk(index_dir: str, queries: list[str] | None = None,
+                         k: int = 10) -> pa.Table:
+    """A8 retrieval ladder (all -> >=ceil(n/2) -> any) through the Porter
+    engine's union-accumulate pass; tier selection AND quantized ranking
+    under the SQL oracle. ``n`` counts ANALYZED query terms (OOV words
+    that survive the analyzer count toward n but never match)."""
+    from ..query.engine import SearchEngine, accumulate
+
+    queries = queries if queries is not None else PORTER_FALLBACKS
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    out = {c: [] for c in
+           ("query", "tier", "rank", "conv_id", "turn_idx", "score_q")}
+    for q in queries:
+        terms = _analyzed(q)
+        n = len(terms)
+        d, s, m = accumulate(eng.reader, terms, eng._idfs(terms),
+                             eng.reader.avgdl, eng.params)
+        mx = int(m.max()) if d.size else 0
+        half = (n + 1) // 2
+        if mx == n and d.size:
+            tier, thr = "all", n
+        elif n > 1 and mx >= half:
+            tier, thr = "half", half
+        else:
+            tier, thr = "any", 1
+        keep = m >= thr
+        docs, score_q = d[keep], np.floor(s[keep] * 1e7).astype(np.int64)
+        if docs.size == 0:
+            continue
+        if docs.size > k:
+            kth = -np.partition(-score_q, k - 1)[k - 1]
+            sel = score_q >= kth      # keep boundary ties for the tie-break
+            docs, score_q = docs[sel], score_q[sel]
+        cmap = resolve_conv_ids(eng.reader.index_dir, docs)
+        rows = sorted(
+            ((-int(sq), cmap[int(dd) >> TURN_BITS],
+              int(dd) & ((1 << TURN_BITS) - 1))
+             for dd, sq in zip(docs.tolist(), score_q.tolist())))[:k]
+        for r, (nsq, conv, turn) in enumerate(rows, 1):
+            out["query"].append(q)
+            out["tier"].append(tier)
+            out["rank"].append(r)
+            out["conv_id"].append(conv)
+            out["turn_idx"].append(turn)
+            out["score_q"].append(-nsq)
+    return pa.table({
+        "query": pa.array(out["query"], pa.string()),
+        "tier": pa.array(out["tier"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "conv_id": pa.array(out["conv_id"], pa.string()),
+        "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+        "score_q": pa.array(out["score_q"], pa.int64()),
+    })
+
+
+def porter_fallback_sql(queries: list[str] | None = None,
+                        k: int = 10) -> str:
+    """DuckDB oracle for ``porter_fallback_topk`` (the ws_fallback_sql
+    shape with the analyzed stream and Python-analyzed term counts)."""
+    queries = queries if queries is not None else PORTER_FALLBACKS
+    vals = ", ".join(
+        f"('{q}', '{t}')" for q in queries for t in _analyzed(q))
+    qn = ", ".join(f"('{q}', {len(_analyzed(q))})" for q in queries)
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+qn(query, n_terms) AS (VALUES {qn}),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score,
+         count(*) AS nmatch
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+sel AS (
+  SELECT q.query,
+         CASE WHEN m.mx = q.n_terms THEN 'all'
+              WHEN q.n_terms > 1 AND m.mx >= (q.n_terms + 1) // 2
+                THEN 'half'
+              ELSE 'any' END AS tier,
+         CASE WHEN m.mx = q.n_terms THEN q.n_terms
+              WHEN q.n_terms > 1 AND m.mx >= (q.n_terms + 1) // 2
+                THEN (q.n_terms + 1) // 2
+              ELSE 1 END AS thr
+  FROM qn q JOIN (SELECT query, max(nmatch) AS mx FROM scored
+                  GROUP BY query) m USING (query)),
+quant AS (
+  SELECT s.query, sel.tier, s.conv_id, s.turn_idx,
+         CAST(floor(s.score * 10000000) AS BIGINT) AS score_q
+  FROM scored s JOIN sel USING (query)
+  WHERE s.nmatch >= sel.thr),
+ranked AS (
+  SELECT query, tier, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, tier, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+def porter_hydrated_topk(index_dir: str, transcripts_path: str,
+                         queries: list[str] | None = None,
+                         k: int = 10) -> pa.Table:
+    """J4 hydration on the flagship path under a DuckDB oracle: quantized
+    BM25 top-k joined back to the source turns (role, text) via the
+    predicate-pushdown ``hydrate`` read — no full-table scan."""
+    from ..pipelines.hydrate import hydrate
+    from ..stages.doc_ids import doc_id_of
+
+    ranked = porter_bm25_topk(index_dir, queries, k)
+    docs = np.array([doc_id_of(c, int(t)) for c, t in
+                     zip(ranked["conv_id"].to_pylist(),
+                         ranked["turn_idx"].to_pylist())], dtype=np.uint64)
+    if docs.size == 0:
+        return pa.table({
+            "query": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int32()),
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "score_q": pa.array([], pa.int64()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+        })
+    h = hydrate(index_dir, transcripts_path, docs)
+    return pa.table({
+        "query": ranked["query"],
+        "rank": ranked["rank"],
+        "conv_id": ranked["conv_id"],
+        "turn_idx": ranked["turn_idx"],
+        "score_q": ranked["score_q"],
+        "role": h["role"],
+        "text": h["text"],
+    })
+
+
+def porter_hydrated_sql(queries: list[str] | None = None,
+                        k: int = 10) -> str:
+    """Oracle for ``porter_hydrated_topk``: the bm25 ranking joined with
+    the turns CTE; role reconstructed from the derivation rule (user on
+    even turn_idx, assistant on odd)."""
+    inner = porter_bm25_sql(queries, k)
+    return f"""
+WITH ranked_out AS ({inner})
+SELECT r.query, r.rank, r.conv_id, r.turn_idx, r.score_q,
+       CASE WHEN r.turn_idx % 2 = 1 THEN 'assistant' ELSE 'user' END
+         AS role,
+       t.text
+FROM ranked_out r
+JOIN (SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, text
+      FROM ({porter_turns_standalone()})) t
+  ON r.conv_id = t.conv_id AND r.turn_idx = t.turn_idx"""
+
+
+def porter_turns_standalone() -> str:
+    """The transcripts-derivation CTE as a standalone SELECT (for reuse
+    inside a second WITH scope)."""
+    return f"WITH {_TURNS_CTE} SELECT conv_id, turn_idx, text FROM turns"

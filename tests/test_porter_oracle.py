@@ -143,3 +143,48 @@ def test_porter_topk_agrees_with_engine(porter_index):
         boundary = min(int(x) for x in eng_q) if len(eng_q) else None
         for _, _, sq in eng_set ^ ora_set:
             assert sq == boundary, q
+
+
+def test_porter_boolean_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import (porter_boolean_sql,
+                                         porter_boolean_topk)
+
+    got = porter_boolean_topk(porter_index)
+    want = con.execute(porter_boolean_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+
+
+def test_porter_fallback_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import (porter_fallback_sql,
+                                         porter_fallback_topk)
+
+    got = porter_fallback_topk(porter_index)
+    want = con.execute(porter_fallback_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    # all three ladder tiers exercised
+    assert set(got.to_pandas()["tier"]) == {"all", "half", "any"}
+
+
+def test_porter_role_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import porter_bm25_sql, porter_bm25_topk
+
+    got = porter_bm25_topk(porter_index, role="assistant")
+    want = con.execute(porter_bm25_sql(assistant_only=True)).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    assert all(t % 2 == 1 for t in got["turn_idx"].to_pylist())
+
+
+def test_porter_hydrated_matches_duckdb(porter_index, con, tmp_path_factory):
+    from rayse.ops.porter_oracle import (porter_hydrated_sql,
+                                         porter_hydrated_topk)
+    from rayse.pipelines.transcripts import write_transcripts_from_documents
+
+    tdir = str(tmp_path_factory.mktemp("porter_h") / "transcripts")
+    write_transcripts_from_documents(SF, tdir)
+    got = porter_hydrated_topk(porter_index, tdir)
+    want = con.execute(porter_hydrated_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
