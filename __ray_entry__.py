@@ -510,6 +510,30 @@ def _q_porter_hydrated_topk(sf_dir: str) -> pa.Table:
     return porter_hydrated_topk(idir, tdir)
 
 
+def _q_porter_wand_topk(sf_dir: str) -> pa.Table:
+    """A4/A6 block-max pruned (WAND/MaxScore-style) top-k — the DEFAULT
+    serving path — DuckDB hash-matched against the exhaustive oracle."""
+    from rayse.ops.porter_oracle import porter_wand_topk
+
+    return porter_wand_topk(_index_for(sf_dir))
+
+
+def _q_porter_cluster_topk(sf_dir: str) -> pa.Table:
+    """ST1-ST3/J2 distributed serving (QueryActor pool, two-phase global
+    df, k-way merge, ST4 cache) — DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_cluster_topk
+
+    return porter_cluster_topk(_index_for(sf_dir))
+
+
+def _q_porter_conjunctive_topk(sf_dir: str) -> pa.Table:
+    """J5 docs-with-all-words (rarest-first sorted intersection) — DuckDB
+    hash-matched."""
+    from rayse.ops.porter_oracle import porter_conjunctive_topk
+
+    return porter_conjunctive_topk(_index_for(sf_dir))
+
+
 def _q_ws_proximity_topk(sf_dir: str) -> pa.Table:
     """A11 proximity-boosted ranking (tiered min-pairwise-distance bonus
     from index positions + BM25) — DuckDB hash-matched."""
@@ -613,6 +637,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_fallback_topk": _q_porter_fallback_topk,
         "porter_role_topk": _q_porter_role_topk,
         "porter_hydrated_topk": _q_porter_hydrated_topk,
+        "porter_wand_topk": _q_porter_wand_topk,
+        "porter_cluster_topk": _q_porter_cluster_topk,
+        "porter_conjunctive_topk": _q_porter_conjunctive_topk,
         # SQL-checkable ranked retrieval through the real index pipeline
         # (whitespace analyzer; DuckDB hash-matched incl. the role path)
         "ws_bm25_topk": _q_ws_bm25_topk,
@@ -765,6 +792,12 @@ def oracle_sql() -> dict[str, str]:
                 assistant_only=True),
         "porter_hydrated_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_hydrated_sql(),
+        "porter_wand_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_bm25_sql(),
+        "porter_cluster_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_bm25_sql(),
+        "porter_conjunctive_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_conjunctive_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

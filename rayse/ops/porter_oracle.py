@@ -552,3 +552,155 @@ def porter_turns_standalone() -> str:
     """The transcripts-derivation CTE as a standalone SELECT (for reuse
     inside a second WITH scope)."""
     return f"WITH {_TURNS_CTE} SELECT conv_id, turn_idx, text FROM turns"
+
+
+# ---------------------------------------------------------------------------
+# The REAL serving paths under the same oracle: block-max pruned top-k,
+# the distributed actor-pool cluster, and J5 conjunctive retrieval.
+# ---------------------------------------------------------------------------
+
+def _quantized_search_rows(search_fn, index_dir: str, queries: list[str],
+                           k: int) -> pa.Table:
+    """Exact quantized top-k through any raw-float exact-top-k search
+    callable.
+
+    The engine ranks by raw float score with docID-asc tie-breaks; the SQL
+    oracle ranks by ``floor(score*1e7)`` with (conv_id, turn_idx)
+    tie-breaks, so the k-boundary SELECTION can differ when raw scores
+    quantize equal. Resolution: grow the requested k' until the k'-th raw
+    score quantizes STRICTLY below the quantized k-th boundary (or all
+    matches are returned) — floor is monotone, so every unreturned doc
+    then quantizes below the boundary and the boundary-tie set is provably
+    complete — then re-rank by the oracle order and cut to k."""
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for q in queries:
+        kk = max(4 * k, 16)
+        while True:
+            docs, scores = search_fn(q, kk)
+            if docs.size < kk:
+                break
+            qv = np.floor(scores * 1e7).astype(np.int64)
+            boundary = -np.partition(-qv, k - 1)[k - 1]
+            if qv.min() < boundary:
+                break
+            kk *= 2
+        if docs.size == 0:
+            continue
+        qv = np.floor(scores * 1e7).astype(np.int64)
+        if docs.size > k:
+            boundary = -np.partition(-qv, k - 1)[k - 1]
+            keep = qv >= boundary      # keep boundary ties for the tie-break
+            docs, qv = docs[keep], qv[keep]
+        cmap = resolve_conv_ids(index_dir, docs)
+        rows = sorted(
+            ((-int(sq), cmap[int(d) >> TURN_BITS],
+              int(d) & ((1 << TURN_BITS) - 1))
+             for d, sq in zip(docs.tolist(), qv.tolist())))[:k]
+        for r, (nsq, conv, turn) in enumerate(rows, 1):
+            out_q.append(q)
+            out_r.append(r)
+            out_c.append(conv)
+            out_t.append(turn)
+            out_s.append(-nsq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_wand_topk(index_dir: str, queries: list[str] | None = None,
+                     k: int = 10) -> pa.Table:
+    """The DEFAULT serving path — block-max pruned scoring
+    (``engine.search`` mode "or" -> ``wand.regular_blockmax``, the
+    MaxScore/WAND-style skip over low-upper-bound postings) — under the
+    exhaustive BM25 SQL oracle. Pruning is exactness-preserving, so the
+    oracle is ``porter_bm25_sql`` unchanged."""
+    from ..query.engine import SearchEngine
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    return _quantized_search_rows(lambda q, kk: eng.search(q, kk),
+                                  index_dir, queries, k)
+
+
+def porter_cluster_topk(index_dir: str, queries: list[str] | None = None,
+                        k: int = 10, pool_size: int = 4) -> pa.Table:
+    """ST1-ST3/J2 distributed serving under the SQL oracle: per-part
+    ``QueryActor`` pool (index loaded once per actor), two-phase global-df
+    broadcast, driver k-way merge, ST4-analog result cache. Every query
+    runs once cold and once through the cache; both must agree (cached
+    results are part of the hashed output)."""
+    from ..query.serve import SearchCluster
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    _porter_reader(index_dir)
+    cluster = SearchCluster(index_dir, pool_size=pool_size)
+    try:
+        def _search(q: str, kk: int):
+            cold = cluster.search(q, kk)
+            cached = cluster.search(q, kk)
+            if not (np.array_equal(cold[0], cached[0])
+                    and np.array_equal(cold[1], cached[1])):
+                raise AssertionError(f"ST4 cache returned different "
+                                     f"results for {q!r}")
+            return cached
+
+        return _quantized_search_rows(_search, index_dir, queries, k)
+    finally:
+        cluster.shutdown()
+
+
+def porter_conjunctive_topk(index_dir: str,
+                            queries: list[str] | None = None,
+                            k: int = 10) -> pa.Table:
+    """J5 docs-with-all-words (rarest-first sorted-list intersection,
+    ``engine.conjunctive``) under a HAVING-count SQL oracle."""
+    from ..query.engine import SearchEngine
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    return _quantized_search_rows(
+        lambda q, kk: eng.search(q, kk, mode="and"), index_dir, queries, k)
+
+
+def porter_conjunctive_sql(queries: list[str] | None = None,
+                           k: int = 10) -> str:
+    """DuckDB oracle for ``porter_conjunctive_topk``: BM25 scoring
+    restricted to docs matching ALL analyzed query terms (a term with
+    df = 0 can never be matched, so any OOV query term empties the result
+    — the engine's early-exit on a missing posting list)."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(
+        f"('{q}', '{t}')" for q in queries for t in _analyzed(q))
+    qn = ", ".join(f"('{q}', {len(_analyzed(q))})" for q in queries)
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+qn(query, n_terms) AS (VALUES {qn}),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       JOIN qn ON qn.query = qt.query
+       CROSS JOIN stats s
+  GROUP BY qt.query, tf.conv_id, tf.turn_idx, qn.n_terms
+  HAVING count(*) = qn.n_terms),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""

@@ -188,3 +188,35 @@ def test_porter_hydrated_matches_duckdb(porter_index, con, tmp_path_factory):
     want = con.execute(porter_hydrated_sql()).fetchdf()
     assert len(want) > 0
     _cmp(got, want, ["query", "rank"])
+
+
+def test_porter_wand_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import porter_bm25_sql, porter_wand_topk
+
+    got = porter_wand_topk(porter_index)
+    want = con.execute(porter_bm25_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+
+
+def test_porter_cluster_matches_duckdb(porter_index, con, ray_session):
+    from rayse.ops.porter_oracle import porter_bm25_sql, porter_cluster_topk
+
+    got = porter_cluster_topk(porter_index, pool_size=2)
+    want = con.execute(porter_bm25_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+
+
+def test_porter_conjunctive_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import (porter_conjunctive_sql,
+                                         porter_conjunctive_topk)
+
+    got = porter_conjunctive_topk(porter_index)
+    want = con.execute(porter_conjunctive_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    # conjunctive is strictly a subset discipline: every query with results
+    # must rank <= the disjunctive result count
+    assert set(got.to_pandas()["query"]) <= set(
+        __import__("rayse.ops.porter_oracle", fromlist=["x"]).PORTER_QUERIES)
