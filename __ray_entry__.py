@@ -534,6 +534,15 @@ def _q_porter_conjunctive_topk(sf_dir: str) -> pa.Table:
     return porter_conjunctive_topk(_index_for(sf_dir))
 
 
+def _q_html_clean(sf_dir: str):
+    """M2 HTML cleaner (PreIndexer.java:48-75 semantics incl. the
+    code-append duplication quirk) over deterministically synthesized
+    HTML — DuckDB hash-matched against the analytic expectation."""
+    from rayse.ops.htmlclean import html_clean
+
+    return html_clean(sf_dir)
+
+
 def _q_ws_proximity_topk(sf_dir: str) -> pa.Table:
     """A11 proximity-boosted ranking (tiered min-pairwise-distance bonus
     from index positions + BM25) — DuckDB hash-matched."""
@@ -640,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_wand_topk": _q_porter_wand_topk,
         "porter_cluster_topk": _q_porter_cluster_topk,
         "porter_conjunctive_topk": _q_porter_conjunctive_topk,
+        "html_clean": _q_html_clean,
         # SQL-checkable ranked retrieval through the real index pipeline
         # (whitespace analyzer; DuckDB hash-matched incl. the role path)
         "ws_bm25_topk": _q_ws_bm25_topk,
@@ -798,6 +808,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_bm25_sql(),
         "porter_conjunctive_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_conjunctive_sql(),
+        "html_clean": __import__(
+            "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

@@ -33,7 +33,8 @@ def cmd_build(args) -> int:
 
     _ray_init()
     cfg = IndexConfig(part_bits=args.part_bits,
-                      with_positions=not args.no_positions)
+                      with_positions=not args.no_positions,
+                      clean_html=args.clean_html)
     res = build_index(args.input, args.out, cfg, strategy=args.strategy,
                       shard_target_bytes=args.shard_bytes)
     print(json.dumps({
@@ -98,6 +99,8 @@ def main(argv=None) -> int:
                    choices=["combine", "groupby_salted"])
     b.add_argument("--shard-bytes", type=int, default=2 << 30)
     b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--clean-html", action="store_true",
+                   help="run the M2 HTML cleaning chain before tokenize")
     b.set_defaults(fn=cmd_build)
 
     a = sub.add_parser("append",

@@ -40,6 +40,11 @@ class IndexConfig:
     # "whitespace" = text.split(" ") verbatim — SQL-oracle-matchable, used
     # by the DuckDB-green ranked-retrieval queries (rayse.ops.ws_search)
     analyzer: str = "porter"
+    # M2 parity hook: run the reference HTML cleaning chain
+    # (`PreIndexer.java:48-75`, rayse.ops.htmlclean) over `text` before
+    # tokenizing — off for plain-text transcripts (cleaner is then a
+    # whitespace-collapse identity the tokenizer already performs)
+    clean_html: bool = False
     bm25: BM25Params = field(default_factory=BM25Params)
     # tokenize stage sizing
     tokenize_batch_size: int = 1024

@@ -208,6 +208,11 @@ def build_runs_for_shard(shard_id: int, files: list[str], out_dir: str,
     ds = rd.read_parquet(files, columns=cols,
                          override_num_blocks=n_read_blocks)
     n_turns = ds.count()  # parquet metadata count: no data scan
+    if cfg.clean_html:
+        from ..ops.htmlclean import clean_text_batch
+
+        ds = ds.map_batches(clean_text_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     if concurrency is None:
         concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
@@ -782,6 +787,7 @@ def build_index(input_path: str | list[str], out_dir: str,
         "compact_max_postings": cfg.compact_max_postings,
         "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
         "analyzer": cfg.analyzer,
+        "clean_html": cfg.clean_html,
         "strategy": strategy,
     })
 
@@ -915,7 +921,8 @@ def append_index(out_dir: str, new_input: str | list[str], *,
         with_positions=meta["with_positions"],
         compact_max_postings=meta["compact_max_postings"],
         bm25=BM25Params(**meta["bm25"]),
-        analyzer=meta.get("analyzer", "porter"))
+        analyzer=meta.get("analyzer", "porter"),
+        clean_html=meta.get("clean_html", False))
     strategy = meta.get("strategy", "combine")
 
     old_mans = sorted(glob.glob(os.path.join(out_dir, "_manifest",
