@@ -534,6 +534,23 @@ def _q_porter_conjunctive_topk(sf_dir: str) -> pa.Table:
     return porter_conjunctive_topk(_index_for(sf_dir))
 
 
+def _q_duplicate_spans(sf_dir: str):
+    """Exact duplicate-span detection (Lee et al. 2022 ExactSubstr at
+    word-4-gram granularity): every span occurring >= 2 times with doc
+    and occurrence counts — DuckDB hash-matched (exact FNV-1a in SQL)."""
+    from rayse.ops.spandedup import duplicate_spans
+
+    return duplicate_spans(sf_dir)
+
+
+def _q_span_dedup_docs(sf_dir: str):
+    """Per-document duplicated-span occurrence counts (the removal
+    workload of a substring-dedup cleaning pass) — DuckDB hash-matched."""
+    from rayse.ops.spandedup import span_dedup_docs
+
+    return span_dedup_docs(sf_dir)
+
+
 def _q_html_clean(sf_dir: str):
     """M2 HTML cleaner (PreIndexer.java:48-75 semantics incl. the
     code-append duplication quirk) over deterministically synthesized
@@ -650,6 +667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_cluster_topk": _q_porter_cluster_topk,
         "porter_conjunctive_topk": _q_porter_conjunctive_topk,
         "html_clean": _q_html_clean,
+        "duplicate_spans": _q_duplicate_spans,
+        "span_dedup_docs": _q_span_dedup_docs,
         # SQL-checkable ranked retrieval through the real index pipeline
         # (whitespace analyzer; DuckDB hash-matched incl. the role path)
         "ws_bm25_topk": _q_ws_bm25_topk,
@@ -810,6 +829,10 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_conjunctive_sql(),
         "html_clean": __import__(
             "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
+        "duplicate_spans": __import__(
+            "rayse.ops.spandedup", fromlist=["x"]).duplicate_spans_sql(),
+        "span_dedup_docs": __import__(
+            "rayse.ops.spandedup", fromlist=["x"]).span_dedup_docs_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

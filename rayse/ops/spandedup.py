@@ -1,0 +1,220 @@
+"""Exact duplicate-SPAN detection — substring-level dedup for training
+data (the ExactSubstr idea of Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better", arXiv:2107.06499 — realized at the
+word-k-gram granularity instead of a suffix array).
+
+A k-token span that appears ``min_count``+ times across the corpus
+(including repeats inside one document) is a duplicated span; training
+pipelines drop or down-weight them. Two operators:
+
+- ``duplicate_spans``: every duplicated k-gram with its document count
+  and total occurrence count;
+- ``span_dedup_docs``: per-document count of duplicated-span occurrences
+  (the removal workload a cleaning pass would perform).
+
+Realization (100-TB shape):
+1. ``map_batches``: ``gram_slices`` + ``fnv64_slices`` (the textstats
+   fingerprint machinery — ONE definition of a gram and its hash) followed
+   by a per-batch PARTIAL aggregate to (gram_hash, doc_id, n_occ). Every
+   document lives in exactly one batch, so partials sum globally without
+   double-counting docs.
+2. one partitioned file-exchange by ``gram_hash``
+   (``rayse.ops.exchange``): all rows of a hash land in one partition and
+   are reduced with numpy segment ops — no per-group Ray dispatch, no
+   driver materialization, no full-text shuffle (hashes travel, text does
+   not).
+3. ``span_dedup_docs`` adds a second tiny exchange keyed by ``doc_id``
+   over the per-partition (doc, count) partials.
+
+The SQL oracle recomputes the identical FNV-1a 64-bit gram hashes
+(HUGEINT list_reduce — the ``fingerprint_sql`` recipe) and aggregates in
+plain SQL, so both operators are hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .exchange import exchange_by_key
+from .textstats import fnv64_slices, gram_slices
+
+_EMPTY_PARTIAL = pa.schema([("gram_hash", pa.uint64()),
+                            ("doc_id", pa.int64()),
+                            ("n_occ", pa.int64())])
+
+
+def _gram_partials_batch(batch: pa.Table, window: int) -> pa.Table:
+    """(gram_hash, doc_id, n_occ) partial rows for one batch of documents
+    — vectorized gram scan + hash + lexsort/run-length partial aggregate."""
+    texts = batch["text"].to_pylist()
+    if not texts:
+        return pa.table({n: [] for n in _EMPTY_PARTIAL.names},
+                        schema=_EMPTY_PARTIAL)
+    buf, g_start, lens, g_cum = gram_slices(texts, window)
+    h = fnv64_slices(buf, g_start, lens)
+    doc = np.repeat(batch["doc_id"].to_numpy(), np.diff(g_cum))
+    order = np.lexsort((doc, h))
+    hs, ds_ = h[order], doc[order]
+    new = np.empty(hs.size, dtype=bool)
+    new[0] = True
+    new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+    idx = np.flatnonzero(new)
+    n_occ = np.diff(np.append(idx, hs.size))
+    return pa.table({
+        "gram_hash": pa.array(hs[idx], pa.uint64()),
+        "doc_id": pa.array(ds_[idx], pa.int64()),
+        "n_occ": pa.array(n_occ.astype(np.int64), pa.int64()),
+    })
+
+
+def _dup_agg_partition(tbl: pa.Table, min_count: int) -> pa.Table:
+    """One exchange partition -> duplicated grams it owns: sort by hash,
+    reduceat-sum occurrences, row-count docs, keep n_occ >= min_count."""
+    if tbl.num_rows == 0:
+        return pa.table({"gram_hash": pa.array([], pa.uint64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_occ": pa.array([], pa.int64())})
+    h = tbl["gram_hash"].to_numpy(zero_copy_only=False)
+    occ = tbl["n_occ"].to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    hs, occs = h[order], occ[order]
+    new = np.empty(hs.size, dtype=bool)
+    new[0] = True
+    new[1:] = hs[1:] != hs[:-1]
+    starts = np.flatnonzero(new)
+    n_docs = np.diff(np.append(starts, hs.size))   # one row per (h, doc)
+    n_occ = np.add.reduceat(occs, starts)
+    keep = n_occ >= min_count
+    return pa.table({
+        "gram_hash": pa.array(hs[starts][keep], pa.uint64()),
+        "n_docs": pa.array(n_docs[keep].astype(np.int64), pa.int64()),
+        "n_occ": pa.array(n_occ[keep].astype(np.int64), pa.int64()),
+    })
+
+
+def _doc_dup_partition(tbl: pa.Table, min_count: int) -> pa.Table:
+    """One gram-hash partition -> (doc_id, n_dup_grams) partials: find the
+    hashes duplicated within this partition (all rows of a hash are here),
+    then sum each doc's occurrences over those hashes."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_dup_grams": pa.array([], pa.int64())})
+    h = tbl["gram_hash"].to_numpy(zero_copy_only=False)
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    occ = tbl["n_occ"].to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    hs, docs, occs = h[order], doc[order], occ[order]
+    new = np.empty(hs.size, dtype=bool)
+    new[0] = True
+    new[1:] = hs[1:] != hs[:-1]
+    starts = np.flatnonzero(new)
+    tot = np.add.reduceat(occs, starts)
+    dup_row = np.repeat(tot >= min_count, np.diff(np.append(starts,
+                                                            hs.size)))
+    docs, occs = docs[dup_row], occs[dup_row]
+    if docs.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_dup_grams": pa.array([], pa.int64())})
+    d_order = np.argsort(docs, kind="stable")
+    docs, occs = docs[d_order], occs[d_order]
+    dnew = np.empty(docs.size, dtype=bool)
+    dnew[0] = True
+    dnew[1:] = docs[1:] != docs[:-1]
+    dstarts = np.flatnonzero(dnew)
+    return pa.table({
+        "doc_id": pa.array(docs[dstarts], pa.int64()),
+        "n_dup_grams": pa.array(
+            np.add.reduceat(occs, dstarts).astype(np.int64), pa.int64()),
+    })
+
+
+def _sum_by_doc_partition(tbl: pa.Table) -> pa.Table:
+    """Second-exchange reducer: sum n_dup_grams per doc_id."""
+    if tbl.num_rows == 0:
+        return tbl
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    v = tbl["n_dup_grams"].to_numpy(zero_copy_only=False)
+    order = np.argsort(doc, kind="stable")
+    docs, vs = doc[order], v[order]
+    new = np.empty(docs.size, dtype=bool)
+    new[0] = True
+    new[1:] = docs[1:] != docs[:-1]
+    starts = np.flatnonzero(new)
+    return pa.table({
+        "doc_id": pa.array(docs[starts], pa.int64()),
+        "n_dup_grams": pa.array(
+            np.add.reduceat(vs, starts).astype(np.int64), pa.int64()),
+    })
+
+
+def _partials(sf_dir: str, window: int):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(_gram_partials_batch, fn_kwargs={"window": window},
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def duplicate_spans(sf_dir: str, window: int = 4, min_count: int = 2):
+    """All word ``window``-grams occurring >= ``min_count`` times in the
+    corpus -> (gram_hash, n_docs, n_occ)."""
+    return exchange_by_key(_partials(sf_dir, window), "gram_hash",
+                           _dup_agg_partition,
+                           proc_kwargs={"min_count": min_count})
+
+
+def span_dedup_docs(sf_dir: str, window: int = 4, min_count: int = 2):
+    """Per-document duplicated-span occurrence counts -> (doc_id,
+    n_dup_grams); only documents containing at least one duplicated span
+    appear."""
+    per_part = exchange_by_key(_partials(sf_dir, window), "gram_hash",
+                               _doc_dup_partition,
+                               proc_kwargs={"min_count": min_count})
+    return exchange_by_key(per_part, "doc_id", _sum_by_doc_partition,
+                           n_parts=32)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (fingerprint_sql's exact-FNV recipe; ASCII corpora)
+# ---------------------------------------------------------------------------
+
+def _hashed_cte(window: int) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {window} THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(list_slice(w, j + 1, j + {window}), ' ')
+                    FOR j IN range(len(w) - {window - 1})]
+         END AS gs
+  FROM g),
+ex AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+hashed AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+                        [ascii(c)::HUGEINT FOR c IN string_split(gram, '')]),
+           (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                     % 18446744073709551616::HUGEINT) AS h
+  FROM ex),
+agg AS (
+  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occ
+  FROM hashed GROUP BY h)"""
+
+
+def duplicate_spans_sql(window: int = 4, min_count: int = 2) -> str:
+    return f"""{_hashed_cte(window)}
+SELECT CAST(h AS UBIGINT) AS gram_hash, n_docs, n_occ
+FROM agg WHERE n_occ >= {min_count}"""
+
+
+def span_dedup_docs_sql(window: int = 4, min_count: int = 2) -> str:
+    return f"""{_hashed_cte(window)}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM hashed
+WHERE h IN (SELECT h FROM agg WHERE n_occ >= {min_count})
+GROUP BY doc_id"""

@@ -1,0 +1,79 @@
+"""Duplicate-span detection: brute-force pin on a hand corpus, DuckDB
+hash-match at sf0.001, and self-repeat/min_count semantics."""
+
+from collections import Counter
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayse.ops.spandedup import (_dup_agg_partition, _gram_partials_batch,
+                                 duplicate_spans, duplicate_spans_sql,
+                                 span_dedup_docs, span_dedup_docs_sql)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute(texts, window, min_count):
+    """gram text -> (n_docs, n_occ) for duplicated grams, by dict force."""
+    occ = Counter()
+    docs = {}
+    for d, t in enumerate(texts):
+        ws = t.split(" ")
+        grams = ([" ".join(ws)] if len(ws) < window else
+                 [" ".join(ws[j:j + window])
+                  for j in range(len(ws) - window + 1)])
+        for g in grams:
+            occ[g] += 1
+            docs.setdefault(g, set()).add(d)
+    return {g: (len(docs[g]), c) for g, c in occ.items() if c >= min_count}
+
+
+@pytest.mark.parametrize("window,min_count", [(2, 2), (3, 2), (2, 3)])
+def test_partials_plus_agg_equal_brute_force(window, min_count):
+    texts = [
+        "a b c a b c a b",          # self-repeats within one doc
+        "x y a b c z",              # cross-doc repeat of "a b c"
+        "short",                    # < window -> whole-text gram
+        "short",                    # duplicated whole-text gram
+        "p q r s",
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    # single-batch path: partials ARE the full (hash, doc, occ) rows
+    part = _gram_partials_batch(batch, window)
+    got = _dup_agg_partition(part, min_count).to_pandas()
+    want = _brute(texts, window, min_count)
+    assert len(got) == len(want)
+    assert sorted(zip(got["n_docs"], got["n_occ"])) == \
+           sorted(want.values())
+
+
+def test_duplicate_spans_matches_duckdb(ray_session):
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = duplicate_spans(SF).to_pandas().sort_values("gram_hash")
+    got = got.reset_index(drop=True)
+    want = con.execute(duplicate_spans_sql()).fetchdf()
+    want = want.sort_values("gram_hash").reset_index(drop=True)
+    assert len(got) > 100        # rich duplicate set on the 31-word vocab
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+
+
+def test_span_dedup_docs_matches_duckdb(ray_session):
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = span_dedup_docs(SF).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = con.execute(span_dedup_docs_sql()).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    # consistency: total flagged occurrences == sum over duplicated grams
+    spans = duplicate_spans(SF).to_pandas()
+    assert got["n_dup_grams"].sum() == spans["n_occ"].sum()
