@@ -286,6 +286,18 @@ def _q_ann_ivf_exact_topk(sf_dir: str):
     return ann_ivf_topk(sf_dir, n_queries=5, k=10, n_lists=16, n_probe=16)
 
 
+def _q_ann_lsh_exact_topk(sf_dir: str):
+    """LSH machinery at zero hash bits: a single table with one empty-key
+    bucket makes every vector a candidate for every query, so the
+    bucket-route + gather + rank path returns exactly the brute-force
+    top-k — LSH exactness under the same DuckDB oracle as ``ann_topk``.
+    The default (approximate) `ann_lsh_topk` entry keeps its recall
+    tests."""
+    from rayse.ops.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(sf_dir, n_queries=5, k=10, n_tables=1, n_bits=0)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing demo: synthetic media table (payload bytes are
     deterministic; sf_dir unused beyond scale hint) -> feature extraction
@@ -534,6 +546,15 @@ def _q_porter_conjunctive_topk(sf_dir: str) -> pa.Table:
     return porter_conjunctive_topk(_index_for(sf_dir))
 
 
+def _q_porter_complex_topk(sf_dir: str) -> pa.Table:
+    """A9/A10 ComplexPhraseSearching scoring parity path (per-word
+    (tf/dl)*log10(N/df) with order-dependent phrase-match doubling) —
+    DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_complex_topk
+
+    return porter_complex_topk(_index_for(sf_dir))
+
+
 def _q_duplicate_spans(sf_dir: str):
     """Exact duplicate-span detection (Lee et al. 2022 ExactSubstr at
     word-4-gram granularity): every span occurring >= 2 times with doc
@@ -641,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_exact_topk": _q_ann_ivf_exact_topk,
+        "ann_lsh_exact_topk": _q_ann_lsh_exact_topk,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         # windowed / ordered ops over the events log (SQL-checked)
@@ -666,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_wand_topk": _q_porter_wand_topk,
         "porter_cluster_topk": _q_porter_cluster_topk,
         "porter_conjunctive_topk": _q_porter_conjunctive_topk,
+        "porter_complex_topk": _q_porter_complex_topk,
         "html_clean": _q_html_clean,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
@@ -827,6 +850,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_bm25_sql(),
         "porter_conjunctive_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_conjunctive_sql(),
+        "porter_complex_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_complex_sql(),
         "html_clean": __import__(
             "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
         "duplicate_spans": __import__(
@@ -849,6 +874,23 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(
                 assistant_only=True),
         "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+              ORDER BY vec_id LIMIT 5),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e),
+            ranked AS (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM scored)
+            SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id
+            FROM ranked WHERE rank <= 10
+        """,
+        # zero-bit LSH is exact (one all-candidates bucket), same oracle
+        "ann_lsh_exact_topk": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS qe FROM embeddings
               ORDER BY vec_id LIMIT 5),

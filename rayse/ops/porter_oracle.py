@@ -704,3 +704,99 @@ ranked AS (
   FROM quant)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+def porter_complex_topk(index_dir: str, exprs: list[tuple] | None = None,
+                        k: int = 10) -> pa.Table:
+    """The ComplexPhraseSearching scoring path (A9/A10 analog,
+    ``engine.boolean_complex`` — per-word (tf/dl)*log10(N/df) with the
+    order-dependent phrase-match doubling quirk) under a DuckDB oracle."""
+    from ..query.engine import SearchEngine
+
+    exprs = exprs if exprs is not None else PORTER_BOOLEANS
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    parts = []
+    for op, left, right in exprs:
+        lt, rt = _analyzed_seq(left), _analyzed_seq(right)
+        label = f"{left} {op} {right}"
+        parts.append(_quantized_search_rows(
+            lambda q, kk, op=op, lt=lt, rt=rt:
+                eng.boolean_complex(op, lt, rt, kk),
+            index_dir, [label], k))
+    return pa.concat_tables(parts)
+
+
+def porter_complex_sql(exprs: list[tuple] | None = None,
+                       k: int = 10) -> str:
+    """DuckDB oracle for ``porter_complex_topk``.
+
+    Exact float parity requires mirroring the engine's accumulation ORDER:
+    scores fold left-to-right over phrase-A terms, double on an A match,
+    then fold phrase-B terms, double on a B match — so the SQL builds the
+    per-term values by pivot and writes the fold as an explicit
+    left-associative scalar expression ``(ta1 + ta2 [+ ...]) * ma + tb1 +
+    tb2 [...]) * mb`` (python float addition is commutative pairwise, and
+    each phrase here contributes term-by-term in query order). NOT-result
+    docs still score phrase-B words present individually — the
+    reference's quirk, reproduced by the engine and this oracle alike."""
+    exprs = exprs if exprs is not None else PORTER_BOOLEANS
+    setop = {"AND": "INTERSECT", "OR": "UNION", "NOT": "EXCEPT"}
+    parts = []
+    for op, left, right in exprs:
+        lt, rt = _analyzed_seq(left), _analyzed_seq(right)
+        lp, rp = " ".join(lt), " ".join(rt)
+        terms = list(dict.fromkeys(lt + rt))
+        vals = ", ".join(f"('{t}')" for t in terms)
+        piv = ", ".join(
+            f"coalesce(max(CASE WHEN tv.term = '{t}' THEN tv.v END), 0.0)"
+            f" AS t_{i}" for i, t in enumerate(terms))
+        idx = {t: i for i, t in enumerate(terms)}
+        sa = " + ".join(f"t_{idx[t]}" for t in lt)
+        sb = " + ".join(f"t_{idx[t]}" for t in rt)
+        expr = (f"(({sa}) * (CASE WHEN ma THEN 2.0 ELSE 1.0 END)"
+                f" + {sb}) * (CASE WHEN mb THEN 2.0 ELSE 1.0 END)")
+        parts.append(f"""
+  SELECT '{left} {op} {right}' AS query, p.conv_id, p.turn_idx,
+         {expr} AS score
+  FROM (
+    SELECT e.conv_id, e.turn_idx, {piv},
+           any_value(e.ma) AS ma, any_value(e.mb) AS mb
+    FROM (
+      SELECT f.conv_id, f.turn_idx,
+             contains(' ' || f.ft || ' ', ' {lp} ') AS ma,
+             contains(' ' || f.ft || ' ', ' {rp} ') AS mb
+      FROM ftext f
+      WHERE f.conv_id || '|' || f.turn_idx IN (
+        SELECT conv_id || '|' || turn_idx FROM ftext
+        WHERE contains(' ' || ft || ' ', ' {lp} ')
+        {setop[op]}
+        SELECT conv_id || '|' || turn_idx FROM ftext
+        WHERE contains(' ' || ft || ' ', ' {rp} '))) e
+    LEFT JOIN (
+      SELECT tf.conv_id, tf.turn_idx, tf.term,
+             (tf.tf / dl.dl) * log10(s.n / df.df) AS v
+      FROM (VALUES {vals}) q(term)
+      JOIN tf USING (term) JOIN df USING (term)
+      JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+      CROSS JOIN stats s) tv
+      ON e.conv_id = tv.conv_id AND e.turn_idx = tv.turn_idx
+    GROUP BY e.conv_id, e.turn_idx) p""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""{_analysis_ctes()},
+ftext AS (
+  SELECT conv_id, turn_idx,
+         string_agg(term, ' ' ORDER BY rawpos) AS ft
+  FROM ptok GROUP BY 1, 2),
+scored AS ({union}),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""

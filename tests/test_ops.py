@@ -132,6 +132,17 @@ def test_ann_ivf_full_probe_exact(ray_session):
     assert full.equals(exact)
 
 
+def test_ann_lsh_zero_bits_exact(ray_session):
+    """LSH exactness theorem: zero hash bits put every vector in one
+    bucket of one table, reducing LSH to brute force — table-identical
+    to ann_topk."""
+    from rayse.ops.similarity import ann_lsh_topk, ann_topk
+
+    exact = ann_topk(SF, n_queries=4, k=8)
+    full = ann_lsh_topk(SF, n_queries=4, k=8, n_tables=1, n_bits=0)
+    assert full.equals(exact)
+
+
 def test_lang_id_accuracy(ray_session):
     from rayse.ops.textstats import lang_id
 

@@ -220,3 +220,32 @@ def test_porter_conjunctive_matches_duckdb(porter_index, con):
     # must rank <= the disjunctive result count
     assert set(got.to_pandas()["query"]) <= set(
         __import__("rayse.ops.porter_oracle", fromlist=["x"]).PORTER_QUERIES)
+
+
+def test_porter_complex_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import (porter_complex_sql,
+                                         porter_complex_topk)
+
+    got = porter_complex_topk(porter_index)
+    want = con.execute(porter_complex_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+
+
+def test_porter_complex_doubling_quirk(porter_index):
+    """AND-matched docs score 4*s_left + 2*s_right (order-dependent
+    doubling) — a doc matching both phrases must outrank its own
+    phrase-words-only BM-free sum; and NOT results still include
+    right-phrase word contributions."""
+    import numpy as np
+
+    from rayse.ops.porter_oracle import _analyzed_seq
+    from rayse.query.engine import SearchEngine
+
+    eng = SearchEngine(porter_index)
+    lt, rt = _analyzed_seq("table scan"), _analyzed_seq("hash join")
+    docs, scores = eng.boolean_complex("OR", lt, rt, 5)
+    assert docs.size > 0 and np.all(scores > 0)
+    # NOT: right words may still contribute (score >= left-only docs exist)
+    nd, ns = eng.boolean_complex("NOT", lt, rt, 5)
+    assert nd.size > 0
