@@ -546,6 +546,17 @@ def _q_porter_conjunctive_topk(sf_dir: str) -> pa.Table:
     return porter_conjunctive_topk(_index_for(sf_dir))
 
 
+def _q_porter_snippet_topk(sf_dir: str) -> pa.Table:
+    """M9 result snippets (first-match window, word-boundary expansion,
+    <strong> highlighting, ellipses) over the hash-matched BM25 top-k —
+    DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_snippet_topk
+
+    idir = _index_for(sf_dir)
+    tdir = os.path.join(os.path.dirname(idir), "transcripts")
+    return porter_snippet_topk(idir, tdir)
+
+
 def _q_porter_complex_topk(sf_dir: str) -> pa.Table:
     """A9/A10 ComplexPhraseSearching scoring parity path (per-word
     (tf/dl)*log10(N/df) with order-dependent phrase-match doubling) —
@@ -689,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_cluster_topk": _q_porter_cluster_topk,
         "porter_conjunctive_topk": _q_porter_conjunctive_topk,
         "porter_complex_topk": _q_porter_complex_topk,
+        "porter_snippet_topk": _q_porter_snippet_topk,
         "html_clean": _q_html_clean,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
@@ -852,6 +864,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_conjunctive_sql(),
         "porter_complex_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_complex_sql(),
+        "porter_snippet_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_snippet_sql(),
         "html_clean": __import__(
             "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
         "duplicate_spans": __import__(

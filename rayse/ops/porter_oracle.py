@@ -800,3 +800,115 @@ ranked AS (
   FROM quant)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+def porter_snippet_topk(index_dir: str, transcripts_path: str,
+                        queries: list[str] | None = None,
+                        k: int = 10) -> pa.Table:
+    """M9 result snippets on the flagship path under a DuckDB oracle: the
+    hash-matched BM25 top-k hydrated and run through the PRODUCTION
+    ``make_snippet`` (first-match +-100-char window, word-boundary
+    expansion, in-window matched tokens wrapped in <strong>, ellipses)."""
+    from ..query.postprocess import make_snippet
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    ranked = porter_hydrated_topk(index_dir, transcripts_path, queries, k)
+    terms_of = {q: set(_analyzed(q)) for q in queries}
+    snippets = [make_snippet(t or "", terms_of[q])
+                for q, t in zip(ranked["query"].to_pylist(),
+                                ranked["text"].to_pylist())]
+    return pa.table({
+        "query": ranked["query"],
+        "rank": ranked["rank"],
+        "conv_id": ranked["conv_id"],
+        "turn_idx": ranked["turn_idx"],
+        "score_q": ranked["score_q"],
+        "snippet": pa.array(snippets, pa.string()),
+    })
+
+
+def porter_snippet_sql(queries: list[str] | None = None,
+                       k: int = 10) -> str:
+    """Oracle for ``porter_snippet_topk``: the snippet window computed in
+    SQL from per-word char offsets — first matched word's span, +-100
+    chars clamped to the text, expanded to word boundaries (the word
+    containing each clamp point), reconstruction as a space-joined agg
+    with matched words <strong>-wrapped, ellipses when either boundary is
+    interior. Valid because the corpus tokenizer degenerates to a
+    single-space split (pinned by test_vocab_closure), so char offset of
+    word j = sum of earlier word lengths + j."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    inner = porter_bm25_sql(queries, k)
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in _analyzed(q))
+    return f"""
+WITH ranked_out AS ({inner}),
+qterms(query, term) AS (VALUES {vals}),
+words AS (
+  SELECT r.query, r.rank, r.conv_id, r.turn_idx, r.score_q,
+         w.rawpos, w.word,
+         CAST(length(w.word) AS BIGINT) AS wlen,
+         coalesce(sum(length(w.word)) OVER (
+             PARTITION BY r.query, r.conv_id, r.turn_idx
+             ORDER BY w.rawpos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + w.rawpos AS off,
+         (qt.term IS NOT NULL) AS matched
+  FROM ranked_out r
+  JOIN ({porter_raw_standalone()}) w
+    ON r.conv_id = w.conv_id AND r.turn_idx = w.turn_idx
+  LEFT JOIN ({porter_stemmap_values()}) sm ON w.word = sm.word
+  LEFT JOIN qterms qt ON qt.query = r.query AND qt.term = sm.stem),
+firsts AS (
+  SELECT query, conv_id, turn_idx,
+         min(off) FILTER (WHERE matched) AS fs,
+         arg_min(off + wlen, off) FILTER (WHERE matched) AS fe,
+         max(off + wlen) AS tlen
+  FROM words GROUP BY 1, 2, 3),
+bounds AS (
+  SELECT w.query, w.conv_id, w.turn_idx,
+         max(w.off) FILTER (WHERE w.off <= greatest(f.fs - 100, 0)) AS lo_char,
+         max(w.off) FILTER (WHERE w.off <= least(f.fe + 100, f.tlen))
+           AS hi_start,
+         arg_max(w.off + w.wlen, w.off)
+           FILTER (WHERE w.off <= least(f.fe + 100, f.tlen)) AS hi_end,
+         any_value(f.tlen) AS tlen
+  FROM words w JOIN firsts f
+    ON w.query = f.query AND w.conv_id = f.conv_id
+   AND w.turn_idx = f.turn_idx
+  GROUP BY 1, 2, 3),
+snip AS (
+  SELECT w.query, any_value(w.rank) AS rank, w.conv_id, w.turn_idx,
+         any_value(w.score_q) AS score_q,
+         (CASE WHEN any_value(b.lo_char) > 0 THEN '...' ELSE '' END)
+         || string_agg(
+              CASE WHEN w.matched
+                   THEN '<strong>' || w.word || '</strong>'
+                   ELSE w.word END, ' ' ORDER BY w.rawpos)
+            FILTER (WHERE w.off BETWEEN b.lo_char AND b.hi_start)
+         || (CASE WHEN any_value(b.hi_end) < any_value(b.tlen)
+                  THEN '...' ELSE '' END) AS snippet
+  FROM words w JOIN bounds b
+    ON w.query = b.query AND w.conv_id = b.conv_id
+   AND w.turn_idx = b.turn_idx
+  GROUP BY w.query, w.conv_id, w.turn_idx)
+SELECT query, rank, conv_id, turn_idx, score_q, snippet FROM snip"""
+
+
+def porter_raw_standalone() -> str:
+    """The raw word-position CTE as a standalone SELECT (conv_id,
+    turn_idx, rawpos, word) for reuse inside a second WITH scope."""
+    return f"""WITH {_TURNS_CTE},
+raw AS (
+  SELECT t.conv_id, t.turn_idx, CAST(u.i AS BIGINT) AS rawpos,
+         t.wl[CAST(u.i AS INTEGER) + 1] AS word
+  FROM (SELECT conv_id, turn_idx, string_split(text, ' ') AS wl
+        FROM turns) t,
+       UNNEST(range(len(t.wl))) u(i))
+SELECT conv_id, turn_idx, rawpos, word FROM raw"""
+
+
+def porter_stemmap_values() -> str:
+    """The analyzer (word -> stem) map as a standalone SELECT."""
+    vals = ", ".join(f"('{w}', '{s}')" for w, s in _stem_map())
+    return f"SELECT * FROM (VALUES {vals}) sm(word, stem)"

@@ -249,3 +249,19 @@ def test_porter_complex_doubling_quirk(porter_index):
     # NOT: right words may still contribute (score >= left-only docs exist)
     nd, ns = eng.boolean_complex("NOT", lt, rt, 5)
     assert nd.size > 0
+
+
+def test_porter_snippet_matches_duckdb(porter_index, con, tmp_path_factory):
+    from rayse.ops.porter_oracle import (porter_snippet_sql,
+                                         porter_snippet_topk)
+    from rayse.pipelines.transcripts import write_transcripts_from_documents
+
+    tdir = str(tmp_path_factory.mktemp("porter_s") / "transcripts")
+    write_transcripts_from_documents(SF, tdir)
+    got = porter_snippet_topk(porter_index, tdir)
+    want = con.execute(porter_snippet_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    snips = got["snippet"].to_pylist()
+    assert any("<strong>" in s for s in snips)
+    assert any(s.endswith("...") or s.startswith("...") for s in snips)
