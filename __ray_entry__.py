@@ -557,6 +557,24 @@ def _q_porter_snippet_topk(sf_dir: str) -> pa.Table:
     return porter_snippet_topk(idir, tdir)
 
 
+def _q_porter_suggest_queries(sf_dir: str) -> pa.Table:
+    """M13 suggested queries (frequent long non-stop tokens of the top
+    rows, most_common first-seen tie-break) — DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_suggest_queries
+
+    idir = _index_for(sf_dir)
+    tdir = os.path.join(os.path.dirname(idir), "transcripts")
+    return porter_suggest_queries(idir, tdir)
+
+
+def _q_porter_paged_topk(sf_dir: str) -> pa.Table:
+    """O2 pagination (1-based page slicing through the production
+    paginate) — page 2 of the flagship ranking, DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_paged_topk
+
+    return porter_paged_topk(_index_for(sf_dir))
+
+
 def _q_porter_complex_topk(sf_dir: str) -> pa.Table:
     """A9/A10 ComplexPhraseSearching scoring parity path (per-word
     (tf/dl)*log10(N/df) with order-dependent phrase-match doubling) —
@@ -701,6 +719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_conjunctive_topk": _q_porter_conjunctive_topk,
         "porter_complex_topk": _q_porter_complex_topk,
         "porter_snippet_topk": _q_porter_snippet_topk,
+        "porter_suggest_queries": _q_porter_suggest_queries,
+        "porter_paged_topk": _q_porter_paged_topk,
         "html_clean": _q_html_clean,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
@@ -866,6 +886,10 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_complex_sql(),
         "porter_snippet_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_snippet_sql(),
+        "porter_suggest_queries": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_suggest_sql(),
+        "porter_paged_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_paged_sql(),
         "html_clean": __import__(
             "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
         "duplicate_spans": __import__(

@@ -912,3 +912,114 @@ def porter_stemmap_values() -> str:
     """The analyzer (word -> stem) map as a standalone SELECT."""
     vals = ", ".join(f"('{w}', '{s}')" for w, s in _stem_map())
     return f"SELECT * FROM (VALUES {vals}) sm(word, stem)"
+
+
+def porter_suggest_queries(index_dir: str, transcripts_path: str,
+                           queries: list[str] | None = None,
+                           k: int = 10) -> pa.Table:
+    """M13 suggested queries on the flagship path under a DuckDB oracle:
+    the PRODUCTION ``suggest_queries`` (frequent long non-stop raw tokens
+    of the top-5 hydrated rows, most_common tie-broken by first-seen scan
+    order, candidates capped at 3*n before the not-in-query filter) over
+    the hash-matched BM25 top-k."""
+    from ..query.postprocess import suggest_queries
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    ranked = porter_hydrated_topk(index_dir, transcripts_path, queries, k)
+    rows_by_q: dict[str, list] = {q: [] for q in queries}
+    for q, t in zip(ranked["query"].to_pylist(),
+                    ranked["text"].to_pylist()):
+        rows_by_q[q].append({"text": t})      # already in rank order
+    out_q, out_r, out_s = [], [], []
+    for q in queries:
+        for r, sugg in enumerate(suggest_queries(q, rows_by_q[q]), 1):
+            out_q.append(q)
+            out_r.append(r)
+            out_s.append(sugg)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "sugg_rank": pa.array(out_r, pa.int32()),
+        "suggestion": pa.array(out_s, pa.string()),
+    })
+
+
+def porter_suggest_sql(queries: list[str] | None = None, k: int = 10,
+                       n_terms: int = 5, n_rows: int = 5) -> str:
+    """Oracle for ``porter_suggest_queries``: token counts over the top
+    ``n_rows`` ranked rows' raw words, eligibility = length > 3 AND not a
+    stopword (the eligible closed-vocab subset is computed from the
+    PRODUCTION stopword list and embedded — an eligibility drift fails
+    loudly via a count mismatch), ordered by (count DESC, first-seen ASC)
+    where first-seen is the scan position (rank-major, word-minor) —
+    exactly Counter.most_common's heapq stability — capped at 3*n
+    candidates BEFORE the not-substring-of-query filter, then the first
+    ``n_terms`` survivors."""
+    from ..analyzer.stopwords import STOPWORDS
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    eligible = [w for w in CORPUS_VOCAB
+                if len(w) > 3 and w not in STOPWORDS]
+    ev = ", ".join(f"('{w}')" for w in eligible)
+    inner = porter_bm25_sql(queries, k)
+    return f"""
+WITH ranked_out AS ({inner}),
+toks AS (
+  SELECT r.query, w.word,
+         CAST(count(*) AS BIGINT) AS cnt,
+         min((r.rank - 1) * 1000000 + w.rawpos) AS first_seen
+  FROM ranked_out r
+  JOIN ({porter_raw_standalone()}) w
+    ON r.conv_id = w.conv_id AND r.turn_idx = w.turn_idx
+  JOIN (VALUES {ev}) e(word) ON w.word = e.word
+  WHERE r.rank <= {n_rows}
+  GROUP BY 1, 2),
+cand AS (
+  SELECT query, word,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY cnt DESC, first_seen) AS cpos
+  FROM toks),
+kept AS (
+  SELECT query, word,
+         row_number() OVER (PARTITION BY query ORDER BY cpos) AS rn
+  FROM cand
+  WHERE cpos <= {3 * n_terms} AND NOT contains(query, word))
+SELECT query, CAST(rn AS INTEGER) AS sugg_rank,
+       query || ' ' || word AS suggestion
+FROM kept WHERE rn <= {n_terms}"""
+
+
+def porter_paged_topk(index_dir: str, transcripts_path: str | None = None,
+                      queries: list[str] | None = None, page: int = 2,
+                      page_size: int = 10) -> pa.Table:
+    """O2 pagination under the SQL oracle: the PRODUCTION ``paginate``
+    (1-based slicing, `QueryService.java:1674-1692`) applied to the
+    quantized ranking — page 2 of the flagship queries."""
+    from ..query.postprocess import paginate
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    full = porter_bm25_topk(index_dir, queries, page * page_size)
+    cols = full.column_names
+    out_rows = []
+    for q in queries:
+        mask = [i for i, v in enumerate(full["query"].to_pylist())
+                if v == q]
+        rows = [
+            {c: full[c][i].as_py() for c in cols} for i in mask]
+        out_rows.extend(paginate(rows, page, page_size))
+    if not out_rows:
+        return full.slice(0, 0)
+    return pa.table({c: pa.array([r[c] for r in out_rows],
+                                 full.schema.field(c).type)
+                     for c in cols})
+
+
+def porter_paged_sql(queries: list[str] | None = None, page: int = 2,
+                     page_size: int = 10) -> str:
+    """Oracle for ``porter_paged_topk``: the bm25 ranking windowed to
+    ranks (page-1)*size+1 .. page*size."""
+    lo = (page - 1) * page_size + 1
+    hi = page * page_size
+    inner = porter_bm25_sql(queries, hi)
+    return f"""
+WITH ranked_out AS ({inner})
+SELECT * FROM ranked_out WHERE rank BETWEEN {lo} AND {hi}"""

@@ -265,3 +265,32 @@ def test_porter_snippet_matches_duckdb(porter_index, con, tmp_path_factory):
     snips = got["snippet"].to_pylist()
     assert any("<strong>" in s for s in snips)
     assert any(s.endswith("...") or s.startswith("...") for s in snips)
+
+
+def test_porter_suggest_matches_duckdb(porter_index, con,
+                                       tmp_path_factory):
+    from rayse.ops.porter_oracle import (porter_suggest_queries,
+                                         porter_suggest_sql)
+    from rayse.pipelines.transcripts import write_transcripts_from_documents
+
+    tdir = str(tmp_path_factory.mktemp("porter_sg") / "transcripts")
+    write_transcripts_from_documents(SF, tdir)
+    got = porter_suggest_queries(porter_index, tdir)
+    want = con.execute(porter_suggest_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "sugg_rank"])
+    # a suggestion never repeats a word already in the query
+    for q, s in zip(got["query"].to_pylist(),
+                    got["suggestion"].to_pylist()):
+        added = s[len(q) + 1:]
+        assert added and added not in q
+
+
+def test_porter_paged_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import porter_paged_sql, porter_paged_topk
+
+    got = porter_paged_topk(porter_index)
+    want = con.execute(porter_paged_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    assert min(got["rank"].to_pylist()) == 11
