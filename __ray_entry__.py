@@ -557,6 +557,17 @@ def _q_porter_snippet_topk(sf_dir: str) -> pa.Table:
     return porter_snippet_topk(idir, tdir)
 
 
+def _q_porter_mmr_topk(sf_dir: str) -> pa.Table:
+    """A14/SE5 MMR diversity rerank (greedy max-Jaccard + same-conv
+    penalties, near-dup suppression) replayed as a recursive SQL CTE —
+    DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_mmr_topk
+
+    idir = _index_for(sf_dir)
+    tdir = os.path.join(os.path.dirname(idir), "transcripts")
+    return porter_mmr_topk(idir, tdir)
+
+
 def _q_porter_suggest_queries(sf_dir: str) -> pa.Table:
     """M13 suggested queries (frequent long non-stop tokens of the top
     rows, most_common first-seen tie-break) — DuckDB hash-matched."""
@@ -720,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_complex_topk": _q_porter_complex_topk,
         "porter_snippet_topk": _q_porter_snippet_topk,
         "porter_suggest_queries": _q_porter_suggest_queries,
+        "porter_mmr_topk": _q_porter_mmr_topk,
         "porter_paged_topk": _q_porter_paged_topk,
         "html_clean": _q_html_clean,
         "duplicate_spans": _q_duplicate_spans,
@@ -888,6 +900,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_snippet_sql(),
         "porter_suggest_queries": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_suggest_sql(),
+        "porter_mmr_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_mmr_sql(),
         "porter_paged_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_paged_sql(),
         "html_clean": __import__(

@@ -1023,3 +1023,127 @@ def porter_paged_sql(queries: list[str] | None = None, page: int = 2,
     return f"""
 WITH ranked_out AS ({inner})
 SELECT * FROM ranked_out WHERE rank BETWEEN {lo} AND {hi}"""
+
+
+def porter_mmr_topk(index_dir: str, transcripts_path: str,
+                    queries: list[str] | None = None,
+                    k: int = 10) -> pa.Table:
+    """A14/SE5 MMR diversity rerank under a DuckDB oracle: the PRODUCTION
+    ``mmr_rerank`` (greedy; adjusted = score * (1 - 0.7*maxJaccard(sel))
+    * (1 - 0.15*same-conv count), near-dups J > 0.7 further * (1-0.9);
+    doc_id-asc ties) over the hash-matched BM25 top-k, with QUANTIZED
+    scores as the input so both sides start from bit-identical doubles.
+    The oracle replays the greedy loop as a recursive CTE."""
+    import math
+
+    from ..query.postprocess import mmr_rerank
+    from ..stages.doc_ids import doc_id_of
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    ranked = porter_hydrated_topk(index_dir, transcripts_path, queries, k)
+    rows_by_q: dict[str, list] = {q: [] for q in queries}
+    for i in range(ranked.num_rows):
+        q = ranked["query"][i].as_py()
+        conv = ranked["conv_id"][i].as_py()
+        turn = int(ranked["turn_idx"][i].as_py())
+        rows_by_q[q].append({
+            "doc_id": doc_id_of(conv, turn), "conv_id": conv,
+            "turn_idx": turn, "text": ranked["text"][i].as_py() or "",
+            "score": float(ranked["score_q"][i].as_py())})
+    out = {c: [] for c in
+           ("query", "mmr_rank", "conv_id", "turn_idx", "mmr_q")}
+    for q in queries:
+        for r, row in enumerate(mmr_rerank(rows_by_q[q]), 1):
+            out["query"].append(q)
+            out["mmr_rank"].append(r)
+            out["conv_id"].append(row["conv_id"])
+            out["turn_idx"].append(row["turn_idx"])
+            out["mmr_q"].append(math.floor(row["mmr_score"] * 1e7))
+    return pa.table({
+        "query": pa.array(out["query"], pa.string()),
+        "mmr_rank": pa.array(out["mmr_rank"], pa.int32()),
+        "conv_id": pa.array(out["conv_id"], pa.string()),
+        "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+        "mmr_q": pa.array(out["mmr_q"], pa.int64()),
+    })
+
+
+def porter_doc_id_sql(conv_expr: str, turn_expr: str) -> str:
+    """The doc_id derivation (fnv1a64(conv_id) & (2^43-1)) << 21 | turn
+    as exact HUGEINT SQL (`rayse/stages/doc_ids.py`)."""
+    return f"""CAST((list_reduce(
+        list_prepend(14695981039346656037::HUGEINT,
+                     [ascii(c)::HUGEINT FOR c IN string_split({conv_expr}, '')]),
+        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                  % 18446744073709551616::HUGEINT)
+      % 8796093022208::HUGEINT) * 2097152::HUGEINT
+      + {turn_expr} AS UBIGINT)"""
+
+
+def porter_mmr_sql(queries: list[str] | None = None, k: int = 10) -> str:
+    """Oracle for ``porter_mmr_topk``: greedy MMR as a recursive CTE.
+    Each step joins the remaining candidates (NOT list_contains the
+    selected list), computes the adjusted score with the engine's exact
+    float-op order — ((score * (1 - 0.7*maxJ)) * greatest(0, 1 -
+    0.15*conv_count)) * CASE maxJ > 0.7 THEN (1.0 - 0.9) — and QUALIFYs
+    the (adj DESC, doc_id ASC) winner. Jaccard uses per-doc distinct-stem
+    lists; doc_id ties use the exact FNV doc_id in SQL."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    inner = porter_bm25_sql(queries, k)
+    did = porter_doc_id_sql("r.conv_id", "r.turn_idx")
+    return f"""
+WITH RECURSIVE
+ranked_out AS (SELECT * FROM ({inner})),
+docids AS (
+  SELECT r.query, r.conv_id, r.turn_idx,
+         CAST(r.score_q AS DOUBLE) AS score,
+         {did} AS doc_id
+  FROM ranked_out r),
+tsets AS (
+  SELECT w.conv_id, w.turn_idx, list(DISTINCT sm.stem) AS ts
+  FROM ({porter_raw_standalone()}) w
+  JOIN ({porter_stemmap_values()}) sm ON w.word = sm.word
+  WHERE (w.conv_id, w.turn_idx) IN
+        (SELECT (conv_id, turn_idx) FROM ranked_out)
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.query, a.doc_id AS da, b.doc_id AS db,
+         CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+           / greatest(len(ta.ts) + len(tb.ts)
+                      - len(list_intersect(ta.ts, tb.ts)), 1) AS j
+  FROM docids a
+  JOIN docids b ON a.query = b.query AND a.doc_id != b.doc_id
+  JOIN tsets ta ON a.conv_id = ta.conv_id AND a.turn_idx = ta.turn_idx
+  JOIN tsets tb ON b.conv_id = tb.conv_id AND b.turn_idx = tb.turn_idx),
+rec AS (
+  SELECT query, 0 AS step, []::UBIGINT[] AS sel, []::VARCHAR[] AS selconv,
+         CAST(NULL AS UBIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS mmr
+  FROM (SELECT DISTINCT query FROM docids)
+  UNION ALL
+  SELECT query, step + 1, list_append(sel, pick_doc),
+         list_append(selconv, pick_conv), pick_doc, pick_adj
+  FROM (
+    SELECT r.query, r.step, r.sel, r.selconv,
+           d.doc_id AS pick_doc, d.conv_id AS pick_conv,
+           ((d.score * (1.0::DOUBLE - 0.7::DOUBLE * coalesce(
+               (SELECT max(p.j) FROM pairs p
+                WHERE p.query = d.query AND p.da = d.doc_id
+                  AND list_contains(r.sel, p.db)), 0.0::DOUBLE)))
+            * greatest(0.0::DOUBLE, 1.0::DOUBLE - 0.15::DOUBLE *
+                len(list_filter(r.selconv, x -> x = d.conv_id))))
+            * (CASE WHEN coalesce(
+                 (SELECT max(p.j) FROM pairs p
+                  WHERE p.query = d.query AND p.da = d.doc_id
+                    AND list_contains(r.sel, p.db)), 0.0::DOUBLE)
+                 > 0.7::DOUBLE
+               THEN (1.0::DOUBLE - 0.9::DOUBLE)
+               ELSE 1.0::DOUBLE END) AS pick_adj
+    FROM rec r JOIN docids d
+      ON d.query = r.query AND NOT list_contains(r.sel, d.doc_id)
+    WHERE r.step < {k}
+    QUALIFY row_number() OVER (PARTITION BY r.query
+                               ORDER BY pick_adj DESC, d.doc_id) = 1))
+SELECT r.query, CAST(r.step AS INTEGER) AS mmr_rank, d.conv_id,
+       d.turn_idx, CAST(floor(r.mmr * 10000000) AS BIGINT) AS mmr_q
+FROM rec r JOIN docids d ON r.query = d.query AND r.doc_id = d.doc_id
+WHERE r.step > 0"""

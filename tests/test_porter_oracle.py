@@ -294,3 +294,28 @@ def test_porter_paged_matches_duckdb(porter_index, con):
     assert len(want) > 0
     _cmp(got, want, ["query", "rank"])
     assert min(got["rank"].to_pylist()) == 11
+
+
+def test_porter_mmr_matches_duckdb(porter_index, con, tmp_path_factory):
+    from rayse.ops.porter_oracle import porter_mmr_sql, porter_mmr_topk
+    from rayse.pipelines.transcripts import write_transcripts_from_documents
+
+    tdir = str(tmp_path_factory.mktemp("porter_m") / "transcripts")
+    write_transcripts_from_documents(SF, tdir)
+    got = porter_mmr_topk(porter_index, tdir)
+    want = con.execute(porter_mmr_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "mmr_rank"])
+    # diversity reranking must actually reorder at least one query's list
+    from rayse.ops.porter_oracle import porter_bm25_topk
+
+    base = porter_bm25_topk(porter_index).to_pandas()
+    mmr = got.to_pandas()
+    reordered = False
+    for q in set(mmr["query"]):
+        b = base[base["query"] == q].sort_values("rank")
+        m = mmr[mmr["query"] == q].sort_values("mmr_rank")
+        if list(b["conv_id"]) != list(m["conv_id"]) or \
+           list(b["turn_idx"]) != list(m["turn_idx"]):
+            reordered = True
+    assert reordered
