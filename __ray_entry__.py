@@ -557,6 +557,14 @@ def _q_porter_snippet_topk(sf_dir: str) -> pa.Table:
     return porter_snippet_topk(idir, tdir)
 
 
+def _q_porter_roleboost_topk(sf_dir: str) -> pa.Table:
+    """A7 per-role score boost (tag-importance analog) through the real
+    role-LUT engine path — DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_roleboost_topk
+
+    return porter_roleboost_topk(_index_for(sf_dir))
+
+
 def _q_porter_mmr_topk(sf_dir: str) -> pa.Table:
     """A14/SE5 MMR diversity rerank (greedy max-Jaccard + same-conv
     penalties, near-dup suppression) replayed as a recursive SQL CTE —
@@ -732,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_snippet_topk": _q_porter_snippet_topk,
         "porter_suggest_queries": _q_porter_suggest_queries,
         "porter_mmr_topk": _q_porter_mmr_topk,
+        "porter_roleboost_topk": _q_porter_roleboost_topk,
         "porter_paged_topk": _q_porter_paged_topk,
         "html_clean": _q_html_clean,
         "duplicate_spans": _q_duplicate_spans,
@@ -902,6 +911,11 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_suggest_sql(),
         "porter_mmr_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_mmr_sql(),
+        "porter_roleboost_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_bm25_sql(
+                role_weights=__import__(
+                    "rayse.ops.porter_oracle",
+                    fromlist=["x"]).ROLE_BOOST_WEIGHTS),
         "porter_paged_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_paged_sql(),
         "html_clean": __import__(

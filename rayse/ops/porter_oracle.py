@@ -127,23 +127,34 @@ stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM turns) AS n,
 
 
 def porter_bm25_sql(queries: list[str] | None = None, k: int = 10,
-                    assistant_only: bool = False) -> str:
+                    assistant_only: bool = False,
+                    role_weights: dict | None = None) -> str:
     """DuckDB oracle for ``porter_bm25_topk``: BM25 over the analyzed
     stream, quantized ranking (identical formula/op order to the engine:
     idf v2 ``ln((1+N)/(1+df)) + 1``, tf part ``tf*(k1+1)/(tf + k1*(1-b
     + b*(dl/avgdl)))`` with k1=1.2, b=0.75). ``assistant_only`` mirrors
-    the role filter (assistant turns are odd turn_idx by derivation)."""
+    the role filter (assistant turns are odd turn_idx by derivation);
+    ``role_weights`` mirrors the A7 per-posting boost LUT — each term
+    contribution multiplied by the turn's role weight, the engine's
+    (idf*tf)*w order."""
     queries = queries if queries is not None else PORTER_QUERIES
     vals = ", ".join(f"('{q}', '{t}')"
                      for q in queries for t in _analyzed(q))
     where = "WHERE turn_idx % 2 = 1" if assistant_only else ""
+    boost = ""
+    if role_weights is not None:
+        wu = float(role_weights.get("user", 1.0))
+        wa = float(role_weights.get("assistant", 1.0))
+        boost = (f" * (CASE WHEN tf.turn_idx % 2 = 1 "
+                 f"THEN {wa!r}::DOUBLE ELSE {wu!r}::DOUBLE END)")
     return f"""{_analysis_ctes()},
 qt(query, term) AS (VALUES {vals}),
 scored AS (
   SELECT qt.query, tf.conv_id, tf.turn_idx,
-         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+         sum(((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
              * (tf.tf * 2.2
                 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+             {boost})
            AS score
   FROM qt JOIN tf USING (term) JOIN df USING (term)
        JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
@@ -1147,3 +1158,24 @@ SELECT r.query, CAST(r.step AS INTEGER) AS mmr_rank, d.conv_id,
        d.turn_idx, CAST(floor(r.mmr * 10000000) AS BIGINT) AS mmr_q
 FROM rec r JOIN docids d ON r.query = d.query AND r.doc_id = d.doc_id
 WHERE r.step > 0"""
+
+
+ROLE_BOOST_WEIGHTS = {"user": 2.0, "assistant": 0.5}
+
+
+def porter_roleboost_topk(index_dir: str,
+                          queries: list[str] | None = None,
+                          k: int = 10) -> pa.Table:
+    """A7 per-role score boost (the reference tag-importance analog,
+    `IndexerService.java:263-331`) through the REAL role-scoped engine
+    path (``engine.search(role_weights=...)`` -> regular_role -> the
+    256-entry LUT applied per posting) under the SQL oracle."""
+    from ..query.engine import SearchEngine
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    return _quantized_search_rows(
+        lambda q, kk: eng.search(q, kk,
+                                 role_weights=ROLE_BOOST_WEIGHTS),
+        index_dir, queries, k)

@@ -319,3 +319,22 @@ def test_porter_mmr_matches_duckdb(porter_index, con, tmp_path_factory):
            list(b["turn_idx"]) != list(m["turn_idx"]):
             reordered = True
     assert reordered
+
+
+def test_porter_roleboost_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import (ROLE_BOOST_WEIGHTS,
+                                         porter_bm25_sql,
+                                         porter_roleboost_topk)
+
+    got = porter_roleboost_topk(porter_index)
+    want = con.execute(
+        porter_bm25_sql(role_weights=ROLE_BOOST_WEIGHTS)).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    # boost actually changes the ranking vs unboosted
+    from rayse.ops.porter_oracle import porter_bm25_topk
+
+    base = porter_bm25_topk(porter_index).to_pandas()
+    boosted = got.to_pandas()
+    assert not base[["query", "rank", "conv_id", "turn_idx"]].equals(
+        boosted[["query", "rank", "conv_id", "turn_idx"]])
