@@ -603,6 +603,23 @@ def _q_porter_complex_topk(sf_dir: str) -> pa.Table:
     return porter_complex_topk(_index_for(sf_dir))
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic uniform corpus sample (splitmix64(doc_id) % 100 <
+    rate) — reproducible engine-independent downsampling, DuckDB
+    hash-matched (exact HUGEINT splitmix in SQL)."""
+    from rayse.ops.sampling import hash_sample
+
+    return hash_sample(sf_dir)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sample (the quota-balancing step of a
+    data-mixing recipe: 50% en, 10% other) — DuckDB hash-matched."""
+    from rayse.ops.sampling import stratified_sample
+
+    return stratified_sample(sf_dir)
+
+
 def _q_duplicate_spans(sf_dir: str):
     """Exact duplicate-span detection (Lee et al. 2022 ExactSubstr at
     word-4-gram granularity): every span occurring >= 2 times with doc
@@ -744,6 +761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_paged_topk": _q_porter_paged_topk,
         "html_clean": _q_html_clean,
         "duplicate_spans": _q_duplicate_spans,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
         "span_dedup_docs": _q_span_dedup_docs,
         # SQL-checkable ranked retrieval through the real index pipeline
         # (whitespace analyzer; DuckDB hash-matched incl. the role path)
@@ -922,6 +941,10 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
         "duplicate_spans": __import__(
             "rayse.ops.spandedup", fromlist=["x"]).duplicate_spans_sql(),
+        "hash_sample": __import__(
+            "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql(),
+        "stratified_sample": __import__(
+            "rayse.ops.sampling", fromlist=["x"]).stratified_sample_sql(),
         "span_dedup_docs": __import__(
             "rayse.ops.spandedup", fromlist=["x"]).span_dedup_docs_sql(),
         "ws_bm25_topk": __import__(

@@ -1,0 +1,105 @@
+"""Deterministic hash-based sampling — reproducible corpus downsampling
+for training pipelines (engine-independent: the same rows are kept by any
+implementation of the hash, so re-runs, resumes, and A/B slices agree).
+
+- ``hash_sample``: keep a document iff ``splitmix(doc_id) % 100 < rate``.
+- ``stratified_sample``: per-stratum rates (e.g. keep 50% of English, 10%
+  of everything else) — the quota-balancing step of a data-mixing recipe.
+
+The hash is the 64-bit splitmix finalizer already used by the exchange
+partitioner (``rayse.ops.exchange._mix``) — fully vectorized in numpy and
+exactly expressible in SQL as HUGEINT arithmetic (xor + floor-division
+shifts + multiply mod 2^64), so both operators run under DuckDB oracles.
+
+Scale shape: a pure ``map_batches`` filter — no shuffle, no state, no
+driver involvement; selection decisions are row-local.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .exchange import _mix
+
+_DEFAULT_RATES = {"en": 50}
+_DEFAULT_OTHER = 10
+
+
+def _keep_mask(doc_ids: np.ndarray, rates: np.ndarray) -> np.ndarray:
+    """rates[i] in [0,100]; keep iff mix(doc_id) % 100 < rate."""
+    h = _mix(doc_ids.astype(np.uint64))
+    return (h % np.uint64(100)).astype(np.int64) < rates
+
+
+def hash_sample_batch(batch: pa.Table, rate: int) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    keep = _keep_mask(ids, np.full(ids.size, rate, dtype=np.int64))
+    return batch.filter(pa.array(keep))
+
+
+def stratified_sample_batch(batch: pa.Table, rates: dict,
+                            other_rate: int, by: str) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    strata = batch[by].to_pylist()
+    r = np.fromiter((rates.get(s, other_rate) for s in strata),
+                    dtype=np.int64, count=len(strata))
+    return batch.filter(pa.array(_keep_mask(ids, r)))
+
+
+def hash_sample(sf_dir: str, rate: int = 20):
+    """Uniform deterministic sample of documents -> (doc_id, lang)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return ds.map_batches(hash_sample_batch, fn_kwargs={"rate": rate},
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(sf_dir: str, rates: dict | None = None,
+                      other_rate: int = _DEFAULT_OTHER, by: str = "lang"):
+    """Per-stratum deterministic sample -> (doc_id, lang)."""
+    import ray.data as rd
+
+    rates = rates if rates is not None else dict(_DEFAULT_RATES)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", by])
+    return ds.map_batches(
+        stratified_sample_batch,
+        fn_kwargs={"rates": rates, "other_rate": other_rate, "by": by},
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles: splitmix64 finalizer in exact HUGEINT arithmetic.
+# For non-negative k, k >> n == k // 2^n; multiply wraps mod 2^64.
+# ---------------------------------------------------------------------------
+
+_GOLD = 0x9E3779B97F4A7C15
+_M64 = 1 << 64
+
+
+def _mix_sql(k: str) -> str:
+    return f"""(
+  SELECT xor(h2, h2 // 2147483648::HUGEINT)
+  FROM (SELECT (xor(kk, kk // 1073741824::HUGEINT)
+                * {_GOLD}::HUGEINT) % {_M64}::HUGEINT AS h2
+        FROM (SELECT CAST({k} AS HUGEINT) AS kk)))"""
+
+
+def hash_sample_sql(rate: int = 20) -> str:
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_mix_sql("doc_id")} % 100 < {rate}"""
+
+
+def stratified_sample_sql(rates: dict | None = None,
+                          other_rate: int = _DEFAULT_OTHER,
+                          by: str = "lang") -> str:
+    rates = rates if rates is not None else dict(_DEFAULT_RATES)
+    whens = " ".join(f"WHEN '{s}' THEN {r}" for s, r in rates.items())
+    return f"""
+SELECT doc_id, {by} FROM documents
+WHERE {_mix_sql("doc_id")} % 100
+      < (CASE {by} {whens} ELSE {other_rate} END)"""

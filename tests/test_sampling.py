@@ -1,0 +1,60 @@
+"""Deterministic hash sampling: DuckDB parity, determinism across batch
+sizes, and stratified rate behavior."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from rayse.ops.exchange import _mix
+from rayse.ops.sampling import (hash_sample, hash_sample_sql,
+                                stratified_sample, stratified_sample_sql)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{SF}/documents.parquet')")
+    return c
+
+
+def test_hash_sample_matches_duckdb(ray_session):
+    got = hash_sample(SF).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = _con().execute(hash_sample_sql()).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert 0 < len(got) < 500
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+
+
+def test_stratified_sample_matches_duckdb(ray_session):
+    got = stratified_sample(SF).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = _con().execute(stratified_sample_sql()).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert 0 < len(got) < 500
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    # en keeps at ~50%, others at ~10% — en keep-fraction must dominate
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "lang"]).to_pandas()
+    totals = t.groupby("lang").size()
+    kept = got.groupby("lang").size().reindex(totals.index).fillna(0)
+    frac = kept / totals
+    if "en" in frac.index and len(frac) > 1:
+        assert frac["en"] > frac.drop("en").max()
+
+
+def test_sample_is_batchsize_invariant():
+    """Selection is row-local: the kept set must not depend on how rows
+    are batched (the resume/reproducibility property)."""
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    keep_all = (_mix(ids.astype(np.uint64)) % np.uint64(100)) < 20
+    parts = np.array_split(ids, 7)
+    keep_parts = np.concatenate(
+        [(_mix(p.astype(np.uint64)) % np.uint64(100)) < 20 for p in parts])
+    assert np.array_equal(keep_all, keep_parts)
