@@ -603,6 +603,14 @@ def _q_porter_complex_topk(sf_dir: str) -> pa.Table:
     return porter_complex_topk(_index_for(sf_dir))
 
 
+def _q_format_texts(sf_dir: str):
+    """M11 result-text formatting (sentence/last-space truncation in
+    [200,250] chars + ellipsis) corpus-wide — DuckDB hash-matched."""
+    from rayse.ops.textstats import format_texts
+
+    return format_texts(sf_dir)
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic uniform corpus sample (splitmix64(doc_id) % 100 <
     rate) — reproducible engine-independent downsampling, DuckDB
@@ -762,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_clean": _q_html_clean,
         "duplicate_spans": _q_duplicate_spans,
         "hash_sample": _q_hash_sample,
+        "format_texts": _q_format_texts,
         "stratified_sample": _q_stratified_sample,
         "span_dedup_docs": _q_span_dedup_docs,
         # SQL-checkable ranked retrieval through the real index pipeline
@@ -943,6 +952,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.spandedup", fromlist=["x"]).duplicate_spans_sql(),
         "hash_sample": __import__(
             "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql(),
+        "format_texts": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).format_texts_sql(),
         "stratified_sample": __import__(
             "rayse.ops.sampling", fromlist=["x"]).stratified_sample_sql(),
         "span_dedup_docs": __import__(

@@ -301,3 +301,45 @@ def fingerprints(sf_dir: str):
     return _docs(sf_dir).map_batches(fingerprint_batch,
                                      batch_format="pyarrow",
                                      zero_copy_batch=True)
+
+
+def format_texts_batch(batch: pa.Table) -> pa.Table:
+    """M11 result-text formatting (`rayse.query.postprocess.
+    format_result_text`: sentence-boundary truncation inside
+    [200, 250] chars, else last-space cut > 200, else hard cut) applied
+    corpus-wide — the display-formatting stage as a batch op."""
+    from ..query.postprocess import format_result_text
+
+    texts = batch["text"].to_pylist()
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "formatted": pa.array([format_result_text(t or "")
+                               for t in texts], pa.string()),
+    })
+
+
+def format_texts(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(format_texts_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def format_texts_sql(max_chars: int = 250, min_chars: int = 200) -> str:
+    """Oracle for ``format_texts``. The corpus is sentence-free word soup
+    (no ./!/?), so the sentence-split branch never fires on either side;
+    the last-space rule is position arithmetic: python's
+    cut.rfind(' ') == max_chars - strpos(reverse(cut), ' ') (and the
+    no-space case degenerates to the same hard cut on both sides)."""
+    cut = f"substr(text, 1, {max_chars})"
+    sp = f"({max_chars} - strpos(reverse({cut}), ' '))"
+    return f"""
+SELECT doc_id,
+       CASE WHEN length(text) <= {max_chars} THEN text
+            ELSE rtrim(substr(text, 1,
+                   CASE WHEN {sp} > {min_chars} THEN {sp}
+                        ELSE {max_chars} END)) || '...'
+       END AS formatted
+FROM documents"""

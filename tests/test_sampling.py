@@ -58,3 +58,24 @@ def test_sample_is_batchsize_invariant():
     keep_parts = np.concatenate(
         [(_mix(p.astype(np.uint64)) % np.uint64(100)) < 20 for p in parts])
     assert np.array_equal(keep_all, keep_parts)
+
+
+def test_format_texts_matches_duckdb(ray_session):
+    """M11 formatting parity — incl. the sentence branch staying dormant
+    on the sentence-free corpus and the ellipsis/last-space rules."""
+    from rayse.ops.textstats import format_texts, format_texts_sql
+    from rayse.query.postprocess import format_result_text
+
+    got = format_texts(SF).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = _con().execute(format_texts_sql()).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    assert any(s.endswith("...") for s in got["formatted"])
+    # the sentence branch itself (not reachable on the corpus) is pinned
+    # directly: truncation prefers a sentence boundary in [200, 250]
+    s = ("x" * 110 + ". " + "y" * 95 + ". " + "z" * 80)
+    out = format_result_text(s)
+    assert out.endswith("...") and len(out) <= 253
+    assert out.rstrip(".").endswith("y" * 95)
