@@ -35,39 +35,62 @@ the code-append therefore hash-mismatches loudly.
 
 from __future__ import annotations
 
+import html
 import re
 
 import pyarrow as pa
 
 _CODE_TAGS = "code|pre|tt|kbd|samp"
-_REMOVE_TAGS = "style|script|noscript|svg|canvas"
+# HTML5 raw-text elements: their content is TEXT (never parsed as
+# elements; the first matching close tag always ends them), so a
+# first-close non-greedy match is exact and code markup inside them must
+# NOT be captured (Jsoup's doc.select never sees elements there).
+_RAWTEXT_TAGS = "style|script"
+# Removed NON-raw-text subtrees: contents parse as elements (code inside
+# an <svg> IS selected by the reference before removal), and same-tag
+# nesting is legal (svg-in-svg) — removed innermost-first to a fixpoint.
+_REMOVE_ELEM_TAGS = "noscript|svg|canvas"
 
 _CODE_RE = re.compile(rf"<({_CODE_TAGS})\b[^>]*>(.*?)</\1\s*>",
                       re.S | re.I)
-_REMOVE_RE = re.compile(rf"<({_REMOVE_TAGS})\b[^>]*>.*?</\1\s*>",
-                        re.S | re.I)
+_RAWTEXT_RE = re.compile(rf"<({_RAWTEXT_TAGS})\b[^>]*>.*?</\1\s*>",
+                         re.S | re.I)
+_REMOVE_ELEM_RE = re.compile(
+    rf"<({_REMOVE_ELEM_TAGS})\b[^>]*>"
+    rf"(?:(?!<(?:{_REMOVE_ELEM_TAGS})\b).)*?</\1\s*>", re.S | re.I)
 _VOID_RE = re.compile(r"<(?:meta|link)\b[^>]*/?>", re.I)
 _TAG_RE = re.compile(r"<[^>]+>")
-_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
-             "&#39;": "'", "&apos;": "'", "&nbsp;": " "}
-_ENT_RE = re.compile("|".join(_ENTITIES))
 # `PreIndexer.java:69` whitelist, verbatim
 _WHITELIST_RE = re.compile(r"[^a-zA-Z0-9_+\-.#$%^&*()\[\]{}<>=/\\|:;,!?]")
 _WS_RE = re.compile(r"\s+")
 
 
+def _remove_nested(s: str) -> str:
+    """Remove noscript/svg/canvas subtrees innermost-first until stable
+    (handles same-tag nesting exactly; terminates — every pass deletes at
+    least one element or leaves no match)."""
+    while True:
+        s2 = _REMOVE_ELEM_RE.sub(" ", s)
+        if s2 == s:
+            return s
+        s = s2
+
+
 def clean_html_text(s: str) -> str:
     """One document through the reference cleaning chain (module
-    docstring steps 1-6)."""
+    docstring steps 1-6). Raw-text subtrees (script/style) are dropped
+    BEFORE code capture — their content is text to an HTML parser, so the
+    reference's element selection never matches inside them."""
     if not s:
         return ""
+    s = _RAWTEXT_RE.sub(" ", s)
     code = " ".join(m.group(2) for m in _CODE_RE.finditer(s))
     code = _TAG_RE.sub(" ", code)          # element.text() of nested markup
-    body = _REMOVE_RE.sub(" ", s)
+    body = _remove_nested(s)
     body = _VOID_RE.sub(" ", body)
     body = _TAG_RE.sub(" ", body)
     out = body + " " + code                # step 4: code content appended
-    out = _ENT_RE.sub(lambda m: _ENTITIES[m.group(0)], out)
+    out = html.unescape(out)               # full named + numeric entities
     out = _WHITELIST_RE.sub(" ", out)
     return _WS_RE.sub(" ", out).strip()
 

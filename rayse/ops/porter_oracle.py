@@ -94,6 +94,24 @@ def _porter_reader(index_dir: str) -> tuple[IndexReader, BM25Params]:
     return reader, BM25Params(**reader.meta.get("bm25", {}))
 
 
+def _ranked_rows(index_dir: str, docs, score_q, k: int):
+    """THE quantized ranking tail shared by every ranked entry: cut to the
+    k-th quantized score keeping boundary ties (the (conv_id, turn_idx)
+    tie-break below decides among them, matching the SQL row_number
+    order), resolve conv ids, and emit [(rank, conv_id, turn_idx,
+    score_q)] sorted by (score_q desc, conv_id, turn_idx)."""
+    if docs.size > k:
+        kth = -np.partition(-score_q, k - 1)[k - 1]
+        keep = score_q >= kth     # keep boundary ties for the tie-break
+        docs, score_q = docs[keep], score_q[keep]
+    cmap = resolve_conv_ids(index_dir, docs)
+    rows = sorted(
+        ((-int(sq), cmap[int(d) >> TURN_BITS],
+          int(d) & ((1 << TURN_BITS) - 1))
+         for d, sq in zip(docs.tolist(), score_q.tolist())))[:k]
+    return [(r, conv, turn, -nsq)
+            for r, (nsq, conv, turn) in enumerate(rows, 1)]
+
 # ---------------------------------------------------------------------------
 # SQL building blocks
 # ---------------------------------------------------------------------------
@@ -225,6 +243,9 @@ def porter_bm25_topk(index_dir: str, queries: list[str] | None = None,
             contrib = idf * bm25_tf(pl.tfs, pl.dls, avgdl, params)
             d = pl.doc_ids
             if role_code is not None:
+                if pl.roles is None:
+                    raise ValueError(
+                        "index was built without role stats")
                 m = pl.roles == role_code
                 d, contrib = d[m], contrib[m]
             doc_arrs.append(d)
@@ -235,21 +256,13 @@ def porter_bm25_topk(index_dir: str, queries: list[str] | None = None,
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, np.concatenate(contrib_arrs))
         score_q = np.floor(scores * 1e7).astype(np.int64)
-        if uniq.size > k:
-            kth = -np.partition(-score_q, k - 1)[k - 1]
-            keep = score_q >= kth     # keep boundary ties for the tie-break
-            uniq, score_q = uniq[keep], score_q[keep]
-        cmap = resolve_conv_ids(reader.index_dir, uniq)
-        rows = sorted(
-            ((-int(sq), cmap[int(d) >> TURN_BITS],
-              int(d) & ((1 << TURN_BITS) - 1))
-             for d, sq in zip(uniq.tolist(), score_q.tolist())))[:k]
-        for r, (nsq, conv, turn) in enumerate(rows, 1):
+        for r, conv, turn, sq in _ranked_rows(reader.index_dir, uniq,
+                                              score_q, k):
             out_q.append(q)
             out_r.append(r)
             out_c.append(conv)
             out_t.append(turn)
-            out_s.append(-nsq)
+            out_s.append(sq)
     return pa.table({
         "query": pa.array(out_q, pa.string()),
         "rank": pa.array(out_r, pa.int32()),
@@ -326,22 +339,14 @@ def porter_boolean_topk(index_dir: str, exprs: list[tuple] | None = None,
         scores = score_docs(eng.reader, docs, terms, eng._idfs(terms),
                             eng.reader.avgdl, eng.params)
         score_q = np.floor(scores * 1e7).astype(np.int64)
-        if docs.size > k:
-            kth = -np.partition(-score_q, k - 1)[k - 1]
-            keep = score_q >= kth     # keep boundary ties for the tie-break
-            docs, score_q = docs[keep], score_q[keep]
-        cmap = resolve_conv_ids(eng.reader.index_dir, docs)
         label = f"{left} {op} {right}"
-        rows = sorted(
-            ((-int(sq), cmap[int(d) >> TURN_BITS],
-              int(d) & ((1 << TURN_BITS) - 1))
-             for d, sq in zip(docs.tolist(), score_q.tolist())))[:k]
-        for r, (nsq, conv, turn) in enumerate(rows, 1):
+        for r, conv, turn, sq in _ranked_rows(eng.reader.index_dir, docs,
+                                              score_q, k):
             out_q.append(label)
             out_r.append(r)
             out_c.append(conv)
             out_t.append(turn)
-            out_s.append(-nsq)
+            out_s.append(sq)
     return pa.table({
         "query": pa.array(out_q, pa.string()),
         "rank": pa.array(out_r, pa.int32()),
@@ -409,6 +414,7 @@ def porter_fallback_topk(index_dir: str, queries: list[str] | None = None,
     under the SQL oracle. ``n`` counts ANALYZED query terms (OOV words
     that survive the analyzer count toward n but never match)."""
     from ..query.engine import SearchEngine, accumulate
+    from ..query.postprocess import fallback_tier
 
     queries = queries if queries is not None else PORTER_FALLBACKS
     _porter_reader(index_dir)
@@ -421,33 +427,19 @@ def porter_fallback_topk(index_dir: str, queries: list[str] | None = None,
         d, s, m = accumulate(eng.reader, terms, eng._idfs(terms),
                              eng.reader.avgdl, eng.params)
         mx = int(m.max()) if d.size else 0
-        half = (n + 1) // 2
-        if mx == n and d.size:
-            tier, thr = "all", n
-        elif n > 1 and mx >= half:
-            tier, thr = "half", half
-        else:
-            tier, thr = "any", 1
+        tier, thr = fallback_tier(n, mx)
         keep = m >= thr
         docs, score_q = d[keep], np.floor(s[keep] * 1e7).astype(np.int64)
         if docs.size == 0:
             continue
-        if docs.size > k:
-            kth = -np.partition(-score_q, k - 1)[k - 1]
-            sel = score_q >= kth      # keep boundary ties for the tie-break
-            docs, score_q = docs[sel], score_q[sel]
-        cmap = resolve_conv_ids(eng.reader.index_dir, docs)
-        rows = sorted(
-            ((-int(sq), cmap[int(dd) >> TURN_BITS],
-              int(dd) & ((1 << TURN_BITS) - 1))
-             for dd, sq in zip(docs.tolist(), score_q.tolist())))[:k]
-        for r, (nsq, conv, turn) in enumerate(rows, 1):
+        for r, conv, turn, sq in _ranked_rows(eng.reader.index_dir, docs,
+                                              score_q, k):
             out["query"].append(q)
             out["tier"].append(tier)
             out["rank"].append(r)
             out["conv_id"].append(conv)
             out["turn_idx"].append(turn)
-            out["score_q"].append(-nsq)
+            out["score_q"].append(sq)
     return pa.table({
         "query": pa.array(out["query"], pa.string()),
         "tier": pa.array(out["tier"], pa.string()),
@@ -598,21 +590,12 @@ def _quantized_search_rows(search_fn, index_dir: str, queries: list[str],
         if docs.size == 0:
             continue
         qv = np.floor(scores * 1e7).astype(np.int64)
-        if docs.size > k:
-            boundary = -np.partition(-qv, k - 1)[k - 1]
-            keep = qv >= boundary      # keep boundary ties for the tie-break
-            docs, qv = docs[keep], qv[keep]
-        cmap = resolve_conv_ids(index_dir, docs)
-        rows = sorted(
-            ((-int(sq), cmap[int(d) >> TURN_BITS],
-              int(d) & ((1 << TURN_BITS) - 1))
-             for d, sq in zip(docs.tolist(), qv.tolist())))[:k]
-        for r, (nsq, conv, turn) in enumerate(rows, 1):
+        for r, conv, turn, sq in _ranked_rows(index_dir, docs, qv, k):
             out_q.append(q)
             out_r.append(r)
             out_c.append(conv)
             out_t.append(turn)
-            out_s.append(-nsq)
+            out_s.append(sq)
     return pa.table({
         "query": pa.array(out_q, pa.string()),
         "rank": pa.array(out_r, pa.int32()),
@@ -999,7 +982,7 @@ SELECT query, CAST(rn AS INTEGER) AS sugg_rank,
 FROM kept WHERE rn <= {n_terms}"""
 
 
-def porter_paged_topk(index_dir: str, transcripts_path: str | None = None,
+def porter_paged_topk(index_dir: str,
                       queries: list[str] | None = None, page: int = 2,
                       page_size: int = 10) -> pa.Table:
     """O2 pagination under the SQL oracle: the PRODUCTION ``paginate``

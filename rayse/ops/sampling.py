@@ -27,7 +27,15 @@ _DEFAULT_OTHER = 10
 
 
 def _keep_mask(doc_ids: np.ndarray, rates: np.ndarray) -> np.ndarray:
-    """rates[i] in [0,100]; keep iff mix(doc_id) % 100 < rate."""
+    """rates[i] in [0,100]; keep iff mix(doc_id) % 100 < rate.
+
+    doc_ids must be non-negative: numpy would wrap a negative int64 to
+    2^64+k while the SQL oracle hashes the signed value (HUGEINT '//' is
+    not '>>' below zero), silently breaking the engine-independence
+    contract — refuse loudly instead."""
+    if doc_ids.size and doc_ids.min() < 0:
+        raise ValueError("hash sampling requires non-negative doc_id "
+                         "(SQL-parity precondition)")
     h = _mix(doc_ids.astype(np.uint64))
     return (h % np.uint64(100)).astype(np.int64) < rates
 

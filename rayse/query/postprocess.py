@@ -128,31 +128,38 @@ def proximity_bonus(positions_by_term: list[np.ndarray]) -> float:
     return 0.0
 
 
+def fallback_tier(n_terms: int, max_match: int) -> tuple:
+    """THE A8 ladder rule (single definition, shared by
+    ``search_with_fallback`` and the oracle-checked
+    ``porter_fallback_topk``): all terms -> >=ceil(n/2) terms -> any.
+    Returns (tier_name, match threshold)."""
+    half = (n_terms + 1) // 2
+    if max_match == n_terms and n_terms > 0:
+        return "all", n_terms
+    if n_terms > 1 and max_match >= half:
+        return "half", half
+    return "any", 1
+
+
 def search_with_fallback(engine, terms, k: int = 10):
-    """A8 retrieval ladder: all terms -> >=ceil(n/2) terms -> any term."""
+    """A8 retrieval ladder over ONE accumulate pass: the tier is decided
+    by the best per-doc match count (`fallback_tier`), then docs at that
+    threshold rank by BM25. Equivalent to try-conjunctive / try-min-match
+    / regular (a doc matching all n terms exists iff max_match == n), but
+    single-pass."""
+    from .engine import accumulate, top_k
+
     terms = list(terms)
     n = len(terms)
     if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.float64), "none"
-    docs, scores = engine.conjunctive(terms, k)
-    if docs.size:
-        return docs, scores, "all"
-    if n > 1:
-        docs, scores = _min_match(engine, terms, (n + 1) // 2, k)
-        if docs.size:
-            return docs, scores, "half"
-    docs, scores = engine.regular(terms, k)
-    return docs, scores, "any"
-
-
-def _min_match(engine, terms, min_match: int, k: int):
-    from .engine import accumulate, top_k
-
     idfs = engine._idfs(terms)
     d, s, m = accumulate(engine.reader, terms, idfs, engine.reader.avgdl,
                          engine.params)
-    keep = m >= min_match
-    return top_k(d[keep], s[keep], k)
+    tier, thr = fallback_tier(n, int(m.max()) if d.size else 0)
+    keep = m >= thr
+    docs, scores = top_k(d[keep], s[keep], k)
+    return docs, scores, tier
 
 
 def _token_set(text: str) -> set:

@@ -233,10 +233,12 @@ def test_porter_complex_matches_duckdb(porter_index, con):
 
 
 def test_porter_complex_doubling_quirk(porter_index):
-    """AND-matched docs score 4*s_left + 2*s_right (order-dependent
-    doubling) — a doc matching both phrases must outrank its own
-    phrase-words-only BM-free sum; and NOT results still include
-    right-phrase word contributions."""
+    """Pins the order-dependent doubling formula itself: for every OR
+    result doc, score == (s_left * 2^[matches left] + s_right) *
+    2^[matches right], where s_phrase = sum over the phrase's words of
+    (tf/dl)*log10(N/df) — recomputed here independently from the posting
+    lists. Dropping the doubling (or the NOT quirk that right-phrase
+    words still score) breaks this equality."""
     import numpy as np
 
     from rayse.ops.porter_oracle import _analyzed_seq
@@ -244,11 +246,33 @@ def test_porter_complex_doubling_quirk(porter_index):
 
     eng = SearchEngine(porter_index)
     lt, rt = _analyzed_seq("table scan"), _analyzed_seq("hash join")
-    docs, scores = eng.boolean_complex("OR", lt, rt, 5)
-    assert docs.size > 0 and np.all(scores > 0)
-    # NOT: right words may still contribute (score >= left-only docs exist)
-    nd, ns = eng.boolean_complex("NOT", lt, rt, 5)
-    assert nd.size > 0
+    n = eng.reader.n_docs
+
+    def phrase_word_score(doc, phrase):
+        s = 0.0
+        for t in phrase:
+            pl = eng.reader.merged(t)
+            if pl is None:
+                continue
+            j = int(np.searchsorted(pl.doc_ids, doc))
+            if j < pl.doc_ids.size and pl.doc_ids[j] == doc:
+                tf = float(pl.tfs[j]) / max(float(pl.dls[j]), 1.0)
+                s += tf * np.log10(n / max(eng._df(t), 1))
+        return s
+
+    ldocs, rdocs = set(eng.phrase_docs(lt).tolist()),         set(eng.phrase_docs(rt).tolist())
+    for op in ("OR", "NOT"):
+        docs, scores = eng.boolean_complex(op, lt, rt, 10)
+        assert docs.size > 0
+        for d, got in zip(docs, scores.tolist()):   # keep np.uint64:
+            # a python int > 2^53 would float-upcast in searchsorted
+            exp = phrase_word_score(d, lt)
+            if d in ldocs:
+                exp *= 2.0
+            exp += phrase_word_score(d, rt)   # NOT: right words still add
+            if d in rdocs:
+                exp *= 2.0
+            assert abs(got - exp) < 1e-9, (op, d)
 
 
 def test_porter_snippet_matches_duckdb(porter_index, con, tmp_path_factory):
