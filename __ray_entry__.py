@@ -557,6 +557,14 @@ def _q_porter_snippet_topk(sf_dir: str) -> pa.Table:
     return porter_snippet_topk(idir, tdir)
 
 
+def _q_porter_phrase_role_topk(sf_dir: str) -> pa.Table:
+    """Phrase search restricted to a role (positional match + per-posting
+    role post-filter + BM25) — DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_phrase_role_topk
+
+    return porter_phrase_role_topk(_index_for(sf_dir))
+
+
 def _q_porter_roleboost_topk(sf_dir: str) -> pa.Table:
     """A7 per-role score boost (tag-importance analog) through the real
     role-LUT engine path — DuckDB hash-matched."""
@@ -766,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_suggest_queries": _q_porter_suggest_queries,
         "porter_mmr_topk": _q_porter_mmr_topk,
         "porter_roleboost_topk": _q_porter_roleboost_topk,
+        "porter_phrase_role_topk": _q_porter_phrase_role_topk,
         "porter_paged_topk": _q_porter_paged_topk,
         "html_clean": _q_html_clean,
         "duplicate_spans": _q_duplicate_spans,
@@ -944,6 +953,9 @@ def oracle_sql() -> dict[str, str]:
                 role_weights=__import__(
                     "rayse.ops.porter_oracle",
                     fromlist=["x"]).ROLE_BOOST_WEIGHTS),
+        "porter_phrase_role_topk": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_phrase_role_sql(),
         "porter_paged_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_paged_sql(),
         "html_clean": __import__(

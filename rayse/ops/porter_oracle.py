@@ -1162,3 +1162,68 @@ def porter_roleboost_topk(index_dir: str,
         lambda q, kk: eng.search(q, kk,
                                  role_weights=ROLE_BOOST_WEIGHTS),
         index_dir, queries, k)
+
+
+def porter_phrase_role_topk(index_dir: str,
+                            phrases: list[str] | None = None,
+                            k: int = 10,
+                            role: str = "assistant") -> pa.Table:
+    """Phrase search restricted to a role (``engine.phrase_role``:
+    positional match -> per-doc role post-filter from the posting role
+    codes -> BM25 over the phrase terms) under a DuckDB oracle — the last
+    retrieval mode without one."""
+    from ..query.engine import SearchEngine
+
+    phrases = phrases if phrases is not None else PORTER_PHRASES
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    return _quantized_search_rows(
+        lambda p, kk: eng.search(f'"{p}"', kk, role=role),
+        index_dir, phrases, k)
+
+
+def porter_phrase_role_sql(phrases: list[str] | None = None, k: int = 10,
+                           role: str = "assistant") -> str:
+    """Oracle for ``porter_phrase_role_topk``: padded-substring phrase
+    match on the analyzed stream, role filter by turn parity (assistant =
+    odd turn_idx by derivation), BM25 over the phrase's deduped terms."""
+    phrases = phrases if phrases is not None else PORTER_PHRASES
+    parity = 1 if role == "assistant" else 0
+    parts = []
+    for p in phrases:
+        seq = _analyzed_seq(p)
+        terms = list(dict.fromkeys(seq))
+        vals = ", ".join(f"('{t}')" for t in terms)
+        pp = " ".join(seq)
+        parts.append(f"""
+  SELECT '{p}' AS query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM (VALUES {vals}) q(term)
+  JOIN tf USING (term) JOIN df USING (term)
+  JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+  JOIN ftext f ON tf.conv_id = f.conv_id AND tf.turn_idx = f.turn_idx
+  CROSS JOIN stats s
+  WHERE contains(' ' || f.ft || ' ', ' {pp} ')
+    AND tf.turn_idx % 2 = {parity}
+  GROUP BY 1, 2, 3""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""{_analysis_ctes()},
+ftext AS (
+  SELECT conv_id, turn_idx,
+         string_agg(term, ' ' ORDER BY rawpos) AS ft
+  FROM ptok GROUP BY 1, 2),
+scored AS ({union}),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""

@@ -362,3 +362,14 @@ def test_porter_roleboost_matches_duckdb(porter_index, con):
     boosted = got.to_pandas()
     assert not base[["query", "rank", "conv_id", "turn_idx"]].equals(
         boosted[["query", "rank", "conv_id", "turn_idx"]])
+
+
+def test_porter_phrase_role_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import (porter_phrase_role_sql,
+                                         porter_phrase_role_topk)
+
+    got = porter_phrase_role_topk(porter_index)
+    want = con.execute(porter_phrase_role_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    assert all(t % 2 == 1 for t in got["turn_idx"].to_pylist())
