@@ -557,6 +557,14 @@ def _q_porter_snippet_topk(sf_dir: str) -> pa.Table:
     return porter_snippet_topk(idir, tdir)
 
 
+def _q_porter_conjunctive_role_topk(sf_dir: str) -> pa.Table:
+    """J5 ∘ M6: docs-with-all-words restricted to a role — DuckDB
+    hash-matched (completes the role x mode matrix)."""
+    from rayse.ops.porter_oracle import porter_conjunctive_role_topk
+
+    return porter_conjunctive_role_topk(_index_for(sf_dir))
+
+
 def _q_porter_phrase_role_topk(sf_dir: str) -> pa.Table:
     """Phrase search restricted to a role (positional match + per-posting
     role post-filter + BM25) — DuckDB hash-matched."""
@@ -775,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_mmr_topk": _q_porter_mmr_topk,
         "porter_roleboost_topk": _q_porter_roleboost_topk,
         "porter_phrase_role_topk": _q_porter_phrase_role_topk,
+        "porter_conjunctive_role_topk": _q_porter_conjunctive_role_topk,
         "porter_paged_topk": _q_porter_paged_topk,
         "html_clean": _q_html_clean,
         "duplicate_spans": _q_duplicate_spans,
@@ -956,6 +965,9 @@ def oracle_sql() -> dict[str, str]:
         "porter_phrase_role_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_phrase_role_sql(),
+        "porter_conjunctive_role_topk": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_conjunctive_role_sql(),
         "porter_paged_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_paged_sql(),
         "html_clean": __import__(

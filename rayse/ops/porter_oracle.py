@@ -1227,3 +1227,60 @@ ranked AS (
   FROM quant)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+def porter_conjunctive_role_topk(index_dir: str,
+                                 queries: list[str] | None = None,
+                                 k: int = 10,
+                                 role: str = "assistant") -> pa.Table:
+    """J5 ∘ M6: docs-with-all-words restricted to a role
+    (``engine.conjunctive_role``: rarest-first intersection, role
+    post-filter from posting role codes, BM25) under a DuckDB oracle —
+    completes the role x mode matrix (or/and/phrase, filter/boost)."""
+    from ..query.engine import SearchEngine
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    return _quantized_search_rows(
+        lambda q, kk: eng.search(q, kk, mode="and", role=role),
+        index_dir, queries, k)
+
+
+def porter_conjunctive_role_sql(queries: list[str] | None = None,
+                                k: int = 10,
+                                role: str = "assistant") -> str:
+    """Oracle: the conjunctive HAVING-count SQL with the turn-parity role
+    filter applied to the eligible docs."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    parity = 1 if role == "assistant" else 0
+    vals = ", ".join(
+        f"('{q}', '{t}')" for q in queries for t in _analyzed(q))
+    qn = ", ".join(f"('{q}', {len(_analyzed(q))})" for q in queries)
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+qn(query, n_terms) AS (VALUES {qn}),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       JOIN qn ON qn.query = qt.query
+       CROSS JOIN stats s
+  WHERE tf.turn_idx % 2 = {parity}
+  GROUP BY qt.query, tf.conv_id, tf.turn_idx, qn.n_terms
+  HAVING count(*) = qn.n_terms),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""

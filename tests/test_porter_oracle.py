@@ -373,3 +373,14 @@ def test_porter_phrase_role_matches_duckdb(porter_index, con):
     assert len(want) > 0
     _cmp(got, want, ["query", "rank"])
     assert all(t % 2 == 1 for t in got["turn_idx"].to_pylist())
+
+
+def test_porter_conjunctive_role_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import (porter_conjunctive_role_sql,
+                                         porter_conjunctive_role_topk)
+
+    got = porter_conjunctive_role_topk(porter_index)
+    want = con.execute(porter_conjunctive_role_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    assert all(t % 2 == 1 for t in got["turn_idx"].to_pylist())
