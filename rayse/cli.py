@@ -87,6 +87,48 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Deterministic hash sampling over a documents table dir."""
+    from .ops.sampling import hash_sample, stratified_sample
+
+    _ray_init()
+    if args.stratified:
+        rates = dict(kv.split("=") for kv in args.rates.split(",")) \
+            if args.rates else None
+        rates = ({k: int(v) for k, v in rates.items()}
+                 if rates is not None else None)
+        ds = stratified_sample(args.input, rates=rates,
+                               other_rate=args.rate, by=args.by)
+    else:
+        ds = hash_sample(args.input, rate=args.rate)
+    ds.write_parquet(args.out)
+    print(json.dumps({"kept_rows": ds.count(), "out": args.out}))
+    return 0
+
+
+def cmd_spans(args) -> int:
+    """Duplicate-span detection (ExactSubstr-style) over documents."""
+    from .ops.spandedup import duplicate_spans, span_dedup_docs
+
+    _ray_init()
+    fn = span_dedup_docs if args.per_doc else duplicate_spans
+    ds = fn(args.input, window=args.window, min_count=args.min_count)
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ds.count(), "out": args.out}))
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    """Near-duplicate keep-set over a documents table dir."""
+    from .ops.dedup import near_dedup_keep
+
+    _ray_init()
+    ds = near_dedup_keep(args.input, threshold=args.threshold)
+    ds.write_parquet(args.out)
+    print(json.dumps({"kept_rows": ds.count(), "out": args.out}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayse")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -127,6 +169,41 @@ def main(argv=None) -> int:
     s = sub.add_parser("stats", help="print index stats/metrics")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    sm = sub.add_parser("sample",
+                        help="deterministic hash sample of a documents "
+                             "table (reproducible across runs/engines)")
+    sm.add_argument("--input", required=True,
+                    help="dir containing documents.parquet")
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--rate", type=int, default=20,
+                    help="keep percentage (uniform, or the default "
+                         "stratum rate with --stratified)")
+    sm.add_argument("--stratified", action="store_true")
+    sm.add_argument("--by", default="lang")
+    sm.add_argument("--rates", default=None,
+                    help="per-stratum rates, e.g. en=50,de=30")
+    sm.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("spans",
+                        help="duplicate-span detection (ExactSubstr "
+                             "at word k-gram granularity)")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--window", type=int, default=4)
+    sp.add_argument("--min-count", type=int, default=2)
+    sp.add_argument("--per-doc", action="store_true",
+                    help="emit per-doc duplicated-span counts instead "
+                         "of the span table")
+    sp.set_defaults(fn=cmd_spans)
+
+    dd = sub.add_parser("dedup",
+                        help="near-duplicate removal keep-set over a "
+                             "documents table")
+    dd.add_argument("--input", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -95,3 +95,28 @@ def test_cli_build_query_stats(ray_session, tmp_path, capsys):
     assert '"snippet"' in out3
     assert main(["stats", "--index", str(idx)]) == 0
     assert '"n_docs"' in capsys.readouterr().out
+
+
+def test_cli_ops_subcommands(ray_session, tmp_path, capsys):
+    """sample / spans / dedup CLI entry points over the sf0.001 tables."""
+    import json as _json
+
+    from rayse.cli import main
+
+    sf = "/root/testdata/sf0.001"
+    assert main(["sample", "--input", sf,
+                 "--out", str(tmp_path / "s"), "--rate", "20"]) == 0
+    r = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < r["kept_rows"] < 500
+    assert main(["sample", "--input", sf, "--out", str(tmp_path / "ss"),
+                 "--stratified", "--rates", "en=50"]) == 0
+    r2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["kept_rows"] > r["kept_rows"]    # en majority at 50% > 20%
+    assert main(["spans", "--input", sf,
+                 "--out", str(tmp_path / "sp"), "--per-doc"]) == 0
+    r3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r3["rows"] > 0
+    assert main(["dedup", "--input", sf,
+                 "--out", str(tmp_path / "dd")]) == 0
+    r4 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < r4["kept_rows"] <= 500
