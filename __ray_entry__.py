@@ -557,6 +557,15 @@ def _q_porter_snippet_topk(sf_dir: str) -> pa.Table:
     return porter_snippet_topk(idir, tdir)
 
 
+def _q_porter_capped_topk(sf_dir: str) -> pa.Table:
+    """O3 capped retrieval (first-cap-postings-per-term in docID order,
+    the reference LIMIT-1000 parity mode, cap=50 so it binds) — DuckDB
+    hash-matched (FNV doc_id order in SQL)."""
+    from rayse.ops.porter_oracle import porter_capped_topk
+
+    return porter_capped_topk(_index_for(sf_dir))
+
+
 def _q_porter_conjunctive_role_topk(sf_dir: str) -> pa.Table:
     """J5 ∘ M6: docs-with-all-words restricted to a role — DuckDB
     hash-matched (completes the role x mode matrix)."""
@@ -784,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_roleboost_topk": _q_porter_roleboost_topk,
         "porter_phrase_role_topk": _q_porter_phrase_role_topk,
         "porter_conjunctive_role_topk": _q_porter_conjunctive_role_topk,
+        "porter_capped_topk": _q_porter_capped_topk,
         "porter_paged_topk": _q_porter_paged_topk,
         "html_clean": _q_html_clean,
         "duplicate_spans": _q_duplicate_spans,
@@ -968,6 +978,8 @@ def oracle_sql() -> dict[str, str]:
         "porter_conjunctive_role_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_conjunctive_role_sql(),
+        "porter_capped_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_capped_sql(),
         "porter_paged_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_paged_sql(),
         "html_clean": __import__(

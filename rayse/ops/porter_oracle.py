@@ -1284,3 +1284,61 @@ ranked AS (
   FROM quant)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+def porter_capped_topk(index_dir: str, queries: list[str] | None = None,
+                       k: int = 10, cap: int = 50) -> pa.Table:
+    """O3 reference-parity capped retrieval (`QueryService.java:448-450`:
+    each term contributes only its first ``cap`` postings in docID order)
+    under a DuckDB oracle — doc_id order is SQL-expressible via the exact
+    FNV doc_id. ``cap`` defaults low so the cap actually binds at test
+    scale (the reference's 1000 never would on 500 docs)."""
+    from ..query.engine import SearchEngine
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    return _quantized_search_rows(
+        lambda q, kk: eng.regular_capped(_analyzed(q), kk, cap=cap),
+        index_dir, queries, k)
+
+
+def porter_capped_sql(queries: list[str] | None = None, k: int = 10,
+                      cap: int = 50) -> str:
+    """Oracle for ``porter_capped_topk``: per-(query, term) eligibility =
+    row_number over ascending FNV doc_id <= cap, then the standard BM25
+    sum + quantized ranking."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in _analyzed(q))
+    did = porter_doc_id_sql("tf.conv_id", "tf.turn_idx")
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+eligible AS (
+  SELECT qt.query, tf.term, tf.conv_id, tf.turn_idx, tf.tf,
+         row_number() OVER (PARTITION BY qt.query, tf.term
+                            ORDER BY {did}) AS pord
+  FROM qt JOIN tf USING (term)),
+scored AS (
+  SELECT e.query, e.conv_id, e.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (e.tf * 2.2
+                / (e.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM eligible e
+  JOIN df ON df.term = e.term
+  JOIN dl ON e.conv_id = dl.conv_id AND e.turn_idx = dl.turn_idx
+  CROSS JOIN stats s
+  WHERE e.pord <= {cap}
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""

@@ -384,3 +384,18 @@ def test_porter_conjunctive_role_matches_duckdb(porter_index, con):
     assert len(want) > 0
     _cmp(got, want, ["query", "rank"])
     assert all(t % 2 == 1 for t in got["turn_idx"].to_pylist())
+
+
+def test_porter_capped_matches_duckdb(porter_index, con):
+    from rayse.ops.porter_oracle import (porter_bm25_topk,
+                                         porter_capped_sql,
+                                         porter_capped_topk)
+
+    got = porter_capped_topk(porter_index)
+    want = con.execute(porter_capped_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    # the cap must actually bind (otherwise this just re-tests bm25)
+    full = porter_bm25_topk(porter_index).to_pandas()
+    assert not full[["query", "rank", "conv_id", "turn_idx"]].equals(
+        got.to_pandas()[["query", "rank", "conv_id", "turn_idx"]])
