@@ -628,6 +628,24 @@ def _q_porter_complex_topk(sf_dir: str) -> pa.Table:
     return porter_complex_topk(_index_for(sf_dir))
 
 
+def _q_unigram_nll(sf_dir: str):
+    """Unigram-LM quality score (perplexity proxy: per-doc mean negative
+    log-likelihood under the corpus unigram model) — DuckDB hash-matched
+    (quantized)."""
+    from rayse.ops.textstats import unigram_nll
+
+    return unigram_nll(sf_dir)
+
+
+def _q_contamination(sf_dir: str):
+    """Benchmark decontamination: non-benchmark docs sharing any word
+    4-gram with the held-out benchmark texts (the eval-leakage check) —
+    DuckDB hash-matched (exact FNV gram hashes both sides)."""
+    from rayse.ops.spandedup import contamination
+
+    return contamination(sf_dir)
+
+
 def _q_format_texts(sf_dir: str):
     """M11 result-text formatting (sentence/last-space truncation in
     [200,250] chars + ellipsis) corpus-wide — DuckDB hash-matched."""
@@ -799,6 +817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": _q_duplicate_spans,
         "hash_sample": _q_hash_sample,
         "format_texts": _q_format_texts,
+        "unigram_nll": _q_unigram_nll,
+        "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "span_dedup_docs": _q_span_dedup_docs,
         # SQL-checkable ranked retrieval through the real index pipeline
@@ -990,6 +1010,10 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql(),
         "format_texts": __import__(
             "rayse.ops.textstats", fromlist=["x"]).format_texts_sql(),
+        "unigram_nll": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).unigram_nll_sql(),
+        "contamination": __import__(
+            "rayse.ops.spandedup", fromlist=["x"]).contamination_sql(),
         "stratified_sample": __import__(
             "rayse.ops.sampling", fromlist=["x"]).stratified_sample_sql(),
         "span_dedup_docs": __import__(

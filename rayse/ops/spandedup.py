@@ -218,3 +218,78 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
 FROM hashed
 WHERE h IN (SELECT h FROM agg WHERE n_occ >= {min_count})
 GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing any k-gram with
+# a held-out benchmark set (the standard eval-leakage check run before
+# training). Benchmark here = the texts of the N lexicographically-first
+# doc_ids (deterministic; in production, the eval set's text column).
+# ---------------------------------------------------------------------------
+
+def _benchmark_hashes(sf_dir: str, window: int, n_bench: int) -> tuple:
+    """(bench doc_ids, gram-hash set of their texts) — tiny driver read of
+    exactly n_bench rows; the hash set broadcasts (benchmark sets are
+    small by nature — eval suites, not corpora)."""
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"])
+    order = pc.sort_indices(t["doc_id"])[:n_bench]
+    bench = t.take(order)
+    buf, g_start, lens, _ = gram_slices(bench["text"].to_pylist(), window)
+    return (set(bench["doc_id"].to_pylist()),
+            fnv64_slices(buf, g_start, lens))
+
+
+def contamination(sf_dir: str, window: int = 4, n_bench: int = 5):
+    """(doc_id, n_contaminated_grams) for every NON-benchmark document
+    sharing at least one word ``window``-gram with the benchmark texts —
+    row-local map_batches against the broadcast hash set (no shuffle)."""
+    import ray
+    import ray.data as rd
+
+    bench_ids, bench_hashes = _benchmark_hashes(sf_dir, window, n_bench)
+    ref = ray.put((bench_ids, np.unique(bench_hashes)))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ids_set, bh = ray.get(ref)
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_contaminated_grams": pa.array([],
+                                                              pa.int64())})
+        buf, g_start, lens, g_cum = gram_slices(texts, window)
+        h = fnv64_slices(buf, g_start, lens)
+        hit = np.isin(h, bh)
+        counts = np.add.reduceat(hit.astype(np.int64), g_cum[:-1])
+        counts[np.diff(g_cum) == 0] = 0
+        keep = (counts > 0) & ~np.isin(
+            ids, np.fromiter(ids_set, dtype=np.int64, count=len(ids_set)))
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_contaminated_grams": pa.array(counts[keep], pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def contamination_sql(window: int = 4, n_bench: int = 5) -> str:
+    """Oracle for ``contamination``: benchmark = n_bench smallest doc_ids;
+    both gram sets hashed with the exact-FNV recipe; per-doc count of
+    grams present in the benchmark's distinct hash set."""
+    return f"""{_hashed_cte(window)},
+bench AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_bench}),
+bh AS (SELECT DISTINCT h FROM hashed WHERE doc_id IN
+       (SELECT doc_id FROM bench)),
+flagged AS (
+  SELECT hs.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+  FROM hashed hs JOIN bh ON hs.h = bh.h
+  WHERE hs.doc_id NOT IN (SELECT doc_id FROM bench)
+  GROUP BY hs.doc_id)
+SELECT doc_id, n_contaminated_grams FROM flagged"""

@@ -343,3 +343,109 @@ SELECT doc_id,
                         ELSE {max_chars} END)) || '...'
        END AS formatted
 FROM documents"""
+
+
+def _unigram_cf(sf_dir: str):
+    """Global (word, cf) counts as a Dataset: per-batch partial Counter
+    (vectorized unique) -> partitioned exchange by word hash. At web-scale
+    vocabularies this is the scalable realization (no driver dict); the
+    downstream logp map broadcast below assumes a bounded vocabulary —
+    above that, route the scoring join through the exchange instead
+    (`rayse.ops.exchange`), the verify_pairs threshold pattern."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = np.concatenate([np.asarray((t or "").split(" "))
+                                for t in batch["text"].to_pylist()]) \
+            if batch.num_rows else np.asarray([], dtype=object)
+        u, c = np.unique(words, return_counts=True)
+        h = fnv64_slices(*_word_arr_slices(u)) if u.size else \
+            np.asarray([], dtype=np.uint64)
+        return pa.table({"whash": pa.array(h, pa.uint64()),
+                         "word": pa.array(u.tolist(), pa.string()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    def reduce_part(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cf": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        g = tbl.group_by("word").aggregate([("cnt", "sum")])
+        return pa.table({"word": g["word"],
+                         "cf": pc.cast(g["cnt_sum"], pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return exchange_by_key(parts, "whash", reduce_part, n_parts=32)
+
+
+def _word_arr_slices(words: np.ndarray):
+    """(buf, starts, lens) for an array of word strings (for FNV)."""
+    enc = [w.encode() for w in words.tolist()]
+    lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+    starts = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    return buf, starts[:-1], lens
+
+
+def unigram_nll(sf_dir: str):
+    """Unigram-LM quality score (perplexity proxy — the classic
+    low-quality-text filter signal): per document, the mean negative
+    log-likelihood of its whitespace tokens under the corpus unigram
+    model p(w) = cf(w) / total_tokens. Quantized floor(1e7) for the SQL
+    hash. Two passes: global cf (exchange-aggregated), then a broadcast
+    logp map consulted per batch (bounded-vocab assumption documented in
+    ``_unigram_cf``)."""
+    import ray
+    import ray.data as rd
+
+    cf_tbl = _unigram_cf(sf_dir)
+    rows = cf_tbl.to_pandas()               # vocabulary-sized, tiny here
+    total = float(rows["cf"].sum())
+    logp = {w: float(np.log(c / total))
+            for w, c in zip(rows["word"], rows["cf"])}
+    ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp = ray.get(ref)
+        out = np.empty(batch.num_rows, dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        for i, t in enumerate(texts):
+            toks = (t or "").split(" ")
+            s = 0.0
+            for w in toks:                  # mirror SQL sum of per-token ln
+                s += lp[w]
+            nll = -(s / max(len(toks), 1))
+            out[i] = int(np.floor(nll * 1e7))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "nll_q": pa.array(out, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def unigram_nll_sql() -> str:
+    """Oracle for ``unigram_nll``: cf over the whitespace token stream,
+    per-doc mean -ln(cf/total), quantized. ln/division literals stay in
+    DOUBLE country (no bare literal-literal arithmetic)."""
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+cf AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cf),
+per_doc AS (
+  SELECT t.doc_id,
+         sum(ln(cf.c / tot.total)) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tok t JOIN cf ON t.w = cf.w CROSS JOIN tot
+  GROUP BY t.doc_id)
+SELECT doc_id,
+       CAST(floor(-(s / greatest(n, 1)) * 10000000) AS BIGINT) AS nll_q
+FROM per_doc"""

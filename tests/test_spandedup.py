@@ -77,3 +77,42 @@ def test_span_dedup_docs_matches_duckdb(ray_session):
     # consistency: total flagged occurrences == sum over duplicated grams
     spans = duplicate_spans(SF).to_pandas()
     assert got["n_dup_grams"].sum() == spans["n_occ"].sum()
+
+
+def test_contamination_matches_duckdb(ray_session):
+    from rayse.ops.spandedup import contamination, contamination_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = contamination(SF).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = con.execute(contamination_sql()).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    # benchmark docs themselves are never flagged
+    import pyarrow.parquet as pq_
+
+    bench = sorted(pq_.read_table(f"{SF}/documents.parquet",
+                                  columns=["doc_id"])
+                   ["doc_id"].to_pylist())[:5]
+    assert not set(got["doc_id"]) & set(bench)
+
+
+def test_unigram_nll_matches_duckdb(ray_session):
+    from rayse.ops.textstats import unigram_nll, unigram_nll_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = unigram_nll(SF).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = con.execute(unigram_nll_sql()).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 500
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    # sanity: all NLLs positive (probabilities < 1)
+    assert (got["nll_q"] > 0).all()
