@@ -628,6 +628,15 @@ def _q_porter_complex_topk(sf_dir: str) -> pa.Table:
     return porter_complex_topk(_index_for(sf_dir))
 
 
+def _q_kmeans_assign(sf_dir: str):
+    """Fixed-iteration integer k-means over the embeddings (cluster
+    routing / balanced sampling) — bit-exact vs an unrolled SQL Lloyd
+    recursion (int64 fixed-point, truncating means)."""
+    from rayse.ops.similarity import kmeans_assign
+
+    return kmeans_assign(sf_dir)
+
+
 def _q_unigram_nll(sf_dir: str):
     """Unigram-LM quality score (perplexity proxy: per-doc mean negative
     log-likelihood under the corpus unigram model) — DuckDB hash-matched
@@ -818,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "format_texts": _q_format_texts,
         "unigram_nll": _q_unigram_nll,
+        "kmeans_assign": _q_kmeans_assign,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "span_dedup_docs": _q_span_dedup_docs,
@@ -1012,6 +1022,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).format_texts_sql(),
         "unigram_nll": __import__(
             "rayse.ops.textstats", fromlist=["x"]).unigram_nll_sql(),
+        "kmeans_assign": __import__(
+            "rayse.ops.similarity", fromlist=["x"]).kmeans_assign_sql(),
         "contamination": __import__(
             "rayse.ops.spandedup", fromlist=["x"]).contamination_sql(),
         "stratified_sample": __import__(

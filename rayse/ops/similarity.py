@@ -292,3 +292,144 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     return pa.table({"q_id": pa.array(out_q, pa.int64()),
                      "rank": pa.array(out_r, pa.int32()),
                      "vec_id": pa.array(out_v, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Integer fixed-point k-means (cluster-balanced sampling / routing for
+# training data). All arithmetic is int64 on floor(x*1e6)-quantized
+# components, so Python and SQL agree BIT-EXACTLY (the pagerank_fixed
+# recipe): no float accumulation order to mirror, no quantization knife
+# edges. Centroid means use TRUNCATING division (DuckDB's // semantics).
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1_000_000
+
+
+def _trunc_div(s: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Truncate-toward-zero integer division (SQL //), vectorized."""
+    return np.where(s >= 0, s // c, -((-s) // c))
+
+
+def _km_quantize(mat: np.ndarray) -> np.ndarray:
+    return np.floor(mat.astype(np.float64) * _KM_SCALE).astype(np.int64)
+
+
+def kmeans_assign(sf_dir: str, k: int = 4, iters: int = 2):
+    """Fixed-iteration integer k-means over the embeddings table ->
+    (vec_id, cluster, dist): ``iters`` Lloyd rounds from deterministic
+    seeds (the k smallest vec_ids), then a final assignment. Per round:
+    centroids broadcast, per-batch partial (cluster, dim)-sums stream
+    back (K x dim ints of driver state — constant in corpus size), means
+    by truncating division. Ties break to the smaller cluster id."""
+    import ray
+    import ray.data as rd
+
+    def _assign(X: np.ndarray, C: np.ndarray) -> tuple:
+        diff = X[:, None, :] - C[None, :, :]
+        dists = np.einsum("nkd,nkd->nk", diff, diff)
+        a = np.argmin(dists, axis=1)              # first min = smaller k
+        return a, dists[np.arange(X.shape[0]), a]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    # deterministic seeds: the k smallest vec_ids, quantized
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])[:k]
+    seed = t.take(order)
+    C = _km_quantize(_mat_from_list(seed["embedding"]))
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            Cb = ray.get(ref)
+            X = _km_quantize(_mat_from_list(batch["embedding"]))
+            a, _ = _assign(X, Cb)
+            ks, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((ks.size, X.shape[1]), dtype=np.int64)
+            np.add.at(sums, inv, X)
+            cnt = np.bincount(inv)
+            return pa.table({
+                "k": pa.array(np.repeat(ks, X.shape[1]), pa.int64()),
+                "d": pa.array(np.tile(np.arange(X.shape[1]), ks.size),
+                              pa.int64()),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+                "c": pa.array(np.repeat(cnt.astype(np.int64),
+                                        X.shape[1]), pa.int64()),
+            })
+
+        agg = ds.map_batches(partials, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+        g = agg.groupby(["k", "d"], as_index=False).sum()   # K x dim rows
+        newC = C.copy()                 # empty cluster keeps its centroid
+        kk = g["k"].to_numpy()
+        dd = g["d"].to_numpy()
+        newC[kk, dd] = _trunc_div(g["s"].to_numpy(), g["c"].to_numpy())
+        C = newC
+
+    ref = ray.put(C)
+
+    def final(batch: pa.Table) -> pa.Table:
+        Cb = ray.get(ref)
+        X = _km_quantize(_mat_from_list(batch["embedding"]))
+        a, dist = _assign(X, Cb)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(a.astype(np.int32), pa.int32()),
+            "dist": pa.array(dist.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(final, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def kmeans_assign_sql(k: int = 4, iters: int = 2) -> str:
+    """Oracle for ``kmeans_assign``: the identical integer recursion,
+    unrolled (fixed iters) — long-form (vec_id, d, xq) joins, argmin by
+    (dist, k) row_number, truncating // means, LEFT JOIN keeps the
+    previous centroid for empty clusters."""
+    scale = _KM_SCALE
+    out = [f"""
+WITH x AS (
+  SELECT e.vec_id, CAST(u.i AS BIGINT) AS d,
+         CAST(floor(CAST(e.embedding[CAST(u.i AS INTEGER) + 1] AS DOUBLE)
+                    * {scale}) AS BIGINT) AS xq
+  FROM embeddings e, UNNEST(range(len(e.embedding))) u(i)),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS k
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.k, x.d, x.xq AS c FROM seeds s JOIN x USING (vec_id))"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        out.append(f""",
+d{i} AS (
+  SELECT x.vec_id, c.k,
+         sum((x.xq - c.c) * (x.xq - c.c)) AS dist
+  FROM x JOIN {prev} c ON x.d = c.d GROUP BY 1, 2),
+a{i} AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, k) AS rn
+    FROM d{i}) WHERE rn = 1),
+u{i} AS (
+  SELECT a.k, x.d, sum(x.xq) // CAST(count(*) AS BIGINT) AS c
+  FROM a{i} a JOIN x USING (vec_id) GROUP BY 1, 2),
+c{i} AS (
+  SELECT p.k, p.d, coalesce(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN u{i} u ON p.k = u.k AND p.d = u.d)""")
+        prev = f"c{i}"
+    out.append(f""",
+df AS (
+  SELECT x.vec_id, c.k,
+         sum((x.xq - c.c) * (x.xq - c.c)) AS dist
+  FROM x JOIN {prev} c ON x.d = c.d GROUP BY 1, 2)
+SELECT vec_id, CAST(k AS INTEGER) AS cluster, CAST(dist AS BIGINT) AS dist
+FROM (SELECT vec_id, k, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, k) AS rn
+      FROM df) WHERE rn = 1""")
+    return "".join(out)

@@ -498,3 +498,25 @@ def test_embedding_neardup_matches_duckdb(ray_session):
     got = sorted((r["vec_a"], r["vec_b"])
                  for r in embedding_neardup_pairs(SF, 0.4).take_all())
     assert got == want and len(got) > 0
+
+
+def test_kmeans_assign_matches_duckdb(ray_session):
+    """Integer fixed-point k-means: bit-exact SQL parity plus basic
+    clustering sanity (every cluster non-empty, dists non-negative,
+    assignment is the argmin over the final centroids)."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.similarity import kmeans_assign, kmeans_assign_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    got = kmeans_assign(SF).to_pandas().sort_values("vec_id")
+    got = got.reset_index(drop=True)
+    want = con.execute(kmeans_assign_sql()).fetchdf()
+    want = want.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    assert set(got["cluster"]) == {0, 1, 2, 3}
+    assert (got["dist"] >= 0).all()
