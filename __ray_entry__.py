@@ -628,6 +628,15 @@ def _q_porter_complex_topk(sf_dir: str) -> pa.Table:
     return porter_complex_topk(_index_for(sf_dir))
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join (each purchase matched to the user's most recent
+    prior-or-equal click) via one user-partitioned exchange + backward
+    searchsorted — hash-matched against DuckDB's native ASOF JOIN."""
+    from rayse.ops.relational import asof_join_events
+
+    return asof_join_events(sf_dir)
+
+
 def _q_kmeans_assign(sf_dir: str):
     """Fixed-iteration integer k-means over the embeddings (cluster
     routing / balanced sampling) — bit-exact vs an unrolled SQL Lloyd
@@ -828,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "format_texts": _q_format_texts,
         "unigram_nll": _q_unigram_nll,
         "kmeans_assign": _q_kmeans_assign,
+        "asof_join": _q_asof_join,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "span_dedup_docs": _q_span_dedup_docs,
@@ -1024,6 +1034,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).unigram_nll_sql(),
         "kmeans_assign": __import__(
             "rayse.ops.similarity", fromlist=["x"]).kmeans_assign_sql(),
+        "asof_join": __import__(
+            "rayse.ops.relational", fromlist=["x"]).asof_join_events_sql(),
         "contamination": __import__(
             "rayse.ops.spandedup", fromlist=["x"]).contamination_sql(),
         "stratified_sample": __import__(

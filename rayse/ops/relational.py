@@ -206,3 +206,94 @@ TRAILING_WINDOW_SQL = """
              AS BIGINT) AS trailing_count
     FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# As-of join — the canonical "operator Ray Data lacks" (task brief §custom
+# operators): each left event joined to the same user's most recent
+# prior-or-equal right event. Realization: ONE partitioned file-exchange by
+# user_id (rayse.ops.exchange), then whole-partition vectorized backward
+# searchsorted — the partitioning assumption is that a user's events fit
+# one partition (true by construction: partitions hold many users; a single
+# user's history is tiny relative to a partition). DuckDB's native ASOF
+# JOIN is the oracle.
+# ---------------------------------------------------------------------------
+
+def _asof_partition(tbl: "pa.Table", left_type: str,
+                    right_type: str) -> "pa.Table":
+    """All events of this partition's users -> matched (left, right)
+    pairs. Composite int key (user rank * span + ts offset) makes ONE
+    searchsorted serve every user at once; exact int64 arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts_us": pa.array([], pa.int64()),
+        "matched_event_id": pa.array([], pa.int64()),
+        "gap_us": pa.array([], pa.int64()),
+    })
+    if tbl.num_rows == 0:
+        return empty
+    etype = np.asarray(tbl["event_type"].to_pylist())
+    user = tbl["user_id"].to_numpy(zero_copy_only=False)
+    ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+    lm, rm = etype == left_type, etype == right_type
+    if not lm.any() or not rm.any():
+        return empty
+    uids = np.unique(user)
+    uidx = {int(u): i for i, u in enumerate(uids.tolist())}
+    urank = np.fromiter((uidx[int(u)] for u in user.tolist()),
+                        dtype=np.int64, count=user.size)
+    t0 = int(ts.min())
+    span = int(ts.max()) - t0 + 2            # +2: room for the key shift
+    key = urank * span + (ts - t0)
+    lk, rk = key[lm], key[rm]
+    r_order = np.argsort(rk, kind="stable")
+    rk_s = rk[r_order]
+    r_eid = eid[rm][r_order]
+    r_ur = urank[rm][r_order]
+    r_ts = ts[rm][r_order]
+    j = np.searchsorted(rk_s, lk, side="right") - 1
+    jc = np.maximum(j, 0)
+    ok = (j >= 0) & (r_ur[jc] == urank[lm])  # same user, r.ts <= l.ts
+    return pa.table({
+        "event_id": pa.array(eid[lm][ok], pa.int64()),
+        "user_id": pa.array(user[lm][ok], pa.int64()),
+        "ts_us": pa.array(ts[lm][ok], pa.int64()),
+        "matched_event_id": pa.array(r_eid[jc][ok], pa.int64()),
+        "gap_us": pa.array(ts[lm][ok] - r_ts[jc][ok], pa.int64()),
+    })
+
+
+def asof_join_events(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "click"):
+    """Each ``left_type`` event joined to the same user's most recent
+    prior-or-equal ``right_type`` event -> (event_id, user_id, ts_us,
+    matched_event_id, gap_us); unmatched left events drop (inner as-of)."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return exchange_by_key(
+        ds, "user_id", _asof_partition,
+        proc_kwargs={"left_type": left_type, "right_type": right_type})
+
+
+def asof_join_events_sql(left_type: str = "purchase",
+                         right_type: str = "click") -> str:
+    """Oracle: DuckDB's native ASOF JOIN (greatest r.ts <= l.ts per key)."""
+    return f"""
+SELECT l.event_id, l.user_id,
+       epoch_us(l.ts) AS ts_us,
+       r.event_id AS matched_event_id,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = '{left_type}') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = '{right_type}') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""

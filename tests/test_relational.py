@@ -43,3 +43,33 @@ def test_trailing_window(ray_session, con):
     from rayse.ops import relational as R
 
     _cmp(R.trailing_window_counts(SF), con.sql(R.TRAILING_WINDOW_SQL).df())
+
+
+def test_asof_join_matches_duckdb(ray_session):
+    """Distributed as-of join == DuckDB's native ASOF JOIN, plus the
+    backward-match invariants (gap >= 0; match is the LATEST eligible)."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.relational import asof_join_events, asof_join_events_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    got = asof_join_events(sf).to_pandas().sort_values("event_id")
+    got = got.reset_index(drop=True)
+    want = con.execute(asof_join_events_sql()).fetchdf()
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    assert (got["gap_us"] >= 0).all()
+    # latest-eligible: no other click of the same user strictly between
+    ev = con.execute("SELECT event_id, user_id, epoch_us(ts) AS ts_us "
+                     "FROM events WHERE event_type = 'click'").fetchdf()
+    clicks = ev.groupby("user_id")["ts_us"].apply(sorted).to_dict()
+    for _, r in got.head(50).iterrows():
+        later = [t for t in clicks[r["user_id"]]
+                 if r["ts_us"] - r["gap_us"] < t <= r["ts_us"]]
+        assert later == [], r["event_id"]
