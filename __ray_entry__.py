@@ -637,6 +637,15 @@ def _q_asof_join(sf_dir: str):
     return asof_join_events(sf_dir)
 
 
+def _q_range_join(sf_dir: str):
+    """Range (interval) join: same-user (purchase, error) pairs within a
+    +-1h window — the exchange-by-user shape with two searchsorted bound
+    probes; DuckDB inequality-join oracle."""
+    from rayse.ops.relational import range_join_events
+
+    return range_join_events(sf_dir)
+
+
 def _q_kmeans_assign(sf_dir: str):
     """Fixed-iteration integer k-means over the embeddings (cluster
     routing / balanced sampling) — bit-exact vs an unrolled SQL Lloyd
@@ -838,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_nll": _q_unigram_nll,
         "kmeans_assign": _q_kmeans_assign,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "span_dedup_docs": _q_span_dedup_docs,
@@ -1036,6 +1046,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.similarity", fromlist=["x"]).kmeans_assign_sql(),
         "asof_join": __import__(
             "rayse.ops.relational", fromlist=["x"]).asof_join_events_sql(),
+        "range_join": __import__(
+            "rayse.ops.relational", fromlist=["x"]).range_join_events_sql(),
         "contamination": __import__(
             "rayse.ops.spandedup", fromlist=["x"]).contamination_sql(),
         "stratified_sample": __import__(

@@ -297,3 +297,94 @@ SELECT l.event_id, l.user_id,
 FROM (SELECT * FROM events WHERE event_type = '{left_type}') l
 ASOF JOIN (SELECT * FROM events WHERE event_type = '{right_type}') r
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
+def _range_partition(tbl: "pa.Table", left_type: str, right_type: str,
+                     before_us: int, after_us: int) -> "pa.Table":
+    """Range (interval) join within one user partition: for each left
+    event, every right event of the same user with ts in [l.ts -
+    before_us, l.ts + after_us]. Two searchsorted probes per left side
+    (lower/upper bound) + a repeat/arange expand — no per-row loop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "matched_event_id": pa.array([], pa.int64()),
+        "delta_us": pa.array([], pa.int64()),
+    })
+    if tbl.num_rows == 0:
+        return empty
+    etype = np.asarray(tbl["event_type"].to_pylist())
+    user = tbl["user_id"].to_numpy(zero_copy_only=False)
+    ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+    lm, rm = etype == left_type, etype == right_type
+    if not lm.any() or not rm.any():
+        return empty
+    uids = np.unique(user)
+    uidx = {int(u): i for i, u in enumerate(uids.tolist())}
+    urank = np.fromiter((uidx[int(u)] for u in user.tolist()),
+                        dtype=np.int64, count=user.size)
+    t0 = int(ts.min())
+    # span covers the widened probe window so composite keys stay disjoint
+    span = int(ts.max()) - t0 + before_us + after_us + 2
+    key = urank * span + (ts - t0)
+    lk = urank[lm] * span + (ts[lm] - t0)
+    rk = key[rm]
+    r_order = np.argsort(rk, kind="stable")
+    rk_s = rk[r_order]
+    r_eid = eid[rm][r_order]
+    r_ts = ts[rm][r_order]
+    lo = np.searchsorted(rk_s, lk - before_us, side="left")
+    hi = np.searchsorted(rk_s, lk + after_us, side="right")
+    n = hi - lo
+    l_rep = np.repeat(np.arange(lk.size), n)
+    r_pos = (np.arange(int(n.sum())) - np.repeat(np.cumsum(n) - n, n)
+             + np.repeat(lo, n))
+    l_eid, l_uid, l_ts = eid[lm][l_rep], user[lm][l_rep], ts[lm][l_rep]
+    return pa.table({
+        "event_id": pa.array(l_eid, pa.int64()),
+        "user_id": pa.array(l_uid, pa.int64()),
+        "matched_event_id": pa.array(r_eid[r_pos], pa.int64()),
+        "delta_us": pa.array(r_ts[r_pos] - l_ts, pa.int64()),
+    })
+
+
+def range_join_events(sf_dir: str, left_type: str = "purchase",
+                      right_type: str = "error",
+                      before_us: int = 3_600_000_000,
+                      after_us: int = 3_600_000_000):
+    """Interval join: every (left, right) same-user event pair with
+    right.ts within [left.ts - before, left.ts + after] -> (event_id,
+    user_id, matched_event_id, delta_us). Same exchange-by-user shape as
+    the as-of join; output size is bounded by the window, not the
+    corpus (skew note: a pathological single-user firehose concentrates
+    in one partition — salt by time bucket in that regime)."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return exchange_by_key(
+        ds, "user_id", _range_partition,
+        proc_kwargs={"left_type": left_type, "right_type": right_type,
+                     "before_us": before_us, "after_us": after_us})
+
+
+def range_join_events_sql(left_type: str = "purchase",
+                          right_type: str = "error",
+                          before_us: int = 3_600_000_000,
+                          after_us: int = 3_600_000_000) -> str:
+    return f"""
+SELECT l.event_id, l.user_id, r.event_id AS matched_event_id,
+       epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+FROM (SELECT * FROM events WHERE event_type = '{left_type}') l
+JOIN (SELECT * FROM events WHERE event_type = '{right_type}') r
+  ON l.user_id = r.user_id
+ AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - {before_us}
+                        AND epoch_us(l.ts) + {after_us}"""

@@ -73,3 +73,25 @@ def test_asof_join_matches_duckdb(ray_session):
         later = [t for t in clicks[r["user_id"]]
                  if r["ts_us"] - r["gap_us"] < t <= r["ts_us"]]
         assert later == [], r["event_id"]
+
+
+def test_range_join_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.relational import (range_join_events,
+                                      range_join_events_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    keys = ["event_id", "matched_event_id"]
+    got = range_join_events(sf).to_pandas().sort_values(keys)
+    got = got.reset_index(drop=True)
+    want = con.execute(range_join_events_sql()).fetchdf()
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    assert (got["delta_us"].abs() <= 3_600_000_000).all()
