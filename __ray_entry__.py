@@ -673,6 +673,14 @@ def _q_contamination(sf_dir: str):
     return contamination(sf_dir)
 
 
+def _q_quota_sample(sf_dir: str):
+    """Exact fixed-size per-stratum sample (eval-set carving: the 20
+    smallest-hash docs per lang) — DuckDB hash-matched."""
+    from rayse.ops.sampling import quota_sample
+
+    return quota_sample(sf_dir)
+
+
 def _q_format_texts(sf_dir: str):
     """M11 result-text formatting (sentence/last-space truncation in
     [200,250] chars + ellipsis) corpus-wide — DuckDB hash-matched."""
@@ -850,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
+        "quota_sample": _q_quota_sample,
         "span_dedup_docs": _q_span_dedup_docs,
         # SQL-checkable ranked retrieval through the real index pipeline
         # (whitespace analyzer; DuckDB hash-matched incl. the role path)
@@ -1052,6 +1061,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.spandedup", fromlist=["x"]).contamination_sql(),
         "stratified_sample": __import__(
             "rayse.ops.sampling", fromlist=["x"]).stratified_sample_sql(),
+        "quota_sample": __import__(
+            "rayse.ops.sampling", fromlist=["x"]).quota_sample_sql(),
         "span_dedup_docs": __import__(
             "rayse.ops.spandedup", fromlist=["x"]).span_dedup_docs_sql(),
         "ws_bm25_topk": __import__(

@@ -111,3 +111,87 @@ def stratified_sample_sql(rates: dict | None = None,
 SELECT doc_id, {by} FROM documents
 WHERE {_mix_sql("doc_id")} % 100
       < (CASE {by} {whens} ELSE {other_rate} END)"""
+
+
+def _quota_partial(batch: pa.Table, n: int, by: str) -> pa.Table:
+    """Per-batch partial: for each stratum, the n smallest (hash, doc_id)
+    pairs. min-of-mins is associative, so partials combine exactly."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    if ids.size and ids.min() < 0:
+        raise ValueError("quota sampling requires non-negative doc_id")
+    strata = np.asarray(batch[by].to_pylist())
+    h = _mix(ids.astype(np.uint64))
+    keep = np.zeros(ids.size, dtype=bool)
+    for s in np.unique(strata):
+        m = np.flatnonzero(strata == s)
+        if m.size > n:
+            order = np.lexsort((ids[m], h[m]))[:n]
+            m = m[order]
+        keep[m] = True
+    # stamp an int key for the exchange (FNV hash of the stratum string)
+    from .textstats import fnv64_slices, word_bounds
+    uniq = np.unique(strata)
+    buf, _, ws, we, _ = word_bounds([" ".join(uniq.tolist())])
+    uh = fnv64_slices(buf, ws, we - ws)
+    lut = dict(zip(uniq.tolist(), uh.tolist()))
+    sh = np.fromiter((lut[s] for s in strata.tolist()), dtype=np.uint64,
+                     count=len(strata))
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        by: pa.array(strata.tolist(), pa.string()),
+        "shash": pa.array(sh, pa.uint64()),
+        "hkey": pa.array(h, pa.uint64()),
+    })
+    return t.filter(pa.array(keep))
+
+
+def _quota_final(tbl: pa.Table, n: int, by: str) -> pa.Table:
+    """Exchange reducer: exact per-stratum n smallest (hash, doc_id)."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         by: pa.array([], pa.string())})
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    h = tbl["hkey"].to_numpy(zero_copy_only=False)
+    strata = np.asarray(tbl[by].to_pylist())
+    keep = np.zeros(ids.size, dtype=bool)
+    for s in np.unique(strata):
+        m = np.flatnonzero(strata == s)
+        if m.size > n:
+            order = np.lexsort((ids[m], h[m]))[:n]
+            m = m[order]
+        keep[m] = True
+    out = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        by: pa.array(strata.tolist(), pa.string()),
+    })
+    return out.filter(pa.array(keep))
+
+
+def quota_sample(sf_dir: str, n: int = 20, by: str = "lang"):
+    """EXACT fixed-size per-stratum sample (eval-set carving): the n
+    documents with the smallest splitmix hash in each stratum —
+    deterministic, engine-independent, and exact-N (unlike rate
+    sampling's binomial counts). Per-batch bounded partials (<= strata*n
+    rows each) flow through one exchange keyed by stratum hash; nothing
+    corpus-sized leaves the batches."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", by])
+    parts = ds.map_batches(_quota_partial, fn_kwargs={"n": n, "by": by},
+                           batch_format="pyarrow", zero_copy_batch=True)
+    return exchange_by_key(parts, "shash", _quota_final,
+                           proc_kwargs={"n": n, "by": by}, n_parts=32)
+
+
+def quota_sample_sql(n: int = 20, by: str = "lang") -> str:
+    """Oracle: row_number over (stratum, splitmix hash, doc_id) <= n."""
+    return f"""
+SELECT doc_id, {by} FROM (
+  SELECT doc_id, {by},
+         row_number() OVER (PARTITION BY {by}
+                            ORDER BY {_mix_sql("doc_id")}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {n}"""

@@ -79,3 +79,16 @@ def test_format_texts_matches_duckdb(ray_session):
     out = format_result_text(s)
     assert out.endswith("...") and len(out) <= 253
     assert out.rstrip(".").endswith("y" * 95)
+
+
+def test_quota_sample_matches_duckdb(ray_session):
+    """Exact-N per-stratum sample: SQL parity + exact counts per lang."""
+    from rayse.ops.sampling import quota_sample, quota_sample_sql
+
+    got = quota_sample(SF, n=7).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = _con().execute(quota_sample_sql(n=7)).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    assert (got.groupby("lang").size() == 7).all()
