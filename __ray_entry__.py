@@ -748,6 +748,28 @@ def _q_ws_role_topk(sf_dir: str) -> pa.Table:
     return ws_bm25_topk(_ws_index_for(sf_dir), role="assistant")
 
 
+def _q_porter_rank_matrix(sf_dir: str) -> pa.Table:
+    """EVERY ranked retrieval mode of the real Porter engine (exhaustive
+    BM25 / WAND / actor-pool cluster / role filter / role boost / boolean
+    / conjunctive / conjunctive+role / phrase+role / capped / paged /
+    complex / fallback ladder) as one variant-tagged table — 13 paths
+    DuckDB hash-matched in one driver window slot. The individual entries
+    remain below the 50-query window for direct use and are each pinned
+    at sf0.001 by tests/test_porter_oracle.py."""
+    from rayse.ops.porter_oracle import porter_rank_matrix
+
+    return porter_rank_matrix(_index_for(sf_dir))
+
+
+def _q_ann_exact_suite(sf_dir: str) -> pa.Table:
+    """The three exact ANN paths (brute-force / full-probe IVF / zero-bit
+    LSH) tagged and unioned — three machineries hash-checked against the
+    brute-force oracle in one window slot."""
+    from rayse.ops.similarity import ann_exact_suite
+
+    return ann_exact_suite(sf_dir)
+
+
 def _q_pagerank(sf_dir: str):
     from rayse.ops.graph import pagerank_events
 
@@ -788,15 +810,15 @@ def _q_trailing_window(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordered so the driver's 50-entry correctness window covers every
+    DISTINCT oracle-backed machinery exactly once. Ranked Porter variants
+    sharing one output shape are hash-checked through the single
+    ``porter_rank_matrix`` entry (13 engine paths); the three exact ANN
+    paths through ``ann_exact_suite``. The individual variants stay below
+    the window (still runnable, still pytest-pinned at sf0.001)."""
     return {
-        # search-engine core (SURVEY.md §2; analyzer not SQL-expressible ->
-        # rows-only here, value-pinned by tests/oracle.py instead)
-        "bm25_topk": _q_bm25_topk,
-        "phrase_topk": _q_phrase_topk,
-        "boolean_topk": _q_boolean_topk,
-        "complex_boolean_topk": _q_complex_boolean_topk,
-        "term_stats": _q_term_stats,
-        # training-data ops (SQL-checked where expressible)
+        # ---- driver correctness window (first 50 entries) ----
+        # training-data ops over documents (SQL hash-checked)
         "doc_token_count": _q_doc_token_count,
         "bpe_token_count": _q_bpe_token_count,
         "dedup_exact": _q_dedup_exact,
@@ -809,74 +831,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
-        "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_ivf_exact_topk": _q_ann_ivf_exact_topk,
-        "ann_lsh_exact_topk": _q_ann_lsh_exact_topk,
-        "media_features": _q_media_features,
+        "ann_exact_suite": _q_ann_exact_suite,
         "media_frames": _q_media_frames,
-        # windowed / ordered ops over the events log (SQL-checked)
+        # windowed / ordered ops over the events log
         "windowed_agg": _q_windowed_agg,
         "hopping_agg": _q_hopping_agg,
         "sessionize": _q_sessionize,
         "top_events_per_type": _q_top_events_per_type,
-        # end-to-end result pipeline + retrieval ladder (rows-only)
-        "hydrated_topk": _q_hydrated_topk,
-        "fallback_topk": _q_fallback_topk,
-        # role(field)-scoped retrieval from per-posting role stats (M6/A7;
-        # rows-only — rank-identity pinned by tests/test_roles.py)
-        "role_filtered_topk": _q_role_filtered_topk,
-        # DIRECT Porter-path oracles (closed-vocab stem-map mirror):
-        # the flagship analyzer chain itself, DuckDB hash-matched
-        "porter_bm25_topk": _q_porter_bm25_topk,
+        # the flagship Porter path: every ranked mode in one tagged entry,
+        # plus the non-rank-shaped Porter oracles
+        "porter_rank_matrix": _q_porter_rank_matrix,
         "porter_phrase_matches": _q_porter_phrase_matches,
         "porter_term_stats": _q_porter_term_stats,
-        "porter_boolean_topk": _q_porter_boolean_topk,
-        "porter_fallback_topk": _q_porter_fallback_topk,
-        "porter_role_topk": _q_porter_role_topk,
         "porter_hydrated_topk": _q_porter_hydrated_topk,
-        "porter_wand_topk": _q_porter_wand_topk,
-        "porter_cluster_topk": _q_porter_cluster_topk,
-        "porter_conjunctive_topk": _q_porter_conjunctive_topk,
-        "porter_complex_topk": _q_porter_complex_topk,
         "porter_snippet_topk": _q_porter_snippet_topk,
         "porter_suggest_queries": _q_porter_suggest_queries,
         "porter_mmr_topk": _q_porter_mmr_topk,
-        "porter_roleboost_topk": _q_porter_roleboost_topk,
-        "porter_phrase_role_topk": _q_porter_phrase_role_topk,
-        "porter_conjunctive_role_topk": _q_porter_conjunctive_role_topk,
-        "porter_capped_topk": _q_porter_capped_topk,
-        "porter_paged_topk": _q_porter_paged_topk,
-        "html_clean": _q_html_clean,
-        "duplicate_spans": _q_duplicate_spans,
-        "hash_sample": _q_hash_sample,
-        "format_texts": _q_format_texts,
-        "unigram_nll": _q_unigram_nll,
-        "kmeans_assign": _q_kmeans_assign,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "contamination": _q_contamination,
-        "stratified_sample": _q_stratified_sample,
-        "quota_sample": _q_quota_sample,
-        "span_dedup_docs": _q_span_dedup_docs,
-        # SQL-checkable ranked retrieval through the real index pipeline
-        # (whitespace analyzer; DuckDB hash-matched incl. the role path)
+        # ranked retrieval through the whitespace-analyzer index pipeline
         "ws_bm25_topk": _q_ws_bm25_topk,
         "ws_phrase_matches": _q_ws_phrase_matches,
+        "ws_term_stats": _q_ws_term_stats,
         "ws_boolean_topk": _q_ws_boolean_topk,
         "ws_fallback_topk": _q_ws_fallback_topk,
         "ws_proximity_topk": _q_ws_proximity_topk,
-        "ws_term_stats": _q_ws_term_stats,
         "ws_role_topk": _q_ws_role_topk,
-        # link-graph + JSON scalar ops (A13; pagerank rows-only: iterative)
-        "pagerank": _q_pagerank,
+        # cleaning / sampling / joins / clustering / graph
+        "html_clean": _q_html_clean,
+        "duplicate_spans": _q_duplicate_spans,
+        "span_dedup_docs": _q_span_dedup_docs,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
+        "quota_sample": _q_quota_sample,
+        "unigram_nll": _q_unigram_nll,
+        "contamination": _q_contamination,
+        "kmeans_assign": _q_kmeans_assign,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "format_texts": _q_format_texts,
         "pagerank_fixed": _q_pagerank_fixed,
         "props_extract": _q_props_extract,
-        # relational breadth (wide aggregate, broadcast join, sliding window)
+        # relational breadth (wide aggregate, broadcast join, window)
         "pricing_summary": _q_pricing_summary,
         "top_customer_revenue": _q_top_customer_revenue,
         "trailing_window": _q_trailing_window,
+        # ---- end of driver window after the next entry (position 50) ----
+        "porter_bm25_topk": _q_porter_bm25_topk,
+        # ---- below the window: individual variants of the suites above
+        # (each pytest-pinned at sf0.001), approximate-ANN recall paths,
+        # and legacy rows-only entries superseded by hash-green siblings.
+        "porter_wand_topk": _q_porter_wand_topk,
+        "porter_cluster_topk": _q_porter_cluster_topk,
+        "porter_role_topk": _q_porter_role_topk,
+        "porter_roleboost_topk": _q_porter_roleboost_topk,
+        "porter_boolean_topk": _q_porter_boolean_topk,
+        "porter_conjunctive_topk": _q_porter_conjunctive_topk,
+        "porter_conjunctive_role_topk": _q_porter_conjunctive_role_topk,
+        "porter_phrase_role_topk": _q_porter_phrase_role_topk,
+        "porter_capped_topk": _q_porter_capped_topk,
+        "porter_paged_topk": _q_porter_paged_topk,
+        "porter_complex_topk": _q_porter_complex_topk,
+        "porter_fallback_topk": _q_porter_fallback_topk,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf_exact_topk": _q_ann_ivf_exact_topk,
+        "ann_lsh_exact_topk": _q_ann_lsh_exact_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "pagerank": _q_pagerank,
+        "media_features": _q_media_features,
+        "bm25_topk": _q_bm25_topk,
+        "phrase_topk": _q_phrase_topk,
+        "boolean_topk": _q_boolean_topk,
+        "complex_boolean_topk": _q_complex_boolean_topk,
+        "term_stats": _q_term_stats,
+        "hydrated_topk": _q_hydrated_topk,
+        "fallback_topk": _q_fallback_topk,
+        "role_filtered_topk": _q_role_filtered_topk,
     }
 
 
@@ -997,6 +1026,11 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).lang_id_sql(),
         "media_frames": __import__(
             "rayse.ops.multimodal", fromlist=["x"]).media_frames_sql(),
+        "porter_rank_matrix": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_rank_matrix_sql(),
+        "ann_exact_suite": __import__(
+            "rayse.ops.similarity", fromlist=["x"]).ann_exact_suite_sql(),
         "porter_bm25_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_bm25_sql(),
         "porter_phrase_matches": __import__(

@@ -1303,6 +1303,85 @@ def porter_capped_topk(index_dir: str, queries: list[str] | None = None,
         index_dir, queries, k)
 
 
+# ---------------------------------------------------------------------------
+# The rank matrix: every ranked retrieval variant above, unioned under one
+# driver entry. The driver's correctness gate checks only the first 50
+# queries() entries; the 13 ranked Porter variants share one output shape
+# (query, rank, conv_id, turn_idx, score_q [, tier]), so a single tagged
+# UNION keeps each variant hash-checked while spending one window slot.
+# The individual entries remain in queries() (after the window) for direct
+# use; tests pin each one separately at sf0.001.
+# ---------------------------------------------------------------------------
+
+def _matrix_arms(index_dir: str | None, k: int = 10):
+    """(variant, ray_thunk, sql) per ranked retrieval mode. ``index_dir``
+    None builds only the SQL side (for ``porter_rank_matrix_sql``)."""
+    d = index_dir
+    return [
+        ("bm25", lambda: porter_bm25_topk(d, k=k), porter_bm25_sql(k=k)),
+        ("wand", lambda: porter_wand_topk(d, k=k), porter_bm25_sql(k=k)),
+        ("cluster", lambda: porter_cluster_topk(d, k=k),
+         porter_bm25_sql(k=k)),
+        ("role", lambda: porter_bm25_topk(d, k=k, role="assistant"),
+         porter_bm25_sql(k=k, assistant_only=True)),
+        ("roleboost", lambda: porter_roleboost_topk(d, k=k),
+         porter_bm25_sql(k=k, role_weights=ROLE_BOOST_WEIGHTS)),
+        ("boolean", lambda: porter_boolean_topk(d, k=k),
+         porter_boolean_sql(k=k)),
+        ("conjunctive", lambda: porter_conjunctive_topk(d, k=k),
+         porter_conjunctive_sql(k=k)),
+        ("conjunctive_role", lambda: porter_conjunctive_role_topk(d, k=k),
+         porter_conjunctive_role_sql(k=k)),
+        ("phrase_role", lambda: porter_phrase_role_topk(d, k=k),
+         porter_phrase_role_sql(k=k)),
+        ("capped", lambda: porter_capped_topk(d, k=k),
+         porter_capped_sql(k=k)),
+        ("paged", lambda: porter_paged_topk(d), porter_paged_sql()),
+        ("complex", lambda: porter_complex_topk(d, k=k),
+         porter_complex_sql(k=k)),
+        ("fallback", lambda: porter_fallback_topk(d, k=k),
+         porter_fallback_sql(k=k)),
+    ]
+
+
+def porter_rank_matrix(index_dir: str, k: int = 10) -> pa.Table:
+    """Every ranked retrieval mode of the REAL Porter engine — exhaustive
+    BM25, block-max WAND, the distributed actor-pool cluster, role filter/
+    boost, boolean, conjunctive (plain + role), phrase+role, capped,
+    paged, complex parity, and the A8 fallback ladder — as one tagged
+    table, each variant DuckDB hash-matched."""
+    _porter_reader(index_dir)
+    parts = []
+    for variant, thunk, _ in _matrix_arms(index_dir, k):
+        t = thunk()
+        n = t.num_rows
+        tier = (t["tier"] if "tier" in t.column_names
+                else pa.array([""] * n, pa.string()))
+        parts.append(pa.table({
+            "variant": pa.array([variant] * n, pa.string()),
+            "query": t["query"],
+            "rank": t["rank"],
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "score_q": t["score_q"],
+            "tier": tier,
+        }))
+    return pa.concat_tables(parts)
+
+
+def porter_rank_matrix_sql(k: int = 10) -> str:
+    """Oracle for ``porter_rank_matrix``: each variant's full oracle as a
+    tagged UNION ALL arm (DuckDB evaluates per-arm WITH scopes in
+    subqueries)."""
+    arms = []
+    for variant, _, sql in _matrix_arms(None, k):
+        tier = "tier" if variant == "fallback" else "'' AS tier"
+        arms.append(
+            f"SELECT '{variant}' AS variant, query, rank, conv_id, "
+            f"turn_idx, score_q, {tier}\nFROM (\n{sql}\n)")
+    return "\nUNION ALL\n".join(arms)
+
+
 def porter_capped_sql(queries: list[str] | None = None, k: int = 10,
                       cap: int = 50) -> str:
     """Oracle for ``porter_capped_topk``: per-(query, term) eligibility =

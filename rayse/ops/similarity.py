@@ -38,16 +38,39 @@ def _ids_from(col) -> np.ndarray:
                                                             copy=False)
 
 
-def _load_queries(sf_dir: str, n_queries: int):
-    import pyarrow.parquet as pq
+def _smallest_vec_ids(sf_dir: str, n: int) -> np.ndarray:
+    """The ``n`` smallest vec_ids, reading ONLY the key column (one int64
+    per row reaches the driver — never the embedding payload)."""
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = _ids_from(t["vec_id"])
-    order = np.argsort(ids)[:n_queries]
-    q = _mat_from_list(t["embedding"])[order]
+    ids = _ids_from(pads.dataset(f"{sf_dir}/embeddings.parquet")
+                    .to_table(columns=["vec_id"])["vec_id"])
+    if ids.size > n:
+        ids = ids[np.argpartition(ids, n - 1)[:n]]
+    return np.sort(ids)
+
+
+def _rows_for_ids(sf_dir: str, sel: np.ndarray) -> pa.Table:
+    """Pushdown-filtered read of exactly the selected rows, returned in
+    ascending vec_id order."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(sel.tolist()))
+    return t.take(pc.sort_indices(t["vec_id"]))
+
+
+def _load_queries(sf_dir: str, n_queries: int):
+    """Query vectors = the ``n_queries`` smallest vec_ids. Scale shape:
+    key-column scan for the id selection + a filtered read of exactly the
+    selected rows (the round-3 full-table driver read is gone)."""
+    sel = _smallest_vec_ids(sf_dir, n_queries)
+    t = _rows_for_ids(sf_dir, sel)
+    q = _mat_from_list(t["embedding"])
     q /= np.linalg.norm(q, axis=1, keepdims=True)
-    return ids[order], q
+    return _ids_from(t["vec_id"]), q
 
 
 def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
@@ -82,10 +105,16 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
 
     parts = ds.map_batches(partial_topk, batch_format="pyarrow",
                            zero_copy_batch=True).take_all()  # tiny: Q*k/batch
-    out_q, out_r, out_v = [], [], []
+    return _merge_topk(parts, k)
+
+
+def _merge_topk(rows: list[dict], k: int) -> pa.Table:
+    """Driver merge of per-batch partial top-k rows — input is bounded by
+    Q x k x n_batches, never corpus-order."""
     by_q: dict[int, list] = {}
-    for row in parts:
+    for row in rows:
         by_q.setdefault(row["q_id"], []).append((row["sim"], row["vec_id"]))
+    out_q, out_r, out_v = [], [], []
     for qid in sorted(by_q):
         cand = by_q[qid]
         sims = np.array([c[0] for c in cand])
@@ -166,36 +195,27 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         assign = np.argmax(m @ cents.T, axis=1)
         out_q, out_v, out_s = [], [], []
+        # per-batch partial top-k over the probed candidates: rows reaching
+        # the driver are bounded by Q x k per batch, not candidate-order
+        # (global top-k of a union == top-k of per-batch top-ks)
         for qi in range(qm.shape[0]):
             mask = np.isin(assign, probes[qi])
             if not mask.any():
                 continue
-            s = qm[qi] @ m[mask].T
-            out_q.extend([int(q_ids[qi])] * int(mask.sum()))
-            out_v.extend(ids[mask].tolist())
-            out_s.extend(np.atleast_1d(s).tolist())
+            cids = ids[mask]
+            s = np.atleast_1d(qm[qi] @ m[mask].T)
+            top = min(k, cids.size)
+            idx = np.lexsort((cids, -s))[:top]
+            out_q.extend([int(q_ids[qi])] * top)
+            out_v.extend(cids[idx].tolist())
+            out_s.extend(s[idx].tolist())
         return pa.table({"q_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
 
     rows = ds.map_batches(candidates, batch_format="pyarrow",
                           zero_copy_batch=True).take_all()
-    by_q: dict[int, list] = {}
-    for row in rows:
-        by_q.setdefault(row["q_id"], []).append((row["sim"], row["vec_id"]))
-    out_q, out_r, out_v = [], [], []
-    for qid in sorted(by_q):
-        cand = by_q[qid]
-        sims = np.array([c[0] for c in cand])
-        vids = np.array([c[1] for c in cand])
-        idx = np.lexsort((vids, -sims))[:k]
-        for r, i in enumerate(idx, 1):
-            out_q.append(qid)
-            out_r.append(r)
-            out_v.append(int(vids[i]))
-    return pa.table({"q_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int32()),
-                     "vec_id": pa.array(out_v, pa.int64())})
+    return _merge_topk(rows, k)
 
 
 class LshIndexStage:
@@ -262,36 +282,71 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
         for h in range(keys.shape[1]):
             hit |= keys[:, h][None, :] == qk[:, h][:, None]
         out_q, out_v, out_s = [], [], []
+        # per-batch partial top-k (see ann_ivf_topk): driver rows bounded
+        # by Q x k per batch even when buckets are hot
         for qi in range(n_q):
             idx = np.flatnonzero(hit[qi])
             if idx.size == 0:
                 continue
-            s = qm[qi] @ m[idx].T
-            out_q.extend([int(q_ids[qi])] * idx.size)
-            out_v.extend(ids[idx].tolist())
-            out_s.extend(np.atleast_1d(s).tolist())
+            cids = ids[idx]
+            s = np.atleast_1d(qm[qi] @ m[idx].T)
+            top = min(k, cids.size)
+            sel = np.lexsort((cids, -s))[:top]
+            out_q.extend([int(q_ids[qi])] * top)
+            out_v.extend(cids[sel].tolist())
+            out_s.extend(s[sel].tolist())
         return pa.table({"q_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
 
     rows = ds.map_batches(candidates, batch_format="pyarrow",
                           zero_copy_batch=True).take_all()
-    by_q: dict[int, list] = {}
-    for row in rows:
-        by_q.setdefault(row["q_id"], []).append((row["sim"], row["vec_id"]))
-    out_q, out_r, out_v = [], [], []
-    for qid in sorted(by_q):
-        cand = by_q[qid]
-        sims = np.array([c[0] for c in cand])
-        vids = np.array([c[1] for c in cand])
-        idx = np.lexsort((vids, -sims))[:k]
-        for r, i in enumerate(idx, 1):
-            out_q.append(qid)
-            out_r.append(r)
-            out_v.append(int(vids[i]))
-    return pa.table({"q_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int32()),
-                     "vec_id": pa.array(out_v, pa.int64())})
+    return _merge_topk(rows, k)
+
+
+def ann_exact_suite(sf_dir: str, n_queries: int = 5,
+                    k: int = 10) -> pa.Table:
+    """The three exact ANN paths as one tagged table (one driver window
+    slot, three machineries hash-checked): brute-force cosine, IVF at full
+    probe (n_probe == n_lists scans every list -> exact), and LSH at zero
+    hash bits (single all-candidates bucket -> exact). All three must
+    equal the brute-force DuckDB oracle."""
+    parts = []
+    for method, tbl in (
+            ("brute", ann_topk(sf_dir, n_queries, k)),
+            ("ivf_full", ann_ivf_topk(sf_dir, n_queries, k,
+                                      n_lists=16, n_probe=16)),
+            ("lsh_zero", ann_lsh_topk(sf_dir, n_queries, k,
+                                      n_tables=1, n_bits=0))):
+        parts.append(pa.table({
+            "method": pa.array([method] * tbl.num_rows, pa.string()),
+            "q_id": tbl["q_id"],
+            "rank": tbl["rank"],
+            "vec_id": tbl["vec_id"],
+        }))
+    return pa.concat_tables(parts)
+
+
+def ann_exact_suite_sql(n_queries: int = 5, k: int = 10) -> str:
+    """Oracle for ``ann_exact_suite``: the brute-force ranking cross-joined
+    with the three method tags (each path is provably exact)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {n_queries}),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT m.method, r.q_id, CAST(r.rank AS INTEGER) AS rank, r.vec_id
+FROM ranked r
+CROSS JOIN (VALUES ('brute'), ('ivf_full'), ('lsh_zero')) m(method)
+WHERE r.rank <= {k}"""
 
 
 # ---------------------------------------------------------------------------
@@ -333,14 +388,10 @@ def kmeans_assign(sf_dir: str, k: int = 4, iters: int = 2):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
-    # deterministic seeds: the k smallest vec_ids, quantized
-    import pyarrow.dataset as pads
-    import pyarrow.compute as pc
-
-    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"])
-    order = pc.sort_indices(t["vec_id"])[:k]
-    seed = t.take(order)
+    # deterministic seeds: the k smallest vec_ids, quantized — key-column
+    # scan + filtered read of exactly k rows (never the full embedding
+    # payload on the driver)
+    seed = _rows_for_ids(sf_dir, _smallest_vec_ids(sf_dir, k))
     C = _km_quantize(_mat_from_list(seed["embedding"]))
 
     for _ in range(iters):

@@ -234,10 +234,18 @@ def _benchmark_hashes(sf_dir: str, window: int, n_bench: int) -> tuple:
     import pyarrow.dataset as pads
     import pyarrow.compute as pc
 
-    t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-        columns=["doc_id", "text"])
-    order = pc.sort_indices(t["doc_id"])[:n_bench]
-    bench = t.take(order)
+    dset = pads.dataset(f"{sf_dir}/documents.parquet")
+    # key-column-only scan for the id selection, then a pushdown-filtered
+    # read of exactly n_bench rows — the text column never reaches the
+    # driver for non-benchmark documents
+    ids = dset.to_table(columns=["doc_id"])["doc_id"].to_numpy(
+        zero_copy_only=False)
+    if ids.size > n_bench:
+        ids = ids[np.argpartition(ids, n_bench - 1)[:n_bench]]
+    sel = np.sort(ids)
+    bench = dset.to_table(columns=["doc_id", "text"],
+                          filter=pc.field("doc_id").isin(sel.tolist()))
+    bench = bench.take(pc.sort_indices(bench["doc_id"]))
     buf, g_start, lens, _ = gram_slices(bench["text"].to_pylist(), window)
     return (set(bench["doc_id"].to_pylist()),
             fnv64_slices(buf, g_start, lens))
