@@ -393,59 +393,200 @@ def _word_arr_slices(words: np.ndarray):
     return buf, starts[:-1], lens
 
 
-def unigram_nll(sf_dir: str):
+def _nll_doc_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch (word, whash, doc_id, tf, n) doc-term partial rows for
+    the exchange-routed scoring join. Every document lives in one batch,
+    so tf is the document's full term frequency and partials never
+    double-count."""
+    texts = batch["text"].to_pylist()
+    if not texts:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "whash": pa.array([], pa.uint64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "tf": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    toks = [(t or "").split(" ") for t in texts]
+    counts = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+    doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), counts)
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
+    key = np.char.add(np.char.add(doc.astype("U20"), "\x00"),
+                      flat.astype("U"))
+    _, first, tf = np.unique(key, return_index=True, return_counts=True)
+    n_of = np.repeat(counts, counts)[first]
+    u_words = flat[first]
+    h = fnv64_slices(*_word_arr_slices(u_words))
+    return pa.table({
+        "word": pa.array(u_words.tolist(), pa.string()),
+        "whash": pa.array(h, pa.uint64()),
+        "doc_id": pa.array(doc[first], pa.int64()),
+        "tf": pa.array(tf.astype(np.int64), pa.int64()),
+        "n": pa.array(n_of, pa.int64()),
+    })
+
+
+def _nll_score_partition(tbl: pa.Table, total: float) -> pa.Table:
+    """One whash partition holding BOTH the cf rows (doc_id = -1) and the
+    doc-term rows of its words: compute each word's quantized logp
+    locally, then per-doc integer partial sums (tf * q)."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    words = np.asarray(tbl["word"].to_pylist(), dtype=object)
+    is_cf = doc < 0
+    vocab = words[is_cf]
+    q = np.floor(np.log(
+        tbl["tf"].to_numpy(zero_copy_only=False)[is_cf] / total)
+        * 1e9).astype(np.int64)
+    order = np.argsort(vocab, kind="stable")
+    vocab, q = vocab[order], q[order]
+    d_doc = doc[~is_cf]
+    d_tf = tbl["tf"].to_numpy(zero_copy_only=False)[~is_cf]
+    d_n = tbl["n"].to_numpy(zero_copy_only=False)[~is_cf]
+    if d_doc.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    contrib = d_tf * q[np.searchsorted(vocab, words[~is_cf])]
+    o = np.argsort(d_doc, kind="stable")
+    d_doc, contrib, d_n = d_doc[o], contrib[o], d_n[o]
+    new = np.empty(d_doc.size, dtype=bool)
+    new[0] = True
+    new[1:] = d_doc[1:] != d_doc[:-1]
+    starts = np.flatnonzero(new)
+    return pa.table({
+        "doc_id": pa.array(d_doc[starts], pa.int64()),
+        "s": pa.array(np.add.reduceat(contrib, starts), pa.int64()),
+        "n": pa.array(d_n[starts], pa.int64()),
+    })
+
+
+def _nll_final_partition(tbl: pa.Table) -> pa.Table:
+    """Second exchange reducer: sum integer partials per doc and finish
+    nll_q = (-s) // (100 * n) (exact; s < 0, n >= 1)."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "nll_q": pa.array([], pa.int64())})
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    s = tbl["s"].to_numpy(zero_copy_only=False)
+    n = tbl["n"].to_numpy(zero_copy_only=False)
+    o = np.argsort(doc, kind="stable")
+    doc, s, n = doc[o], s[o], n[o]
+    new = np.empty(doc.size, dtype=bool)
+    new[0] = True
+    new[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(new)
+    tot_s = np.add.reduceat(s, starts)
+    return pa.table({
+        "doc_id": pa.array(doc[starts], pa.int64()),
+        "nll_q": pa.array((-tot_s) // (100 * np.maximum(n[starts], 1)),
+                          pa.int64()),
+    })
+
+
+def unigram_nll(sf_dir: str, vocab_broadcast_limit: int = 2_000_000):
     """Unigram-LM quality score (perplexity proxy — the classic
     low-quality-text filter signal): per document, the mean negative
     log-likelihood of its whitespace tokens under the corpus unigram
-    model p(w) = cf(w) / total_tokens. Quantized floor(1e7) for the SQL
-    hash. Two passes: global cf (exchange-aggregated), then a broadcast
-    logp map consulted per batch (bounded-vocab assumption documented in
-    ``_unigram_cf``)."""
+    model p(w) = cf(w) / total_tokens.
+
+    INTEGER-EXACT contract: each word's logp is quantized ONCE to
+    ``q = floor(ln(cf/total) * 1e9)`` (int64); a document's sum of
+    per-token q values is an integer, so summation order cannot move the
+    result, and ``nll_q = floor(mean_nll * 1e7) = (-s) // (100 * n)`` is
+    exact integer arithmetic on both the Ray and SQL sides.
+
+    Routing: vocabularies up to ``vocab_broadcast_limit`` broadcast a
+    sorted (vocab, q) pair and score fully vectorized per batch
+    (searchsorted gather + reduceat — no per-token Python). Above the
+    limit, scoring routes through the partitioned exchange: doc-term
+    partials and cf rows meet in whash partitions, per-doc integer
+    partial sums take a second exchange by doc_id — no driver-side vocab
+    at any size. Both routes are bit-identical (integer sums)."""
     import ray
     import ray.data as rd
 
-    cf_tbl = _unigram_cf(sf_dir)
-    rows = cf_tbl.to_pandas()               # vocabulary-sized, tiny here
-    total = float(rows["cf"].sum())
-    logp = {w: float(np.log(c / total))
-            for w, c in zip(rows["word"], rows["cf"])}
-    ref = ray.put(logp)
-
-    def score(batch: pa.Table) -> pa.Table:
-        lp = ray.get(ref)
-        out = np.empty(batch.num_rows, dtype=np.int64)
-        texts = batch["text"].to_pylist()
-        for i, t in enumerate(texts):
-            toks = (t or "").split(" ")
-            s = 0.0
-            for w in toks:                  # mirror SQL sum of per-token ln
-                s += lp[w]
-            nll = -(s / max(len(toks), 1))
-            out[i] = int(np.floor(nll * 1e7))
-        return pa.table({"doc_id": batch["doc_id"],
-                         "nll_q": pa.array(out, pa.int64())})
+    cf_ds = _unigram_cf(sf_dir).materialize()
+    total = float(cf_ds.sum("cf"))
+    n_vocab = cf_ds.count()
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
+
+    if n_vocab > vocab_broadcast_limit:
+        from .exchange import exchange_by_key
+
+        def cf_as_partials(batch: pa.Table) -> pa.Table:
+            words = np.asarray(batch["word"].to_pylist(), dtype=object)
+            h = (fnv64_slices(*_word_arr_slices(words)) if words.size
+                 else np.asarray([], dtype=np.uint64))
+            m = batch.num_rows
+            return pa.table({
+                "word": batch["word"],
+                "whash": pa.array(h, pa.uint64()),
+                "doc_id": pa.array(np.full(m, -1, np.int64), pa.int64()),
+                "tf": pa.array(batch["cf"], pa.int64()),
+                "n": pa.array(np.zeros(m, np.int64), pa.int64()),
+            })
+
+        cf_rows = cf_ds.map_batches(cf_as_partials, batch_format="pyarrow")
+        doc_rows = ds.map_batches(_nll_doc_partials_batch,
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        per_part = exchange_by_key(doc_rows.union(cf_rows), "whash",
+                                   _nll_score_partition,
+                                   proc_kwargs={"total": total})
+        return exchange_by_key(per_part, "doc_id", _nll_final_partition,
+                               n_parts=32)
+
+    rows = cf_ds.to_pandas()
+    order = np.argsort(rows["word"].to_numpy(), kind="stable")
+    vocab = rows["word"].to_numpy()[order]
+    qlp = np.floor(np.log(rows["cf"].to_numpy()[order] / total)
+                   * 1e9).astype(np.int64)
+    ref = ray.put((vocab, qlp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vb, qv = ray.get(ref)
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "nll_q": pa.array([], pa.int64())})
+        toks = [(t or "").split(" ") for t in texts]
+        counts = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
+        uf, inv = np.unique(flat, return_inverse=True)
+        tok_q = qv[np.searchsorted(vb, uf)][inv]
+        starts = np.zeros(counts.size, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        s = np.add.reduceat(tok_q, starts)
+        nll_q = (-s) // (100 * np.maximum(counts, 1))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "nll_q": pa.array(nll_q, pa.int64())})
+
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
 
 
 def unigram_nll_sql() -> str:
-    """Oracle for ``unigram_nll``: cf over the whitespace token stream,
-    per-doc mean -ln(cf/total), quantized. ln/division literals stay in
-    DOUBLE country (no bare literal-literal arithmetic)."""
+    """Oracle for ``unigram_nll``: the identical integer contract — cf
+    over the whitespace token stream, per-word q = floor(ln(cf/total)
+    * 1e9), integer per-doc sum, nll_q = (-s) // (100 * n). Division
+    literals stay ::DOUBLE inside ln (no bare DECIMAL arithmetic);
+    everything after the floor is BIGINT."""
     return """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 cf AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
 tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cf),
+q AS (SELECT cf.w,
+             CAST(floor(ln(CAST(cf.c AS DOUBLE) / tot.total)
+                        * 1000000000::DOUBLE) AS BIGINT) AS q
+      FROM cf CROSS JOIN tot),
 per_doc AS (
-  SELECT t.doc_id,
-         sum(ln(cf.c / tot.total)) AS s,
-         CAST(count(*) AS BIGINT) AS n
-  FROM tok t JOIN cf ON t.w = cf.w CROSS JOIN tot
+  SELECT t.doc_id, sum(q.q) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM tok t JOIN q ON t.w = q.w
   GROUP BY t.doc_id)
-SELECT doc_id,
-       CAST(floor(-(s / greatest(n, 1)) * 10000000) AS BIGINT) AS nll_q
+SELECT doc_id, CAST((-s) // (100 * greatest(n, 1)) AS BIGINT) AS nll_q
 FROM per_doc"""

@@ -95,3 +95,101 @@ def test_range_join_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got, want[got.columns].astype(got.dtypes.to_dict()))
     assert (got["delta_us"].abs() <= 3_600_000_000).all()
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    """Synthetic events where ONE user holds ~all rows (the single-user
+    firehose) and one event type dominates — the regime the round-3
+    per-user / per-type exchanges could not spread."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n_hot, n_cold = 20_000, 60
+    user = np.concatenate([np.full(n_hot, 1, np.int64),
+                           rng.integers(2, 8, n_cold)])
+    # hot user's events spread over ~14 days -> many 1h/1d buckets
+    ts = np.concatenate([
+        np.sort(rng.integers(0, 14 * 86_400_000_000, n_hot)),
+        rng.integers(0, 14 * 86_400_000_000, n_cold)]).astype(np.int64)
+    etype = np.where(rng.random(n_hot + n_cold) < 0.6, "click",
+                     np.where(rng.random(n_hot + n_cold) < 0.5,
+                              "purchase", "error")).astype(object)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n_hot + n_cold, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(user, pa.int64()),
+        "event_type": pa.array(etype.tolist(), pa.string()),
+    })
+    d = tmp_path_factory.mktemp("skew")
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def skew_con(skew_dir):
+    c = duckdb.connect()
+    c.execute("CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{skew_dir}/events.parquet')")
+    return c
+
+
+def test_skew_salting_spreads_partitions(skew_dir):
+    """The firehose user's rows land in MANY exchange partitions (the
+    whole point of the time-bucket salt), for all three salted ops."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayse.ops.exchange import partition_of
+
+    t = pq.read_table(f"{skew_dir}/events.parquet")
+    ts = t["ts"].cast("int64").to_numpy()
+    hot = t["user_id"].to_numpy() == 1
+    for bucket_us in (86_400_000_000, 7_200_000_000):   # asof day, range 2h
+        bucket = ts[hot] // bucket_us
+        parts = partition_of([np.full(hot.sum(), 1, np.int64), bucket], 64)
+        assert len(np.unique(parts)) >= 8, bucket_us
+    # trailing: (type, bucket) spread for the dominant type
+    click = np.asarray(t["event_type"].to_pylist(), dtype=object) == "click"
+    bucket = ts[click] // 3_600_000_000
+    parts = partition_of([np.zeros(click.sum(), np.int64), bucket], 64)
+    assert len(np.unique(parts)) >= 16
+
+
+def test_skew_asof_matches_duckdb(ray_session, skew_dir, skew_con):
+    import pandas as pd
+
+    from rayse.ops.relational import asof_join_events, asof_join_events_sql
+
+    got = asof_join_events(skew_dir).to_pandas().sort_values("event_id")
+    got = got.reset_index(drop=True)
+    want = skew_con.execute(asof_join_events_sql()).fetchdf()
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert len(got) > 1000
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+
+
+def test_skew_range_matches_duckdb(ray_session, skew_dir, skew_con):
+    import pandas as pd
+
+    from rayse.ops.relational import (range_join_events,
+                                      range_join_events_sql)
+
+    got = range_join_events(skew_dir).to_pandas()
+    keys = ["event_id", "matched_event_id"]
+    got = got.sort_values(keys).reset_index(drop=True)
+    want = skew_con.execute(range_join_events_sql()).fetchdf()
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert len(got) > 1000
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+
+
+def test_skew_trailing_matches_duckdb(ray_session, skew_dir, skew_con):
+    from rayse.ops import relational as R
+
+    _cmp(R.trailing_window_counts(skew_dir),
+         skew_con.sql(R.TRAILING_WINDOW_SQL).df())

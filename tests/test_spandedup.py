@@ -116,3 +116,16 @@ def test_unigram_nll_matches_duckdb(ray_session):
         got, want[got.columns].astype(got.dtypes.to_dict()))
     # sanity: all NLLs positive (probabilities < 1)
     assert (got["nll_q"] > 0).all()
+
+
+def test_unigram_nll_routed_path_bit_identical(ray_session):
+    """vocab_broadcast_limit=0 forces the exchange-routed scoring join
+    (the unbounded-vocabulary path); integer per-token quantization makes
+    it bit-identical to the broadcast route."""
+    from rayse.ops.textstats import unigram_nll
+
+    broadcast = unigram_nll(SF).to_pandas().sort_values("doc_id")
+    routed = unigram_nll(SF, vocab_broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id")
+    pd.testing.assert_frame_equal(broadcast.reset_index(drop=True),
+                                  routed.reset_index(drop=True))
