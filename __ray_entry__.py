@@ -723,6 +723,15 @@ def _q_span_dedup_docs(sf_dir: str):
     return span_dedup_docs(sf_dir)
 
 
+def _q_duplicate_span_extents(sf_dir: str):
+    """Length-MAXIMAL duplicated spans (ExactSubstr's removal unit):
+    adjacent duplicated 4-grams merged into per-document token extents —
+    DuckDB hash-matched (gaps-and-islands oracle)."""
+    from rayse.ops.spandedup import duplicate_span_extents
+
+    return duplicate_span_extents(sf_dir)
+
+
 def _q_html_clean(sf_dir: str):
     """M2 HTML cleaner (PreIndexer.java:48-75 semantics incl. the
     code-append duplication quirk) over deterministically synthesized
@@ -874,7 +883,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_customer_revenue": _q_top_customer_revenue,
         "trailing_window": _q_trailing_window,
-        # ---- end of driver window after the next entry (position 50) ----
+        "duplicate_span_extents": _q_duplicate_span_extents,
+        # ---- end of the driver's 50-entry window ----
         "porter_bm25_topk": _q_porter_bm25_topk,
         # ---- below the window: individual variants of the suites above
         # (each pytest-pinned at sf0.001), approximate-ANN recall paths,
@@ -1099,6 +1109,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.sampling", fromlist=["x"]).quota_sample_sql(),
         "span_dedup_docs": __import__(
             "rayse.ops.spandedup", fromlist=["x"]).span_dedup_docs_sql(),
+        "duplicate_span_extents": __import__(
+            "rayse.ops.spandedup",
+            fromlist=["x"]).duplicate_span_extents_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

@@ -221,6 +221,144 @@ GROUP BY doc_id"""
 
 
 # ---------------------------------------------------------------------------
+# Length-MAXIMAL duplicate spans (ExactSubstr proper, Lee et al. 2022 §4:
+# the unit of removal is the longest duplicated substring, not the k-gram).
+# Realization: flag each gram POSITION whose hash is corpus-duplicated
+# (first exchange, by gram_hash — all occurrences of a hash meet in one
+# partition), then merge runs of consecutive duplicated positions into
+# maximal extents per document (second exchange, by doc_id; vectorized
+# gaps-and-islands over the position runs). A run of n consecutive
+# duplicated k-grams covers tokens [start, start + n + k - 1).
+# ---------------------------------------------------------------------------
+
+def _gram_pos_batch(batch: pa.Table, window: int) -> pa.Table:
+    """(gram_hash, doc_id, pos) — one row per gram OCCURRENCE with its
+    token position (vs ``_gram_partials_batch``'s pre-aggregated counts:
+    extents need positions)."""
+    texts = batch["text"].to_pylist()
+    if not texts:
+        return pa.table({"gram_hash": pa.array([], pa.uint64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    buf, g_start, lens, g_cum = gram_slices(texts, window)
+    h = fnv64_slices(buf, g_start, lens)
+    per_doc = np.diff(g_cum)
+    doc = np.repeat(batch["doc_id"].to_numpy(), per_doc)
+    pos = np.arange(h.size, dtype=np.int64) - np.repeat(g_cum[:-1], per_doc)
+    return pa.table({
+        "gram_hash": pa.array(h, pa.uint64()),
+        "doc_id": pa.array(doc, pa.int64()),
+        "pos": pa.array(pos, pa.int64()),
+    })
+
+
+def _dup_pos_partition(tbl: pa.Table, min_count: int) -> pa.Table:
+    """One gram-hash partition -> the (doc_id, pos) rows of its duplicated
+    hashes (total occurrences across the corpus >= min_count; all rows of
+    a hash are local by the exchange invariant)."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    h = tbl["gram_hash"].to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    new = np.empty(hs.size, dtype=bool)
+    new[0] = True
+    new[1:] = hs[1:] != hs[:-1]
+    starts = np.flatnonzero(new)
+    tot = np.diff(np.append(starts, hs.size))
+    dup_row = np.repeat(tot >= min_count, tot)
+    keep = order[dup_row]
+    return pa.table({
+        "doc_id": pa.array(
+            tbl["doc_id"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+        "pos": pa.array(
+            tbl["pos"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+    })
+
+
+def _extent_partition(tbl: pa.Table, window: int) -> pa.Table:
+    """One doc_id partition -> maximal extents: sort (doc, pos), island =
+    run of consecutive positions within a doc, span covers tokens
+    [min_pos, max_pos + window)."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "span_start": pa.array([], pa.int64()),
+                         "span_end": pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64())})
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    pos = tbl["pos"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos, doc))
+    d, p = doc[order], pos[order]
+    new = np.empty(d.size, dtype=bool)
+    new[0] = True
+    new[1:] = (d[1:] != d[:-1]) | (p[1:] != p[:-1] + 1)
+    starts = np.flatnonzero(new)
+    n = np.diff(np.append(starts, d.size)).astype(np.int64)
+    last = starts + n - 1
+    return pa.table({
+        "doc_id": pa.array(d[starts], pa.int64()),
+        "span_start": pa.array(p[starts], pa.int64()),
+        "span_end": pa.array(p[last] + window, pa.int64()),
+        "n_grams": pa.array(n, pa.int64()),
+    })
+
+
+def duplicate_span_extents(sf_dir: str, window: int = 4,
+                           min_count: int = 2):
+    """Maximal duplicated spans per document -> (doc_id, span_start,
+    span_end, n_grams) with token-index extents; adjacent duplicated
+    ``window``-grams merge into one span (ExactSubstr's
+    longest-duplicate-substring unit at word granularity)."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rows = ds.map_batches(_gram_pos_batch, fn_kwargs={"window": window},
+                          batch_format="pyarrow", zero_copy_batch=True)
+    hits = exchange_by_key(rows, "gram_hash", _dup_pos_partition,
+                           proc_kwargs={"min_count": min_count})
+    return exchange_by_key(hits, "doc_id", _extent_partition,
+                           proc_kwargs={"window": window}, n_parts=32)
+
+
+def duplicate_span_extents_sql(window: int = 4, min_count: int = 2) -> str:
+    """Oracle for ``duplicate_span_extents``: positions via UNNEST(range),
+    the exact-FNV gram hashes, duplicated-hash filter, then the classic
+    gaps-and-islands (pos - row_number partitions consecutive runs)."""
+    return f"""
+WITH g AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ex AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         array_to_string(list_slice(w, CAST(u.i AS INTEGER) + 1,
+                                    CAST(u.i AS INTEGER) + {window}), ' ')
+           AS gram
+  FROM g, UNNEST(range(CASE WHEN len(w) < {window} THEN 1
+                            ELSE len(w) - {window - 1} END)) u(i)),
+hashed AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+                        [ascii(c)::HUGEINT FOR c IN string_split(gram, '')]),
+           (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                     % 18446744073709551616::HUGEINT) AS h
+  FROM ex),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING count(*) >= {min_count}),
+hits AS (SELECT doc_id, pos FROM hashed WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {window} AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, grp"""
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination: flag corpus documents sharing any k-gram with
 # a held-out benchmark set (the standard eval-leakage check run before
 # training). Benchmark here = the texts of the N lexicographically-first

@@ -118,6 +118,60 @@ def test_unigram_nll_matches_duckdb(ray_session):
     assert (got["nll_q"] > 0).all()
 
 
+def test_extent_merge_brute_force():
+    """Maximal-extent semantics on a hand corpus: runs of adjacent
+    duplicated grams merge; isolated hits stay single-gram spans."""
+    from rayse.ops.spandedup import (_dup_pos_partition, _extent_partition,
+                                     _gram_pos_batch)
+
+    texts = [
+        "a b c d e x y",     # "a b c d e" duplicated -> one maximal span
+        "q a b c d e r",
+        "u v w z1 z2 u v w", # self-repeat "u v w" (window 3): run of 1
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    rows = _gram_pos_batch(batch, 3)
+    hits = _dup_pos_partition(rows, 2)
+    got = _extent_partition(hits, 3).to_pandas()
+    got = got.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    # doc 0: grams (a b c),(b c d),(c d e) duplicated at pos 0..2 -> one
+    # span tokens [0, 5); doc 1: same grams at pos 1..3 -> [1, 6);
+    # doc 2: "u v w" at pos 0 and 5 -> two spans [0,3) and [5,8)
+    want = pd.DataFrame({
+        "doc_id": [0, 1, 2, 2],
+        "span_start": [0, 1, 0, 5],
+        "span_end": [5, 6, 3, 8],
+        "n_grams": [3, 3, 1, 1],
+    })
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_duplicate_span_extents_matches_duckdb(ray_session):
+    from rayse.ops.spandedup import (duplicate_span_extents,
+                                     duplicate_span_extents_sql)
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    keys = ["doc_id", "span_start"]
+    got = duplicate_span_extents(SF).to_pandas().sort_values(keys)
+    got = got.reset_index(drop=True)
+    want = con.execute(duplicate_span_extents_sql()).fetchdf()
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    # extents are maximal: within a doc, consecutive spans' gram runs are
+    # separated by at least one non-duplicated gram position (next start
+    # > previous last gram start + 1, where last gram start = end - 4)
+    for _, grp in got.groupby("doc_id"):
+        s = grp.sort_values("span_start")
+        starts = s["span_start"].to_numpy()[1:]
+        prev_last_gram = s["span_end"].to_numpy()[:-1] - 4
+        assert (starts > prev_last_gram + 1).all()
+
+
 def test_unigram_nll_routed_path_bit_identical(ray_session):
     """vocab_broadcast_limit=0 forces the exchange-routed scoring join
     (the unbounded-vocabulary path); integer per-token quantization makes
