@@ -15,13 +15,19 @@ Reference semantics reproduced exactly (in order):
    everything else becomes a space — `PreIndexer.java:69`;
 6. whitespace collapse + trim — `PreIndexer.java:72`.
 
-Scope: the reference parses with Jsoup; its malformed-HTML error recovery
-is NOT reproduced here (no HTML parser library in this container). The
-compiled-regex realization is exact for well-formed input — nesting of
-non-raw-text removed elements, attributes, self-closing voids, and the
-standard named/numeric entities all handled — and a production deployment
-would plug a real parser behind the same batch seam (the
-``rayse.ops.multimodal`` codec-seam pattern).
+Parse layer: a small HTML5 tokenizer state machine (the WHATWG
+tokenization algorithm's essentials — data / tag-open / tag-name /
+attribute skipping with quote awareness / self-closing flag / comment /
+bogus-comment / RAWTEXT and RCDATA element content), with Jsoup-like
+error recovery on malformed input: a raw ``<`` not opening a tag is
+literal text, unmatched close tags are ignored, mis-nested close tags pop
+to the nearest matching open element, and EOF implicitly closes
+everything (unclosed tags never eat the rest of the document, unlike a
+regex ``<[^>]+>`` pass). Element tracking is a plain open-element stack —
+enough for the reference chain's three container questions (inside a
+captured code-ish element? inside a removed subtree? inside raw text?)
+without building a DOM. Tag boundaries contribute a space (the whitespace
+collapse downstream absorbs the difference; pinned by tests).
 
 Oracle strategy (the ``html_clean`` driver query): both sides synthesize
 the SAME HTML document from each ``documents.text`` row by a fixed rule
@@ -40,55 +46,160 @@ import re
 
 import pyarrow as pa
 
-_CODE_TAGS = "code|pre|tt|kbd|samp"
-# HTML5 raw-text elements: their content is TEXT (never parsed as
-# elements; the first matching close tag always ends them), so a
-# first-close non-greedy match is exact and code markup inside them must
-# NOT be captured (Jsoup's doc.select never sees elements there).
-_RAWTEXT_TAGS = "style|script"
-# Removed NON-raw-text subtrees: contents parse as elements (code inside
-# an <svg> IS selected by the reference before removal), and same-tag
-# nesting is legal (svg-in-svg) — removed innermost-first to a fixpoint.
-_REMOVE_ELEM_TAGS = "noscript|svg|canvas"
+# Captured code-ish elements (`PreIndexer.java:52-56`); every selected
+# element contributes its FULL text (nested <pre><code>x</code></pre>
+# yields x from both, matching Jsoup's per-element select + text()).
+_CODE_SET = frozenset({"code", "pre", "tt", "kbd", "samp"})
+# HTML5 RAWTEXT elements: content is character data, never elements —
+# Jsoup stores it in DataNodes which text() ignores, so it vanishes from
+# both the body and any enclosing code capture.
+_RAWTEXT_SET = frozenset({"style", "script"})
+# RCDATA elements: character data too (no child elements), but TEXT —
+# Jsoup's text() keeps it.
+_RCDATA_SET = frozenset({"title", "textarea"})
+# Removed NON-raw-text subtrees (`PreIndexer.java:59`): their contents
+# parse as elements (code inside <svg> IS captured before removal).
+_REMOVE_SET = frozenset({"noscript", "svg", "canvas"})
+# HTML5 void elements: no content, no close tag (meta/link removal is
+# just their tags vanishing).
+_VOID_SET = frozenset("area base br col embed hr img input link meta "
+                      "param source track wbr".split())
 
-_CODE_RE = re.compile(rf"<({_CODE_TAGS})\b[^>]*>(.*?)</\1\s*>",
-                      re.S | re.I)
-_RAWTEXT_RE = re.compile(rf"<({_RAWTEXT_TAGS})\b[^>]*>.*?</\1\s*>",
-                         re.S | re.I)
-_REMOVE_ELEM_RE = re.compile(
-    rf"<({_REMOVE_ELEM_TAGS})\b[^>]*>"
-    rf"(?:(?!<(?:{_REMOVE_ELEM_TAGS})\b).)*?</\1\s*>", re.S | re.I)
-_VOID_RE = re.compile(r"<(?:meta|link)\b[^>]*/?>", re.I)
-_TAG_RE = re.compile(r"<[^>]+>")
+_RAW_CLOSE_RE = {t: re.compile(rf"</{t}\b[^>]*>", re.I)
+                 for t in _RAWTEXT_SET | _RCDATA_SET}
+_NAME_RE = re.compile(r"[a-zA-Z][^\s/>]*")
 # `PreIndexer.java:69` whitelist, verbatim
 _WHITELIST_RE = re.compile(r"[^a-zA-Z0-9_+\-.#$%^&*()\[\]{}<>=/\\|:;,!?]")
 _WS_RE = re.compile(r"\s+")
 
 
-def _remove_nested(s: str) -> str:
-    """Remove noscript/svg/canvas subtrees innermost-first until stable
-    (handles same-tag nesting exactly; terminates — every pass deletes at
-    least one element or leaves no match)."""
-    while True:
-        s2 = _REMOVE_ELEM_RE.sub(" ", s)
-        if s2 == s:
-            return s
-        s = s2
+def _tag_end(s: str, j: int) -> int:
+    """Index of the tag-closing ``>`` scanning from ``j``, honoring quoted
+    attribute values (a ``>`` inside quotes does not end the tag); -1 at
+    EOF (spec: the truncated tag is dropped). Per-char work is bounded by
+    tag length, not document length."""
+    n = len(s)
+    q = ""
+    while j < n:
+        ch = s[j]
+        if q:
+            if ch == q:
+                q = ""
+        elif ch in "\"'":
+            q = ch
+        elif ch == ">":
+            return j
+        j += 1
+    return -1
+
+
+def _parse_clean(s: str) -> tuple[str, str]:
+    """One pass of the tokenizer over ``s`` -> (body_text, code_text):
+    body excludes removed subtrees and raw text; code_text is the
+    document-order concatenation of every code-ish element's text."""
+    body: list[str] = []
+    code_bufs: list[list[str]] = []        # one per code element, doc order
+    stack: list[tuple[str, bool, list | None]] = []   # (name, removed, buf)
+    open_code: list[list[str]] = []
+    removed_depth = 0
+    i, n = 0, len(s)
+
+    def emit_text(seg: str) -> None:
+        if removed_depth == 0:
+            body.append(seg)
+        for buf in open_code:
+            buf.append(seg)
+
+    def emit_sep() -> None:
+        if removed_depth == 0:
+            body.append(" ")
+        for buf in open_code:
+            buf.append(" ")
+
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            emit_text(s[i:])
+            break
+        if lt > i:
+            emit_text(s[i:lt])
+        c = s[lt + 1] if lt + 1 < n else ""
+        if c == "!":                                   # comment / doctype
+            if s.startswith("<!--", lt):
+                end = s.find("-->", lt + 4)
+                i = n if end < 0 else end + 3
+            else:
+                end = s.find(">", lt)
+                i = n if end < 0 else end + 1
+            emit_sep()
+        elif c == "?":                                 # bogus comment
+            end = s.find(">", lt)
+            i = n if end < 0 else end + 1
+            emit_sep()
+        elif c == "/":
+            m = _NAME_RE.match(s, lt + 2)
+            if m is None:                              # "</" + non-letter:
+                end = s.find(">", lt)                  # bogus comment
+                i = n if end < 0 else end + 1
+                emit_sep()
+                continue
+            end = _tag_end(s, lt + 2)
+            if end < 0:
+                break                                  # EOF in tag: drop
+            i = end + 1
+            emit_sep()
+            name = m.group(0).lower()
+            if any(e[0] == name for e in stack):       # pop to match;
+                while stack:                           # unmatched: ignored
+                    top, rm, buf = stack.pop()
+                    if rm:
+                        removed_depth -= 1
+                    if buf is not None:                # remove by IDENTITY
+                        open_code[:] = [b for b in open_code if b is not buf]
+                    if top == name:
+                        break
+        elif c.isalpha():
+            m = _NAME_RE.match(s, lt + 1)
+            end = _tag_end(s, lt + 1)
+            if end < 0:
+                break                                  # EOF in tag: drop
+            name = m.group(0).lower()
+            region = s[lt + 1:end]
+            self_closing = region.rstrip().endswith("/")
+            i = end + 1
+            emit_sep()
+            if name in _RAWTEXT_SET or name in _RCDATA_SET:
+                mc = _RAW_CLOSE_RE[name].search(s, i)
+                content = s[i:mc.start()] if mc else s[i:]
+                if name in _RCDATA_SET:
+                    emit_text(content)                 # RCDATA is text
+                    emit_sep()
+                i = mc.end() if mc else n
+            elif name in _VOID_SET or self_closing:
+                pass                                   # no content
+            else:
+                buf = None
+                if name in _CODE_SET:
+                    buf = []
+                    code_bufs.append(buf)
+                    open_code.append(buf)
+                rm = name in _REMOVE_SET
+                if rm:
+                    removed_depth += 1
+                stack.append((name, rm, buf))
+        else:                                          # literal "<" in text
+            emit_text("<")
+            i = lt + 1
+    # EOF closes everything implicitly (buffers already registered)
+    return "".join(body), " ".join("".join(b) for b in code_bufs)
 
 
 def clean_html_text(s: str) -> str:
     """One document through the reference cleaning chain (module
-    docstring steps 1-6). Raw-text subtrees (script/style) are dropped
-    BEFORE code capture — their content is text to an HTML parser, so the
-    reference's element selection never matches inside them."""
+    docstring steps 1-6) over the state-machine parse."""
     if not s:
         return ""
-    s = _RAWTEXT_RE.sub(" ", s)
-    code = " ".join(m.group(2) for m in _CODE_RE.finditer(s))
-    code = _TAG_RE.sub(" ", code)          # element.text() of nested markup
-    body = _remove_nested(s)
-    body = _VOID_RE.sub(" ", body)
-    body = _TAG_RE.sub(" ", body)
+    body, code = _parse_clean(s)
     out = body + " " + code                # step 4: code content appended
     out = html.unescape(out)               # full named + numeric entities
     out = _WHITELIST_RE.sub(" ", out)

@@ -45,6 +45,64 @@ def test_attributes_and_empty():
     assert clean_html_text("plain  text\n here") == "plain text here"
 
 
+def test_malformed_unclosed_tags():
+    """EOF implicitly closes everything: unclosed elements keep their
+    text, an unclosed removed subtree swallows only its own content."""
+    assert clean_html_text("<p>alpha <b>beta") == "alpha beta"
+    assert clean_html_text("<pre>keep me") == "keep me keep me"  # quirk x2
+    assert clean_html_text("<p>seen</p><svg><g>gone") == "seen"
+    # truncated tag at EOF is dropped, text before it survives
+    assert clean_html_text("word <img src=") == "word"
+
+
+def test_malformed_misnested_tags():
+    """Mis-nested close tags pop to the nearest match; unmatched close
+    tags are ignored."""
+    assert clean_html_text("<b><i>x</b></i>y") == "x y"
+    assert clean_html_text("</div>hello</p>") == "hello"
+    # closing a code element from inside mis-nesting ends its capture
+    assert clean_html_text("<code>a<b>b</code>c") == "a b c a b"
+
+
+def test_malformed_raw_lt_in_text():
+    """A raw < not opening a tag is literal text (HTML5 data state), so
+    'a < b > c' is prose, not a tag to swallow."""
+    assert clean_html_text("<p>a < b > c</p>") == "a < b > c"
+    assert clean_html_text("x <3 y") == "x <3 y"
+    assert clean_html_text("1 < 2 and 3 > 2") == "1 < 2 and 3 > 2"
+
+
+def test_quoted_gt_in_attribute():
+    """A > inside a quoted attribute value does not end the tag."""
+    assert clean_html_text('<p data-x="a>b">w</p>') == "w"
+    assert clean_html_text("<a href='q>r'>link</a>") == "link"
+
+
+def test_comments_and_bogus():
+    assert clean_html_text("a<!-- <p>never</p> -->b") == "a b"
+    assert clean_html_text("a<!doctype html>b") == "a b"
+    assert clean_html_text("a<?php x ?>b") == "a b"
+    # unterminated comment consumes the rest (spec EOF-in-comment)
+    assert clean_html_text("a<!-- open") == "a"
+
+
+def test_rawtext_ends_only_at_its_close_tag():
+    # "</div>" inside script does NOT end it; code inside script is DATA,
+    # never captured
+    s = "<script>if (a</div>) { } <code>nope</code></script><p>w</p>"
+    assert clean_html_text(s) == "w"
+    # RCDATA (title) content is text
+    assert clean_html_text("<title>t1 &amp; t2</title>w") == "t1 & t2 w"
+
+
+def test_nested_code_elements_each_captured():
+    """Jsoup parity: select() returns outer AND inner code-ish elements;
+    each contributes its full text to the append."""
+    s = "<pre><code>x</code></pre>"
+    # body: x; append: pre.text()="x" + code.text()="x"
+    assert clean_html_text(s) == "x x x"
+
+
 def test_synth_rule_matches_analytic_expectation():
     for t in ("the fast key order sort", "spark", "a b"):
         words = t.split(" ")
