@@ -193,3 +193,135 @@ def test_skew_trailing_matches_duckdb(ray_session, skew_dir, skew_con):
 
     _cmp(R.trailing_window_counts(skew_dir),
          skew_con.sql(R.TRAILING_WINDOW_SQL).df())
+
+
+# ---------------------------------------------------------------------------
+# Property tests of the salting ALGEBRA: the pure stamp/summary/carry/match
+# functions composed through a simulated exchange (all rows of a key in one
+# partition — the exchange invariant) must equal a brute-force join, for
+# any event set and any bucket width. No Ray involved.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _sim_exchange(tbl, key_cols, proc, n_parts=8, **kw):
+    import numpy as np
+    import pyarrow as pa
+
+    from rayse.ops.exchange import partition_of
+
+    if tbl.num_rows == 0:
+        return proc(tbl, **kw)
+    parts = partition_of(
+        [tbl[c].to_numpy(zero_copy_only=False) for c in key_cols], n_parts)
+    out = [proc(tbl.take(np.flatnonzero(parts == p)), **kw)
+           for p in np.unique(parts)]
+    return pa.concat_tables(out)
+
+
+def _events_batch(rows):
+    import pyarrow as pa
+
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
+# unique (user, ts) pairs: as-of tie-breaking among equal timestamps is
+# row-order-dependent on both sides, so ties are excluded by construction
+# (real event logs have unique per-user timestamps at us resolution)
+_events_strategy = st.lists(
+    st.tuples(st.integers(1, 3),                       # user
+              st.integers(0, 400),                     # ts
+              st.sampled_from(["click", "purchase", "error"])),
+    min_size=0, max_size=80,
+    unique_by=lambda r: (r[0], r[1]))
+
+
+@given(_events_strategy, st.sampled_from([7, 50, 160, 1000]))
+@settings(max_examples=60, deadline=None)
+def test_salted_asof_equals_brute_force(evs, bucket_us):
+    from rayse.ops.relational import (_asof_carry_partition,
+                                      _asof_match_partition,
+                                      _asof_stamp_batch,
+                                      _asof_summary_batch)
+
+    rows = [(i, ts, u, ty) for i, (u, ts, ty) in enumerate(evs)]
+    batch = _events_batch(rows)
+    stamped = _asof_stamp_batch(batch, "purchase", "click", bucket_us)
+    summaries = _asof_summary_batch(stamped)
+    carries = _sim_exchange(summaries, ["user_id"], _asof_carry_partition)
+    import pyarrow as pa
+    got = _sim_exchange(pa.concat_tables([stamped, carries]),
+                        ["user_id", "bucket"], _asof_match_partition)
+    got_map = {e: (m, g) for e, m, g in zip(
+        got["event_id"].to_pylist(), got["matched_event_id"].to_pylist(),
+        got["gap_us"].to_pylist())}
+    want = {}
+    for i, ts, u, ty in rows:
+        if ty != "purchase":
+            continue
+        cands = [(ts2, j) for j, ts2, u2, ty2 in rows
+                 if u2 == u and ty2 == "click" and ts2 <= ts]
+        if cands:
+            bts, bj = max(cands)
+            want[i] = (bj, ts - bts)
+    assert got_map == want
+
+
+@given(_events_strategy, st.sampled_from([7, 60, 500]),
+       st.integers(0, 120), st.integers(0, 120))
+@settings(max_examples=60, deadline=None)
+def test_salted_range_equals_brute_force(evs, bucket_us, before, after):
+    from rayse.ops.relational import (_range_match_partition,
+                                      _range_stamp_batch)
+
+    rows = [(i, ts, u, ty) for i, (u, ts, ty) in enumerate(evs)]
+    batch = _events_batch(rows)
+    stamped = _range_stamp_batch(batch, "purchase", "error",
+                                 before, after, bucket_us)
+    got = _sim_exchange(stamped, ["user_id", "bucket"],
+                        _range_match_partition,
+                        before_us=before, after_us=after)
+    got_pairs = sorted(zip(got["event_id"].to_pylist(),
+                           got["matched_event_id"].to_pylist(),
+                           got["delta_us"].to_pylist()))
+    want = sorted(
+        (i, j, ts2 - ts)
+        for i, ts, u, ty in rows if ty == "purchase"
+        for j, ts2, u2, ty2 in rows
+        if u2 == u and ty2 == "error" and ts - before <= ts2 <= ts + after)
+    assert got_pairs == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 500),
+                          st.sampled_from(["a", "b"])),
+                min_size=0, max_size=80),
+       st.sampled_from([5, 40, 300]))
+@settings(max_examples=60, deadline=None)
+def test_trailing_halo_equals_brute_force(evs, window_us):
+    import pyarrow as pa
+
+    from rayse.ops.relational import (_trailing_partition,
+                                      _trailing_rows_batch)
+
+    rows = [(i, ts, ty) for i, (ts, ty) in enumerate(evs)]
+    batch = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    stamped = _trailing_rows_batch(batch, window_us)
+    got = _sim_exchange(stamped, ["thash", "bucket"], _trailing_partition,
+                        window_us=window_us)
+    got_map = dict(zip(got["event_id"].to_pylist(),
+                       got["trailing_count"].to_pylist()))
+    want = {i: sum(1 for j, ts2, ty2 in rows
+                   if ty2 == ty and ts - window_us <= ts2 <= ts)
+            for i, ts, ty in rows}
+    assert got_map == want
