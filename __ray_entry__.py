@@ -779,6 +779,16 @@ def _q_ann_exact_suite(sf_dir: str) -> pa.Table:
     return ann_exact_suite(sf_dir)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition filters (modal-2-gram fraction, duplicate
+    5-gram fraction, token repeat fraction) — pure-integer quantization,
+    DuckDB-oracle-backed (sits below the 50-entry window; pinned at
+    sf0.001 by tests/test_ops.py)."""
+    from rayse.ops.textstats import repetition_stats
+
+    return repetition_stats(sf_dir)
+
+
 def _q_pagerank(sf_dir: str):
     from rayse.ops.graph import pagerank_events
 
@@ -906,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_exact_topk": _q_ann_lsh_exact_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "repetition_stats": _q_repetition_stats,
         "pagerank": _q_pagerank,
         "media_features": _q_media_features,
         "bm25_topk": _q_bm25_topk,
@@ -1112,6 +1123,8 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_span_extents": __import__(
             "rayse.ops.spandedup",
             fromlist=["x"]).duplicate_span_extents_sql(),
+        "repetition_stats": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).repetition_stats_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

@@ -345,6 +345,117 @@ SELECT doc_id,
 FROM documents"""
 
 
+def _per_doc_gram_counts(texts: list, window: int):
+    """Per-document gram-count summaries, vectorized across the batch:
+    (n_occ, n_distinct, max_count) per doc — lexsort by (doc, gram hash),
+    run-length to per-(doc, gram) counts, segment reductions per doc."""
+    buf, g_start, lens, g_cum = gram_slices(texts, window)
+    h = fnv64_slices(buf, g_start, lens)
+    per_doc = np.diff(g_cum)
+    docseg = np.repeat(np.arange(len(texts)), per_doc)
+    order = np.lexsort((h, docseg))
+    hs, ds_ = h[order], docseg[order]
+    new = np.empty(hs.size, dtype=bool)
+    new[0] = True
+    new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, hs.size))         # per (doc, gram)
+    run_doc = ds_[starts]
+    dnew = np.empty(run_doc.size, dtype=bool)
+    dnew[0] = True
+    dnew[1:] = run_doc[1:] != run_doc[:-1]
+    dstarts = np.flatnonzero(dnew)
+    n_dist = np.diff(np.append(dstarts, run_doc.size)).astype(np.int64)
+    mx = np.maximum.reduceat(counts, dstarts).astype(np.int64)
+    # texts always yield >= 1 gram ("" splits to [""]), so every doc has
+    # exactly one segment here
+    return per_doc.astype(np.int64), n_dist, mx
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    Models", table A1 repetition filters — word-level realization): per
+    document,
+
+    - ``top2_frac_q``: fraction of 2-gram occurrences taken by the modal
+      2-gram;
+    - ``dup5_frac_q``: fraction of 5-gram occurrences that are repeats
+      (occurrences - distinct) / occurrences;
+    - ``word_rep_q``: fraction of tokens that are repeats of an earlier
+      token, (n - distinct) / n.
+
+    All three quantized as PURE-INTEGER ``(1e7 * num) // den`` — no floats
+    anywhere, so Ray and SQL agree bit-exactly by construction. Row-local
+    ``map_batches`` (no shuffle); the grams/hash machinery is the shared
+    ``gram_slices``/``fnv64_slices``."""
+    import ray.data as rd
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "top2_frac_q": pa.array([], pa.int64()),
+                "dup5_frac_q": pa.array([], pa.int64()),
+                "word_rep_q": pa.array([], pa.int64())})
+        texts = [(t or "") for t in texts]
+        t2, d2, m2 = _per_doc_gram_counts(texts, 2)
+        t5, d5, _ = _per_doc_gram_counts(texts, 5)
+        tw, dw, _ = _per_doc_gram_counts(texts, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "top2_frac_q": pa.array((10_000_000 * m2) // t2, pa.int64()),
+            "dup5_frac_q": pa.array((10_000_000 * (t5 - d5)) // t5,
+                                    pa.int64()),
+            "word_rep_q": pa.array((10_000_000 * (tw - dw)) // tw,
+                                   pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _gram_agg_cte(name: str, window: int) -> str:
+    """Per-doc (tot, dist, mx) over word ``window``-grams (whole text is
+    the single gram when the doc is shorter than the window, mirroring
+    ``gram_slices``)."""
+    return f"""
+{name}_g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, CAST(u.i AS INTEGER) + 1,
+                                    CAST(u.i AS INTEGER) + {window}), ' ')
+           AS gram
+  FROM w, UNNEST(range(CASE WHEN len(ws) < {window} THEN 1
+                            ELSE len(ws) - {window - 1} END)) u(i)),
+{name}_c AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+  FROM {name}_g GROUP BY 1, 2),
+{name} AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS dist, max(c) AS mx
+  FROM {name}_c GROUP BY doc_id)"""
+
+
+def repetition_stats_sql() -> str:
+    """Oracle for ``repetition_stats`` — identical integer contract
+    ((1e7 * num) // den, BIGINT end to end)."""
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+{_gram_agg_cte('g2', 2)},
+{_gram_agg_cte('g5', 5)},
+{_gram_agg_cte('g1', 1)}
+SELECT g2.doc_id,
+       CAST((10000000 * g2.mx) // g2.tot AS BIGINT) AS top2_frac_q,
+       CAST((10000000 * (g5.tot - g5.dist)) // g5.tot AS BIGINT)
+         AS dup5_frac_q,
+       CAST((10000000 * (g1.tot - g1.dist)) // g1.tot AS BIGINT)
+         AS word_rep_q
+FROM g2 JOIN g5 ON g2.doc_id = g5.doc_id
+JOIN g1 ON g2.doc_id = g1.doc_id"""
+
+
 def _unigram_cf(sf_dir: str):
     """Global (word, cf) counts as a Dataset: per-batch partial Counter
     (vectorized unique) -> partitioned exchange by word hash. At web-scale

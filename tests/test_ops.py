@@ -520,3 +520,46 @@ def test_kmeans_assign_matches_duckdb(ray_session):
         got, want[got.columns].astype(got.dtypes.to_dict()))
     assert set(got["cluster"]) == {0, 1, 2, 3}
     assert (got["dist"] >= 0).all()
+
+
+def test_repetition_stats_matches_duckdb(ray_session):
+    """Gopher-style repetition signals: pure-integer quantization makes
+    the Ray/SQL match exact by construction."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.textstats import repetition_stats, repetition_stats_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = repetition_stats(sf).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = con.execute(repetition_stats_sql()).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 500
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    # signals live in [0, 1e7]
+    for c in ("top2_frac_q", "dup5_frac_q", "word_rep_q"):
+        assert got[c].between(0, 10_000_000).all()
+
+
+def test_repetition_stats_hand_values():
+    """Hand-checked values through the batch function."""
+    import pyarrow as pa
+
+    from rayse.ops.textstats import repetition_stats
+    # exercise the kernel directly via the module helpers
+    from rayse.ops.textstats import _per_doc_gram_counts
+
+    texts = ["a b a b a",      # 2-grams: ab,ba,ab,ba -> modal 2/4
+             "x",              # single token
+             "a a a a"]        # all repeats
+    t2, d2, m2 = _per_doc_gram_counts(texts, 2)
+    assert t2.tolist() == [4, 1, 3]
+    assert m2.tolist() == [2, 1, 3]
+    tw, dw, _ = _per_doc_gram_counts(texts, 1)
+    assert tw.tolist() == [5, 1, 4]
+    assert dw.tolist() == [2, 1, 1]
