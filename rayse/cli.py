@@ -118,6 +118,30 @@ def cmd_spans(args) -> int:
     return 0
 
 
+def cmd_extents(args) -> int:
+    """Length-maximal duplicate spans (ExactSubstr removal units)."""
+    from .ops.spandedup import duplicate_span_extents
+
+    _ray_init()
+    ds = duplicate_span_extents(args.input, window=args.window,
+                                min_count=args.min_count)
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ds.count(), "out": args.out}))
+    return 0
+
+
+def cmd_quality(args) -> int:
+    """Quality/repetition signals over a documents table dir."""
+    from .ops.textstats import repetition_stats, unigram_nll
+
+    _ray_init()
+    ds = repetition_stats(args.input) if args.kind == "repetition" \
+        else unigram_nll(args.input)
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ds.count(), "out": args.out}))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near-duplicate keep-set over a documents table dir."""
     from .ops.dedup import near_dedup_keep
@@ -196,6 +220,24 @@ def main(argv=None) -> int:
                     help="emit per-doc duplicated-span counts instead "
                          "of the span table")
     sp.set_defaults(fn=cmd_spans)
+
+    ex = sub.add_parser("extents",
+                        help="length-maximal duplicate spans "
+                             "(ExactSubstr removal units)")
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--window", type=int, default=4)
+    ex.add_argument("--min-count", dest="min_count", type=int, default=2)
+    ex.set_defaults(fn=cmd_extents)
+
+    ql = sub.add_parser("quality",
+                        help="quality signals: repetition filters or "
+                             "unigram-LM NLL")
+    ql.add_argument("--input", required=True)
+    ql.add_argument("--out", required=True)
+    ql.add_argument("--kind", choices=["repetition", "nll"],
+                    default="repetition")
+    ql.set_defaults(fn=cmd_quality)
 
     dd = sub.add_parser("dedup",
                         help="near-duplicate removal keep-set over a "
