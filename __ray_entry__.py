@@ -795,6 +795,16 @@ def _q_pagerank(sf_dir: str):
     return pagerank_events(sf_dir, variant="ranker1")
 
 
+def _q_pagerank_fixed_sharded(sf_dir: str):
+    """The vertex-count-unbounded PageRank realization (edges spilled
+    once by hash(src), rank rows exchanged per iteration — no
+    vertex-dense driver state); bit-identical to `pagerank_fixed`, same
+    recursive-CTE oracle."""
+    from rayse.ops.graph import pagerank_fixed_sharded_events
+
+    return pagerank_fixed_sharded_events(sf_dir)
+
+
 def _q_pagerank_fixed(sf_dir: str):
     """Fixed-iteration integer fixed-point PageRank — the same streaming
     iteration machinery as `pagerank`, bit-exact under a recursive-CTE
@@ -917,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "repetition_stats": _q_repetition_stats,
+        "pagerank_fixed_sharded": _q_pagerank_fixed_sharded,
         "pagerank": _q_pagerank,
         "media_features": _q_media_features,
         "bm25_topk": _q_bm25_topk,
@@ -1125,6 +1136,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).duplicate_span_extents_sql(),
         "repetition_stats": __import__(
             "rayse.ops.textstats", fromlist=["x"]).repetition_stats_sql(),
+        "pagerank_fixed_sharded": __import__(
+            "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

@@ -201,6 +201,169 @@ def pagerank_fixed_events(sf_dir: str, iters: int = 20):
     return pagerank_fixed(derived_edges(sf_dir), iters=iters)
 
 
+# ---------------------------------------------------------------------------
+# Sharded integer PageRank — the vertex-count-unbounded realization. The
+# variants above broadcast a vertex-dense rank vector and hold it on the
+# driver (fine to ~1e8 vertices; documented bound). Here NO vertex-dense
+# state exists anywhere: edges are spilled ONCE hive-partitioned by
+# hash(src) (with out-degree local to each partition by construction);
+# each iteration exchanges only the (v, r) rank rows by the SAME partition
+# function — rank rows meet their vertices' out-edges co-partitioned, one
+# task per shard computes (dst, contrib) partials, and a second exchange
+# by dst applies the update (zero rows from the vertex table keep
+# in-linkless vertices alive for teleport). All arithmetic is the same
+# int64 floor recursion as ``pagerank_fixed``, and integer sums are
+# order-independent, so the result is BIT-IDENTICAL to the dense variant
+# and the same recursive-CTE oracle applies.
+# ---------------------------------------------------------------------------
+
+def _pr_distinct_v(tbl: pa.Table) -> pa.Table:
+    if tbl.num_rows == 0:
+        return pa.table({"v": pa.array([], pa.int64())})
+    return pa.table({"v": pa.array(
+        np.unique(tbl["v"].to_numpy(zero_copy_only=False)), pa.int64())})
+
+
+def _pr_update(tbl: pa.Table, d_num: int, d_den: int,
+               teleport: int) -> pa.Table:
+    """(dst, contrib) partials + zero rows -> (v, r) next-iteration rank."""
+    if tbl.num_rows == 0:
+        return pa.table({"v": pa.array([], pa.int64()),
+                         "r": pa.array([], pa.int64())})
+    dst = tbl["dst"].to_numpy(zero_copy_only=False)
+    c = tbl["contrib"].to_numpy(zero_copy_only=False)
+    order = np.argsort(dst, kind="stable")
+    d, cs = dst[order], c[order]
+    new = np.empty(d.size, dtype=bool)
+    new[0] = True
+    new[1:] = d[1:] != d[:-1]
+    starts = np.flatnonzero(new)
+    link = np.add.reduceat(cs, starts)
+    return pa.table({
+        "v": pa.array(d[starts], pa.int64()),
+        "r": pa.array(((d_den - d_num) * link) // d_den + teleport,
+                      pa.int64()),
+    })
+
+
+def pagerank_fixed_sharded(edges_ds, iters: int = 20, scale: int = 10**12,
+                           d_num: int = 15, d_den: int = 100,
+                           n_parts: int | None = None,
+                           tmp_root: str = "/tmp"):
+    """Integer PageRank with no vertex-dense state (module comment above);
+    returns a Dataset of (vertex, rank_fp), bit-identical to
+    ``pagerank_fixed``."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    from .exchange import default_parts, exchange_by_key, partition_of
+
+    P = n_parts if n_parts is not None else min(default_parts(), 64)
+    root = os.path.join(tmp_root,
+                        f"rayse_pr_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    edir = os.path.join(root, "edges")
+
+    def stamp_edges(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_part", pa.array(partition_of([src], P), pa.int64()))
+
+    edges_ds.map_batches(stamp_edges, batch_format="pyarrow",
+                         zero_copy_batch=True).write_parquet(
+        edir, partition_cols=["_part"])
+    edge_pids = sorted(int(os.path.basename(p).split("=")[1])
+                       for p in glob.glob(os.path.join(edir, "_part=*")))
+
+    def vrows(b: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array(np.unique(np.concatenate([
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False)])), pa.int64())})
+
+    verts = exchange_by_key(
+        edges_ds.map_batches(vrows, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "v", _pr_distinct_v).materialize()
+    n = verts.count()
+    if n == 0:
+        import ray.data as _rd
+        shutil.rmtree(root, ignore_errors=True)
+        return _rd.from_arrow(pa.table({"vertex": pa.array([], pa.int64()),
+                                        "rank_fp": pa.array([], pa.int64())}))
+    teleport = (d_num * scale) // (d_den * n)
+    r0 = scale // n
+
+    def init_rank(b: pa.Table) -> pa.Table:
+        return pa.table({"v": b["v"], "r": pa.array(
+            np.full(b.num_rows, r0, np.int64), pa.int64())})
+
+    def zero_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"dst": b["v"], "contrib": pa.array(
+            np.zeros(b.num_rows, np.int64), pa.int64())})
+
+    @ray.remote
+    def contrib_shard(pid: int, rdir: str) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        e = pads.dataset(os.path.join(edir, f"_part={pid}")).to_table(
+            columns=["src", "dst"], use_threads=False)
+        rt = pads.dataset(os.path.join(rdir, f"_part={pid}")).to_table(
+            columns=["v", "r"], use_threads=False)
+        v = rt["v"].to_numpy(zero_copy_only=False)
+        r = rt["r"].to_numpy(zero_copy_only=False)
+        o = np.argsort(v)
+        v, r = v[o], r[o]
+        src = e["src"].to_numpy(zero_copy_only=False)
+        dst = e["dst"].to_numpy(zero_copy_only=False)
+        su, sinv, scnt = np.unique(src, return_inverse=True,
+                                   return_counts=True)
+        w = r[np.searchsorted(v, src)] // scnt[sinv]   # od local by part
+        du, dinv = np.unique(dst, return_inverse=True)
+        sums = np.zeros(du.size, dtype=np.int64)
+        np.add.at(sums, dinv, w)
+        return pa.table({"dst": pa.array(du, pa.int64()),
+                         "contrib": pa.array(sums, pa.int64())})
+
+    rank = verts.map_batches(init_rank, batch_format="pyarrow")
+    try:
+        for it in range(iters):
+            rdir = os.path.join(root, f"rank_{it}")
+
+            def stamp_rank(b: pa.Table) -> pa.Table:
+                v = b["v"].to_numpy(zero_copy_only=False)
+                return b.append_column(
+                    "_part", pa.array(partition_of([v], P), pa.int64()))
+
+            rank.map_batches(stamp_rank,
+                             batch_format="pyarrow").write_parquet(
+                rdir, partition_cols=["_part"])
+            refs = [contrib_shard.remote(pid, rdir) for pid in edge_pids]
+            ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            contribs = rd.from_arrow_refs(refs)
+            zeros = verts.map_batches(zero_rows, batch_format="pyarrow")
+            rank = exchange_by_key(
+                contribs.union(zeros), "dst", _pr_update, n_parts=P,
+                tmp_root=tmp_root,
+                proc_kwargs={"d_num": d_num, "d_den": d_den,
+                             "teleport": teleport}).materialize()
+            shutil.rmtree(rdir, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["v"], "rank_fp": b["r"]})
+
+    return rank.map_batches(out, batch_format="pyarrow")
+
+
+def pagerank_fixed_sharded_events(sf_dir: str, iters: int = 20):
+    return pagerank_fixed_sharded(derived_edges(sf_dir), iters=iters)
+
+
 def pagerank_fixed_sql(iters: int = 20, scale: int = 10**12,
                        d_num: int = 15, d_den: int = 100,
                        vertex_space: int = DEMO_VERTEX_SPACE) -> str:

@@ -104,3 +104,23 @@ def test_pagerank_fixed_matches_duckdb(ray_session):
     # conservation bound applies)
     assert 0 < sum(r for _, r in got) <= 10**12
     assert all(r >= 0 for _, r in got)
+
+
+def test_pagerank_fixed_sharded_bit_identical(ray_session):
+    """The vertex-count-unbounded sharded realization (edges spilled once
+    by hash(src), rank rows exchanged per iteration, no vertex-dense
+    driver state) is BIT-IDENTICAL to the dense integer variant — integer
+    floor arithmetic plus order-independent sums leave nothing to drift."""
+    import pandas as pd
+
+    from rayse.ops.graph import (derived_edges, pagerank_fixed,
+                                 pagerank_fixed_sharded)
+
+    sf = "/root/testdata/sf0.001"
+    dense = pagerank_fixed(derived_edges(sf), iters=3).to_pandas()
+    dense = dense.sort_values("vertex").reset_index(drop=True)
+    sharded = pagerank_fixed_sharded(derived_edges(sf), iters=3,
+                                     n_parts=8).to_pandas()
+    sharded = sharded.sort_values("vertex").reset_index(drop=True)
+    assert len(dense) >= 100
+    pd.testing.assert_frame_equal(dense, sharded[dense.columns])
