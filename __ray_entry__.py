@@ -795,6 +795,16 @@ def _q_pagerank(sf_dir: str):
     return pagerank_events(sf_dir, variant="ranker1")
 
 
+def _q_clean_corpus(sf_dir: str):
+    """End-to-end training-corpus cleaning pass (exact dedup ∘ near-dup
+    removal ∘ LM-quality filter ∘ deterministic sample) -> kept doc_ids;
+    every stage reuses a hash-green operator and the composed DuckDB
+    oracle re-derives the same intersection."""
+    from rayse.pipelines.clean_corpus import clean_corpus
+
+    return clean_corpus(sf_dir)
+
+
 def _q_pagerank_fixed_sharded(sf_dir: str):
     """The vertex-count-unbounded PageRank realization (edges spilled
     once by hash(src), rank rows exchanged per iteration — no
@@ -928,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "repetition_stats": _q_repetition_stats,
         "pagerank_fixed_sharded": _q_pagerank_fixed_sharded,
+        "clean_corpus": _q_clean_corpus,
         "pagerank": _q_pagerank,
         "media_features": _q_media_features,
         "bm25_topk": _q_bm25_topk,
@@ -1138,6 +1149,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).repetition_stats_sql(),
         "pagerank_fixed_sharded": __import__(
             "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql(),
+        "clean_corpus": __import__(
+            "rayse.pipelines.clean_corpus",
+            fromlist=["x"]).clean_corpus_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

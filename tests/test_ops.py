@@ -563,3 +563,28 @@ def test_repetition_stats_hand_values():
     tw, dw, _ = _per_doc_gram_counts(texts, 1)
     assert tw.tolist() == [5, 1, 4]
     assert dw.tolist() == [2, 1, 1]
+
+
+def test_clean_corpus_matches_duckdb(ray_session, tmp_path):
+    """The composed cleaning pipeline's keep set equals the composed SQL
+    oracle, every stage binds (drops something), and the optional corpus
+    rewrite contains exactly the kept rows."""
+    import duckdb
+    import pyarrow.dataset as pads
+
+    from rayse.pipelines.clean_corpus import clean_corpus, clean_corpus_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    out = str(tmp_path / "cleaned")
+    kept = clean_corpus(sf, out_dir=out).to_pandas()
+    want = con.execute(clean_corpus_sql()).fetchdf()
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(kept) < n_docs          # the pass binds
+    # rewrite: exactly the kept rows, text intact
+    t = pads.dataset(out).to_table()
+    assert sorted(t["doc_id"].to_pylist()) == sorted(kept["doc_id"])
+    assert t["text"].null_count == 0 and t.num_rows == len(kept)
