@@ -795,6 +795,16 @@ def _q_pagerank(sf_dir: str):
     return pagerank_events(sf_dir, variant="ranker1")
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing (the LLM-pretraining pack):
+    every (document, training-sequence) overlap under fixed-length
+    chunking in doc_id order — distributed prefix-sum, integer-exact
+    DuckDB oracle."""
+    from rayse.ops.packing import pack_sequences
+
+    return pack_sequences(sf_dir)
+
+
 def _q_clean_corpus(sf_dir: str):
     """End-to-end training-corpus cleaning pass (exact dedup ∘ near-dup
     removal ∘ LM-quality filter ∘ deterministic sample) -> kept doc_ids;
@@ -939,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pagerank_fixed_sharded": _q_pagerank_fixed_sharded,
         "clean_corpus": _q_clean_corpus,
+        "pack_sequences": _q_pack_sequences,
         "pagerank": _q_pagerank,
         "media_features": _q_media_features,
         "bm25_topk": _q_bm25_topk,
@@ -1152,6 +1163,8 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": __import__(
             "rayse.pipelines.clean_corpus",
             fromlist=["x"]).clean_corpus_sql(),
+        "pack_sequences": __import__(
+            "rayse.ops.packing", fromlist=["x"]).pack_sequences_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

@@ -588,3 +588,37 @@ def test_clean_corpus_matches_duckdb(ray_session, tmp_path):
     t = pads.dataset(out).to_table()
     assert sorted(t["doc_id"].to_pylist()) == sorted(kept["doc_id"])
     assert t["text"].null_count == 0 and t.num_rows == len(kept)
+
+
+def test_pack_sequences_matches_duckdb(ray_session):
+    """Concat-and-chunk packing vs the window-sum oracle, plus the
+    coverage invariants: every token lands exactly once, every sequence
+    except the last is exactly full."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.packing import pack_sequences, pack_sequences_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    keys = ["doc_id", "seq_id"]
+    # small bucket_size so the scan carry actually chains buckets
+    got = pack_sequences(sf, bucket_size=64).to_pandas().sort_values(keys)
+    got = got.reset_index(drop=True)
+    want = con.execute(pack_sequences_sql()).fetchdf()
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert len(got) > 500
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    # per-doc coverage: offsets partition [0, n_doc)
+    per_doc = got.groupby("doc_id")["n_toks"].sum()
+    n_tok = con.execute(
+        "SELECT doc_id, len(string_split(text, ' ')) FROM documents"
+    ).fetchall()
+    assert dict(per_doc) == {d: n for d, n in n_tok}
+    # per-seq fullness: all but the last sequence hold exactly seq_len
+    per_seq = got.groupby("seq_id")["n_toks"].sum()
+    assert (per_seq.iloc[:-1] == 256).all()
+    assert per_seq.iloc[-1] <= 256
