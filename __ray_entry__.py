@@ -795,6 +795,15 @@ def _q_pagerank(sf_dir: str):
     return pagerank_events(sf_dir, variant="ranker1")
 
 
+def _q_token_quantiles(sf_dir: str):
+    """Exact token-count quantiles via the bounded-domain histogram
+    (groupby over distinct count values, never corpus-order driver
+    state) — mirrors DuckDB's quantile_disc rule exactly."""
+    from rayse.ops.textstats import token_count_quantiles
+
+    return token_count_quantiles(sf_dir)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing (the LLM-pretraining pack):
     every (document, training-sequence) overlap under fixed-length
@@ -950,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_fixed_sharded": _q_pagerank_fixed_sharded,
         "clean_corpus": _q_clean_corpus,
         "pack_sequences": _q_pack_sequences,
+        "token_quantiles": _q_token_quantiles,
         "pagerank": _q_pagerank,
         "media_features": _q_media_features,
         "bm25_topk": _q_bm25_topk,
@@ -1165,6 +1175,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).clean_corpus_sql(),
         "pack_sequences": __import__(
             "rayse.ops.packing", fromlist=["x"]).pack_sequences_sql(),
+        "token_quantiles": __import__(
+            "rayse.ops.textstats",
+            fromlist=["x"]).token_count_quantiles_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

@@ -456,6 +456,60 @@ FROM g2 JOIN g5 ON g2.doc_id = g5.doc_id
 JOIN g1 ON g2.doc_id = g1.doc_id"""
 
 
+_QUANTILES = (0.25, 0.5, 0.75, 0.875)   # exact binary fractions: q*n is
+                                        # computed float-exactly both sides
+
+
+def token_count_quantiles(sf_dir: str, qs: tuple = _QUANTILES):
+    """Exact corpus quantiles of per-document token counts — the
+    bounded-domain-histogram pattern: token counts take few distinct
+    values, so ``groupby(n).count()`` yields a histogram whose size is
+    the DOMAIN size (not the corpus size); the driver folds it into exact
+    discrete quantiles (DuckDB's quantile_disc rule: element at index
+    max(0, ceil(q*n) - 1) of the sorted multiset)."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(batch["text"], " "), 1)
+        return pa.table({"n_tokens": pc.cast(n, pa.int64())})
+
+    hist = (ds.map_batches(counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("n_tokens").count().take_all())   # domain-sized
+    vals = np.array(sorted(r["n_tokens"] for r in hist), dtype=np.int64)
+    cnts = np.array([dict((r["n_tokens"], r["count()"])
+                          for r in hist)[v] for v in vals.tolist()],
+                    dtype=np.int64)
+    cum = np.cumsum(cnts)
+    total = int(cum[-1]) if cum.size else 0
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(0, math.ceil(q * total) - 1)
+        out_q.append(float(q))
+        out_v.append(int(vals[np.searchsorted(cum, idx + 1)]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "n_tokens": pa.array(out_v, pa.int64())})
+
+
+def token_count_quantiles_sql(qs: tuple = _QUANTILES) -> str:
+    # quantile_disc requires a CONSTANT q -> one UNION arm per quantile
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {q!r}::DOUBLE AS q, "
+        f"(SELECT CAST(quantile_disc(n, {q!r}) AS BIGINT) FROM t) "
+        f"AS n_tokens" for q in qs)
+    return f"""
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents)
+{arms}"""
+
+
 def _unigram_cf(sf_dir: str):
     """Global (word, cf) counts as a Dataset: per-batch partial Counter
     (vectorized unique) -> partitioned exchange by word hash. At web-scale

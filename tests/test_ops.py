@@ -622,3 +622,23 @@ def test_pack_sequences_matches_duckdb(ray_session):
     per_seq = got.groupby("seq_id")["n_toks"].sum()
     assert (per_seq.iloc[:-1] == 256).all()
     assert per_seq.iloc[-1] <= 256
+
+
+def test_token_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.textstats import (token_count_quantiles,
+                                     token_count_quantiles_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = token_count_quantiles(sf).to_pandas().sort_values("q")
+    got = got.reset_index(drop=True)
+    want = con.execute(token_count_quantiles_sql()).fetchdf()
+    want = want.sort_values("q").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    assert got["n_tokens"].is_monotonic_increasing
