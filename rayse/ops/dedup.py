@@ -674,32 +674,75 @@ lbl(node, lbl) AS (
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM lbl GROUP BY node"""
 
 
+def _antijoin_partition(tbl: pa.Table) -> pa.Table:
+    """(doc_id, is_drop) marker rows of one partition -> ids with NO drop
+    marker (distributed anti-join reducer)."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    drop = tbl["is_drop"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    s, d = ids[order], drop[order]
+    new = np.empty(s.size, dtype=bool)
+    new[0] = True
+    new[1:] = s[1:] != s[:-1]
+    starts = np.flatnonzero(new)
+    dropped = np.maximum.reduceat(d, starts) > 0
+    return pa.table({"doc_id": pa.array(s[starts][~dropped], pa.int64())})
+
+
 def near_dedup_keep(sf_dir: str, shingle_k: int = 3,
-                    threshold: float = 0.5):
+                    threshold: float = 0.5,
+                    broadcast_limit: int = 2_000_000):
     """THE training-data dedup output: doc_ids surviving near-duplicate
     removal — every doc except non-canonical cluster members (keep-first
-    per connected component). The tiny drop set broadcasts; the keep
-    filter streams over the corpus (never materialized)."""
+    per connected component). Size-routed like the rest of the family:
+    a drop set up to ``broadcast_limit`` broadcasts (sorted array +
+    np.isin, no per-row Python) and the keep filter streams row-local;
+    above it the filter becomes a distributed anti-join — corpus ids and
+    drop markers meet in doc_id-keyed exchange partitions, so the drop
+    set is never SHIPPED per task (the cluster table itself remains a
+    documented driver bound of ``dedup_clusters``)."""
     import ray
     import ray.data as rd
 
     clusters = dedup_clusters(sf_dir, shingle_k, threshold)
-    drop = {int(d) for d, c in zip(clusters["doc_id"].to_pylist(),
-                                   clusters["cluster_id"].to_pylist())
-            if d != c}
-    ref = ray.put(drop)
+    drop_ids = np.asarray(
+        [int(d) for d, c in zip(clusters["doc_id"].to_pylist(),
+                                clusters["cluster_id"].to_pylist())
+         if d != c], dtype=np.int64)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
-    def keep(batch: pa.Table) -> pa.Table:
-        dset = ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((int(i) not in dset for i in ids),
-                           dtype=bool, count=ids.size)
-        return pa.table({"doc_id": pa.array(ids[mask], pa.int64())})
+    if drop_ids.size <= broadcast_limit:
+        ref = ray.put(np.sort(drop_ids))
 
-    return ds.map_batches(keep, batch_format="pyarrow",
-                          zero_copy_batch=True)
+        def keep(batch: pa.Table) -> pa.Table:
+            dset = ray.get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = ~np.isin(ids, dset)
+            return pa.table({"doc_id": pa.array(ids[mask], pa.int64())})
+
+        return ds.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    from .exchange import exchange_by_key
+
+    def corpus_markers(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+            "is_drop": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    drop_tbl = pa.table({
+        "doc_id": pa.array(drop_ids, pa.int64()),
+        "is_drop": pa.array(np.ones(drop_ids.size, np.int8), pa.int8()),
+    })
+    markers = ds.map_batches(corpus_markers, batch_format="pyarrow",
+                             zero_copy_batch=True).union(
+        rd.from_arrow(drop_tbl))
+    return exchange_by_key(markers, "doc_id", _antijoin_partition)
 
 
 def near_dedup_keep_sql(threshold: float = 0.9) -> str:

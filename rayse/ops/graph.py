@@ -36,6 +36,23 @@ import pyarrow as pa
 DEMO_VERTEX_SPACE = 200
 
 
+def _props_k(col) -> np.ndarray:
+    """Vectorized ``$.k`` extraction from the props JSON column: Arrow's
+    extract_regex kernel for the flat top-level-int shape (no per-row
+    Python json.loads in the hot path); rows the regex misses (absent or
+    non-scalar ``k``) fall back to json.loads row-locally."""
+    import pyarrow.compute as pc
+
+    m = pc.extract_regex(col, pattern=r'"k"\s*:\s*(?P<k>-?\d+)')
+    ks = pc.struct_field(m, "k")
+    if ks.null_count == 0:
+        return pc.cast(ks, pa.int64()).to_numpy(zero_copy_only=False)
+    vals = ks.to_pylist()
+    raw = col.to_pylist()
+    return np.array([int(v) if v is not None else json.loads(r)["k"]
+                     for v, r in zip(vals, raw)], dtype=np.int64)
+
+
 def derived_edges(sf_dir: str):
     """Deterministic demo edge table from events: (user_id -> k mod V)."""
     import ray.data as rd
@@ -45,8 +62,7 @@ def derived_edges(sf_dir: str):
 
     def to_edges(batch: pa.Table) -> pa.Table:
         src = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ks = np.array([json.loads(p)["k"] for p in
-                       batch["props"].to_pylist()], dtype=np.int64)
+        ks = _props_k(batch["props"])
         return pa.table({"src": pa.array(src, pa.int64()),
                          "dst": pa.array(ks % DEMO_VERTEX_SPACE, pa.int64())})
 
@@ -402,17 +418,17 @@ FROM pr WHERE iter = {iters} ORDER BY vertex"""
 
 
 def props_extract(sf_dir: str):
-    """JSON scalar extraction over the events props column (vectorized
-    per-batch json parse) — SQL-matched via DuckDB json_extract."""
+    """JSON scalar extraction over the events props column — vectorized
+    via Arrow extract_regex (json.loads only as a per-miss fallback);
+    SQL-matched via DuckDB json_extract."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "props"])
 
     def f(batch: pa.Table) -> pa.Table:
-        ks = np.array([json.loads(p)["k"] for p in
-                       batch["props"].to_pylist()], dtype=np.int64)
         return pa.table({"event_id": batch["event_id"],
-                         "k": pa.array(ks, pa.int64())})
+                         "k": pa.array(_props_k(batch["props"]),
+                                       pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

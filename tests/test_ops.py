@@ -642,3 +642,17 @@ def test_token_quantiles_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got, want[got.columns].astype(got.dtypes.to_dict()))
     assert got["n_tokens"].is_monotonic_increasing
+
+
+def test_near_dedup_keep_antijoin_route_identical(ray_session):
+    """broadcast_limit=0 forces the distributed anti-join route; the keep
+    set is identical to the broadcast route."""
+    from rayse.ops.dedup import near_dedup_keep
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(near_dedup_keep(sf, shingle_k=1, threshold=0.9)
+               .to_pandas()["doc_id"])
+    b = sorted(near_dedup_keep(sf, shingle_k=1, threshold=0.9,
+                               broadcast_limit=0)
+               .to_pandas()["doc_id"])
+    assert a == b and len(a) > 0
