@@ -795,6 +795,16 @@ def _q_pagerank(sf_dir: str):
     return pagerank_events(sf_dir, variant="ranker1")
 
 
+def _q_media_byte_features(sf_dir: str):
+    """Multimodal byte-feature extraction through the actor-pool decode
+    seam, with a HARD oracle (payloads = ascii text bytes; features are
+    pure byte arithmetic) — upgrades the multimodal feature path from
+    rows-only to hash-checked."""
+    from rayse.ops.multimodal import media_byte_features_from_documents
+
+    return media_byte_features_from_documents(sf_dir)
+
+
 def _q_token_quantiles(sf_dir: str):
     """Exact token-count quantiles via the bounded-domain histogram
     (groupby over distinct count values, never corpus-order driver
@@ -960,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean_corpus,
         "pack_sequences": _q_pack_sequences,
         "token_quantiles": _q_token_quantiles,
+        "media_byte_features": _q_media_byte_features,
         "pagerank": _q_pagerank,
         "media_features": _q_media_features,
         "bm25_topk": _q_bm25_topk,
@@ -1178,6 +1189,9 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": __import__(
             "rayse.ops.textstats",
             fromlist=["x"]).token_count_quantiles_sql(),
+        "media_byte_features": __import__(
+            "rayse.ops.multimodal",
+            fromlist=["x"]).media_byte_features_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

@@ -193,6 +193,85 @@ SELECT doc_id AS media_id, frame_idx,
 FROM offs"""
 
 
+class ByteFeatureStage:
+    """Actor-pool stage: payload -> integer byte-level features (size,
+    byte sum, space count, min/max byte). Same decode-seam shape as
+    ``FeatureExtractStage`` (__init__ = once-per-actor setup; here the
+    identity codec), but the features are pure byte arithmetic, so the
+    path carries a HARD oracle instead of a rows-only check. Vectorized:
+    all payloads of a batch concatenate into one uint8 buffer, features
+    come from reduceat over the offsets — no per-payload Python."""
+
+    def __init__(self):
+        self.codec = bytes   # identity decode (the seam)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        lens = np.fromiter((len(p) for p in payloads), np.int64,
+                           len(payloads))
+        buf = np.frombuffer(b"".join(self.codec(p) for p in payloads),
+                            dtype=np.uint8)
+        starts = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        b64 = buf.astype(np.int64)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_bytes": pa.array(lens, pa.int64()),
+            "byte_sum": pa.array(np.add.reduceat(b64, starts), pa.int64()),
+            "n_space": pa.array(np.add.reduceat(
+                (buf == 0x20).astype(np.int64), starts), pa.int64()),
+            "min_byte": pa.array(np.minimum.reduceat(b64, starts),
+                                 pa.int64()),
+            "max_byte": pa.array(np.maximum.reduceat(b64, starts),
+                                 pa.int64()),
+        })
+
+
+def media_byte_features_from_documents(sf_dir: str,
+                                       concurrency: int | None = None):
+    """Byte-feature extraction under a HARD oracle: payloads derived from
+    the ascii ``documents.text`` bytes (the ``media_frames`` recipe), so
+    every feature is expressible as DuckDB character arithmetic."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    if concurrency is None:
+        concurrency = max(1, int(ray.cluster_resources().get("CPU", 2)) - 1)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pc.cast(batch["text"], pa.binary()),
+        })
+
+    media = ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return media.map_batches(ByteFeatureStage, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=64,
+                             concurrency=concurrency)
+
+
+def media_byte_features_sql() -> str:
+    """Oracle for ``media_byte_features_from_documents`` (ascii corpus:
+    one byte per character, pinned by test_vocab_closure)."""
+    return """
+WITH l AS (
+  SELECT doc_id, text,
+         [ascii(c)::BIGINT FOR c IN string_split(text, '')] AS bs
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(list_aggregate(bs, 'sum') AS BIGINT) AS byte_sum,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+         AS n_space,
+       CAST(list_aggregate(bs, 'min') AS BIGINT) AS min_byte,
+       CAST(list_aggregate(bs, 'max') AS BIGINT) AS max_byte
+FROM l"""
+
+
 def media_frames(media_ds, concurrency: int | None = None,
                  n_samples: int = 4):
     if concurrency is None:

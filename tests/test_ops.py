@@ -656,3 +656,25 @@ def test_near_dedup_keep_antijoin_route_identical(ray_session):
                                broadcast_limit=0)
                .to_pandas()["doc_id"])
     assert a == b and len(a) > 0
+
+
+def test_media_byte_features_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.multimodal import (media_byte_features_from_documents,
+                                      media_byte_features_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = media_byte_features_from_documents(sf).to_pandas()
+    got = got.sort_values("media_id").reset_index(drop=True)
+    want = con.execute(media_byte_features_sql()).fetchdf()
+    want = want.sort_values("media_id").reset_index(drop=True)
+    assert len(got) == 500
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    # token count relation: spaces + 1 tokens per doc (word-soup corpus)
+    assert (got["n_bytes"] > 0).all() and (got["min_byte"] >= 32).all()
