@@ -795,6 +795,15 @@ def _q_pagerank(sf_dir: str):
     return pagerank_events(sf_dir, variant="ranker1")
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII scrub (emails/IPs/phones -> placeholder tokens) over documents
+    with deterministic PII injected — RE2 on both sides (Arrow kernels
+    and DuckDB regexp_replace), hash-checked."""
+    from rayse.ops.textstats import redact_pii
+
+    return redact_pii(sf_dir)
+
+
 def _q_media_byte_features(sf_dir: str):
     """Multimodal byte-feature extraction through the actor-pool decode
     seam, with a HARD oracle (payloads = ascii text bytes; features are
@@ -971,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "token_quantiles": _q_token_quantiles,
         "media_byte_features": _q_media_byte_features,
+        "redact_pii": _q_redact_pii,
         "pagerank": _q_pagerank,
         "media_features": _q_media_features,
         "bm25_topk": _q_bm25_topk,
@@ -1192,6 +1202,8 @@ def oracle_sql() -> dict[str, str]:
         "media_byte_features": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_byte_features_sql(),
+        "redact_pii": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).redact_pii_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

@@ -456,6 +456,76 @@ FROM g2 JOIN g5 ON g2.doc_id = g5.doc_id
 JOIN g1 ON g2.doc_id = g1.doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub pass of a training-data cleaning pipeline.
+# Both engines execute the SAME RE2 patterns (pyarrow.compute regex kernels
+# and DuckDB regexp_replace are both RE2), so the oracle is exact without
+# any dialect translation. The synthetic corpus carries no PII, so the
+# driver query injects deterministic PII between the words (the html_clean
+# synthesize-then-process recipe) — a redactor missing any pattern
+# hash-mismatches loudly.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Vectorized PII scrub: chained RE2 replacements via Arrow kernels
+    (no per-row Python)."""
+    col = batch[column]
+    for pat, token in PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pattern=pat,
+                                         replacement=token)
+    return batch.set_column(batch.schema.get_field_index(column),
+                            column, col)
+
+
+def redact_pii(sf_dir: str):
+    """Driver query: deterministic PII injected into each document (email
+    from the first word, an IP from the char length, a phone constant),
+    then the REAL redactor -> (doc_id, redacted)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def synth_and_redact(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        first = pc.list_element(words, 0)
+        lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        octet = pa.array([f" at 10.0.{int(n) % 256}.7 or 555-123-4567"
+                          for n in lens], pa.string())
+        wrapped = pc.binary_join_element_wise(
+            first, pa.array(["@example.com contact "] * batch.num_rows),
+            batch["text"], octet, "")
+        t = pa.table({"doc_id": batch["doc_id"], "text": wrapped})
+        out = redact_pii_batch(t)
+        return pa.table({"doc_id": out["doc_id"],
+                         "redacted": out["text"]})
+
+    return ds.map_batches(synth_and_redact, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def redact_pii_sql() -> str:
+    """Oracle for ``redact_pii``: the same synthesis by string concat and
+    the same RE2 patterns through regexp_replace (DuckDB is RE2 too)."""
+    sql = ("w[1] || '@example.com contact ' || text || ' at 10.0.' || "
+           "CAST(length(text) % 256 AS VARCHAR) || '.7 or 555-123-4567'")
+    for pat, token in PII_PATTERNS:
+        # DuckDB standard string literals pass backslashes through verbatim
+        esc = pat.replace("'", "''")
+        sql = f"regexp_replace({sql}, '{esc}', '{token}', 'g')"
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+           FROM documents)
+SELECT doc_id, {sql} AS redacted FROM t"""
+
+
 _QUANTILES = (0.25, 0.5, 0.75, 0.875)   # exact binary fractions: q*n is
                                         # computed float-exactly both sides
 

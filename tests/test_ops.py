@@ -678,3 +678,42 @@ def test_media_byte_features_matches_duckdb(ray_session):
         got, want[got.columns].astype(got.dtypes.to_dict()))
     # token count relation: spaces + 1 tokens per doc (word-soup corpus)
     assert (got["n_bytes"] > 0).all() and (got["min_byte"] >= 32).all()
+
+
+def test_redact_pii_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.textstats import redact_pii, redact_pii_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = redact_pii(sf).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = con.execute(redact_pii_sql()).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 500
+    pd.testing.assert_frame_equal(got, want[got.columns])
+    # the injected PII really is gone, placeholders really are present
+    assert got["redacted"].str.contains("<EMAIL>").all()
+    assert got["redacted"].str.contains("<IP>").all()
+    assert got["redacted"].str.contains("<PHONE>").all()
+    assert not got["redacted"].str.contains("@example.com").any()
+    assert not got["redacted"].str.contains("555-123-4567").any()
+
+
+def test_redact_pii_batch_unit():
+    import pyarrow as pa
+
+    from rayse.ops.textstats import redact_pii_batch
+
+    t = pa.table({"text": pa.array([
+        "mail a.b+c@x-corp.io now",
+        "server 192.168.001.255 down",
+        "call 555-867-5309 today",
+        "no pii here"])})
+    out = redact_pii_batch(t)["text"].to_pylist()
+    assert out == ["mail <EMAIL> now", "server <IP> down",
+                   "call <PHONE> today", "no pii here"]
