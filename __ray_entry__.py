@@ -795,6 +795,15 @@ def _q_pagerank(sf_dir: str):
     return pagerank_events(sf_dir, variant="ranker1")
 
 
+def _q_mixture_epochs(sf_dir: str):
+    """Fractional-epochs data-mixing plan: deterministic per-doc repeat
+    counts (en x2.5, rest x1) via the splitmix hash — row-local, exact
+    HUGEINT SQL mirror."""
+    from rayse.ops.sampling import mixture_epochs
+
+    return mixture_epochs(sf_dir)
+
+
 def _q_redact_pii(sf_dir: str):
     """PII scrub (emails/IPs/phones -> placeholder tokens) over documents
     with deterministic PII injected — RE2 on both sides (Arrow kernels
@@ -981,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _q_token_quantiles,
         "media_byte_features": _q_media_byte_features,
         "redact_pii": _q_redact_pii,
+        "mixture_epochs": _q_mixture_epochs,
         "pagerank": _q_pagerank,
         "media_features": _q_media_features,
         "bm25_topk": _q_bm25_topk,
@@ -1204,6 +1214,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).media_byte_features_sql(),
         "redact_pii": __import__(
             "rayse.ops.textstats", fromlist=["x"]).redact_pii_sql(),
+        "mixture_epochs": __import__(
+            "rayse.ops.sampling", fromlist=["x"]).mixture_epochs_sql(),
         "ws_bm25_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(),
         "ws_phrase_matches": __import__(

@@ -113,6 +113,71 @@ WHERE {_mix_sql("doc_id")} % 100
       < (CASE {by} {whens} ELSE {other_rate} END)"""
 
 
+# ---------------------------------------------------------------------------
+# Mixture epochs — the UPSAMPLING half of a data-mixing recipe: each
+# stratum trains for a fractional number of epochs (e.g. en x 2.5, rest
+# x 1). Fractional parts are realized deterministically per document with
+# the same splitmix hash: repeats = epochs_pct // 100 plus one more iff
+# mix(doc_id) % 100 < epochs_pct % 100, so exactly pct% of the stratum
+# gets the extra pass and re-runs agree. Row-local, no shuffle.
+# ---------------------------------------------------------------------------
+
+_DEFAULT_EPOCHS_PCT = {"en": 250}     # 2.5 epochs for English
+_DEFAULT_OTHER_EPOCHS_PCT = 100       # 1 epoch otherwise
+
+
+def mixture_epochs_batch(batch: pa.Table, epochs_pct: dict,
+                         other_pct: int, by: str) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    if ids.size and ids.min() < 0:
+        raise ValueError("mixture epochs require non-negative doc_id "
+                         "(SQL-parity precondition)")
+    strata = batch[by].to_pylist()
+    pct = np.fromiter((epochs_pct.get(s, other_pct) for s in strata),
+                      dtype=np.int64, count=len(strata))
+    h = (_mix(ids.astype(np.uint64)) % np.uint64(100)).astype(np.int64)
+    reps = pct // 100 + (h < pct % 100)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        by: batch[by],
+        "n_repeats": pa.array(reps.astype(np.int64), pa.int64()),
+    })
+
+
+def mixture_epochs(sf_dir: str, epochs_pct: dict | None = None,
+                   other_pct: int = _DEFAULT_OTHER_EPOCHS_PCT,
+                   by: str = "lang"):
+    """Per-document repeat counts under a fractional-epochs mixing plan
+    -> (doc_id, lang, n_repeats); docs with 0 repeats are retained as
+    rows (n_repeats = 0) so the plan is auditable."""
+    import ray.data as rd
+
+    epochs_pct = (epochs_pct if epochs_pct is not None
+                  else dict(_DEFAULT_EPOCHS_PCT))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", by])
+    return ds.map_batches(
+        mixture_epochs_batch,
+        fn_kwargs={"epochs_pct": epochs_pct, "other_pct": other_pct,
+                   "by": by},
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_epochs_sql(epochs_pct: dict | None = None,
+                       other_pct: int = _DEFAULT_OTHER_EPOCHS_PCT,
+                       by: str = "lang") -> str:
+    epochs_pct = (epochs_pct if epochs_pct is not None
+                  else dict(_DEFAULT_EPOCHS_PCT))
+    whens = " ".join(f"WHEN '{s}' THEN {p}" for s, p in epochs_pct.items())
+    pct = f"(CASE {by} {whens} ELSE {other_pct} END)"
+    return f"""
+SELECT doc_id, {by},
+       CAST({pct} // 100
+            + (CASE WHEN {_mix_sql("doc_id")} % 100 < {pct} % 100
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+FROM documents"""
+
+
 def _quota_partial(batch: pa.Table, n: int, by: str) -> pa.Table:
     """Per-batch partial: for each stratum, the n smallest (hash, doc_id)
     pairs. min-of-mins is associative, so partials combine exactly."""

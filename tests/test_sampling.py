@@ -92,3 +92,30 @@ def test_quota_sample_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got, want[got.columns].astype(got.dtypes.to_dict()))
     assert (got.groupby("lang").size() == 7).all()
+
+
+def test_mixture_epochs_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.sampling import mixture_epochs, mixture_epochs_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = mixture_epochs(sf).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = con.execute(mixture_epochs_sql()).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 500
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    # semantics: english docs get 2 or 3 passes (2.5 epochs), others 1;
+    # the fractional extra hits a nontrivial subset
+    en = got[got["lang"] == "en"]["n_repeats"]
+    if len(en):
+        assert set(en.unique()) <= {2, 3} and en.mean() > 2
+    other = got[got["lang"] != "en"]["n_repeats"]
+    if len(other):
+        assert (other == 1).all()
