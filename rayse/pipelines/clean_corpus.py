@@ -19,8 +19,9 @@ emits (doc_id, src) marker rows, one partitioned exchange by doc_id
 counts distinct sources per id, and ids present in all four survive. The
 optional corpus rewrite routes document rows and keep markers through a
 second exchange by doc_id (text never reaches the driver) and writes
-hive-partitioned Parquet — one directory per exchange partition, so a
-failed run resumes at the partition level.
+partitioned Parquet (one file per exchange partition — downstream
+consumers can restart per file; mid-run resume itself is the index
+build's manifest protocol, not re-implemented here).
 
 The DuckDB oracle (`clean_corpus_sql`) composes the same four stages'
 oracles as subqueries — any stage drifting from its green sibling

@@ -717,3 +717,78 @@ def test_redact_pii_batch_unit():
     out = redact_pii_batch(t)["text"].to_pylist()
     assert out == ["mail <EMAIL> now", "server <IP> down",
                    "call <PHONE> today", "no pii here"]
+
+
+# -- property tests: packing and repetition kernels vs brute force ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.integers(1, 40), min_size=1, max_size=60),
+       st.sampled_from([3, 16, 64]),
+       st.sampled_from([1, 4, 1000]))
+@settings(max_examples=60, deadline=None)
+def test_pack_partition_equals_brute_force(tok_counts, seq_len,
+                                           bucket_size):
+    """The pack kernel (per-bucket cumsum + carry + overlap expansion),
+    driven through a simulated exchange, equals brute-force
+    concat-and-chunk for any token counts / seq_len / bucket width."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayse.ops.exchange import partition_of
+    from rayse.ops.packing import _pack_partition
+
+    ids = np.arange(len(tok_counts), dtype=np.int64) * 7   # sparse ids
+    buckets = ids // bucket_size
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "bucket": pa.array(buckets, pa.int64()),
+                    "n": pa.array(tok_counts, pa.int64())})
+    # scan carry as pack_sequences computes it
+    totals = {}
+    for b, n in zip(buckets.tolist(), tok_counts):
+        totals[b] = totals.get(b, 0) + n
+    carries, run = {}, 0
+    for b in sorted(totals):
+        carries[b] = run
+        run += totals[b]
+    parts = partition_of([buckets], 4)
+    got = []
+    for p in np.unique(parts):
+        sub = tbl.take(np.flatnonzero(parts == p))
+        t = _pack_partition(sub, seq_len, carries)
+        got.extend(zip(*[t[c].to_pylist() for c in
+                         ("doc_id", "seq_id", "doc_off", "seq_off",
+                          "n_toks")]))
+    # brute force: global concat in doc_id order
+    want, start = [], 0
+    for d, n in zip(ids.tolist(), tok_counts):
+        for k in range(start // seq_len, (start + n - 1) // seq_len + 1):
+            lo = max(start, k * seq_len)
+            hi = min(start + n, (k + 1) * seq_len)
+            want.append((d, k, lo - start, lo - k * seq_len, hi - lo))
+        start += n
+    assert sorted(got) == sorted(want)
+
+
+@given(st.lists(st.lists(st.sampled_from("ab"), min_size=1, max_size=12)
+                .map(lambda ws: " ".join(ws)),
+                min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_per_doc_gram_counts_equal_brute_force(texts):
+    from collections import Counter
+
+    from rayse.ops.textstats import _per_doc_gram_counts
+
+    for window in (1, 2, 5):
+        tot, dist, mx = _per_doc_gram_counts(texts, window)
+        for i, t in enumerate(texts):
+            ws = t.split(" ")
+            grams = ([" ".join(ws)] if len(ws) < window else
+                     [" ".join(ws[j:j + window])
+                      for j in range(len(ws) - window + 1)])
+            c = Counter(grams)
+            assert tot[i] == len(grams)
+            assert dist[i] == len(c)
+            assert mx[i] == max(c.values())
