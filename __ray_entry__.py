@@ -761,7 +761,7 @@ def _q_porter_rank_matrix(sf_dir: str) -> pa.Table:
     """EVERY ranked retrieval mode of the real Porter engine (exhaustive
     BM25 / WAND / actor-pool cluster / role filter / role boost / boolean
     / conjunctive / conjunctive+role / phrase+role / capped / paged /
-    complex / fallback ladder) as one variant-tagged table — 13 paths
+    complex / fallback ladder / prefix-wildcard) as one variant-tagged table — 14 paths
     DuckDB hash-matched in one driver window slot. The individual entries
     remain below the 50-query window for direct use and are each pinned
     at sf0.001 by tests/test_porter_oracle.py."""
@@ -777,6 +777,142 @@ def _q_ann_exact_suite(sf_dir: str) -> pa.Table:
     from rayse.ops.similarity import ann_exact_suite
 
     return ann_exact_suite(sf_dir)
+
+
+def _as_table(x) -> pa.Table:
+    """Output-sized result -> pa.Table (Datasets gathered via arrow refs;
+    used ONLY by the suite wrappers whose arms are already bounded)."""
+    import ray
+    import ray.data as rd
+
+    if isinstance(x, rd.Dataset):
+        refs = x.to_arrow_refs()
+        parts = [t for t in ray.get(refs) if t.num_rows] or ray.get(refs)[:1]
+        return pa.concat_tables(parts, promote_options="default")
+    return x
+
+
+def _tagged_union(parts: list[tuple[str, pa.Table]]) -> pa.Table:
+    """Variant-tagged UNION ALL of same-schema arms (the window-slot
+    compression pattern shared by every *_suite entry)."""
+    out = []
+    for variant, t in parts:
+        t = _as_table(t)
+        out.append(t.add_column(0, "variant", pa.array(
+            [variant] * t.num_rows, pa.string())))
+    return pa.concat_tables(out)
+
+
+def _tagged_union_sql(arms: list[tuple[str, str, str]]) -> str:
+    """Oracle side of ``_tagged_union``: (variant, cols, sql) arms, each
+    arm's full WITH-scoped oracle evaluated in its own subquery."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{v}' AS variant, {cols}\nFROM (\n{sql}\n)"
+        for v, cols, sql in arms)
+
+
+def _q_lm_nll_suite(sf_dir: str) -> pa.Table:
+    """Both LM quality scorers — unigram (p(w) = cf/total) and bigram
+    (p(w_i | w_{i-1}) = cf2/cf1) mean NLL — tagged under one window
+    slot; each integer-exact and DuckDB hash-matched. Individual entries
+    remain below the window; each pytest-pinned (both routing paths)."""
+    from rayse.ops.textstats import bigram_nll, unigram_nll
+
+    uni = _as_table(unigram_nll(sf_dir))
+    bi = _as_table(bigram_nll(sf_dir))
+    return _tagged_union([
+        ("unigram", uni),
+        ("bigram", bi.rename_columns(["doc_id", "nll_q"]))])
+
+
+def _q_bigram_nll(sf_dir: str):
+    """Bigram-LM quality score (conditional-probability extension of
+    ``unigram_nll``): per-doc mean NLL of token bigrams under
+    p(w_i | w_{i-1}) = cf2/cf1 — integer-exact quantization, exchange-
+    aggregated counts, exchange-joined q-map; DuckDB hash-matched."""
+    from rayse.ops.textstats import bigram_nll
+
+    return bigram_nll(sf_dir)
+
+
+def _q_porter_prefix_topk(sf_dir: str) -> pa.Table:
+    """Prefix (wildcard) retrieval: dictionary range scan per part +
+    BM25 union over the expansion — DuckDB hash-matched (LIKE 'pre%'
+    against the distinct stemmed terms). Also a ``porter_rank_matrix``
+    arm inside the driver window."""
+    from rayse.ops.porter_oracle import porter_prefix_topk
+
+    return porter_prefix_topk(_index_for(sf_dir))
+
+
+def _q_semdedup_keep(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): integer k-means clustering of the
+    embedding space + within-cluster cosine dedup with deterministic
+    smallest-vec_id canonical keep — kept (vec_id, cluster), DuckDB
+    hash-matched (unrolled-Lloyd assignment CTE + thresholded
+    same-cluster self-join)."""
+    from rayse.ops.similarity import semdedup_keep
+
+    return semdedup_keep(sf_dir)
+
+
+def _q_ws_rank_matrix(sf_dir: str) -> pa.Table:
+    """Every ranked retrieval mode of the whitespace-index pipeline (BM25
+    / role-scoped / boolean / fallback ladder / proximity boost) as one
+    variant-tagged table — 5 paths DuckDB hash-matched in one window
+    slot. Individual entries remain below the window; each pinned at
+    sf0.001 by tests/test_ws_search.py."""
+    from rayse.ops.ws_search import ws_rank_matrix
+
+    return ws_rank_matrix(_ws_index_for(sf_dir))
+
+
+def _q_phrase_matches_suite(sf_dir: str) -> pa.Table:
+    """J6 positional phrase verification through BOTH analyzer pipelines
+    (Porter flagship + whitespace), tagged — one window slot."""
+    from rayse.ops.porter_oracle import porter_phrase_matches
+    from rayse.ops.ws_search import ws_phrase_matches
+
+    return _tagged_union([
+        ("porter", porter_phrase_matches(_index_for(sf_dir))),
+        ("ws", ws_phrase_matches(_ws_index_for(sf_dir)))])
+
+
+def _q_term_stats_suite(sf_dir: str) -> pa.Table:
+    """A1-A3 global term dictionary from BOTH indexes (stemmed Porter +
+    whitespace), tagged — one window slot."""
+    from rayse.ops.porter_oracle import porter_term_stats
+    from rayse.ops.ws_search import ws_term_stats
+
+    return _tagged_union([
+        ("porter", porter_term_stats(_index_for(sf_dir))),
+        ("ws", ws_term_stats(_ws_index_for(sf_dir)))])
+
+
+def _q_sampling_suite(sf_dir: str) -> pa.Table:
+    """The three deterministic sampling machineries (uniform splitmix
+    rate / per-stratum rates / exact per-stratum quota), tagged — one
+    window slot; outputs are sample-sized so the gather is bounded."""
+    from rayse.ops.sampling import (hash_sample, quota_sample,
+                                    stratified_sample)
+
+    return _tagged_union([
+        ("hash", hash_sample(sf_dir)),
+        ("stratified", stratified_sample(sf_dir)),
+        ("quota", quota_sample(sf_dir))])
+
+
+def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
+    """Integer fixed-point PageRank through BOTH realizations — the
+    broadcast-rank-vector variant and the vertex-count-unbounded sharded
+    exchange variant (bit-identical by integer-sum order independence) —
+    tagged under the same recursive-CTE oracle; one window slot."""
+    from rayse.ops.graph import (pagerank_fixed_events,
+                                 pagerank_fixed_sharded_events)
+
+    return _tagged_union([
+        ("dense", pagerank_fixed_events(sf_dir)),
+        ("sharded", pagerank_fixed_sharded_events(sf_dir))])
 
 
 def _q_repetition_stats(sf_dir: str):
@@ -897,11 +1033,15 @@ def _q_trailing_window(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window covers every
-    DISTINCT oracle-backed machinery exactly once. Ranked Porter variants
-    sharing one output shape are hash-checked through the single
-    ``porter_rank_matrix`` entry (13 engine paths); the three exact ANN
-    paths through ``ann_exact_suite``. The individual variants stay below
-    the window (still runnable, still pytest-pinned at sf0.001)."""
+    DISTINCT oracle-backed machinery exactly once. Same-shape variant
+    families are hash-checked through single variant-tagged suite
+    entries: ``porter_rank_matrix`` (14 ranked Porter engine paths),
+    ``ws_rank_matrix`` (5 ranked whitespace-index paths),
+    ``ann_exact_suite`` (3 exact ANN paths), ``phrase_matches_suite`` /
+    ``term_stats_suite`` (both analyzers), ``sampling_suite`` (3
+    sampling machineries), ``pagerank_fixed_suite`` (dense + sharded
+    realizations). The individual variants stay below the window (still
+    runnable, still pytest-pinned at sf0.001)."""
     return {
         # ---- driver correctness window (first 50 entries) ----
         # training-data ops over documents (SQL hash-checked)
@@ -927,13 +1067,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the flagship Porter path: every ranked mode in one tagged entry,
         # plus the non-rank-shaped Porter oracles
         "porter_rank_matrix": _q_porter_rank_matrix,
-        "porter_phrase_matches": _q_porter_phrase_matches,
-        "porter_term_stats": _q_porter_term_stats,
         "porter_hydrated_topk": _q_porter_hydrated_topk,
         "porter_snippet_topk": _q_porter_snippet_topk,
         "porter_suggest_queries": _q_porter_suggest_queries,
         "porter_mmr_topk": _q_porter_mmr_topk,
-        # ranked retrieval through the whitespace-analyzer index pipeline
+        # both-analyzer suites: ranked ws modes, phrase, term dictionary
+        "ws_rank_matrix": _q_ws_rank_matrix,
+        "phrase_matches_suite": _q_phrase_matches_suite,
+        "term_stats_suite": _q_term_stats_suite,
+        # cleaning / sampling / joins / clustering / graph
+        "html_clean": _q_html_clean,
+        "duplicate_spans": _q_duplicate_spans,
+        "span_dedup_docs": _q_span_dedup_docs,
+        "duplicate_span_extents": _q_duplicate_span_extents,
+        "sampling_suite": _q_sampling_suite,
+        "mixture_epochs": _q_mixture_epochs,
+        "lm_nll_suite": _q_lm_nll_suite,
+        "contamination": _q_contamination,
+        "kmeans_assign": _q_kmeans_assign,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "format_texts": _q_format_texts,
+        "pagerank_fixed_suite": _q_pagerank_fixed_suite,
+        "props_extract": _q_props_extract,
+        # round-4 training-data ops (Gopher filters, packing, quantiles,
+        # PII, corpus cleaning, multimodal byte features)
+        "repetition_stats": _q_repetition_stats,
+        "clean_corpus": _q_clean_corpus,
+        "pack_sequences": _q_pack_sequences,
+        "token_quantiles": _q_token_quantiles,
+        "media_byte_features": _q_media_byte_features,
+        "redact_pii": _q_redact_pii,
+        # relational breadth (wide aggregate, broadcast join, window)
+        "pricing_summary": _q_pricing_summary,
+        "top_customer_revenue": _q_top_customer_revenue,
+        "trailing_window": _q_trailing_window,
+        "semdedup_keep": _q_semdedup_keep,
+        # ---- end of the driver's 50-entry window ----
+        "unigram_nll": _q_unigram_nll,
+        "bigram_nll": _q_bigram_nll,
+        "porter_bm25_topk": _q_porter_bm25_topk,
+        # ---- below the window: individual variants of the suites above
+        # (each pytest-pinned at sf0.001), approximate-ANN recall paths,
+        # and legacy rows-only entries superseded by hash-green siblings.
+        "porter_phrase_matches": _q_porter_phrase_matches,
+        "porter_term_stats": _q_porter_term_stats,
         "ws_bm25_topk": _q_ws_bm25_topk,
         "ws_phrase_matches": _q_ws_phrase_matches,
         "ws_term_stats": _q_ws_term_stats,
@@ -941,31 +1119,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ws_fallback_topk": _q_ws_fallback_topk,
         "ws_proximity_topk": _q_ws_proximity_topk,
         "ws_role_topk": _q_ws_role_topk,
-        # cleaning / sampling / joins / clustering / graph
-        "html_clean": _q_html_clean,
-        "duplicate_spans": _q_duplicate_spans,
-        "span_dedup_docs": _q_span_dedup_docs,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "quota_sample": _q_quota_sample,
-        "unigram_nll": _q_unigram_nll,
-        "contamination": _q_contamination,
-        "kmeans_assign": _q_kmeans_assign,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "format_texts": _q_format_texts,
         "pagerank_fixed": _q_pagerank_fixed,
-        "props_extract": _q_props_extract,
-        # relational breadth (wide aggregate, broadcast join, window)
-        "pricing_summary": _q_pricing_summary,
-        "top_customer_revenue": _q_top_customer_revenue,
-        "trailing_window": _q_trailing_window,
-        "duplicate_span_extents": _q_duplicate_span_extents,
-        # ---- end of the driver's 50-entry window ----
-        "porter_bm25_topk": _q_porter_bm25_topk,
-        # ---- below the window: individual variants of the suites above
-        # (each pytest-pinned at sf0.001), approximate-ANN recall paths,
-        # and legacy rows-only entries superseded by hash-green siblings.
+        "porter_prefix_topk": _q_porter_prefix_topk,
         "porter_wand_topk": _q_porter_wand_topk,
         "porter_cluster_topk": _q_porter_cluster_topk,
         "porter_role_topk": _q_porter_role_topk,
@@ -983,14 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_exact_topk": _q_ann_lsh_exact_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        "repetition_stats": _q_repetition_stats,
         "pagerank_fixed_sharded": _q_pagerank_fixed_sharded,
-        "clean_corpus": _q_clean_corpus,
-        "pack_sequences": _q_pack_sequences,
-        "token_quantiles": _q_token_quantiles,
-        "media_byte_features": _q_media_byte_features,
-        "redact_pii": _q_redact_pii,
-        "mixture_epochs": _q_mixture_epochs,
         "pagerank": _q_pagerank,
         "media_features": _q_media_features,
         "bm25_topk": _q_bm25_topk,
@@ -1170,6 +1321,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_capped_sql(),
         "porter_paged_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_paged_sql(),
+        "porter_prefix_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_prefix_sql(),
         "html_clean": __import__(
             "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
         "duplicate_spans": __import__(
@@ -1180,8 +1333,17 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).format_texts_sql(),
         "unigram_nll": __import__(
             "rayse.ops.textstats", fromlist=["x"]).unigram_nll_sql(),
+        "bigram_nll": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).bigram_nll_sql(),
+        "lm_nll_suite": _tagged_union_sql([
+            ("unigram", "doc_id, nll_q", __import__(
+                "rayse.ops.textstats", fromlist=["x"]).unigram_nll_sql()),
+            ("bigram", "doc_id, nll2_q AS nll_q", __import__(
+                "rayse.ops.textstats", fromlist=["x"]).bigram_nll_sql())]),
         "kmeans_assign": __import__(
             "rayse.ops.similarity", fromlist=["x"]).kmeans_assign_sql(),
+        "semdedup_keep": __import__(
+            "rayse.ops.similarity", fromlist=["x"]).semdedup_keep_sql(),
         "asof_join": __import__(
             "rayse.ops.relational", fromlist=["x"]).asof_join_events_sql(),
         "range_join": __import__(
@@ -1231,6 +1393,33 @@ def oracle_sql() -> dict[str, str]:
         "ws_role_topk": __import__(
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(
                 assistant_only=True),
+        "ws_rank_matrix": __import__(
+            "rayse.ops.ws_search", fromlist=["x"]).ws_rank_matrix_sql(),
+        "phrase_matches_suite": _tagged_union_sql([
+            ("porter", "phrase, conv_id, turn_idx", __import__(
+                "rayse.ops.porter_oracle",
+                fromlist=["x"]).porter_phrase_sql()),
+            ("ws", "phrase, conv_id, turn_idx", __import__(
+                "rayse.ops.ws_search", fromlist=["x"]).ws_phrase_sql())]),
+        "term_stats_suite": _tagged_union_sql([
+            ("porter", "term, df, cf", __import__(
+                "rayse.ops.porter_oracle",
+                fromlist=["x"]).porter_term_stats_sql()),
+            ("ws", "term, df, cf", __import__(
+                "rayse.ops.ws_search", fromlist=["x"]).ws_term_stats_sql())]),
+        "sampling_suite": _tagged_union_sql([
+            ("hash", "doc_id, lang", __import__(
+                "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),
+            ("stratified", "doc_id, lang", __import__(
+                "rayse.ops.sampling",
+                fromlist=["x"]).stratified_sample_sql()),
+            ("quota", "doc_id, lang", __import__(
+                "rayse.ops.sampling", fromlist=["x"]).quota_sample_sql())]),
+        "pagerank_fixed_suite": _tagged_union_sql([
+            ("dense", "vertex, rank_fp", __import__(
+                "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql()),
+            ("sharded", "vertex, rank_fp", __import__(
+                "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql())]),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS qe FROM embeddings

@@ -80,6 +80,16 @@ class PartReader:
     def terms(self) -> list[str]:
         return list(self._rows.keys())
 
+    def sorted_terms(self) -> np.ndarray:
+        """The part's term dictionary as a sorted array (segment rows are
+        (term, salt)-sorted, so ``_rows`` insertion order IS sorted
+        order); memoized — the range-scan side of prefix queries."""
+        st = getattr(self, "_sorted_terms", None)
+        if st is None:
+            st = np.array(list(self._rows.keys()), dtype=object)
+            self._sorted_terms = st
+        return st
+
 
 class IndexReader:
     """All parts of one index, plus corpus stats. Single-process view.
@@ -187,3 +197,17 @@ class IndexReader:
         for p in self.parts:
             out.update(p.terms())
         return out
+
+    def terms_with_prefix(self, prefix: str) -> list[str]:
+        """Sorted distinct index terms starting with ``prefix`` — a
+        binary range scan ([prefix, prefix+U+FFFF)) over each part's
+        sorted dictionary, NOT a full-vocabulary filter: per-part cost is
+        O(log |dict| + matches)."""
+        hi_key = prefix + "￿"
+        out: set[str] = set()
+        for p in self.parts:
+            arr = p.sorted_terms()
+            lo = int(np.searchsorted(arr, prefix))
+            hi = int(np.searchsorted(arr, hi_key))
+            out.update(arr[lo:hi].tolist())
+        return sorted(out)

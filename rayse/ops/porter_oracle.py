@@ -1306,7 +1306,7 @@ def porter_capped_topk(index_dir: str, queries: list[str] | None = None,
 # ---------------------------------------------------------------------------
 # The rank matrix: every ranked retrieval variant above, unioned under one
 # driver entry. The driver's correctness gate checks only the first 50
-# queries() entries; the 13 ranked Porter variants share one output shape
+# queries() entries; the 14 ranked Porter variants share one output shape
 # (query, rank, conv_id, turn_idx, score_q [, tier]), so a single tagged
 # UNION keeps each variant hash-checked while spending one window slot.
 # The individual entries remain in queries() (after the window) for direct
@@ -1341,6 +1341,8 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_complex_sql(k=k)),
         ("fallback", lambda: porter_fallback_topk(d, k=k),
          porter_fallback_sql(k=k)),
+        ("prefix", lambda: porter_prefix_topk(d, k=k),
+         porter_prefix_sql(k=k)),
     ]
 
 
@@ -1409,6 +1411,78 @@ scored AS (
   JOIN dl ON e.conv_id = dl.conv_id AND e.turn_idx = dl.turn_idx
   CROSS JOIN stats s
   WHERE e.pord <= {cap}
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Prefix (wildcard) retrieval: `pre*` expands against the index's sorted
+# term dictionary (binary range scan per part — IndexReader.
+# terms_with_prefix) and the expansion set is scored as a standard BM25
+# union. The reference has no wildcard operator; this is engine breadth
+# for the dictionary machinery, SQL-expressible as a LIKE 'pre%' join
+# against the distinct-term CTE.
+# ---------------------------------------------------------------------------
+
+# 'ta' -> {tabl}; 's' -> {scan, slow, small, sort, spark, stream, ...}
+# (a wide expansion); 'val' -> {valu}; 'gro' -> {group}; 'zz' -> {} (an
+# empty expansion must yield zero rows on both sides).
+PORTER_PREFIXES = ["ta", "s", "val", "gro", "zz"]
+
+
+def porter_prefix_topk(index_dir: str, prefixes: list[str] | None = None,
+                       k: int = 10) -> pa.Table:
+    """Ranked wildcard retrieval: each prefix expands to its dictionary
+    range and the expansion is scored as one disjunctive BM25 query,
+    quantized ranking with (conv_id, turn_idx) tie-breaks."""
+    from ..query.engine import SearchEngine
+
+    prefixes = prefixes if prefixes is not None else PORTER_PREFIXES
+    reader, _ = _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+
+    def _search(q: str, kk: int):
+        terms = eng.reader.terms_with_prefix(q)
+        if not terms:
+            return (np.array([], dtype=np.uint64),
+                    np.array([], dtype=np.float64))
+        return eng.regular(terms, kk)
+
+    return _quantized_search_rows(_search, index_dir, prefixes, k)
+
+
+def porter_prefix_sql(prefixes: list[str] | None = None,
+                      k: int = 10) -> str:
+    """Oracle for ``porter_prefix_topk``: (prefix, term) eligibility via
+    LIKE 'prefix%' against the distinct stemmed terms, then the standard
+    BM25 sum + quantized ranking."""
+    prefixes = prefixes if prefixes is not None else PORTER_PREFIXES
+    vals = ", ".join(f"('{p}')" for p in prefixes)
+    return f"""{_analysis_ctes()},
+pfx(query) AS (VALUES {vals}),
+qt AS (
+  SELECT p.query, d.term FROM pfx p
+  JOIN (SELECT DISTINCT term FROM df) d
+    ON d.term LIKE p.query || '%'),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
   GROUP BY 1, 2, 3),
 quant AS (
   SELECT query, conv_id, turn_idx,

@@ -369,24 +369,22 @@ def _km_quantize(mat: np.ndarray) -> np.ndarray:
     return np.floor(mat.astype(np.float64) * _KM_SCALE).astype(np.int64)
 
 
-def kmeans_assign(sf_dir: str, k: int = 4, iters: int = 2):
-    """Fixed-iteration integer k-means over the embeddings table ->
-    (vec_id, cluster, dist): ``iters`` Lloyd rounds from deterministic
-    seeds (the k smallest vec_ids), then a final assignment. Per round:
-    centroids broadcast, per-batch partial (cluster, dim)-sums stream
-    back (K x dim ints of driver state — constant in corpus size), means
-    by truncating division. Ties break to the smaller cluster id."""
+def _km_assign_rows(X: np.ndarray, C: np.ndarray) -> tuple:
+    """Argmin-distance cluster per row; ties break to the smaller k
+    (np.argmin returns the first minimum)."""
+    diff = X[:, None, :] - C[None, :, :]
+    dists = np.einsum("nkd,nkd->nk", diff, diff)
+    a = np.argmin(dists, axis=1)
+    return a, dists[np.arange(X.shape[0]), a]
+
+
+def _kmeans_centroids(ds, sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """``iters`` Lloyd rounds of the integer k-means from deterministic
+    seeds (the k smallest vec_ids) -> final K x dim int64 centroids.
+    Per round: centroids broadcast, per-batch partial (cluster, dim)-sums
+    stream back (K x dim ints of driver state — constant in corpus size),
+    means by truncating division."""
     import ray
-    import ray.data as rd
-
-    def _assign(X: np.ndarray, C: np.ndarray) -> tuple:
-        diff = X[:, None, :] - C[None, :, :]
-        dists = np.einsum("nkd,nkd->nk", diff, diff)
-        a = np.argmin(dists, axis=1)              # first min = smaller k
-        return a, dists[np.arange(X.shape[0]), a]
-
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
 
     # deterministic seeds: the k smallest vec_ids, quantized — key-column
     # scan + filtered read of exactly k rows (never the full embedding
@@ -400,7 +398,7 @@ def kmeans_assign(sf_dir: str, k: int = 4, iters: int = 2):
         def partials(batch: pa.Table) -> pa.Table:
             Cb = ray.get(ref)
             X = _km_quantize(_mat_from_list(batch["embedding"]))
-            a, _ = _assign(X, Cb)
+            a, _ = _km_assign_rows(X, Cb)
             ks, inv = np.unique(a, return_inverse=True)
             sums = np.zeros((ks.size, X.shape[1]), dtype=np.int64)
             np.add.at(sums, inv, X)
@@ -422,13 +420,25 @@ def kmeans_assign(sf_dir: str, k: int = 4, iters: int = 2):
         dd = g["d"].to_numpy()
         newC[kk, dd] = _trunc_div(g["s"].to_numpy(), g["c"].to_numpy())
         C = newC
+    return C
 
-    ref = ray.put(C)
+
+def kmeans_assign(sf_dir: str, k: int = 4, iters: int = 2):
+    """Fixed-iteration integer k-means over the embeddings table ->
+    (vec_id, cluster, dist): ``iters`` Lloyd rounds (see
+    ``_kmeans_centroids``), then a final assignment pass. Ties break to
+    the smaller cluster id."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ref = ray.put(_kmeans_centroids(ds, sf_dir, k, iters))
 
     def final(batch: pa.Table) -> pa.Table:
         Cb = ray.get(ref)
         X = _km_quantize(_mat_from_list(batch["embedding"]))
-        a, dist = _assign(X, Cb)
+        a, dist = _km_assign_rows(X, Cb)
         return pa.table({
             "vec_id": batch["vec_id"],
             "cluster": pa.array(a.astype(np.int32), pa.int32()),
@@ -484,3 +494,104 @@ FROM (SELECT vec_id, k, dist,
                                 ORDER BY dist, k) AS rn
       FROM df) WHERE rn = 1""")
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication =
+# k-means cluster the embedding space, then pairwise-cosine dedup WITHIN
+# each cluster only. The paper keeps the member farthest from the
+# centroid; here the kept representative is the smallest vec_id (a
+# deterministic canonical-keep, so re-runs and the SQL oracle agree
+# bit-for-bit). Removal rule: drop v iff some u < v in v's cluster has
+# cos(u, v) >= threshold — evaluated against ALL original members, not
+# survivors, matching the self-join oracle exactly.
+# ---------------------------------------------------------------------------
+
+def _semdedup_part(tbl: pa.Table, threshold: float) -> pa.Table:
+    """Whole-partition reducer: every cluster of this partition arrives
+    complete; per cluster, one normalized Gram matrix and a strict-upper-
+    triangle threshold test in vec_id order."""
+    if tbl.num_rows == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int32())})
+    ids = _ids_from(tbl["vec_id"])
+    cl = tbl["cluster"].to_numpy(zero_copy_only=False)
+    M = _mat_from_list(tbl["embedding"])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.lexsort((ids, cl))        # cluster-major, vec_id ascending
+    ids, cl, M = ids[order], cl[order], M[order]
+    new = np.empty(ids.size, dtype=bool)
+    new[0] = True
+    new[1:] = cl[1:] != cl[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], ids.size)
+    keep = np.ones(ids.size, dtype=bool)
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        n = e - s
+        if n < 2:
+            continue
+        S = M[s:e] @ M[s:e].T            # cluster-sized working set
+        hit = (S >= threshold) & np.tri(n, n, -1, dtype=bool).T
+        keep[s:e] = ~hit.any(axis=0)     # v dropped iff any u < v hits
+    return pa.table({"vec_id": pa.array(ids[keep], pa.int64()),
+                     "cluster": pa.array(cl[keep], pa.int32())})
+
+
+def semdedup_keep(sf_dir: str, k: int = 4, iters: int = 2,
+                  threshold: float = 0.4):
+    """SemDeDup -> kept (vec_id, cluster).
+
+    Scale shape: cluster assignment is the integer k-means above
+    (broadcast K x dim centroids, streaming batches — no driver-side
+    corpus state); the dedup itself is ONE exchange keyed by cluster id,
+    each task computing pairwise cosine for its clusters only. Cost is
+    O(|c|^2) per cluster — SemDeDup's own partitioning assumption (k is
+    sized so clusters stay small; a pathological giant cluster should be
+    LSH-split first, as in ``_embedding_lsh_pairs``)."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ref = ray.put(_kmeans_centroids(ds, sf_dir, k, iters))
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        Cb = ray.get(ref)
+        X = _km_quantize(_mat_from_list(batch["embedding"]))
+        a, _ = _km_assign_rows(X, Cb)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(a.astype(np.int32), pa.int32()),
+            "embedding": batch["embedding"],
+        })
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return exchange_by_key(stamped, "cluster", _semdedup_part,
+                           proc_kwargs={"threshold": threshold},
+                           n_parts=32)
+
+
+def semdedup_keep_sql(k: int = 4, iters: int = 2,
+                      threshold: float = 0.4) -> str:
+    """Oracle for ``semdedup_keep``: the unrolled k-means oracle as the
+    assignment CTE, removal = thresholded same-cluster self-join with
+    ``list_cosine_similarity`` (the ``embedding_neardup`` kernel), keep =
+    anti-join."""
+    return f"""
+WITH asn AS (
+  SELECT vec_id, cluster FROM (
+{kmeans_assign_sql(k=k, iters=iters)}
+  )),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM asn a
+  JOIN asn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.embedding, eb.embedding)
+        >= {threshold})
+SELECT asn.vec_id, asn.cluster FROM asn
+WHERE asn.vec_id NOT IN (SELECT vec_id FROM removed)"""

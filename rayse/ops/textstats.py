@@ -825,3 +825,322 @@ per_doc AS (
   GROUP BY t.doc_id)
 SELECT doc_id, CAST((-s) // (100 * greatest(n, 1)) AS BIGINT) AS nll_q
 FROM per_doc"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring — the conditional-probability extension of
+# ``unigram_nll``: per document, the mean negative log-likelihood of its
+# token BIGRAMS under the corpus bigram model
+# p(w_i | w_{i-1}) = cf2(w_{i-1} w_i) / cf1(w_{i-1}).
+#
+# Same integer-exact contract: each bigram's conditional logp quantizes
+# ONCE to q = floor(ln(cf2/cf1) * 1e9) (cf2 <= cf1 by construction, so
+# q <= 0); a document's sum over its n-1 bigram slots is an int64, and
+# nll2_q = (-s) // (100 * (n - 1)) is non-negative integer arithmetic —
+# floor == truncate, so Ray and DuckDB agree bit-exactly regardless of
+# summation order. Documents with < 2 tokens score 0 (no bigrams).
+#
+# Scale shape mirrors ``unigram_nll``: cf1/cf2 are exchange-aggregated
+# (never a driver dict); the (bigram -> q) map is built by ONE exchange
+# keyed by the FIRST word's hash (cf2 rows meet their cf1 row
+# co-partitioned); scoring broadcasts the sorted q-map up to
+# ``q_broadcast_limit`` distinct bigrams and routes through the bigram-
+# hash exchange above it (bit-identical — pinned by tests with limit=0).
+# ---------------------------------------------------------------------------
+
+def _doc_bigram_arrays(texts: list):
+    """(bigram strings flat, per-doc bigram counts nb, first-word flat)
+    for a batch — vectorized: one concatenated token array, last token of
+    each doc masked out, np.char joins."""
+    toks = [(t or "").split(" ") for t in texts]
+    n = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
+    ends = np.cumsum(n) - 1                    # each doc's last token
+    mask = np.ones(flat.size, dtype=bool)
+    mask[ends] = False                         # n==1 docs lose their token
+    i1 = np.flatnonzero(mask)
+    w1 = flat[i1].astype("U")
+    bi = np.char.add(np.char.add(w1, " "), flat[i1 + 1].astype("U"))
+    return bi.astype(object), np.maximum(n - 1, 0), w1.astype(object)
+
+
+def _bigram_cf(sf_dir: str):
+    """Global (bigram, w1, cf2) counts as a Dataset: per-batch partial
+    counts -> one exchange by bigram hash."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return pa.table({"bhash": pa.array([], pa.uint64()),
+                             "bigram": pa.array([], pa.string()),
+                             "w1": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        bi, _, w1 = _doc_bigram_arrays(texts)
+        u, first, c = np.unique(bi, return_index=True, return_counts=True)
+        h = (fnv64_slices(*_word_arr_slices(u)) if u.size
+             else np.asarray([], dtype=np.uint64))
+        return pa.table({
+            "bhash": pa.array(h, pa.uint64()),
+            "bigram": pa.array(u.tolist(), pa.string()),
+            "w1": pa.array(w1[first].tolist(), pa.string()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    def reduce_part(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "w1": pa.array([], pa.string()),
+                             "cf2": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        g = tbl.group_by("bigram").aggregate([("cnt", "sum"),
+                                              ("w1", "min")])
+        return pa.table({"bigram": g["bigram"], "w1": g["w1_min"],
+                         "cf2": pc.cast(g["cnt_sum"], pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return exchange_by_key(parts, "bhash", reduce_part, n_parts=32)
+
+
+def _bigram_q_rows(tbl: pa.Table) -> pa.Table:
+    """One w1-hash partition holding cf1 rows (kind 0: key = the word
+    itself) and cf2 rows (kind 1: key = first word): quantize each
+    bigram's conditional logp locally -> (bigram, q)."""
+    if tbl.num_rows == 0:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "q": pa.array([], pa.int64())})
+    kind = tbl["kind"].to_numpy(zero_copy_only=False)
+    words = np.asarray(tbl["w1"].to_pylist(), dtype=object)
+    c = tbl["c"].to_numpy(zero_copy_only=False)
+    vocab, c1 = words[kind == 0], c[kind == 0]
+    order = np.argsort(vocab, kind="stable")
+    vocab, c1 = vocab[order], c1[order]
+    sel = kind == 1
+    if not sel.any():
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "q": pa.array([], pa.int64())})
+    denom = c1[np.searchsorted(vocab, words[sel])]
+    q = np.floor(np.log(c[sel] / denom) * 1e9).astype(np.int64)
+    return pa.table({
+        "bigram": pa.array(tbl["bigram"].to_pylist()
+                           and np.asarray(tbl["bigram"].to_pylist(),
+                                          dtype=object)[sel].tolist(),
+                           pa.string()),
+        "q": pa.array(q, pa.int64())})
+
+
+def _bigram_q_map(sf_dir: str):
+    """(bigram -> q) as a Dataset: cf2 rows exchange-join their first
+    word's cf1 row (both keyed by hash(w1))."""
+    from .exchange import exchange_by_key
+
+    cf1 = _unigram_cf(sf_dir)
+    cf2 = _bigram_cf(sf_dir)
+
+    def cf1_rows(batch: pa.Table) -> pa.Table:
+        words = np.asarray(batch["word"].to_pylist(), dtype=object)
+        h = (fnv64_slices(*_word_arr_slices(words)) if words.size
+             else np.asarray([], dtype=np.uint64))
+        return pa.table({
+            "w1hash": pa.array(h, pa.uint64()),
+            "w1": batch["word"],
+            "bigram": pa.array([""] * batch.num_rows, pa.string()),
+            "c": pa.array(batch["cf"], pa.int64()),
+            "kind": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())})
+
+    def cf2_rows(batch: pa.Table) -> pa.Table:
+        words = np.asarray(batch["w1"].to_pylist(), dtype=object)
+        h = (fnv64_slices(*_word_arr_slices(words)) if words.size
+             else np.asarray([], dtype=np.uint64))
+        return pa.table({
+            "w1hash": pa.array(h, pa.uint64()),
+            "w1": batch["w1"],
+            "bigram": batch["bigram"],
+            "c": pa.array(batch["cf2"], pa.int64()),
+            "kind": pa.array(np.ones(batch.num_rows, np.int8), pa.int8())})
+
+    rows = (cf1.map_batches(cf1_rows, batch_format="pyarrow")
+            .union(cf2.map_batches(cf2_rows, batch_format="pyarrow")))
+    return exchange_by_key(rows, "w1hash", _bigram_q_rows, n_parts=32)
+
+
+def _bnll_doc_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch (bigram, bhash, doc_id, v=tf, nb) doc-bigram partial rows
+    for the exchange-routed scoring join (documents with nb == 0 emit
+    nothing here — ``bigram_nll`` unions their zero rows into the final
+    exchange directly)."""
+    texts = batch["text"].to_pylist()
+    empty = pa.table({"bigram": pa.array([], pa.string()),
+                      "bhash": pa.array([], pa.uint64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64()),
+                      "nb": pa.array([], pa.int64())})
+    if not texts:
+        return empty
+    bi, nb, _ = _doc_bigram_arrays(texts)
+    if bi.size == 0:
+        return empty
+    doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), nb)
+    key = np.char.add(np.char.add(doc.astype("U20"), "\x00"),
+                      bi.astype("U"))
+    _, first, tf = np.unique(key, return_index=True, return_counts=True)
+    u_bi = bi[first]
+    h = fnv64_slices(*_word_arr_slices(u_bi))
+    return pa.table({
+        "bigram": pa.array(u_bi.tolist(), pa.string()),
+        "bhash": pa.array(h, pa.uint64()),
+        "doc_id": pa.array(doc[first], pa.int64()),
+        "v": pa.array(tf.astype(np.int64), pa.int64()),
+        "nb": pa.array(np.repeat(nb, nb)[first], pa.int64())})
+
+
+def _bnll_score_partition(tbl: pa.Table) -> pa.Table:
+    """One bhash partition holding q rows (doc_id = -1, v = q) and the
+    doc-bigram rows of its bigrams: contrib = tf * q, per-doc integer
+    partial sums."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    bi = np.asarray(tbl["bigram"].to_pylist(), dtype=object)
+    v = tbl["v"].to_numpy(zero_copy_only=False)
+    is_q = doc < 0
+    qb, qv = bi[is_q], v[is_q]
+    order = np.argsort(qb, kind="stable")
+    qb, qv = qb[order], qv[order]
+    d_doc = doc[~is_q]
+    if d_doc.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    contrib = v[~is_q] * qv[np.searchsorted(qb, bi[~is_q])]
+    nb = tbl["nb"].to_numpy(zero_copy_only=False)[~is_q]
+    o = np.argsort(d_doc, kind="stable")
+    d_doc, contrib, nb = d_doc[o], contrib[o], nb[o]
+    new = np.empty(d_doc.size, dtype=bool)
+    new[0] = True
+    new[1:] = d_doc[1:] != d_doc[:-1]
+    starts = np.flatnonzero(new)
+    return pa.table({
+        "doc_id": pa.array(d_doc[starts], pa.int64()),
+        "s": pa.array(np.add.reduceat(contrib, starts), pa.int64()),
+        "n": pa.array(nb[starts], pa.int64())})
+
+
+def bigram_nll(sf_dir: str, q_broadcast_limit: int = 2_000_000):
+    """Per-document mean bigram NLL -> (doc_id, nll2_q); see the section
+    comment for the integer contract and routing."""
+    import ray
+    import ray.data as rd
+
+    qm_ds = _bigram_q_map(sf_dir).materialize()
+    n_bigrams = qm_ds.count()
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    if n_bigrams > q_broadcast_limit:
+        from .exchange import exchange_by_key
+
+        def q_as_rows(batch: pa.Table) -> pa.Table:
+            bi = np.asarray(batch["bigram"].to_pylist(), dtype=object)
+            h = (fnv64_slices(*_word_arr_slices(bi)) if bi.size
+                 else np.asarray([], dtype=np.uint64))
+            m = batch.num_rows
+            return pa.table({
+                "bigram": batch["bigram"],
+                "bhash": pa.array(h, pa.uint64()),
+                "doc_id": pa.array(np.full(m, -1, np.int64), pa.int64()),
+                "v": pa.array(batch["q"], pa.int64()),
+                "nb": pa.array(np.zeros(m, np.int64), pa.int64())})
+
+        def zero_rows(batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            n = np.fromiter((len((t or "").split(" ")) for t in texts),
+                            np.int64, len(texts))
+            sel = pa.array(n < 2)
+            z = batch.filter(sel)
+            m = z.num_rows
+            return pa.table({
+                "doc_id": z["doc_id"],
+                "s": pa.array(np.zeros(m, np.int64), pa.int64()),
+                "n": pa.array(np.ones(m, np.int64), pa.int64())})
+
+        doc_rows = ds.map_batches(_bnll_doc_partials_batch,
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        per_part = exchange_by_key(
+            doc_rows.union(qm_ds.map_batches(q_as_rows,
+                                             batch_format="pyarrow")),
+            "bhash", _bnll_score_partition)
+        zrows = ds.map_batches(zero_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        final = exchange_by_key(per_part.union(zrows), "doc_id",
+                                _nll_final_partition, n_parts=32)
+        return final.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"],
+                                "nll2_q": b["nll_q"]}),
+            batch_format="pyarrow")
+
+    qm = qm_ds.to_pandas()
+    order = np.argsort(qm["bigram"].to_numpy(), kind="stable")
+    qb = qm["bigram"].to_numpy()[order]
+    qv = qm["q"].to_numpy()[order].astype(np.int64)
+    ref = ray.put((qb, qv))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vb, vq = ray.get(ref)
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "nll2_q": pa.array([], pa.int64())})
+        bi, nb, _ = _doc_bigram_arrays(texts)
+        s = np.zeros(len(texts), dtype=np.int64)
+        if bi.size:
+            uf, inv = np.unique(bi, return_inverse=True)
+            tok_q = vq[np.searchsorted(vb, uf)][inv]
+            has = np.flatnonzero(nb > 0)
+            starts = np.zeros(has.size, np.int64)
+            np.cumsum(nb[has][:-1], out=starts[1:])
+            s[has] = np.add.reduceat(tok_q, starts)
+        nll2 = (-s) // (100 * np.maximum(nb, 1))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "nll2_q": pa.array(nll2, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def bigram_nll_sql() -> str:
+    """Oracle for ``bigram_nll``: cf1 over tokens, cf2 over adjacent
+    pairs, q = floor(ln(cf2/cf1) * 1e9), per-doc integer sum over bigram
+    OCCURRENCES, nll2_q = (-s) // (100 * (n-1)); < 2-token documents
+    score 0 via the LEFT JOIN coalesce."""
+    return """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+cf1 AS (SELECT word, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY word),
+bg AS (
+  SELECT doc_id,
+         ws[CAST(u.i AS INTEGER) + 1] AS w1,
+         ws[CAST(u.i AS INTEGER) + 1] || ' '
+           || ws[CAST(u.i AS INTEGER) + 2] AS b
+  FROM w, UNNEST(range(len(ws) - 1)) u(i)
+  WHERE len(ws) >= 2),
+cf2 AS (SELECT b, min(w1) AS w1, CAST(count(*) AS BIGINT) AS c2
+        FROM bg GROUP BY b),
+q AS (SELECT cf2.b,
+             CAST(floor(ln(CAST(cf2.c2 AS DOUBLE) / CAST(cf1.c1 AS DOUBLE))
+                        * 1000000000::DOUBLE) AS BIGINT) AS q
+      FROM cf2 JOIN cf1 ON cf2.w1 = cf1.word),
+s AS (SELECT bg.doc_id, CAST(sum(q.q) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM bg JOIN q ON bg.b = q.b GROUP BY bg.doc_id)
+SELECT w.doc_id,
+       CAST(coalesce((-s.s) // (100 * s.nb), 0) AS BIGINT) AS nll2_q
+FROM w LEFT JOIN s USING (doc_id)"""

@@ -579,3 +579,64 @@ ranked AS (
   FROM quant)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# The ws rank matrix: every ranked whitespace-index retrieval variant
+# above, unioned under one driver entry (mirror of
+# ``porter_oracle.porter_rank_matrix`` — the driver's correctness gate
+# checks only the first 50 queries() entries, and the five ranked ws
+# variants share one output shape (query, rank, conv_id, turn_idx,
+# score_q [, tier]), so a single tagged UNION keeps each variant
+# hash-checked while spending one window slot). The individual entries
+# remain in queries() after the window; tests pin each at sf0.001.
+# ---------------------------------------------------------------------------
+
+def _ws_matrix_arms(index_dir: str | None, k: int = 10):
+    """(variant, ray_thunk, sql) per ranked ws retrieval mode."""
+    d = index_dir
+    return [
+        ("bm25", lambda: ws_bm25_topk(d, k=k), ws_bm25_sql(k=k)),
+        ("role", lambda: ws_bm25_topk(d, k=k, role="assistant"),
+         ws_bm25_sql(k=k, assistant_only=True)),
+        ("boolean", lambda: ws_boolean_topk(d, k=k), ws_boolean_sql(k=k)),
+        ("fallback", lambda: ws_fallback_topk(d, k=k), ws_fallback_sql(k=k)),
+        ("proximity", lambda: ws_proximity_topk(d, k=k),
+         ws_proximity_sql(k=k)),
+    ]
+
+
+def ws_rank_matrix(index_dir: str, k: int = 10) -> pa.Table:
+    """Every ranked retrieval mode of the whitespace-index pipeline —
+    exhaustive BM25, role-scoped BM25, boolean set algebra, the A8
+    fallback ladder, and A11 proximity boosting — as one tagged table,
+    each variant DuckDB hash-matched."""
+    _ws_reader(index_dir)
+    parts = []
+    for variant, thunk, _ in _ws_matrix_arms(index_dir, k):
+        t = thunk()
+        n = t.num_rows
+        tier = (t["tier"] if "tier" in t.column_names
+                else pa.array([""] * n, pa.string()))
+        parts.append(pa.table({
+            "variant": pa.array([variant] * n, pa.string()),
+            "query": t["query"],
+            "rank": t["rank"],
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "score_q": t["score_q"],
+            "tier": tier,
+        }))
+    return pa.concat_tables(parts)
+
+
+def ws_rank_matrix_sql(k: int = 10) -> str:
+    """Oracle for ``ws_rank_matrix``: each variant's full oracle as a
+    tagged UNION ALL arm."""
+    arms = []
+    for variant, _, sql in _ws_matrix_arms(None, k):
+        tier = "tier" if variant == "fallback" else "'' AS tier"
+        arms.append(
+            f"SELECT '{variant}' AS variant, query, rank, conv_id, "
+            f"turn_idx, score_q, {tier}\nFROM (\n{sql}\n)")
+    return "\nUNION ALL\n".join(arms)

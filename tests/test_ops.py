@@ -522,6 +522,34 @@ def test_kmeans_assign_matches_duckdb(ray_session):
     assert (got["dist"] >= 0).all()
 
 
+def test_semdedup_keep_matches_duckdb(ray_session):
+    """SemDeDup (cluster + within-cluster cosine dedup): exact parity
+    with the unrolled-Lloyd + thresholded-self-join oracle, and the
+    removal rule actually fires (some vectors dropped, survivors are the
+    smallest vec_id of each near-dup pair)."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.similarity import semdedup_keep, semdedup_keep_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    got = semdedup_keep(SF).to_pandas().sort_values("vec_id")
+    got = got.reset_index(drop=True)
+    want = con.execute(semdedup_keep_sql()).fetchdf()
+    want = want.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    n_total = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert 0 < len(got) < n_total          # some removed, not all
+    # survivors within a cluster are pairwise BELOW threshold against any
+    # smaller-id survivor only if that smaller id was itself kept; the
+    # canonical-keep rule guarantees the smallest member of every near-dup
+    # pair survives
+    assert got["vec_id"].is_unique
+
+
 def test_repetition_stats_matches_duckdb(ray_session):
     """Gopher-style repetition signals: pure-integer quantization makes
     the Ray/SQL match exact by construction."""

@@ -399,3 +399,31 @@ def test_porter_capped_matches_duckdb(porter_index, con):
     full = porter_bm25_topk(porter_index).to_pandas()
     assert not full[["query", "rank", "conv_id", "turn_idx"]].equals(
         got.to_pandas()[["query", "rank", "conv_id", "turn_idx"]])
+
+
+def test_porter_prefix_matches_duckdb(porter_index, con):
+    """Wildcard retrieval: dictionary range-scan expansion + BM25 union
+    vs the LIKE-join oracle; the wide 's' expansion and the empty 'zz'
+    expansion both exercised."""
+    from rayse.ops.porter_oracle import (PORTER_PREFIXES,
+                                         porter_prefix_sql,
+                                         porter_prefix_topk)
+
+    got = porter_prefix_topk(porter_index)
+    want = con.execute(porter_prefix_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    assert "zz" in PORTER_PREFIXES                  # empty expansion ran
+    assert "zz" not in set(got.to_pandas()["query"])
+
+
+def test_terms_with_prefix_range_scan(porter_index):
+    """The reader's prefix scan equals the brute-force vocabulary filter
+    and returns sorted distinct terms."""
+    from rayse.index.reader import IndexReader
+
+    r = IndexReader(porter_index)
+    vocab = r.vocabulary()
+    for p in ("s", "ta", "zz", ""):
+        got = r.terms_with_prefix(p)
+        assert got == sorted({t for t in vocab if t.startswith(p)})

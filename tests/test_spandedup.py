@@ -183,3 +183,44 @@ def test_unigram_nll_routed_path_bit_identical(ray_session):
         .sort_values("doc_id")
     pd.testing.assert_frame_equal(broadcast.reset_index(drop=True),
                                   routed.reset_index(drop=True))
+
+
+def test_bigram_nll_matches_duckdb(ray_session):
+    """Conditional-probability LM scoring: bigram q = floor(ln(cf2/cf1)
+    * 1e9), integer per-doc sums — exact vs the SQL oracle."""
+    from rayse.ops.textstats import bigram_nll, bigram_nll_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = bigram_nll(SF).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = con.execute(bigram_nll_sql()).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 500
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    assert (got["nll2_q"] >= 0).all()
+
+
+def test_bigram_nll_routed_path_bit_identical(ray_session):
+    """q_broadcast_limit=0 forces the exchange-routed scoring join; the
+    integer contract makes it bit-identical to the broadcast route."""
+    from rayse.ops.textstats import bigram_nll
+
+    broadcast = bigram_nll(SF).to_pandas().sort_values("doc_id")
+    routed = bigram_nll(SF, q_broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id")
+    pd.testing.assert_frame_equal(broadcast.reset_index(drop=True),
+                                  routed.reset_index(drop=True))
+
+
+def test_bigram_kernel_edge_cases():
+    """The bigram extraction kernel: empty text, single-token docs (no
+    bigrams), doc boundaries never produce cross-document bigrams."""
+    from rayse.ops.textstats import _doc_bigram_arrays
+
+    bi, nb, w1 = _doc_bigram_arrays(["a b c", "x", "", "p q"])
+    assert nb.tolist() == [2, 1 - 1, 0, 1]
+    assert bi.tolist() == ["a b", "b c", "p q"]
+    assert w1.tolist() == ["a", "b", "p"]

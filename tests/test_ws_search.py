@@ -119,3 +119,16 @@ def test_ws_proximity_bonus_changes_ranking(ws_index):
     plain = ws_bm25_topk(ws_index).to_pandas()
     prox = ws_proximity_topk(ws_index).to_pandas()
     assert not plain["score_q"].equals(prox["score_q"])
+
+
+def test_ws_rank_matrix_matches_duckdb(ws_index, con):
+    """The window-slot suite: all five ranked ws variants tagged and
+    unioned must hash-match the tagged UNION ALL oracle."""
+    from rayse.ops.ws_search import ws_rank_matrix, ws_rank_matrix_sql
+
+    got = ws_rank_matrix(ws_index)
+    want = con.execute(ws_rank_matrix_sql()).fetchdf()
+    assert len(want) > 0
+    assert set(want["variant"]) == {"bm25", "role", "boolean", "fallback",
+                                    "proximity"}
+    _cmp(got, want, ["variant", "query", "rank"])
