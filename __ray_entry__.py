@@ -761,7 +761,7 @@ def _q_porter_rank_matrix(sf_dir: str) -> pa.Table:
     """EVERY ranked retrieval mode of the real Porter engine (exhaustive
     BM25 / WAND / actor-pool cluster / role filter / role boost / boolean
     / conjunctive / conjunctive+role / phrase+role / capped / paged /
-    complex / fallback ladder / prefix-wildcard) as one variant-tagged table — 14 paths
+    complex / fallback ladder / prefix-wildcard / fuzzy-edit1 / delete-compacted) as one variant-tagged table — 16 paths
     DuckDB hash-matched in one driver window slot. The individual entries
     remain below the 50-query window for direct use and are each pinned
     at sf0.001 by tests/test_porter_oracle.py."""
@@ -843,6 +843,27 @@ def _q_porter_prefix_topk(sf_dir: str) -> pa.Table:
     from rayse.ops.porter_oracle import porter_prefix_topk
 
     return porter_prefix_topk(_index_for(sf_dir))
+
+
+def _q_porter_fuzzy_topk(sf_dir: str) -> pa.Table:
+    """Fuzzy (edit-distance-1) retrieval: length-prefiltered dictionary
+    expansion + BM25 union — DuckDB hash-matched (levenshtein() join).
+    Also a ``porter_rank_matrix`` arm inside the driver window."""
+    from rayse.ops.porter_oracle import porter_fuzzy_topk
+
+    return porter_fuzzy_topk(_index_for(sf_dir))
+
+
+def _q_porter_deleted_topk(sf_dir: str) -> pa.Table:
+    """Delete + compact under the driver hash gate: a deterministic
+    conversation subset is compacted out of the Porter index and ranked
+    BM25 over the result must hash-match the filtered-corpus oracle —
+    tombstone mask, positions byte-gather, stats recomputation, and
+    block-max rebuild all pinned at once. Also a ``porter_rank_matrix``
+    arm inside the driver window."""
+    from rayse.ops.porter_oracle import porter_deleted_topk
+
+    return porter_deleted_topk(_index_for(sf_dir))
 
 
 def _q_semdedup_keep(sf_dir: str):
@@ -1035,7 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window covers every
     DISTINCT oracle-backed machinery exactly once. Same-shape variant
     families are hash-checked through single variant-tagged suite
-    entries: ``porter_rank_matrix`` (14 ranked Porter engine paths),
+    entries: ``porter_rank_matrix`` (16 ranked Porter engine paths),
     ``ws_rank_matrix`` (5 ranked whitespace-index paths),
     ``ann_exact_suite`` (3 exact ANN paths), ``phrase_matches_suite`` /
     ``term_stats_suite`` (both analyzers), ``sampling_suite`` (3
@@ -1124,6 +1145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": _q_quota_sample,
         "pagerank_fixed": _q_pagerank_fixed,
         "porter_prefix_topk": _q_porter_prefix_topk,
+        "porter_fuzzy_topk": _q_porter_fuzzy_topk,
+        "porter_deleted_topk": _q_porter_deleted_topk,
         "porter_wand_topk": _q_porter_wand_topk,
         "porter_cluster_topk": _q_porter_cluster_topk,
         "porter_role_topk": _q_porter_role_topk,
@@ -1323,6 +1346,13 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_paged_sql(),
         "porter_prefix_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_prefix_sql(),
+        "porter_fuzzy_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_fuzzy_sql(),
+        "porter_deleted_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_bm25_sql(
+                doc_filter=__import__(
+                    "rayse.ops.porter_oracle",
+                    fromlist=["x"]).DELETED_DOC_FILTER),
         "html_clean": __import__(
             "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
         "duplicate_spans": __import__(

@@ -153,6 +153,25 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Logical delete (tombstones): conversations vanish from queries;
+    stats hold until `compact` (Lucene visibility semantics)."""
+    from .index.maintenance import delete_convs
+
+    print(json.dumps(delete_convs(args.index, args.conv_ids)))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Physical rewrite without tombstoned conversations — ranks
+    identically to a fresh build over the filtered corpus."""
+    from .index.maintenance import compact_index
+
+    _ray_init()
+    print(json.dumps(compact_index(args.index, args.out)))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayse")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -189,6 +208,18 @@ def main(argv=None) -> int:
     q.add_argument("--page", type=int, default=1)
     q.add_argument("--page-size", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    dl = sub.add_parser("delete",
+                        help="tombstone conversations (logical delete)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("conv_ids", nargs="+")
+    dl.set_defaults(fn=cmd_delete)
+
+    cp = sub.add_parser("compact",
+                        help="rewrite the index without tombstoned convs")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--out", required=True)
+    cp.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("stats", help="print index stats/metrics")
     s.add_argument("--index", required=True)

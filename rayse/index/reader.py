@@ -23,6 +23,23 @@ import pyarrow.parquet as pq
 from .segments import DecodedPostings, decode_rows
 
 
+def _edit1(a: str, b: str) -> bool:
+    """Levenshtein(a, b) <= 1, specialized: equal; same length with
+    exactly one substitution; or length-diff 1 with one deletion."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return True
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if abs(la - lb) != 1:
+        return False
+    s, t = (a, b) if la < lb else (b, a)     # s shorter
+    i = 0
+    while i < len(s) and s[i] == t[i]:
+        i += 1
+    return s[i:] == t[i + 1:]
+
+
 class PartReader:
     def __init__(self, part_dir: str, block_size: int = 128,
                  bound_scale: float = 1.0):
@@ -131,6 +148,18 @@ class IndexReader:
             rr = bool(self.parts) and all(
                 "roles" in p._tbl.column_names for p in self.parts)
         self.roles_real = bool(rr)
+        # tombstones (logical deletes, Lucene-style visibility filter):
+        # postings of deleted conversations are masked out of merged();
+        # df / n_docs / avgdl keep their pre-delete values until
+        # compact_index physically rewrites the segments. Loaded once at
+        # open — deletes made after construction need a fresh reader.
+        tp = os.path.join(index_dir, "tombstones.json")
+        if os.path.exists(tp):
+            with open(tp) as f:
+                self.tombstones = np.asarray(
+                    sorted(json.load(f)["conv_hashes"]), dtype=np.uint64)
+        else:
+            self.tombstones = np.empty(0, dtype=np.uint64)
 
     def _bound_scale(self, part_dir: str) -> float:
         """Exact block-max correction for parts merged under an older
@@ -184,8 +213,28 @@ class IndexReader:
             # drop per-part cached copies: the merged view supersedes them
             for pr in self.parts:
                 pr._cache.pop(term, None)
+        if out is not None and self.tombstones.size:
+            out = self._mask_tombstoned(out)
         self._merged[term] = out
         return out
+
+    def _mask_tombstoned(self, pl: DecodedPostings):
+        """Filter a merged posting list against the tombstone set (sorted
+        searchsorted membership on the conv-hash high bits); block-max
+        metadata is rebuilt exactly when anything is dropped."""
+        from ..config import BM25Params
+        from ..stages.doc_ids import TURN_BITS
+        from .segments import filter_postings
+
+        convs = pl.doc_ids >> np.uint64(TURN_BITS)
+        pos = np.searchsorted(self.tombstones, convs)
+        pos_c = np.minimum(pos, self.tombstones.size - 1)
+        hit = self.tombstones[pos_c] == convs
+        if not hit.any():
+            return pl
+        return filter_postings(
+            pl, ~hit, self.avgdl, BM25Params(**self.meta.get("bm25", {})),
+            self.meta.get("block_size", 128))
 
     def idf(self, term: str) -> float:
         """Canonical IDF (SURVEY.md D2): ln((1+N)/(1+df)) + 1
@@ -197,6 +246,28 @@ class IndexReader:
         for p in self.parts:
             out.update(p.terms())
         return out
+
+    def terms_within_edit1(self, word: str) -> list[str]:
+        """Sorted distinct index terms at Levenshtein distance <= 1 from
+        ``word`` (the fuzzy-query expansion set). Per part: a vectorized
+        length prefilter (|len - len(word)| <= 1) over the sorted
+        dictionary, then the exact distance-1 check on the survivors
+        only. At web-scale dictionaries the prefilter pass is O(|dict|)
+        per query term — a SymSpell deletion-neighborhood index is the
+        documented scale path behind this same signature."""
+        lw = len(word)
+        out: set[str] = set()
+        for p in self.parts:
+            arr = p.sorted_terms()
+            if arr.size == 0:
+                continue
+            lens = np.fromiter((len(t) for t in arr.tolist()),
+                               np.int64, arr.size)
+            cand = arr[np.abs(lens - lw) <= 1]
+            for t in cand.tolist():
+                if _edit1(word, t):
+                    out.add(t)
+        return sorted(out)
 
     def terms_with_prefix(self, prefix: str) -> list[str]:
         """Sorted distinct index terms starting with ``prefix`` — a

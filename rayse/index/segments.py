@@ -182,3 +182,71 @@ def decode_rows(rows: list[dict], block_size: int = 128) -> DecodedPostings:
         np.concatenate(bs_parts) if bs_parts else np.empty(0, np.int64),
         roles,
     )
+
+
+# ---------------------------------------------------------------------------
+# Posting-list filtering (tombstone deletes + compaction). Positions are
+# never decoded: each posting's varint byte slice is self-delimited
+# ([count][deltas restarting at 0]) and relocatable, so filtering is a
+# byte-span gather — the same trick the merge uses to permute raw bytes.
+# ---------------------------------------------------------------------------
+
+def posting_byte_spans(blob: bytes, tfs: np.ndarray):
+    """(starts, ends) byte spans of each posting's positions slice."""
+    b = np.frombuffer(blob, dtype=np.uint8)
+    v_ends = np.flatnonzero((b & 0x80) == 0)          # varint end bytes
+    vcum = np.cumsum(tfs.astype(np.int64) + 1)        # count + tf deltas
+    ends = v_ends[vcum - 1] + 1
+    starts = np.concatenate(([0], ends[:-1]))
+    return starts, ends
+
+
+def filter_positions_blob(blob: bytes, tfs: np.ndarray,
+                          keep: np.ndarray) -> bytes:
+    """The kept postings' position slices, re-concatenated (byte gather —
+    no varint decode). Empty blob (positions disabled) passes through."""
+    if not blob:
+        return b""
+    starts, ends = posting_byte_spans(blob, tfs)
+    ks, ke = starts[keep], ends[keep]
+    ln = ke - ks
+    if ln.size == 0 or int(ln.sum()) == 0:
+        return b""
+    out_cum = np.cumsum(ln)
+    out_begin = np.concatenate(([0], out_cum[:-1]))
+    idx = (np.repeat(ks - out_begin, ln)
+           + np.arange(int(out_cum[-1]), dtype=np.int64))
+    return np.frombuffer(blob, dtype=np.uint8)[idx].tobytes()
+
+
+def build_block_arrays(doc_ids: np.ndarray, comp: np.ndarray,
+                       block_size: int):
+    """(block_max, block_last, block_starts) for one doc-ascending
+    posting list scored ``comp`` (exact bounds, scale 1.0)."""
+    n = doc_ids.size
+    if n == 0:
+        return (np.empty(0, np.float64), np.empty(0, np.uint64),
+                np.empty(0, np.int64))
+    nblocks = (n + block_size - 1) // block_size
+    starts = np.arange(nblocks, dtype=np.int64) * block_size
+    block_max = np.maximum.reduceat(comp, starts)
+    block_last = doc_ids[np.minimum(starts + block_size - 1, n - 1)]
+    return block_max, block_last.astype(np.uint64), starts
+
+
+def filter_postings(pl: "DecodedPostings", keep: np.ndarray,
+                    avgdl: float, params: BM25Params,
+                    block_size: int) -> "DecodedPostings | None":
+    """A new DecodedPostings holding only the kept postings, with exact
+    block-max metadata rebuilt against the CURRENT avgdl (scale 1.0).
+    Returns None when nothing survives."""
+    if not keep.any():
+        return None
+    d = pl.doc_ids[keep]
+    t = pl.tfs[keep]
+    dl = pl.dls[keep]
+    roles = pl.roles[keep] if pl.roles is not None else None
+    pos = filter_positions_blob(pl.positions_blob, pl.tfs, keep)
+    comp = bm25_tf(t, dl, avgdl, params)
+    bm, bl, bs = build_block_arrays(d, comp, block_size)
+    return DecodedPostings(d, t, dl, pos, bm, bl, bs, roles)

@@ -25,6 +25,8 @@ Score quantization follows the ws recipe: both sides rank by
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -116,14 +118,18 @@ def _ranked_rows(index_dir: str, docs, score_q, k: int):
 # SQL building blocks
 # ---------------------------------------------------------------------------
 
-def _analysis_ctes() -> str:
+def _analysis_ctes(doc_filter: str = "") -> str:
     """turns -> raw word positions -> analyzer map join -> tf/df/dl/stats.
 
     ``n`` counts ALL turns (compute_corpus_stats uses the full turn count)
     and ``avgdl = sum(kept tokens) / n`` — exactly the build's
-    ``total_tokens / n_docs`` float division."""
+    ``total_tokens / n_docs`` float division. ``doc_filter`` restricts
+    the corpus (SQL boolean over doc_id) — corpus-subset oracles such as
+    the delete+compact arm."""
+    from .ws_search import turns_cte
+
     vals = ", ".join(f"('{w}', '{s}')" for w, s in _stem_map())
-    return f"""WITH {_TURNS_CTE},
+    return f"""WITH {turns_cte(doc_filter)},
 stemmap(word, stem) AS (VALUES {vals}),
 raw AS (
   SELECT t.conv_id, t.turn_idx, CAST(u.i AS BIGINT) AS rawpos,
@@ -146,7 +152,8 @@ stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM turns) AS n,
 
 def porter_bm25_sql(queries: list[str] | None = None, k: int = 10,
                     assistant_only: bool = False,
-                    role_weights: dict | None = None) -> str:
+                    role_weights: dict | None = None,
+                    doc_filter: str = "") -> str:
     """DuckDB oracle for ``porter_bm25_topk``: BM25 over the analyzed
     stream, quantized ranking (identical formula/op order to the engine:
     idf v2 ``ln((1+N)/(1+df)) + 1``, tf part ``tf*(k1+1)/(tf + k1*(1-b
@@ -165,7 +172,7 @@ def porter_bm25_sql(queries: list[str] | None = None, k: int = 10,
         wa = float(role_weights.get("assistant", 1.0))
         boost = (f" * (CASE WHEN tf.turn_idx % 2 = 1 "
                  f"THEN {wa!r}::DOUBLE ELSE {wu!r}::DOUBLE END)")
-    return f"""{_analysis_ctes()},
+    return f"""{_analysis_ctes(doc_filter)},
 qt(query, term) AS (VALUES {vals}),
 scored AS (
   SELECT qt.query, tf.conv_id, tf.turn_idx,
@@ -1306,7 +1313,7 @@ def porter_capped_topk(index_dir: str, queries: list[str] | None = None,
 # ---------------------------------------------------------------------------
 # The rank matrix: every ranked retrieval variant above, unioned under one
 # driver entry. The driver's correctness gate checks only the first 50
-# queries() entries; the 14 ranked Porter variants share one output shape
+# queries() entries; the 16 ranked Porter variants share one output shape
 # (query, rank, conv_id, turn_idx, score_q [, tier]), so a single tagged
 # UNION keeps each variant hash-checked while spending one window slot.
 # The individual entries remain in queries() (after the window) for direct
@@ -1343,6 +1350,10 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_fallback_sql(k=k)),
         ("prefix", lambda: porter_prefix_topk(d, k=k),
          porter_prefix_sql(k=k)),
+        ("fuzzy", lambda: porter_fuzzy_topk(d, k=k),
+         porter_fuzzy_sql(k=k)),
+        ("deleted", lambda: porter_deleted_topk(d, k=k),
+         porter_bm25_sql(k=k, doc_filter=DELETED_DOC_FILTER)),
     ]
 
 
@@ -1495,3 +1506,129 @@ ranked AS (
   FROM quant)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance-1) retrieval: each query word expands to the
+# dictionary terms within Levenshtein distance 1 (IndexReader.
+# terms_within_edit1 — length-prefiltered scan; SymSpell neighborhood is
+# the documented scale path) and the expansion scores as one disjunctive
+# BM25 query. Oracle = levenshtein() join against the distinct stemmed
+# terms. Query words are matched RAW against the stem dictionary (a typo
+# is not analyzable), lowercased by contract.
+# ---------------------------------------------------------------------------
+
+# 'tabe' -> {tabl} (1 sub); 'scann' -> {scan} (1 del); 'windoe' ->
+# {window} (1 sub); 'merg' -> {merg, merge-less stems at distance 1};
+# 'qqq' -> {} (empty expansion must yield zero rows on both sides).
+PORTER_FUZZY = ["tabe", "scann", "windoe", "merg", "qqq"]
+
+
+def porter_fuzzy_topk(index_dir: str, words: list[str] | None = None,
+                      k: int = 10) -> pa.Table:
+    """Ranked fuzzy retrieval: distance-<=1 dictionary expansion scored
+    as one BM25 union, quantized ranking with (conv_id, turn_idx)
+    tie-breaks."""
+    from ..query.engine import SearchEngine
+
+    words = words if words is not None else PORTER_FUZZY
+    reader, _ = _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+
+    def _search(q: str, kk: int):
+        terms = eng.reader.terms_within_edit1(q)
+        if not terms:
+            return (np.array([], dtype=np.uint64),
+                    np.array([], dtype=np.float64))
+        return eng.regular(terms, kk)
+
+    return _quantized_search_rows(_search, index_dir, words, k)
+
+
+def porter_fuzzy_sql(words: list[str] | None = None, k: int = 10) -> str:
+    """Oracle for ``porter_fuzzy_topk``: (word, term) eligibility via
+    levenshtein(word, term) <= 1 against the distinct stemmed terms,
+    then the standard BM25 sum + quantized ranking."""
+    words = words if words is not None else PORTER_FUZZY
+    vals = ", ".join(f"('{w}')" for w in words)
+    return f"""{_analysis_ctes()},
+fz(query) AS (VALUES {vals}),
+qt AS (
+  SELECT f.query, d.term FROM fz f
+  JOIN (SELECT DISTINCT term FROM df) d
+    ON levenshtein(f.query, d.term) <= 1),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Delete + compact under the driver hash gate: a deterministic subset of
+# conversations (source doc_id % 7 == 3 — conv names encode the doc_id)
+# is compacted OUT of the cached Porter index, and ranked BM25 over the
+# compacted index must hash-match the oracle computed over the FILTERED
+# corpus (stats and all). This puts the whole maintenance pipeline —
+# tombstone mask, positions byte-gather, stats recomputation, block-max
+# rebuild — behind one rank-identity check.
+# ---------------------------------------------------------------------------
+
+DELETED_DOC_MOD, DELETED_DOC_REM = 7, 3
+DELETED_DOC_FILTER = f"doc_id % {DELETED_DOC_MOD} != {DELETED_DOC_REM}"
+
+
+def _deleted_convs_of_index(index_dir: str) -> list[str]:
+    """The to-delete conversation ids, read from the index's own
+    conv_map (conv names are 'conv-%09d' of the source doc_id)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(index_dir, "conv_map")).to_table(
+        columns=["conv_id"])
+    return sorted({c for c in set(t["conv_id"].to_pylist())
+                   if int(c.rsplit("-", 1)[1]) % DELETED_DOC_MOD
+                   == DELETED_DOC_REM})
+
+
+def _compacted_index_for(index_dir: str) -> str:
+    """Build (once, cached beside the source index) the compacted
+    variant with the deterministic subset deleted."""
+    out = index_dir.rstrip("/") + "_cdel"
+    if os.path.exists(os.path.join(out, "corpus_stats.json")):
+        return out
+    from ..index.maintenance import compact_index
+
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    compact_index(index_dir, tmp,
+                  extra_conv_ids=_deleted_convs_of_index(index_dir))
+    os.replace(tmp, out)
+    return out
+
+
+def porter_deleted_topk(index_dir: str, queries: list[str] | None = None,
+                        k: int = 10) -> pa.Table:
+    """Ranked BM25 over the delete-compacted index — must equal the
+    filtered-corpus oracle (``porter_bm25_sql(doc_filter=...)``)."""
+    _porter_reader(index_dir)
+    return porter_bm25_topk(_compacted_index_for(index_dir),
+                            queries=queries, k=k)

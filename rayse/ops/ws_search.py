@@ -47,8 +47,13 @@ WS_FALLBACKS = ["table scan",               # 'all': both words co-occur
                 "scan merge qqoovhalf",     # 'half': 2 of 3 present
                 "scan qqoova qqoovb"]       # 'any': 1 of 3 present
 
-_TURNS_CTE = """
-words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+def turns_cte(doc_filter: str = "") -> str:
+    """The transcripts derivation as a CTE chunk; ``doc_filter`` is an
+    optional SQL boolean over ``doc_id`` (corpus-subset oracles, e.g.
+    the delete+compact arm)."""
+    where = f" WHERE {doc_filter}" if doc_filter else ""
+    return f"""
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents{where}),
 turns AS (
   SELECT 'conv-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS conv_id,
          CAST(u.t AS INTEGER) AS turn_idx,
@@ -56,6 +61,9 @@ turns AS (
   FROM words,
        UNNEST(range(CAST(greatest(1, ceil(len(w) / 40.0)) AS BIGINT)))
          AS u(t))"""
+
+
+_TURNS_CTE = turns_cte()
 
 
 def _scoring_ctes(queries: list[str]) -> str:

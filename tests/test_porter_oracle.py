@@ -427,3 +427,57 @@ def test_terms_with_prefix_range_scan(porter_index):
     for p in ("s", "ta", "zz", ""):
         got = r.terms_with_prefix(p)
         assert got == sorted({t for t in vocab if t.startswith(p)})
+
+
+def test_porter_fuzzy_matches_duckdb(porter_index, con):
+    """Fuzzy retrieval: edit-distance-1 expansion + BM25 union vs the
+    levenshtein-join oracle; substitution, deletion, exact, and empty
+    expansions all exercised."""
+    from rayse.ops.porter_oracle import (PORTER_FUZZY, porter_fuzzy_sql,
+                                         porter_fuzzy_topk)
+
+    got = porter_fuzzy_topk(porter_index)
+    want = con.execute(porter_fuzzy_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    assert "qqq" in PORTER_FUZZY                    # empty expansion ran
+    assert "qqq" not in set(got.to_pandas()["query"])
+
+
+def test_terms_within_edit1_vs_brute_force(porter_index):
+    """The reader's expansion equals a brute-force Levenshtein filter
+    over the full vocabulary."""
+    from rayse.index.reader import IndexReader
+
+    def lev(a, b):
+        m = [[i + j if not i * j else 0 for j in range(len(b) + 1)]
+             for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                              m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a)][len(b)]
+
+    r = IndexReader(porter_index)
+    vocab = r.vocabulary()
+    for w in ("tabe", "scann", "windoe", "merg", "qqq", "scan"):
+        got = r.terms_within_edit1(w)
+        assert got == sorted(t for t in vocab if lev(w, t) <= 1)
+
+
+def test_porter_deleted_matches_duckdb(porter_index, con):
+    """Delete + compact end to end: BM25 over the compacted index equals
+    the filtered-corpus oracle (stats, ranking, scores), and the delete
+    actually changes the ranking vs the full index."""
+    from rayse.ops.porter_oracle import (DELETED_DOC_FILTER,
+                                         porter_bm25_sql,
+                                         porter_bm25_topk,
+                                         porter_deleted_topk)
+
+    got = porter_deleted_topk(porter_index)
+    want = con.execute(
+        porter_bm25_sql(doc_filter=DELETED_DOC_FILTER)).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    full = porter_bm25_topk(porter_index).to_pandas()
+    assert not full.equals(got.to_pandas())
