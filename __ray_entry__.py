@@ -811,6 +811,25 @@ def _tagged_union_sql(arms: list[tuple[str, str, str]]) -> str:
         for v, cols, sql in arms)
 
 
+def _q_duplicate_char_extents(sf_dir: str):
+    """ExactSubstr at the paper's own granularity: maximal duplicated
+    CHAR spans (k-char sliding grams through the same two-exchange +
+    gaps-and-islands pipeline as the word variant) — DuckDB
+    hash-matched (substr grams, exact list_reduce FNV)."""
+    from rayse.ops.spandedup import duplicate_char_extents
+
+    return duplicate_char_extents(sf_dir)
+
+
+def _q_span_extents_suite(sf_dir: str) -> pa.Table:
+    """Length-maximal duplicate extents at BOTH granularities — word
+    4-grams (token offsets) and 20-char sliding grams (char offsets) —
+    tagged under one window slot; each DuckDB hash-matched."""
+    return _tagged_union([
+        ("word", _as_table(_q_duplicate_span_extents(sf_dir))),
+        ("char", _as_table(_q_duplicate_char_extents(sf_dir)))])
+
+
 def _q_lm_nll_suite(sf_dir: str) -> pa.Table:
     """Both LM quality scorers — unigram (p(w) = cf/total) and bigram
     (p(w_i | w_{i-1}) = cf2/cf1) mean NLL — tagged under one window
@@ -1100,7 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_clean": _q_html_clean,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
-        "duplicate_span_extents": _q_duplicate_span_extents,
+        "span_extents_suite": _q_span_extents_suite,
         "sampling_suite": _q_sampling_suite,
         "mixture_epochs": _q_mixture_epochs,
         "lm_nll_suite": _q_lm_nll_suite,
@@ -1125,6 +1144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_window": _q_trailing_window,
         "semdedup_keep": _q_semdedup_keep,
         # ---- end of the driver's 50-entry window ----
+        "duplicate_span_extents": _q_duplicate_span_extents,
+        "duplicate_char_extents": _q_duplicate_char_extents,
         "unigram_nll": _q_unigram_nll,
         "bigram_nll": _q_bigram_nll,
         "porter_bm25_topk": _q_porter_bm25_topk,
@@ -1389,6 +1410,16 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_span_extents": __import__(
             "rayse.ops.spandedup",
             fromlist=["x"]).duplicate_span_extents_sql(),
+        "duplicate_char_extents": __import__(
+            "rayse.ops.spandedup",
+            fromlist=["x"]).duplicate_char_extents_sql(),
+        "span_extents_suite": _tagged_union_sql([
+            ("word", "doc_id, span_start, span_end, n_grams", __import__(
+                "rayse.ops.spandedup",
+                fromlist=["x"]).duplicate_span_extents_sql()),
+            ("char", "doc_id, span_start, span_end, n_grams", __import__(
+                "rayse.ops.spandedup",
+                fromlist=["x"]).duplicate_char_extents_sql())]),
         "repetition_stats": __import__(
             "rayse.ops.textstats", fromlist=["x"]).repetition_stats_sql(),
         "pagerank_fixed_sharded": __import__(

@@ -439,3 +439,99 @@ flagged AS (
   WHERE hs.doc_id NOT IN (SELECT doc_id FROM bench)
   GROUP BY hs.doc_id)
 SELECT doc_id, n_contaminated_grams FROM flagged"""
+
+
+# ---------------------------------------------------------------------------
+# Char-granularity maximal duplicate extents — ExactSubstr at the
+# paper's own unit (Lee et al. 2022 operate on byte streams with a
+# minimum match length, not word tokens). Grams are k-char sliding
+# windows (every char offset; a document shorter than k contributes its
+# whole text as the single gram, mirroring the word path); the two
+# exchanges and the gaps-and-islands merge are the SAME stages as the
+# word variant — only the gram extraction differs. Extents come back in
+# CHAR offsets: [span_start, span_end) with span_end = last_pos + k.
+# The SQL oracle hashes substr() grams with the identical list_reduce
+# FNV-1a recipe (ASCII corpora: ascii(c) == the utf-8 byte).
+# ---------------------------------------------------------------------------
+
+def _char_gram_pos_batch(batch: pa.Table, k: int) -> pa.Table:
+    """(gram_hash, doc_id, pos) — one row per k-char gram occurrence,
+    pos = char offset; fully vectorized (one concatenated byte buffer,
+    sliding starts, shared FNV kernel)."""
+    texts = batch["text"].to_pylist()
+    if not texts:
+        return pa.table({"gram_hash": pa.array([], pa.uint64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    enc = [(t or "").encode() for t in texts]
+    lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+    doc_off = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum(lens, out=doc_off[1:])
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    n_grams = np.maximum(lens - k + 1, 1)
+    g_cum = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum(n_grams, out=g_cum[1:])
+    total = int(g_cum[-1])
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(g_cum[:-1], n_grams))
+    starts = np.repeat(doc_off[:-1], n_grams) + pos
+    doc_lens = np.repeat(lens, n_grams)
+    glens = np.minimum(doc_lens, k)
+    h = fnv64_slices(buf, starts, glens)
+    return pa.table({
+        "gram_hash": pa.array(h, pa.uint64()),
+        "doc_id": pa.array(
+            np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False),
+                      n_grams), pa.int64()),
+        "pos": pa.array(pos, pa.int64()),
+    })
+
+
+def duplicate_char_extents(sf_dir: str, k: int = 20, min_count: int = 2):
+    """Maximal duplicated CHAR spans per document -> (doc_id, span_start,
+    span_end, n_grams); the word variant's pipeline with k-char sliding
+    grams (hashes travel, text does not)."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rows = ds.map_batches(_char_gram_pos_batch, fn_kwargs={"k": k},
+                          batch_format="pyarrow", zero_copy_batch=True)
+    hits = exchange_by_key(rows, "gram_hash", _dup_pos_partition,
+                           proc_kwargs={"min_count": min_count})
+    return exchange_by_key(hits, "doc_id", _extent_partition,
+                           proc_kwargs={"window": k}, n_parts=32)
+
+
+def duplicate_char_extents_sql(k: int = 20, min_count: int = 2) -> str:
+    """Oracle for ``duplicate_char_extents``: substr() sliding grams,
+    the exact list_reduce FNV-1a, duplicated-hash filter, classic
+    gaps-and-islands."""
+    return f"""
+WITH ex AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         substr(text, CAST(u.i AS INTEGER) + 1,
+                CASE WHEN length(text) < {k}
+                     THEN length(text) ELSE {k} END) AS gram
+  FROM documents,
+       UNNEST(range(CASE WHEN length(text) < {k} THEN 1
+                         ELSE length(text) - {k - 1} END)) u(i)),
+hashed AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+                        [ascii(c)::HUGEINT FOR c IN string_split(gram, '')]),
+           (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                     % 18446744073709551616::HUGEINT) AS h
+  FROM ex),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING count(*) >= {min_count}),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hashed WHERE h IN (SELECT h FROM dup))
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {k} AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, grp"""

@@ -224,3 +224,46 @@ def test_bigram_kernel_edge_cases():
     assert nb.tolist() == [2, 1 - 1, 0, 1]
     assert bi.tolist() == ["a b", "b c", "p q"]
     assert w1.tolist() == ["a", "b", "p"]
+
+
+def test_duplicate_char_extents_matches_duckdb(ray_session):
+    """ExactSubstr at char granularity: k-char sliding grams through the
+    same dedup pipeline, extents in char offsets — exact vs the
+    substr + FNV oracle."""
+    from rayse.ops.spandedup import (duplicate_char_extents,
+                                     duplicate_char_extents_sql)
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = duplicate_char_extents(SF).to_pandas() \
+        .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    want = con.execute(duplicate_char_extents_sql()).fetchdf() \
+        .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+
+
+def test_char_extent_kernel_brute_force():
+    """The char-gram extraction kernel on a hand corpus: offsets,
+    short-doc whole-text gram, cross-doc duplication."""
+    import pyarrow as pa
+
+    from rayse.ops.spandedup import _char_gram_pos_batch
+
+    batch = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["abcdef", "xbcdey", "ab"],
+                                       pa.string())})
+    t = _char_gram_pos_batch(batch, 4)
+    by_doc = {}
+    for d, p, h in zip(t["doc_id"].to_pylist(), t["pos"].to_pylist(),
+                       t["gram_hash"].to_pylist()):
+        by_doc.setdefault(d, []).append((p, h))
+    assert [p for p, _ in by_doc[1]] == [0, 1, 2]       # abcd bcde cdef
+    assert [p for p, _ in by_doc[3]] == [0]             # whole short text
+    # "bcde" occurs in docs 1 and 2 at offset 1 -> equal hashes
+    h1 = dict(by_doc[1])[1]
+    h2 = dict(by_doc[2])[1]
+    assert h1 == h2
+    assert len({h for _, h in by_doc[1]}) == 3
