@@ -811,6 +811,25 @@ def _tagged_union_sql(arms: list[tuple[str, str, str]]) -> str:
         for v, cols, sql in arms)
 
 
+def _q_porter_autocomplete(sf_dir: str) -> pa.Table:
+    """Dictionary autocomplete (type-ahead): top-k completions per
+    prefix ranked by collection frequency, straight from the term
+    dictionary (range scan + precomputed cf) — DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_autocomplete
+
+    return porter_autocomplete(_index_for(sf_dir))
+
+
+def _q_cooccur_pmi(sf_dir: str):
+    """PMI word co-occurrence (association mining over distinct-document
+    pairs; the word2vec/GloVe count precursor) — exchange-aggregated
+    integer counts, one IEEE-deterministic ln per output pair; DuckDB
+    hash-matched."""
+    from rayse.ops.textstats import cooccur_pmi
+
+    return cooccur_pmi(sf_dir)
+
+
 def _q_duplicate_char_extents(sf_dir: str):
     """ExactSubstr at the paper's own granularity: maximal duplicated
     CHAR spans (k-char sliding grams through the same two-exchange +
@@ -1168,6 +1187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_prefix_topk": _q_porter_prefix_topk,
         "porter_fuzzy_topk": _q_porter_fuzzy_topk,
         "porter_deleted_topk": _q_porter_deleted_topk,
+        "porter_autocomplete": _q_porter_autocomplete,
+        "cooccur_pmi": _q_cooccur_pmi,
         "porter_wand_topk": _q_porter_wand_topk,
         "porter_cluster_topk": _q_porter_cluster_topk,
         "porter_role_topk": _q_porter_role_topk,
@@ -1374,6 +1395,11 @@ def oracle_sql() -> dict[str, str]:
                 doc_filter=__import__(
                     "rayse.ops.porter_oracle",
                     fromlist=["x"]).DELETED_DOC_FILTER),
+        "porter_autocomplete": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_autocomplete_sql(),
+        "cooccur_pmi": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).cooccur_pmi_sql(),
         "html_clean": __import__(
             "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
         "duplicate_spans": __import__(

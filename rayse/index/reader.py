@@ -73,6 +73,12 @@ class PartReader:
             return 0
         return sum(self._tbl["df"][i].as_py() for i in range(*span))
 
+    def cf(self, term: str) -> int:
+        span = self._rows.get(term)
+        if span is None:
+            return 0
+        return sum(self._tbl["cf"][i].as_py() for i in range(*span))
+
     def postings(self, term: str) -> DecodedPostings | None:
         hit = self._cache.get(term)
         if hit is not None:
@@ -177,6 +183,10 @@ class IndexReader:
 
     def df(self, term: str) -> int:
         return sum(p.df(term) for p in self.parts)
+
+    def cf(self, term: str) -> int:
+        """Collection frequency across parts (autocomplete ranking)."""
+        return sum(p.cf(term) for p in self.parts)
 
     def merged(self, term: str) -> DecodedPostings | None:
         """One term's postings across ALL loaded parts, doc_id-ascending

@@ -1632,3 +1632,56 @@ def porter_deleted_topk(index_dir: str, queries: list[str] | None = None,
     _porter_reader(index_dir)
     return porter_bm25_topk(_compacted_index_for(index_dir),
                             queries=queries, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Dictionary autocomplete: top-k completions of a prefix ranked by
+# collection frequency (cf desc, term asc) — the type-ahead counterpart
+# of M13's suggested queries, served straight from the term dictionary
+# (per-part sorted range scan + the segment rows' precomputed cf; no
+# posting decode).
+# ---------------------------------------------------------------------------
+
+AUTOCOMPLETE_PREFIXES = ["s", "ta", "w", "gro", "zz"]
+
+
+def porter_autocomplete(index_dir: str,
+                        prefixes: list[str] | None = None,
+                        k: int = 5) -> pa.Table:
+    """(prefix, rank, term, cf): the k most frequent dictionary terms
+    per prefix."""
+    prefixes = prefixes if prefixes is not None else AUTOCOMPLETE_PREFIXES
+    reader, _ = _porter_reader(index_dir)
+    out = {c: [] for c in ("prefix", "rank", "term", "cf")}
+    for p in prefixes:
+        terms = reader.terms_with_prefix(p)
+        scored = sorted(((-reader.cf(t), t) for t in terms))[:k]
+        for r, (ncf, t) in enumerate(scored, 1):
+            out["prefix"].append(p)
+            out["rank"].append(r)
+            out["term"].append(t)
+            out["cf"].append(-ncf)
+    return pa.table({
+        "prefix": pa.array(out["prefix"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "term": pa.array(out["term"], pa.string()),
+        "cf": pa.array(out["cf"], pa.int64()),
+    })
+
+
+def porter_autocomplete_sql(prefixes: list[str] | None = None,
+                            k: int = 5) -> str:
+    """Oracle: per-term cf over the analyzed stream, LIKE prefix join,
+    row_number by (cf desc, term)."""
+    prefixes = prefixes if prefixes is not None else AUTOCOMPLETE_PREFIXES
+    vals = ", ".join(f"('{p}')" for p in prefixes)
+    return f"""{_analysis_ctes()},
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+pfx(prefix) AS (VALUES {vals}),
+ranked AS (
+  SELECT p.prefix, c.term, c.cf,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY c.cf DESC, c.term) AS rn
+  FROM pfx p JOIN cf c ON c.term LIKE p.prefix || '%')
+SELECT prefix, CAST(rn AS INTEGER) AS rank, term, cf
+FROM ranked WHERE rn <= {k}"""

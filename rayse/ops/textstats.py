@@ -1144,3 +1144,180 @@ s AS (SELECT bg.doc_id, CAST(sum(q.q) AS BIGINT) AS s,
 SELECT w.doc_id,
        CAST(coalesce((-s.s) // (100 * s.nb), 0) AS BIGINT) AS nll2_q
 FROM w LEFT JOIN s USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# PMI word co-occurrence — the association-mining step of a vocabulary /
+# phrase-table pipeline (the word2vec/GloVe co-occurrence count
+# precursor): for unordered word pairs co-occurring in >= min_df
+# documents, pmi_q = floor(ln((n * df_ab) / (df_a * df_b)) * 1e9).
+#
+# All counts are exchange-aggregated ints; the single float op (one
+# division + one ln, both IEEE-deterministic) happens once per output
+# pair, so Ray and SQL agree exactly. Per-batch pair partials are
+# O(m^2) per doc in DISTINCT words m — inherent to document-window
+# co-occurrence (a fixed token window bounds m at web scale); the df
+# map broadcast follows the unigram_nll vocabulary contract.
+# ---------------------------------------------------------------------------
+
+def _pair_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch (pair_hash, word_a, word_b, cnt) distinct-document pair
+    counts — vectorized pair enumeration via per-doc sorted distinct
+    words and a repeat/arange upper-triangle index."""
+    texts = batch["text"].to_pylist()
+    empty = pa.table({"pair_hash": pa.array([], pa.uint64()),
+                      "word_a": pa.array([], pa.string()),
+                      "word_b": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if not texts:
+        return empty
+    uniq_per_doc = [np.unique(np.asarray((t or "").split(" "),
+                                         dtype=object))
+                    for t in texts]
+    m = np.fromiter((u.size for u in uniq_per_doc), np.int64, len(texts))
+    if not (m > 1).any():
+        return empty
+    flat = np.concatenate(uniq_per_doc)
+    off = np.zeros(len(texts) + 1, np.int64)
+    np.cumsum(m, out=off[1:])
+    # upper-triangle (i < j) pairs per doc via two repeat layers: doc ->
+    # rows (i = 0..m-2), row -> its m-1-i columns — no per-doc loop
+    mr = np.maximum(m - 1, 0)                  # rows per doc
+    doc_of_row = np.repeat(np.arange(len(texts)), mr)
+    row_off = np.zeros(len(texts) + 1, np.int64)
+    np.cumsum(mr, out=row_off[1:])
+    total_rows = int(row_off[-1])
+    row_in_doc = (np.arange(total_rows, dtype=np.int64)
+                  - np.repeat(row_off[:-1], mr))
+    ln_row = m[doc_of_row] - 1 - row_in_doc    # pairs in this row
+    pair_off = np.zeros(total_rows + 1, np.int64)
+    np.cumsum(ln_row, out=pair_off[1:])
+    total_pairs = int(pair_off[-1])
+    row_of_pair = np.repeat(np.arange(total_rows, dtype=np.int64), ln_row)
+    k_in_row = (np.arange(total_pairs, dtype=np.int64)
+                - np.repeat(pair_off[:-1], ln_row))
+    i_idx = row_in_doc[row_of_pair]
+    j_idx = i_idx + 1 + k_in_row
+    d_idx = doc_of_row[row_of_pair]
+    wa = flat[off[d_idx] + i_idx]
+    wb = flat[off[d_idx] + j_idx]
+    key = np.char.add(np.char.add(wa.astype("U"), "\x00"), wb.astype("U"))
+    u, first, cnt = np.unique(key, return_index=True, return_counts=True)
+    ua, ub = wa[first], wb[first]
+    h = fnv64_slices(*_word_arr_slices(
+        np.asarray(u, dtype=object)))
+    return pa.table({
+        "pair_hash": pa.array(h, pa.uint64()),
+        "word_a": pa.array(ua.tolist(), pa.string()),
+        "word_b": pa.array(ub.tolist(), pa.string()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+def _pair_reduce(tbl: pa.Table) -> pa.Table:
+    if tbl.num_rows == 0:
+        return pa.table({"word_a": pa.array([], pa.string()),
+                         "word_b": pa.array([], pa.string()),
+                         "df_ab": pa.array([], pa.int64())})
+    import pyarrow.compute as pc
+
+    g = tbl.group_by(["word_a", "word_b"]).aggregate([("cnt", "sum")])
+    return pa.table({"word_a": g["word_a"], "word_b": g["word_b"],
+                     "df_ab": pc.cast(g["cnt_sum"], pa.int64())})
+
+
+def cooccur_pmi(sf_dir: str, min_df: int = 2):
+    """(word_a, word_b, df_ab, pmi_q) over unordered distinct-document
+    co-occurrence; counts exchange-aggregated, df map broadcast."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    # document frequency per word (distinct docs), exchange-aggregated
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        per = [np.unique(np.asarray((t or "").split(" "), dtype=object))
+               for t in texts]
+        words = (np.concatenate(per) if per
+                 else np.asarray([], dtype=object))
+        u, c = np.unique(words, return_counts=True)
+        h = (fnv64_slices(*_word_arr_slices(u)) if u.size
+             else np.asarray([], dtype=np.uint64))
+        return pa.table({"whash": pa.array(h, pa.uint64()),
+                         "word": pa.array(u.tolist(), pa.string()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    def df_reduce(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        g = tbl.group_by("word").aggregate([("cnt", "sum")])
+        return pa.table({"word": g["word"],
+                         "df": pc.cast(g["cnt_sum"], pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    df_ds = exchange_by_key(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "whash", df_reduce,
+        n_parts=32).materialize()
+    n_docs = int(ds.count())
+    rows = df_ds.to_pandas()                  # vocab-bounded (see header)
+    order = np.argsort(rows["word"].to_numpy(), kind="stable")
+    vocab = rows["word"].to_numpy()[order]
+    dfv = rows["df"].to_numpy()[order].astype(np.int64)
+    ref = ray.put((vocab, dfv, n_docs))
+
+    pairs = exchange_by_key(
+        ds.map_batches(_pair_partials_batch, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "pair_hash", _pair_reduce, n_parts=32)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        vb, dv, n = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table({"word_a": pa.array([], pa.string()),
+                             "word_b": pa.array([], pa.string()),
+                             "df_ab": pa.array([], pa.int64()),
+                             "pmi_q": pa.array([], pa.int64())})
+        keep = batch["df_ab"].to_numpy(zero_copy_only=False) >= min_df
+        batch = batch.filter(pa.array(keep))
+        wa = np.asarray(batch["word_a"].to_pylist(), dtype=object)
+        wb = np.asarray(batch["word_b"].to_pylist(), dtype=object)
+        dab = batch["df_ab"].to_numpy(zero_copy_only=False)
+        d1 = dv[np.searchsorted(vb, wa)]
+        d2 = dv[np.searchsorted(vb, wb)]
+        pmi = np.floor(np.log((n * dab) / (d1 * d2)) * 1e9).astype(
+            np.int64)
+        return pa.table({"word_a": batch["word_a"],
+                         "word_b": batch["word_b"],
+                         "df_ab": pa.array(dab, pa.int64()),
+                         "pmi_q": pa.array(pmi, pa.int64())})
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def cooccur_pmi_sql(min_df: int = 2) -> str:
+    """Oracle for ``cooccur_pmi``: DISTINCT (doc, word) stream, pair
+    self-join (a.word < b.word), integer counts, one double division +
+    ln per pair."""
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY w),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+pagg AS (
+  SELECT a.w AS word_a, b.w AS word_b, CAST(count(*) AS BIGINT) AS df_ab
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2)
+SELECT p.word_a, p.word_b, p.df_ab,
+       CAST(floor(ln(CAST(n.n * p.df_ab AS DOUBLE)
+                     / CAST(d1.df * d2.df AS DOUBLE))
+                  * 1000000000::DOUBLE) AS BIGINT) AS pmi_q
+FROM pagg p
+JOIN df d1 ON d1.w = p.word_a
+JOIN df d2 ON d2.w = p.word_b
+CROSS JOIN n
+WHERE p.df_ab >= {min_df}"""

@@ -820,3 +820,46 @@ def test_per_doc_gram_counts_equal_brute_force(texts):
             assert tot[i] == len(grams)
             assert dist[i] == len(c)
             assert mx[i] == max(c.values())
+
+
+def test_cooccur_pmi_matches_duckdb(ray_session):
+    """PMI co-occurrence: pair counts and quantized PMI exact vs the
+    self-join oracle."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.textstats import cooccur_pmi, cooccur_pmi_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = cooccur_pmi(SF).to_pandas() \
+        .sort_values(["word_a", "word_b"]).reset_index(drop=True)
+    want = con.execute(cooccur_pmi_sql()).fetchdf() \
+        .sort_values(["word_a", "word_b"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    assert (got["word_a"] < got["word_b"]).all()
+
+
+def test_pair_partials_kernel_brute_force():
+    """The vectorized upper-triangle pair enumeration equals
+    itertools.combinations over per-doc distinct sorted words."""
+    from itertools import combinations
+
+    import pyarrow as pa
+
+    from rayse.ops.textstats import _pair_partials_batch
+
+    texts = ["b a c a", "x", "", "q p q p", "m n o p q"]
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    t = _pair_partials_batch(batch)
+    got = {(a, b): c for a, b, c in zip(t["word_a"].to_pylist(),
+                                        t["word_b"].to_pylist(),
+                                        t["cnt"].to_pylist())}
+    want: dict = {}
+    for txt in texts:
+        for a, b in combinations(sorted(set(txt.split(" "))), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want

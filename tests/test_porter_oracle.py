@@ -481,3 +481,15 @@ def test_porter_deleted_matches_duckdb(porter_index, con):
     _cmp(got, want, ["query", "rank"])
     full = porter_bm25_topk(porter_index).to_pandas()
     assert not full.equals(got.to_pandas())
+
+
+def test_porter_autocomplete_matches_duckdb(porter_index, con):
+    """Type-ahead completions by collection frequency vs the cf+LIKE
+    oracle; ties break by ascending term."""
+    from rayse.ops.porter_oracle import (porter_autocomplete,
+                                         porter_autocomplete_sql)
+
+    got = porter_autocomplete(porter_index)
+    want = con.execute(porter_autocomplete_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["prefix", "rank"])
