@@ -163,3 +163,54 @@ def test_compacted_postings_internally_consistent(dirs):
             assert len(pos) == pl.doc_ids.size
             for p, tf in zip(pos, pl.tfs.tolist()):
                 assert p.size == tf
+
+
+def test_delete_survives_append(dirs, tmp_path_factory):
+    """Tombstones + incremental append interplay: deleting before an
+    append keeps the conversations invisible afterwards, appended
+    conversations are fully searchable, and surviving rows equal the
+    no-delete append minus the deleted rows (visibility semantics)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from rayse.pipelines.build_index import append_index
+
+    root, idx_all, _, deleted = dirs
+    work = tmp_path_factory.mktemp("app")
+    # two identical copies of the built index: one gets the delete
+    plain = str(work / "plain")
+    deld = str(work / "deld")
+    shutil.copytree(idx_all, plain)
+    shutil.copytree(idx_all, deld)
+    if os.path.exists(os.path.join(plain, "tombstones.json")):
+        os.remove(os.path.join(plain, "tombstones.json"))
+    if not os.path.exists(os.path.join(deld, "tombstones.json")):
+        delete_convs(deld, deleted)
+
+    extra = generate_block(130, 134)
+    bdir = work / "b"
+    bdir.mkdir()
+    pq.write_table(extra, str(bdir / "001.parquet"))
+    append_index(plain, str(bdir), shard_target_bytes=1,
+                 concurrency=3, merge_concurrency=3)
+    append_index(deld, str(bdir), shard_target_bytes=1,
+                 concurrency=3, merge_concurrency=3)
+
+    del_hashes = {conv_hash(c) for c in deleted}
+    got = _all_modes(SearchEngine(deld))
+    want = dict((lbl, (d, s)) for lbl, d, s in
+                _all_modes(SearchEngine(plain)))
+    new_hashes = {conv_hash(c) for c in set(extra["conv_id"].to_pylist())}
+    saw_new = False
+    for lbl, d, s in got:
+        assert not any((int(x) >> TURN_BITS) in del_hashes
+                       for x in d.tolist()), lbl
+        wd, ws = want[lbl]
+        mask = np.array([(int(x) >> TURN_BITS) not in del_hashes
+                         for x in wd.tolist()], dtype=bool)
+        assert np.array_equal(wd[mask], d), lbl
+        assert np.array_equal(ws[mask], s), lbl
+        saw_new = saw_new or any((int(x) >> TURN_BITS) in new_hashes
+                                 for x in d.tolist())
+    assert saw_new                        # appended convs are searchable
