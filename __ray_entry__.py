@@ -820,6 +820,25 @@ def _q_porter_autocomplete(sf_dir: str) -> pa.Table:
     return porter_autocomplete(_index_for(sf_dir))
 
 
+def _q_bpe_merges(sf_dir: str) -> pa.Table:
+    """BPE merge learning (Sennrich et al. 2016): distributed word-cf
+    aggregate + deterministic driver merge loop over the distinct
+    vocabulary. Iterative algorithm -> no SQL oracle (rows-only);
+    pytest-pinned against a brute-force reference."""
+    from rayse.ops.textstats import learn_bpe_merges
+
+    return learn_bpe_merges(sf_dir)
+
+
+def _q_quality_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020): the integer unigram-NLL scores cut at fixed integer
+    thresholds — DuckDB hash-matched."""
+    from rayse.ops.textstats import quality_buckets
+
+    return quality_buckets(sf_dir)
+
+
 def _q_cooccur_pmi(sf_dir: str):
     """PMI word co-occurrence (association mining over distinct-document
     pairs; the word2vec/GloVe count precursor) — exchange-aggregated
@@ -1189,6 +1208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_deleted_topk": _q_porter_deleted_topk,
         "porter_autocomplete": _q_porter_autocomplete,
         "cooccur_pmi": _q_cooccur_pmi,
+        "quality_buckets": _q_quality_buckets,
+        "bpe_merges": _q_bpe_merges,
         "porter_wand_topk": _q_porter_wand_topk,
         "porter_cluster_topk": _q_porter_cluster_topk,
         "porter_role_topk": _q_porter_role_topk,
@@ -1400,6 +1421,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).porter_autocomplete_sql(),
         "cooccur_pmi": __import__(
             "rayse.ops.textstats", fromlist=["x"]).cooccur_pmi_sql(),
+        "quality_buckets": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).quality_buckets_sql(),
         "html_clean": __import__(
             "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
         "duplicate_spans": __import__(

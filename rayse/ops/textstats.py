@@ -1321,3 +1321,104 @@ JOIN df d1 ON d1.w = p.word_a
 JOIN df d2 ON d2.w = p.word_b
 CROSS JOIN n
 WHERE p.df_ab >= {min_df}"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality bucketing (Wenzek et al. 2020: corpora are split
+# into head/middle/tail by LM perplexity): the integer unigram NLL
+# scores cut at fixed integer thresholds — no knife edges, row-local on
+# top of the hash-green scoring pipeline.
+# ---------------------------------------------------------------------------
+
+QUALITY_BUCKET_CUTS = (34_000_000, 35_000_000)   # nll_q head/middle/tail
+
+
+def quality_buckets(sf_dir: str, cuts: tuple = QUALITY_BUCKET_CUTS):
+    """(doc_id, nll_q, bucket) — 'head' (best) strictly below cuts[0],
+    'middle' below cuts[1], 'tail' otherwise."""
+    lo, hi = cuts
+
+    def tag(batch: pa.Table) -> pa.Table:
+        q = batch["nll_q"].to_numpy(zero_copy_only=False)
+        b = np.where(q < lo, "head", np.where(q < hi, "middle", "tail"))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "nll_q": batch["nll_q"],
+                         "bucket": pa.array(b.tolist(), pa.string())})
+
+    return unigram_nll(sf_dir).map_batches(tag, batch_format="pyarrow")
+
+
+def quality_buckets_sql(cuts: tuple = QUALITY_BUCKET_CUTS) -> str:
+    lo, hi = cuts
+    return f"""
+WITH nll AS ({unigram_nll_sql()})
+SELECT doc_id, nll_q,
+       CASE WHEN nll_q < {lo} THEN 'head'
+            WHEN nll_q < {hi} THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM nll"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning — tokenizer training (Sennrich et al. 2016). The
+# classic algorithm operates on the DISTINCT-WORD frequency table, so
+# the corpus-sized stage (word counting) is the distributed exchange
+# aggregate already used by unigram_nll; the merge loop runs on the
+# driver over the distinct vocabulary (bounded by the same broadcast
+# contract — HF/sentencepiece trainers make the identical word-counts
+# reduction). Determinism: highest pair frequency wins, ties break to
+# the lexicographically smallest (left, right). Iterative algorithm ->
+# no SQL oracle (the driver records a rows-only check); the loop is
+# pinned by pytest against a transparent brute-force reference.
+# ---------------------------------------------------------------------------
+
+def _bpe_merge_word(sym: list, left: str, right: str) -> list:
+    """One leftmost-greedy non-overlapping merge pass over a symbol
+    sequence."""
+    out = []
+    i = 0
+    n = len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def learn_bpe_merges_from_counts(words: list, cfs: list,
+                                 n_merges: int) -> list:
+    """The deterministic merge loop over a (word, cf) table ->
+    [(rank, left, right, freq)]."""
+    seqs = [list(w) for w in words]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for sym, cf in zip(seqs, cfs):
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cf
+        if not counts:
+            break
+        freq = max(counts.values())
+        left, right = min(p for p, c in counts.items() if c == freq)
+        merges.append((rank, left, right, int(freq)))
+        seqs = [_bpe_merge_word(s, left, right) if left in s else s
+                for s in seqs]
+    return merges
+
+
+def learn_bpe_merges(sf_dir: str, n_merges: int = 8) -> pa.Table:
+    """(rank, left, right, freq): the first ``n_merges`` BPE merges of
+    the corpus. Word counts are exchange-aggregated (distributed); the
+    loop runs over the distinct vocabulary."""
+    rows = _unigram_cf(sf_dir).to_pandas()      # vocab-bounded
+    merges = learn_bpe_merges_from_counts(
+        rows["word"].tolist(), rows["cf"].astype(int).tolist(), n_merges)
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int32()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "freq": pa.array([m[3] for m in merges], pa.int64()),
+    })

@@ -863,3 +863,44 @@ def test_pair_partials_kernel_brute_force():
         for a, b in combinations(sorted(set(txt.split(" "))), 2):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+def test_bpe_merges_classic_example():
+    """The Sennrich et al. 2016 worked example: ('e','s') then
+    ('es','t') lead on the newest/widest corpus."""
+    from rayse.ops.textstats import learn_bpe_merges_from_counts
+
+    ms = learn_bpe_merges_from_counts(
+        ["low", "lower", "newest", "widest"], [5, 2, 6, 3], 4)
+    assert ms[0] == (1, "e", "s", 9)
+    assert ms[1] == (2, "es", "t", 9)
+    assert ms[2] == (3, "l", "o", 7)
+    assert ms[3] == (4, "lo", "w", 7)
+
+
+def test_bpe_merges_corpus_vs_brute_force(ray_session):
+    """The distributed word-cf path + merge loop equals a pure-Python
+    reference computed from a driver-side Counter."""
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+
+    from rayse.ops.textstats import (learn_bpe_merges,
+                                     learn_bpe_merges_from_counts)
+
+    got = learn_bpe_merges(SF, n_merges=6).to_pylist()
+    texts = pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["text"])["text"].to_pylist()
+    cnt = Counter(w for t in texts for w in (t or "").split(" "))
+    words = sorted(cnt)
+    want = learn_bpe_merges_from_counts(
+        words, [cnt[w] for w in words], 6)
+    assert [(r["rank"], r["left"], r["right"], r["freq"])
+            for r in got] == want
+    # merges must chain: every non-initial symbol derives from a prior
+    # merge result or a single char
+    seen = set()
+    for r in got:
+        for side in (r["left"], r["right"]):
+            assert len(side) == 1 or side in seen
+        seen.add(r["left"] + r["right"])

@@ -267,3 +267,21 @@ def test_char_extent_kernel_brute_force():
     h2 = dict(by_doc[2])[1]
     assert h1 == h2
     assert len({h for _, h in by_doc[1]}) == 3
+
+
+def test_quality_buckets_matches_duckdb(ray_session):
+    """CCNet head/middle/tail bucketing: integer cuts on the integer
+    NLL — exact vs SQL, all three buckets populated at sf0.001."""
+    from rayse.ops.textstats import quality_buckets, quality_buckets_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = quality_buckets(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    want = con.execute(quality_buckets_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 500
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    assert set(got["bucket"]) == {"head", "middle", "tail"}
