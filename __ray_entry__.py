@@ -830,6 +830,16 @@ def _q_bpe_merges(sf_dir: str) -> pa.Table:
     return learn_bpe_merges(sf_dir)
 
 
+def _q_cooccur_pmi_window(sf_dir: str):
+    """Skip-gram-window PMI (the bounded-fan-out scale path of
+    ``cooccur_pmi``: W shift passes per batch instead of O(m^2) pair
+    enumeration) — DuckDB hash-matched (positional |pos_a - pos_b| <= W
+    self-join)."""
+    from rayse.ops.textstats import cooccur_pmi_window
+
+    return cooccur_pmi_window(sf_dir)
+
+
 def _q_quality_buckets(sf_dir: str):
     """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
     2020): the integer unigram-NLL scores cut at fixed integer
@@ -1208,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_deleted_topk": _q_porter_deleted_topk,
         "porter_autocomplete": _q_porter_autocomplete,
         "cooccur_pmi": _q_cooccur_pmi,
+        "cooccur_pmi_window": _q_cooccur_pmi_window,
         "quality_buckets": _q_quality_buckets,
         "bpe_merges": _q_bpe_merges,
         "porter_wand_topk": _q_porter_wand_topk,
@@ -1423,6 +1434,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).cooccur_pmi_sql(),
         "quality_buckets": __import__(
             "rayse.ops.textstats", fromlist=["x"]).quality_buckets_sql(),
+        "cooccur_pmi_window": __import__(
+            "rayse.ops.textstats",
+            fromlist=["x"]).cooccur_pmi_window_sql(),
         "html_clean": __import__(
             "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
         "duplicate_spans": __import__(

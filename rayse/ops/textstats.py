@@ -1225,9 +1225,11 @@ def _pair_reduce(tbl: pa.Table) -> pa.Table:
                      "df_ab": pc.cast(g["cnt_sum"], pa.int64())})
 
 
-def cooccur_pmi(sf_dir: str, min_df: int = 2):
-    """(word_a, word_b, df_ab, pmi_q) over unordered distinct-document
-    co-occurrence; counts exchange-aggregated, df map broadcast."""
+def _df_broadcast(sf_dir: str):
+    """(df_ds, n_docs, ref): distinct-document word df, exchange-
+    aggregated, then broadcast sorted (vocab, df, n) via ray.put — the
+    shared small side of both PMI variants (unigram_nll vocabulary
+    contract)."""
     import ray
     import ray.data as rd
 
@@ -1267,12 +1269,13 @@ def cooccur_pmi(sf_dir: str, min_df: int = 2):
     order = np.argsort(rows["word"].to_numpy(), kind="stable")
     vocab = rows["word"].to_numpy()[order]
     dfv = rows["df"].to_numpy()[order].astype(np.int64)
-    ref = ray.put((vocab, dfv, n_docs))
+    return df_ds, n_docs, ray.put((vocab, dfv, n_docs))
 
-    pairs = exchange_by_key(
-        ds.map_batches(_pair_partials_batch, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        "pair_hash", _pair_reduce, n_parts=32)
+
+def _pmi_finish_fn(ref, min_df: int):
+    """The final PMI map shared by both variants: gather df for both
+    sides from the broadcast, one ln per surviving pair."""
+    import ray
 
     def finish(batch: pa.Table) -> pa.Table:
         vb, dv, n = ray.get(ref)
@@ -1295,7 +1298,24 @@ def cooccur_pmi(sf_dir: str, min_df: int = 2):
                          "df_ab": pa.array(dab, pa.int64()),
                          "pmi_q": pa.array(pmi, pa.int64())})
 
-    return pairs.map_batches(finish, batch_format="pyarrow")
+    return finish
+
+
+def cooccur_pmi(sf_dir: str, min_df: int = 2):
+    """(word_a, word_b, df_ab, pmi_q) over unordered distinct-document
+    co-occurrence; counts exchange-aggregated, df map broadcast."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    _, _, ref = _df_broadcast(sf_dir)
+    pairs = exchange_by_key(
+        ds.map_batches(_pair_partials_batch, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "pair_hash", _pair_reduce, n_parts=32)
+    return pairs.map_batches(_pmi_finish_fn(ref, min_df),
+                             batch_format="pyarrow")
 
 
 def cooccur_pmi_sql(min_df: int = 2) -> str:
@@ -1422,3 +1442,117 @@ def learn_bpe_merges(sf_dir: str, n_merges: int = 8) -> pa.Table:
         "right": pa.array([m[2] for m in merges], pa.string()),
         "freq": pa.array([m[3] for m in merges], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# WINDOWED co-occurrence — the skip-gram-window realization (and the
+# scale path for document-level PMI's O(m^2): a fixed window W bounds
+# per-token pair fan-out at W). A pair (a < b) counts once per document
+# iff the two words appear within W tokens of each other; df/PMI
+# semantics are otherwise identical to ``cooccur_pmi``. Extraction is W
+# vectorized shift passes per batch (offset d in 1..W pairs token i
+# with token i+d) — no per-doc loop, no O(m^2).
+# ---------------------------------------------------------------------------
+
+def _window_pair_partials_batch(batch: pa.Table, window: int) -> pa.Table:
+    """Per-batch (pair_hash, word_a, word_b, cnt) distinct-document
+    windowed pair counts."""
+    texts = batch["text"].to_pylist()
+    empty = pa.table({"pair_hash": pa.array([], pa.uint64()),
+                      "word_a": pa.array([], pa.string()),
+                      "word_b": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if not texts:
+        return empty
+    toks = [(t or "").split(" ") for t in texts]
+    n = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
+    off = np.zeros(len(toks) + 1, np.int64)
+    np.cumsum(n, out=off[1:])
+    doc_of = np.repeat(np.arange(len(toks)), n)
+    parts_a, parts_b, parts_d = [], [], []
+    for d in range(1, window + 1):
+        # token i pairs with token i+d when both are in the same doc
+        same = doc_of[:-d] == doc_of[d:] if flat.size > d else \
+            np.zeros(0, dtype=bool)
+        i = np.flatnonzero(same)
+        a, b = flat[i], flat[i + d]
+        swap = a > b                      # canonical unordered order
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        keep = a2 != b2                   # self-pairs don't count
+        parts_a.append(a2[keep])
+        parts_b.append(b2[keep])
+        parts_d.append(doc_of[i][keep])
+    wa = np.concatenate(parts_a)
+    if wa.size == 0:
+        return empty
+    wb = np.concatenate(parts_b)
+    dd = np.concatenate(parts_d)
+    key = np.char.add(
+        np.char.add(np.char.add(dd.astype("U20"), "\x00"),
+                    np.char.add(wa.astype("U"), "\x00")),
+        wb.astype("U"))
+    # distinct per (doc, pair), then count docs per pair in this batch
+    _, first = np.unique(key, return_index=True)
+    wa, wb = wa[first], wb[first]
+    pkey = np.char.add(np.char.add(wa.astype("U"), "\x00"),
+                       wb.astype("U"))
+    u, pfirst, cnt = np.unique(pkey, return_index=True,
+                               return_counts=True)
+    ua, ub = wa[pfirst], wb[pfirst]
+    h = fnv64_slices(*_word_arr_slices(np.asarray(u, dtype=object)))
+    return pa.table({
+        "pair_hash": pa.array(h, pa.uint64()),
+        "word_a": pa.array(ua.tolist(), pa.string()),
+        "word_b": pa.array(ub.tolist(), pa.string()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+def cooccur_pmi_window(sf_dir: str, window: int = 5, min_df: int = 2):
+    """(word_a, word_b, df_ab, pmi_q) with co-occurrence restricted to a
+    W-token window — the bounded-fan-out scale path."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    _, _, ref = _df_broadcast(sf_dir)
+    pairs = exchange_by_key(
+        ds.map_batches(_window_pair_partials_batch,
+                       fn_kwargs={"window": window},
+                       batch_format="pyarrow", zero_copy_batch=True),
+        "pair_hash", _pair_reduce, n_parts=32)
+    return pairs.map_batches(_pmi_finish_fn(ref, min_df),
+                             batch_format="pyarrow")
+
+
+def cooccur_pmi_window_sql(window: int = 5, min_df: int = 2) -> str:
+    """Oracle: positional token stream, pair self-join with
+    |pos_a - pos_b| <= window and word_a < word_b, DISTINCT doc."""
+    return f"""
+WITH ptok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         w[CAST(u.i AS INTEGER) + 1] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(len(w))) u(i)),
+tokd AS (SELECT DISTINCT doc_id, word FROM ptok),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tokd
+       GROUP BY word),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+pagg AS (
+  SELECT word_a, word_b, CAST(count(*) AS BIGINT) AS df_ab FROM (
+    SELECT DISTINCT a.doc_id, a.word AS word_a, b.word AS word_b
+    FROM ptok a JOIN ptok b
+      ON a.doc_id = b.doc_id AND a.word < b.word
+     AND abs(a.pos - b.pos) <= {window})
+  GROUP BY 1, 2)
+SELECT p.word_a, p.word_b, p.df_ab,
+       CAST(floor(ln(CAST(n.n * p.df_ab AS DOUBLE)
+                     / CAST(d1.df * d2.df AS DOUBLE))
+                  * 1000000000::DOUBLE) AS BIGINT) AS pmi_q
+FROM pagg p
+JOIN df d1 ON d1.word = p.word_a
+JOIN df d2 ON d2.word = p.word_b
+CROSS JOIN n
+WHERE p.df_ab >= {min_df}"""

@@ -904,3 +904,55 @@ def test_bpe_merges_corpus_vs_brute_force(ray_session):
         for side in (r["left"], r["right"]):
             assert len(side) == 1 or side in seen
         seen.add(r["left"] + r["right"])
+
+
+def test_cooccur_pmi_window_matches_duckdb(ray_session):
+    """Skip-gram-window PMI: shift-pass extraction equals the positional
+    |pos_a - pos_b| <= W self-join oracle, and the window actually
+    excludes some full-document pairs."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.textstats import (cooccur_pmi, cooccur_pmi_window,
+                                     cooccur_pmi_window_sql)
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = cooccur_pmi_window(SF).to_pandas() \
+        .sort_values(["word_a", "word_b"]).reset_index(drop=True)
+    want = con.execute(cooccur_pmi_window_sql()).fetchdf() \
+        .sort_values(["word_a", "word_b"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    full = cooccur_pmi(SF).to_pandas()
+    assert len(got) < len(full)          # the window bites
+
+
+def test_window_pair_kernel_brute_force():
+    """Shift-pass pair extraction equals a brute-force positional scan
+    (distinct per doc, canonical order, self-pairs dropped)."""
+    import pyarrow as pa
+
+    from rayse.ops.textstats import _window_pair_partials_batch
+
+    texts = ["a b c a b", "z z y", "q"]
+    W = 2
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    t = _window_pair_partials_batch(batch, W)
+    got = {(a, b): c for a, b, c in zip(t["word_a"].to_pylist(),
+                                        t["word_b"].to_pylist(),
+                                        t["cnt"].to_pylist())}
+    want: dict = {}
+    for txt in texts:
+        toks = txt.split(" ")
+        seen = set()
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + W + 1, len(toks))):
+                a, b = sorted((toks[i], toks[j]))
+                if a != b:
+                    seen.add((a, b))
+        for p in seen:
+            want[p] = want.get(p, 0) + 1
+    assert got == want
