@@ -925,11 +925,9 @@ def _bigram_q_rows(tbl: pa.Table) -> pa.Table:
                          "q": pa.array([], pa.int64())})
     denom = c1[np.searchsorted(vocab, words[sel])]
     q = np.floor(np.log(c[sel] / denom) * 1e9).astype(np.int64)
+    bigrams = np.asarray(tbl["bigram"].to_pylist(), dtype=object)[sel]
     return pa.table({
-        "bigram": pa.array(tbl["bigram"].to_pylist()
-                           and np.asarray(tbl["bigram"].to_pylist(),
-                                          dtype=object)[sel].tolist(),
-                           pa.string()),
+        "bigram": pa.array(bigrams.tolist(), pa.string()),
         "q": pa.array(q, pa.int64())})
 
 
