@@ -1003,6 +1003,49 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
         ("sharded", pagerank_fixed_sharded_events(sf_dir))])
 
 
+def _q_neardup_pairs_suite(sf_dir: str) -> pa.Table:
+    """All four near-duplicate PAIR machineries — n-gram Jaccard
+    (PPJoin-style), MinHash+LSH banding, SimHash hamming, and
+    embedding-cosine LSH — tagged under one window slot (every output is
+    an (id_a, id_b) pair list; the embedding arm's vec ids ride the same
+    columns). Individual entries remain below the window, each still
+    DuckDB-oracle-backed and pytest-pinned."""
+    from rayse.ops.dedup import (embedding_neardup_pairs, jaccard_pairs,
+                                 minhash_lsh_pairs, simhash_pairs)
+
+    emb = _as_table(embedding_neardup_pairs(sf_dir, threshold=0.4))
+    return _tagged_union([
+        ("jaccard", _as_table(jaccard_pairs(sf_dir, shingle_k=1,
+                                            threshold=0.9))),
+        ("minhash", _as_table(minhash_lsh_pairs(sf_dir, shingle_k=3,
+                                                threshold=0.5))),
+        ("simhash", _as_table(simhash_pairs(sf_dir, max_hamming=3))),
+        ("embedding", emb.rename_columns(["doc_a", "doc_b"]))])
+
+
+def _q_token_count_suite(sf_dir: str) -> pa.Table:
+    """Both token-counting machineries — whitespace split and the BPE-ish
+    regex pretokenizer — tagged under one window slot; each DuckDB
+    hash-matched. Individual entries remain below the window."""
+    from rayse.ops.textstats import bpe_token_count
+
+    bpe = _as_table(bpe_token_count(sf_dir))
+    return _tagged_union([
+        ("ws", _as_table(_q_doc_token_count(sf_dir))),
+        ("bpe", bpe.rename_columns(["doc_id", "n_tokens"]))])
+
+
+def _q_pmi_suite(sf_dir: str) -> pa.Table:
+    """Both PMI co-occurrence machineries — document-level distinct-pair
+    counts and the bounded-fan-out skip-gram window variant — tagged
+    under one window slot; each DuckDB hash-matched."""
+    from rayse.ops.textstats import cooccur_pmi, cooccur_pmi_window
+
+    return _tagged_union([
+        ("doc", _as_table(cooccur_pmi(sf_dir))),
+        ("window", _as_table(cooccur_pmi_window(sf_dir)))])
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition filters (modal-2-gram fraction, duplicate
     5-gram fraction, token repeat fraction) — pure-integer quantization,
@@ -1133,18 +1176,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- driver correctness window (first 50 entries) ----
         # training-data ops over documents (SQL hash-checked)
-        "doc_token_count": _q_doc_token_count,
-        "bpe_token_count": _q_bpe_token_count,
+        "token_count_suite": _q_token_count_suite,
         "dedup_exact": _q_dedup_exact,
         "dedup_clusters": _q_dedup_clusters,
         "near_dedup_keep": _q_near_dedup_keep,
         "quality_stats": _q_quality_stats,
+        "quality_buckets": _q_quality_buckets,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_neardup": _q_embedding_neardup,
+        "neardup_pairs_suite": _q_neardup_pairs_suite,
+        "pmi_suite": _q_pmi_suite,
         "ann_exact_suite": _q_ann_exact_suite,
         "media_frames": _q_media_frames,
         # windowed / ordered ops over the events log
@@ -1158,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_hydrated_topk": _q_porter_hydrated_topk,
         "porter_snippet_topk": _q_porter_snippet_topk,
         "porter_suggest_queries": _q_porter_suggest_queries,
+        "porter_autocomplete": _q_porter_autocomplete,
         "porter_mmr_topk": _q_porter_mmr_topk,
         # both-analyzer suites: ranked ws modes, phrase, term dictionary
         "ws_rank_matrix": _q_ws_rank_matrix,
@@ -1192,6 +1234,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_window": _q_trailing_window,
         "semdedup_keep": _q_semdedup_keep,
         # ---- end of the driver's 50-entry window ----
+        "doc_token_count": _q_doc_token_count,
+        "bpe_token_count": _q_bpe_token_count,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
         "duplicate_span_extents": _q_duplicate_span_extents,
         "duplicate_char_extents": _q_duplicate_char_extents,
         "unigram_nll": _q_unigram_nll,
@@ -1216,10 +1264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_prefix_topk": _q_porter_prefix_topk,
         "porter_fuzzy_topk": _q_porter_fuzzy_topk,
         "porter_deleted_topk": _q_porter_deleted_topk,
-        "porter_autocomplete": _q_porter_autocomplete,
         "cooccur_pmi": _q_cooccur_pmi,
         "cooccur_pmi_window": _q_cooccur_pmi_window,
-        "quality_buckets": _q_quality_buckets,
         "bpe_merges": _q_bpe_merges,
         "porter_wand_topk": _q_porter_wand_topk,
         "porter_cluster_topk": _q_porter_cluster_topk,
@@ -1259,12 +1305,25 @@ def _stopword_sql_list() -> str:
                      for w in STOPWORDS_LIST if w)
 
 
+_DOC_TOKEN_COUNT_SQL = (
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    "AS n_tokens FROM documents"
+)
+
+_JACCARD_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= 0.9
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
-        "doc_token_count": (
-            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
-            "AS n_tokens FROM documents"
-        ),
+        "doc_token_count": _DOC_TOKEN_COUNT_SQL,
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) "
             "AS n_copies FROM documents GROUP BY text"
@@ -1286,15 +1345,28 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(n_tokens, 1) AS avg_token_chars
             FROM t
         """,
-        "jaccard_pairs": """
-            WITH toks AS (
-              SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
-              FROM documents)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / len(list_distinct(a.s || b.s)) >= 0.9
-        """,
+        "jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "neardup_pairs_suite": _tagged_union_sql([
+            ("jaccard", "doc_a, doc_b", _JACCARD_PAIRS_SQL),
+            ("minhash", "doc_a, doc_b", __import__(
+                "rayse.ops.dedup", fromlist=["x"]).minhash_lsh_pairs_sql(
+                    shingle_k=3, threshold=0.5)),
+            ("simhash", "doc_a, doc_b", __import__(
+                "rayse.ops.dedup", fromlist=["x"]).simhash_pairs_sql(3)),
+            ("embedding", "vec_a AS doc_a, vec_b AS doc_b", __import__(
+                "rayse.ops.dedup",
+                fromlist=["x"]).embedding_neardup_sql(0.4))]),
+        "token_count_suite": _tagged_union_sql([
+            ("ws", "doc_id, n_tokens", _DOC_TOKEN_COUNT_SQL),
+            ("bpe", "doc_id, n_bpe_tokens AS n_tokens", __import__(
+                "rayse.ops.textstats",
+                fromlist=["x"]).bpe_token_count_sql())]),
+        "pmi_suite": _tagged_union_sql([
+            ("doc", "word_a, word_b, df_ab, pmi_q", __import__(
+                "rayse.ops.textstats", fromlist=["x"]).cooccur_pmi_sql()),
+            ("window", "word_a, word_b, df_ab, pmi_q", __import__(
+                "rayse.ops.textstats",
+                fromlist=["x"]).cooccur_pmi_window_sql())]),
         "pricing_summary": __import__(
             "rayse.ops.relational", fromlist=["x"]).PRICING_SUMMARY_SQL,
         "top_customer_revenue": __import__(
