@@ -1354,6 +1354,8 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_fuzzy_sql(k=k)),
         ("deleted", lambda: porter_deleted_topk(d, k=k),
          porter_bm25_sql(k=k, doc_filter=DELETED_DOC_FILTER)),
+        ("merged", lambda: porter_merged_topk(d, k=k),
+         porter_bm25_sql(k=k)),
     ]
 
 
@@ -1631,6 +1633,60 @@ def porter_deleted_topk(index_dir: str, queries: list[str] | None = None,
     filtered-corpus oracle (``porter_bm25_sql(doc_filter=...)``)."""
     _porter_reader(index_dir)
     return porter_bm25_topk(_compacted_index_for(index_dir),
+                            queries=queries, k=k)
+
+
+def _half_conv_ids(index_dir: str) -> tuple[list[str], list[str]]:
+    """Deterministic two-way corpus split by the conv id's numeric
+    suffix parity (remap-independent)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(index_dir, "conv_map")).to_table(
+        columns=["conv_id"])
+    evens, odds = [], []
+    for c in set(t["conv_id"].to_pylist()):
+        (evens if int(c.rsplit("-", 1)[1]) % 2 == 0 else odds).append(c)
+    return sorted(evens), sorted(odds)
+
+
+def _merged_index_for(index_dir: str) -> str:
+    """Build (once, cached beside the source index) the segment-merge
+    parity fixture: the corpus is split into two half-indexes (each a
+    one-shot compaction of the full index) and ``merge_indexes`` welds
+    them back together. Ranks over the result must be bit-identical to
+    the original full build — the merge-correctness theorem that puts
+    segment merging under the driver's hash gate with the UNCHANGED
+    ``porter_bm25_sql`` oracle."""
+    out = index_dir.rstrip("/") + "_merged"
+    if os.path.exists(os.path.join(out, "corpus_stats.json")):
+        return out
+    import shutil
+
+    from ..index.maintenance import compact_index, merge_indexes
+
+    evens, odds = _half_conv_ids(index_dir)
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    half_a = os.path.join(tmp, "half_a")
+    half_b = os.path.join(tmp, "half_b")
+    merged = os.path.join(tmp, "merged")
+    compact_index(index_dir, half_a, extra_conv_ids=odds)   # keeps evens
+    compact_index(index_dir, half_b, extra_conv_ids=evens)  # keeps odds
+    merge_indexes(half_a, half_b, merged)
+    os.replace(merged, out)
+    shutil.rmtree(tmp)
+    return out
+
+
+def porter_merged_topk(index_dir: str, queries: list[str] | None = None,
+                       k: int = 10) -> pa.Table:
+    """Ranked BM25 over the split-then-merged index — must hash-match the
+    full-corpus oracle (``porter_bm25_sql``), pinning segment merge
+    end-to-end: posting interleave, positions byte-gather, roles
+    reorder, exact stats recombination, block-max rebuild."""
+    _porter_reader(index_dir)
+    return porter_bm25_topk(_merged_index_for(index_dir),
                             queries=queries, k=k)
 
 

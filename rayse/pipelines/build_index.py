@@ -617,7 +617,9 @@ def resolve_conv_collisions(out_dir: str, max_rounds: int = 5,
     if total_bytes <= DRIVER_BYTES_CAP:
         import pyarrow.dataset as pads
 
-        t = pads.dataset(files).to_table()
+        # pairs only: conv_map rows carry per-batch n_turns partials, so
+        # the same (hash, conv) appears in several rows — dedup the PAIR
+        t = pads.dataset(files).to_table(columns=["conv_hash", "conv_id"])
         df = t.to_pandas().drop_duplicates()
         dup = df[df.duplicated("conv_hash", keep=False)]
         for h, conv in zip(dup["conv_hash"].tolist(),

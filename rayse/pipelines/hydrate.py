@@ -26,16 +26,26 @@ from ..stages.doc_ids import TURN_BITS, conv_hash
 
 
 def conv_map_batch(batch: pa.Table) -> pa.Table:
-    """Distinct (conv_hash, conv_id) of one batch (vector-cached hash)."""
+    """Distinct (conv_hash, conv_id, n_turns) of one batch (vector-cached
+    hash). ``n_turns`` is the PARTIAL turn count within this batch — a
+    conversation split across batches contributes several rows whose
+    counts sum to its exact total, so per-conv turn counts are a plain
+    SUM over matching rows (no distinct needed). Compaction and merge
+    use this for exact n_docs recombination: zero-posting turns (every
+    token analyzer-filtered) are invisible to posting-derived counts but
+    still counted by the build's corpus stats."""
     convs = batch["conv_id"].to_pylist()
     seen: dict[str, int] = {}
+    counts: dict[str, int] = {}
     for c in convs:
+        counts[c] = counts.get(c, 0) + 1
         if c not in seen:
             seen[c] = conv_hash(c)
     return pa.table({
         "conv_hash": pa.array(np.fromiter(seen.values(), dtype=np.uint64,
                                           count=len(seen)), pa.uint64()),
         "conv_id": pa.array(list(seen.keys()), pa.string()),
+        "n_turns": pa.array([counts[c] for c in seen], pa.int64()),
     })
 
 

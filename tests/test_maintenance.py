@@ -214,3 +214,93 @@ def test_delete_survives_append(dirs, tmp_path_factory):
         saw_new = saw_new or any((int(x) >> TURN_BITS) in new_hashes
                                  for x in d.tolist())
     assert saw_new                        # appended convs are searchable
+
+
+def test_merge_ranks_identical_to_union_build(dirs):
+    """Segment merge welds two disjoint-corpus indexes into one that is
+    indistinguishable from a fresh build over the union: docs AND raw
+    float scores across every retrieval mode, vocabulary, df, corpus
+    stats — plus per-posting structural alignment (positions byte-gather
+    and roles reorder)."""
+    from rayse.index.maintenance import merge_indexes
+
+    root, idx_all, _, _ = dirs
+    # earlier tests may have tombstoned idx_all (module fixture); the
+    # merge baseline is therefore the COMPACTED index — halves and base
+    # see the same live corpus.
+    import pyarrow.dataset as pads
+
+    base = str(root / "m_base")
+    half_a = str(root / "m_half_a")
+    half_b = str(root / "m_half_b")
+    merged = str(root / "m_merged")
+    if not os.path.isdir(merged):
+        compact_index(idx_all, base)
+        t = pads.dataset(os.path.join(base, "conv_map")).to_table(
+            columns=["conv_id"])
+        convs = sorted(set(t["conv_id"].to_pylist()))
+        evens = [c for c in convs if int(c.rsplit("-", 1)[1]) % 2 == 0]
+        odds = [c for c in convs if int(c.rsplit("-", 1)[1]) % 2 == 1]
+        compact_index(base, half_a, extra_conv_ids=odds)
+        compact_index(base, half_b, extra_conv_ids=evens)
+        merge_indexes(half_a, half_b, merged)
+
+    full_reader = IndexReader(base)
+    m_reader = IndexReader(merged)
+    assert m_reader.n_docs == full_reader.n_docs
+    assert m_reader.avgdl == full_reader.avgdl
+    assert m_reader.vocabulary() == full_reader.vocabulary()
+    for term in full_reader.vocabulary():
+        assert m_reader.df(term) == full_reader.df(term), term
+        assert m_reader.cf(term) == full_reader.cf(term), term
+
+    got = _all_modes(SearchEngine(merged))
+    want = dict((lbl, (d, s)) for lbl, d, s in _all_modes(
+        SearchEngine(base)))
+    for lbl, d, s in got:
+        wd, ws = want[lbl]
+        assert np.array_equal(d, wd), lbl
+        assert np.array_equal(s, ws), lbl   # raw float score identity
+
+    for term in sorted(m_reader.vocabulary()):
+        pl = m_reader.merged(term)
+        ref = full_reader.merged(term)
+        assert np.array_equal(pl.doc_ids, ref.doc_ids), term
+        assert np.array_equal(pl.tfs, ref.tfs), term
+        if pl.positions_blob:
+            got_pos = pl.positions()
+            want_pos = ref.positions()
+            for g, w in zip(got_pos, want_pos):
+                assert np.array_equal(g, w), term
+        if pl.roles is not None:
+            assert np.array_equal(pl.roles, ref.roles), term
+
+
+def test_merge_rejects_overlapping_corpora(dirs):
+    from rayse.index.maintenance import merge_indexes
+
+    root, idx_all, idx_ref, _ = dirs
+    base = str(root / "m_base")
+    if not os.path.isdir(base):            # ordering independence
+        compact_index(idx_all, base)
+    with pytest.raises(ValueError, match="disjoint|both inputs"):
+        merge_indexes(base, idx_ref, str(root / "m_bad"))
+
+
+def test_compaction_filters_conv_map(dirs):
+    """Compaction drops deleted conversations from the conv_map (they
+    must not hydrate), and keeps exact per-conv turn counts for the
+    stats recombination."""
+    import pyarrow.dataset as pads
+
+    root, idx_all, _, deleted = dirs
+    idx_cmp = str(root / "idx_cmp")
+    if not os.path.isdir(idx_cmp):
+        delete_convs(idx_all, deleted)
+        compact_index(idx_all, idx_cmp)
+    t = pads.dataset(os.path.join(idx_cmp, "conv_map")).to_table()
+    left = set(t["conv_id"].to_pylist())
+    assert not (left & set(deleted))
+    assert "n_turns" in t.column_names
+    # partial counts sum to the compacted index's n_docs exactly
+    assert int(pc.sum(t["n_turns"]).as_py()) == IndexReader(idx_cmp).n_docs
