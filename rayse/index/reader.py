@@ -279,6 +279,34 @@ class IndexReader:
                     out.add(t)
         return sorted(out)
 
+    def doc_term_vector(self, doc_id: int) -> list[tuple[str, int]]:
+        """(term, tf) pairs of ONE document, sorted by term — the
+        storage-free analog of Lucene's term vectors. Parts are
+        docID-range partitions, so only the doc's own part is scanned
+        (2^-part_bits of the corpus); per segment row the cost is the
+        doc_ids varint decode + one searchsorted, positions untouched.
+        At web scale a stored term-vector sidecar (one parquet per part,
+        doc -> packed (term_ord, tf)) is the documented fast path behind
+        this same signature."""
+        pid = int(doc_id) >> (64 - int(self.meta["part_bits"]))
+        suffix = f"part={pid}"
+        did = np.uint64(doc_id)
+        out: list[tuple[str, int]] = []
+        for p in self.parts:
+            if not p.part_dir.rstrip("/").endswith(suffix):
+                continue
+            tbl = p._tbl
+            from .encoding import decode_varints
+
+            for i in range(tbl.num_rows):
+                d = np.cumsum(decode_varints(tbl["doc_ids"][i].as_py()),
+                              dtype=np.uint64)
+                j = int(np.searchsorted(d, did))
+                if j < d.size and d[j] == did:
+                    tf = int(decode_varints(tbl["tfs"][i].as_py())[j])
+                    out.append((tbl["term"][i].as_py(), tf))
+        return sorted(out)
+
     def terms_with_prefix(self, prefix: str) -> list[str]:
         """Sorted distinct index terms starting with ``prefix`` — a
         binary range scan ([prefix, prefix+U+FFFF)) over each part's

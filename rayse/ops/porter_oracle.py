@@ -34,7 +34,7 @@ from ..index.reader import IndexReader
 from ..index.segments import bm25_tf
 from ..config import BM25Params
 from ..pipelines.hydrate import resolve_conv_ids
-from ..stages.doc_ids import TURN_BITS
+from ..stages.doc_ids import TURN_BITS, conv_hash
 from .ws_search import _TURNS_CTE
 
 # The generator's closed word list (every sf dir; pinned by
@@ -1356,6 +1356,7 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_bm25_sql(k=k, doc_filter=DELETED_DOC_FILTER)),
         ("merged", lambda: porter_merged_topk(d, k=k),
          porter_bm25_sql(k=k)),
+        ("mlt", lambda: porter_mlt_topk(d, k=k), porter_mlt_sql(k=k)),
     ]
 
 
@@ -1677,6 +1678,127 @@ def _merged_index_for(index_dir: str) -> str:
     os.replace(merged, out)
     shutil.rmtree(tmp)
     return out
+
+
+MLT_SEED_QUERIES = ["table scan", "spark", "vector group filter"]
+
+
+def porter_mlt_topk(index_dir: str, queries: list[str] | None = None,
+                    k: int = 10, n_terms: int = 5) -> pa.Table:
+    """More-like-this (Lucene MLT analog; the reference's M13 'related
+    results' sibling): the top-1 BM25 hit of each seed query becomes a
+    document seed, its ``n_terms`` most characteristic terms (tf DESC,
+    df ASC, term ASC — an integer-exact distinctiveness order standing
+    in for Lucene's float tf-idf cut) are read from the index via the
+    part-local term vector, and a disjunctive BM25 search over those
+    terms ranks the corpus with the seed itself excluded — DuckDB
+    hash-matched end-to-end (seed selection, term cut, and rescore all
+    mirrored in SQL)."""
+    queries = queries if queries is not None else MLT_SEED_QUERIES
+    reader, params = _porter_reader(index_dir)
+    from ..pipelines.hydrate import _load_remap
+
+    remap = _load_remap(index_dir)
+    n, avgdl = reader.n_docs, reader.avgdl
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for q in queries:
+        seed = porter_bm25_topk(index_dir, queries=[q], k=1)
+        if seed.num_rows == 0:
+            continue
+        conv = seed["conv_id"][0].as_py()
+        turn = int(seed["turn_idx"][0].as_py())
+        h = int(remap.get(conv, conv_hash(conv)))
+        seed_doc = np.uint64((h << TURN_BITS) | turn)
+        tv = reader.doc_term_vector(int(seed_doc))
+        sel = sorted(((-tf, reader.df(t), t) for t, tf in tv))[:n_terms]
+        doc_arrs, contrib_arrs = [], []
+        for _, _, t in sel:
+            pl = reader.merged(t)
+            if pl is None:
+                continue
+            idf = float(np.log((1.0 + n) / (1.0 + pl.doc_ids.size)) + 1.0)
+            doc_arrs.append(pl.doc_ids)
+            contrib_arrs.append(idf * bm25_tf(pl.tfs, pl.dls, avgdl,
+                                              params))
+        if not doc_arrs:
+            continue
+        uniq, inv = np.unique(np.concatenate(doc_arrs), return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(contrib_arrs))
+        keep = uniq != seed_doc
+        uniq, scores = uniq[keep], scores[keep]
+        score_q = np.floor(scores * 1e7).astype(np.int64)
+        for r, cv, tn, sq in _ranked_rows(reader.index_dir, uniq,
+                                          score_q, k):
+            out_q.append(q)
+            out_r.append(r)
+            out_c.append(cv)
+            out_t.append(tn)
+            out_s.append(sq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_mlt_sql(queries: list[str] | None = None, k: int = 10,
+                   n_terms: int = 5) -> str:
+    """Oracle for ``porter_mlt_topk``: quantized-BM25 seed top-1, the
+    integer (tf DESC, df ASC, term) term cut, a rescore over the cut
+    terms, ANTI JOIN out the seed, standard quantized ranking."""
+    queries = queries if queries is not None else MLT_SEED_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in _analyzed(q))
+    bm25 = ("sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)"
+            " * (tf.tf * 2.2"
+            " / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))")
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+scored0 AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx, {bm25} AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+seed AS (
+  SELECT query, conv_id, turn_idx FROM (
+    SELECT query, conv_id, turn_idx,
+           row_number() OVER (
+             PARTITION BY query
+             ORDER BY CAST(floor(score * 10000000) AS BIGINT) DESC,
+                      conv_id, turn_idx) AS rn
+    FROM scored0) WHERE rn = 1),
+mlt_terms AS (
+  SELECT query, term FROM (
+    SELECT s.query, tf.term,
+           row_number() OVER (PARTITION BY s.query
+                              ORDER BY tf.tf DESC, df.df ASC, tf.term)
+             AS rn
+    FROM seed s
+         JOIN tf ON tf.conv_id = s.conv_id AND tf.turn_idx = s.turn_idx
+         JOIN df USING (term)) WHERE rn <= {n_terms}),
+scored AS (
+  SELECT mt.query, tf.conv_id, tf.turn_idx, {bm25} AS score
+  FROM mlt_terms mt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT sc.query, sc.conv_id, sc.turn_idx,
+         CAST(floor(sc.score * 10000000) AS BIGINT) AS score_q
+  FROM scored sc ANTI JOIN seed se
+    ON sc.query = se.query AND sc.conv_id = se.conv_id
+   AND sc.turn_idx = se.turn_idx),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
 
 
 def porter_merged_topk(index_dir: str, queries: list[str] | None = None,

@@ -493,3 +493,46 @@ def test_porter_autocomplete_matches_duckdb(porter_index, con):
     want = con.execute(porter_autocomplete_sql()).fetchdf()
     assert len(want) > 0
     _cmp(got, want, ["prefix", "rank"])
+
+
+def test_porter_mlt_matches_duckdb(porter_index, con):
+    """More-like-this end-to-end: seed top-1, the integer (tf DESC, df
+    ASC, term) cut over the seed's term vector, rescore with the seed
+    anti-joined out — vs the full SQL mirror."""
+    from rayse.ops.porter_oracle import porter_mlt_sql, porter_mlt_topk
+
+    got = porter_mlt_topk(porter_index)
+    want = con.execute(porter_mlt_sql()).fetchdf()
+    _cmp(got, want, ["query", "rank"])
+
+
+def test_doc_term_vector_matches_corpus(porter_index):
+    """The part-local term vector equals the analyzed document content
+    (every MLT seed doc cross-checked against re-analyzing its text)."""
+    from rayse.analyzer import analyze
+    from rayse.index.reader import IndexReader
+    from rayse.ops.porter_oracle import porter_bm25_topk
+    from rayse.pipelines.hydrate import _load_remap
+    from rayse.stages.doc_ids import TURN_BITS, conv_hash
+    import collections
+    import glob as g
+    import os
+
+    reader = IndexReader(porter_index)
+    remap = _load_remap(porter_index)
+    tdir = os.path.join(os.path.dirname(porter_index), "transcripts")
+    files = sorted(g.glob(os.path.join(tdir, "*.parquet")))
+    turns = pq.read_table(files).to_pydict()
+    text_of = {(c, t): x for c, t, x in zip(
+        turns["conv_id"], turns["turn_idx"], turns["text"])}
+
+    seeds = porter_bm25_topk(porter_index, k=1)
+    assert seeds.num_rows
+    for i in range(seeds.num_rows):
+        conv = seeds["conv_id"][i].as_py()
+        turn = int(seeds["turn_idx"][i].as_py())
+        h = int(remap.get(conv, conv_hash(conv)))
+        tv = reader.doc_term_vector((h << TURN_BITS) | turn)
+        want = sorted(collections.Counter(
+            analyze(text_of[(conv, turn)])).items())
+        assert tv == want, (conv, turn)
