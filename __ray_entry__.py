@@ -1046,6 +1046,16 @@ def _q_pmi_suite(sf_dir: str) -> pa.Table:
         ("window", _as_table(cooccur_pmi_window(sf_dir)))])
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram log
+    likelihood ratio of a deterministic target slice vs the raw corpus,
+    integer-quantized per bucket and summed per doc — DuckDB
+    hash-matched (exact FNV buckets, identical two-ln quantization)."""
+    from rayse.ops.sampling import dsir_weights
+
+    return dsir_weights(sf_dir)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition filters (modal-2-gram fraction, duplicate
     5-gram fraction, token repeat fraction) — pure-integer quantization,
@@ -1233,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customer_revenue": _q_top_customer_revenue,
         "trailing_window": _q_trailing_window,
         "semdedup_keep": _q_semdedup_keep,
+        "dsir_weights": _q_dsir_weights,
         # ---- end of the driver's 50-entry window ----
         "doc_token_count": _q_doc_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -1367,6 +1378,8 @@ def oracle_sql() -> dict[str, str]:
             ("window", "word_a, word_b, df_ab, pmi_q", __import__(
                 "rayse.ops.textstats",
                 fromlist=["x"]).cooccur_pmi_window_sql())]),
+        "dsir_weights": __import__(
+            "rayse.ops.sampling", fromlist=["x"]).dsir_weights_sql(),
         "pricing_summary": __import__(
             "rayse.ops.relational", fromlist=["x"]).PRICING_SUMMARY_SQL,
         "top_customer_revenue": __import__(

@@ -260,3 +260,148 @@ SELECT doc_id, {by} FROM (
                             ORDER BY {_mix_sql("doc_id")}, doc_id) AS rn
   FROM documents)
 WHERE rn <= {n}"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every document by
+# how much more likely its hashed-unigram bag is under a TARGET corpus
+# than under the raw corpus —
+#     log w(x) = sum_tokens [ ln((ct[b]+1)/(cr[b]+1)) + ln((Nr+B)/(Nt+B)) ]
+# with b = fnv64(token) % B hashed feature buckets, ct/cr the
+# target/raw bucket counts (add-1 smoothed), Nt/Nr the corpora token
+# totals. Selection = keep the highest-weight docs (compose with
+# ``hash_sample`` for Gumbel-free deterministic resampling).
+#
+# INTEGER-EXACT contract (the unigram_nll recipe): each bucket's log
+# ratio quantizes ONCE to q[b] = floor((ln(..) + ln(..)) * 1e9); a
+# document's weight is an int64 SUM of per-token q values — order
+# independent, so Ray and DuckDB agree bit-exactly.
+#
+# Scale shape: per-batch vectorized token hashing (word_bounds +
+# fnv64_slices) -> per-batch bincount partials -> ONE bounded
+# groupby("bucket") whose output is <= B rows (B = 4096 — independent of
+# corpus size); the q-map broadcasts as a B-float array; scoring is a
+# row-local map (np.take + reduceat). The target membership predicate
+# here is the deterministic doc_id % 5 == 0 slice (a stand-in for a
+# curated target table at production scale — swap the mask fn).
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_MOD = 5
+DSIR_TARGET_REM = 0
+
+
+def _dsir_token_buckets(texts: list, n_buckets: int):
+    """(bucket array of EVERY token, per-doc token-count array)."""
+    from .textstats import word_bounds
+
+    buf, _doc_off, w_starts, w_ends, w_cum = word_bounds(texts)
+    from .textstats import fnv64_slices
+
+    h = fnv64_slices(buf, w_starts, w_ends - w_starts)
+    return (h % np.uint64(n_buckets)).astype(np.int64), np.diff(w_cum)
+
+
+def dsir_weights(sf_dir: str, n_buckets: int = DSIR_BUCKETS,
+                 target_mod: int = DSIR_TARGET_MOD,
+                 target_rem: int = DSIR_TARGET_REM):
+    """(doc_id, w_q): quantized DSIR log importance weight per document."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "ct": pa.array([], pa.int64()),
+                             "cr": pa.array([], pa.int64())})
+        b, n_tok = _dsir_token_buckets(texts, n_buckets)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tgt_doc = (doc % target_mod) == target_rem
+        tgt_tok = np.repeat(tgt_doc, n_tok)
+        cr = np.bincount(b, minlength=n_buckets)
+        ct = np.bincount(b[tgt_tok], minlength=n_buckets)
+        nz = np.flatnonzero(cr)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "ct": pa.array(ct[nz], pa.int64()),
+                         "cr": pa.array(cr[nz], pa.int64())})
+
+    import ray.data as rd2
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket")
+           .aggregate(rd2.aggregate.Sum("ct"), rd2.aggregate.Sum("cr"))
+           .to_pandas())                      # <= n_buckets rows, bounded
+    ct = np.zeros(n_buckets, dtype=np.int64)
+    cr = np.zeros(n_buckets, dtype=np.int64)
+    ct[agg["bucket"].to_numpy()] = agg["sum(ct)"].to_numpy()
+    cr[agg["bucket"].to_numpy()] = agg["sum(cr)"].to_numpy()
+    nt, nr = int(ct.sum()), int(cr.sum())
+    norm = np.log(float(nr + n_buckets) / float(nt + n_buckets))
+    q = np.floor((np.log((ct + 1).astype(np.float64)
+                         / (cr + 1).astype(np.float64)) + norm)
+                 * 1e9).astype(np.int64)
+    ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(ref)
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "w_q": pa.array([], pa.int64())})
+        b, n_tok = _dsir_token_buckets(texts, n_buckets)
+        contrib = qv[b]
+        starts = np.zeros(n_tok.size, np.int64)
+        np.cumsum(n_tok[:-1], out=starts[1:])
+        w = np.add.reduceat(contrib, starts) if b.size else \
+            np.zeros(n_tok.size, np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "w_q": pa.array(w, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def dsir_weights_sql(n_buckets: int = DSIR_BUCKETS,
+                     target_mod: int = DSIR_TARGET_MOD,
+                     target_rem: int = DSIR_TARGET_REM) -> str:
+    """Oracle for ``dsir_weights``: FNV-1a per DISTINCT word (HUGEINT
+    list_reduce, ASCII corpora), bucket counts with the same smoothing,
+    the identical two-ln quantization, integer per-doc sums."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dw AS (SELECT DISTINCT w FROM tok),
+wb AS (
+  SELECT w,
+         CAST(list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+                         [ascii(c)::HUGEINT FOR c IN string_split(w, '')]),
+            (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT)
+              % {n_buckets} AS BIGINT) AS bucket
+  FROM dw),
+tokb AS (SELECT t.doc_id, wb.bucket FROM tok t JOIN wb USING (w)),
+cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM tokb
+       GROUP BY bucket),
+ctt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM tokb
+        WHERE doc_id % {target_mod} = {target_rem} GROUP BY bucket),
+tot AS (SELECT (SELECT count(*) FROM tokb) AS nr,
+               (SELECT count(*) FROM tokb
+                WHERE doc_id % {target_mod} = {target_rem}) AS nt),
+q AS (
+  SELECT cr.bucket,
+         CAST(floor((ln((COALESCE(ctt.c, 0) + 1)::DOUBLE
+                        / (cr.c + 1)::DOUBLE)
+                     + ln((tot.nr + {n_buckets})::DOUBLE
+                          / (tot.nt + {n_buckets})::DOUBLE))
+                    * 1000000000::DOUBLE) AS BIGINT) AS q
+  FROM cr LEFT JOIN ctt USING (bucket) CROSS JOIN tot)
+SELECT t.doc_id, CAST(sum(q.q) AS BIGINT) AS w_q
+FROM tokb t JOIN q USING (bucket)
+GROUP BY t.doc_id"""

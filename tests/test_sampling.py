@@ -119,3 +119,39 @@ def test_mixture_epochs_matches_duckdb(ray_session):
     other = got[got["lang"] != "en"]["n_repeats"]
     if len(other):
         assert (other == 1).all()
+
+
+def test_dsir_weights_matches_duckdb(ray_session):
+    from rayse.ops.sampling import dsir_weights, dsir_weights_sql
+
+    got = dsir_weights(SF).to_pandas().sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = _con().execute(dsir_weights_sql()).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 500
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    # target-slice docs skew toward positive weights: the mean weight of
+    # the target subset must exceed the complement's (the DSIR premise)
+    tgt = got[got.doc_id % 5 == 0]["w_q"].mean()
+    rest = got[got.doc_id % 5 != 0]["w_q"].mean()
+    assert tgt > rest
+
+
+def test_dsir_weights_batchsize_invariant(ray_session):
+    """Bucket-count partials and integer sums are batch-boundary
+    independent."""
+    import ray.data as rd
+    from ray.data.context import DataContext
+    from rayse.ops.sampling import dsir_weights
+
+    a = dsir_weights(SF).to_pandas().sort_values("doc_id")
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        b = dsir_weights(SF).to_pandas().sort_values("doc_id")
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
