@@ -1003,6 +1003,35 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
         ("sharded", pagerank_fixed_sharded_events(sf_dir))])
 
 
+def _q_window_agg_suite(sf_dir: str) -> pa.Table:
+    """Both event-windowing machineries — tumbling groupby and the
+    constant-factor hopping explode — tagged under one window slot.
+    The hopping arm's integer micros ride the shared value_sum column as
+    an exact int->double cast (micros < 2^53). Individual entries remain
+    below the window, still oracle-backed and pytest-pinned."""
+    from rayse.ops.windows import hopping_agg, tumbling_agg
+
+    hop = _as_table(hopping_agg(sf_dir, window_s=3600, hop_s=900))
+    hop = hop.set_column(
+        hop.column_names.index("value_sum_micros"),
+        "value_sum", hop["value_sum_micros"].cast(pa.float64()))
+    return _tagged_union([
+        ("tumbling", _as_table(tumbling_agg(sf_dir, window_s=3600))),
+        ("hopping", hop)])
+
+
+def _q_porter_facets(sf_dir: str) -> pa.Table:
+    """Search facet counts (the results-page aggregation every search UI
+    ships): per query, the disjunctive match set bucketed by the M6
+    per-posting role codes — (query, role, n_docs, n_convs), DuckDB
+    hash-matched. Also pins role-code integrity index-wide: every
+    posting's stored role byte must equal the turn-parity derivation the
+    oracle uses."""
+    from rayse.ops.porter_oracle import porter_facets
+
+    return porter_facets(_index_for(sf_dir))
+
+
 def _q_neardup_pairs_suite(sf_dir: str) -> pa.Table:
     """All four near-duplicate PAIR machineries — n-gram Jaccard
     (PPJoin-style), MinHash+LSH banding, SimHash hamming, and
@@ -1199,8 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_exact_suite": _q_ann_exact_suite,
         "media_frames": _q_media_frames,
         # windowed / ordered ops over the events log
-        "windowed_agg": _q_windowed_agg,
-        "hopping_agg": _q_hopping_agg,
+        "window_agg_suite": _q_window_agg_suite,
         "sessionize": _q_sessionize,
         "top_events_per_type": _q_top_events_per_type,
         # the flagship Porter path: every ranked mode in one tagged entry,
@@ -1210,6 +1238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_snippet_topk": _q_porter_snippet_topk,
         "porter_suggest_queries": _q_porter_suggest_queries,
         "porter_autocomplete": _q_porter_autocomplete,
+        "porter_facets": _q_porter_facets,
         "porter_mmr_topk": _q_porter_mmr_topk,
         # both-analyzer suites: ranked ws modes, phrase, term dictionary
         "ws_rank_matrix": _q_ws_rank_matrix,
@@ -1245,6 +1274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keep": _q_semdedup_keep,
         "dsir_weights": _q_dsir_weights,
         # ---- end of the driver's 50-entry window ----
+        "windowed_agg": _q_windowed_agg,
+        "hopping_agg": _q_hopping_agg,
         "doc_token_count": _q_doc_token_count,
         "bpe_token_count": _q_bpe_token_count,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1380,6 +1411,8 @@ def oracle_sql() -> dict[str, str]:
                 fromlist=["x"]).cooccur_pmi_window_sql())]),
         "dsir_weights": __import__(
             "rayse.ops.sampling", fromlist=["x"]).dsir_weights_sql(),
+        "porter_facets": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_facets_sql(),
         "pricing_summary": __import__(
             "rayse.ops.relational", fromlist=["x"]).PRICING_SUMMARY_SQL,
         "top_customer_revenue": __import__(
@@ -1399,6 +1432,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hopping_agg": __import__(
             "rayse.ops.windows", fromlist=["x"]).hopping_agg_sql(3600, 900),
+        "window_agg_suite": _tagged_union_sql([
+            ("tumbling",
+             "event_type, window_start, n_events, value_sum",
+             """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 6) AS value_sum
+            FROM events GROUP BY 1, 2
+             """),
+            ("hopping",
+             "event_type, window_start, n_events, "
+             "CAST(value_sum_micros AS DOUBLE) AS value_sum",
+             __import__("rayse.ops.windows",
+                        fromlist=["x"]).hopping_agg_sql(3600, 900))]),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,

@@ -1680,6 +1680,67 @@ def _merged_index_for(index_dir: str) -> str:
     return out
 
 
+def porter_facets(index_dir: str,
+                  queries: list[str] | None = None) -> pa.Table:
+    """Facet counts over each query's FULL disjunctive match set —
+    (query, role, n_docs, n_convs) — computed from the index's stored
+    per-posting role codes (M6), no score cut. The oracle derives role
+    from turn parity, so a hash match pins every posting's role byte
+    against the derivation corpus-wide."""
+    from ..index.segments import ROLE_NAMES
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, _ = _porter_reader(index_dir)
+    out_q, out_role, out_nd, out_nc = [], [], [], []
+    for q in queries:
+        doc_arrs, role_arrs = [], []
+        for t in _analyzed(q):
+            pl = reader.merged(t)
+            if pl is None:
+                continue
+            if pl.roles is None:
+                raise ValueError("index was built without role stats")
+            doc_arrs.append(pl.doc_ids)
+            role_arrs.append(pl.roles)
+        if not doc_arrs:
+            continue
+        docs = np.concatenate(doc_arrs)
+        roles = np.concatenate(role_arrs)
+        uniq, first = np.unique(docs, return_index=True)
+        u_roles = roles[first]
+        convs = uniq >> np.uint64(TURN_BITS)
+        for code in np.unique(u_roles).tolist():
+            m = u_roles == code
+            out_q.append(q)
+            out_role.append(ROLE_NAMES.get(int(code), "other"))
+            out_nd.append(int(m.sum()))
+            out_nc.append(int(np.unique(convs[m]).size))
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "role": pa.array(out_role, pa.string()),
+        "n_docs": pa.array(out_nd, pa.int64()),
+        "n_convs": pa.array(out_nc, pa.int64()),
+    })
+
+
+def porter_facets_sql(queries: list[str] | None = None) -> str:
+    """Oracle for ``porter_facets``: distinct match set per query from
+    the analyzed stream, role = turn-parity derivation, two counts."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in _analyzed(q))
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+matches AS (
+  SELECT DISTINCT qt.query, tf.conv_id, tf.turn_idx
+  FROM qt JOIN tf USING (term))
+SELECT query,
+       CASE WHEN turn_idx % 2 = 1 THEN 'assistant' ELSE 'user' END AS role,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM matches GROUP BY 1, 2"""
+
+
 MLT_SEED_QUERIES = ["table scan", "spark", "vector group filter"]
 
 

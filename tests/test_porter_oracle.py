@@ -536,3 +536,13 @@ def test_doc_term_vector_matches_corpus(porter_index):
         want = sorted(collections.Counter(
             analyze(text_of[(conv, turn)])).items())
         assert tv == want, (conv, turn)
+
+
+def test_porter_facets_matches_duckdb(porter_index, con):
+    """Facet counts over full match sets; a hash match also pins every
+    posting's stored role byte against the turn-parity derivation."""
+    from rayse.ops.porter_oracle import porter_facets, porter_facets_sql
+
+    got = porter_facets(porter_index)
+    want = con.execute(porter_facets_sql()).fetchdf()
+    _cmp(got, want, ["query", "role"])
