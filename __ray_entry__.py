@@ -286,6 +286,17 @@ def _q_ann_ivf_exact_topk(sf_dir: str):
     return ann_ivf_topk(sf_dir, n_queries=5, k=10, n_lists=16, n_probe=16)
 
 
+def _q_ann_pq_topk(sf_dir: str):
+    """PQ/ADC approximate top-k (Jegou et al. 2011): per-subspace
+    codebooks from a bounded training head, asymmetric-distance scoring
+    by m table lookups per vector. Approximate -> recall-tested in
+    pytest; the exactness-theorem config (distinct-subvector codebooks)
+    is the 'pq_full' arm of ``ann_exact_suite`` inside the window."""
+    from rayse.ops.similarity import ann_pq_topk
+
+    return ann_pq_topk(sf_dir, n_queries=5, k=10, rerank=50)
+
+
 def _q_ann_lsh_exact_topk(sf_dir: str):
     """LSH machinery at zero hash bits: a single table with one empty-key
     bucket makes every vector a candidate for every query, so the
@@ -1326,6 +1337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_exact_topk": _q_ann_lsh_exact_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "pagerank_fixed_sharded": _q_pagerank_fixed_sharded,
         "pagerank": _q_pagerank,
         "media_features": _q_media_features,

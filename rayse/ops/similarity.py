@@ -304,20 +304,159 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     return _merge_topk(rows, k)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011): split the embedding into m
+# subspaces, vector-quantize each against a small per-subspace codebook,
+# and score queries by asymmetric distance computation (ADC) — the
+# per-subspace query-to-centroid dot products are precomputed as lookup
+# tables and a database vector's approximate similarity is the sum of m
+# table lookups over its codes. Memory per vector drops from dim floats
+# to m bytes; scoring is a gather+sum instead of a matmul.
+# ---------------------------------------------------------------------------
+
+
+def _pq_codebooks(train: np.ndarray, m: int, n_centroids: int,
+                  n_iter: int = 8) -> list[np.ndarray]:
+    """Per-subspace codebooks via the deterministic mini k-means; the
+    training matrix must be L2-normalized and dim % m == 0."""
+    dim = train.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [_kmeans_lite(train[:, s * dsub:(s + 1) * dsub], n_centroids,
+                         seed=7 + s, n_iter=n_iter)
+            for s in range(m)]
+
+
+def _pq_distinct_codebooks(sf_dir: str, m: int) -> list[np.ndarray]:
+    """Full codebooks for the EXACTNESS-THEOREM config: every distinct
+    normalized subvector becomes its own centroid (codes reconstruct
+    vectors losslessly, so ADC equals the exact dot product). Gathered
+    via per-batch uniques; driver state is bounded by the DISTINCT
+    subvector count — a theorem fixture for the hash gate, not the
+    production path (the approximate entry trains on a bounded head)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        mat = _mat_from_list(batch["embedding"])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        dim = mat.shape[1]
+        dsub = dim // m
+        out = {}
+        for s in range(m):
+            u = np.unique(mat[:, s * dsub:(s + 1) * dsub], axis=0)
+            out[f"s{s}"] = pa.array(u.tolist(),
+                                    pa.list_(pa.float64()))
+        n = max(len(v) for v in out.values())
+        cols = {}
+        for key, arr in out.items():
+            pad = n - len(arr)
+            cols[key] = pa.concat_arrays(
+                [arr, pa.nulls(pad, pa.list_(pa.float64()))]) \
+                if pad else arr
+        return pa.table(cols)
+
+    parts = ds.map_batches(uniq, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    books = []
+    for s in range(m):
+        subs = [np.asarray(r[f"s{s}"], dtype=np.float64)
+                for r in parts if r[f"s{s}"] is not None]
+        books.append(np.unique(np.stack(subs), axis=0))
+    return books
+
+
+def ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                m: int = 4, n_centroids: int = 16,
+                n_train: int = 2048, exact: bool = False,
+                rerank: int = 0) -> pa.Table:
+    """PQ/ADC approximate top-k, same output schema and tie-breaks as
+    ``ann_topk``. ``rerank`` > 0 enables the standard ADC-shortlist +
+    exact-rescore pattern (IVFADC re-ranking): per batch, the top
+    ``rerank`` vectors by ADC get their TRUE dot product, and only those
+    exact scores compete for the final top-k — quantization error then
+    only costs recall when a true neighbor falls outside the shortlist.
+    ``exact=True`` swaps in the distinct-subvector codebooks (ADC ==
+    exact cosine — the PQ exactness theorem, ridden by
+    ``ann_exact_suite`` under the brute-force oracle)."""
+    import ray
+    import ray.data as rd
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    dim = q_mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = (_pq_distinct_codebooks(sf_dir, m) if exact
+             else _pq_codebooks(_train_sample(sf_dir, n_train), m,
+                                n_centroids))
+    # ADC lookup tables: per subspace, every query's dot with every
+    # centroid — (m, Q, n_centroids)
+    luts = [q_mat[:, s * dsub:(s + 1) * dsub] @ books[s].T
+            for s in range(m)]
+    ref = ray.put((books, luts, q_mat))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        bks, lts, qm = ray.get(ref)
+        ids = _ids_from(batch["vec_id"])
+        mat = _mat_from_list(batch["embedding"])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        n_q = lts[0].shape[0]
+        approx = np.zeros((n_q, ids.size), dtype=np.float64)
+        for s in range(m):
+            sub = mat[:, s * dsub:(s + 1) * dsub]        # (B, dsub)
+            cb = bks[s]                                  # (C, dsub)
+            # nearest centroid by L2: argmin ||x-c||^2 = argmin
+            # (||c||^2 - 2 x.c) — vectorized, ties to the lowest code
+            d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+            codes = np.argmin(d2, axis=1)                # (B,)
+            approx += lts[s][:, codes]
+        out_q, out_v, out_s = [], [], []
+        top = min(k, ids.size)
+        for qi in range(n_q):
+            s = approx[qi]
+            if rerank:
+                short = np.lexsort((ids, -s))[:min(rerank, ids.size)]
+                s_ex = qm[qi] @ mat[short].T
+                sel = short[np.lexsort((ids[short], -s_ex))[:top]]
+                sims_out = qm[qi] @ mat[sel].T
+            else:
+                sel = np.lexsort((ids, -s))[:top]
+                sims_out = s[sel]
+            out_q.extend([int(q_ids[qi])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_s.extend(np.atleast_1d(sims_out).tolist())
+        return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    rows = ds.map_batches(candidates, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()  # Q*k/batch
+    return _merge_topk(rows, k)
+
+
 def ann_exact_suite(sf_dir: str, n_queries: int = 5,
                     k: int = 10) -> pa.Table:
-    """The three exact ANN paths as one tagged table (one driver window
-    slot, three machineries hash-checked): brute-force cosine, IVF at full
-    probe (n_probe == n_lists scans every list -> exact), and LSH at zero
-    hash bits (single all-candidates bucket -> exact). All three must
-    equal the brute-force DuckDB oracle."""
+    """The four exact ANN paths as one tagged table (one driver window
+    slot, four machineries hash-checked): brute-force cosine, IVF at full
+    probe (n_probe == n_lists scans every list -> exact), LSH at zero
+    hash bits (single all-candidates bucket -> exact), and PQ with
+    distinct-subvector codebooks (lossless codes -> ADC == exact cosine).
+    All four must equal the brute-force DuckDB oracle."""
     parts = []
     for method, tbl in (
             ("brute", ann_topk(sf_dir, n_queries, k)),
             ("ivf_full", ann_ivf_topk(sf_dir, n_queries, k,
                                       n_lists=16, n_probe=16)),
             ("lsh_zero", ann_lsh_topk(sf_dir, n_queries, k,
-                                      n_tables=1, n_bits=0))):
+                                      n_tables=1, n_bits=0)),
+            ("pq_full", ann_pq_topk(sf_dir, n_queries, k, exact=True))):
         parts.append(pa.table({
             "method": pa.array([method] * tbl.num_rows, pa.string()),
             "q_id": tbl["q_id"],
@@ -345,7 +484,8 @@ ranked AS (
   FROM scored)
 SELECT m.method, r.q_id, CAST(r.rank AS INTEGER) AS rank, r.vec_id
 FROM ranked r
-CROSS JOIN (VALUES ('brute'), ('ivf_full'), ('lsh_zero')) m(method)
+CROSS JOIN (VALUES ('brute'), ('ivf_full'), ('lsh_zero'), ('pq_full'))
+  m(method)
 WHERE r.rank <= {k}"""
 
 

@@ -956,3 +956,37 @@ def test_window_pair_kernel_brute_force():
         for p in seen:
             want[p] = want.get(p, 0) + 1
     assert got == want
+
+
+def test_ann_pq_recall(ray_session):
+    """PQ/ADC with small codebooks + the exact re-rank shortlist (the
+    IVFADC production pattern) recovers nearly all of the exact top-10;
+    the raw ADC ranking still always finds self (lossless own-code)."""
+    from rayse.ops.similarity import ann_pq_topk, ann_topk
+
+    exact = ann_topk(SF, n_queries=5, k=10).to_pylist()
+    approx = ann_pq_topk(SF, n_queries=5, k=10, rerank=50).to_pylist()
+    raw = ann_pq_topk(SF, n_queries=5, k=10).to_pylist()
+    ex_by_q: dict[int, set] = {}
+    ap_by_q: dict[int, set] = {}
+    raw_by_q: dict[int, set] = {}
+    for r in exact:
+        ex_by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in approx:
+        ap_by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in raw:
+        raw_by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for q, want in ex_by_q.items():
+        assert q in raw_by_q.get(q, set())   # self reconstructs exactly
+        assert len(ap_by_q.get(q, set()) & want) >= 9
+
+
+def test_ann_pq_full_codebook_exact(ray_session):
+    """PQ exactness theorem: distinct-subvector codebooks reconstruct
+    every vector losslessly, so ADC equals the exact cosine ranking —
+    table-identical to ann_topk."""
+    from rayse.ops.similarity import ann_pq_topk, ann_topk
+
+    exact = ann_topk(SF, n_queries=4, k=8)
+    full = ann_pq_topk(SF, n_queries=4, k=8, exact=True)
+    assert full.equals(exact)
