@@ -834,11 +834,21 @@ def _q_porter_autocomplete(sf_dir: str) -> pa.Table:
 def _q_bpe_merges(sf_dir: str) -> pa.Table:
     """BPE merge learning (Sennrich et al. 2016): distributed word-cf
     aggregate + deterministic driver merge loop over the distinct
-    vocabulary. Iterative algorithm -> no SQL oracle (rows-only);
-    pytest-pinned against a brute-force reference."""
+    vocabulary — DuckDB hash-matched against the UNROLLED-SQL merge
+    loop (stage-per-merge CTEs; delimiter-guarded replace == the
+    leftmost-greedy merge pass)."""
     from rayse.ops.textstats import learn_bpe_merges
 
     return learn_bpe_merges(sf_dir)
+
+
+def _q_bpe_encoded_len(sf_dir: str):
+    """Token counts under the LEARNED BPE tokenizer (train -> encode ->
+    count) — DuckDB hash-matched; also a ``token_count_suite`` arm
+    inside the driver window."""
+    from rayse.ops.textstats import bpe_encoded_len
+
+    return bpe_encoded_len(sf_dir)
 
 
 def _q_cooccur_pmi_window(sf_dir: str):
@@ -1064,15 +1074,18 @@ def _q_neardup_pairs_suite(sf_dir: str) -> pa.Table:
 
 
 def _q_token_count_suite(sf_dir: str) -> pa.Table:
-    """Both token-counting machineries — whitespace split and the BPE-ish
-    regex pretokenizer — tagged under one window slot; each DuckDB
-    hash-matched. Individual entries remain below the window."""
-    from rayse.ops.textstats import bpe_token_count
+    """All three token-counting machineries — whitespace split, the
+    BPE-ish regex pretokenizer, and the LEARNED BPE tokenizer (train ->
+    encode -> count) — tagged under one window slot; each DuckDB
+    hash-matched (the learned arm against the unrolled-SQL merge loop).
+    Individual entries remain below the window."""
+    from rayse.ops.textstats import bpe_encoded_len, bpe_token_count
 
     bpe = _as_table(bpe_token_count(sf_dir))
     return _tagged_union([
         ("ws", _as_table(_q_doc_token_count(sf_dir))),
-        ("bpe", bpe.rename_columns(["doc_id", "n_tokens"]))])
+        ("bpe", bpe.rename_columns(["doc_id", "n_tokens"])),
+        ("bpe_applied", _as_table(bpe_encoded_len(sf_dir)))])
 
 
 def _q_pmi_suite(sf_dir: str) -> pa.Table:
@@ -1320,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_pmi": _q_cooccur_pmi,
         "cooccur_pmi_window": _q_cooccur_pmi_window,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encoded_len": _q_bpe_encoded_len,
         "porter_wand_topk": _q_porter_wand_topk,
         "porter_cluster_topk": _q_porter_cluster_topk,
         "porter_role_topk": _q_porter_role_topk,
@@ -1414,7 +1428,14 @@ def oracle_sql() -> dict[str, str]:
             ("ws", "doc_id, n_tokens", _DOC_TOKEN_COUNT_SQL),
             ("bpe", "doc_id, n_bpe_tokens AS n_tokens", __import__(
                 "rayse.ops.textstats",
-                fromlist=["x"]).bpe_token_count_sql())]),
+                fromlist=["x"]).bpe_token_count_sql()),
+            ("bpe_applied", "doc_id, n_tokens", __import__(
+                "rayse.ops.textstats",
+                fromlist=["x"]).bpe_encoded_len_sql())]),
+        "bpe_merges": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).learn_bpe_merges_sql(),
+        "bpe_encoded_len": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).bpe_encoded_len_sql(),
         "pmi_suite": _tagged_union_sql([
             ("doc", "word_a, word_b, df_ab, pmi_q", __import__(
                 "rayse.ops.textstats", fromlist=["x"]).cooccur_pmi_sql()),

@@ -172,6 +172,16 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Segment merge: weld two disjoint-corpus indexes into one that
+    ranks identically to a fresh build over the union corpus."""
+    from .index.maintenance import merge_indexes
+
+    _ray_init()
+    print(json.dumps(merge_indexes(args.index_a, args.index_b, args.out)))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayse")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -220,6 +230,14 @@ def main(argv=None) -> int:
     cp.add_argument("--index", required=True)
     cp.add_argument("--out", required=True)
     cp.set_defaults(fn=cmd_compact)
+
+    mg = sub.add_parser("merge",
+                        help="merge two disjoint-corpus indexes into one "
+                             "(rank-identical to a union rebuild)")
+    mg.add_argument("--index-a", required=True)
+    mg.add_argument("--index-b", required=True)
+    mg.add_argument("--out", required=True)
+    mg.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("stats", help="print index stats/metrics")
     s.add_argument("--index", required=True)

@@ -1442,6 +1442,127 @@ def learn_bpe_merges(sf_dir: str, n_merges: int = 8) -> pa.Table:
     })
 
 
+# -- BPE application + the unrolled-SQL oracle -------------------------------
+#
+# The merge loop IS SQL-expressible for a fixed n_merges via stage
+# unrolling (the kmeans unrolled-Lloyd recipe): each stage counts
+# adjacent symbol pairs over the vocabulary's cf-weighted sequences,
+# picks the (freq DESC, left, right) winner, and applies it as a
+# delimiter-guarded string replace — '|'-joined symbols make
+# ``replace(seq, '|l|r|', '|lr|')`` exactly the leftmost-greedy
+# non-overlapping pass of ``_bpe_merge_word`` (both scanners continue
+# after the replacement). This upgrades ``bpe_merges`` from rows-only to
+# oracle-backed and gives the APPLIED-BPE token count a full oracle.
+
+
+def _bpe_seq_sym(alias: str) -> str:
+    return (f"list_filter(string_split({alias}.seq, '|'), "
+            "x -> x <> '')")
+
+
+def _bpe_unroll_ctes(n_merges: int) -> str:
+    """CTE chain tok/cf/seq0 .. best_k/seq_k for k in 1..n_merges."""
+    parts = [
+        """tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY w),
+seq0 AS (
+  SELECT w, cf,
+         '|' || array_to_string(string_split(w, ''), '|') || '|' AS seq
+  FROM cf)"""]
+    for k in range(1, n_merges + 1):
+        p = f"seq{k - 1}"
+        parts.append(f"""pairs{k} AS (
+  SELECT u.pair[1] AS l, u.pair[2] AS r, CAST(sum(s.cf) AS BIGINT) AS c
+  FROM (SELECT cf, {_bpe_seq_sym('s0')} AS sym
+        FROM {p} s0) s,
+       UNNEST([[s.sym[i + 1], s.sym[i + 2]]
+               FOR i IN range(len(s.sym) - 1)]) u(pair)
+  GROUP BY 1, 2),
+best{k} AS (SELECT l, r, c FROM pairs{k} ORDER BY c DESC, l, r LIMIT 1),
+seq{k} AS (
+  SELECT s.w, s.cf,
+         replace(s.seq, '|' || b.l || '|' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS seq
+  FROM {p} s CROSS JOIN best{k} b)""")
+    return "WITH " + ",\n".join(parts)
+
+
+def learn_bpe_merges_sql(n_merges: int = 8) -> str:
+    """Oracle for ``learn_bpe_merges``: the unrolled merge loop; one row
+    per stage."""
+    stages = "\nUNION ALL\n".join(
+        f"SELECT {k} AS \"rank\", l AS \"left\", r AS \"right\", "
+        f"c AS freq FROM best{k}"
+        for k in range(1, n_merges + 1))
+    return (f"{_bpe_unroll_ctes(n_merges)}\n"
+            f"SELECT CAST(\"rank\" AS INTEGER) AS \"rank\", \"left\", "
+            f"\"right\", freq FROM (\n{stages}\n)")
+
+
+def bpe_encode_vocab(sf_dir: str, n_merges: int = 8):
+    """(sorted distinct words, per-word encoded symbol count) — merges
+    learned by the production learner, applied per distinct word (the
+    encode table is vocabulary-bounded, the same broadcast contract as
+    the learner)."""
+    rows = _unigram_cf(sf_dir).to_pandas()
+    merges = learn_bpe_merges_from_counts(
+        rows["word"].tolist(), rows["cf"].astype(int).tolist(), n_merges)
+    words = np.sort(rows["word"].to_numpy())
+    n_syms = np.empty(words.size, dtype=np.int64)
+    for i, w in enumerate(words.tolist()):
+        sym = list(w)
+        for _, left, right, _f in merges:
+            if left in sym:
+                sym = _bpe_merge_word(sym, left, right)
+        n_syms[i] = len(sym)
+    return words, n_syms
+
+
+def bpe_encoded_len(sf_dir: str, n_merges: int = 8):
+    """(doc_id, n_tokens): per-document token count under the LEARNED
+    BPE tokenizer (train -> encode -> count, the full tokenizer-training
+    loop). The word->length map broadcasts; scoring is a vectorized
+    searchsorted gather + reduceat per batch."""
+    import ray
+    import ray.data as rd
+
+    words, n_syms = bpe_encode_vocab(sf_dir, n_merges)
+    ref = ray.put((words, n_syms))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        vb, ns = ray.get(ref)
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        toks = [(t or "").split(" ") for t in texts]
+        counts = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
+        per_tok = ns[np.searchsorted(vb, flat.astype("U"))]
+        starts = np.zeros(counts.size, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        total = np.add.reduceat(per_tok, starts)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(total, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def bpe_encoded_len_sql(n_merges: int = 8) -> str:
+    """Oracle for ``bpe_encoded_len``: per-doc sum of each word's
+    post-merge symbol count from the unrolled chain."""
+    return f"""{_bpe_unroll_ctes(n_merges)}
+SELECT t.doc_id,
+       CAST(sum(len({_bpe_seq_sym('s')})) AS BIGINT) AS n_tokens
+FROM tok t JOIN seq{n_merges} s ON t.w = s.w
+GROUP BY t.doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # WINDOWED co-occurrence — the skip-gram-window realization (and the
 # scale path for document-level PMI's O(m^2): a fixed window W bounds

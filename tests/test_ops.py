@@ -990,3 +990,38 @@ def test_ann_pq_full_codebook_exact(ray_session):
     exact = ann_topk(SF, n_queries=4, k=8)
     full = ann_pq_topk(SF, n_queries=4, k=8, exact=True)
     assert full.equals(exact)
+
+
+def test_bpe_unrolled_sql_oracle(ray_session):
+    """The unrolled-SQL merge loop reproduces the production learner
+    (stage winners AND tie-breaks) and the applied-BPE per-doc token
+    counts, bit-exactly at sf0.001."""
+    import duckdb
+    from rayse.ops.textstats import (bpe_encoded_len, bpe_encoded_len_sql,
+                                     learn_bpe_merges,
+                                     learn_bpe_merges_sql)
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got_m = learn_bpe_merges(SF, n_merges=6).to_pandas()
+    want_m = con.execute(learn_bpe_merges_sql(6)).fetchdf()
+    assert got_m.astype(str).values.tolist() == \
+        want_m.astype(str).values.tolist()
+
+    got = bpe_encoded_len(SF).to_pandas().sort_values("doc_id")
+    want = con.execute(bpe_encoded_len_sql()).fetchdf() \
+        .sort_values("doc_id")
+    assert got.reset_index(drop=True).equals(
+        want[got.columns].astype(got.dtypes.to_dict())
+        .reset_index(drop=True))
+    # BPE compresses: learned-tokenizer counts exceed word counts (every
+    # word splits into >= 1 symbol) but stay below char counts
+    n_words = con.execute(
+        "SELECT sum(len(string_split(text,' '))) FROM documents"
+    ).fetchone()[0]
+    n_chars = con.execute(
+        "SELECT sum(length(replace(text,' ',''))) FROM documents"
+    ).fetchone()[0]
+    total = int(got["n_tokens"].sum())
+    assert n_words <= total < n_chars
