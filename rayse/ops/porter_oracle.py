@@ -1357,6 +1357,8 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
         ("merged", lambda: porter_merged_topk(d, k=k),
          porter_bm25_sql(k=k)),
         ("mlt", lambda: porter_mlt_topk(d, k=k), porter_mlt_sql(k=k)),
+        ("rerank", lambda: porter_rerank_topk(d, k=k),
+         porter_rerank_sql(k=k)),
     ]
 
 
@@ -1739,6 +1741,115 @@ SELECT query,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
 FROM matches GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Model-rerank seam: the two-stage retrieve-then-rerank serving pattern
+# (BM25 recall set -> batched cross-encoder scoring -> final order). The
+# scoring stage is a REAL actor-pool map_batches (model "loads" once per
+# actor in __init__, scores batches in __call__); the container has no
+# model libraries, so the scorer is a deterministic FNV surrogate —
+# exactly mirrorable in SQL, which puts the whole rerank PLUMBING
+# (candidate cut, actor-pool stage, rerank order) under the driver hash
+# gate. Swap `_score` for a real cross-encoder at production.
+# ---------------------------------------------------------------------------
+
+CE_CANDIDATES = 40
+CE_MOD = 1_000_000
+
+
+class CrossEncoderStage:
+    """Callable class for ``map_batches(..., concurrency=N)``: per-actor
+    setup in ``__init__`` (a real model load; here the FNV constants),
+    vectorized batch scoring in ``__call__``."""
+
+    def __init__(self):
+        from .textstats import fnv64_slices
+
+        self._fnv = fnv64_slices
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qs = batch["query"].to_pylist()
+        cs = batch["conv_id"].to_pylist()
+        ts = batch["turn_idx"].to_pylist()
+        enc = [f"{q}|{c}|{t}".encode() for q, c, t in zip(qs, cs, ts)]
+        lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+        starts = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        h = self._fnv(buf, starts[:-1], lens) if len(enc) else \
+            np.asarray([], dtype=np.uint64)
+        ce = (h % np.uint64(CE_MOD)).astype(np.int64)
+        return batch.append_column("ce_q", pa.array(ce, pa.int64()))
+
+
+def porter_rerank_topk(index_dir: str, queries: list[str] | None = None,
+                       k: int = 10,
+                       n_candidates: int = CE_CANDIDATES) -> pa.Table:
+    """Two-stage serving: BM25 top-``n_candidates`` recall set (standard
+    quantized cut + tie-breaks), actor-pool cross-encoder rescore, final
+    top-k by (ce score DESC, conv_id, turn_idx) — DuckDB hash-matched
+    end-to-end."""
+    import ray.data as rd
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    cands = porter_bm25_topk(index_dir, queries=queries, k=n_candidates)
+    scored = (rd.from_arrow(cands)
+              .map_batches(CrossEncoderStage, concurrency=2,
+                           batch_size=64, batch_format="pyarrow")
+              .to_arrow_refs())
+    import ray
+
+    parts = [t for t in ray.get(scored) if t.num_rows]
+    tbl = pa.concat_tables(parts) if parts else cands.append_column(
+        "ce_q", pa.array([], pa.int64()))
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    df = tbl.to_pandas()
+    for q in queries:
+        sub = df[df["query"] == q]
+        sub = sub.sort_values(["ce_q", "conv_id", "turn_idx"],
+                              ascending=[False, True, True]).head(k)
+        for r, row in enumerate(sub.itertuples(), 1):
+            out_q.append(q)
+            out_r.append(r)
+            out_c.append(row.conv_id)
+            out_t.append(int(row.turn_idx))
+            out_s.append(int(row.ce_q))
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_rerank_sql(queries: list[str] | None = None, k: int = 10,
+                      n_candidates: int = CE_CANDIDATES) -> str:
+    """Oracle for ``porter_rerank_topk``: the BM25 candidate CTE (same
+    quantized cut), the FNV surrogate scorer as HUGEINT list_reduce over
+    the composed 'query|conv|turn' string, rerank row_number."""
+    inner = porter_bm25_sql(queries=queries, k=n_candidates)
+    return f"""WITH cand AS (\n{inner}\n),
+ce AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+                         [ascii(c)::HUGEINT FOR c IN string_split(
+                            query || '|' || conv_id || '|'
+                                  || CAST(turn_idx AS VARCHAR), '')]),
+            (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT)
+              % {CE_MOD} AS BIGINT) AS ce_q
+  FROM cand),
+rr AS (
+  SELECT query, conv_id, turn_idx, ce_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY ce_q DESC, conv_id, turn_idx) AS rn
+  FROM ce)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx,
+       ce_q AS score_q
+FROM rr WHERE rn <= {k}"""
 
 
 MLT_SEED_QUERIES = ["table scan", "spark", "vector group filter"]

@@ -546,3 +546,31 @@ def test_porter_facets_matches_duckdb(porter_index, con):
     got = porter_facets(porter_index)
     want = con.execute(porter_facets_sql()).fetchdf()
     _cmp(got, want, ["query", "role"])
+
+
+def test_porter_rerank_matches_duckdb(porter_index, con):
+    """Two-stage retrieve-then-rerank: BM25 candidate cut + actor-pool
+    surrogate cross-encoder + final order, vs the full SQL mirror."""
+    from rayse.ops.porter_oracle import (porter_rerank_sql,
+                                         porter_rerank_topk)
+
+    got = porter_rerank_topk(porter_index)
+    want = con.execute(porter_rerank_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+
+
+def test_rerank_changes_order_but_not_recall_set(porter_index):
+    """The rerank permutes within the candidate set: every reranked doc
+    came from the BM25 top-C, and for k == C the sets are identical."""
+    from rayse.ops.porter_oracle import (CE_CANDIDATES, porter_bm25_topk,
+                                         porter_rerank_topk)
+
+    cands = porter_bm25_topk(porter_index, k=CE_CANDIDATES).to_pandas()
+    rr = porter_rerank_topk(porter_index, k=CE_CANDIDATES).to_pandas()
+    for q in set(rr["query"]):
+        a = set(map(tuple, cands[cands["query"] == q]
+                    [["conv_id", "turn_idx"]].values))
+        b = set(map(tuple, rr[rr["query"] == q]
+                    [["conv_id", "turn_idx"]].values))
+        assert b == a, q

@@ -92,3 +92,65 @@ def test_capped_mode_deterministic(engine):
     # capped is a subset semantics: every returned doc matches >= 1 term
     full, _ = engine.search("flazo basnacle", 1000)
     assert set(int(x) for x in a[0]) <= set(int(x) for x in full)
+
+
+# -- segment-merge kernels ---------------------------------------------------
+
+_post = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2**40),     # doc_id
+              st.integers(min_value=1, max_value=5),         # tf
+              st.lists(st.integers(min_value=0, max_value=50),
+                       min_size=1, max_size=5)),             # positions
+    min_size=0, max_size=12,
+    unique_by=lambda t: t[0])
+
+
+def _encode_posting_side(rows):
+    """doc-ascending (doc_ids, tfs, positions_blob) from (doc, tf, pos)
+    tuples; tf forced to len(pos) so counts align."""
+    from rayse.index.encoding import encode_varints
+
+    rows = sorted(rows)
+    docs = np.asarray([r[0] for r in rows], dtype=np.uint64)
+    tfs = np.asarray([len(r[2]) for r in rows], dtype=np.uint64)
+    blob = bytearray()
+    for _, _, pos in rows:
+        deltas = np.diff(np.asarray(sorted(pos), dtype=np.uint64),
+                         prepend=np.uint64(0))
+        blob.extend(encode_varints(
+            np.concatenate(([np.uint64(len(pos))], deltas))))
+    return docs, tfs, bytes(blob)
+
+
+@given(_post, _post)
+@settings(max_examples=60, deadline=None)
+def test_merge_positions_property(side_a, side_b):
+    """_merge_positions: the merged blob decodes to exactly each
+    posting's original position list, in merged doc order — for ANY two
+    doc-disjoint posting lists (byte gather == decode-merge-reencode)."""
+    from rayse.index.maintenance import _merge_positions
+    from rayse.index.segments import DecodedPostings
+
+    # disjoint doc sets: offset side_b's ids into a distinct range
+    side_b = [(d + 2**41, tf, pos) for d, tf, pos in side_b]
+    da, ta, ba = _encode_posting_side(side_a)
+    db, tb, bb = _encode_posting_side(side_b)
+    docs = np.concatenate((da, db))
+    order = np.argsort(docs, kind="stable")
+    merged = _merge_positions(ba, ta, bb, tb, order)
+
+    want = []
+    for rows in (sorted(side_a), sorted(side_b)):
+        want.extend(np.asarray(sorted(p), dtype=np.uint64)
+                    for _, _, p in rows)
+    want = [want[i] for i in order.tolist()]
+    tfs = np.concatenate((ta, tb))[order]
+    if not merged:
+        assert all(w.size == 0 for w in want) or docs.size == 0
+        return
+    pl = DecodedPostings(docs[order], tfs, tfs, merged,
+                         None, None)
+    got = pl.positions()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
