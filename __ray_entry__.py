@@ -752,6 +752,27 @@ def _q_html_clean(sf_dir: str):
     return html_clean(sf_dir)
 
 
+def _q_text_transform_suite(sf_dir: str) -> pa.Table:
+    """M2 HTML cleaning + M11 result formatting under one window slot:
+    variant-tagged (doc_id, text_out) rows — both text-to-text document
+    transforms, DuckDB hash-matched."""
+    clean = _as_table(_q_html_clean(sf_dir)).rename_columns(
+        ["doc_id", "text_out"])
+    fmt = _as_table(_q_format_texts(sf_dir)).rename_columns(
+        ["doc_id", "text_out"])
+    return _tagged_union([("html_clean", clean), ("format", fmt)])
+
+
+def _q_sketch_suite(sf_dir: str) -> pa.Table:
+    """Bounded-memory streaming sketches over the events log (HLL
+    distinct users + Count-Min event-type frequencies): register dumps
+    and quantized estimates, DuckDB hash-matched bit-for-bit (integer
+    registers; one fixed-order float op for each estimate)."""
+    from rayse.ops.sketch import sketch_suite
+
+    return sketch_suite(sf_dir)
+
+
 def _q_ws_proximity_topk(sf_dir: str) -> pa.Table:
     """A11 proximity-boosted ranking (tiered min-pairwise-distance bonus
     from index positions + BM25) — DuckDB hash-matched."""
@@ -1269,7 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_matches_suite": _q_phrase_matches_suite,
         "term_stats_suite": _q_term_stats_suite,
         # cleaning / sampling / joins / clustering / graph
-        "html_clean": _q_html_clean,
+        "text_transform_suite": _q_text_transform_suite,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "span_extents_suite": _q_span_extents_suite,
@@ -1280,7 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
-        "format_texts": _q_format_texts,
+        "sketch_suite": _q_sketch_suite,
         "pagerank_fixed_suite": _q_pagerank_fixed_suite,
         "props_extract": _q_props_extract,
         # round-4 training-data ops (Gopher filters, packing, quantiles,
@@ -1310,6 +1331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_char_extents": _q_duplicate_char_extents,
         "unigram_nll": _q_unigram_nll,
         "bigram_nll": _q_bigram_nll,
+        "html_clean": _q_html_clean,
+        "format_texts": _q_format_texts,
         "porter_bm25_topk": _q_porter_bm25_topk,
         # ---- below the window: individual variants of the suites above
         # (each pytest-pinned at sf0.001), approximate-ANN recall paths,
@@ -1605,6 +1628,14 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).cooccur_pmi_window_sql(),
         "html_clean": __import__(
             "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql(),
+        "text_transform_suite": _tagged_union_sql([
+            ("html_clean", "doc_id, clean_text AS text_out", __import__(
+                "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql()),
+            ("format", "doc_id, formatted AS text_out", __import__(
+                "rayse.ops.textstats", fromlist=["x"]).format_texts_sql()),
+        ]),
+        "sketch_suite": __import__(
+            "rayse.ops.sketch", fromlist=["x"]).sketch_suite_sql(),
         "duplicate_spans": __import__(
             "rayse.ops.spandedup", fromlist=["x"]).duplicate_spans_sql(),
         "hash_sample": __import__(

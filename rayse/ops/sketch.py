@@ -1,0 +1,330 @@
+"""Streaming sketches over the events log — the bounded-memory
+aggregates a 100 TB pipeline uses where exact state would be
+corpus-sized: HyperLogLog distinct counting (Flajolet et al. 2007) and
+Count-Min frequency estimation (Cormode & Muthukrishnan 2005).
+
+INTEGER-EXACT contract (the repo's standing oracle recipe): register
+contents are pure integers (max-of-rho / sums of counts), so the
+distributed merge is order-independent and DuckDB hash-matches the
+register DUMP bit-for-bit; the float estimate formulas run in ONE fixed
+op order on exact-integer inputs (a single division / a power-of-two
+product), so the quantized estimates match too. Determinism comes from
+the splitmix finalizer (``rayse.ops.exchange._mix``) and FNV-1a — both
+already SQL-expressible in this repo.
+
+Scale shape: per-batch vectorized register partials (bincount /
+np.maximum.at) -> ONE bounded groupby whose output is at most
+``m`` (HLL) or ``depth*width`` (CM) rows — independent of corpus size —
+-> a driver-side finish over that bounded table. Sketches MERGE by the
+same max/sum, so multi-day or multi-shard composition is the identical
+aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .exchange import _mix
+
+HLL_P = 9                      # 512 registers -> ~4.6% standard error
+CM_DEPTH = 4
+CM_WIDTH = 64
+_CM_SALT = 0x9E3779B97F4A7C15  # golden-ratio odd constant (public)
+
+
+_M64 = 1 << 64
+_GOLD_INT = 0x9E3779B97F4A7C15
+
+
+def _mulmod64_sql(a: str, b: int) -> str:
+    """(a * b) % 2^64 in HUGEINT without INT128 overflow: split ``a``
+    into 32-bit halves so every partial product stays under 2^97
+    (the sampling module's direct product overflows once both operands
+    approach 2^64 — full-width hashes do)."""
+    return (f"(((((({a}) // 4294967296::HUGEINT) * {b}::HUGEINT)"
+            f" % {_M64}::HUGEINT) * 4294967296::HUGEINT"
+            f" + ((({a}) % 4294967296::HUGEINT) * {b}::HUGEINT))"
+            f" % {_M64}::HUGEINT)")
+
+
+def _mix_sql_wide(k: str) -> str:
+    """Width-safe HUGEINT mirror of ``exchange._mix`` for arbitrary
+    64-bit inputs."""
+    step1 = f"xor(({k}), ({k}) // 1073741824::HUGEINT)"
+    h2 = _mulmod64_sql(step1, _GOLD_INT)
+    return f"xor({h2}, {h2} // 2147483648::HUGEINT)"
+
+
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Vectorized integer bit_length (no float log2 — misrounding near
+    powers of two would silently disagree with the SQL mirror)."""
+    v = v.astype(np.uint64).copy()
+    bl = np.zeros(v.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl[v > 0] += 1
+    return bl
+
+
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(sf_dir: str, p: int = HLL_P):
+    """(bucket, rho) register dump of the HLL sketch over
+    ``events.user_id`` — max-of-rho is the distributed merge, realized
+    as per-batch partial maxima + one bounded groupby."""
+    import ray.data as rd
+
+    suffix_bits = 64 - p
+    mask = (np.uint64(1) << np.uint64(suffix_bits)) - np.uint64(1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = _mix(ids.astype(np.uint64))
+        bucket = (h >> np.uint64(suffix_bits)).astype(np.int64)
+        suffix = h & mask
+        rho = suffix_bits - _bit_length_u64(suffix) + 1
+        reg = np.zeros(1 << p, dtype=np.int64)
+        np.maximum.at(reg, bucket, rho)
+        nz = np.flatnonzero(reg)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "rho": pa.array(reg[nz], pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .aggregate(rd.aggregate.Max("rho")))
+
+
+def hll_estimate_q(registers, p: int = HLL_P) -> int:
+    """floor of the HLL estimate from a register table/DataFrame —
+    exact-integer S = sum(2^(suffix_bits - rho)) keeps the only float
+    work to one power-of-two product and one division (plus the
+    standard linear-counting small-range correction, same both sides)."""
+    import pandas as pd
+
+    if not isinstance(registers, pd.DataFrame):
+        registers = registers.to_pandas()
+    m = 1 << p
+    suffix_bits = 64 - p
+    rho = registers[registers.columns[-1]].to_numpy()
+    n_set = rho.size
+    zeros = m - n_set
+    # common denominator 2^(sb+1): rho ranges over [1, sb+1] (an all-zero
+    # suffix — e.g. user_id 0 under splitmix — legitimately yields sb+1)
+    s_int = int(sum(1 << (suffix_bits + 1 - int(r))
+                    for r in rho.tolist()))
+    s_int += zeros * (1 << (suffix_bits + 1))    # rho = 0 for empty regs
+    raw = _hll_alpha(m) * float(m) * float(m) * float(
+        1 << (suffix_bits + 1)) / float(s_int)
+    if raw <= 2.5 * m and zeros > 0:
+        raw = float(m) * np.log(float(m) / float(zeros))
+    return int(np.floor(raw))
+
+
+def hll_distinct(sf_dir: str, p: int = HLL_P) -> pa.Table:
+    """(idx, value) long form: one row per set register (idx = bucket,
+    value = rho) plus the quantized estimate row (idx = -1)."""
+    regs = hll_registers(sf_dir, p).to_pandas().sort_values("bucket")
+    est = hll_estimate_q(regs, p)
+    idx = np.concatenate(([-1], regs["bucket"].to_numpy()))
+    val = np.concatenate(([est], regs["max(rho)"].to_numpy()))
+    return pa.table({"idx": pa.array(idx, pa.int64()),
+                     "value": pa.array(val, pa.int64())})
+
+
+def hll_sql(p: int = HLL_P) -> str:
+    """Oracle for ``hll_distinct``: splitmix via the sampling module's
+    HUGEINT mirror, rho via length(bin()) (exact integer bit_length),
+    the same exact-integer S and one-division estimate."""
+    m = 1 << p
+    sb = 64 - p
+    alpha = _hll_alpha(m)
+    return f"""
+WITH h AS (
+  SELECT {_mix_sql_wide('CAST(user_id AS HUGEINT)')} AS hv FROM events),
+parts AS (
+  SELECT CAST(hv // {1 << sb}::HUGEINT AS BIGINT) AS bucket,
+         hv % {1 << sb}::HUGEINT AS suffix
+  FROM h),
+regs AS (
+  SELECT bucket,
+         max({sb} - (CASE WHEN suffix = 0 THEN 0
+                          ELSE length(bin(suffix)) END) + 1) AS rho
+  FROM parts GROUP BY bucket),
+est AS (
+  SELECT CAST(floor(
+    CASE WHEN ({alpha!r}::DOUBLE * {float(m)!r}::DOUBLE * {float(m)!r}::DOUBLE
+               * {float(1 << (sb + 1))!r}::DOUBLE
+               / CAST(sum(power_int) + ({m} - count(*))
+                      * {1 << (sb + 1)}::HUGEINT AS DOUBLE))
+              <= {2.5 * m!r}::DOUBLE AND ({m} - count(*)) > 0
+         THEN {float(m)!r}::DOUBLE * ln({float(m)!r}::DOUBLE
+                                / CAST({m} - count(*) AS DOUBLE))
+         ELSE {alpha!r}::DOUBLE * {float(m)!r}::DOUBLE * {float(m)!r}::DOUBLE
+              * {float(1 << (sb + 1))!r}::DOUBLE
+              / CAST(sum(power_int) + ({m} - count(*))
+                     * {1 << (sb + 1)}::HUGEINT AS DOUBLE)
+    END) AS BIGINT) AS est
+  FROM (SELECT (1::HUGEINT << ({sb} + 1 - rho)) AS power_int FROM regs))
+SELECT -1 AS idx, est AS value FROM est
+UNION ALL
+SELECT bucket AS idx, CAST(rho AS BIGINT) AS value FROM regs"""
+
+
+# -- Count-Min ---------------------------------------------------------------
+
+def _fnv_words(words: np.ndarray) -> np.ndarray:
+    from .textstats import _word_arr_slices, fnv64_slices
+
+    if words.size == 0:
+        return np.asarray([], dtype=np.uint64)
+    return fnv64_slices(*_word_arr_slices(words))
+
+
+def _cm_indices(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices: row j hashes mix(h + j*salt) % width
+    — exact uint64 wraparound arithmetic, HUGEINT-mirrorable."""
+    out = np.empty((depth, h.size), dtype=np.int64)
+    for j in range(depth):
+        hj = _mix(h + np.uint64((j * _CM_SALT) % (1 << 64)))
+        out[j] = (hj % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cm_registers(sf_dir: str, depth: int = CM_DEPTH,
+                 width: int = CM_WIDTH):
+    """(cell, n) register dump of the Count-Min sketch over
+    ``events.event_type`` (cell = row*width + col) — per-batch bincount
+    partials + one bounded groupby sum."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        if types.size == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u, inv, cnt = np.unique(types, return_inverse=True,
+                                return_counts=True)
+        idx = _cm_indices(_fnv_words(u), depth, width)   # (d, |u|)
+        cells = (np.arange(depth)[:, None] * width + idx).ravel()
+        vals = np.broadcast_to(cnt, (depth, cnt.size)).ravel()
+        reg = np.zeros(depth * width, dtype=np.int64)
+        np.add.at(reg, cells, vals)
+        nz = np.flatnonzero(reg)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "n": pa.array(reg[nz], pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cell")
+            .aggregate(rd.aggregate.Sum("n")))
+
+
+def cm_estimates(sf_dir: str, depth: int = CM_DEPTH,
+                 width: int = CM_WIDTH) -> pa.Table:
+    """(idx, value) point estimates per distinct event_type (idx =
+    FNV(type) >> 1 so it stays a non-negative int64; value = min over
+    rows — the CM upper bound, exact when no cell collides). The point
+    set comes from a DISTRIBUTED distinct (domain-sized output), never a
+    driver read of the raw column."""
+    import ray.data as rd
+
+    regs = cm_registers(sf_dir, depth, width).to_pandas()
+    reg = np.zeros(depth * width, dtype=np.int64)
+    reg[regs["cell"].to_numpy()] = regs["sum(n)"].to_numpy()
+    type_rows = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_type"])
+                 .groupby("event_type").count().take_all())
+    types = np.unique(np.asarray([r["event_type"] for r in type_rows],
+                                 dtype=object))
+    h = _fnv_words(types)
+    idx = _cm_indices(h, depth, width)
+    cells = np.arange(depth)[:, None] * width + idx
+    est = reg[cells].min(axis=0)
+    key = (h >> np.uint64(1)).astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    return pa.table({"idx": pa.array(key[order], pa.int64()),
+                     "value": pa.array(est[order], pa.int64())})
+
+
+def cm_sql(depth: int = CM_DEPTH, width: int = CM_WIDTH) -> str:
+    """Oracle CTE fragments for Count-Min: exact FNV of the distinct
+    event types, the same mix(h + j*salt) % width row hashes (HUGEINT
+    wraparound), register sums and min-over-rows estimates."""
+    m64 = 1 << 64
+    rows = ",\n".join(
+        f"""cm_idx{j} AS (
+  SELECT w, cnt,
+         {j} * {width} + CAST(
+           {_mix_sql_wide(f'((hv + {(j * _CM_SALT) % m64}::HUGEINT) '
+                          f'% {m64}::HUGEINT)')} % {width} AS BIGINT)
+           AS cell
+  FROM cm_hash)"""
+        for j in range(depth))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT cell, cnt FROM cm_idx{j}" for j in range(depth))
+    return f"""
+cm_counts AS (
+  SELECT event_type AS w, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type),
+cm_hash AS (
+  SELECT w, cnt,
+         list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+                         [ascii(c)::HUGEINT FOR c IN string_split(w, '')]),
+            (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                      % {m64}::HUGEINT) AS hv
+  FROM cm_counts),
+{rows},
+cm_cells AS (
+  SELECT cell, CAST(sum(cnt) AS BIGINT) AS n
+  FROM (\n{unions}\n) GROUP BY cell),
+cm_points AS (
+  SELECT CAST(h.hv // 2 AS BIGINT) AS idx,
+         min(c.n) AS value
+  FROM cm_hash h
+       JOIN ({' UNION ALL '.join(f'SELECT w, cell FROM cm_idx{j}'
+                                 for j in range(depth))}) i USING (w)
+       JOIN cm_cells c USING (cell)
+  GROUP BY 1)"""
+
+
+def sketch_suite(sf_dir: str) -> pa.Table:
+    """HLL + Count-Min under one window slot: variant-tagged (idx,
+    value) long-form rows — HLL registers + estimate, CM register dump,
+    CM per-type point estimates."""
+    regs = cm_registers(sf_dir).to_pandas().sort_values("cell")
+    cm_regs = pa.table({
+        "idx": pa.array(regs["cell"].to_numpy(), pa.int64()),
+        "value": pa.array(regs["sum(n)"].to_numpy(), pa.int64())})
+    parts = [
+        ("hll", hll_distinct(sf_dir)),
+        ("cm_registers", cm_regs),
+        ("cm_estimates", cm_estimates(sf_dir)),
+    ]
+    out = []
+    for variant, t in parts:
+        out.append(t.add_column(0, "variant", pa.array(
+            [variant] * t.num_rows, pa.string())))
+    return pa.concat_tables(out)
+
+
+def sketch_suite_sql() -> str:
+    cm = cm_sql()
+    return f"""WITH {cm}
+SELECT 'cm_registers' AS variant, cell AS idx, n AS value FROM cm_cells
+UNION ALL
+SELECT 'cm_estimates' AS variant, idx, value FROM cm_points
+UNION ALL
+SELECT 'hll' AS variant, idx, value FROM (\n{hll_sql()}\n)"""
