@@ -300,6 +300,276 @@ cm_points AS (
   GROUP BY 1)"""
 
 
+# -- Bloom filter ------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+BLOOM_PROBES = 30              # membership probes: user ids 0..29
+
+
+def bloom_bits(sf_dir: str, bits: int = BLOOM_BITS, k: int = BLOOM_K):
+    """Distinct set-bit dump of a Bloom filter over ``events.user_id``
+    (k mix-hashes per key). Bits MERGE by OR == distinct-union, so the
+    distributed build is per-batch distinct cells -> one bounded groupby
+    (output <= ``bits`` rows regardless of corpus size)."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.table({"cell": pa.array([], pa.int64())})
+        u = np.unique(ids)
+        cells = np.unique(_cm_indices(_mix(u.astype(np.uint64)), k, bits))
+        return pa.table({"cell": pa.array(cells, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cell").count())
+
+
+def bloom_probe(sf_dir: str, n_probes: int = BLOOM_PROBES,
+                bits: int = BLOOM_BITS, k: int = BLOOM_K) -> pa.Table:
+    """(idx, value) membership verdicts for probe keys 0..n_probes-1:
+    value = 1 iff every one of the key's k bits is set (the Bloom
+    'possibly present' answer; 0 is a certain miss). The bit table is
+    bounded (<= ``bits`` rows), so the probe is driver-side."""
+    regs = bloom_bits(sf_dir, bits, k).to_pandas()
+    bitset = np.zeros(bits, dtype=bool)
+    bitset[regs["cell"].to_numpy()] = True
+    pids = np.arange(n_probes, dtype=np.int64)
+    cells = _cm_indices(_mix(pids.astype(np.uint64)), k, bits)
+    member = bitset[cells].all(axis=0).astype(np.int64)
+    return pa.table({"idx": pa.array(pids, pa.int64()),
+                     "value": pa.array(member, pa.int64())})
+
+
+def bloom_sql(bits: int = BLOOM_BITS, k: int = BLOOM_K,
+              n_probes: int = BLOOM_PROBES) -> str:
+    """Oracle CTE fragments: ``bl_bits`` (distinct set cells) and
+    ``bl_probe`` (per-probe all-bits-set verdicts) from the identical
+    HUGEINT mix mirrors."""
+    m64 = 1 << 64
+
+    def cell_expr(src: str, j: int) -> str:
+        shifted = (f"(({src} + {(j * _CM_SALT) % m64}::HUGEINT)"
+                   f" % {m64}::HUGEINT)")
+        return f"CAST({_mix_sql_wide(shifted)} % {bits} AS BIGINT)"
+
+    bit_unions = "\nUNION ALL\n".join(
+        f"SELECT {cell_expr('hv', j)} AS cell FROM bl_hash"
+        for j in range(k))
+    probe_unions = "\nUNION ALL\n".join(
+        f"SELECT pid, {cell_expr('hv', j)} AS cell FROM bl_probe_hash"
+        for j in range(k))
+    return f"""
+bl_hash AS (
+  SELECT DISTINCT {_mix_sql_wide('CAST(user_id AS HUGEINT)')} AS hv
+  FROM events),
+bl_bits AS (
+  SELECT DISTINCT cell FROM (\n{bit_unions}\n)),
+bl_probe_hash AS (
+  SELECT CAST(r.range AS BIGINT) AS pid,
+         {_mix_sql_wide('CAST(r.range AS HUGEINT)')} AS hv
+  FROM range(0, {n_probes}) r),
+bl_probe AS (
+  SELECT pid,
+         CAST(min(CASE WHEN b.cell IS NULL THEN 0 ELSE 1 END)
+              AS BIGINT) AS value
+  FROM (\n{probe_unions}\n) p
+  LEFT JOIN bl_bits b USING (cell)
+  GROUP BY pid)"""
+
+
+# -- Grouped + windowed HLL ---------------------------------------------------
+
+_TYPE_MOD = 1 << 40            # group-key space; key*m + bucket < 2^49
+US_PER_DAY = 86_400_000_000
+HLL_WINDOW_DAYS = 7
+
+
+def _hll_partial_max(key: np.ndarray, rho: np.ndarray) -> pa.Table:
+    """Per-batch (key, rho) partial maxima: sort by (key, rho), keep the
+    last row of each key run — the vectorized per-batch combiner every
+    grouped register build shares."""
+    order = np.lexsort((rho, key))
+    k_s, r_s = key[order], rho[order]
+    last = np.r_[k_s[1:] != k_s[:-1], True] if k_s.size else \
+        np.asarray([], dtype=bool)
+    return pa.table({"key": pa.array(k_s[last], pa.int64()),
+                     "rho": pa.array(r_s[last], pa.int64())})
+
+
+def _grouped_hll_registers(sf_dir: str, columns: list,
+                           gkey_of, p: int = HLL_P):
+    """(key = gkey*m + bucket, rho) register dump of one HLL PER GROUP —
+    per-batch partial maxima + one groupby whose output is bounded by
+    n_groups * m rows (domain-sized, corpus-size-independent)."""
+    import ray.data as rd
+
+    m = 1 << p
+    sb = 64 - p
+    mask = (np.uint64(1) << np.uint64(sb)) - np.uint64(1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        g = gkey_of(batch)
+        h = _mix(ids.astype(np.uint64))
+        bucket = (h >> np.uint64(sb)).astype(np.int64)
+        rho = sb - _bit_length_u64(h & mask) + 1
+        return _hll_partial_max(g * m + bucket, rho)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("key").aggregate(rd.aggregate.Max("rho")))
+
+
+def _group_estimates(regs_df, p: int = HLL_P) -> tuple:
+    """(gkeys, estimates) from a grouped register frame with columns
+    (key, max(rho)) — driver-side finish over a domain-bounded table."""
+    import pandas as pd
+
+    m = 1 << p
+    key = regs_df["key"].to_numpy()
+    rho = regs_df[regs_df.columns[-1]].to_numpy()
+    gkey = key // m
+    out_k, out_e = [], []
+    for g in np.unique(gkey):
+        sub = pd.DataFrame({"rho": rho[gkey == g]})
+        out_k.append(int(g))
+        out_e.append(hll_estimate_q(sub, p))
+    return np.asarray(out_k, dtype=np.int64), \
+        np.asarray(out_e, dtype=np.int64)
+
+
+def hll_by_type(sf_dir: str, p: int = HLL_P) -> tuple:
+    """(registers, estimates) of one HLL per event_type (distinct users
+    per type): registers long-form (idx = fnv(type)%2^40 * m + bucket,
+    value = rho), estimates (idx = fnv(type)%2^40, value = floor est)."""
+    def gkey_of(batch: pa.Table) -> np.ndarray:
+        types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        u, inv = np.unique(types, return_inverse=True)
+        gh = (_fnv_words(u) % np.uint64(_TYPE_MOD)).astype(np.int64)
+        return gh[inv]
+
+    regs = _grouped_hll_registers(
+        sf_dir, ["event_type", "user_id"], gkey_of, p
+    ).to_pandas().sort_values("key")
+    reg_tbl = pa.table({
+        "idx": pa.array(regs["key"].to_numpy(), pa.int64()),
+        "value": pa.array(regs[regs.columns[-1]].to_numpy(), pa.int64())})
+    gk, est = _group_estimates(regs, p)
+    est_tbl = pa.table({"idx": pa.array(gk, pa.int64()),
+                        "value": pa.array(est, pa.int64())})
+    return reg_tbl, est_tbl
+
+
+def hll_daily_window(sf_dir: str, p: int = HLL_P,
+                     window_days: int = HLL_WINDOW_DAYS) -> tuple:
+    """(registers, window_estimates) of one HLL per UTC day plus the
+    trailing-``window_days`` distinct-user estimate per day — the
+    composition property in action: the window sketch is the max-merge
+    of the daily register dumps, never a re-scan of the raw events."""
+    import pandas as pd
+
+    m = 1 << p
+
+    def gkey_of(batch: pa.Table) -> np.ndarray:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        return (ts.astype("datetime64[us]").astype(np.int64)
+                // US_PER_DAY)
+
+    regs = _grouped_hll_registers(
+        sf_dir, ["ts", "user_id"], gkey_of, p
+    ).to_pandas().sort_values("key")
+    reg_tbl = pa.table({
+        "idx": pa.array(regs["key"].to_numpy(), pa.int64()),
+        "value": pa.array(regs[regs.columns[-1]].to_numpy(), pa.int64())})
+
+    key = regs["key"].to_numpy()
+    rho = regs[regs.columns[-1]].to_numpy()
+    day = key // m
+    bucket = key % m
+    days = np.unique(day)
+    out_d, out_e = [], []
+    for d in days:
+        in_win = (day >= d - window_days + 1) & (day <= d)
+        merged = np.zeros(m, dtype=np.int64)
+        np.maximum.at(merged, bucket[in_win], rho[in_win])
+        nz = merged[merged > 0]
+        out_d.append(int(d))
+        out_e.append(hll_estimate_q(pd.DataFrame({"rho": nz}), p))
+    est_tbl = pa.table({
+        "idx": pa.array(np.asarray(out_d, np.int64), pa.int64()),
+        "value": pa.array(np.asarray(out_e, np.int64), pa.int64())})
+    return reg_tbl, est_tbl
+
+
+def _hll_group_est_sql(regs_cte: str, p: int) -> str:
+    """Shared per-group estimate SELECT over a (gkey, rho) CTE: the same
+    exact-integer S, one-division raw estimate and linear-counting
+    small-range branch as ``hll_estimate_q``, per gkey."""
+    m = 1 << p
+    sb = 64 - p
+    alpha = _hll_alpha(m)
+    s = (f"CAST(sum(1::HUGEINT << ({sb} + 1 - rho))"
+         f" + ({m} - count(*)) * {1 << (sb + 1)}::HUGEINT AS DOUBLE)")
+    raw = (f"({alpha!r}::DOUBLE * {float(m)!r}::DOUBLE"
+           f" * {float(m)!r}::DOUBLE * {float(1 << (sb + 1))!r}::DOUBLE"
+           f" / {s})")
+    lc = (f"({float(m)!r}::DOUBLE * ln({float(m)!r}::DOUBLE"
+          f" / CAST({m} - count(*) AS DOUBLE)))")
+    return f"""
+  SELECT gkey,
+         CAST(floor(CASE WHEN {raw} <= {2.5 * m!r}::DOUBLE
+                          AND ({m} - count(*)) > 0
+                     THEN {lc} ELSE {raw} END) AS BIGINT) AS est
+  FROM {regs_cte} GROUP BY gkey"""
+
+
+def grouped_hll_sql(p: int = HLL_P,
+                    window_days: int = HLL_WINDOW_DAYS) -> str:
+    """Oracle CTE fragments for per-type and per-day/windowed HLL:
+    ``ht_regs``/``ht_est`` and ``hd_regs``/``hd_win_est``."""
+    m = 1 << p
+    sb = 64 - p
+    m64 = 1 << 64
+    fnv = ("list_reduce(list_prepend(14695981039346656037::HUGEINT,"
+           "[ascii(c)::HUGEINT FOR c IN string_split(event_type, '')]),"
+           "(h, b) -> (xor(h, b) * 1099511628211::HUGEINT)"
+           f" % {m64}::HUGEINT)")
+    rho = (f"({sb} - (CASE WHEN uh % {1 << sb}::HUGEINT = 0 THEN 0"
+           f" ELSE length(bin(uh % {1 << sb}::HUGEINT)) END) + 1)")
+    bucket = f"CAST(uh // {1 << sb}::HUGEINT AS BIGINT)"
+    return f"""
+ht_h AS (
+  SELECT CAST({fnv} % {_TYPE_MOD}::HUGEINT AS BIGINT) AS gkey,
+         {_mix_sql_wide('CAST(user_id AS HUGEINT)')} AS uh
+  FROM events),
+ht_regs AS (
+  SELECT gkey, {bucket} AS bucket, max({rho}) AS rho
+  FROM ht_h GROUP BY 1, 2),
+ht_est AS ({_hll_group_est_sql('ht_regs', p)}),
+hd_h AS (
+  SELECT epoch_us(ts) // {US_PER_DAY} AS gkey,
+         {_mix_sql_wide('CAST(user_id AS HUGEINT)')} AS uh
+  FROM events),
+hd_regs AS (
+  SELECT gkey, {bucket} AS bucket, max({rho}) AS rho
+  FROM hd_h GROUP BY 1, 2),
+hd_win AS (
+  SELECT d.gkey AS gkey, r.bucket, max(r.rho) AS rho
+  FROM (SELECT DISTINCT gkey FROM hd_regs) d
+  JOIN hd_regs r
+    ON r.gkey BETWEEN d.gkey - {window_days - 1} AND d.gkey
+  GROUP BY 1, 2),
+hd_win_est AS ({_hll_group_est_sql('hd_win', p)})"""
+
+
 def sketch_suite(sf_dir: str) -> pa.Table:
     """HLL + Count-Min under one window slot: variant-tagged (idx,
     value) long-form rows — HLL registers + estimate, CM register dump,
@@ -308,10 +578,22 @@ def sketch_suite(sf_dir: str) -> pa.Table:
     cm_regs = pa.table({
         "idx": pa.array(regs["cell"].to_numpy(), pa.int64()),
         "value": pa.array(regs["sum(n)"].to_numpy(), pa.int64())})
+    bl = bloom_bits(sf_dir).to_pandas().sort_values("cell")
+    bl_regs = pa.table({
+        "idx": pa.array(bl["cell"].to_numpy(), pa.int64()),
+        "value": pa.array(np.ones(len(bl), np.int64), pa.int64())})
+    ht_regs, ht_est = hll_by_type(sf_dir)
+    hd_regs, hd_est = hll_daily_window(sf_dir)
     parts = [
         ("hll", hll_distinct(sf_dir)),
         ("cm_registers", cm_regs),
         ("cm_estimates", cm_estimates(sf_dir)),
+        ("bloom_bits", bl_regs),
+        ("bloom_probe", bloom_probe(sf_dir)),
+        ("hll_type", ht_regs),
+        ("hll_type_est", ht_est),
+        ("hll_day", hd_regs),
+        ("hll_window_est", hd_est),
     ]
     out = []
     for variant, t in parts:
@@ -321,10 +603,28 @@ def sketch_suite(sf_dir: str) -> pa.Table:
 
 
 def sketch_suite_sql() -> str:
-    cm = cm_sql()
-    return f"""WITH {cm}
+    m = 1 << HLL_P
+    return f"""WITH {cm_sql()},
+{bloom_sql().lstrip()},
+{grouped_hll_sql().lstrip()}
 SELECT 'cm_registers' AS variant, cell AS idx, n AS value FROM cm_cells
 UNION ALL
 SELECT 'cm_estimates' AS variant, idx, value FROM cm_points
 UNION ALL
-SELECT 'hll' AS variant, idx, value FROM (\n{hll_sql()}\n)"""
+SELECT 'hll' AS variant, idx, value FROM (\n{hll_sql()}\n)
+UNION ALL
+SELECT 'bloom_bits' AS variant, cell AS idx, 1::BIGINT AS value
+FROM bl_bits
+UNION ALL
+SELECT 'bloom_probe' AS variant, pid AS idx, value FROM bl_probe
+UNION ALL
+SELECT 'hll_type' AS variant, gkey * {m} + bucket AS idx,
+       CAST(rho AS BIGINT) AS value FROM ht_regs
+UNION ALL
+SELECT 'hll_type_est' AS variant, gkey AS idx, est AS value FROM ht_est
+UNION ALL
+SELECT 'hll_day' AS variant, gkey * {m} + bucket AS idx,
+       CAST(rho AS BIGINT) AS value FROM hd_regs
+UNION ALL
+SELECT 'hll_window_est' AS variant, gkey AS idx, est AS value
+FROM hd_win_est"""

@@ -90,6 +90,70 @@ def test_cm_estimate_upper_bounds_truth(ray_session):
         assert sums[row_mask].sum() == total
 
 
+def test_bloom_no_false_negatives(ray_session):
+    """Every probe id actually present in the data must answer 1 (Bloom
+    filters never miss a member); absent ids are allowed either way."""
+    from rayse.ops.sketch import BLOOM_PROBES, bloom_probe
+
+    present = set(
+        _con().execute("SELECT DISTINCT user_id FROM events").df()
+        ["user_id"].tolist())
+    got = bloom_probe(SF).to_pandas()
+    assert len(got) == BLOOM_PROBES
+    for pid, val in zip(got["idx"], got["value"]):
+        if int(pid) in present:
+            assert val == 1
+    # some probe must be a miss at this sf (ids 0..29 vs ~15 users)
+    assert (got["value"] == 0).any()
+
+
+def test_hll_by_type_estimates(ray_session):
+    """Per-type distinct-user estimates stay within HLL error of truth
+    and cover exactly the distinct types."""
+    from rayse.ops.sketch import _TYPE_MOD, _fnv_words, hll_by_type
+
+    truth = _con().execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n "
+        "FROM events GROUP BY 1").fetchdf()
+    h = _fnv_words(np.asarray(truth["event_type"].tolist(), dtype=object))
+    gkeys = (h % np.uint64(_TYPE_MOD)).astype(np.int64)
+    true_by_g = dict(zip(gkeys.tolist(), truth["n"].tolist()))
+    _, est = hll_by_type(SF)
+    est = est.to_pandas()
+    assert set(est["idx"]) == set(true_by_g)
+    for g, v in zip(est["idx"], est["value"]):
+        t = true_by_g[int(g)]
+        assert abs(int(v) - t) <= max(5, 0.20 * t)
+
+
+def test_hll_window_matches_rescan(ray_session):
+    """The trailing-window estimate from merged DAILY register dumps
+    equals the estimate of a fresh sketch over the window's raw rows —
+    the mergeability contract that lets a 100 TB pipeline keep only
+    per-day dumps."""
+    import pyarrow.parquet as pq
+    from rayse.ops import sketch as sk
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    day = (t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+           // sk.US_PER_DAY)
+    ids = t["user_id"].to_numpy()
+    _, win_est = sk.hll_daily_window(SF)
+    win_est = win_est.to_pandas()
+    sb = 64 - sk.HLL_P
+    for d, v in list(zip(win_est["idx"], win_est["value"]))[:5]:
+        sel = ids[(day >= d - sk.HLL_WINDOW_DAYS + 1) & (day <= d)]
+        h = sk._mix(np.unique(sel).astype(np.uint64))
+        rho = sb - sk._bit_length_u64(
+            h & ((np.uint64(1) << np.uint64(sb)) - np.uint64(1))) + 1
+        bucket = (h >> np.uint64(sb)).astype(np.int64)
+        reg = np.zeros(1 << sk.HLL_P, dtype=np.int64)
+        np.maximum.at(reg, bucket, rho)
+        fresh = sk.hll_estimate_q(
+            pd.DataFrame({"rho": reg[reg > 0]}))
+        assert fresh == int(v)
+
+
 def test_hll_estimate_exact_small(ray_session):
     """Linear-counting branch: tiny distinct set is counted exactly."""
     import pyarrow as pa
