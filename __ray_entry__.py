@@ -1033,16 +1033,23 @@ def _q_sampling_suite(sf_dir: str) -> pa.Table:
 
 
 def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
-    """Integer fixed-point PageRank through BOTH realizations — the
-    broadcast-rank-vector variant and the vertex-count-unbounded sharded
-    exchange variant (bit-identical by integer-sum order independence) —
-    tagged under the same recursive-CTE oracle; one window slot."""
-    from rayse.ops.graph import (pagerank_fixed_events,
+    """Integer fixed-point link analysis under one window slot: PageRank
+    through BOTH realizations — the broadcast-rank-vector variant and
+    the vertex-count-unbounded sharded exchange variant (bit-identical
+    by integer-sum order independence) — under the recursive-CTE oracle,
+    plus HITS hubs & authorities (integer L1-normalized power iteration)
+    under the unrolled-CTE oracle."""
+    from rayse.ops.graph import (hits_fixed_events, pagerank_fixed_events,
                                  pagerank_fixed_sharded_events)
 
+    hits = hits_fixed_events(sf_dir)
     return _tagged_union([
         ("dense", pagerank_fixed_events(sf_dir)),
-        ("sharded", pagerank_fixed_sharded_events(sf_dir))])
+        ("sharded", pagerank_fixed_sharded_events(sf_dir)),
+        ("hits_hub", hits.select(["vertex", "hub_fp"]).rename_columns(
+            ["vertex", "rank_fp"])),
+        ("hits_auth", hits.select(["vertex", "auth_fp"]).rename_columns(
+            ["vertex", "rank_fp"]))])
 
 
 def _q_window_agg_suite(sf_dir: str) -> pa.Table:
@@ -1213,6 +1220,16 @@ def _q_pagerank_fixed_sharded(sf_dir: str):
     return pagerank_fixed_sharded_events(sf_dir)
 
 
+def _q_hits_fixed(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999) in integer fixed-point
+    with exact L1 normalization — bit-exact under the unrolled-CTE
+    DuckDB oracle (integer sums are order-independent; the raw*scale
+    normalization product is big-int exact on both sides)."""
+    from rayse.ops.graph import hits_fixed_events
+
+    return hits_fixed_events(sf_dir)
+
+
 def _q_pagerank_fixed(sf_dir: str):
     """Fixed-iteration integer fixed-point PageRank — the same streaming
     iteration machinery as `pagerank`, bit-exact under a recursive-CTE
@@ -1350,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "quota_sample": _q_quota_sample,
         "pagerank_fixed": _q_pagerank_fixed,
+        "hits_fixed": _q_hits_fixed,
         "porter_prefix_topk": _q_porter_prefix_topk,
         "porter_fuzzy_topk": _q_porter_fuzzy_topk,
         "porter_deleted_topk": _q_porter_deleted_topk,
@@ -1552,6 +1570,8 @@ def oracle_sql() -> dict[str, str]:
                 shingle_k=3, threshold=0.5),
         "pagerank_fixed": __import__(
             "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql(),
+        "hits_fixed": __import__(
+            "rayse.ops.graph", fromlist=["x"]).hits_fixed_sql(),
         "embedding_neardup": __import__(
             "rayse.ops.dedup", fromlist=["x"]).embedding_neardup_sql(0.4),
         "lang_id": __import__(
@@ -1740,7 +1760,11 @@ def oracle_sql() -> dict[str, str]:
             ("dense", "vertex, rank_fp", __import__(
                 "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql()),
             ("sharded", "vertex, rank_fp", __import__(
-                "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql())]),
+                "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql()),
+            ("hits_hub", "vertex, hub_fp AS rank_fp", __import__(
+                "rayse.ops.graph", fromlist=["x"]).hits_fixed_sql()),
+            ("hits_auth", "vertex, auth_fp AS rank_fp", __import__(
+                "rayse.ops.graph", fromlist=["x"]).hits_fixed_sql())]),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS qe FROM embeddings

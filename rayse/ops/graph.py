@@ -417,6 +417,127 @@ SELECT v AS vertex, CAST(r AS BIGINT) AS rank_fp
 FROM pr WHERE iter = {iters} ORDER BY vertex"""
 
 
+def _l1_norm_fp(raw: np.ndarray, scale: int) -> np.ndarray:
+    """Integer L1 normalization: value = (raw * scale) // sum(raw) in
+    EXACT big-int arithmetic (the product overflows int64, so the dense
+    driver-side vector multiplies as Python ints; the SQL mirror uses
+    HUGEINT). Floor division both sides — bit-exact."""
+    total = int(raw.sum())
+    if total == 0:
+        return np.zeros_like(raw)
+    return np.fromiter(((int(r) * scale) // total for r in raw.tolist()),
+                       dtype=np.int64, count=raw.size)
+
+
+def hits_fixed(edges_ds, iters: int = 8, scale: int = 10**9) -> pa.Table:
+    """HITS hubs & authorities (Kleinberg 1999) in integer fixed-point —
+    the reference ships two PageRank variants (`Ranker1.java:699-749`,
+    `Ranker2.java:71-84`) but no HITS; this is its natural companion
+    for link analysis, built SQL-exact like ``pagerank_fixed``:
+
+        raw_auth[v] = Σ_{(u,v) ∈ E} hub[u]        (int64 edge sums)
+        auth[v]     = (raw_auth[v] * scale) // Σ raw_auth   (L1 norm)
+        raw_hub[u]  = Σ_{(u,v) ∈ E} auth[v]
+        hub[u]      = (raw_hub[u] * scale) // Σ raw_hub
+
+    Integer sums are order-independent, so the unrolled-SQL oracle
+    matches bit-for-bit. The L1 normalization replaces the classical L2
+    (a sqrt has no exact integer form); both are fixed-point-seeking
+    scalings of the same power iteration. Distributed shape matches
+    ``pagerank_fixed``: edges stream per half-iteration with the
+    current vector broadcast (ray.put once per pass, read per task),
+    per-batch partial sums before the groupby; the dense driver-side
+    vector is the same documented ~1e8-vertex bound (the sharded
+    exchange realization of ``pagerank_fixed_sharded`` applies
+    unchanged if needed)."""
+    import ray
+
+    verts_tbl = edges_ds.map_batches(
+        lambda b: pa.table({"v": pa.array(
+            np.unique(np.concatenate([
+                b["src"].to_numpy(zero_copy_only=False),
+                b["dst"].to_numpy(zero_copy_only=False)])), pa.int64())}),
+        batch_format="pyarrow").groupby("v").count()
+    verts = np.sort(np.asarray([r["v"] for r in verts_tbl.take_all()],
+                               dtype=np.int64))
+    n = verts.size
+
+    def _half_pass(vec: np.ndarray, key_in: str, key_out: str):
+        """One HITS half-step: stream edges, weight by the broadcast
+        vector at ``key_in``, partial-sum per batch, groupby ``key_out``."""
+        ref = ray.put((verts, vec))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vs, vv = ray.get(ref)
+            src_v = vv[np.searchsorted(
+                vs, batch[key_in].to_numpy(zero_copy_only=False))]
+            out = batch[key_out].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(out, return_inverse=True)
+            sums = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(sums, inv, src_v)
+            return pa.table({"v": pa.array(uniq, pa.int64()),
+                             "raw": pa.array(sums, pa.int64())})
+
+        agg = (edges_ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+               .groupby("v").sum("raw").take_all())
+        raw = np.zeros(n, dtype=np.int64)
+        for r in agg:
+            raw[np.searchsorted(verts, r["v"])] = r["sum(raw)"]
+        return raw
+
+    hub = np.full(n, scale, dtype=np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        auth = _l1_norm_fp(_half_pass(hub, "src", "dst"), scale)
+        hub = _l1_norm_fp(_half_pass(auth, "dst", "src"), scale)
+    return pa.table({"vertex": pa.array(verts, pa.int64()),
+                     "hub_fp": pa.array(hub, pa.int64()),
+                     "auth_fp": pa.array(auth, pa.int64())})
+
+
+def hits_fixed_events(sf_dir: str, iters: int = 8):
+    return hits_fixed(derived_edges(sf_dir), iters=iters)
+
+
+def hits_fixed_sql(iters: int = 8, scale: int = 10**9,
+                   vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    """DuckDB oracle for ``hits_fixed_events``: the identical integer
+    recursion with iterations UNROLLED (two CTEs per iteration — the
+    alternating update can't ride one recursive CTE); HUGEINT carries
+    the raw*scale product exactly."""
+    ctes = [f"""edges AS MATERIALIZED (SELECT user_id AS src,
+                 CAST(json_extract(props, '$.k') AS BIGINT)
+                   % {vertex_space} AS dst
+          FROM events),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM edges UNION SELECT dst FROM edges)),
+h0 AS MATERIALIZED (SELECT v, {scale}::HUGEINT AS val FROM verts)"""]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i}r AS MATERIALIZED (
+  SELECT e.dst AS v, sum(h.val) AS raw
+  FROM edges e JOIN {prev_h} h ON h.v = e.src GROUP BY 1),
+a{i} AS MATERIALIZED (
+  SELECT vv.v,
+         coalesce((ar.raw * {scale}::HUGEINT)
+                  // (SELECT sum(raw) FROM a{i}r), 0) AS val
+  FROM verts vv LEFT JOIN a{i}r ar ON ar.v = vv.v),
+h{i}r AS MATERIALIZED (
+  SELECT e.src AS v, sum(a.val) AS raw
+  FROM edges e JOIN a{i} a ON a.v = e.dst GROUP BY 1),
+h{i} AS MATERIALIZED (
+  SELECT vv.v,
+         coalesce((hr.raw * {scale}::HUGEINT)
+                  // (SELECT sum(raw) FROM h{i}r), 0) AS val
+  FROM verts vv LEFT JOIN h{i}r hr ON hr.v = vv.v)""")
+        prev_h = f"h{i}"
+    return f"""WITH {', '.join(ctes)}
+SELECT h.v AS vertex, CAST(h.val AS BIGINT) AS hub_fp,
+       CAST(a.val AS BIGINT) AS auth_fp
+FROM h{iters} h JOIN a{iters} a USING (v) ORDER BY vertex"""
+
+
 def props_extract(sf_dir: str):
     """JSON scalar extraction over the events props column — vectorized
     via Arrow extract_regex (json.loads only as a per-miss fallback);

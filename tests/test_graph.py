@@ -124,3 +124,28 @@ def test_pagerank_fixed_sharded_bit_identical(ray_session):
     sharded = sharded.sort_values("vertex").reset_index(drop=True)
     assert len(dense) >= 100
     pd.testing.assert_frame_equal(dense, sharded[dense.columns])
+
+
+def test_hits_fixed_matches_duckdb(ray_session):
+    """HITS integer fixed-point (L1-normalized) hash-matches the
+    unrolled-CTE oracle, and both vectors carry ~scale L1 mass (floor
+    losses only)."""
+    import duckdb
+
+    from rayse.ops.graph import hits_fixed_events, hits_fixed_sql
+
+    got = hits_fixed_events(SF).to_pandas()
+    got = got.sort_values("vertex").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(hits_fixed_sql()).df()
+    want = want.sort_values("vertex").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+    scale = 10**9
+    for col in ("hub_fp", "auth_fp"):
+        total = int(got[col].sum())
+        assert scale - len(got) <= total <= scale
+        assert (got[col] >= 0).all()
