@@ -1220,6 +1220,17 @@ def _q_pagerank_fixed_sharded(sf_dir: str):
     return pagerank_fixed_sharded_events(sf_dir)
 
 
+def _q_revenue_by_region(sf_dir: str):
+    """Q5-style multiway rollup: the big⋈big lineitem⋈orders edge runs
+    through the co-partitioned file-exchange hash join
+    (`exchange.hash_join`); the customer→nation→region dimension chain
+    collapses to one broadcast map. Revenue quantizes per row to 1e-4
+    units so the int64 sums match DuckDB exactly."""
+    from rayse.ops.relational import revenue_by_region
+
+    return revenue_by_region(sf_dir)
+
+
 def _q_hits_fixed(sf_dir: str):
     """HITS hubs & authorities (Kleinberg 1999) in integer fixed-point
     with exact L1 normalization — bit-exact under the unrolled-CTE
@@ -1320,7 +1331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "sketch_suite": _q_sketch_suite,
         "pagerank_fixed_suite": _q_pagerank_fixed_suite,
-        "props_extract": _q_props_extract,
+        "revenue_by_region": _q_revenue_by_region,
         # round-4 training-data ops (Gopher filters, packing, quantiles,
         # PII, corpus cleaning, multimodal byte features)
         "repetition_stats": _q_repetition_stats,
@@ -1368,6 +1379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": _q_quota_sample,
         "pagerank_fixed": _q_pagerank_fixed,
         "hits_fixed": _q_hits_fixed,
+        # props_extract's extraction kernel (_props_k) is transitively
+        # hash-pinned by pagerank_fixed_suite (edges derive through it)
+        "props_extract": _q_props_extract,
         "porter_prefix_topk": _q_porter_prefix_topk,
         "porter_fuzzy_topk": _q_porter_fuzzy_topk,
         "porter_deleted_topk": _q_porter_deleted_topk,
@@ -1491,6 +1505,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.relational", fromlist=["x"]).PRICING_SUMMARY_SQL,
         "top_customer_revenue": __import__(
             "rayse.ops.relational", fromlist=["x"]).TOP_CUSTOMER_REVENUE_SQL,
+        "revenue_by_region": __import__(
+            "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "trailing_window": __import__(
             "rayse.ops.relational", fromlist=["x"]).TRAILING_WINDOW_SQL,
         "props_extract": (

@@ -114,3 +114,90 @@ def exchange_by_key(ds, key_cols, proc, *, n_parts: int | None = None,
     out = rd.from_arrow_refs(refs)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _spill_by_key(ds, key_cols: list, n_parts: int, tmp: str) -> None:
+    """Stamp ``_part = mix(key) % n_parts`` and spill hive-partitioned —
+    the write half of every exchange here."""
+    def stamp(batch: pa.Table) -> pa.Table:
+        cols = [batch[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        return batch.append_column(
+            "_part", pa.array(partition_of(cols, n_parts), pa.int64()))
+
+    ds.map_batches(stamp, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        tmp, partition_cols=["_part"])
+
+
+def hash_join(left_ds, right_ds, left_on, right_on, *,
+              join_type: str = "inner", n_parts: int | None = None,
+              tmp_root: str = "/tmp"):
+    """Distributed equi-join of two Datasets, co-partitioned through the
+    file exchange: BOTH sides spill hive-partitioned by the SAME
+    ``mix(key) % n_parts`` function, then one Ray task per partition id
+    joins its two shards with Arrow's vectorized hash join
+    (``pa.Table.join`` — no Python row loop). This is the big⋈big route;
+    when one side fits a broadcast, prefer the ray.put + lookup pattern
+    (`top_customer_revenue`) — it skips both spills.
+
+    Keys must be integer-typed (same contract as ``exchange_by_key``).
+    Non-key column names must not collide across sides (select/rename
+    first). Partition count is the memory lever: a partition's two
+    shards plus their join output must fit one worker heap.
+    """
+    import ray
+    import ray.data as rd
+
+    left_on = [left_on] if isinstance(left_on, str) else list(left_on)
+    right_on = [right_on] if isinstance(right_on, str) else list(right_on)
+    if n_parts is None:
+        n_parts = default_parts()
+
+    base = os.path.join(
+        tmp_root, f"rayse_join_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    ltmp, rtmp = os.path.join(base, "l"), os.path.join(base, "r")
+    lschema = pa.schema(list(zip(left_ds.schema().names,
+                                 left_ds.schema().types)))
+    rschema = pa.schema(list(zip(right_ds.schema().names,
+                                 right_ds.schema().types)))
+    _spill_by_key(left_ds, left_on, n_parts, ltmp)
+    _spill_by_key(right_ds, right_on, n_parts, rtmp)
+
+    def part_ids(tmp: str) -> set:
+        return {int(os.path.basename(d).split("=")[1])
+                for d in glob.glob(os.path.join(tmp, "_part=*"))}
+
+    lparts, rparts = part_ids(ltmp), part_ids(rtmp)
+    # inner join: only co-present partitions can produce rows; outer
+    # variants need the single-sided partitions too
+    ids = sorted(lparts & rparts if join_type == "inner"
+                 else lparts | rparts)
+
+    @ray.remote
+    def run_part(pid: int) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        def read(tmp: str, schema: pa.Schema, present: bool) -> pa.Table:
+            if not present:
+                return schema.empty_table()
+            return pads.dataset(
+                os.path.join(tmp, f"_part={pid}")).to_table(
+                columns=schema.names, use_threads=False)
+
+        lt = read(ltmp, lschema, pid in lparts)
+        rt = read(rtmp, rschema, pid in rparts)
+        return lt.join(rt, keys=left_on, right_keys=right_on,
+                       join_type=join_type)
+
+    if not ids:
+        shutil.rmtree(base, ignore_errors=True)
+        probe = lschema.empty_table().join(
+            rschema.empty_table(), keys=left_on, right_keys=right_on,
+            join_type=join_type)
+        return rd.from_arrow(probe)
+
+    refs = [run_part.remote(pid) for pid in ids]
+    ray.wait(refs, num_returns=len(refs), fetch_local=False)
+    out = rd.from_arrow_refs(refs)
+    shutil.rmtree(base, ignore_errors=True)
+    return out

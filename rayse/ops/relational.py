@@ -100,6 +100,100 @@ PRICING_SUMMARY_SQL = """
 """
 
 
+def revenue_by_region(sf_dir: str):
+    """Q5-style revenue rollup: lineitem ⋈ orders is the big⋈big edge and
+    runs through the CO-PARTITIONED file-exchange hash join
+    (`exchange.hash_join`: both sides spilled by mix(orderkey), one
+    Arrow hash join per partition — the scale route when neither side
+    broadcasts); customer→nation→region is the small dimension chain,
+    collapsed to ONE broadcast custkey→region map (ray.put once, read
+    per task). Revenue quantizes per row to 1e-4 currency units before
+    summing, so the int64 aggregate is order-independent and the SQL
+    oracle matches exactly."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    # collapse the dimension chain driver-side (region/nation are tiny;
+    # customer is the documented broadcast bound — route it through
+    # hash_join too if it outgrows a worker heap)
+    n2r = dict(zip(nat["n_nationkey"].to_pylist(),
+                   nat["n_regionkey"].to_pylist()))
+    r2n = dict(zip(reg["r_regionkey"].to_pylist(),
+                   reg["r_name"].to_pylist()))
+    cust_region = {c: r2n[n2r[nk]] for c, nk in zip(
+        cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())}
+    ref = ray.put(cust_region)
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def project_line(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "rev": pa.array(_cents(price * (1.0 - disc), 10000.0),
+                            pa.int64())})
+
+    line = line.map_batches(project_line, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    joined = hash_join(line, orders, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        region_of = ray.get(ref)
+        keys = batch["o_custkey"].to_pylist()
+        regions = np.asarray([region_of[k] for k in keys], dtype=object)
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(regions, return_inverse=True)
+        return pa.table({
+            "r_name": pa.array(list(u), pa.string()),
+            "revenue": pa.array(np.bincount(inv, rev, u.size)
+                                .astype(np.int64), pa.int64()),
+            "n_items": pa.array(np.bincount(inv, None, u.size)
+                                .astype(np.int64), pa.int64())})
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("r_name")
+           .aggregate(rd.aggregate.Sum("revenue"),
+                      rd.aggregate.Sum("n_items")))
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": batch["r_name"],
+            "revenue": pa.compute.cast(batch["sum(revenue)"], pa.int64()),
+            "n_items": pa.compute.cast(batch["sum(n_items)"], pa.int64())})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+REVENUE_BY_REGION_SQL = """
+    SELECT r_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
+
 def top_customer_revenue(sf_dir: str, n: int = 10):
     """Top-N customers by total order value: BROADCAST hash join (customer
     side shipped once via ray.put, looked up per batch — the guide's
