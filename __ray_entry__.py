@@ -792,9 +792,11 @@ def _q_ws_role_topk(sf_dir: str) -> pa.Table:
 def _q_porter_rank_matrix(sf_dir: str) -> pa.Table:
     """EVERY ranked retrieval mode of the real Porter engine (exhaustive
     BM25 / WAND / actor-pool cluster / role filter / role boost / boolean
-    / conjunctive / conjunctive+role / phrase+role / capped / paged /
-    complex / fallback ladder / prefix-wildcard / fuzzy-edit1 / delete-compacted) as one variant-tagged table — 16 paths
-    DuckDB hash-matched in one driver window slot. The individual entries
+    / conjunctive / conjunctive+role / phrase+role / sloppy-proximity /
+    capped / paged / complex / fallback ladder / prefix-wildcard /
+    fuzzy-edit1 / delete-compacted / segment-merged / more-like-this /
+    retrieve-rerank) as one variant-tagged table — 20 paths DuckDB
+    hash-matched in one driver window slot. The individual entries
     remain below the 50-query window for direct use and are each pinned
     at sf0.001 by tests/test_porter_oracle.py."""
     from rayse.ops.porter_oracle import porter_rank_matrix
@@ -952,6 +954,15 @@ def _q_porter_prefix_topk(sf_dir: str) -> pa.Table:
     from rayse.ops.porter_oracle import porter_prefix_topk
 
     return porter_prefix_topk(_index_for(sf_dir))
+
+
+def _q_porter_sloppy_topk(sf_dir: str) -> pa.Table:
+    """Proximity-window retrieval (sloppy PhraseQuery analog): every
+    pair of the phrase's terms within 4 tokens, BM25-scored — DuckDB
+    hash-matched; also a `porter_rank_matrix` arm."""
+    from rayse.ops.porter_oracle import porter_sloppy_topk
+
+    return porter_sloppy_topk(_index_for(sf_dir))
 
 
 def _q_porter_fuzzy_topk(sf_dir: str) -> pa.Table:
@@ -1384,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": _q_props_extract,
         "porter_prefix_topk": _q_porter_prefix_topk,
         "porter_fuzzy_topk": _q_porter_fuzzy_topk,
+        "porter_sloppy_topk": _q_porter_sloppy_topk,
         "porter_deleted_topk": _q_porter_deleted_topk,
         "cooccur_pmi": _q_cooccur_pmi,
         "cooccur_pmi_window": _q_cooccur_pmi_window,
@@ -1647,6 +1659,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_prefix_sql(),
         "porter_fuzzy_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_fuzzy_sql(),
+        "porter_sloppy_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_sloppy_sql(),
         "porter_deleted_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_bm25_sql(
                 doc_filter=__import__(

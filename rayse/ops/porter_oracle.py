@@ -1171,6 +1171,83 @@ def porter_roleboost_topk(index_dir: str,
         index_dir, queries, k)
 
 
+SLOPPY_SLOP = 4
+
+
+def porter_sloppy_topk(index_dir: str, phrases: list[str] | None = None,
+                       k: int = 10, slop: int = SLOPPY_SLOP) -> pa.Table:
+    """Proximity-window retrieval (`engine.sloppy` — the sloppy
+    PhraseQuery analog, beyond reference): docs where every pair of the
+    analyzed phrase's distinct terms co-occurs within ``slop`` tokens,
+    BM25-scored, under a DuckDB oracle (per-pair min-distance joins on
+    the reconstructed filtered-stream positions)."""
+    from ..query.engine import SearchEngine
+
+    phrases = phrases if phrases is not None else PORTER_PHRASES
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    return _quantized_search_rows(
+        lambda p, kk: eng.sloppy(_analyzed_seq(p), kk, slop=slop),
+        index_dir, phrases, k)
+
+
+def porter_sloppy_sql(phrases: list[str] | None = None, k: int = 10,
+                      slop: int = SLOPPY_SLOP) -> str:
+    """Oracle for ``porter_sloppy_topk``: filtered-stream positions =
+    row_number over rawpos within the turn; a doc qualifies iff for
+    EVERY unordered pair of the phrase's distinct terms the min
+    |Δposition| ≤ slop (single-term phrases qualify on containment);
+    BM25 over the distinct terms, quantized ranking."""
+    phrases = phrases if phrases is not None else PORTER_PHRASES
+    parts = []
+    for p in phrases:
+        terms = list(dict.fromkeys(_analyzed_seq(p)))
+        vals = ", ".join(f"('{t}')" for t in terms)
+        pair_sqls = [
+            f"""SELECT x.conv_id, x.turn_idx
+  FROM fpos x JOIN fpos y
+    ON x.conv_id = y.conv_id AND x.turn_idx = y.turn_idx
+  WHERE x.term = '{terms[a]}' AND y.term = '{terms[b]}'
+  GROUP BY 1, 2
+  HAVING min(abs(x.p - y.p)) <= {slop}"""
+            for a in range(len(terms)) for b in range(a + 1, len(terms))]
+        qualify = ("\nINTERSECT\n".join(pair_sqls) if pair_sqls else
+                   f"SELECT DISTINCT conv_id, turn_idx FROM fpos "
+                   f"WHERE term = '{terms[0]}'")
+        parts.append(f"""
+  SELECT '{p}' AS query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM (VALUES {vals}) q(term)
+  JOIN tf USING (term) JOIN df USING (term)
+  JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+  JOIN (\n{qualify}\n) ok
+    ON tf.conv_id = ok.conv_id AND tf.turn_idx = ok.turn_idx
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""{_analysis_ctes()},
+fpos AS (
+  SELECT conv_id, turn_idx, term,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY rawpos) - 1 AS p
+  FROM ptok),
+scored AS ({union}),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
 def porter_phrase_role_topk(index_dir: str,
                             phrases: list[str] | None = None,
                             k: int = 10,
@@ -1341,6 +1418,8 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_conjunctive_role_sql(k=k)),
         ("phrase_role", lambda: porter_phrase_role_topk(d, k=k),
          porter_phrase_role_sql(k=k)),
+        ("sloppy", lambda: porter_sloppy_topk(d, k=k),
+         porter_sloppy_sql(k=k)),
         ("capped", lambda: porter_capped_topk(d, k=k),
          porter_capped_sql(k=k)),
         ("paged", lambda: porter_paged_topk(d), porter_paged_sql()),

@@ -166,6 +166,73 @@ def phrase_match(reader, phrase, pos_cache: _PosCache) -> np.ndarray:
     return cand[hit_ranks]
 
 
+def sloppy_match(reader, terms, slop: int,
+                 pos_cache: _PosCache) -> np.ndarray:
+    """doc_ids (ascending) where every unordered pair of the distinct
+    query terms co-occurs within ``slop`` tokens — min over occurrence
+    pairs of |p_a − p_b| ≤ slop in the analyzed position stream.
+
+    The pairwise-window realization of Lucene's sloppy PhraseQuery
+    (beyond reference — the reference has only exact adjacency,
+    `Ranker1.java:370-449`, and the tiered proximity BONUS,
+    `QueryService.java:1374-1445`; this is proximity as a match
+    PREDICATE). For two terms it coincides with the minimal-window
+    semantics; for 3+ the pairwise predicate is the documented variant
+    (monotone in slop, exactly SQL-mirrorable as per-pair min-distance
+    joins). Fully vectorized over all candidates: per term, occurrences
+    pack as (candidate_rank << 32 | position) keys; per pair, each
+    occurrence probes its two same-rank neighbors in the other term's
+    sorted keys (the per-doc min |Δpos| is always at the insertion
+    boundary), min-reduced per rank."""
+    pls = []
+    for t in terms:
+        pl = reader.merged(t)
+        if pl is None:
+            return _EMPTY_U64
+        pls.append(pl)
+    by_df = sorted(range(len(pls)), key=lambda i: pls[i].doc_ids.size)
+    cand = pls[by_df[0]].doc_ids
+    for i in by_df[1:]:
+        cand = _intersect_sorted(cand, pls[i].doc_ids)
+        if cand.size == 0:
+            return _EMPTY_U64
+    if len(pls) == 1:
+        return cand
+    pos_lists = [pos_cache.get(pl) for pl in pls]
+    SHIFT = np.uint64(32)
+    MASK = np.uint64(0xFFFFFFFF)
+    keys = []
+    for i, pl in enumerate(pls):
+        j = np.searchsorted(pl.doc_ids, cand)
+        lens = np.array([pos_lists[i][int(x)].size for x in j],
+                        dtype=np.int64)
+        ranks = np.repeat(np.arange(cand.size, dtype=np.uint64), lens)
+        pos = (np.concatenate([pos_lists[i][int(x)] for x in j])
+               if j.size else np.empty(0, np.uint64))
+        kk = (ranks << SHIFT) | (pos.astype(np.uint64) & MASK)
+        kk.sort()
+        keys.append(kk)
+    ok = np.ones(cand.size, dtype=bool)
+    far = np.int64(1) << np.int64(40)
+    for a in range(len(pls)):
+        for b in range(a + 1, len(pls)):
+            ka, kb = keys[a], keys[b]
+            ra = (ka >> SHIFT).astype(np.int64)
+            pa_ = (ka & MASK).astype(np.int64)
+            best = np.full(cand.size, far, dtype=np.int64)
+            j = np.searchsorted(kb, ka)
+            for jj in (np.maximum(j - 1, 0),
+                       np.minimum(j, kb.size - 1)):
+                nb = kb[jj]
+                same = (nb >> SHIFT).astype(np.int64) == ra
+                d = np.abs((nb & MASK).astype(np.int64) - pa_)
+                np.minimum.at(best, ra[same], d[same])
+            ok &= best <= slop
+            if not ok.any():
+                return _EMPTY_U64
+    return cand[ok]
+
+
 def score_docs(reader, docs: np.ndarray, terms, idfs,
                avgdl: float, params: BM25Params,
                role_lut: np.ndarray | None = None) -> np.ndarray:
@@ -286,6 +353,21 @@ class SearchEngine:
                              self.params, role_code=code,
                              role_lut=self._role_lut(role_weights))
         return top_k(d, s, k)
+
+    def sloppy(self, phrase, k: int = 10, slop: int = 4):
+        """Proximity-window retrieval (the sloppy-PhraseQuery analog):
+        docs where every pair of the analyzed phrase's distinct terms
+        co-occurs within ``slop`` tokens, scored by standard BM25 over
+        those terms. ``slop=0`` still differs from exact phrase (order
+        is free); exact adjacency is ``phrase``."""
+        terms = list(dict.fromkeys(phrase))
+        docs = sloppy_match(self.reader, terms, slop, self._pos_cache)
+        if docs.size == 0:
+            return _EMPTY_U64, _EMPTY_F64
+        idfs = self._idfs(terms)
+        s = score_docs(self.reader, docs, terms, idfs, self.reader.avgdl,
+                       self.params)
+        return top_k(docs, s, k)
 
     def phrase_role(self, phrase, k: int = 10, role: str | None = None,
                     role_weights: dict | None = None):

@@ -574,3 +574,32 @@ def test_rerank_changes_order_but_not_recall_set(porter_index):
         b = set(map(tuple, rr[rr["query"] == q]
                     [["conv_id", "turn_idx"]].values))
         assert b == a, q
+
+
+def test_porter_sloppy_matches_duckdb(porter_index, con):
+    """Proximity-window retrieval (sloppy PhraseQuery analog): pairwise
+    min-distance predicate + BM25 vs the per-pair join oracle; sloppy
+    must admit at least every exact-phrase doc (adjacency => distance 1
+    <= slop)."""
+    from rayse.ops.porter_oracle import (porter_phrase_matches,
+                                         porter_sloppy_sql,
+                                         porter_sloppy_topk)
+    from rayse.query.engine import SearchEngine, sloppy_match, _PosCache
+    from rayse.ops.porter_oracle import _analyzed_seq, PORTER_PHRASES
+
+    got = porter_sloppy_topk(porter_index)
+    want = con.execute(porter_sloppy_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    # containment: exact-phrase docs are a subset of sloppy docs
+    eng = SearchEngine(porter_index)
+    for p in PORTER_PHRASES:
+        seq = _analyzed_seq(p)
+        terms = list(dict.fromkeys(seq))
+        from rayse.query.engine import phrase_match
+        exact = set(phrase_match(eng.reader, seq,
+                                 eng._pos_cache).tolist())
+        slop = set(sloppy_match(eng.reader, terms, 4,
+                                eng._pos_cache).tolist())
+        assert exact <= slop
+        assert len(slop) >= len(exact)
