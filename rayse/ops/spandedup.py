@@ -389,15 +389,32 @@ def _benchmark_hashes(sf_dir: str, window: int, n_bench: int) -> tuple:
             fnv64_slices(buf, g_start, lens))
 
 
-def contamination(sf_dir: str, window: int = 4, n_bench: int = 5):
+def contamination(sf_dir: str, window: int = 4, n_bench: int = 5,
+                  bench_broadcast_limit: int = 1_000_000):
     """(doc_id, n_contaminated_grams) for every NON-benchmark document
-    sharing at least one word ``window``-gram with the benchmark texts —
-    row-local map_batches against the broadcast hash set (no shuffle)."""
+    sharing at least one word ``window``-gram with the benchmark texts.
+
+    Two bit-identical routes on the standard threshold convention:
+
+    - benchmark gram set ≤ ``bench_broadcast_limit`` (the normal case —
+      eval suites are small): broadcast the exact hash set, row-local
+      map_batches, no shuffle.
+    - above it (decontaminating against another CORPUS): broadcast only
+      a fixed-size BLOOM FILTER of the benchmark hashes (no false
+      negatives, so no contaminated gram is missed), emit the
+      bloom-positive candidate occurrences, and confirm them EXACTLY
+      with one `exchange.hash_join` against the deduped benchmark
+      hashes — candidate volume is corpus × bloom-FP-rate, not corpus.
+      False positives die in the join, so the output is bit-identical
+      (pytest pins limit=0 ≡ broadcast)."""
     import ray
     import ray.data as rd
 
     bench_ids, bench_hashes = _benchmark_hashes(sf_dir, window, n_bench)
-    ref = ray.put((bench_ids, np.unique(bench_hashes)))
+    uniq_bench = np.unique(bench_hashes)
+    if uniq_bench.size > bench_broadcast_limit:
+        return _contamination_bloom(sf_dir, window, bench_ids, uniq_bench)
+    ref = ray.put((bench_ids, uniq_bench))
 
     def flag(batch: pa.Table) -> pa.Table:
         ids_set, bh = ray.get(ref)
@@ -423,6 +440,59 @@ def contamination(sf_dir: str, window: int = 4, n_bench: int = 5):
                          columns=["doc_id", "text"])
     return ds.map_batches(flag, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+_BLOOM_BITS = 1 << 14
+_BLOOM_K = 3
+
+
+def _contamination_bloom(sf_dir: str, window: int, bench_ids: set,
+                         uniq_bench: np.ndarray, bits: int = _BLOOM_BITS,
+                         k: int = _BLOOM_K):
+    """The big-benchmark route: fixed-size Bloom prefilter (broadcast)
+    + exact confirmation through the co-partitioned hash join."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+    from .sketch import _cm_indices
+    from .exchange import _mix
+
+    bitset = np.zeros(bits, dtype=bool)
+    bitset[_cm_indices(_mix(uniq_bench.astype(np.uint64)), k, bits)] = True
+    bid = np.fromiter(bench_ids, dtype=np.int64, count=len(bench_ids))
+    ref = ray.put((bid, bitset))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids_arr, bs = ray.get(ref)
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64())})
+        if not texts:
+            return empty
+        buf, g_start, lens, g_cum = gram_slices(texts, window)
+        h = fnv64_slices(buf, g_start, lens)
+        if h.size == 0:
+            return empty
+        doc_of = np.repeat(ids, np.diff(g_cum))
+        possible = bs[_cm_indices(_mix(h), k, bs.size)].all(axis=0)
+        possible &= ~np.isin(doc_of, ids_arr)      # benchmark docs excluded
+        return pa.table({
+            "doc_id": pa.array(doc_of[possible], pa.int64()),
+            "h": pa.array(h[possible].view(np.int64), pa.int64())})
+
+    cand = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
+    bench_ds = rd.from_arrow(pa.table({
+        "bh": pa.array(uniq_bench.view(np.int64), pa.int64())}))
+    confirmed = hash_join(cand, bench_ds, "h", "bh")
+    return (confirmed.groupby("doc_id").count()
+            .map_batches(lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "n_contaminated_grams": pa.compute.cast(
+                    b["count()"], pa.int64())}), batch_format="pyarrow"))
 
 
 def contamination_sql(window: int = 4, n_bench: int = 5) -> str:

@@ -285,3 +285,19 @@ def test_quality_buckets_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got, want[got.columns].astype(got.dtypes.to_dict()))
     assert set(got["bucket"]) == {"head", "middle", "tail"}
+
+
+def test_contamination_bloom_route_identical(ray_session):
+    """The big-benchmark route (broadcast Bloom prefilter + exact
+    confirmation through the co-partitioned hash join) is bit-identical
+    to the broadcast-exact-set route — Bloom has no false negatives and
+    false positives die in the join."""
+    from rayse.ops.spandedup import contamination
+
+    a = contamination(SF).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = contamination(SF, bench_broadcast_limit=0).to_pandas()
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b[a.columns].astype(
+        a.dtypes.to_dict()))
