@@ -1231,6 +1231,15 @@ def _q_pagerank_fixed_sharded(sf_dir: str):
     return pagerank_fixed_sharded_events(sf_dir)
 
 
+def _q_customers_without_premium(sf_dir: str):
+    """Anti-join through the exchange hash join: customers with no
+    order above the premium threshold; right side prunes at the scan
+    (parquet row-filter pushdown) — DuckDB NOT EXISTS oracle."""
+    from rayse.ops.relational import customers_without_premium_orders
+
+    return customers_without_premium_orders(sf_dir)
+
+
 def _q_revenue_by_region(sf_dir: str):
     """Q5-style multiway rollup: the big⋈big lineitem⋈orders edge runs
     through the co-partitioned file-exchange hash join
@@ -1390,6 +1399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": _q_quota_sample,
         "pagerank_fixed": _q_pagerank_fixed,
         "hits_fixed": _q_hits_fixed,
+        "customers_without_premium": _q_customers_without_premium,
         # props_extract's extraction kernel (_props_k) is transitively
         # hash-pinned by pagerank_fixed_suite (edges derive through it)
         "props_extract": _q_props_extract,
@@ -1519,6 +1529,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.relational", fromlist=["x"]).TOP_CUSTOMER_REVENUE_SQL,
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
+        "customers_without_premium": __import__(
+            "rayse.ops.relational",
+            fromlist=["x"]).CUSTOMERS_WITHOUT_PREMIUM_SQL,
         "trailing_window": __import__(
             "rayse.ops.relational", fromlist=["x"]).TRAILING_WINDOW_SQL,
         "props_extract": (

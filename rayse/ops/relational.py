@@ -180,6 +180,35 @@ def revenue_by_region(sf_dir: str):
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+def customers_without_premium_orders(sf_dir: str,
+                                     threshold: float = 400_000.0):
+    """Anti-join through the exchange: customers with NO order of
+    ``o_totalprice >= threshold`` — the filtered right side prunes at
+    the parquet scan (row filter pushdown), then `hash_join` runs its
+    'left anti' route (left-only partitions short-circuit to their
+    whole shard)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .exchange import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    premium = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_totalprice") >= threshold)
+    return hash_join(cust, premium, "c_custkey", "o_custkey",
+                     join_type="left anti")
+
+
+CUSTOMERS_WITHOUT_PREMIUM_SQL = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice >= 400000.0)
+"""
+
+
 REVENUE_BY_REGION_SQL = """
     SELECT r_name,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)

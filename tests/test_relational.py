@@ -386,3 +386,45 @@ def test_revenue_by_region_matches_duckdb(ray_session):
     want = want.sort_values("r_name").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got, want[got.columns].astype(got.dtypes.to_dict()))
+
+
+def test_hash_join_outer_semi_anti(ray_session):
+    """Non-inner join types route through the exchange correctly,
+    including left-only partitions (no right shard present)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayse.ops.exchange import hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "lv": pa.array([1, 2, 3], pa.int64())})
+    right = pa.table({"k2": pa.array([2, 9], pa.int64()),
+                      "rv": pa.array([20, 90], pa.int64())})
+    for jt in ("left outer", "left semi", "left anti"):
+        got = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                        "k", "k2", join_type=jt, n_parts=4).to_pandas()
+        want = left.join(right, keys=["k"], right_keys=["k2"],
+                         join_type=jt).to_pandas()
+        cols = list(want.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want.sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_customers_without_premium_orders(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.relational import (CUSTOMERS_WITHOUT_PREMIUM_SQL,
+                                      customers_without_premium_orders)
+
+    got = customers_without_premium_orders(SF).to_pandas()
+    got = got.sort_values("c_custkey").reset_index(drop=True)
+    con = duckdb.connect()
+    for n in ["customer", "orders"]:
+        con.sql(f"CREATE VIEW {n} AS SELECT * FROM '{SF}/{n}.parquet'")
+    want = con.execute(CUSTOMERS_WITHOUT_PREMIUM_SQL).df()
+    want = want.sort_values("c_custkey").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want[got.columns])
