@@ -1053,6 +1053,8 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
     from rayse.ops.graph import (hits_fixed_events, pagerank_fixed_events,
                                  pagerank_fixed_sharded_events)
 
+    from rayse.ops.textrank import textrank_vertices
+
     hits = hits_fixed_events(sf_dir)
     return _tagged_union([
         ("dense", pagerank_fixed_events(sf_dir)),
@@ -1060,7 +1062,8 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
         ("hits_hub", hits.select(["vertex", "hub_fp"]).rename_columns(
             ["vertex", "rank_fp"])),
         ("hits_auth", hits.select(["vertex", "auth_fp"]).rename_columns(
-            ["vertex", "rank_fp"]))])
+            ["vertex", "rank_fp"])),
+        ("textrank", textrank_vertices(sf_dir))])
 
 
 def _q_window_agg_suite(sf_dir: str) -> pa.Table:
@@ -1229,6 +1232,16 @@ def _q_pagerank_fixed_sharded(sf_dir: str):
     from rayse.ops.graph import pagerank_fixed_sharded_events
 
     return pagerank_fixed_sharded_events(sf_dir)
+
+
+def _q_textrank_keywords(sf_dir: str):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, weighted):
+    windowed co-occurrence graph + integer fixed-point PageRank with
+    classic d=0.85 damping — bit-exact recursive-CTE oracle; the
+    node-level result is also a `pagerank_fixed_suite` arm."""
+    from rayse.ops.textrank import textrank_keywords
+
+    return textrank_keywords(sf_dir)
 
 
 def _q_customers_without_premium(sf_dir: str):
@@ -1400,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_fixed": _q_pagerank_fixed,
         "hits_fixed": _q_hits_fixed,
         "customers_without_premium": _q_customers_without_premium,
+        "textrank_keywords": _q_textrank_keywords,
         # props_extract's extraction kernel (_props_k) is transitively
         # hash-pinned by pagerank_fixed_suite (edges derive through it)
         "props_extract": _q_props_extract,
@@ -1532,6 +1546,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_premium": __import__(
             "rayse.ops.relational",
             fromlist=["x"]).CUSTOMERS_WITHOUT_PREMIUM_SQL,
+        "textrank_keywords": __import__(
+            "rayse.ops.textrank", fromlist=["x"]).textrank_sql(),
         "trailing_window": __import__(
             "rayse.ops.relational", fromlist=["x"]).TRAILING_WINDOW_SQL,
         "props_extract": (
@@ -1807,7 +1823,10 @@ def oracle_sql() -> dict[str, str]:
             ("hits_hub", "vertex, hub_fp AS rank_fp", __import__(
                 "rayse.ops.graph", fromlist=["x"]).hits_fixed_sql()),
             ("hits_auth", "vertex, auth_fp AS rank_fp", __import__(
-                "rayse.ops.graph", fromlist=["x"]).hits_fixed_sql())]),
+                "rayse.ops.graph", fromlist=["x"]).hits_fixed_sql()),
+            ("textrank", "vertex, rank_fp", __import__(
+                "rayse.ops.textrank",
+                fromlist=["x"]).textrank_sql(final="vertex"))]),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS qe FROM embeddings

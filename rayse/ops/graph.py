@@ -153,7 +153,8 @@ def pagerank_events(sf_dir: str, variant: str = "ranker1"):
 
 
 def pagerank_fixed(edges_ds, iters: int = 20, scale: int = 10**12,
-                   d_num: int = 15, d_den: int = 100):
+                   d_num: int = 15, d_den: int = 100,
+                   classic: bool = False):
     """Fixed-iteration PageRank in INTEGER fixed-point — the SQL-exact
     variant of ``pagerank`` (ranker1 formula, d = d_num/d_den).
 
@@ -186,7 +187,12 @@ def pagerank_fixed(edges_ds, iters: int = 20, scale: int = 10**12,
         outdeg[np.searchsorted(verts, r["src"])] = r["count()"]
 
     rank = np.full(n, scale // n, dtype=np.int64)
-    teleport = (d_num * scale) // (d_den * n)
+    # ranker1 inversion: rank' = ((den-num)*link)//den + num*scale//(den*n);
+    # classic (TextRank/Ranker2 damping): rank' = (num*link)//den
+    #                                   + (den-num)*scale//(den*n)
+    link_num = d_num if classic else d_den - d_num
+    teleport = (((d_den - d_num) if classic else d_num) * scale) \
+        // (d_den * n)
     for _ in range(iters):
         ref = ray.put((verts, rank, outdeg))
 
@@ -208,7 +214,7 @@ def pagerank_fixed(edges_ds, iters: int = 20, scale: int = 10**12,
         link = np.zeros(n, dtype=np.int64)
         for r in agg:
             link[np.searchsorted(verts, r["dst"])] = r["sum(contrib)"]
-        rank = ((d_den - d_num) * link) // d_den + teleport
+        rank = (link_num * link) // d_den + teleport
     return pa.table({"vertex": pa.array(verts, pa.int64()),
                      "rank_fp": pa.array(rank, pa.int64())})
 
