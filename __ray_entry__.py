@@ -1234,6 +1234,16 @@ def _q_pagerank_fixed_sharded(sf_dir: str):
     return pagerank_fixed_sharded_events(sf_dir)
 
 
+def _q_pack_clean_corpus(sf_dir: str):
+    """The composed pretraining prep: clean_corpus's kept set feeds
+    pack_sequences through a LEFT SEMI exchange hash join — the
+    window-sum oracle over documents joined to the composed cleaning
+    oracle hash-checks the whole chain at once."""
+    from rayse.ops.packing import pack_clean_corpus
+
+    return pack_clean_corpus(sf_dir)
+
+
 def _q_textrank_keywords(sf_dir: str):
     """TextRank keyword extraction (Mihalcea & Tarau 2004, weighted):
     windowed co-occurrence graph + integer fixed-point PageRank with
@@ -1414,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_fixed": _q_hits_fixed,
         "customers_without_premium": _q_customers_without_premium,
         "textrank_keywords": _q_textrank_keywords,
+        "pack_clean_corpus": _q_pack_clean_corpus,
         # props_extract's extraction kernel (_props_k) is transitively
         # hash-pinned by pagerank_fixed_suite (edges derive through it)
         "props_extract": _q_props_extract,
@@ -1548,6 +1559,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).CUSTOMERS_WITHOUT_PREMIUM_SQL,
         "textrank_keywords": __import__(
             "rayse.ops.textrank", fromlist=["x"]).textrank_sql(),
+        "pack_clean_corpus": __import__(
+            "rayse.ops.packing", fromlist=["x"]).pack_clean_corpus_sql(),
         "trailing_window": __import__(
             "rayse.ops.relational", fromlist=["x"]).TRAILING_WINDOW_SQL,
         "props_extract": (

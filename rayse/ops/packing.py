@@ -91,21 +91,14 @@ def _pack_partition(tbl: pa.Table, seq_len: int,
     })
 
 
-def pack_sequences(sf_dir: str, seq_len: int = DEFAULT_SEQ_LEN,
-                   bucket_size: int = 100_000):
-    """(doc_id, seq_id, doc_off, seq_off, n_toks) for every (document,
-    training-sequence) overlap under concat-and-chunk packing in doc_id
-    order."""
-    import ray.data as rd
-
+def _pack_from_counts(counts, seq_len: int):
+    """Shared tail of every packing pipeline: materialize the (doc_id,
+    bucket, n) counts, compute the per-bucket scan carry on the driver
+    (one int per doc_id-range bucket), and expand the (doc, sequence)
+    overlap rows through one exchange by bucket."""
     from .exchange import exchange_by_key
 
-    counts = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(_tok_counts_batch, fn_kwargs={"bucket_size": bucket_size},
-                  batch_format="pyarrow", zero_copy_batch=True)
     counts = counts.materialize()
-    # scan carry: one int per doc_id-range bucket on the driver
     totals = {int(r["bucket"]): int(r["sum(n)"])
               for r in counts.groupby("bucket").sum("n").take_all()}
     carries, run = {}, 0
@@ -117,14 +110,53 @@ def pack_sequences(sf_dir: str, seq_len: int = DEFAULT_SEQ_LEN,
                                         "carries": carries})
 
 
-def pack_sequences_sql(seq_len: int = DEFAULT_SEQ_LEN) -> str:
+def pack_sequences(sf_dir: str, seq_len: int = DEFAULT_SEQ_LEN,
+                   bucket_size: int = 100_000):
+    """(doc_id, seq_id, doc_off, seq_off, n_toks) for every (document,
+    training-sequence) overlap under concat-and-chunk packing in doc_id
+    order."""
+    import ray.data as rd
+
+    counts = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_tok_counts_batch, fn_kwargs={"bucket_size": bucket_size},
+                  batch_format="pyarrow", zero_copy_batch=True)
+    return _pack_from_counts(counts, seq_len)
+
+
+def pack_clean_corpus(sf_dir: str, seq_len: int = DEFAULT_SEQ_LEN,
+                      bucket_size: int = 100_000):
+    """The end-to-end link a pretraining pipeline actually runs: pack
+    the CLEANED corpus — `pipelines.clean_corpus` (exact dedup ∘
+    near-dup ∘ quality ∘ sample) feeds its kept-id Dataset into the
+    packer through a LEFT SEMI `exchange.hash_join` (no driver-side id
+    set; survivors keep their doc_id concat order). Oracle = the pack
+    window-sum over documents joined to the composed cleaning oracle."""
+    import ray.data as rd
+
+    from ..pipelines.clean_corpus import clean_corpus
+    from .exchange import hash_join
+
+    kept = clean_corpus(sf_dir)
+    counts = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_tok_counts_batch, fn_kwargs={"bucket_size": bucket_size},
+                  batch_format="pyarrow", zero_copy_batch=True)
+    counts = hash_join(counts, kept, "doc_id", "doc_id",
+                       join_type="left semi")
+    return _pack_from_counts(counts, seq_len)
+
+
+def pack_sequences_sql(seq_len: int = DEFAULT_SEQ_LEN,
+                       doc_src: str = "documents") -> str:
     """Oracle for ``pack_sequences``: window sum in doc_id order + range
-    expansion; pure int64 arithmetic end to end."""
+    expansion; pure int64 arithmetic end to end. ``doc_src`` swaps the
+    corpus for a filtered subquery (the pack_clean_corpus composition)."""
     return f"""
 WITH t AS (
   SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-  FROM documents),
+  FROM {doc_src}),
 c AS (
   SELECT doc_id, n,
          CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
@@ -145,3 +177,15 @@ SELECT doc_id,
             - greatest(e.start, (e.s0 + u.i) * {seq_len}) AS BIGINT)
          AS n_toks
 FROM e, UNNEST(range(e.s1 - e.s0 + 1)) u(i)"""
+
+
+def pack_clean_corpus_sql(seq_len: int = DEFAULT_SEQ_LEN) -> str:
+    """Composed oracle: the packing window-sum over documents restricted
+    to the cleaning pipeline\'s kept set."""
+    from ..pipelines.clean_corpus import clean_corpus_sql
+
+    kept = clean_corpus_sql()
+    return pack_sequences_sql(
+        seq_len,
+        doc_src=f"(SELECT d2.doc_id, d2.text FROM documents d2 "
+                f"JOIN (\n{kept}\n) kc USING (doc_id))")

@@ -1025,3 +1025,31 @@ def test_bpe_unrolled_sql_oracle(ray_session):
     ).fetchone()[0]
     total = int(got["n_tokens"].sum())
     assert n_words <= total < n_chars
+
+
+def test_pack_clean_corpus_matches_duckdb(ray_session):
+    """The cleaned-corpus packing composition (clean_corpus kept set ->
+    LEFT SEMI hash join -> pack) hash-matches the window-sum oracle over
+    the composed cleaning SQL, and packs strictly fewer tokens than the
+    raw corpus."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.packing import (pack_clean_corpus,
+                                   pack_clean_corpus_sql, pack_sequences)
+
+    sf = "/root/testdata/sf0.001"
+    keys = ["doc_id", "seq_id"]
+    got = pack_clean_corpus(sf).to_pandas().sort_values(keys)
+    got = got.reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(pack_clean_corpus_sql()).df().sort_values(keys)
+    want = want.reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, want[got.columns.tolist()].astype(got.dtypes.to_dict()))
+    raw = pack_sequences(sf).to_pandas()
+    assert got["n_toks"].sum() < raw["n_toks"].sum()
+    assert set(got["doc_id"]) < set(raw["doc_id"])
