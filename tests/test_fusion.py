@@ -1,0 +1,66 @@
+"""Hybrid retrieval: integer reciprocal-rank fusion of the Porter and
+whitespace engines vs the composed DuckDB oracle, pinned at sf0.001
+(the driver re-checks at sf0.01 through the ws_rank_matrix arm)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def both_indexes(ray_session, tmp_path_factory):
+    from rayse.config import IndexConfig
+    from rayse.pipelines.build_index import build_index
+    from rayse.pipelines.transcripts import write_transcripts_from_documents
+
+    root = tmp_path_factory.mktemp("fusion")
+    tdir = root / "transcripts"
+    tdir.mkdir()
+    write_transcripts_from_documents(SF, str(tdir))
+    pdir, wdir = str(root / "porter"), str(root / "ws")
+    build_index(str(tdir), pdir, IndexConfig())
+    build_index(str(tdir), wdir, IndexConfig(analyzer="whitespace"))
+    return pdir, wdir
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{SF}/documents.parquet')")
+    return c
+
+
+def _cmp(got, want: pd.DataFrame, keys):
+    got = got.to_pandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    a = got.sort_values(keys).reset_index(drop=True)
+    b = want.sort_values(keys).reset_index(drop=True)[list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rrf_fusion_matches_duckdb(both_indexes, con):
+    from rayse.ops.fusion import rrf_fusion, rrf_fusion_sql
+
+    pdir, wdir = both_indexes
+    got = rrf_fusion(pdir, wdir)
+    want = con.execute(rrf_fusion_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+
+
+def test_rrf_fuses_both_systems(both_indexes):
+    """A fused score must exceed any single-system contribution ceiling
+    for at least one doc (i.e. both lists actually participate), and
+    every fused doc appears in at least one system's pool."""
+    from rayse.ops.fusion import RRF_K, RRF_SCALE, rrf_fusion
+
+    pdir, wdir = both_indexes
+    t = rrf_fusion(pdir, wdir).to_pandas()
+    assert len(t) > 0
+    single_max = RRF_SCALE // (RRF_K + 1)
+    assert (t["score_q"] > single_max).any()
+    assert (t["score_q"] <= 2 * single_max).all()
