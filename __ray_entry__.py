@@ -666,6 +666,87 @@ def _q_kmeans_assign(sf_dir: str):
     return kmeans_assign(sf_dir)
 
 
+def _q_cluster_suite(sf_dir: str) -> pa.Table:
+    """Both embedding-clustering machineries — fixed-iteration integer
+    k-means assignment and SemDeDup's cluster-then-cosine-dedup keep set
+    — tagged under one window slot; each DuckDB hash-matched (unrolled
+    Lloyd CTE; thresholded same-cluster self-join). Individual entries
+    remain below the window, pytest-pinned."""
+    import numpy as np
+
+    km = _as_table(_q_kmeans_assign(sf_dir))
+    sd = _as_table(_q_semdedup_keep(sf_dir))
+    sd = sd.append_column("dist", pa.array(
+        np.zeros(sd.num_rows, np.int64), pa.int64()))
+    return _tagged_union([("kmeans", km), ("semdedup", sd)])
+
+
+def _q_join_suite(sf_dir: str) -> pa.Table:
+    """Both ordered-join machineries over the events log — the as-of
+    join (most recent prior-or-equal match) and the range (interval)
+    join — tagged under one window slot; each skew-safe via the
+    (user, time-bucket) exchange and DuckDB hash-matched (native ASOF
+    JOIN / inequality join). Individual entries remain below the
+    window, pytest-pinned (including single-user-firehose skew)."""
+    a = _as_table(_q_asof_join(sf_dir)).select(
+        ["event_id", "user_id", "matched_event_id", "gap_us"])
+    a = a.rename_columns(["event_id", "user_id", "matched_event_id",
+                          "delta_us"])
+    r = _as_table(_q_range_join(sf_dir)).select(
+        ["event_id", "user_id", "matched_event_id", "delta_us"])
+    return _tagged_union([("asof", a), ("range", r)])
+
+
+def _q_window_funcs(sf_dir: str):
+    """Per-user ordered window functions (row_number / lag-delta /
+    running sum) as a two-phase distributed prefix scan over
+    (user, time-bucket) exchanges — skew-safe (a hot user splits across
+    its buckets) and DuckDB hash-matched against the native window
+    functions (pre-quantized integer values)."""
+    from rayse.ops.winfuncs import window_functions
+
+    return window_functions(sf_dir)
+
+
+def _q_rollup_agg(sf_dir: str) -> pa.Table:
+    """All three levels of GROUP BY ROLLUP (event_type, day) from one
+    streaming pass (finest-grain batch partials -> one type-keyed
+    exchange -> local re-aggregation) — DuckDB hash-matched against the
+    native ROLLUP."""
+    from rayse.ops.rollup import rollup_agg
+
+    return rollup_agg(sf_dir)
+
+
+def _q_rrf_fusion(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: integer reciprocal-rank fusion (Cormack et al.
+    2009) of the Porter and whitespace engines' BM25 lists — DuckDB
+    hash-matched against both systems' composed oracles. Also the `rrf`
+    arm of ``ws_rank_matrix`` inside the driver window."""
+    from rayse.ops.fusion import rrf_fusion
+
+    return rrf_fusion(_index_for(sf_dir), _ws_index_for(sf_dir))
+
+
+def _q_porter_suffix_topk(sf_dir: str) -> pa.Table:
+    """Leading-wildcard retrieval (`*xyz`): reversed-dictionary range
+    scan + BM25 union — DuckDB hash-matched (LIKE '%xyz'); also a
+    ``porter_rank_matrix`` arm inside the driver window."""
+    from rayse.ops.porter_oracle import porter_suffix_topk
+
+    return porter_suffix_topk(_index_for(sf_dir))
+
+
+def _q_porter_msm_topk(sf_dir: str) -> pa.Table:
+    """Minimum-should-match retrieval (>= 2 distinct query terms; the
+    Lucene minimum_should_match analog between OR and AND) — DuckDB
+    hash-matched; also a ``porter_rank_matrix`` arm inside the driver
+    window."""
+    from rayse.ops.porter_oracle import porter_msm_topk
+
+    return porter_msm_topk(_index_for(sf_dir))
+
+
 def _q_unigram_nll(sf_dir: str):
     """Unigram-LM quality score (perplexity proxy: per-doc mean negative
     log-likelihood under the corpus unigram model) — DuckDB hash-matched
@@ -794,8 +875,9 @@ def _q_porter_rank_matrix(sf_dir: str) -> pa.Table:
     BM25 / WAND / actor-pool cluster / role filter / role boost / boolean
     / conjunctive / conjunctive+role / phrase+role / sloppy-proximity /
     capped / paged / complex / fallback ladder / prefix-wildcard /
-    fuzzy-edit1 / delete-compacted / segment-merged / more-like-this /
-    retrieve-rerank) as one variant-tagged table — 20 paths DuckDB
+    suffix-wildcard / minimum-should-match / fuzzy-edit1 /
+    delete-compacted / segment-merged / more-like-this /
+    retrieve-rerank) as one variant-tagged table — 22 paths DuckDB
     hash-matched in one driver window slot. The individual entries
     remain below the 50-query window for direct use and are each pinned
     at sf0.001 by tests/test_porter_oracle.py."""
@@ -999,13 +1081,15 @@ def _q_semdedup_keep(sf_dir: str):
 
 def _q_ws_rank_matrix(sf_dir: str) -> pa.Table:
     """Every ranked retrieval mode of the whitespace-index pipeline (BM25
-    / role-scoped / boolean / fallback ladder / proximity boost) as one
-    variant-tagged table — 5 paths DuckDB hash-matched in one window
+    / role-scoped / boolean / fallback ladder / proximity boost) plus
+    the hybrid RRF fusion retriever (ws BM25 x Porter BM25) as one
+    variant-tagged table — 6 paths DuckDB hash-matched in one window
     slot. Individual entries remain below the window; each pinned at
-    sf0.001 by tests/test_ws_search.py."""
+    sf0.001 by tests/test_ws_search.py and tests/test_fusion.py."""
     from rayse.ops.ws_search import ws_rank_matrix
 
-    return ws_rank_matrix(_ws_index_for(sf_dir))
+    return ws_rank_matrix(_ws_index_for(sf_dir),
+                          porter_dir=_index_for(sf_dir))
 
 
 def _q_phrase_matches_suite(sf_dir: str) -> pa.Table:
@@ -1321,13 +1405,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window covers every
     DISTINCT oracle-backed machinery exactly once. Same-shape variant
     families are hash-checked through single variant-tagged suite
-    entries: ``porter_rank_matrix`` (16 ranked Porter engine paths),
-    ``ws_rank_matrix`` (5 ranked whitespace-index paths),
-    ``ann_exact_suite`` (3 exact ANN paths), ``phrase_matches_suite`` /
-    ``term_stats_suite`` (both analyzers), ``sampling_suite`` (3
-    sampling machineries), ``pagerank_fixed_suite`` (dense + sharded
-    realizations). The individual variants stay below the window (still
-    runnable, still pytest-pinned at sf0.001)."""
+    entries: ``porter_rank_matrix`` (22 ranked Porter engine paths),
+    ``ws_rank_matrix`` (5 ranked whitespace-index paths + the hybrid
+    RRF fusion arm), ``ann_exact_suite`` (3 exact ANN paths),
+    ``phrase_matches_suite`` / ``term_stats_suite`` (both analyzers),
+    ``sampling_suite`` (3 sampling machineries), ``cluster_suite``
+    (k-means + SemDeDup), ``join_suite`` (as-of + range),
+    ``pagerank_fixed_suite`` (dense + sharded + HITS + TextRank). The
+    individual variants stay below the window (still runnable, still
+    pytest-pinned at sf0.001)."""
     return {
         # ---- driver correctness window (first 50 entries) ----
         # training-data ops over documents (SQL hash-checked)
@@ -1369,9 +1455,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_epochs": _q_mixture_epochs,
         "lm_nll_suite": _q_lm_nll_suite,
         "contamination": _q_contamination,
-        "kmeans_assign": _q_kmeans_assign,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
+        "cluster_suite": _q_cluster_suite,
+        "join_suite": _q_join_suite,
+        "window_funcs": _q_window_funcs,
+        "rollup_agg": _q_rollup_agg,
         "sketch_suite": _q_sketch_suite,
         "pagerank_fixed_suite": _q_pagerank_fixed_suite,
         "revenue_by_region": _q_revenue_by_region,
@@ -1387,9 +1474,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_customer_revenue": _q_top_customer_revenue,
         "trailing_window": _q_trailing_window,
-        "semdedup_keep": _q_semdedup_keep,
         "dsir_weights": _q_dsir_weights,
         # ---- end of the driver's 50-entry window ----
+        "kmeans_assign": _q_kmeans_assign,
+        "semdedup_keep": _q_semdedup_keep,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "rrf_fusion": _q_rrf_fusion,
+        "porter_suffix_topk": _q_porter_suffix_topk,
+        "porter_msm_topk": _q_porter_msm_topk,
         "windowed_agg": _q_windowed_agg,
         "hopping_agg": _q_hopping_agg,
         "doc_token_count": _q_doc_token_count,
@@ -1747,6 +1840,20 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.similarity", fromlist=["x"]).kmeans_assign_sql(),
         "semdedup_keep": __import__(
             "rayse.ops.similarity", fromlist=["x"]).semdedup_keep_sql(),
+        "cluster_suite": _tagged_union_sql([
+            ("kmeans", "vec_id, cluster, dist", __import__(
+                "rayse.ops.similarity", fromlist=["x"]).kmeans_assign_sql()),
+            ("semdedup", "vec_id, cluster, CAST(0 AS BIGINT) AS dist",
+             __import__("rayse.ops.similarity",
+                        fromlist=["x"]).semdedup_keep_sql())]),
+        "join_suite": _tagged_union_sql([
+            ("asof", "event_id, user_id, matched_event_id, "
+             "gap_us AS delta_us", __import__(
+                 "rayse.ops.relational",
+                 fromlist=["x"]).asof_join_events_sql()),
+            ("range", "event_id, user_id, matched_event_id, delta_us",
+             __import__("rayse.ops.relational",
+                        fromlist=["x"]).range_join_events_sql())]),
         "asof_join": __import__(
             "rayse.ops.relational", fromlist=["x"]).asof_join_events_sql(),
         "range_join": __import__(
@@ -1807,7 +1914,18 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.ws_search", fromlist=["x"]).ws_bm25_sql(
                 assistant_only=True),
         "ws_rank_matrix": __import__(
-            "rayse.ops.ws_search", fromlist=["x"]).ws_rank_matrix_sql(),
+            "rayse.ops.ws_search", fromlist=["x"]).ws_rank_matrix_sql(
+                include_rrf=True),
+        "rrf_fusion": __import__(
+            "rayse.ops.fusion", fromlist=["x"]).rrf_fusion_sql(),
+        "porter_suffix_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_suffix_sql(),
+        "porter_msm_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_msm_sql(),
+        "window_funcs": __import__(
+            "rayse.ops.winfuncs", fromlist=["x"]).WINDOW_FUNCTIONS_SQL,
+        "rollup_agg": __import__(
+            "rayse.ops.rollup", fromlist=["x"]).ROLLUP_AGG_SQL,
         "phrase_matches_suite": _tagged_union_sql([
             ("porter", "phrase, conv_id, turn_idx", __import__(
                 "rayse.ops.porter_oracle",

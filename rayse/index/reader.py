@@ -113,6 +113,22 @@ class PartReader:
             self._sorted_terms = st
         return st
 
+    def reversed_terms(self) -> tuple[np.ndarray, np.ndarray]:
+        """(reversed terms sorted, matching original terms) — the Lucene
+        reversed-wildcard-field analog: reverse each dictionary term once,
+        sort once, memoize; a leading-wildcard (suffix) query then costs a
+        binary range scan instead of a full-vocabulary filter. At web
+        scale the reversed dictionary is a persisted merge-time sidecar
+        behind this same signature."""
+        rt = getattr(self, "_reversed_terms", None)
+        if rt is None:
+            arr = self.sorted_terms()
+            rev = np.array([t[::-1] for t in arr.tolist()], dtype=object)
+            order = np.argsort(rev)
+            rt = (rev[order], arr[order])
+            self._reversed_terms = rt
+        return rt
+
 
 class IndexReader:
     """All parts of one index, plus corpus stats. Single-process view.
@@ -305,6 +321,21 @@ class IndexReader:
                 if j < d.size and d[j] == did:
                     tf = int(decode_varints(tbl["tfs"][i].as_py())[j])
                     out.append((tbl["term"][i].as_py(), tf))
+        return sorted(out)
+
+    def terms_with_suffix(self, suffix: str) -> list[str]:
+        """Sorted distinct index terms ENDING with ``suffix`` — the
+        leading-wildcard (``*xyz``) expansion set, answered by a binary
+        range scan over each part's reversed sorted dictionary
+        (``reversed_terms``), NOT a full-vocabulary filter."""
+        rkey = suffix[::-1]
+        hi_key = rkey + "￿"
+        out: set[str] = set()
+        for p in self.parts:
+            rarr, orig = p.reversed_terms()
+            lo = int(np.searchsorted(rarr, rkey))
+            hi = int(np.searchsorted(rarr, hi_key))
+            out.update(orig[lo:hi].tolist())
         return sorted(out)
 
     def terms_with_prefix(self, prefix: str) -> list[str]:

@@ -1390,7 +1390,7 @@ def porter_capped_topk(index_dir: str, queries: list[str] | None = None,
 # ---------------------------------------------------------------------------
 # The rank matrix: every ranked retrieval variant above, unioned under one
 # driver entry. The driver's correctness gate checks only the first 50
-# queries() entries; the 16 ranked Porter variants share one output shape
+# queries() entries; the 22 ranked Porter variants share one output shape
 # (query, rank, conv_id, turn_idx, score_q [, tier]), so a single tagged
 # UNION keeps each variant hash-checked while spending one window slot.
 # The individual entries remain in queries() (after the window) for direct
@@ -1429,6 +1429,9 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_fallback_sql(k=k)),
         ("prefix", lambda: porter_prefix_topk(d, k=k),
          porter_prefix_sql(k=k)),
+        ("suffix", lambda: porter_suffix_topk(d, k=k),
+         porter_suffix_sql(k=k)),
+        ("msm", lambda: porter_msm_topk(d, k=k), porter_msm_sql(k=k)),
         ("fuzzy", lambda: porter_fuzzy_topk(d, k=k),
          porter_fuzzy_sql(k=k)),
         ("deleted", lambda: porter_deleted_topk(d, k=k),
@@ -1579,6 +1582,140 @@ scored AS (
        JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
        CROSS JOIN stats s
   GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Suffix (leading-wildcard) retrieval: `*xyz` expands against a REVERSED
+# sorted term dictionary (IndexReader.terms_with_suffix — the Lucene
+# reversed-wildcard-field analog, binary range scan per part) and the
+# expansion set scores as one disjunctive BM25 query. Oracle = LIKE
+# '%xyz' against the distinct stemmed terms.
+# ---------------------------------------------------------------------------
+
+# 'ow' -> {row, slow, window}; 'er' -> {filter, order}; 'n' -> {column,
+# join, scan}; 'rt' -> {sort}; 'zz' -> {} (an empty expansion must yield
+# zero rows on both sides).
+PORTER_SUFFIXES = ["ow", "er", "n", "rt", "zz"]
+
+
+def porter_suffix_topk(index_dir: str, suffixes: list[str] | None = None,
+                       k: int = 10) -> pa.Table:
+    """Ranked leading-wildcard retrieval: each suffix expands through the
+    reversed dictionary range scan and the expansion is scored as one
+    disjunctive BM25 query, quantized ranking with (conv_id, turn_idx)
+    tie-breaks."""
+    from ..query.engine import SearchEngine
+
+    suffixes = suffixes if suffixes is not None else PORTER_SUFFIXES
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+
+    def _search(q: str, kk: int):
+        terms = eng.reader.terms_with_suffix(q)
+        if not terms:
+            return (np.array([], dtype=np.uint64),
+                    np.array([], dtype=np.float64))
+        return eng.regular(terms, kk)
+
+    return _quantized_search_rows(_search, index_dir, suffixes, k)
+
+
+def porter_suffix_sql(suffixes: list[str] | None = None,
+                      k: int = 10) -> str:
+    """Oracle for ``porter_suffix_topk``: (suffix, term) eligibility via
+    LIKE '%suffix' against the distinct stemmed terms, then the standard
+    BM25 sum + quantized ranking."""
+    suffixes = suffixes if suffixes is not None else PORTER_SUFFIXES
+    vals = ", ".join(f"('{s}')" for s in suffixes)
+    return f"""{_analysis_ctes()},
+sfx(query) AS (VALUES {vals}),
+qt AS (
+  SELECT p.query, d.term FROM sfx p
+  JOIN (SELECT DISTINCT term FROM df) d
+    ON d.term LIKE '%' || p.query),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Minimum-should-match retrieval: disjunctive BM25 keeping only docs
+# that contain at least m DISTINCT query terms (Lucene's
+# minimum_should_match — the continuum between OR and AND). The engine
+# answers it from the union accumulate's nmatch vector; the oracle adds
+# HAVING count(DISTINCT term) >= m to the standard BM25 sum.
+# ---------------------------------------------------------------------------
+
+MSM_MIN_MATCH = 2
+
+
+def porter_msm_topk(index_dir: str, queries: list[str] | None = None,
+                    m: int = MSM_MIN_MATCH, k: int = 10) -> pa.Table:
+    """Ranked minimum-should-match retrieval (>= ``m`` distinct terms),
+    quantized ranking with (conv_id, turn_idx) tie-breaks. Single-term
+    queries return no rows at m=2 on both sides by construction."""
+    from ..query.engine import SearchEngine
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+
+    def _search(q: str, kk: int):
+        return eng.min_should_match(list(dict.fromkeys(_analyzed(q))),
+                                    m, kk)
+
+    return _quantized_search_rows(_search, index_dir, queries, k)
+
+
+def porter_msm_sql(queries: list[str] | None = None,
+                   m: int = MSM_MIN_MATCH, k: int = 10) -> str:
+    """Oracle for ``porter_msm_topk``: the standard BM25 sum with
+    HAVING count(DISTINCT term) >= m (distinct (query, term) pairs)."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')" for q in queries
+                     for t in dict.fromkeys(_analyzed(q)))
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3
+  HAVING count(DISTINCT tf.term) >= {m}),
 quant AS (
   SELECT query, conv_id, turn_idx,
          CAST(floor(score * 10000000) AS BIGINT) AS score_q

@@ -614,14 +614,23 @@ def _ws_matrix_arms(index_dir: str | None, k: int = 10):
     ]
 
 
-def ws_rank_matrix(index_dir: str, k: int = 10) -> pa.Table:
+def ws_rank_matrix(index_dir: str, k: int = 10,
+                   porter_dir: str | None = None) -> pa.Table:
     """Every ranked retrieval mode of the whitespace-index pipeline —
     exhaustive BM25, role-scoped BM25, boolean set algebra, the A8
     fallback ladder, and A11 proximity boosting — as one tagged table,
-    each variant DuckDB hash-matched."""
+    each variant DuckDB hash-matched. With ``porter_dir`` the hybrid
+    reciprocal-rank-fusion retriever (``rayse.ops.fusion``) rides as a
+    sixth arm, fusing this index's BM25 list with the Porter engine's."""
     _ws_reader(index_dir)
+    arms = list(_ws_matrix_arms(index_dir, k))
+    if porter_dir is not None:
+        from .fusion import rrf_fusion
+
+        arms.append(("rrf",
+                     lambda: rrf_fusion(porter_dir, index_dir, k=k), ""))
     parts = []
-    for variant, thunk, _ in _ws_matrix_arms(index_dir, k):
+    for variant, thunk, _ in arms:
         t = thunk()
         n = t.num_rows
         tier = (t["tier"] if "tier" in t.column_names
@@ -638,11 +647,17 @@ def ws_rank_matrix(index_dir: str, k: int = 10) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def ws_rank_matrix_sql(k: int = 10) -> str:
+def ws_rank_matrix_sql(k: int = 10, include_rrf: bool = False) -> str:
     """Oracle for ``ws_rank_matrix``: each variant's full oracle as a
-    tagged UNION ALL arm."""
+    tagged UNION ALL arm (plus the composed RRF oracle when the fusion
+    arm is enabled)."""
+    pairs = [(variant, sql) for variant, _, sql in _ws_matrix_arms(None, k)]
+    if include_rrf:
+        from .fusion import rrf_fusion_sql
+
+        pairs.append(("rrf", rrf_fusion_sql(k=k)))
     arms = []
-    for variant, _, sql in _ws_matrix_arms(None, k):
+    for variant, sql in pairs:
         tier = "tier" if variant == "fallback" else "'' AS tier"
         arms.append(
             f"SELECT '{variant}' AS variant, query, rank, conv_id, "

@@ -416,6 +416,18 @@ class SearchEngine:
                        self.params, role_lut=self._role_lut(role_weights))
         return top_k(cand, s, k)
 
+    def min_should_match(self, terms, m: int, k: int = 10):
+        """Disjunctive BM25 keeping only docs that contain at least ``m``
+        DISTINCT query terms (the Lucene ``minimum_should_match`` analog):
+        the continuum between OR (m=1) and AND (m=len(terms)), answered
+        from the union accumulate's free nmatch vector — no extra pass."""
+        terms = list(dict.fromkeys(terms))
+        idfs = self._idfs(terms)
+        d, s, nm = accumulate(self.reader, terms, idfs, self.reader.avgdl,
+                              self.params)
+        keep = nm >= m
+        return top_k(d[keep], s[keep], k)
+
     def conjunctive(self, terms, k: int = 10):
         """Docs containing ALL terms (J5 semantics:
         `WordDocumentMetricsRepository.java:32-38`): sorted-list

@@ -429,6 +429,51 @@ def test_terms_with_prefix_range_scan(porter_index):
         assert got == sorted({t for t in vocab if t.startswith(p)})
 
 
+def test_porter_suffix_matches_duckdb(porter_index, con):
+    """Leading-wildcard retrieval: reversed-dictionary range-scan
+    expansion + BM25 union vs the LIKE '%s' join oracle; multi-term,
+    single-term, and empty expansions all exercised."""
+    from rayse.ops.porter_oracle import (PORTER_SUFFIXES,
+                                         porter_suffix_sql,
+                                         porter_suffix_topk)
+
+    got = porter_suffix_topk(porter_index)
+    want = con.execute(porter_suffix_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    assert "zz" in PORTER_SUFFIXES                  # empty expansion ran
+    assert "zz" not in set(got.to_pandas()["query"])
+
+
+def test_terms_with_suffix_expansions(porter_index):
+    """The reversed-dictionary scan returns exactly the LIKE '%s' set."""
+    from rayse.index.reader import IndexReader
+
+    r = IndexReader(porter_index)
+    all_terms = sorted(r.all_terms()) if hasattr(r, "all_terms") else None
+    vocab = set()
+    for p in r.parts:
+        vocab.update(p.terms())
+    for s in ["ow", "er", "n", "rt", "zz", ""]:
+        want = sorted(t for t in vocab if t.endswith(s))
+        assert r.terms_with_suffix(s) == want
+
+
+def test_porter_msm_matches_duckdb(porter_index, con):
+    """Minimum-should-match retrieval (>= 2 distinct terms) vs the
+    HAVING count(DISTINCT term) oracle; 3-term, 2-term, and 1-term
+    (empty at m=2) queries all exercised."""
+    from rayse.ops.porter_oracle import porter_msm_sql, porter_msm_topk
+
+    got = porter_msm_topk(porter_index)
+    want = con.execute(porter_msm_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    qs = set(got.to_pandas()["query"])
+    assert "spark" not in qs                        # 1-term query drops
+    assert "table scan" in qs
+
+
 def test_porter_fuzzy_matches_duckdb(porter_index, con):
     """Fuzzy retrieval: edit-distance-1 expansion + BM25 union vs the
     levenshtein-join oracle; substitution, deletion, exact, and empty
