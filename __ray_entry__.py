@@ -815,6 +815,64 @@ def _q_span_dedup_docs(sf_dir: str):
     return span_dedup_docs(sf_dir)
 
 
+def _q_span_dedup_suite(sf_dir: str) -> pa.Table:
+    """Both outputs of the exact-substring dedup machinery (Lee et al.
+    2022 ExactSubstr at word-4-gram granularity) — the corpus-wide
+    duplicated-span list (gram_hash, n_docs, n_occ) and the per-document
+    removal workload (doc_id, n_dup_grams) — tagged under one window
+    slot on shared (key, n_a, n_b) columns (doc ids ride key as
+    UBIGINT; the doc arm's n_b is 0). Individual entries remain below
+    the window, each DuckDB hash-matched and pytest-pinned."""
+    spans = _as_table(_q_duplicate_spans(sf_dir)).rename_columns(
+        ["key", "n_a", "n_b"])
+    docs = _as_table(_q_span_dedup_docs(sf_dir))
+    docs = pa.table({
+        "key": docs["doc_id"].cast(pa.uint64()),
+        "n_a": docs["n_dup_grams"],
+        "n_b": pa.array([0] * docs.num_rows, pa.int64()),
+    })
+    return _tagged_union([("spans", spans), ("docs", docs)])
+
+
+def _q_funnel_counts(sf_dir: str) -> pa.Table:
+    """Ordered-sequence funnel over the events log (view -> click ->
+    purchase with strictly-increasing timestamps, earliest-completion
+    semantics): per-stage user reach counts from ONE user-keyed exchange
+    + per-partition composite searchsorted stage chain — DuckDB
+    hash-matched against the chained min-ts join oracle."""
+    from rayse.ops.funnel import funnel_counts
+
+    return funnel_counts(sf_dir)
+
+
+def _q_retention_counts(sf_dir: str) -> pa.Table:
+    """Weekly retention cohort triangle (first-event cohorting, distinct
+    user-weeks): per-batch pair dedup -> one user-keyed exchange ->
+    vectorized per-partition cohort/offset counts — DuckDB hash-matched
+    against the distinct-user-week min-join oracle."""
+    from rayse.ops.retention import retention_counts
+
+    return retention_counts(sf_dir)
+
+
+def _q_sequence_suite(sf_dir: str) -> pa.Table:
+    """Both per-user ordered-sequence machineries over the events log —
+    the strict-ordering funnel stage chain and the retention cohort
+    triangle — tagged under one window slot on shared
+    (k_idx, label, n_users) columns (retention's week_offset rides
+    label as a decimal string). Individual entries remain below the
+    window, each DuckDB hash-matched and pytest-pinned."""
+    fu = _as_table(_q_funnel_counts(sf_dir)).rename_columns(
+        ["k_idx", "label", "n_users"])
+    rt = _as_table(_q_retention_counts(sf_dir))
+    rt = pa.table({
+        "k_idx": rt["cohort_week"],
+        "label": rt["week_offset"].cast(pa.string()),
+        "n_users": rt["n_users"],
+    })
+    return _tagged_union([("funnel", fu), ("retention", rt)])
+
+
 def _q_duplicate_span_extents(sf_dir: str):
     """Length-MAXIMAL duplicated spans (ExactSubstr's removal unit):
     adjacent duplicated 4-grams merged into per-document token extents —
@@ -934,6 +992,28 @@ def _q_porter_autocomplete(sf_dir: str) -> pa.Table:
     from rayse.ops.porter_oracle import porter_autocomplete
 
     return porter_autocomplete(_index_for(sf_dir))
+
+
+def _q_porter_didyoumean(sf_dir: str) -> pa.Table:
+    """Did-you-mean spelling correction: cf-ranked edit-1 dictionary
+    corrections per misspelled word (self-suggestion excluded) — DuckDB
+    hash-matched against the levenshtein-join oracle."""
+    from rayse.ops.porter_oracle import porter_didyoumean
+
+    return porter_didyoumean(_index_for(sf_dir))
+
+
+def _q_dictionary_suite(sf_dir: str) -> pa.Table:
+    """Both term-dictionary ranking machineries — prefix autocomplete
+    (range scan) and did-you-mean spelling correction (edit-1 scan) —
+    tagged under one window slot on shared (key, rank, term, cf)
+    columns. Individual entries remain below the window, each DuckDB
+    hash-matched and pytest-pinned."""
+    ac = _as_table(_q_porter_autocomplete(sf_dir)).rename_columns(
+        ["key", "rank", "term", "cf"])
+    dym = _as_table(_q_porter_didyoumean(sf_dir)).rename_columns(
+        ["key", "rank", "term", "cf"])
+    return _tagged_union([("complete", ac), ("correct", dym)])
 
 
 def _q_bpe_merges(sf_dir: str) -> pa.Table:
@@ -1405,7 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window covers every
     DISTINCT oracle-backed machinery exactly once. Same-shape variant
     families are hash-checked through single variant-tagged suite
-    entries: ``porter_rank_matrix`` (22 ranked Porter engine paths),
+    entries: ``porter_rank_matrix`` (23 ranked Porter engine paths),
     ``ws_rank_matrix`` (5 ranked whitespace-index paths + the hybrid
     RRF fusion arm), ``ann_exact_suite`` (3 exact ANN paths),
     ``phrase_matches_suite`` / ``term_stats_suite`` (both analyzers),
@@ -1439,7 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_hydrated_topk": _q_porter_hydrated_topk,
         "porter_snippet_topk": _q_porter_snippet_topk,
         "porter_suggest_queries": _q_porter_suggest_queries,
-        "porter_autocomplete": _q_porter_autocomplete,
+        "dictionary_suite": _q_dictionary_suite,
         "porter_facets": _q_porter_facets,
         "porter_mmr_topk": _q_porter_mmr_topk,
         # both-analyzer suites: ranked ws modes, phrase, term dictionary
@@ -1448,8 +1528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_suite": _q_term_stats_suite,
         # cleaning / sampling / joins / clustering / graph
         "text_transform_suite": _q_text_transform_suite,
-        "duplicate_spans": _q_duplicate_spans,
-        "span_dedup_docs": _q_span_dedup_docs,
+        "span_dedup_suite": _q_span_dedup_suite,
+        "sequence_suite": _q_sequence_suite,
         "span_extents_suite": _q_span_extents_suite,
         "sampling_suite": _q_sampling_suite,
         "mixture_epochs": _q_mixture_epochs,
@@ -1476,6 +1556,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_window": _q_trailing_window,
         "dsir_weights": _q_dsir_weights,
         # ---- end of the driver's 50-entry window ----
+        "duplicate_spans": _q_duplicate_spans,
+        "span_dedup_docs": _q_span_dedup_docs,
+        "funnel_counts": _q_funnel_counts,
+        "retention_counts": _q_retention_counts,
+        "porter_autocomplete": _q_porter_autocomplete,
+        "porter_didyoumean": _q_porter_didyoumean,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_keep": _q_semdedup_keep,
         "asof_join": _q_asof_join,
@@ -1804,6 +1890,16 @@ def oracle_sql() -> dict[str, str]:
         "porter_autocomplete": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_autocomplete_sql(),
+        "porter_didyoumean": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_didyoumean_sql(),
+        "dictionary_suite": _tagged_union_sql([
+            ("complete", "prefix AS key, rank, term, cf",
+             __import__("rayse.ops.porter_oracle",
+                        fromlist=["x"]).porter_autocomplete_sql()),
+            ("correct", "word AS key, rank, term, cf",
+             __import__("rayse.ops.porter_oracle",
+                        fromlist=["x"]).porter_didyoumean_sql())]),
         "cooccur_pmi": __import__(
             "rayse.ops.textstats", fromlist=["x"]).cooccur_pmi_sql(),
         "quality_buckets": __import__(
@@ -1866,6 +1962,26 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.sampling", fromlist=["x"]).quota_sample_sql(),
         "span_dedup_docs": __import__(
             "rayse.ops.spandedup", fromlist=["x"]).span_dedup_docs_sql(),
+        "span_dedup_suite": _tagged_union_sql([
+            ("spans", "gram_hash AS key, n_docs AS n_a, n_occ AS n_b",
+             __import__("rayse.ops.spandedup",
+                        fromlist=["x"]).duplicate_spans_sql()),
+            ("docs", "CAST(doc_id AS UBIGINT) AS key, "
+             "n_dup_grams AS n_a, CAST(0 AS BIGINT) AS n_b",
+             __import__("rayse.ops.spandedup",
+                        fromlist=["x"]).span_dedup_docs_sql())]),
+        "funnel_counts": __import__(
+            "rayse.ops.funnel", fromlist=["x"]).funnel_counts_sql(),
+        "retention_counts": __import__(
+            "rayse.ops.retention", fromlist=["x"]).retention_counts_sql(),
+        "sequence_suite": _tagged_union_sql([
+            ("funnel", "stage_idx AS k_idx, stage AS label, n_users",
+             __import__("rayse.ops.funnel",
+                        fromlist=["x"]).funnel_counts_sql()),
+            ("retention", "cohort_week AS k_idx, "
+             "CAST(week_offset AS VARCHAR) AS label, n_users",
+             __import__("rayse.ops.retention",
+                        fromlist=["x"]).retention_counts_sql())]),
         "duplicate_span_extents": __import__(
             "rayse.ops.spandedup",
             fromlist=["x"]).duplicate_span_extents_sql(),

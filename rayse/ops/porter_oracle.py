@@ -1432,6 +1432,8 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
         ("suffix", lambda: porter_suffix_topk(d, k=k),
          porter_suffix_sql(k=k)),
         ("msm", lambda: porter_msm_topk(d, k=k), porter_msm_sql(k=k)),
+        ("synonym", lambda: porter_synonym_topk(d, k=k),
+         porter_synonym_sql(k=k)),
         ("fuzzy", lambda: porter_fuzzy_topk(d, k=k),
          porter_fuzzy_sql(k=k)),
         ("deleted", lambda: porter_deleted_topk(d, k=k),
@@ -1644,6 +1646,87 @@ qt AS (
   SELECT p.query, d.term FROM sfx p
   JOIN (SELECT DISTINCT term FROM df) d
     ON d.term LIKE '%' || p.query),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Query-time synonym expansion (the SynonymGraphFilter-at-query-time
+# analog): each analyzed query term expands through a configured
+# stem-level synonym map and the deduped expansion scores as one
+# disjunctive BM25 query. The oracle performs the SAME expansion
+# relationally — the map embedded as a VALUES relation joined against
+# the analyzed pairs — so the map itself is exercised in SQL, not just
+# the scoring.
+# ---------------------------------------------------------------------------
+
+# stem -> synonym stems (one-directional, applied after analysis)
+PORTER_SYNONYMS = {"tabl": ["row"], "scan": ["filter"],
+                   "merg": ["sort"], "agg": ["group"]}
+
+
+def porter_synonym_topk(index_dir: str, queries: list[str] | None = None,
+                        synonyms: dict[str, list[str]] | None = None,
+                        k: int = 10) -> pa.Table:
+    """Ranked retrieval with query-time synonym expansion, quantized
+    ranking with (conv_id, turn_idx) tie-breaks."""
+    from ..query.engine import SearchEngine
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    synonyms = synonyms if synonyms is not None else PORTER_SYNONYMS
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+
+    def _search(q: str, kk: int):
+        out: list[str] = []
+        for t in _analyzed(q):
+            out.append(t)
+            out.extend(synonyms.get(t, []))
+        return eng.regular(list(dict.fromkeys(out)), kk)
+
+    return _quantized_search_rows(_search, index_dir, queries, k)
+
+
+def porter_synonym_sql(queries: list[str] | None = None,
+                       synonyms: dict[str, list[str]] | None = None,
+                       k: int = 10) -> str:
+    """Oracle for ``porter_synonym_topk``: the synonym map as a VALUES
+    relation, expansion = base pairs UNION ALL map join, DISTINCT, then
+    the standard BM25 sum + quantized ranking."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    synonyms = synonyms if synonyms is not None else PORTER_SYNONYMS
+    base = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in _analyzed(q))
+    syn = ", ".join(f"('{t}', '{s}')"
+                    for t, ss in synonyms.items() for s in ss)
+    return f"""{_analysis_ctes()},
+qbase(query, term) AS (VALUES {base}),
+synmap(term, syn_term) AS (VALUES {syn}),
+qt AS (
+  SELECT DISTINCT query, term FROM (
+    SELECT query, term FROM qbase
+    UNION ALL
+    SELECT q.query, s.syn_term AS term
+    FROM qbase q JOIN synmap s USING (term))),
 scored AS (
   SELECT qt.query, tf.conv_id, tf.turn_idx,
          sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
@@ -2250,4 +2333,62 @@ ranked AS (
                             ORDER BY c.cf DESC, c.term) AS rn
   FROM pfx p JOIN cf c ON c.term LIKE p.prefix || '%')
 SELECT prefix, CAST(rn AS INTEGER) AS rank, term, cf
+FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Did-you-mean spelling correction: for each (misspelled) query word,
+# the top-k dictionary terms within Levenshtein distance 1, ranked by
+# collection frequency — the dictionary-backed spell-correction layer
+# next to the reference's query-suggestion surface (QueryService.java:
+# 1496 generateSuggestedQueries pulls popular related terms; this is
+# the same cf-popularity ranking applied to edit-distance candidates,
+# sharing porter_autocomplete's cf ladder and porter_fuzzy_topk's
+# edit-1 expansion). The input word itself is never suggested.
+# ---------------------------------------------------------------------------
+
+# 'tabe' (sub), 'scann' (del), 'windoe' (sub), 'merg' (an exact index
+# term — suggestions must still EXCLUDE it), 'qqq' (no candidates).
+DIDYOUMEAN_WORDS = ["tabe", "scann", "windoe", "merg", "qqq"]
+
+
+def porter_didyoumean(index_dir: str, words: list[str] | None = None,
+                      k: int = 5) -> pa.Table:
+    """(word, rank, term, cf): cf-ranked edit-1 dictionary corrections,
+    the queried word itself excluded."""
+    words = words if words is not None else DIDYOUMEAN_WORDS
+    reader, _ = _porter_reader(index_dir)
+    out = {c: [] for c in ("word", "rank", "term", "cf")}
+    for w in words:
+        terms = [t for t in reader.terms_within_edit1(w) if t != w]
+        scored = sorted(((-reader.cf(t), t) for t in terms))[:k]
+        for r, (ncf, t) in enumerate(scored, 1):
+            out["word"].append(w)
+            out["rank"].append(r)
+            out["term"].append(t)
+            out["cf"].append(-ncf)
+    return pa.table({
+        "word": pa.array(out["word"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "term": pa.array(out["term"], pa.string()),
+        "cf": pa.array(out["cf"], pa.int64()),
+    })
+
+
+def porter_didyoumean_sql(words: list[str] | None = None,
+                          k: int = 5) -> str:
+    """Oracle: per-term cf over the analyzed stream, levenshtein <= 1
+    join excluding the word itself, row_number by (cf desc, term)."""
+    words = words if words is not None else DIDYOUMEAN_WORDS
+    vals = ", ".join(f"('{w}')" for w in words)
+    return f"""{_analysis_ctes()},
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+w(word) AS (VALUES {vals}),
+ranked AS (
+  SELECT w.word, c.term, c.cf,
+         row_number() OVER (PARTITION BY w.word
+                            ORDER BY c.cf DESC, c.term) AS rn
+  FROM w JOIN cf c
+    ON levenshtein(w.word, c.term) <= 1 AND c.term <> w.word)
+SELECT word, CAST(rn AS INTEGER) AS rank, term, cf
 FROM ranked WHERE rn <= {k}"""

@@ -459,6 +459,22 @@ def test_terms_with_suffix_expansions(porter_index):
         assert r.terms_with_suffix(s) == want
 
 
+def test_porter_synonym_matches_duckdb(porter_index, con):
+    """Query-time synonym expansion vs the relational map-join oracle;
+    expanded rankings must differ from plain BM25 for at least one
+    query (the map actually fires)."""
+    from rayse.ops.porter_oracle import (porter_bm25_topk,
+                                         porter_synonym_sql,
+                                         porter_synonym_topk)
+
+    got = porter_synonym_topk(porter_index)
+    want = con.execute(porter_synonym_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    plain = porter_bm25_topk(porter_index).to_pandas()
+    assert not got.to_pandas().equals(plain)
+
+
 def test_porter_msm_matches_duckdb(porter_index, con):
     """Minimum-should-match retrieval (>= 2 distinct terms) vs the
     HAVING count(DISTINCT term) oracle; 3-term, 2-term, and 1-term
@@ -648,3 +664,18 @@ def test_porter_sloppy_matches_duckdb(porter_index, con):
                                 eng._pos_cache).tolist())
         assert exact <= slop
         assert len(slop) >= len(exact)
+
+
+def test_porter_didyoumean_matches_duckdb(porter_index, con):
+    """Edit-1 spelling corrections vs the levenshtein-join oracle; no
+    word may suggest itself, and 'qqq' must yield no candidates."""
+    from rayse.ops.porter_oracle import (porter_didyoumean,
+                                         porter_didyoumean_sql)
+
+    got = porter_didyoumean(porter_index)
+    want = con.execute(porter_didyoumean_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["word", "rank"])
+    df = got.to_pandas()
+    assert "qqq" not in set(df.word)
+    assert (df.term != df.word).all()
