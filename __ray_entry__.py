@@ -718,6 +718,18 @@ def _q_rollup_agg(sf_dir: str) -> pa.Table:
     return rollup_agg(sf_dir)
 
 
+def _q_cube_agg(sf_dir: str) -> pa.Table:
+    """All four levels of GROUP BY CUBE (event_type, day) — the ROLLUP
+    levels plus the per-day slice re-aggregated from the output-sized
+    finest level, still one streaming pass — DuckDB hash-matched
+    against the native CUBE (the ROLLUP machinery is a strict subset,
+    so this slot covers rollup_agg too; that entry stays below the
+    window, pytest-pinned)."""
+    from rayse.ops.rollup import cube_agg
+
+    return cube_agg(sf_dir)
+
+
 def _q_rrf_fusion(sf_dir: str) -> pa.Table:
     """Hybrid retrieval: integer reciprocal-rank fusion (Cormack et al.
     2009) of the Porter and whitespace engines' BM25 lists — DuckDB
@@ -892,14 +904,29 @@ def _q_html_clean(sf_dir: str):
 
 
 def _q_text_transform_suite(sf_dir: str) -> pa.Table:
-    """M2 HTML cleaning + M11 result formatting under one window slot:
-    variant-tagged (doc_id, text_out) rows — both text-to-text document
+    """M2 HTML cleaning + M11 result formatting + word2vec-style
+    frequent-word subsampling under one window slot: variant-tagged
+    (doc_id, text_out) rows — all three text-to-text document
     transforms, DuckDB hash-matched."""
     clean = _as_table(_q_html_clean(sf_dir)).rename_columns(
         ["doc_id", "text_out"])
     fmt = _as_table(_q_format_texts(sf_dir)).rename_columns(
         ["doc_id", "text_out"])
-    return _tagged_union([("html_clean", clean), ("format", fmt)])
+    sub = _as_table(_q_subsample_frequent(sf_dir)).rename_columns(
+        ["doc_id", "text_out"])
+    return _tagged_union([("html_clean", clean), ("format", fmt),
+                          ("subsample", sub)])
+
+
+def _q_subsample_frequent(sf_dir: str) -> pa.Table:
+    """Frequent-word occurrence subsampling (word2vec threshold form):
+    keep prob min(1, total/(t_den*cf)), decided by the splitmix hash of
+    (doc_id, position); the broadcast hot map is provably <= t_den
+    entries at ANY vocabulary size — DuckDB hash-matched in exact
+    HUGEINT arithmetic."""
+    from rayse.ops.sampling import subsample_frequent
+
+    return subsample_frequent(sf_dir)
 
 
 def _q_sketch_suite(sf_dir: str) -> pa.Table:
@@ -1485,7 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window covers every
     DISTINCT oracle-backed machinery exactly once. Same-shape variant
     families are hash-checked through single variant-tagged suite
-    entries: ``porter_rank_matrix`` (23 ranked Porter engine paths),
+    entries: ``porter_rank_matrix`` (25 ranked Porter engine paths),
     ``ws_rank_matrix`` (5 ranked whitespace-index paths + the hybrid
     RRF fusion arm), ``ann_exact_suite`` (3 exact ANN paths),
     ``phrase_matches_suite`` / ``term_stats_suite`` (both analyzers),
@@ -1538,7 +1565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_suite": _q_cluster_suite,
         "join_suite": _q_join_suite,
         "window_funcs": _q_window_funcs,
-        "rollup_agg": _q_rollup_agg,
+        "cube_agg": _q_cube_agg,
         "sketch_suite": _q_sketch_suite,
         "pagerank_fixed_suite": _q_pagerank_fixed_suite,
         "revenue_by_region": _q_revenue_by_region,
@@ -1562,6 +1589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_counts": _q_retention_counts,
         "porter_autocomplete": _q_porter_autocomplete,
         "porter_didyoumean": _q_porter_didyoumean,
+        "rollup_agg": _q_rollup_agg,
+        "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_keep": _q_semdedup_keep,
         "asof_join": _q_asof_join,
@@ -1914,7 +1943,12 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.htmlclean", fromlist=["x"]).html_clean_sql()),
             ("format", "doc_id, formatted AS text_out", __import__(
                 "rayse.ops.textstats", fromlist=["x"]).format_texts_sql()),
+            ("subsample", "doc_id, text AS text_out", __import__(
+                "rayse.ops.sampling",
+                fromlist=["x"]).subsample_frequent_sql()),
         ]),
+        "subsample_frequent": __import__(
+            "rayse.ops.sampling", fromlist=["x"]).subsample_frequent_sql(),
         "sketch_suite": __import__(
             "rayse.ops.sketch", fromlist=["x"]).sketch_suite_sql(),
         "duplicate_spans": __import__(
@@ -2042,6 +2076,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.winfuncs", fromlist=["x"]).WINDOW_FUNCTIONS_SQL,
         "rollup_agg": __import__(
             "rayse.ops.rollup", fromlist=["x"]).ROLLUP_AGG_SQL,
+        "cube_agg": __import__(
+            "rayse.ops.rollup", fromlist=["x"]).CUBE_AGG_SQL,
         "phrase_matches_suite": _tagged_union_sql([
             ("porter", "phrase, conv_id, turn_idx", __import__(
                 "rayse.ops.porter_oracle",

@@ -1441,6 +1441,10 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
         ("merged", lambda: porter_merged_topk(d, k=k),
          porter_bm25_sql(k=k)),
         ("mlt", lambda: porter_mlt_topk(d, k=k), porter_mlt_sql(k=k)),
+        ("collapse", lambda: porter_collapse_topk(d, k=k),
+         porter_collapse_sql(k=k)),
+        ("tfidf", lambda: porter_tfidf_topk(d, k=k),
+         porter_tfidf_sql(k=k)),
         ("rerank", lambda: porter_rerank_topk(d, k=k),
          porter_rerank_sql(k=k)),
     ]
@@ -2391,4 +2395,219 @@ ranked AS (
   FROM w JOIN cf c
     ON levenshtein(w.word, c.term) <= 1 AND c.term <> w.word)
 SELECT word, CAST(rn AS INTEGER) AS rank, term, cf
+FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Field-collapsed retrieval (Lucene CollapsingTopDocsCollector / result
+# grouping analog): the ranking keeps only each CONVERSATION's best
+# turn, so the page shows k distinct conversations instead of k turns
+# of one hot conversation — the diversity guarantee the reference's
+# per-URL result list gets for free (QueryService.java groups hits per
+# page/url before ranking the page list). Rep turn per conv = highest
+# quantized score, lowest turn_idx on ties; convs then rank by the
+# standard (score_q desc, conv_id, turn_idx) order.
+# ---------------------------------------------------------------------------
+
+def porter_collapse_topk(index_dir: str, queries: list[str] | None = None,
+                         k: int = 10) -> pa.Table:
+    """Top-k conversations under best-turn collapsing; exact under
+    quantization via the same grow-until-boundary-strict loop as
+    ``_quantized_search_rows``, with the boundary computed over
+    COLLAPSED (per-conv max) quantized scores."""
+    from ..query.engine import SearchEngine
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    _porter_reader(index_dir)
+    eng = SearchEngine(index_dir)
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for q in queries:
+        terms = _analyzed(q)
+        kk = max(4 * k, 16)
+        while True:
+            docs, scores = eng.regular(terms, kk)
+            if docs.size < kk:
+                break
+            qv = np.floor(scores * 1e7).astype(np.int64)
+            conv = docs >> np.uint64(TURN_BITS)
+            u, inv = np.unique(conv, return_inverse=True)
+            best = np.full(u.size, np.iinfo(np.int64).min, np.int64)
+            np.maximum.at(best, inv, qv)
+            if u.size >= k:
+                boundary = -np.partition(-best, k - 1)[k - 1]
+                # strict: an unreturned turn can neither seed a top-k
+                # conv nor tie a top-k conv's rep
+                if qv.min() < boundary:
+                    break
+            kk *= 2
+        if docs.size == 0:
+            continue
+        qv = np.floor(scores * 1e7).astype(np.int64)
+        conv = docs >> np.uint64(TURN_BITS)
+        turn = (docs & np.uint64((1 << TURN_BITS) - 1)).astype(np.int64)
+        order = np.lexsort((turn, -qv, conv))
+        cs = conv[order]
+        first = np.concatenate(([True], cs[1:] != cs[:-1]))
+        rep_docs = docs[order][first]
+        rep_qv = qv[order][first]
+        for r, cnv, t, sq in _ranked_rows(index_dir, rep_docs, rep_qv, k):
+            out_q.append(q)
+            out_r.append(r)
+            out_c.append(cnv)
+            out_t.append(t)
+            out_s.append(sq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_collapse_sql(queries: list[str] | None = None,
+                        k: int = 10) -> str:
+    """Oracle for ``porter_collapse_topk``: standard quantized BM25,
+    rep turn via row_number over (query, conv_id), then the standard
+    ranking over reps only."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in _analyzed(q))
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+rep AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query, conv_id
+                            ORDER BY score_q DESC, turn_idx) AS rturn
+  FROM quant),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM rep WHERE rturn = 1)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Classic TF-IDF vector-space ranking (SMART lnc.ltc: doc side 1+ln tf
+# with cosine norm over ALL the doc's terms, query side (1+ln qtf) *
+# ln(N/df)) — the pre-BM25 ranking family, kept alongside the A9/A10
+# ComplexPhraseSearching parity arm (reference scoring lineage:
+# Ranker.java's tf/dl * log10 variant is the same VSM idea). Doc norms
+# are an index-wide per-doc aggregate — at build scale they are one
+# more per-doc statistic next to dl (computed here with a single
+# vectorized pass over the posting lists).
+# ---------------------------------------------------------------------------
+
+def _tfidf_doc_norms(reader) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted doc_ids, sqrt(sum (1+ln tf)^2)) over every posting."""
+    docs_all, w2_all = [], []
+    for t in sorted(reader.vocabulary()):
+        pl = reader.merged(t)
+        if pl is None or pl.doc_ids.size == 0:
+            continue
+        w = 1.0 + np.log(pl.tfs.astype(np.float64))
+        docs_all.append(pl.doc_ids)
+        w2_all.append(w * w)
+    docs = np.concatenate(docs_all)
+    w2 = np.concatenate(w2_all)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    nsq = np.zeros(uniq.size, np.float64)
+    np.add.at(nsq, inv, w2)
+    return uniq, np.sqrt(nsq)
+
+
+def porter_tfidf_topk(index_dir: str, queries: list[str] | None = None,
+                      k: int = 10) -> pa.Table:
+    """lnc.ltc cosine top-k with quantized ranking and (conv_id,
+    turn_idx) tie-breaks."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, _ = _porter_reader(index_dir)
+    norm_docs, norms = _tfidf_doc_norms(reader)
+    n = float(reader.n_docs)
+
+    def _search(q: str, kk: int):
+        terms = _analyzed(q)
+        acc: dict = {}
+        uniq_t, qtf = np.unique(np.asarray(terms, dtype=object),
+                                return_counts=True)
+        docs_l, dot_l = [], []
+        for t, qc in zip(uniq_t.tolist(), qtf.tolist()):
+            pl = reader.merged(t)
+            if pl is None or pl.doc_ids.size == 0:
+                continue
+            df = float(reader.df(t))
+            wq = (1.0 + np.log(float(qc))) * np.log(n / df)
+            docs_l.append(pl.doc_ids)
+            dot_l.append((1.0 + np.log(pl.tfs.astype(np.float64))) * wq)
+        if not docs_l:
+            return (np.array([], dtype=np.uint64),
+                    np.array([], dtype=np.float64))
+        docs = np.concatenate(docs_l)
+        dots = np.concatenate(dot_l)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        dot = np.zeros(uniq.size, np.float64)
+        np.add.at(dot, inv, dots)
+        j = np.searchsorted(norm_docs, uniq)
+        score = dot / norms[j]
+        if uniq.size > kk:
+            cut = np.argpartition(-score, kk - 1)[:kk]
+            uniq, score = uniq[cut], score[cut]
+        return uniq, score
+
+    return _quantized_search_rows(_search, index_dir, queries, k)
+
+
+def porter_tfidf_sql(queries: list[str] | None = None, k: int = 10) -> str:
+    """Oracle for ``porter_tfidf_topk``: per-doc norm CTE over the full
+    analyzed stream, lnc.ltc dot product, quantized ranking."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    rows = []
+    for q in queries:
+        terms = _analyzed(q)
+        uniq = sorted(set(terms))
+        for t in uniq:
+            rows.append(f"('{q}', '{t}', {terms.count(t)})")
+    vals = ", ".join(rows)
+    return f"""{_analysis_ctes()},
+qt(query, term, qtf) AS (VALUES {vals}),
+norm AS (
+  SELECT conv_id, turn_idx,
+         sqrt(sum(pow(1.0 + ln(CAST(tf AS DOUBLE)), 2.0))) AS nrm
+  FROM tf GROUP BY 1, 2),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((1.0 + ln(CAST(tf.tf AS DOUBLE)))
+             * ((1.0 + ln(CAST(qt.qtf AS DOUBLE)))
+                * ln(CAST(s.n AS DOUBLE) / df.df)))
+           AS dot
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT sc.query, sc.conv_id, sc.turn_idx,
+         CAST(floor(sc.dot / nm.nrm * 10000000) AS BIGINT) AS score_q
+  FROM scored sc
+  JOIN norm nm ON sc.conv_id = nm.conv_id AND sc.turn_idx = nm.turn_idx),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""

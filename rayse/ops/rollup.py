@@ -148,3 +148,35 @@ SELECT COALESCE(event_type, '') AS event_type,
 FROM v
 GROUP BY ROLLUP (event_type, day)
 """
+
+
+def cube_agg(sf_dir: str) -> pa.Table:
+    """All four levels of ``GROUP BY CUBE (event_type, day)``: the
+    ROLLUP levels plus the per-day-across-types slice.  The extra level
+    is a re-aggregation of the OUTPUT-sized finest level (types x days
+    rows), so the raw stream is still scanned exactly once; integer
+    sums make the fold order-independent and the DuckDB CUBE oracle
+    bit-exact."""
+    out = rollup_agg(sf_dir)
+    import pyarrow.compute as pc
+
+    fine = out.filter(pc.and_(pc.not_equal(out["day"], -1),
+                              pc.not_equal(out["event_type"], "")))
+    day = fine["day"].to_numpy(zero_copy_only=False)
+    n = fine["n"].to_numpy(zero_copy_only=False)
+    sv = fine["sum_vq"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(day, return_inverse=True)
+    dn = np.zeros(uniq.size, np.int64)
+    dv = np.zeros(uniq.size, np.int64)
+    np.add.at(dn, inv, n)
+    np.add.at(dv, inv, sv)
+    day_level = pa.table({
+        "event_type": pa.array([""] * uniq.size, pa.string()),
+        "day": pa.array(uniq, pa.int64()),
+        "n": pa.array(dn, pa.int64()),
+        "sum_vq": pa.array(dv, pa.int64()),
+    })
+    return pa.concat_tables([out, day_level])
+
+
+CUBE_AGG_SQL = ROLLUP_AGG_SQL.replace("GROUP BY ROLLUP", "GROUP BY CUBE")

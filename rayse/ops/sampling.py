@@ -405,3 +405,136 @@ q AS (
 SELECT t.doc_id, CAST(sum(q.q) AS BIGINT) AS w_q
 FROM tokb t JOIN q USING (bucket)
 GROUP BY t.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Frequent-word (occurrence-level) subsampling — the word2vec-style
+# corpus rebalancer (Mikolov et al. 2013, threshold form without the
+# sqrt term): each OCCURRENCE of word w survives with
+# p_keep = min(1, total / (t_den * cf(w))), decided deterministically by
+# the splitmix hash of (doc_id, position).
+#
+# The scale insight: p_keep < 1 only for words with frequency above
+# 1/t_den, and there are AT MOST t_den such words in any corpus — so the
+# broadcast "hot map" is provably <= t_den entries no matter how large
+# the vocabulary grows. Phase 1 (cf aggregation) is the partitioned
+# exchange; phase 2 is a row-local map with the tiny hot set. No
+# unbounded driver state at any corpus size.
+# ---------------------------------------------------------------------------
+
+SUBSAMPLE_T_DEN = 40
+_POS_BITS = 20          # position salt width; docs must stay < 2^20 tokens
+
+
+def _subsample_batch(batch: pa.Table, hot_words: np.ndarray,
+                     hot_thr: list) -> pa.Table:
+    """Drop hot-word occurrences whose (doc_id, pos) hash clears the
+    word's keep threshold; docs losing every token drop entirely."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    if batch.num_rows == 0:
+        return empty
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    if ids.size and (ids.min() < 0 or ids.max() >= (1 << (63 - _POS_BITS))):
+        raise ValueError("subsample requires 0 <= doc_id < 2^43 "
+                         "(SQL-parity precondition)")
+    toks = [(t or "").split(" ") for t in batch["text"].to_pylist()]
+    counts = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+    if counts.max() >= (1 << _POS_BITS):
+        raise ValueError("subsample requires < 2^20 tokens per doc")
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
+    starts = np.zeros(counts.size, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, counts)
+    keep = np.ones(flat.size, dtype=bool)
+    if hot_words.size:
+        uf, inv = np.unique(flat, return_inverse=True)
+        slot = np.searchsorted(hot_words, uf)
+        slot_c = np.minimum(slot, hot_words.size - 1)
+        is_hot = (hot_words[slot_c] == uf)[inv]
+        if is_hot.any():
+            docrep = np.repeat(ids, counts)
+            key = ((docrep.astype(np.uint64) << np.uint64(_POS_BITS))
+                   + pos.astype(np.uint64))
+            h = _mix(key[is_hot])
+            # thresholds are python ints (may exceed int64): compare
+            # per hot word via its exact uint64-clamped threshold
+            thr_u64 = np.fromiter(
+                (min(t, (1 << 64) - 1) for t in hot_thr),
+                np.uint64, len(hot_thr))
+            tok_thr = thr_u64[slot_c[inv][is_hot]]
+            keep[is_hot] = h < tok_thr
+    out_ids, out_txt = [], []
+    kc = np.add.reduceat(keep.astype(np.int64), np.maximum(starts, 0)) \
+        if flat.size else np.zeros(0, np.int64)
+    ends = starts + counts
+    for i in range(counts.size):
+        if kc[i] == 0:
+            continue
+        sl = keep[starts[i]:ends[i]]
+        out_ids.append(int(ids[i]))
+        out_txt.append(" ".join(
+            np.asarray(toks[i], dtype=object)[sl].tolist()))
+    return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                     "text": pa.array(out_txt, pa.string())})
+
+
+def subsample_frequent(sf_dir: str, t_den: int = SUBSAMPLE_T_DEN):
+    """(doc_id, text) with frequent-word occurrences deterministically
+    subsampled; docs with no surviving token are dropped."""
+    import ray
+    import ray.data as rd
+
+    from .textstats import _unigram_cf
+
+    cf_ds = _unigram_cf(sf_dir)
+    total = int(cf_ds.sum("cf"))
+
+    def hot_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(pc.multiply(b["cf"], t_den), total))
+
+    hot = cf_ds.map_batches(hot_only, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    order = np.argsort(hot["word"].to_numpy(), kind="stable")
+    hot_words = hot["word"].to_numpy()[order]
+    # exact integer threshold: keep iff hash < (total << 64)//(cf*t_den)
+    hot_thr = [(total << 64) // (int(c) * t_den)
+               for c in hot["cf"].to_numpy()[order]]
+    ref = ray.put((hot_words, hot_thr))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        hw, ht = ray.get(ref)
+        return _subsample_batch(batch, hw, ht)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(apply, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def subsample_frequent_sql(t_den: int = SUBSAMPLE_T_DEN) -> str:
+    """Oracle for ``subsample_frequent``: token explode with positions,
+    hot-word LEFT JOIN, the same splitmix-vs-threshold test in HUGEINT,
+    string_agg reassembly in position order."""
+    key = f"(f.doc_id * {1 << _POS_BITS} + f.j)"
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+flat AS (
+  SELECT doc_id, unnest(range(len(ws))) AS j,
+         unnest(ws) AS tok
+  FROM w),
+cf AS (SELECT tok, CAST(count(*) AS HUGEINT) AS cf FROM flat GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS HUGEINT) AS total FROM flat),
+hot AS (
+  SELECT tok, cf FROM cf CROSS JOIN tot
+  WHERE cf * {t_den} > total),
+kept AS (
+  SELECT f.doc_id, f.j, f.tok
+  FROM flat f LEFT JOIN hot h USING (tok) CROSS JOIN tot
+  WHERE h.tok IS NULL
+     OR {_mix_sql(key)}
+        < (tot.total * 18446744073709551616::HUGEINT) // (h.cf * {t_den}))
+SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text
+FROM kept GROUP BY doc_id"""

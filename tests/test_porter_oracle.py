@@ -679,3 +679,40 @@ def test_porter_didyoumean_matches_duckdb(porter_index, con):
     df = got.to_pandas()
     assert "qqq" not in set(df.word)
     assert (df.term != df.word).all()
+
+
+def test_porter_collapse_matches_duckdb(porter_index, con):
+    """Field-collapsed (best-turn-per-conversation) ranking vs the
+    rep-then-rank window oracle; every conversation appears at most
+    once per query, and collapsing must actually drop same-conv
+    runner-up turns somewhere."""
+    from rayse.ops.porter_oracle import (porter_bm25_topk,
+                                         porter_collapse_sql,
+                                         porter_collapse_topk)
+
+    got = porter_collapse_topk(porter_index)
+    want = con.execute(porter_collapse_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    df = got.to_pandas()
+    assert not df.duplicated(["query", "conv_id"]).any()
+    plain = porter_bm25_topk(porter_index).to_pandas()
+    assert plain.duplicated(["query", "conv_id"]).any()
+
+
+def test_porter_tfidf_matches_duckdb(porter_index, con):
+    """SMART lnc.ltc cosine ranking vs the norm-CTE oracle; the cosine
+    ordering must differ from BM25 for at least one query (the doc-norm
+    denominator actually bites)."""
+    from rayse.ops.porter_oracle import (porter_bm25_topk,
+                                         porter_tfidf_sql,
+                                         porter_tfidf_topk)
+
+    got = porter_tfidf_topk(porter_index)
+    want = con.execute(porter_tfidf_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    plain = porter_bm25_topk(porter_index).to_pandas()
+    assert not got.to_pandas()[["query", "rank", "conv_id",
+                                "turn_idx"]].equals(
+        plain[["query", "rank", "conv_id", "turn_idx"]])

@@ -38,3 +38,20 @@ def test_rollup_levels_consistent(ray_session):
         assert per_type.loc[r["event_type"], "sum_vq"] == r["sum_vq"]
     assert total["n"].iloc[0] == types["n"].sum()
     assert total["sum_vq"].iloc[0] == types["sum_vq"].sum()
+
+
+def test_cube_matches_duckdb(ray_session):
+    from rayse.ops.rollup import CUBE_AGG_SQL, cube_agg
+
+    got = cube_agg(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(CUBE_AGG_SQL).fetchdf()
+    # cube = rollup + one (day) slice per distinct day
+    assert len(want) > len(got[got["day"] >= 0]["day"].unique())
+    keys = ["event_type", "day"]
+    a = got.sort_values(keys).reset_index(drop=True)[sorted(got.columns)]
+    b = want.sort_values(keys).reset_index(drop=True)[sorted(got.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)

@@ -155,3 +155,39 @@ def test_dsir_weights_batchsize_invariant(ray_session):
         ctx.target_max_block_size = old
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_subsample_frequent_matches_duckdb(ray_session):
+    """Occurrence-level frequent-word subsampling vs the HUGEINT
+    splitmix oracle; tokens must actually drop, and only hot words
+    (cf * t_den > total) may lose occurrences."""
+    import numpy as np
+
+    from rayse.ops.sampling import (SUBSAMPLE_T_DEN, subsample_frequent,
+                                    subsample_frequent_sql)
+
+    got = subsample_frequent(SF).to_pandas()
+    want = _con().execute(subsample_frequent_sql()).fetchdf()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = want.sort_values("doc_id").reset_index(drop=True)[list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+
+    import pyarrow.parquet as pq
+
+    orig = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    from collections import Counter
+
+    cin, cout = Counter(), Counter()
+    for t in orig.text:
+        cin.update(t.split(" "))
+    for t in got.text:
+        cout.update(t.split(" "))
+    total = sum(cin.values())
+    assert sum(cout.values()) < total          # something dropped
+    for w, n in cin.items():
+        if n * SUBSAMPLE_T_DEN <= total:       # cold words untouched
+            assert cout[w] == n, w
+        else:
+            assert cout[w] <= n
