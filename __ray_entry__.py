@@ -962,8 +962,10 @@ def _q_porter_rank_matrix(sf_dir: str) -> pa.Table:
     capped / paged / complex / fallback ladder / prefix-wildcard /
     suffix-wildcard / minimum-should-match / fuzzy-edit1 /
     delete-compacted / segment-merged / more-like-this /
-    retrieve-rerank) as one variant-tagged table — 22 paths DuckDB
-    hash-matched in one driver window slot. The individual entries
+    conversation-collapse / lnc.ltc TF-IDF / Dirichlet and
+    Jelinek-Mercer query likelihood / retrieve-rerank) as one
+    variant-tagged table — every path DuckDB hash-matched in one
+    driver window slot. The individual entries
     remain below the 50-query window for direct use and are each pinned
     at sf0.001 by tests/test_porter_oracle.py."""
     from rayse.ops.porter_oracle import porter_rank_matrix
@@ -1133,6 +1135,23 @@ def _q_bigram_nll(sf_dir: str):
     from rayse.ops.textstats import bigram_nll
 
     return bigram_nll(sf_dir)
+
+
+def _q_porter_lmdir_topk(sf_dir: str) -> pa.Table:
+    """Dirichlet-prior query-likelihood ranking (Zhai & Lafferty 2001)
+    — DuckDB hash-matched; also a ``porter_rank_matrix`` arm inside
+    the driver window."""
+    from rayse.ops.porter_oracle import porter_lmdir_topk
+
+    return porter_lmdir_topk(_index_for(sf_dir))
+
+
+def _q_porter_lmjm_topk(sf_dir: str) -> pa.Table:
+    """Jelinek-Mercer query-likelihood ranking — DuckDB hash-matched;
+    also a ``porter_rank_matrix`` arm inside the driver window."""
+    from rayse.ops.porter_oracle import porter_lmjm_topk
+
+    return porter_lmjm_topk(_index_for(sf_dir))
 
 
 def _q_porter_prefix_topk(sf_dir: str) -> pa.Table:
@@ -1512,7 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window covers every
     DISTINCT oracle-backed machinery exactly once. Same-shape variant
     families are hash-checked through single variant-tagged suite
-    entries: ``porter_rank_matrix`` (25 ranked Porter engine paths),
+    entries: ``porter_rank_matrix`` (27 ranked Porter engine paths),
     ``ws_rank_matrix`` (5 ranked whitespace-index paths + the hybrid
     RRF fusion arm), ``ann_exact_suite`` (3 exact ANN paths),
     ``phrase_matches_suite`` / ``term_stats_suite`` (both analyzers),
@@ -1637,6 +1656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-pinned by pagerank_fixed_suite (edges derive through it)
         "props_extract": _q_props_extract,
         "porter_prefix_topk": _q_porter_prefix_topk,
+        "porter_lmdir_topk": _q_porter_lmdir_topk,
+        "porter_lmjm_topk": _q_porter_lmjm_topk,
         "porter_fuzzy_topk": _q_porter_fuzzy_topk,
         "porter_sloppy_topk": _q_porter_sloppy_topk,
         "porter_deleted_topk": _q_porter_deleted_topk,
@@ -1907,6 +1928,10 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_paged_sql(),
         "porter_prefix_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_prefix_sql(),
+        "porter_lmdir_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_lmdir_sql(),
+        "porter_lmjm_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_lmjm_sql(),
         "porter_fuzzy_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_fuzzy_sql(),
         "porter_sloppy_topk": __import__(

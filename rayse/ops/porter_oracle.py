@@ -1445,6 +1445,10 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_collapse_sql(k=k)),
         ("tfidf", lambda: porter_tfidf_topk(d, k=k),
          porter_tfidf_sql(k=k)),
+        ("lmdir", lambda: porter_lmdir_topk(d, k=k),
+         porter_lmdir_sql(k=k)),
+        ("lmjm", lambda: porter_lmjm_topk(d, k=k),
+         porter_lmjm_sql(k=k)),
         ("rerank", lambda: porter_rerank_topk(d, k=k),
          porter_rerank_sql(k=k)),
     ]
@@ -2611,3 +2615,129 @@ ranked AS (
   FROM quant)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Language-model ranking (query likelihood): Dirichlet-prior smoothing
+# (Zhai & Lafferty 2001) and Jelinek-Mercer interpolation — the third
+# classic ranking family next to BM25 and the lnc.ltc VSM arm, over the
+# SAME candidate generation (union of postings) and quantized-ranking
+# tail. Candidate docs match >= 1 query term; unmatched terms
+# contribute their background (collection) mass, so the scores are the
+# full query log-likelihoods, not matched-term fragments. Collection
+# size T = sum of dl over all docs, read exactly as the integer sum of
+# per-term collection frequencies.
+# ---------------------------------------------------------------------------
+
+QL_MU = 2000.0          # Dirichlet pseudo-count
+QL_LAMBDA = 0.1         # JM background weight
+
+
+def _collection_tokens(reader) -> int:
+    """Exact total kept-token count == SQL ``sum(dl)`` (index-wide cf
+    sum; at build scale this is one stored stat next to avgdl)."""
+    return sum(reader.cf(t) for t in reader.vocabulary())
+
+
+def _ql_topk(index_dir: str, mode: str, queries: list[str] | None,
+             k: int) -> pa.Table:
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, _ = _porter_reader(index_dir)
+    T = float(_collection_tokens(reader))
+
+    def _search(q: str, kk: int):
+        per_term = []
+        for t in sorted(set(_analyzed(q))):
+            pl = reader.merged(t)
+            cf = reader.cf(t)
+            if pl is None or pl.doc_ids.size == 0 or cf == 0:
+                continue
+            per_term.append((float(cf), pl))
+        if not per_term:
+            return (np.array([], dtype=np.uint64),
+                    np.array([], dtype=np.float64))
+        docs = np.unique(np.concatenate([pl.doc_ids
+                                         for _, pl in per_term]))
+        dlv = np.zeros(docs.size, np.float64)
+        for _, pl in per_term:
+            dlv[np.searchsorted(docs, pl.doc_ids)] = \
+                pl.dls.astype(np.float64)
+        score = np.zeros(docs.size, np.float64)
+        for cf, pl in per_term:
+            tf = np.zeros(docs.size, np.float64)
+            tf[np.searchsorted(docs, pl.doc_ids)] = \
+                pl.tfs.astype(np.float64)
+            if mode == "dirichlet":
+                score += np.log((tf + QL_MU * cf / T) / (dlv + QL_MU))
+            else:                                    # jelinek-mercer
+                score += np.log((1.0 - QL_LAMBDA) * tf / dlv
+                                + QL_LAMBDA * cf / T)
+        if docs.size > kk:
+            cut = np.argpartition(-score, kk - 1)[:kk]
+            docs, score = docs[cut], score[cut]
+        return docs, score
+
+    return _quantized_search_rows(_search, index_dir, queries, k)
+
+
+def porter_lmdir_topk(index_dir: str, queries: list[str] | None = None,
+                      k: int = 10) -> pa.Table:
+    """Dirichlet query-likelihood top-k, quantized ranking."""
+    return _ql_topk(index_dir, "dirichlet", queries, k)
+
+
+def porter_lmjm_topk(index_dir: str, queries: list[str] | None = None,
+                     k: int = 10) -> pa.Table:
+    """Jelinek-Mercer query-likelihood top-k, quantized ranking."""
+    return _ql_topk(index_dir, "jm", queries, k)
+
+
+def _ql_sql(mode: str, queries: list[str] | None, k: int) -> str:
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in sorted(set(_analyzed(q))))
+    if mode == "dirichlet":
+        expr = (f"ln((COALESCE(tf.tf, 0) + {QL_MU!r}::DOUBLE * cf.cf"
+                f" / tot.t) / (dl.dl + {QL_MU!r}::DOUBLE))")
+    else:
+        expr = (f"ln({1.0 - QL_LAMBDA!r}::DOUBLE * COALESCE(tf.tf, 0)"
+                f" / dl.dl + {QL_LAMBDA!r}::DOUBLE * cf.cf / tot.t)")
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM ptok
+       GROUP BY term),
+tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl),
+cand AS (SELECT DISTINCT qt.query, tf.conv_id, tf.turn_idx
+         FROM qt JOIN tf USING (term)),
+scored AS (
+  SELECT c.query, c.conv_id, c.turn_idx, sum({expr}) AS score
+  FROM cand c
+  JOIN qt ON qt.query = c.query
+  JOIN cf ON cf.term = qt.term
+  CROSS JOIN tot
+  JOIN dl ON dl.conv_id = c.conv_id AND dl.turn_idx = c.turn_idx
+  LEFT JOIN tf ON tf.term = qt.term AND tf.conv_id = c.conv_id
+              AND tf.turn_idx = c.turn_idx
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+def porter_lmdir_sql(queries: list[str] | None = None, k: int = 10) -> str:
+    """Oracle for ``porter_lmdir_topk``: candidate cross-join with
+    COALESCE'd tf, background mass from the cf/total CTEs."""
+    return _ql_sql("dirichlet", queries, k)
+
+
+def porter_lmjm_sql(queries: list[str] | None = None, k: int = 10) -> str:
+    """Oracle for ``porter_lmjm_topk``."""
+    return _ql_sql("jm", queries, k)

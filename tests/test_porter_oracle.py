@@ -716,3 +716,38 @@ def test_porter_tfidf_matches_duckdb(porter_index, con):
     assert not got.to_pandas()[["query", "rank", "conv_id",
                                 "turn_idx"]].equals(
         plain[["query", "rank", "conv_id", "turn_idx"]])
+
+
+def test_porter_lmdir_matches_duckdb(porter_index, con):
+    """Dirichlet query-likelihood ranking vs the candidate-cross-join
+    oracle; scores are negative log-likelihoods, and the ordering must
+    differ from BM25 for at least one query."""
+    from rayse.ops.porter_oracle import (porter_bm25_topk,
+                                         porter_lmdir_sql,
+                                         porter_lmdir_topk)
+
+    got = porter_lmdir_topk(porter_index)
+    want = con.execute(porter_lmdir_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    df = got.to_pandas()
+    assert (df.score_q < 0).all()
+    plain = porter_bm25_topk(porter_index).to_pandas()
+    cols = ["query", "rank", "conv_id", "turn_idx"]
+    assert not df[cols].equals(plain[cols])
+
+
+def test_porter_lmjm_matches_duckdb(porter_index, con):
+    """Jelinek-Mercer query likelihood vs its oracle; JM and Dirichlet
+    must disagree somewhere (the smoothing actually differs)."""
+    from rayse.ops.porter_oracle import (porter_lmdir_topk,
+                                         porter_lmjm_sql,
+                                         porter_lmjm_topk)
+
+    got = porter_lmjm_topk(porter_index)
+    want = con.execute(porter_lmjm_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    dirk = porter_lmdir_topk(porter_index).to_pandas()
+    cols = ["query", "rank", "conv_id", "turn_idx"]
+    assert not got.to_pandas()[cols].equals(dirk[cols])
