@@ -1032,17 +1032,31 @@ def _q_porter_didyoumean(sf_dir: str) -> pa.Table:
     return porter_didyoumean(_index_for(sf_dir))
 
 
+def _q_porter_regex_terms(sf_dir: str) -> pa.Table:
+    """Regex term matching over the dictionary (RegexpQuery analog):
+    cf-ranked fully-matching terms per pattern, literal-prefix range
+    scan + compiled regex — DuckDB hash-matched against
+    regexp_full_match."""
+    from rayse.ops.porter_oracle import porter_regex_terms
+
+    return porter_regex_terms(_index_for(sf_dir))
+
+
 def _q_dictionary_suite(sf_dir: str) -> pa.Table:
-    """Both term-dictionary ranking machineries — prefix autocomplete
-    (range scan) and did-you-mean spelling correction (edit-1 scan) —
-    tagged under one window slot on shared (key, rank, term, cf)
-    columns. Individual entries remain below the window, each DuckDB
+    """The term-dictionary ranking machineries — prefix autocomplete
+    (range scan), did-you-mean spelling correction (edit-1 scan) and
+    regex term matching (literal-prefix-narrowed scan) — tagged under
+    one window slot on shared (key, rank, term, cf) columns.
+    Individual entries remain below the window, each DuckDB
     hash-matched and pytest-pinned."""
     ac = _as_table(_q_porter_autocomplete(sf_dir)).rename_columns(
         ["key", "rank", "term", "cf"])
     dym = _as_table(_q_porter_didyoumean(sf_dir)).rename_columns(
         ["key", "rank", "term", "cf"])
-    return _tagged_union([("complete", ac), ("correct", dym)])
+    rx = _as_table(_q_porter_regex_terms(sf_dir)).rename_columns(
+        ["key", "rank", "term", "cf"])
+    return _tagged_union([("complete", ac), ("correct", dym),
+                          ("regex", rx)])
 
 
 def _q_bpe_merges(sf_dir: str) -> pa.Table:
@@ -1608,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_counts": _q_retention_counts,
         "porter_autocomplete": _q_porter_autocomplete,
         "porter_didyoumean": _q_porter_didyoumean,
+        "porter_regex_terms": _q_porter_regex_terms,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -1953,7 +1968,13 @@ def oracle_sql() -> dict[str, str]:
                         fromlist=["x"]).porter_autocomplete_sql()),
             ("correct", "word AS key, rank, term, cf",
              __import__("rayse.ops.porter_oracle",
-                        fromlist=["x"]).porter_didyoumean_sql())]),
+                        fromlist=["x"]).porter_didyoumean_sql()),
+            ("regex", "pattern AS key, rank, term, cf",
+             __import__("rayse.ops.porter_oracle",
+                        fromlist=["x"]).porter_regex_terms_sql())]),
+        "porter_regex_terms": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_regex_terms_sql(),
         "cooccur_pmi": __import__(
             "rayse.ops.textstats", fromlist=["x"]).cooccur_pmi_sql(),
         "quality_buckets": __import__(

@@ -338,6 +338,35 @@ class IndexReader:
             out.update(orig[lo:hi].tolist())
         return sorted(out)
 
+    def terms_matching(self, pattern: str) -> list[str]:
+        """Sorted distinct index terms FULLY matching ``pattern`` — the
+        RegexpQuery analog. The pattern's literal alphanumeric prefix
+        (chars before the first metacharacter) narrows each part's
+        sorted dictionary to a binary range scan; the compiled regex
+        then runs on the surviving slice only, so anchored patterns
+        cost O(log |dict| + matches) like the prefix scan."""
+        import re as _re
+
+        rx = _re.compile(pattern)
+        lit = []
+        for ch in pattern:
+            if ch.isalnum():
+                lit.append(ch)
+            else:
+                break
+        prefix = "".join(lit)
+        out: set[str] = set()
+        for p in self.parts:
+            arr = p.sorted_terms()
+            if arr.size == 0:
+                continue
+            if prefix:
+                lo = int(np.searchsorted(arr, prefix))
+                hi = int(np.searchsorted(arr, prefix + "\uffff"))
+                arr = arr[lo:hi]
+            out.update(t for t in arr.tolist() if rx.fullmatch(t))
+        return sorted(out)
+
     def terms_with_prefix(self, prefix: str) -> list[str]:
         """Sorted distinct index terms starting with ``prefix`` — a
         binary range scan ([prefix, prefix+U+FFFF)) over each part's

@@ -2741,3 +2741,57 @@ def porter_lmdir_sql(queries: list[str] | None = None, k: int = 10) -> str:
 def porter_lmjm_sql(queries: list[str] | None = None, k: int = 10) -> str:
     """Oracle for ``porter_lmjm_topk``."""
     return _ql_sql("jm", queries, k)
+
+
+# ---------------------------------------------------------------------------
+# Regex term matching over the dictionary (Lucene RegexpQuery /
+# WildcardQuery generalization, next to the prefix and fuzzy scans):
+# for each pattern, every index term fully matching it, ranked by
+# collection frequency like the other dictionary surfaces. The
+# patterns stay in the RE2-compatible subset (classes, alternation,
+# ., *, +) where Python fullmatch and DuckDB regexp_full_match agree.
+# ---------------------------------------------------------------------------
+
+REGEX_PATTERNS = ["s.*n", "[tw].*", "gro.+", "(hash|join)", "zz.*"]
+
+
+def porter_regex_terms(index_dir: str,
+                       patterns: list[str] | None = None,
+                       k: int = 5) -> pa.Table:
+    """(pattern, rank, term, cf): the k most frequent dictionary terms
+    fully matching each pattern."""
+    patterns = patterns if patterns is not None else REGEX_PATTERNS
+    reader, _ = _porter_reader(index_dir)
+    out = {c: [] for c in ("pattern", "rank", "term", "cf")}
+    for p in patterns:
+        scored = sorted(((-reader.cf(t), t)
+                         for t in reader.terms_matching(p)))[:k]
+        for r, (ncf, t) in enumerate(scored, 1):
+            out["pattern"].append(p)
+            out["rank"].append(r)
+            out["term"].append(t)
+            out["cf"].append(-ncf)
+    return pa.table({
+        "pattern": pa.array(out["pattern"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "term": pa.array(out["term"], pa.string()),
+        "cf": pa.array(out["cf"], pa.int64()),
+    })
+
+
+def porter_regex_terms_sql(patterns: list[str] | None = None,
+                           k: int = 5) -> str:
+    """Oracle: cf over the analyzed stream, regexp_full_match join,
+    row_number by (cf desc, term)."""
+    patterns = patterns if patterns is not None else REGEX_PATTERNS
+    vals = ", ".join(f"('{p}')" for p in patterns)
+    return f"""{_analysis_ctes()},
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+pat(pattern) AS (VALUES {vals}),
+ranked AS (
+  SELECT p.pattern, c.term, c.cf,
+         row_number() OVER (PARTITION BY p.pattern
+                            ORDER BY c.cf DESC, c.term) AS rn
+  FROM pat p JOIN cf c ON regexp_full_match(c.term, p.pattern))
+SELECT pattern, CAST(rn AS INTEGER) AS rank, term, cf
+FROM ranked WHERE rn <= {k}"""

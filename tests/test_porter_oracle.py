@@ -751,3 +751,22 @@ def test_porter_lmjm_matches_duckdb(porter_index, con):
     dirk = porter_lmdir_topk(porter_index).to_pandas()
     cols = ["query", "rank", "conv_id", "turn_idx"]
     assert not got.to_pandas()[cols].equals(dirk[cols])
+
+
+def test_porter_regex_terms_matches_duckdb(porter_index, con):
+    """Regex dictionary matching vs the regexp_full_match oracle; the
+    no-match pattern yields nothing, alternation finds both operands,
+    and full match (not search) semantics hold ('gro.+' must not match
+    'gro...' prefixes only — every hit extends past the literal)."""
+    from rayse.ops.porter_oracle import (porter_regex_terms,
+                                         porter_regex_terms_sql)
+
+    got = porter_regex_terms(porter_index)
+    want = con.execute(porter_regex_terms_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["pattern", "rank"])
+    df = got.to_pandas()
+    assert "zz.*" not in set(df.pattern)
+    alt = set(df[df.pattern == "(hash|join)"].term)
+    assert alt == {"hash", "join"}
+    assert all(len(t) > 3 for t in df[df.pattern == "gro.+"].term)
