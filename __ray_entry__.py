@@ -1428,6 +1428,34 @@ def _q_token_quantiles(sf_dir: str):
     return token_count_quantiles(sf_dir)
 
 
+def _q_event_quantiles(sf_dir: str) -> pa.Table:
+    """Grouped exact quantiles (p50/p90/p99 of the quantized event value
+    per event_type): histogram partials -> one type-keyed exchange ->
+    in-partition integer rank pick — DuckDB hash-matched against the
+    cumulative-window oracle."""
+    from rayse.ops.quantiles import event_quantiles
+
+    return event_quantiles(sf_dir)
+
+
+def _q_quantile_suite(sf_dir: str) -> pa.Table:
+    """Both exact-quantile machineries — the bounded-domain histogram
+    with driver fold (corpus token counts) and the grouped in-partition
+    fold (per-type event values) — tagged under one window slot on
+    shared (key, p_label, v) columns. Individual entries remain below
+    the window, each DuckDB hash-matched."""
+    tok = _as_table(_q_token_quantiles(sf_dir))
+    tok = pa.table({
+        "key": pa.array([""] * tok.num_rows, pa.string()),
+        "p_label": pa.array([str(q) for q in tok["q"].to_pylist()],
+                            pa.string()),
+        "v": tok["n_tokens"],
+    })
+    ev = _as_table(_q_event_quantiles(sf_dir)).rename_columns(
+        ["key", "p_label", "v"])
+    return _tagged_union([("tokens", tok), ("events", ev)])
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing (the LLM-pretraining pack):
     every (document, training-sequence) overlap under fixed-length
@@ -1607,7 +1635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "clean_corpus": _q_clean_corpus,
         "pack_sequences": _q_pack_sequences,
-        "token_quantiles": _q_token_quantiles,
+        "quantile_suite": _q_quantile_suite,
         "media_byte_features": _q_media_byte_features,
         "redact_pii": _q_redact_pii,
         # relational breadth (wide aggregate, broadcast join, window)
@@ -1623,6 +1651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_autocomplete": _q_porter_autocomplete,
         "porter_didyoumean": _q_porter_didyoumean,
         "porter_regex_terms": _q_porter_regex_terms,
+        "token_quantiles": _q_token_quantiles,
+        "event_quantiles": _q_event_quantiles,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2087,6 +2117,16 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": __import__(
             "rayse.ops.textstats",
             fromlist=["x"]).token_count_quantiles_sql(),
+        "event_quantiles": __import__(
+            "rayse.ops.quantiles", fromlist=["x"]).EVENT_QUANTILES_SQL,
+        "quantile_suite": _tagged_union_sql([
+            ("tokens", "'' AS key, CAST(q AS VARCHAR) AS p_label, "
+             "n_tokens AS v", __import__(
+                 "rayse.ops.textstats",
+                 fromlist=["x"]).token_count_quantiles_sql()),
+            ("events", "event_type AS key, p_label, vq AS v",
+             __import__("rayse.ops.quantiles",
+                        fromlist=["x"]).EVENT_QUANTILES_SQL)]),
         "media_byte_features": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_byte_features_sql(),

@@ -1,0 +1,154 @@
+"""Grouped exact quantiles over the events log.
+
+Exact per-group discrete quantiles (p50/p90/p99 of the quantized event
+value per event_type) without any corpus-order driver state: per-batch
+partials reduce each batch to (type, vq, count) histogram rows (bounded
+by the batch's distinct values), ONE exchange keyed by the type hash
+co-locates a type's histogram, and each partition task folds its types
+locally — sort by value, integer cumulative counts, rank pick at
+ceil(p*n) — so the driver only ever sees the output-sized answer
+(types × quantiles rows).
+
+This is the grouped-quantile sibling of the bounded-domain histogram in
+``textstats.token_count_quantiles`` (whose fold is driver-side): the
+fold here runs inside the exchange partition, the shape a 100-TB
+telemetry percentile job needs.  Ranks are pure-integer
+(``(n*num + den - 1) // den`` = ceil(p*n) with non-negative numerators,
+so DuckDB's truncating ``//`` agrees), making the oracle bit-exact.
+
+Reference relationship: the reference exposes no percentile surface;
+this extends the A12 corpus-stats family (`IndexerService.java` stats
+dumps) to distributional summaries.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .rollup import VQ_SCALE
+
+# (numerator, denominator, label): rank = ceil(p * n) in pure integers.
+P_SPECS = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("event_type", pa.string()), ("thash", pa.uint64()),
+    ("vq", pa.int64()), ("c", pa.int64()),
+])
+
+
+def _quantile_partial_batch(batch: pa.Table) -> pa.Table:
+    """events batch -> (type, vq, count) histogram partials."""
+    from .textstats import _word_arr_slices, fnv64_slices
+
+    if batch.num_rows == 0:
+        return pa.table({n: [] for n in _PARTIAL_SCHEMA.names},
+                        schema=_PARTIAL_SCHEMA)
+    etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    vq = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                  * float(VQ_SCALE)).astype(np.int64)
+    th = fnv64_slices(*_word_arr_slices(etype))
+    order = np.lexsort((vq, th))
+    t_s, v_s, e_s = th[order], vq[order], etype[order]
+    new = np.empty(t_s.size, dtype=bool)
+    new[0] = True
+    new[1:] = (t_s[1:] != t_s[:-1]) | (v_s[1:] != v_s[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, t_s.size))
+    return pa.table({
+        "event_type": pa.array(e_s[new].tolist(), pa.string()),
+        "thash": pa.array(t_s[new], pa.uint64()),
+        "vq": pa.array(v_s[new], pa.int64()),
+        "c": pa.array(counts.astype(np.int64), pa.int64()),
+    })
+
+
+def _quantile_partition(tbl: pa.Table) -> pa.Table:
+    """All histogram partials of this partition's types -> exact
+    discrete quantiles per type.  Grouping is on the STRING type (the
+    hash only routes); the loop is over distinct types, never rows."""
+    empty = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "p_label": pa.array([], pa.string()),
+        "vq": pa.array([], pa.int64()),
+    })
+    if tbl.num_rows == 0:
+        return empty
+    etype = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    vq = tbl["vq"].to_numpy(zero_copy_only=False)
+    c = tbl["c"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vq, etype))
+    e_s, v_s, c_s = etype[order], vq[order], c[order]
+    new = np.empty(e_s.size, dtype=bool)
+    new[0] = True
+    new[1:] = (e_s[1:] != e_s[:-1]) | (v_s[1:] != v_s[:-1])
+    grp = np.cumsum(new) - 1
+    n_grp = int(grp[-1]) + 1
+    cm = np.zeros(n_grp, np.int64)
+    np.add.at(cm, grp, c_s)
+    ge, gv = e_s[new], v_s[new]
+    tfirst = np.empty(n_grp, dtype=bool)
+    tfirst[0] = True
+    tfirst[1:] = ge[1:] != ge[:-1]
+    tstarts = np.flatnonzero(tfirst)
+    tends = np.append(tstarts[1:], n_grp)
+    out_e, out_p, out_v = [], [], []
+    for s, e in zip(tstarts.tolist(), tends.tolist()):
+        cum = np.cumsum(cm[s:e])
+        n = int(cum[-1])
+        for num, den, label in P_SPECS:
+            r = (n * num + den - 1) // den
+            out_e.append(ge[s])
+            out_p.append(label)
+            out_v.append(int(gv[s + int(np.searchsorted(cum, r))]))
+    return pa.table({
+        "event_type": pa.array(out_e, pa.string()),
+        "p_label": pa.array(out_p, pa.string()),
+        "vq": pa.array(out_v, pa.int64()),
+    })
+
+
+def event_quantiles(sf_dir: str) -> pa.Table:
+    """(event_type, p_label, vq): exact p50/p90/p99 of the quantized
+    event value per type, folded inside the exchange partitions."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    partials = ds.map_batches(_quantile_partial_batch,
+                              batch_format="pyarrow", zero_copy_batch=True)
+    out = exchange_by_key(partials, "thash", _quantile_partition)
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return _quantile_partition(pa.table(
+            {n: [] for n in _PARTIAL_SCHEMA.names},
+            schema=_PARTIAL_SCHEMA))
+    return pa.concat_tables(parts, promote_options="default")
+
+
+_P_VALUES = ", ".join(f"({num}, {den}, '{lab}')"
+                      for num, den, lab in P_SPECS)
+
+EVENT_QUANTILES_SQL = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * CAST({VQ_SCALE} AS DOUBLE)) AS BIGINT) AS vq
+  FROM events),
+cnt AS (SELECT event_type, vq, CAST(count(*) AS BIGINT) AS c
+        FROM v GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        FROM cnt GROUP BY 1),
+cum AS (SELECT event_type, vq,
+               sum(c) OVER (PARTITION BY event_type ORDER BY vq) AS cum
+        FROM cnt),
+p(num, den, lab) AS (VALUES {_P_VALUES}),
+tgt AS (SELECT t.event_type, p.lab AS p_label,
+               (t.n * p.num + p.den - 1) // p.den AS r
+        FROM tot t CROSS JOIN p)
+SELECT g.event_type, g.p_label, CAST(min(c.vq) AS BIGINT) AS vq
+FROM tgt g JOIN cum c
+  ON c.event_type = g.event_type AND c.cum >= g.r
+GROUP BY 1, 2"""
