@@ -22,6 +22,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _CACHE_ROOT = "/tmp/rayse_entry_cache_v2"   # v2: role-scoped segment schema
 
@@ -1006,6 +1007,23 @@ def _tagged_union(parts: list[tuple[str, pa.Table]]) -> pa.Table:
     return pa.concat_tables(out)
 
 
+def _melt_union_sql(arms) -> str:
+    """Oracle side of ``_melt`` + ``_tagged_union``: (variant, sql,
+    keys, metrics) arms, each metric its own UNION ALL slice of the
+    arm's wide result."""
+    out = []
+    for variant, sql, keys, metrics in arms:
+        k1 = f"CAST({keys[0]} AS VARCHAR) AS k1"
+        k2 = (f"CAST({keys[1]} AS VARCHAR) AS k2" if len(keys) > 1
+              else "'' AS k2")
+        for m in metrics:
+            out.append(
+                f"SELECT '{variant}' AS variant, {k1}, {k2}, "
+                f"'{m}' AS metric, CAST({m} AS BIGINT) AS v"
+                f"\nFROM (\n{sql}\n)")
+    return "\nUNION ALL\n".join(out)
+
+
 def _tagged_union_sql(arms: list[tuple[str, str, str]]) -> str:
     """Oracle side of ``_tagged_union``: (variant, cols, sql) arms, each
     arm's full WITH-scoped oracle evaluated in its own subquery."""
@@ -1563,6 +1581,63 @@ def _q_top_customer_revenue(sf_dir: str):
     return top_customer_revenue(sf_dir)
 
 
+def _melt(t: pa.Table, keys: list[str], metrics: list[str]) -> pa.Table:
+    """Wide -> long: one (k1, k2, metric, v) row per input row x metric
+    (keys cast to string, metrics must be int64)."""
+    t = _as_table(t)
+    k1 = pc.cast(t[keys[0]], pa.string())
+    k2 = (pc.cast(t[keys[1]], pa.string()) if len(keys) > 1
+          else pa.array([""] * t.num_rows, pa.string()))
+    parts = []
+    for m in metrics:
+        parts.append(pa.table({
+            "k1": k1, "k2": k2,
+            "metric": pa.array([m] * t.num_rows, pa.string()),
+            "v": pc.cast(t[m], pa.int64())}))
+    return pa.concat_tables(parts)
+
+
+def _q_relational_suite(sf_dir: str) -> pa.Table:
+    """Both standalone relational aggregates — the Q1-style wide pricing
+    summary and the broadcast-hydrated top-customer ranking — melted to
+    shared (k1, k2, metric, v) long form under one window slot; the
+    wide originals remain below the window, DuckDB hash-matched."""
+    pr = _melt(_q_pricing_summary(sf_dir),
+               ["l_returnflag", "l_linestatus"],
+               ["sum_qty", "sum_base_price", "sum_disc_price",
+                "count_order"])
+    tc = _melt(_q_top_customer_revenue(sf_dir), ["c_custkey", "c_name"],
+               ["revenue", "n_orders"])
+    return _tagged_union([("pricing", pr), ("topcust", tc)])
+
+
+def _q_order_suite(sf_dir: str) -> pa.Table:
+    """Exact global ranking (zip-with-index) machinery: curriculum
+    order (quality-ascending) and the deterministic hash shuffle,
+    both via bounded range-histogram offsets + one range-keyed
+    exchange — tagged on shared (doc_id, rank) columns, DuckDB
+    hash-matched against row_number() oracles."""
+    cur = _as_table(_q_curriculum_order(sf_dir))
+    shf = _as_table(_q_shuffle_order(sf_dir))
+    return _tagged_union([("curriculum", cur), ("shuffle", shf)])
+
+
+def _q_curriculum_order(sf_dir: str) -> pa.Table:
+    """(doc_id, rank): exact global curriculum position (ascending
+    unigram NLL, doc_id tie-break) — DuckDB hash-matched."""
+    from rayse.ops.curriculum import curriculum_order
+
+    return curriculum_order(sf_dir)
+
+
+def _q_shuffle_order(sf_dir: str) -> pa.Table:
+    """(doc_id, rank): deterministic global shuffle by splitmix64 key
+    — DuckDB hash-matched."""
+    from rayse.ops.curriculum import shuffle_order
+
+    return shuffle_order(sf_dir)
+
+
 def _q_trailing_window(sf_dir: str):
     from rayse.ops.relational import trailing_window_counts
 
@@ -1639,8 +1714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_byte_features": _q_media_byte_features,
         "redact_pii": _q_redact_pii,
         # relational breadth (wide aggregate, broadcast join, window)
-        "pricing_summary": _q_pricing_summary,
-        "top_customer_revenue": _q_top_customer_revenue,
+        "relational_suite": _q_relational_suite,
+        "order_suite": _q_order_suite,
         "trailing_window": _q_trailing_window,
         "dsir_weights": _q_dsir_weights,
         # ---- end of the driver's 50-entry window ----
@@ -1653,6 +1728,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_regex_terms": _q_porter_regex_terms,
         "token_quantiles": _q_token_quantiles,
         "event_quantiles": _q_event_quantiles,
+        "pricing_summary": _q_pricing_summary,
+        "top_customer_revenue": _q_top_customer_revenue,
+        "curriculum_order": _q_curriculum_order,
+        "shuffle_order": _q_shuffle_order,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -1826,6 +1905,28 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.relational", fromlist=["x"]).PRICING_SUMMARY_SQL,
         "top_customer_revenue": __import__(
             "rayse.ops.relational", fromlist=["x"]).TOP_CUSTOMER_REVENUE_SQL,
+        "relational_suite": _melt_union_sql([
+            ("pricing",
+             __import__("rayse.ops.relational",
+                        fromlist=["x"]).PRICING_SUMMARY_SQL,
+             ("l_returnflag", "l_linestatus"),
+             ("sum_qty", "sum_base_price", "sum_disc_price",
+              "count_order")),
+            ("topcust",
+             __import__("rayse.ops.relational",
+                        fromlist=["x"]).TOP_CUSTOMER_REVENUE_SQL,
+             ("c_custkey", "c_name"), ("revenue", "n_orders"))]),
+        "order_suite": _tagged_union_sql([
+            ("curriculum", "doc_id, rank", __import__(
+                "rayse.ops.curriculum",
+                fromlist=["x"]).curriculum_order_sql()),
+            ("shuffle", "doc_id, rank", __import__(
+                "rayse.ops.curriculum",
+                fromlist=["x"]).shuffle_order_sql())]),
+        "curriculum_order": __import__(
+            "rayse.ops.curriculum", fromlist=["x"]).curriculum_order_sql(),
+        "shuffle_order": __import__(
+            "rayse.ops.curriculum", fromlist=["x"]).shuffle_order_sql(),
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(
