@@ -1291,7 +1291,8 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
     the vertex-count-unbounded sharded exchange variant (bit-identical
     by integer-sum order independence) — under the recursive-CTE oracle,
     plus HITS hubs & authorities (integer L1-normalized power iteration)
-    under the unrolled-CTE oracle."""
+    under the unrolled-CTE oracle, plus per-node triangle counts and
+    degrees under the self-join oracle."""
     from rayse.ops.graph import (hits_fixed_events, pagerank_fixed_events,
                                  pagerank_fixed_sharded_events)
 
@@ -1305,7 +1306,20 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
             ["vertex", "rank_fp"])),
         ("hits_auth", hits.select(["vertex", "auth_fp"]).rename_columns(
             ["vertex", "rank_fp"])),
-        ("textrank", textrank_vertices(sf_dir))])
+        ("textrank", textrank_vertices(sf_dir)),
+        ("tri_deg", _q_triangle_counts(sf_dir).select(
+            ["node", "deg"]).rename_columns(["vertex", "rank_fp"])),
+        ("tri_count", _q_triangle_counts(sf_dir).select(
+            ["node", "n_tri"]).rename_columns(["vertex", "rank_fp"]))])
+
+
+def _q_triangle_counts(sf_dir: str) -> pa.Table:
+    """Per-node triangle counts + distinct-neighbor degrees (local
+    clustering inputs): lowest-node wedge enumeration over two
+    exchanges — DuckDB hash-matched against the three-way self-join."""
+    from rayse.ops.triangles import triangle_counts
+
+    return triangle_counts(sf_dir)
 
 
 def _q_window_agg_suite(sf_dir: str) -> pa.Table:
@@ -1732,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customer_revenue": _q_top_customer_revenue,
         "curriculum_order": _q_curriculum_order,
         "shuffle_order": _q_shuffle_order,
+        "triangle_counts": _q_triangle_counts,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -1927,6 +1942,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.curriculum", fromlist=["x"]).curriculum_order_sql(),
         "shuffle_order": __import__(
             "rayse.ops.curriculum", fromlist=["x"]).shuffle_order_sql(),
+        "triangle_counts": __import__(
+            "rayse.ops.triangles", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(
@@ -2294,6 +2311,12 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.graph", fromlist=["x"]).hits_fixed_sql()),
             ("hits_auth", "vertex, auth_fp AS rank_fp", __import__(
                 "rayse.ops.graph", fromlist=["x"]).hits_fixed_sql()),
+            ("tri_deg", "node AS vertex, deg AS rank_fp", __import__(
+                "rayse.ops.triangles",
+                fromlist=["x"]).TRIANGLE_COUNTS_SQL),
+            ("tri_count", "node AS vertex, n_tri AS rank_fp", __import__(
+                "rayse.ops.triangles",
+                fromlist=["x"]).TRIANGLE_COUNTS_SQL),
             ("textrank", "vertex, rank_fp", __import__(
                 "rayse.ops.textrank",
                 fromlist=["x"]).textrank_sql(final="vertex"))]),

@@ -1,0 +1,62 @@
+"""Per-node triangle counts vs the three-way self-join oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_triangle_counts_match_duckdb(ray_session):
+    from rayse.ops.triangles import TRIANGLE_COUNTS_SQL, triangle_counts
+
+    got = triangle_counts(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(TRIANGLE_COUNTS_SQL).fetchdf()
+    a = got.sort_values("node").reset_index(drop=True)[sorted(got.columns)]
+    b = want.sort_values("node").reset_index(drop=True)[sorted(got.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    # triangles must actually exist, and the global identity holds:
+    # each triangle contributes exactly 3 corner counts
+    assert got["n_tri"].sum() > 0
+    assert got["n_tri"].sum() % 3 == 0
+    # n_tri <= C(deg, 2)
+    d = got["deg"].to_numpy()
+    assert (got["n_tri"].to_numpy() <= d * (d - 1) // 2).all()
+
+
+def test_triangle_counts_brute_force(ray_session):
+    """Independent numpy brute force over the canonical edge set."""
+    import pyarrow.parquet as pq
+
+    from rayse.ops.graph import DEMO_VERTEX_SPACE, _props_k
+    from rayse.ops.triangles import triangle_counts
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "props"])
+    src = ev["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = _props_k(ev["props"]) % DEMO_VERTEX_SPACE
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    keep = lo != hi
+    edges = set(zip(lo[keep].tolist(), hi[keep].tolist()))
+    nodes = sorted({v for e in edges for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {v: 0 for v in nodes}
+    # each triangle x<y<z is counted exactly once: via its (x, y) edge
+    # with common neighbor z > y
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    got = triangle_counts(SF).to_pandas().set_index("node")
+    for v in nodes:
+        assert got.loc[v, "n_tri"] == tri[v], v
+        assert got.loc[v, "deg"] == len(adj[v]), v
