@@ -1146,17 +1146,29 @@ def _q_span_extents_suite(sf_dir: str) -> pa.Table:
 
 
 def _q_lm_nll_suite(sf_dir: str) -> pa.Table:
-    """Both LM quality scorers — unigram (p(w) = cf/total) and bigram
-    (p(w_i | w_{i-1}) = cf2/cf1) mean NLL — tagged under one window
-    slot; each integer-exact and DuckDB hash-matched. Individual entries
+    """The LM quality scorers — unigram (p(w) = cf/total), bigram
+    (p(w_i | w_{i-1}) = cf2/cf1) and interpolated Kneser-Ney bigram
+    mean NLL — tagged under one window slot; each integer-exact and DuckDB hash-matched. Individual entries
     remain below the window; each pytest-pinned (both routing paths)."""
-    from rayse.ops.textstats import bigram_nll, unigram_nll
+    from rayse.ops.textstats import (bigram_nll, kn_bigram_nll,
+                                     unigram_nll)
 
     uni = _as_table(unigram_nll(sf_dir))
     bi = _as_table(bigram_nll(sf_dir))
+    kn = _as_table(kn_bigram_nll(sf_dir))
     return _tagged_union([
         ("unigram", uni),
-        ("bigram", bi.rename_columns(["doc_id", "nll_q"]))])
+        ("bigram", bi.rename_columns(["doc_id", "nll_q"])),
+        ("kneser_ney", kn.rename_columns(["doc_id", "nll_q"]))])
+
+
+def _q_kn_bigram_nll(sf_dir: str):
+    """Interpolated Kneser-Ney bigram NLL (d = 3/4 exact-rational
+    contract, continuation counts from the w1/w2 exchanges) — DuckDB
+    hash-matched; also an ``lm_nll_suite`` arm inside the window."""
+    from rayse.ops.textstats import kn_bigram_nll
+
+    return kn_bigram_nll(sf_dir)
 
 
 def _q_bigram_nll(sf_dir: str):
@@ -1747,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_order": _q_curriculum_order,
         "shuffle_order": _q_shuffle_order,
         "triangle_counts": _q_triangle_counts,
+        "kn_bigram_nll": _q_kn_bigram_nll,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -1944,6 +1957,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.curriculum", fromlist=["x"]).shuffle_order_sql(),
         "triangle_counts": __import__(
             "rayse.ops.triangles", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
+        "kn_bigram_nll": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).kn_bigram_nll_sql(),
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(
@@ -2159,7 +2174,10 @@ def oracle_sql() -> dict[str, str]:
             ("unigram", "doc_id, nll_q", __import__(
                 "rayse.ops.textstats", fromlist=["x"]).unigram_nll_sql()),
             ("bigram", "doc_id, nll2_q AS nll_q", __import__(
-                "rayse.ops.textstats", fromlist=["x"]).bigram_nll_sql())]),
+                "rayse.ops.textstats", fromlist=["x"]).bigram_nll_sql()),
+            ("kneser_ney", "doc_id, knll_q AS nll_q", __import__(
+                "rayse.ops.textstats",
+                fromlist=["x"]).kn_bigram_nll_sql())]),
         "kmeans_assign": __import__(
             "rayse.ops.similarity", fromlist=["x"]).kmeans_assign_sql(),
         "semdedup_keep": __import__(

@@ -1033,10 +1033,20 @@ def _bnll_score_partition(tbl: pa.Table) -> pa.Table:
 def bigram_nll(sf_dir: str, q_broadcast_limit: int = 2_000_000):
     """Per-document mean bigram NLL -> (doc_id, nll2_q); see the section
     comment for the integer contract and routing."""
+    return _score_bigram_qmap(sf_dir, _bigram_q_map(sf_dir), "nll2_q",
+                              q_broadcast_limit)
+
+
+def _score_bigram_qmap(sf_dir: str, qm_ds, out_col: str,
+                       q_broadcast_limit: int = 2_000_000):
+    """Score documents against ANY (bigram -> q) map Dataset: per-doc
+    integer occurrence-sum of q, mean-normalized — the shared tail of
+    ``bigram_nll`` and ``kn_bigram_nll`` (broadcast map below the
+    limit, exchange-routed join above)."""
     import ray
     import ray.data as rd
 
-    qm_ds = _bigram_q_map(sf_dir).materialize()
+    qm_ds = qm_ds.materialize()
     n_bigrams = qm_ds.count()
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1082,7 +1092,7 @@ def bigram_nll(sf_dir: str, q_broadcast_limit: int = 2_000_000):
                                 _nll_final_partition, n_parts=32)
         return final.map_batches(
             lambda b: pa.table({"doc_id": b["doc_id"],
-                                "nll2_q": b["nll_q"]}),
+                                out_col: b["nll_q"]}),
             batch_format="pyarrow")
 
     qm = qm_ds.to_pandas()
@@ -1096,7 +1106,7 @@ def bigram_nll(sf_dir: str, q_broadcast_limit: int = 2_000_000):
         texts = batch["text"].to_pylist()
         if not texts:
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "nll2_q": pa.array([], pa.int64())})
+                             out_col: pa.array([], pa.int64())})
         bi, nb, _ = _doc_bigram_arrays(texts)
         s = np.zeros(len(texts), dtype=np.int64)
         if bi.size:
@@ -1108,7 +1118,7 @@ def bigram_nll(sf_dir: str, q_broadcast_limit: int = 2_000_000):
             s[has] = np.add.reduceat(tok_q, starts)
         nll2 = (-s) // (100 * np.maximum(nb, 1))
         return pa.table({"doc_id": batch["doc_id"],
-                         "nll2_q": pa.array(nll2, pa.int64())})
+                         out_col: pa.array(nll2, pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -1675,3 +1685,159 @@ JOIN df d1 ON d1.word = p.word_a
 JOIN df d2 ON d2.word = p.word_b
 CROSS JOIN n
 WHERE p.df_ab >= {min_df}"""
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram NLL — interpolated KN smoothing (Kneser & Ney 1995;
+# Chen & Goodman 1998), the standard n-gram LM quality signal:
+#
+#   p_KN(w2|w1) = max(c12 - d, 0)/c(w1.) + d*N1+(w1.)/c(w1.) * P_cont(w2)
+#   P_cont(w2)  = N1+(.w2) / T          (T = distinct bigram types)
+#
+# With the classic discount d = 3/4 every probability is the exact
+# rational  num/den  with
+#   num = max(4*c12 - 3, 0) * T + 3 * N1+(w1.) * N1+(.w2)
+#   den = 4 * c(w1.) * T
+# so the quantized score q = floor(ln(num/den) * 1e9) is ONE float
+# division + ln per bigram TYPE (IEEE-identical in numpy and DuckDB;
+# the int->double casts round identically on both sides), and scoring
+# reuses the integer occurrence-sum tail of ``bigram_nll``.
+#
+# Distribution: the per-w1 aggregates (c(w1.), N1+(w1.)) fall out of
+# the SAME exchange partition that holds all of w1's bigram types; a
+# second exchange keyed by hash(w2) adds N1+(.w2) and quantizes.  The
+# only scalar crossing the driver is T.
+# ---------------------------------------------------------------------------
+
+KN_D_NUM, KN_D_DEN = 3, 4
+
+
+def _kn_fwd_partition(tbl: pa.Table) -> pa.Table:
+    """One w1-hash partition of (bigram, w1, cf2): attach the per-w1
+    continuation stats (cdot = total bigrams from w1, fwd = distinct
+    successors) and split out w2."""
+    empty = pa.table({
+        "w2hash": pa.array([], pa.uint64()),
+        "bigram": pa.array([], pa.string()),
+        "cf2": pa.array([], pa.int64()),
+        "cdot": pa.array([], pa.int64()),
+        "fwd": pa.array([], pa.int64()),
+    })
+    if tbl.num_rows == 0:
+        return empty
+    w1 = np.asarray(tbl["w1"].to_pylist(), dtype=object)
+    bi = np.asarray(tbl["bigram"].to_pylist(), dtype=object)
+    c2 = tbl["cf2"].to_numpy(zero_copy_only=False)
+    order = np.argsort(w1, kind="stable")
+    w1, bi, c2 = w1[order], bi[order], c2[order]
+    new = np.empty(w1.size, dtype=bool)
+    new[0] = True
+    new[1:] = w1[1:] != w1[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, w1.size))
+    cs = np.concatenate(([0], np.cumsum(c2)))
+    cdot = (cs[starts + lens] - cs[starts]).astype(np.int64)
+    cdot_r = np.repeat(cdot, lens)
+    fwd_r = np.repeat(lens.astype(np.int64), lens)
+    # per-type w2 split: bounded by bigram TYPES (dictionary-scale loop)
+    w2 = np.asarray([b.split(" ", 1)[1] for b in bi.tolist()],
+                    dtype=object)
+    h = fnv64_slices(*_word_arr_slices(w2))
+    return pa.table({
+        "w2hash": pa.array(h, pa.uint64()),
+        "bigram": pa.array(bi.tolist(), pa.string()),
+        "cf2": pa.array(c2.astype(np.int64), pa.int64()),
+        "cdot": pa.array(cdot_r, pa.int64()),
+        "fwd": pa.array(fwd_r, pa.int64()),
+    })
+
+
+def _kn_q_partition(tbl: pa.Table, T: int = 1) -> pa.Table:
+    """One w2-hash partition: add N1+(.w2), form the exact rational,
+    quantize."""
+    if tbl.num_rows == 0:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "q": pa.array([], pa.int64())})
+    bi = np.asarray(tbl["bigram"].to_pylist(), dtype=object)
+    w2 = np.asarray([b.split(" ", 1)[1] for b in bi.tolist()],
+                    dtype=object)
+    c2 = tbl["cf2"].to_numpy(zero_copy_only=False)
+    cdot = tbl["cdot"].to_numpy(zero_copy_only=False)
+    fwd = tbl["fwd"].to_numpy(zero_copy_only=False)
+    u, inv, back_c = np.unique(w2, return_inverse=True,
+                               return_counts=True)
+    back = back_c.astype(np.int64)[inv]
+    if (KN_D_DEN * int(c2.max()) * T >= 2 ** 62
+            or KN_D_DEN * int(cdot.max()) * T >= 2 ** 62):
+        raise ValueError("KN rational exceeds int64 "
+                         "(SQL-parity precondition)")
+    num = (np.maximum(KN_D_DEN * c2 - KN_D_NUM, 0) * T
+           + KN_D_NUM * fwd * back)
+    den = KN_D_DEN * cdot * T
+    q = np.floor(np.log(num.astype(np.float64)
+                        / den.astype(np.float64)) * 1e9).astype(np.int64)
+    return pa.table({"bigram": pa.array(bi.tolist(), pa.string()),
+                     "q": pa.array(q, pa.int64())})
+
+
+def _kn_q_map(sf_dir: str):
+    """(bigram -> q) under interpolated Kneser-Ney smoothing."""
+    from .exchange import exchange_by_key
+
+    cf2 = _bigram_cf(sf_dir).materialize()
+    T = cf2.count()
+
+    def w1_rows(batch: pa.Table) -> pa.Table:
+        words = np.asarray(batch["w1"].to_pylist(), dtype=object)
+        h = (fnv64_slices(*_word_arr_slices(words)) if words.size
+             else np.asarray([], dtype=np.uint64))
+        return batch.append_column("w1hash", pa.array(h, pa.uint64()))
+
+    staged = exchange_by_key(
+        cf2.map_batches(w1_rows, batch_format="pyarrow"),
+        "w1hash", _kn_fwd_partition, n_parts=32)
+    return exchange_by_key(staged, "w2hash", _kn_q_partition,
+                           n_parts=32, proc_kwargs={"T": T})
+
+
+def kn_bigram_nll(sf_dir: str, q_broadcast_limit: int = 2_000_000):
+    """Per-document mean Kneser-Ney bigram NLL -> (doc_id, knll_q)."""
+    return _score_bigram_qmap(sf_dir, _kn_q_map(sf_dir), "knll_q",
+                              q_broadcast_limit)
+
+
+def kn_bigram_nll_sql() -> str:
+    """Oracle for ``kn_bigram_nll``: the same rational in BIGINT CTEs,
+    one ln per bigram type, occurrence-sum + mean like bigram_nll."""
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id,
+         ws[CAST(u.i AS INTEGER) + 1] AS w1,
+         ws[CAST(u.i AS INTEGER) + 2] AS w2,
+         ws[CAST(u.i AS INTEGER) + 1] || ' '
+           || ws[CAST(u.i AS INTEGER) + 2] AS b
+  FROM w, UNNEST(range(len(ws) - 1)) u(i)
+  WHERE len(ws) >= 2),
+cf2 AS (SELECT b, min(w1) AS w1, min(w2) AS w2,
+               CAST(count(*) AS BIGINT) AS c2
+        FROM bg GROUP BY b),
+c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cdot,
+              CAST(count(*) AS BIGINT) AS fwd
+       FROM cf2 GROUP BY w1),
+bk AS (SELECT w2, CAST(count(*) AS BIGINT) AS back FROM cf2 GROUP BY w2),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS T FROM cf2),
+q AS (SELECT cf2.b,
+             CAST(floor(ln(
+               CAST(greatest({KN_D_DEN} * cf2.c2 - {KN_D_NUM}, 0) * tt.T
+                    + {KN_D_NUM} * c1.fwd * bk.back AS DOUBLE)
+               / CAST({KN_D_DEN} * c1.cdot * tt.T AS DOUBLE))
+               * 1000000000::DOUBLE) AS BIGINT) AS q
+      FROM cf2
+      JOIN c1 USING (w1) JOIN bk USING (w2) CROSS JOIN tt),
+s AS (SELECT bg.doc_id, CAST(sum(q.q) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM bg JOIN q ON bg.b = q.b GROUP BY bg.doc_id)
+SELECT w.doc_id,
+       CAST(coalesce((-s.s) // (100 * s.nb), 0) AS BIGINT) AS knll_q
+FROM w LEFT JOIN s USING (doc_id)"""

@@ -301,3 +301,29 @@ def test_contamination_bloom_route_identical(ray_session):
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b[a.columns].astype(
         a.dtypes.to_dict()))
+
+
+def test_kn_bigram_nll_matches_duckdb(ray_session):
+    """Interpolated Kneser-Ney bigram NLL vs the rational-CTE oracle;
+    KN and raw-MLE bigram scores must disagree somewhere (the discount
+    and continuation mass actually bite)."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.textstats import (bigram_nll, kn_bigram_nll,
+                                     kn_bigram_nll_sql)
+
+    SF = "/root/testdata/sf0.001"
+    got = kn_bigram_nll(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(kn_bigram_nll_sql()).fetchdf()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = want.sort_values("doc_id").reset_index(drop=True)[list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    mle = bigram_nll(SF).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert not (a["knll_q"].to_numpy()
+                == mle["nll2_q"].to_numpy()).all()
