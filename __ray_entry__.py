@@ -930,6 +930,16 @@ def _q_subsample_frequent(sf_dir: str) -> pa.Table:
     return subsample_frequent(sf_dir)
 
 
+def _q_exact_distinct(sf_dir: str) -> pa.Table:
+    """Exact grouped COUNT DISTINCT (users per event_type, keyed in
+    hll_by_type's idx space — estimate-vs-truth is a join away):
+    pair-dedup partials -> one pair-keyed exchange -> output-sized
+    groupby — DuckDB hash-matched; also a ``sketch_suite`` arm."""
+    from rayse.ops.sketch import exact_distinct_by_type
+
+    return exact_distinct_by_type(sf_dir)
+
+
 def _q_sketch_suite(sf_dir: str) -> pa.Table:
     """Bounded-memory streaming sketches over the events log (HLL
     distinct users + Count-Min event-type frequencies): register dumps
@@ -1760,6 +1770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": _q_shuffle_order,
         "triangle_counts": _q_triangle_counts,
         "kn_bigram_nll": _q_kn_bigram_nll,
+        "exact_distinct": _q_exact_distinct,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -1959,6 +1970,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.triangles", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "kn_bigram_nll": __import__(
             "rayse.ops.textstats", fromlist=["x"]).kn_bigram_nll_sql(),
+        "exact_distinct": __import__(
+            "rayse.ops.sketch", fromlist=["x"]).exact_distinct_sql(),
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(

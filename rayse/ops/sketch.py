@@ -594,6 +594,7 @@ def sketch_suite(sf_dir: str) -> pa.Table:
         ("hll_type_est", ht_est),
         ("hll_day", hd_regs),
         ("hll_window_est", hd_est),
+        ("exact_distinct", exact_distinct_by_type(sf_dir)),
     ]
     out = []
     for variant, t in parts:
@@ -627,4 +628,87 @@ SELECT 'hll_day' AS variant, gkey * {m} + bucket AS idx,
        CAST(rho AS BIGINT) AS value FROM hd_regs
 UNION ALL
 SELECT 'hll_window_est' AS variant, gkey AS idx, est AS value
-FROM hd_win_est"""
+FROM hd_win_est
+UNION ALL
+SELECT 'exact_distinct' AS variant, idx, value
+FROM (\n{exact_distinct_sql()}\n)"""
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped COUNT DISTINCT — the ground-truth companion to
+# ``hll_by_type``: same idx space (fnv(type) % 2^40), so estimate vs
+# truth per group is a join away. Per-batch pair dedup bounds each
+# partial at the batch's distinct (type, user) pairs; ONE exchange
+# keyed by the pair co-locates every copy for exact partition-local
+# dedup, and the per-group fold is an output-sized groupby-sum.
+# ---------------------------------------------------------------------------
+
+def exact_distinct_by_type(sf_dir: str) -> pa.Table:
+    """(idx = fnv(event_type) % 2^40, value = exact distinct users)."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"gkey": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        u, inv = np.unique(types, return_inverse=True)
+        gh = (_fnv_words(u) % np.uint64(_TYPE_MOD)).astype(np.int64)
+        g = gh[inv]
+        uid = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((uid, g))
+        g, uid = g[order], uid[order]
+        new = np.empty(g.size, dtype=bool)
+        new[0] = True
+        new[1:] = (g[1:] != g[:-1]) | (uid[1:] != uid[:-1])
+        return pa.table({"gkey": pa.array(g[new], pa.int64()),
+                         "user_id": pa.array(uid[new], pa.int64())})
+
+    def count_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.int64())})
+        g = tbl["gkey"].to_numpy(zero_copy_only=False)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, g))
+        g, uid = g[order], uid[order]
+        new = np.empty(g.size, dtype=bool)
+        new[0] = True
+        new[1:] = (g[1:] != g[:-1]) | (uid[1:] != uid[:-1])
+        g = g[new]
+        gnew = np.empty(g.size, dtype=bool)
+        gnew[0] = True
+        gnew[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(gnew)
+        counts = np.diff(np.append(starts, g.size))
+        return pa.table({"idx": pa.array(g[gnew], pa.int64()),
+                         "value": pa.array(counts.astype(np.int64),
+                                           pa.int64())})
+
+    parts = ds.map_batches(pair_partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = exchange_by_key(parts, ["gkey", "user_id"], count_partition)
+    agg = out.groupby("idx").sum("value").to_pandas().sort_values("idx")
+    return pa.table({
+        "idx": pa.array(agg["idx"].to_numpy(), pa.int64()),
+        "value": pa.array(agg["sum(value)"].to_numpy(), pa.int64())})
+
+
+def exact_distinct_sql() -> str:
+    """Oracle for ``exact_distinct_by_type``."""
+    m64 = 1 << 64
+    fnv = ("list_reduce(list_prepend(14695981039346656037::HUGEINT,"
+           "[ascii(c)::HUGEINT FOR c IN string_split(event_type, '')]),"
+           "(h, b) -> (xor(h, b) * 1099511628211::HUGEINT)"
+           f" % {m64}::HUGEINT)")
+    return f"""
+SELECT CAST({fnv} % {_TYPE_MOD}::HUGEINT AS BIGINT) AS idx,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS value
+FROM events GROUP BY event_type"""

@@ -160,3 +160,30 @@ def test_hll_estimate_exact_small(ray_session):
 
     regs = pd.DataFrame({"bucket": [], "rho": []})
     assert hll_estimate_q(regs) == 0
+
+
+def test_exact_distinct_matches_duckdb(ray_session):
+    """Exact grouped count-distinct vs the COUNT(DISTINCT) oracle, and
+    the HLL estimate rows land within the standard-error envelope of
+    the exact values (the sketch actually estimates THIS quantity)."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.sketch import (HLL_P, exact_distinct_by_type,
+                                  exact_distinct_sql, hll_by_type)
+
+    got = exact_distinct_by_type(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(exact_distinct_sql()).fetchdf()
+    a = got.sort_values("idx").reset_index(drop=True)
+    b = want.sort_values("idx").reset_index(drop=True)[list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    _, est = hll_by_type(SF)
+    est = est.to_pandas().set_index("idx")["value"]
+    exact = a.set_index("idx")["value"]
+    rel = 3 * 1.04 / (1 << HLL_P) ** 0.5 + 0.15
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(rel * v, 8), (k, est[k], v)
