@@ -1493,11 +1493,12 @@ def _q_event_quantiles(sf_dir: str) -> pa.Table:
 
 
 def _q_quantile_suite(sf_dir: str) -> pa.Table:
-    """Both exact-quantile machineries — the bounded-domain histogram
-    with driver fold (corpus token counts) and the grouped in-partition
-    fold (per-type event values) — tagged under one window slot on
-    shared (key, p_label, v) columns. Individual entries remain below
-    the window, each DuckDB hash-matched."""
+    """The exact distributional-summary machineries — the
+    bounded-domain histogram with driver fold (corpus token counts),
+    the grouped in-partition quantile fold (per-type event values) and
+    the grouped integer co-moment correlation — tagged under one window
+    slot on shared (key, p_label, v) columns. Individual entries remain
+    below the window, each DuckDB hash-matched."""
     tok = _as_table(_q_token_quantiles(sf_dir))
     tok = pa.table({
         "key": pa.array([""] * tok.num_rows, pa.string()),
@@ -1507,7 +1508,22 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
     })
     ev = _as_table(_q_event_quantiles(sf_dir)).rename_columns(
         ["key", "p_label", "v"])
-    return _tagged_union([("tokens", tok), ("events", ev)])
+    co = _as_table(_q_corr_value_hour(sf_dir))
+    co = pa.table({
+        "key": co["event_type"],
+        "p_label": pa.array(["r"] * co.num_rows, pa.string()),
+        "v": co["r_q"]})
+    return _tagged_union([("tokens", tok), ("events", ev),
+                          ("corr", co)])
+
+
+def _q_corr_value_hour(sf_dir: str) -> pa.Table:
+    """Grouped Pearson correlation (value cents x hour-of-day per
+    event_type): integer co-moment partials -> one exchange -> three
+    quantized float ops per output row — DuckDB hash-matched."""
+    from rayse.ops.corr import corr_value_hour
+
+    return corr_value_hour(sf_dir)
 
 
 def _q_pack_sequences(sf_dir: str):
@@ -1771,6 +1787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangle_counts,
         "kn_bigram_nll": _q_kn_bigram_nll,
         "exact_distinct": _q_exact_distinct,
+        "corr_value_hour": _q_corr_value_hour,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -1972,6 +1989,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).kn_bigram_nll_sql(),
         "exact_distinct": __import__(
             "rayse.ops.sketch", fromlist=["x"]).exact_distinct_sql(),
+        "corr_value_hour": __import__(
+            "rayse.ops.corr", fromlist=["x"]).CORR_VALUE_HOUR_SQL,
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(
@@ -2275,7 +2294,10 @@ def oracle_sql() -> dict[str, str]:
                  fromlist=["x"]).token_count_quantiles_sql()),
             ("events", "event_type AS key, p_label, vq AS v",
              __import__("rayse.ops.quantiles",
-                        fromlist=["x"]).EVENT_QUANTILES_SQL)]),
+                        fromlist=["x"]).EVENT_QUANTILES_SQL),
+            ("corr", "event_type AS key, 'r' AS p_label, r_q AS v",
+             __import__("rayse.ops.corr",
+                        fromlist=["x"]).CORR_VALUE_HOUR_SQL)]),
         "media_byte_features": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_byte_features_sql(),

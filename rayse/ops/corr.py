@@ -1,0 +1,157 @@
+"""Grouped Pearson correlation over the events log.
+
+Per event_type, the correlation between the (quantized) event value and
+its hour-of-day — the co-moment aggregation every telemetry/EDA
+pipeline wants (is the metric diurnal?), in ONE streaming pass.
+
+Exactness contract: everything before the final ratio is integer —
+per-batch partials carry (n, Σx, Σy, Σx², Σy², Σxy) per type, one
+type-keyed exchange folds them, and the driver (output-sized: one row
+per type) forms num = n·Σxy − Σx·Σy, d1 = n·Σx² − (Σx)², d2 = n·Σy² −
+(Σy)² in PYTHON ints (unbounded, mirroring DuckDB HUGEINT), then
+quantizes with exactly three float ops — float(num) / sqrt(float(d1·d2))
+· 1e9, floored — the same op sequence the oracle runs, so the result is
+bit-exact.  x uses cents (1e2) rather than the 1e6 micro scale so the
+int64 partial sums hold to ~1e12 events per type; beyond that the
+partials themselves would need HUGEINT-style splitting (documented
+bound, same class as the rollup micro sums).
+
+Reference relationship: extends the A12 stats family to second-moment
+statistics.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+X_SCALE = 100               # cents: keeps Σx² in int64 to ~1e12 rows
+US_PER_HOUR = 3_600_000_000
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("event_type", pa.string()), ("thash", pa.uint64()),
+    ("n", pa.int64()), ("sx", pa.int64()), ("sy", pa.int64()),
+    ("sxx", pa.int64()), ("syy", pa.int64()), ("sxy", pa.int64()),
+])
+
+
+def _corr_partial_batch(batch: pa.Table) -> pa.Table:
+    """events batch -> one co-moment partial row per event_type."""
+    import pyarrow.compute as pc
+
+    from .textstats import _word_arr_slices, fnv64_slices
+
+    if batch.num_rows == 0:
+        return pa.table({n: [] for n in _PARTIAL_SCHEMA.names},
+                        schema=_PARTIAL_SCHEMA)
+    etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    x = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                 * float(X_SCALE)).astype(np.int64)
+    y = (ts // US_PER_HOUR) % 24
+    th = fnv64_slices(*_word_arr_slices(etype))
+    order = np.argsort(th, kind="stable")
+    t_s, e_s, x_s, y_s = th[order], etype[order], x[order], y[order]
+    new = np.empty(t_s.size, dtype=bool)
+    new[0] = True
+    new[1:] = t_s[1:] != t_s[:-1]
+    starts = np.flatnonzero(new)
+
+    def seg_sum(v: np.ndarray) -> np.ndarray:
+        return np.add.reduceat(v, starts)
+
+    return pa.table({
+        "event_type": pa.array(e_s[new].tolist(), pa.string()),
+        "thash": pa.array(t_s[new], pa.uint64()),
+        "n": pa.array(np.diff(np.append(starts, t_s.size))
+                      .astype(np.int64), pa.int64()),
+        "sx": pa.array(seg_sum(x_s), pa.int64()),
+        "sy": pa.array(seg_sum(y_s), pa.int64()),
+        "sxx": pa.array(seg_sum(x_s * x_s), pa.int64()),
+        "syy": pa.array(seg_sum(y_s * y_s), pa.int64()),
+        "sxy": pa.array(seg_sum(x_s * y_s), pa.int64()),
+    })
+
+
+def _corr_fold_partition(tbl: pa.Table) -> pa.Table:
+    """Fold this partition's per-type partials (string-keyed grouping;
+    the hash only routes)."""
+    if tbl.num_rows == 0:
+        return pa.table({n: [] for n in _PARTIAL_SCHEMA.names},
+                        schema=_PARTIAL_SCHEMA)
+    etype = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    order = np.argsort(etype, kind="stable")
+    cols = {c: tbl[c].to_numpy(zero_copy_only=False)[order]
+            for c in ("thash", "n", "sx", "sy", "sxx", "syy", "sxy")}
+    e_s = etype[order]
+    new = np.empty(e_s.size, dtype=bool)
+    new[0] = True
+    new[1:] = e_s[1:] != e_s[:-1]
+    starts = np.flatnonzero(new)
+    out = {"event_type": pa.array(e_s[new].tolist(), pa.string()),
+           "thash": pa.array(cols["thash"][new], pa.uint64())}
+    for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+        out[c] = pa.array(np.add.reduceat(cols[c], starts), pa.int64())
+    return pa.table(out)
+
+
+def corr_value_hour(sf_dir: str) -> pa.Table:
+    """(event_type, r_q): Pearson correlation of (value cents,
+    hour-of-day) per type, quantized at 1e9."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    partials = ds.map_batches(_corr_partial_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    folded = exchange_by_key(partials, "thash", _corr_fold_partition)
+    rows = pa.concat_tables(
+        [t for t in ray.get(folded.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    out_t, out_r = [], []
+    for i in range(rows.num_rows):
+        n = rows["n"][i].as_py()
+        sx, sy = rows["sx"][i].as_py(), rows["sy"][i].as_py()
+        sxx, syy = rows["sxx"][i].as_py(), rows["syy"][i].as_py()
+        sxy = rows["sxy"][i].as_py()
+        num = n * sxy - sx * sy                       # python ints: exact
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 == 0 or d2 == 0:
+            continue
+        r_q = math.floor(float(num) / math.sqrt(float(d1 * d2)) * 1e9)
+        out_t.append(rows["event_type"][i].as_py())
+        out_r.append(r_q)
+    order = np.argsort(np.asarray(out_t, dtype=object), kind="stable")
+    return pa.table({
+        "event_type": pa.array(
+            np.asarray(out_t, dtype=object)[order].tolist(), pa.string()),
+        "r_q": pa.array(np.asarray(out_r, np.int64)[order], pa.int64()),
+    })
+
+
+CORR_VALUE_HOUR_SQL = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * CAST({X_SCALE} AS DOUBLE)) AS BIGINT) AS x,
+         (epoch_us(ts) // {US_PER_HOUR}) % 24 AS y
+  FROM events),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM v GROUP BY event_type)
+SELECT event_type,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST((n * sxx - sx * sx)
+                              * (n * syy - sy * sy) AS DOUBLE))
+                  * 1000000000::DOUBLE) AS BIGINT) AS r_q
+FROM s
+WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0"""

@@ -1,0 +1,41 @@
+"""Grouped Pearson correlation vs the HUGEINT co-moment oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_corr_value_hour_matches_duckdb(ray_session):
+    from rayse.ops.corr import CORR_VALUE_HOUR_SQL, corr_value_hour
+
+    got = corr_value_hour(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(CORR_VALUE_HOUR_SQL).fetchdf()
+    a = got.sort_values("event_type").reset_index(drop=True)
+    b = want.sort_values("event_type").reset_index(drop=True)[list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    # correlations are in [-1, 1] at the 1e9 scale
+    assert (a["r_q"].abs() <= 1_000_000_000).all()
+
+
+def test_corr_value_hour_brute_force(ray_session):
+    """Against numpy corrcoef within quantization tolerance."""
+    import pyarrow.parquet as pq
+
+    from rayse.ops.corr import US_PER_HOUR, X_SCALE, corr_value_hour
+
+    got = corr_value_hour(SF).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["x"] = np.floor(ev["value"].to_numpy() * float(X_SCALE))
+    ts = ev["ts"].astype("int64").to_numpy()
+    ev["y"] = (ts // US_PER_HOUR) % 24
+    for et, g in ev.groupby("event_type"):
+        r = np.corrcoef(g["x"].to_numpy(), g["y"].to_numpy())[0, 1]
+        assert abs(got.loc[et, "r_q"] / 1e9 - r) < 1e-6, et
