@@ -1493,11 +1493,12 @@ def _q_event_quantiles(sf_dir: str) -> pa.Table:
 
 
 def _q_quantile_suite(sf_dir: str) -> pa.Table:
-    """The exact distributional-summary machineries — the
-    bounded-domain histogram with driver fold (corpus token counts),
-    the grouped in-partition quantile fold (per-type event values) and
-    the grouped integer co-moment correlation — tagged under one window
-    slot on shared (key, p_label, v) columns. Individual entries remain
+    """The scalar summary-statistics machineries — the bounded-domain
+    histogram with driver fold (corpus token counts), the grouped
+    in-partition quantile fold (per-type event values), the grouped
+    integer co-moment correlation, and the integer rank-eval metrics
+    (DCG/IDCG/MRR) — tagged under one window slot on shared (key,
+    p_label, v) columns. Individual entries remain
     below the window, each DuckDB hash-matched."""
     tok = _as_table(_q_token_quantiles(sf_dir))
     tok = pa.table({
@@ -1513,8 +1514,26 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
         "key": co["event_type"],
         "p_label": pa.array(["r"] * co.num_rows, pa.string()),
         "v": co["r_q"]})
+    re = _as_table(_q_rank_eval(sf_dir))
+    rparts = []
+    for m in ("dcg_q", "idcg_q", "first_rel_rank", "mrr_q"):
+        rparts.append(pa.table({
+            "key": re["query"],
+            "p_label": pa.array([m] * re.num_rows, pa.string()),
+            "v": re[m]}))
     return _tagged_union([("tokens", tok), ("events", ev),
-                          ("corr", co)])
+                          ("corr", co),
+                          ("rankeval", pa.concat_tables(rparts))])
+
+
+def _q_rank_eval(sf_dir: str) -> pa.Table:
+    """Offline rank evaluation (Lucene rank-eval analog): integer
+    DCG/IDCG via a precomputed discount table + MRR of the whitespace
+    engine against Porter-derived graded judgments — DuckDB
+    hash-matched against both composed retrieval oracles."""
+    from rayse.ops.rankeval import rank_eval
+
+    return rank_eval(_index_for(sf_dir), _ws_index_for(sf_dir))
 
 
 def _q_corr_value_hour(sf_dir: str) -> pa.Table:
@@ -1788,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigram_nll": _q_kn_bigram_nll,
         "exact_distinct": _q_exact_distinct,
         "corr_value_hour": _q_corr_value_hour,
+        "rank_eval": _q_rank_eval,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -1991,6 +2011,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.sketch", fromlist=["x"]).exact_distinct_sql(),
         "corr_value_hour": __import__(
             "rayse.ops.corr", fromlist=["x"]).CORR_VALUE_HOUR_SQL,
+        "rank_eval": __import__(
+            "rayse.ops.rankeval", fromlist=["x"]).rank_eval_sql(),
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(
@@ -2297,7 +2319,13 @@ def oracle_sql() -> dict[str, str]:
                         fromlist=["x"]).EVENT_QUANTILES_SQL),
             ("corr", "event_type AS key, 'r' AS p_label, r_q AS v",
              __import__("rayse.ops.corr",
-                        fromlist=["x"]).CORR_VALUE_HOUR_SQL)]),
+                        fromlist=["x"]).CORR_VALUE_HOUR_SQL)]
+            + [("rankeval",
+                f"query AS key, '{m}' AS p_label, {m} AS v",
+                __import__("rayse.ops.rankeval",
+                           fromlist=["x"]).rank_eval_sql())
+               for m in ("dcg_q", "idcg_q", "first_rel_rank",
+                         "mrr_q")]),
         "media_byte_features": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_byte_features_sql(),

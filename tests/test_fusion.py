@@ -64,3 +64,30 @@ def test_rrf_fuses_both_systems(both_indexes):
     single_max = RRF_SCALE // (RRF_K + 1)
     assert (t["score_q"] > single_max).any()
     assert (t["score_q"] <= 2 * single_max).all()
+
+
+def test_rank_eval_matches_duckdb(both_indexes, con):
+    """DCG/IDCG/MRR integers vs the composed-oracle + discount-table
+    SQL; sanity: dcg <= idcg, idcg equals the full-judgment ideal when
+    all judged docs exist, and mrr is the reciprocal of the first hit."""
+    from rayse.ops.rankeval import (DISCOUNTS, MRR_SCALE, REL_TOP,
+                                    rank_eval, rank_eval_sql)
+
+    pdir, wdir = both_indexes
+    got = rank_eval(pdir, wdir)
+    want = con.execute(rank_eval_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query"])
+    df = got.to_pandas()
+    assert (df.dcg_q <= df.idcg_q).all()
+    full_ideal = sum((REL_TOP - i) * DISCOUNTS[i + 1]
+                     for i in range(REL_TOP))
+    assert (df.idcg_q == full_ideal).all()
+    for _, r in df.iterrows():
+        if r.first_rel_rank > 0:
+            assert r.mrr_q == MRR_SCALE // r.first_rel_rank
+        else:
+            assert r.mrr_q == 0
+    # the two engines must actually disagree somewhere (dcg < idcg for
+    # at least one query), else the eval is vacuous
+    assert (df.dcg_q < df.idcg_q).any()
