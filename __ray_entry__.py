@@ -1496,8 +1496,9 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
     """The scalar summary-statistics machineries — the bounded-domain
     histogram with driver fold (corpus token counts), the grouped
     in-partition quantile fold (per-type event values), the grouped
-    integer co-moment correlation, and the integer rank-eval metrics
-    (DCG/IDCG/MRR) — tagged under one window slot on shared (key,
+    integer co-moment correlation, the row-level z-score
+    standardization, and the integer rank-eval metrics (DCG/IDCG/MRR)
+    — tagged under one window slot on shared (key,
     p_label, v) columns. Individual entries remain
     below the window, each DuckDB hash-matched."""
     tok = _as_table(_q_token_quantiles(sf_dir))
@@ -1521,9 +1522,24 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
             "key": re["query"],
             "p_label": pa.array([m] * re.num_rows, pa.string()),
             "v": re[m]}))
+    zs = _as_table(_q_value_zscores(sf_dir))
+    zs = pa.table({
+        "key": pc.cast(zs["event_id"], pa.string()),
+        "p_label": pa.array(["z"] * zs.num_rows, pa.string()),
+        "v": zs["z_q"]})
     return _tagged_union([("tokens", tok), ("events", ev),
                           ("corr", co),
-                          ("rankeval", pa.concat_tables(rparts))])
+                          ("rankeval", pa.concat_tables(rparts)),
+                          ("zscore", zs)])
+
+
+def _q_value_zscores(sf_dir: str) -> pa.Table:
+    """Row-level per-type z-score standardization (two-pass co-moment
+    aggregate broadcast back to rows; int64 numerator, one sqrt per
+    type) — DuckDB hash-matched."""
+    from rayse.ops.corr import value_zscores
+
+    return value_zscores(sf_dir)
 
 
 def _q_rank_eval(sf_dir: str) -> pa.Table:
@@ -1808,6 +1824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct": _q_exact_distinct,
         "corr_value_hour": _q_corr_value_hour,
         "rank_eval": _q_rank_eval,
+        "value_zscores": _q_value_zscores,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2013,6 +2030,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.corr", fromlist=["x"]).CORR_VALUE_HOUR_SQL,
         "rank_eval": __import__(
             "rayse.ops.rankeval", fromlist=["x"]).rank_eval_sql(),
+        "value_zscores": __import__(
+            "rayse.ops.corr", fromlist=["x"]).VALUE_ZSCORES_SQL,
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(
@@ -2325,7 +2344,12 @@ def oracle_sql() -> dict[str, str]:
                 __import__("rayse.ops.rankeval",
                            fromlist=["x"]).rank_eval_sql())
                for m in ("dcg_q", "idcg_q", "first_rel_rank",
-                         "mrr_q")]),
+                         "mrr_q")]
+            + [("zscore",
+                "CAST(event_id AS VARCHAR) AS key, 'z' AS p_label, "
+                "z_q AS v",
+                __import__("rayse.ops.corr",
+                           fromlist=["x"]).VALUE_ZSCORES_SQL)]),
         "media_byte_features": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_byte_features_sql(),

@@ -155,3 +155,94 @@ SELECT event_type,
                   * 1000000000::DOUBLE) AS BIGINT) AS r_q
 FROM s
 WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0"""
+
+
+# ---------------------------------------------------------------------------
+# Row-level z-score standardization — the outlier-flagging / feature-
+# normalization primitive: z = (x - mean)/sd per event_type, computed
+# as the algebraically-cancelled (n·x − Σx) / sqrt(n·Σx² − (Σx)²) so
+# the numerator stays int64 row-local and the denominator is ONE
+# python-int → float sqrt per TYPE (broadcast back to rows — the
+# classic two-pass aggregate-then-standardize shape).
+# ---------------------------------------------------------------------------
+
+Z_SCALE = 1_000_000_000
+
+
+def value_zscores(sf_dir: str):
+    """(event_id, z_q): quantized z-score of the event's value (cents)
+    within its event_type."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds0 = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "ts", "value"])
+    partials = ds0.map_batches(_corr_partial_batch,
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+    folded = exchange_by_key(partials, "thash", _corr_fold_partition)
+    rows = pa.concat_tables(
+        [t for t in ray.get(folded.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    stats = {}
+    for i in range(rows.num_rows):
+        n = rows["n"][i].as_py()
+        sx = rows["sx"][i].as_py()
+        sxx = rows["sxx"][i].as_py()
+        d = n * sxx - sx * sx                  # python ints: exact
+        if d <= 0:
+            continue
+        stats[rows["event_type"][i].as_py()] = (
+            n, sx, float(d) ** 0.5)
+    ref = ray.put(stats)
+
+    def z_batch(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "z_q": pa.array([], pa.int64())})
+        etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        x = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * float(X_SCALE)).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(etype, return_inverse=True)
+        # per-UNIQUE-type lookups (types per batch are few; rows are not)
+        n_u = np.asarray([st[t][0] if t in st else 0
+                          for t in u.tolist()], np.int64)
+        sx_u = np.asarray([st[t][1] if t in st else 0
+                           for t in u.tolist()], np.int64)
+        sd_u = np.asarray([st[t][2] if t in st else 1.0
+                           for t in u.tolist()], np.float64)
+        keep = (n_u > 0)[inv]
+        num = n_u[inv] * x - sx_u[inv]
+        z = np.floor(num.astype(np.float64) / sd_u[inv]
+                     * float(Z_SCALE)).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(eid[keep], pa.int64()),
+            "z_q": pa.array(z[keep], pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return ds.map_batches(z_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+VALUE_ZSCORES_SQL = f"""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * CAST({X_SCALE} AS DOUBLE)) AS BIGINT) AS x
+  FROM events),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(x * x) AS HUGEINT) AS sxx
+  FROM v GROUP BY event_type)
+SELECT v.event_id,
+       CAST(floor(CAST(s.n * v.x - s.sx AS DOUBLE)
+                  / sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))
+                  * {Z_SCALE}::DOUBLE) AS BIGINT) AS z_q
+FROM v JOIN s USING (event_type)
+WHERE s.n * s.sxx - s.sx * s.sx > 0"""

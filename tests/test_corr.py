@@ -39,3 +39,23 @@ def test_corr_value_hour_brute_force(ray_session):
     for et, g in ev.groupby("event_type"):
         r = np.corrcoef(g["x"].to_numpy(), g["y"].to_numpy())[0, 1]
         assert abs(got.loc[et, "r_q"] / 1e9 - r) < 1e-6, et
+
+
+def test_value_zscores_match_duckdb(ray_session):
+    """Row-level z-scores vs the HUGEINT two-pass oracle; per type the
+    z population has ~zero mean and values beyond |3| are rare."""
+    from rayse.ops.corr import VALUE_ZSCORES_SQL, value_zscores
+
+    got = value_zscores(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(VALUE_ZSCORES_SQL).fetchdf()
+    a = got.sort_values("event_id").reset_index(drop=True)
+    b = want.sort_values("event_id").reset_index(drop=True)[list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    z = a["z_q"].to_numpy() / 1e9
+    assert abs(z.mean()) < 0.1
+    assert (np.abs(z) > 3).mean() < 0.1
