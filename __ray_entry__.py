@@ -974,7 +974,8 @@ def _q_porter_rank_matrix(sf_dir: str) -> pa.Table:
     suffix-wildcard / minimum-should-match / fuzzy-edit1 /
     delete-compacted / segment-merged / more-like-this /
     conversation-collapse / lnc.ltc TF-IDF / Dirichlet and
-    Jelinek-Mercer query likelihood / retrieve-rerank) as one
+    Jelinek-Mercer query likelihood / Ranker1 weighted blend /
+    retrieve-rerank) as one
     variant-tagged table — every path DuckDB hash-matched in one
     driver window slot. The individual entries
     remain below the 50-query window for direct use and are each pinned
@@ -1189,6 +1190,17 @@ def _q_bigram_nll(sf_dir: str):
     from rayse.ops.textstats import bigram_nll
 
     return bigram_nll(sf_dir)
+
+
+def _q_porter_ranker1_topk(sf_dir: str) -> pa.Table:
+    """The reference's Ranker1 combined ranking (max-normalized
+    0.70/0.20/0.10 relevance/pagerank/density blend with the
+    programming-query weight shift; linkless corpus -> uniform
+    pagerank term) — DuckDB hash-matched; also a ``porter_rank_matrix``
+    arm inside the driver window."""
+    from rayse.ops.porter_oracle import porter_ranker1_topk
+
+    return porter_ranker1_topk(_index_for(sf_dir))
 
 
 def _q_porter_lmdir_topk(sf_dir: str) -> pa.Table:
@@ -1735,7 +1747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window covers every
     DISTINCT oracle-backed machinery exactly once. Same-shape variant
     families are hash-checked through single variant-tagged suite
-    entries: ``porter_rank_matrix`` (27 ranked Porter engine paths),
+    entries: ``porter_rank_matrix`` (28 ranked Porter engine paths),
     ``ws_rank_matrix`` (5 ranked whitespace-index paths + the hybrid
     RRF fusion arm), ``ann_exact_suite`` (3 exact ANN paths),
     ``phrase_matches_suite`` / ``term_stats_suite`` (both analyzers),
@@ -1874,6 +1886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": _q_props_extract,
         "porter_prefix_topk": _q_porter_prefix_topk,
         "porter_lmdir_topk": _q_porter_lmdir_topk,
+        "porter_ranker1_topk": _q_porter_ranker1_topk,
         "porter_lmjm_topk": _q_porter_lmjm_topk,
         "porter_fuzzy_topk": _q_porter_fuzzy_topk,
         "porter_sloppy_topk": _q_porter_sloppy_topk,
@@ -2181,6 +2194,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_prefix_sql(),
         "porter_lmdir_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_lmdir_sql(),
+        "porter_ranker1_topk": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_ranker1_sql(),
         "porter_lmjm_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_lmjm_sql(),
         "porter_fuzzy_topk": __import__(

@@ -1449,6 +1449,8 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_lmdir_sql(k=k)),
         ("lmjm", lambda: porter_lmjm_topk(d, k=k),
          porter_lmjm_sql(k=k)),
+        ("ranker1", lambda: porter_ranker1_topk(d, k=k),
+         porter_ranker1_sql(k=k)),
         ("rerank", lambda: porter_rerank_topk(d, k=k),
          porter_rerank_sql(k=k)),
     ]
@@ -2794,4 +2796,131 @@ ranked AS (
                             ORDER BY c.cf DESC, c.term) AS rn
   FROM pat p JOIN cf c ON regexp_full_match(c.term, p.pattern))
 SELECT pattern, CAST(rn AS INTEGER) AS rank, term, cf
+FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Ranker1 combined ranking — the reference's "ranker core"
+# (`Ranker1.java:770-829` calculateFinalRank): per-signal
+# max-normalization, then the weighted blend 0.70·relevance +
+# 0.20·pagerank + 0.10·density, with the programming-query shift
+# (relevance+0.05, density+0.05, pagerank−0.10,
+# `Ranker1.java:806-821`).  Relevance is the A9 per-term
+# (tf/dl)·log10(N/df) sum; density is `calculateTermDensityScore`
+# (`Ranker1.java:666-697`): (Σtf_searchterms / dl)·100 with the 1.2×
+# bonus above 5% density.  Transcripts carry no link graph, so
+# PageRank is the UNIFORM vector a linkless corpus produces
+# (`Ranker1.java:699-748` on an empty adjacency) — max-normalized it
+# contributes the constant weight, faithfully.  Divergence note: the
+# shifted weights are taken as exact decimal literals (0.75/0.1/0.15)
+# rather than re-deriving 0.10+0.05 in binary floating point.
+# ---------------------------------------------------------------------------
+
+RANKER1_PROG_STEMS = {"spark", "vector", "stream"}   # getTermRelevance>1.5
+RANKER1_WEIGHTS = ("0.7", "0.2", "0.1")
+RANKER1_PROG_WEIGHTS = ("0.75", "0.1", "0.15")
+_R1_EPS = "0.000001"                                  # max guard
+
+
+def _ranker1_weights(terms) -> tuple[str, str, str]:
+    prog = any(t in RANKER1_PROG_STEMS for t in terms)
+    return RANKER1_PROG_WEIGHTS if prog else RANKER1_WEIGHTS
+
+
+def porter_ranker1_topk(index_dir: str, queries: list[str] | None = None,
+                        k: int = 10) -> pa.Table:
+    """Max-normalized weighted blend of relevance/pagerank/density,
+    quantized ranking with (conv_id, turn_idx) tie-breaks."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, _ = _porter_reader(index_dir)
+    n = float(reader.n_docs)
+
+    def _search(q: str, kk: int):
+        terms = sorted(set(_analyzed(q)))
+        per = []
+        for t in terms:
+            pl = reader.merged(t)
+            if pl is None or pl.doc_ids.size == 0:
+                continue
+            per.append((float(reader.df(t)), pl))
+        if not per:
+            return (np.array([], dtype=np.uint64),
+                    np.array([], dtype=np.float64))
+        docs = np.unique(np.concatenate([pl.doc_ids for _, pl in per]))
+        dlv = np.zeros(docs.size, np.float64)
+        dli = np.zeros(docs.size, np.int64)
+        for _, pl in per:
+            j = np.searchsorted(docs, pl.doc_ids)
+            dlv[j] = pl.dls.astype(np.float64)
+            dli[j] = pl.dls.astype(np.int64)
+        rel = np.zeros(docs.size, np.float64)
+        tfsum = np.zeros(docs.size, np.int64)
+        for df_, pl in per:
+            tf = np.zeros(docs.size, np.float64)
+            j = np.searchsorted(docs, pl.doc_ids)
+            tf[j] = pl.tfs.astype(np.float64)
+            rel += (tf / dlv) * np.log10(n / df_)
+            tfsum[j] += pl.tfs.astype(np.int64)
+        dens = tfsum.astype(np.float64) / dlv * 100.0
+        dens = np.where(20 * tfsum > dli, dens * 1.2, dens)
+        wr_s, wp_s, wd_s = _ranker1_weights(terms)
+        wr, wp, wd = float(wr_s), float(wp_s), float(wd_s)
+        mr = max(float(rel.max()), float(_R1_EPS))
+        md = max(float(dens.max()), float(_R1_EPS))
+        score = wr * (rel / mr) + wp * 1.0 + wd * (dens / md)
+        if docs.size > kk:
+            cut = np.argpartition(-score, kk - 1)[:kk]
+            docs, score = docs[cut], score[cut]
+        return docs, score
+
+    return _quantized_search_rows(_search, index_dir, queries, k)
+
+
+def porter_ranker1_sql(queries: list[str] | None = None,
+                       k: int = 10) -> str:
+    """Oracle for ``porter_ranker1_topk``: A9 relevance + density CTEs,
+    per-query max-normalization windows, literal per-query weights."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in sorted(set(_analyzed(q))))
+    wvals = ", ".join(
+        "('{}', {}::DOUBLE, {}::DOUBLE, {}::DOUBLE)".format(
+            q, *_ranker1_weights(sorted(set(_analyzed(q)))))
+        for q in queries)
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+qw(query, wr, wp, wd) AS (VALUES {wvals}),
+base AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((tf.tf / dl.dl) * log10(s.n / df.df)) AS rel,
+         CAST(sum(tf.tf) AS BIGINT) AS tfsum,
+         CAST(min(dl.dl) AS BIGINT) AS dl
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+dens AS (
+  SELECT *, (CAST(tfsum AS DOUBLE) / dl) * 100.0
+            * (CASE WHEN 20 * tfsum > dl
+                    THEN 1.2::DOUBLE ELSE 1.0::DOUBLE END) AS dns
+  FROM base),
+mx AS (
+  SELECT query, greatest(max(rel), {_R1_EPS}::DOUBLE) AS mr,
+         greatest(max(dns), {_R1_EPS}::DOUBLE) AS md
+  FROM dens GROUP BY query),
+blended AS (
+  SELECT d.query, d.conv_id, d.turn_idx,
+         qw.wr * (d.rel / mx.mr) + qw.wp * 1.0
+           + qw.wd * (d.dns / mx.md) AS score
+  FROM dens d JOIN mx USING (query) JOIN qw USING (query)),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM blended),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""

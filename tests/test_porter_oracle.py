@@ -770,3 +770,22 @@ def test_porter_regex_terms_matches_duckdb(porter_index, con):
     alt = set(df[df.pattern == "(hash|join)"].term)
     assert alt == {"hash", "join"}
     assert all(len(t) > 3 for t in df[df.pattern == "gro.+"].term)
+
+
+def test_porter_ranker1_matches_duckdb(porter_index, con):
+    """Ranker1 combined ranking vs the normalization-window oracle;
+    the programming-query weight shift must fire for 'spark' (weights
+    0.75/0.1/0.15) and the blend must differ from plain BM25."""
+    from rayse.ops.porter_oracle import (RANKER1_PROG_STEMS,
+                                         porter_bm25_topk,
+                                         porter_ranker1_sql,
+                                         porter_ranker1_topk)
+
+    got = porter_ranker1_topk(porter_index)
+    want = con.execute(porter_ranker1_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    assert "spark" in RANKER1_PROG_STEMS
+    plain = porter_bm25_topk(porter_index).to_pandas()
+    cols = ["query", "rank", "conv_id", "turn_idx"]
+    assert not got.to_pandas()[cols].equals(plain[cols])
