@@ -1545,6 +1545,16 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
                           ("zscore", zs)])
 
 
+def _q_query_analysis(sf_dir: str) -> pa.Table:
+    """/api/query-analysis (+ voice-search delegate) endpoint analog:
+    the M7/M8 parse as a table — kind, operator, analyzed phrase
+    sides, deduped stemmed terms — DuckDB hash-matched against a SQL
+    re-derivation of the parse (QueryController.java:171-202)."""
+    from rayse.ops.porter_oracle import query_analysis
+
+    return query_analysis()
+
+
 def _q_value_zscores(sf_dir: str) -> pa.Table:
     """Row-level per-type z-score standardization (two-pass co-moment
     aggregate broadcast back to rows; int64 numerator, one sqrt per
@@ -1837,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_value_hour": _q_corr_value_hour,
         "rank_eval": _q_rank_eval,
         "value_zscores": _q_value_zscores,
+        "query_analysis": _q_query_analysis,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2045,6 +2056,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.rankeval", fromlist=["x"]).rank_eval_sql(),
         "value_zscores": __import__(
             "rayse.ops.corr", fromlist=["x"]).VALUE_ZSCORES_SQL,
+        "query_analysis": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).query_analysis_sql(),
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(

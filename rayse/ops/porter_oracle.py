@@ -2924,3 +2924,132 @@ ranked AS (
   FROM quant)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Query-analysis endpoint analog (`QueryController.java:171-187`
+# /api/query-analysis, and /api/voice-search which delegates to it):
+# expose the M7/M8 parse — kind / operator / analyzed phrase sides /
+# stemmed deduped terms — as a table. The oracle RE-DERIVES the parse
+# in SQL from the raw query strings (regex op detection, quoted-phrase
+# extraction, per-token map built from the production per-token
+# decision), so the parser's routing rules are themselves
+# hash-checked, not just echoed.
+# ---------------------------------------------------------------------------
+
+QA_QUERIES = [
+    "table scan",                           # regular
+    '"table scan"',                         # full phrase
+    '"table scan" AND "hash join"',         # boolean
+    '"window agg" or "merge sort"',         # lower-case op normalization
+    "the us war table scan",                # whitelist + stopword drop
+    'scan "hash" table scan',               # stray quotes + dedup
+]
+
+
+def _qa_token_map() -> list[tuple[str, str]]:
+    """(token, stem) rows for every token QA_QUERIES can produce that
+    the parser KEEPS — computed from the production per-token rule."""
+    from ..analyzer import tokenize
+    from ..query.parser import IMPORTANT_TERMS, STOPWORDS, porter_stem
+
+    toks: set[str] = set()
+    for q in QA_QUERIES:
+        toks.update(tokenize(q.replace('"', ' ').replace(" AND ", " ")
+                             .replace(" or ", " ")))
+    out = []
+    for t in sorted(toks):
+        if t in IMPORTANT_TERMS:
+            out.append((t, porter_stem(t)))
+        elif len(t) <= 1 or t in STOPWORDS:
+            continue
+        else:
+            out.append((t, porter_stem(t)))
+    return out
+
+
+def query_analysis(queries: list[str] | None = None) -> pa.Table:
+    """(query, kind, op, phrases, stemmed) — the /api/query-analysis
+    response shape; phrases = analyzed left|right (boolean) or the
+    analyzed phrase, stemmed = deduped analyzed terms (regular)."""
+    from ..query.parser import parse_query
+
+    queries = queries if queries is not None else QA_QUERIES
+    rows = {c: [] for c in ("query", "kind", "op", "phrases", "stemmed")}
+    for q in queries:
+        p = parse_query(q)
+        rows["query"].append(q)
+        rows["kind"].append(p.kind)
+        rows["op"].append(p.op)
+        if p.kind == "boolean":
+            rows["phrases"].append(
+                " ".join(p.left) + "|" + " ".join(p.right))
+            rows["stemmed"].append("")
+        elif p.kind == "phrase":
+            rows["phrases"].append(" ".join(p.phrase))
+            rows["stemmed"].append("")
+        else:
+            rows["phrases"].append("")
+            rows["stemmed"].append(" ".join(p.terms))
+    return pa.table({c: pa.array(v, pa.string())
+                     for c, v in rows.items()})
+
+
+def query_analysis_sql(queries: list[str] | None = None) -> str:
+    """Oracle: regex parse + token-map joins re-deriving the analysis
+    entirely in SQL."""
+    queries = queries if queries is not None else QA_QUERIES
+    qvals = ", ".join("('{}')".format(q.replace("'", "''"))
+                      for q in queries)
+    mvals = ", ".join(f"('{w}', '{s}')" for w, s in _qa_token_map())
+    return f"""
+WITH qa(query) AS (VALUES {qvals}),
+qmap(word, stem) AS (VALUES {mvals}),
+parsed AS (
+  SELECT query, trim(query) AS tq,
+         upper(regexp_extract(trim(query),
+               '\\s+(?i)(and|or|not)\\s+', 1)) AS op,
+         regexp_extract_all(trim(query), '"([^"]*)"', 1) AS ph
+  FROM qa),
+kinds AS (
+  SELECT *, CASE WHEN op <> '' AND len(ph) >= 2 THEN 'boolean'
+                 WHEN len(ph) = 1 AND tq LIKE '"%' AND tq LIKE '%"'
+                   THEN 'phrase'
+                 ELSE 'regular' END AS kind
+  FROM parsed),
+srcs AS (
+  SELECT k.query, k.kind, k.op, s.si,
+         CASE WHEN k.kind = 'regular'
+                THEN string_split_regex(
+                  trim(replace(k.tq, '"', ' ')), '\\s+')
+              WHEN k.kind = 'boolean' AND s.si = 2
+                THEN string_split_regex(k.ph[2], '\\s+')
+              ELSE string_split_regex(k.ph[1], '\\s+') END AS lst
+  FROM kinds k
+  JOIN (VALUES (1), (2)) s(si)
+    ON s.si <= CASE WHEN k.kind = 'boolean' THEN 2 ELSE 1 END),
+flat AS (
+  SELECT q.query, q.kind, q.op, q.si, CAST(u.i AS BIGINT) AS j,
+         q.lst[CAST(u.i AS INTEGER) + 1] AS tok
+  FROM srcs q, UNNEST(range(len(q.lst))) u(i)),
+mapped AS (
+  SELECT f.*, m.stem FROM flat f JOIN qmap m ON m.word = f.tok),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY query, si, stem
+                               ORDER BY j) AS rn
+  FROM mapped),
+kept AS (SELECT * FROM dedup WHERE kind <> 'regular' OR rn = 1),
+aggd AS (
+  SELECT query, kind, si, string_agg(stem, ' ' ORDER BY j) AS s
+  FROM kept GROUP BY 1, 2, 3)
+SELECT k.query, k.kind,
+       CASE WHEN k.kind = 'boolean' THEN k.op ELSE '' END AS op,
+       CASE WHEN k.kind = 'boolean'
+              THEN COALESCE(a1.s, '') || '|' || COALESCE(a2.s, '')
+            WHEN k.kind = 'phrase' THEN COALESCE(a1.s, '')
+            ELSE '' END AS phrases,
+       CASE WHEN k.kind = 'regular' THEN COALESCE(a1.s, '')
+            ELSE '' END AS stemmed
+FROM kinds k
+LEFT JOIN aggd a1 ON a1.query = k.query AND a1.si = 1
+LEFT JOIN aggd a2 ON a2.query = k.query AND a2.si = 2"""

@@ -789,3 +789,22 @@ def test_porter_ranker1_matches_duckdb(porter_index, con):
     plain = porter_bm25_topk(porter_index).to_pandas()
     cols = ["query", "rank", "conv_id", "turn_idx"]
     assert not got.to_pandas()[cols].equals(plain[cols])
+
+
+def test_query_analysis_matches_duckdb(con):
+    """Parser surface vs the SQL re-derivation; all three kinds appear,
+    the lower-case operator normalizes, the whitelist keeps 'us', and
+    regular-kind dedup drops the repeated 'scan'."""
+    from rayse.ops.porter_oracle import query_analysis, query_analysis_sql
+
+    got = query_analysis().to_pandas()
+    want = con.execute(query_analysis_sql()).fetchdf()
+    _cmp(query_analysis(), want, ["query"])
+    kinds = set(got.kind)
+    assert kinds == {"regular", "phrase", "boolean"}
+    low = got[got["query"] == '"window agg" or "merge sort"'].iloc[0]
+    assert low.op == "OR"
+    wl = got[got["query"] == "the us war table scan"].iloc[0]
+    assert "us" in wl.stemmed.split() and "the" not in wl.stemmed.split()
+    dd = got[got["query"] == 'scan "hash" table scan'].iloc[0]
+    assert dd.stemmed.split().count("scan") == 1
