@@ -986,7 +986,7 @@ def _q_porter_rank_matrix(sf_dir: str) -> pa.Table:
 
 
 def _q_ann_exact_suite(sf_dir: str) -> pa.Table:
-    """The three exact ANN paths (brute-force / full-probe IVF / zero-bit
+    """The exact/own-oracle ANN paths (brute-force / full-probe IVF / zero-bit
     LSH) tagged and unioned — three machineries hash-checked against the
     brute-force oracle in one window slot."""
     from rayse.ops.similarity import ann_exact_suite
@@ -1545,6 +1545,15 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
                           ("zscore", zs)])
 
 
+def _q_ann_sq_topk(sf_dir: str):
+    """Int8 scalar-quantized ANN (faiss ScalarQuantizer idea): global
+    max-|component| scale, int8 codes, pure-integer code dot ranking —
+    DuckDB hash-matched; also an ``ann_exact_suite`` arm in-window."""
+    from rayse.ops.similarity import ann_sq_topk
+
+    return ann_sq_topk(sf_dir, n_queries=5, k=10)
+
+
 def _q_query_analysis(sf_dir: str) -> pa.Table:
     """/api/query-analysis (+ voice-search delegate) endpoint analog:
     the M7/M8 parse as a table — kind, operator, analyzed phrase
@@ -1848,6 +1857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval": _q_rank_eval,
         "value_zscores": _q_value_zscores,
         "query_analysis": _q_query_analysis,
+        "ann_sq_topk": _q_ann_sq_topk,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2059,6 +2069,8 @@ def oracle_sql() -> dict[str, str]:
         "query_analysis": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).query_analysis_sql(),
+        "ann_sq_topk": __import__(
+            "rayse.ops.similarity", fromlist=["x"]).ann_sq_sql(),
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(

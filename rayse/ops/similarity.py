@@ -443,12 +443,14 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
 
 def ann_exact_suite(sf_dir: str, n_queries: int = 5,
                     k: int = 10) -> pa.Table:
-    """The four exact ANN paths as one tagged table (one driver window
-    slot, four machineries hash-checked): brute-force cosine, IVF at full
-    probe (n_probe == n_lists scans every list -> exact), LSH at zero
-    hash bits (single all-candidates bucket -> exact), and PQ with
-    distinct-subvector codebooks (lossless codes -> ADC == exact cosine).
-    All four must equal the brute-force DuckDB oracle."""
+    """The exact/own-oracle ANN paths as one tagged table (one driver
+    window slot): brute-force cosine, IVF at full probe (n_probe ==
+    n_lists scans every list -> exact), LSH at zero hash bits (single
+    all-candidates bucket -> exact), PQ with distinct-subvector
+    codebooks (lossless codes -> ADC == exact cosine) — all four equal
+    the brute-force DuckDB oracle — plus int8 scalar quantization,
+    hash-checked against its OWN integer-dot oracle (SQ is lossy by
+    design; its contract is exactness of the quantized ranking)."""
     parts = []
     for method, tbl in (
             ("brute", ann_topk(sf_dir, n_queries, k)),
@@ -456,7 +458,8 @@ def ann_exact_suite(sf_dir: str, n_queries: int = 5,
                                       n_lists=16, n_probe=16)),
             ("lsh_zero", ann_lsh_topk(sf_dir, n_queries, k,
                                       n_tables=1, n_bits=0)),
-            ("pq_full", ann_pq_topk(sf_dir, n_queries, k, exact=True))):
+            ("pq_full", ann_pq_topk(sf_dir, n_queries, k, exact=True)),
+            ("sq_int8", ann_sq_topk(sf_dir, n_queries, k))):
         parts.append(pa.table({
             "method": pa.array([method] * tbl.num_rows, pa.string()),
             "q_id": tbl["q_id"],
@@ -486,7 +489,12 @@ SELECT m.method, r.q_id, CAST(r.rank AS INTEGER) AS rank, r.vec_id
 FROM ranked r
 CROSS JOIN (VALUES ('brute'), ('ivf_full'), ('lsh_zero'), ('pq_full'))
   m(method)
-WHERE r.rank <= {k}"""
+WHERE r.rank <= {k}
+UNION ALL
+SELECT 'sq_int8' AS method, q_id, rank, vec_id
+FROM (
+{ann_sq_sql(n_queries, k)}
+)"""
 
 
 # ---------------------------------------------------------------------------
@@ -735,3 +743,134 @@ removed AS (
         >= {threshold})
 SELECT asn.vec_id, asn.cluster FROM asn
 WHERE asn.vec_id NOT IN (SELECT vec_id FROM removed)"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) ANN — the SQ compression family next to PQ:
+# every component maps to an int8 code floor(x / s * 127) under ONE
+# global scale s = max |component| (4x memory-bandwidth reduction, the
+# faiss ScalarQuantizer idea), and similarity is the PURE-INTEGER code
+# dot product — so past the two deterministic float ops per component
+# (divide, multiply; identical order in numpy-f64 and DuckDB-DOUBLE)
+# the whole ranking is int64 and the oracle matches bit-for-bit.
+#
+# Scale shape: s is a distributed max partial; codes are row-local;
+# scoring is the ann_topk pattern (broadcast query codes, per-batch
+# int matmul partial top-k, output-sized merge).
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 127.0
+
+
+def _sq_scale(sf_dir: str) -> float:
+    """Global max-|component| via per-batch partials (one float per
+    batch to the driver)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def mx(batch: pa.Table) -> pa.Table:
+        m = _mat_from_list(batch["embedding"])
+        v = float(np.abs(m.astype(np.float64)).max()) if m.size else 0.0
+        return pa.table({"m": pa.array([v], pa.float64())})
+
+    return float(ds.map_batches(mx, batch_format="pyarrow",
+                                zero_copy_batch=True).max("m"))
+
+
+def _sq_encode(mat: np.ndarray, s: float) -> np.ndarray:
+    return np.floor(mat.astype(np.float64) / s * SQ_LEVELS).astype(
+        np.int64)
+
+
+def ann_sq_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
+    """(q_id, rank, vec_id, dot_q): top-k by int8-code dot product, ties
+    broken by ascending vec_id."""
+    import ray
+    import ray.data as rd
+
+    s = _sq_scale(sf_dir)
+    sel = _smallest_vec_ids(sf_dir, n_queries)
+    qt = _rows_for_ids(sf_dir, sel)
+    q_ids = _ids_from(qt["vec_id"])
+    q_codes = _sq_encode(_mat_from_list(qt["embedding"]), s)
+    q_ref = ray.put(q_codes)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qc = ray.get(q_ref)
+        empty = pa.table({"qi": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "dot_q": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ids = _ids_from(batch["vec_id"])
+        codes = _sq_encode(_mat_from_list(batch["embedding"]), s)
+        dots = codes @ qc.T                          # int64 matmul
+        out_qi, out_id, out_d = [], [], []
+        for qi in range(qc.shape[0]):
+            d = dots[:, qi]
+            take = min(k, d.size)
+            cut = np.argpartition(-d, take - 1)[:take] if d.size > take \
+                else np.arange(d.size)
+            out_qi.append(np.full(cut.size, qi, np.int64))
+            out_id.append(ids[cut])
+            out_d.append(d[cut])
+        return pa.table({
+            "qi": pa.array(np.concatenate(out_qi), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "dot_q": pa.array(np.concatenate(out_d), pa.int64())})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    out = {c: [] for c in ("q_id", "rank", "vec_id", "dot_q")}
+    for qi in range(q_ids.size):
+        g = parts[parts["qi"] == qi]
+        order = np.lexsort((g["vec_id"].to_numpy(),
+                            -g["dot_q"].to_numpy()))[:k]
+        for r, j in enumerate(order, 1):
+            out["q_id"].append(int(q_ids[qi]))
+            out["rank"].append(r)
+            out["vec_id"].append(int(g["vec_id"].iloc[j]))
+            out["dot_q"].append(int(g["dot_q"].iloc[j]))
+    return pa.table({
+        "q_id": pa.array(out["q_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "dot_q": pa.array(out["dot_q"], pa.int64()),
+    })
+
+
+def ann_sq_sql(n_queries: int = 5, k: int = 10) -> str:
+    """Oracle for ``ann_sq_topk``: the same scale/encode expressions in
+    DOUBLE, integer dot product via the position join."""
+    return f"""
+WITH mx AS (
+  SELECT max(list_aggregate(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))), 'max')) AS s
+  FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / mx.s * {SQ_LEVELS!r})
+                     AS BIGINT)) AS c
+  FROM embeddings CROSS JOIN mx),
+q AS (SELECT vec_id AS q_id, c AS qc FROM codes
+      ORDER BY vec_id LIMIT {n_queries}),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(list_dot_product(
+           list_transform(q.qc, x -> CAST(x AS DOUBLE)),
+           list_transform(e.c, x -> CAST(x AS DOUBLE))) AS BIGINT)
+           AS dot_q
+  FROM q CROSS JOIN codes e),
+ranked AS (
+  SELECT q_id, vec_id, dot_q,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot_q DESC, vec_id) AS rank
+  FROM scored)
+SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, dot_q
+FROM ranked WHERE rank <= {k}"""

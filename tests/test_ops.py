@@ -1053,3 +1053,30 @@ def test_pack_clean_corpus_matches_duckdb(ray_session):
     raw = pack_sequences(sf).to_pandas()
     assert got["n_toks"].sum() < raw["n_toks"].sum()
     assert set(got["doc_id"]) < set(raw["doc_id"])
+
+
+def test_ann_sq_matches_duckdb(ray_session):
+    """Int8 SQ ranking vs the integer-dot oracle; the quantized ranking
+    must stay close to brute-force (recall@10 >= 0.8 on sf0.001)."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.similarity import ann_sq_sql, ann_sq_topk, ann_topk
+
+    got = ann_sq_topk(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    want = con.execute(ann_sq_sql()).fetchdf()
+    a = got.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    b = want.sort_values(["q_id", "rank"]).reset_index(drop=True)[
+        list(a.columns)].astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    brute = ann_topk(SF).to_pandas()
+    hits = tot = 0
+    for q in a.q_id.unique():
+        s1 = set(a[a.q_id == q].vec_id)
+        s2 = set(brute[brute.q_id == q].vec_id)
+        hits += len(s1 & s2)
+        tot += len(s2)
+    assert hits / tot >= 0.8
