@@ -1545,6 +1545,16 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
                           ("zscore", zs)])
 
 
+def _q_porter_explain(sf_dir: str) -> pa.Table:
+    """Score explanation (Lucene explain analog): per-term BM25
+    contribution breakdown of each query's top docs — DuckDB
+    hash-matched (the scoring machinery itself is in-window via the
+    rank matrix's bm25 arm)."""
+    from rayse.ops.porter_oracle import porter_explain
+
+    return porter_explain(_index_for(sf_dir))
+
+
 def _q_ann_sq_topk(sf_dir: str):
     """Int8 scalar-quantized ANN (faiss ScalarQuantizer idea): global
     max-|component| scale, int8 codes, pure-integer code dot ranking —
@@ -1858,6 +1868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscores": _q_value_zscores,
         "query_analysis": _q_query_analysis,
         "ann_sq_topk": _q_ann_sq_topk,
+        "porter_explain": _q_porter_explain,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2071,6 +2082,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).query_analysis_sql(),
         "ann_sq_topk": __import__(
             "rayse.ops.similarity", fromlist=["x"]).ann_sq_sql(),
+        "porter_explain": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_explain_sql(),
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(

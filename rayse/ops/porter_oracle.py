@@ -3053,3 +3053,99 @@ SELECT k.query, k.kind,
 FROM kinds k
 LEFT JOIN aggd a1 ON a1.query = k.query AND a1.si = 1
 LEFT JOIN aggd a2 ON a2.query = k.query AND a2.si = 2"""
+
+
+# ---------------------------------------------------------------------------
+# Score explanation (Lucene IndexSearcher.explain analog): for each
+# query's top-EXPLAIN_TOP BM25 documents, the per-term contribution
+# breakdown — idf and saturated-tf factors multiplied in the engine's
+# exact literal order, each term's contribution quantized
+# independently. The transparency surface every search team debugs
+# ranking with; rows (query, rank, conv_id, turn_idx, term, tf, dl,
+# contrib_q).
+# ---------------------------------------------------------------------------
+
+EXPLAIN_TOP = 3
+
+
+def porter_explain(index_dir: str, queries: list[str] | None = None,
+                   top: int = EXPLAIN_TOP) -> pa.Table:
+    """Per-term BM25 contributions of each query's top ``top`` docs."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, params = _porter_reader(index_dir)
+    n = float(reader.n_docs)
+    avgdl = float(reader.avgdl)
+    ranked = porter_bm25_topk(index_dir, queries=queries, k=top)
+    # conv_id -> doc_id resolution: recompute doc ids from the ranked
+    # conv/turn pairs via the same pure-function id assignment
+    from ..stages.doc_ids import TURN_BITS, conv_hash
+
+    out = {c: [] for c in ("query", "rank", "conv_id", "turn_idx",
+                           "term", "tf", "dl", "contrib_q")}
+    rd = ranked.to_pandas()
+    for _, row in rd.iterrows():
+        q, r = row["query"], int(row["rank"])
+        conv, turn = row["conv_id"], int(row["turn_idx"])
+        doc = np.uint64((conv_hash(conv) << TURN_BITS) | turn)
+        for t in sorted(set(_analyzed(q))):
+            pl = reader.merged(t)
+            if pl is None or pl.doc_ids.size == 0:
+                continue
+            j = int(np.searchsorted(pl.doc_ids, doc))
+            if j >= pl.doc_ids.size or pl.doc_ids[j] != doc:
+                continue
+            tf = float(pl.tfs[j])
+            dl = float(pl.dls[j])
+            df = float(reader.df(t))
+            idf = np.log((1.0 + n) / (1.0 + df)) + 1.0
+            contrib = idf * (tf * (params.k1 + 1.0)
+                             / (tf + params.k1
+                                * (1.0 - params.b
+                                   + params.b * (dl / avgdl))))
+            out["query"].append(q)
+            out["rank"].append(r)
+            out["conv_id"].append(conv)
+            out["turn_idx"].append(turn)
+            out["term"].append(t)
+            out["tf"].append(int(pl.tfs[j]))
+            out["dl"].append(int(pl.dls[j]))
+            out["contrib_q"].append(int(np.floor(contrib * 1e7)))
+    return pa.table({
+        "query": pa.array(out["query"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "conv_id": pa.array(out["conv_id"], pa.string()),
+        "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+        "term": pa.array(out["term"], pa.string()),
+        "tf": pa.array(out["tf"], pa.int64()),
+        "dl": pa.array(out["dl"], pa.int64()),
+        "contrib_q": pa.array(out["contrib_q"], pa.int64()),
+    })
+
+
+def porter_explain_sql(queries: list[str] | None = None,
+                       top: int = EXPLAIN_TOP) -> str:
+    """Oracle for ``porter_explain``: the bm25 oracle's top rows joined
+    back to the per-term factors with the identical expression."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in sorted(set(_analyzed(q))))
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+topd AS (
+  SELECT query, rank, conv_id, turn_idx
+  FROM (
+{porter_bm25_sql(queries=queries, k=top)}
+  ))
+SELECT t.query, t.rank, t.conv_id, t.turn_idx, qt.term,
+       CAST(tf.tf AS BIGINT) AS tf, CAST(dl.dl AS BIGINT) AS dl,
+       CAST(floor((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+                  * (tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))))
+                  * 10000000) AS BIGINT) AS contrib_q
+FROM topd t
+JOIN qt ON qt.query = t.query
+JOIN tf ON tf.term = qt.term AND tf.conv_id = t.conv_id
+       AND tf.turn_idx = t.turn_idx
+JOIN df ON df.term = qt.term
+JOIN dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
+CROSS JOIN stats s"""

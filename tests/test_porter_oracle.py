@@ -808,3 +808,24 @@ def test_query_analysis_matches_duckdb(con):
     assert "us" in wl.stemmed.split() and "the" not in wl.stemmed.split()
     dd = got[got["query"] == 'scan "hash" table scan'].iloc[0]
     assert dd.stemmed.split().count("scan") == 1
+
+
+def test_porter_explain_matches_duckdb(porter_index, con):
+    """Per-term BM25 explain rows vs the joined-factors oracle; each
+    explained doc's contributions must sum back to (within quantization
+    slack of) its bm25 score."""
+    from rayse.ops.porter_oracle import (porter_bm25_topk, porter_explain,
+                                         porter_explain_sql)
+
+    got = porter_explain(porter_index)
+    want = con.execute(porter_explain_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank", "term"])
+    df = got.to_pandas()
+    top = porter_bm25_topk(porter_index, k=3).to_pandas()
+    merged = df.groupby(["query", "rank"])["contrib_q"].sum().reset_index()
+    j = merged.merge(top, on=["query", "rank"])
+    # sum of independently-quantized contributions within n_terms ulps
+    nterms = df.groupby(["query", "rank"]).size().reset_index(name="m")
+    j = j.merge(nterms, on=["query", "rank"])
+    assert ((j["contrib_q"] - j["score_q"]).abs() <= j["m"]).all()
