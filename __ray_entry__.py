@@ -1545,6 +1545,15 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
                           ("zscore", zs)])
 
 
+def _q_token_count_pct(sf_dir: str):
+    """Row-level token-count percentile rank (pure-integer contract:
+    below * 1e9 // N via the bounded-domain histogram broadcast) —
+    DuckDB hash-matched."""
+    from rayse.ops.textstats import token_count_pct
+
+    return token_count_pct(sf_dir)
+
+
 def _q_porter_explain(sf_dir: str) -> pa.Table:
     """Score explanation (Lucene explain analog): per-term BM25
     contribution breakdown of each query's top docs — DuckDB
@@ -1869,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_analysis": _q_query_analysis,
         "ann_sq_topk": _q_ann_sq_topk,
         "porter_explain": _q_porter_explain,
+        "token_count_pct": _q_token_count_pct,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2085,6 +2095,8 @@ def oracle_sql() -> dict[str, str]:
         "porter_explain": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_explain_sql(),
+        "token_count_pct": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).TOKEN_COUNT_PCT_SQL,
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(

@@ -1841,3 +1841,65 @@ s AS (SELECT bg.doc_id, CAST(sum(q.q) AS BIGINT) AS s,
 SELECT w.doc_id,
        CAST(coalesce((-s.s) // (100 * s.nb), 0) AS BIGINT) AS knll_q
 FROM w LEFT JOIN s USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# Row-level token-count percentile rank — the length-based curriculum /
+# filtering signal as a PURE-INTEGER contract: pct_q = (# docs with a
+# strictly smaller count) * 1e9 // N.  Same bounded-domain histogram as
+# token_count_quantiles (domain-sized driver state), broadcast back to
+# a row-local map.
+# ---------------------------------------------------------------------------
+
+PCT_SCALE = 1_000_000_000
+
+
+def token_count_pct(sf_dir: str):
+    """(doc_id, n_tokens, pct_q) for every document."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(batch["text"], " "), 1)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    withn = ds.map_batches(counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    hist = withn.groupby("n_tokens").count().to_pandas()   # domain-sized
+    hist = hist.sort_values("n_tokens")
+    vals = hist["n_tokens"].to_numpy().astype(np.int64)
+    c = hist["count()"].to_numpy().astype(np.int64)
+    below = np.concatenate(([0], np.cumsum(c)[:-1]))
+    total = int(c.sum())
+    ref = ray.put((vals, below))
+
+    def pct(batch: pa.Table) -> pa.Table:
+        v, b = ray.get(ref)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        j = np.searchsorted(v, n)
+        pq = b[j] * PCT_SCALE // total
+        return batch.append_column("pct_q", pa.array(pq, pa.int64()))
+
+    return withn.map_batches(pct, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+TOKEN_COUNT_PCT_SQL = f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+h AS (SELECT n_tokens, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY n_tokens),
+cum AS (SELECT n_tokens,
+               CAST(sum(c) OVER (ORDER BY n_tokens) - c AS BIGINT)
+                 AS below
+        FROM h),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+SELECT t.doc_id, t.n_tokens,
+       CAST(cum.below * {PCT_SCALE} // nn.n AS BIGINT) AS pct_q
+FROM t JOIN cum USING (n_tokens) CROSS JOIN nn"""
