@@ -42,3 +42,22 @@ def test_shuffle_order_matches_duckdb(ray_session):
     df = got.sort_values("doc_id").reset_index(drop=True)
     assert not (df["rank"].to_numpy() == df["doc_id"].to_numpy() + 1).all()
     assert not df["rank"].is_monotonic_increasing
+
+
+def test_curriculum_order_blocksize_invariant(ray_session):
+    """Histogram offsets + exchange ranks are batch-boundary
+    independent."""
+    from ray.data.context import DataContext
+
+    from rayse.ops.curriculum import curriculum_order
+
+    a = curriculum_order(SF).to_pandas().sort_values("doc_id")
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        b = curriculum_order(SF).to_pandas().sort_values("doc_id")
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))

@@ -53,3 +53,22 @@ def test_event_quantiles_rank_rule(ray_session):
             have = int(got[(got.event_type == et)
                            & (got.p_label == lab)].vq.iloc[0])
             assert have == want, (et, lab)
+
+
+def test_event_quantiles_blocksize_invariant(ray_session):
+    """Histogram partials fold identically across batch boundaries."""
+    from ray.data.context import DataContext
+
+    from rayse.ops.quantiles import event_quantiles
+
+    keys = ["event_type", "p_label"]
+    a = event_quantiles(SF).to_pandas().sort_values(keys)
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        b = event_quantiles(SF).to_pandas().sort_values(keys)
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))

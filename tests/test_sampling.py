@@ -191,3 +191,22 @@ def test_subsample_frequent_matches_duckdb(ray_session):
             assert cout[w] == n, w
         else:
             assert cout[w] <= n
+
+
+def test_subsample_frequent_blocksize_invariant(ray_session):
+    """Hot-map thresholds and per-occurrence hashes are batch-boundary
+    independent."""
+    from ray.data.context import DataContext
+
+    from rayse.ops.sampling import subsample_frequent
+
+    a = subsample_frequent(SF).to_pandas().sort_values("doc_id")
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        b = subsample_frequent(SF).to_pandas().sort_values("doc_id")
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))

@@ -60,3 +60,22 @@ def test_triangle_counts_brute_force(ray_session):
     for v in nodes:
         assert got.loc[v, "n_tri"] == tri[v], v
         assert got.loc[v, "deg"] == len(adj[v]), v
+
+
+def test_triangle_counts_blocksize_invariant(ray_session):
+    """Edge canonicalization + wedge exchanges are batch-boundary
+    independent."""
+    from ray.data.context import DataContext
+
+    from rayse.ops.triangles import triangle_counts
+
+    a = triangle_counts(SF).to_pandas().sort_values("node")
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        b = triangle_counts(SF).to_pandas().sort_values("node")
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
