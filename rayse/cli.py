@@ -182,6 +182,36 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """/api/query-analysis analog: print the parsed query as JSON."""
+    from .query.parser import parse_query
+
+    p = parse_query(args.query)
+    print(json.dumps({
+        "originalQuery": p.raw,
+        "kind": p.kind,
+        "operator": p.op,
+        "phrases": ([" ".join(p.left), " ".join(p.right)]
+                    if p.kind == "boolean"
+                    else ([" ".join(p.phrase)] if p.kind == "phrase"
+                          else [])),
+        "stemmedWords": list(p.terms),
+    }))
+    return 0
+
+
+def cmd_explain(args) -> int:
+    """Lucene-explain analog: per-term BM25 contribution breakdown of
+    the query's top documents."""
+    from .ops.porter_oracle import porter_explain
+
+    _ray_init()
+    t = porter_explain(args.index, queries=[args.query], top=args.top)
+    for row in t.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayse")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -295,6 +325,20 @@ def main(argv=None) -> int:
     dd.add_argument("--out", required=True)
     dd.add_argument("--threshold", type=float, default=0.5)
     dd.set_defaults(fn=cmd_dedup)
+
+    an = sub.add_parser("analyze",
+                        help="parse a query (query-analysis endpoint "
+                             "analog): kind, operator, phrases, stems")
+    an.add_argument("--query", required=True)
+    an.set_defaults(fn=cmd_analyze)
+
+    xp = sub.add_parser("explain",
+                        help="per-term BM25 score breakdown of the "
+                             "query's top documents")
+    xp.add_argument("--index", required=True)
+    xp.add_argument("--query", required=True)
+    xp.add_argument("--top", type=int, default=3)
+    xp.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

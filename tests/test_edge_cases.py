@@ -120,3 +120,22 @@ def test_cli_ops_subcommands(ray_session, tmp_path, capsys):
                  "--out", str(tmp_path / "dd")]) == 0
     r4 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < r4["kept_rows"] <= 500
+
+
+def test_cli_analyze(capsys):
+    """query-analysis subcommand prints the parse as JSON."""
+    import json as _json
+
+    from rayse.cli import main
+
+    assert main(["analyze", "--query",
+                 '"table scan" AND "hash join"']) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["kind"] == "boolean" and out["operator"] == "AND"
+    assert out["phrases"] == ["tabl scan", "hash join"]
+
+    assert main(["analyze", "--query", "the us table scan"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["kind"] == "regular"
+    assert "us" in out["stemmedWords"]
+    assert "the" not in out["stemmedWords"]
