@@ -1545,6 +1545,15 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
                           ("zscore", zs)])
 
 
+def _q_cohort_overlap(sf_dir: str) -> pa.Table:
+    """Pairwise event-type audience Jaccard (segmentation overlap
+    matrix): user-keyed exchange enumerates each user's type pairs;
+    integer inter/union/jac_q — DuckDB hash-matched."""
+    from rayse.ops.funnel import cohort_overlap
+
+    return cohort_overlap(sf_dir)
+
+
 def _q_token_count_pct(sf_dir: str):
     """Row-level token-count percentile rank (pure-integer contract:
     below * 1e9 // N via the bounded-domain histogram broadcast) —
@@ -1879,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq_topk": _q_ann_sq_topk,
         "porter_explain": _q_porter_explain,
         "token_count_pct": _q_token_count_pct,
+        "cohort_overlap": _q_cohort_overlap,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2097,6 +2107,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).porter_explain_sql(),
         "token_count_pct": __import__(
             "rayse.ops.textstats", fromlist=["x"]).TOKEN_COUNT_PCT_SQL,
+        "cohort_overlap": __import__(
+            "rayse.ops.funnel", fromlist=["x"]).COHORT_OVERLAP_SQL,
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(

@@ -149,3 +149,146 @@ def funnel_counts_sql(stages: tuple[str, ...] = FUNNEL_STAGES) -> str:
         for k, s in enumerate(stages)]
     return "WITH " + ",\n".join(ctes) + "\n" \
         + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Cohort overlap — pairwise event-type audience Jaccard: for every
+# unordered pair of event types, the distinct-user intersection, union
+# and quantized Jaccard (inter * 1e9 // union — pure integers).  The
+# audience-overlap matrix behind segmentation dashboards.
+#
+# Scale shape: per-batch (user, type) pair dedup, ONE exchange keyed
+# by user co-locates each user's type set (types per user bounded by
+# type cardinality), the partition task enumerates the per-user
+# upper-triangle pairs vectorized and emits pair-count partials, and
+# the fold is output-sized (|types|^2 rows).
+# ---------------------------------------------------------------------------
+
+def cohort_overlap(sf_dir: str) -> pa.Table:
+    """(type_a, type_b, inter, union_, jac_q) for type_a < type_b."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string())})
+        if batch.num_rows == 0:
+            return empty
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        uid = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((et, uid))
+        et, uid = et[order], uid[order]
+        new = np.empty(uid.size, dtype=bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        return pa.table({
+            "user_id": pa.array(uid[new], pa.int64()),
+            "event_type": pa.array(et[new].tolist(), pa.string())})
+
+    def overlap_partition(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, uid))
+        et, uid = et[order], uid[order]
+        new = np.empty(uid.size, dtype=bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        et, uid = et[new], uid[new]
+        unew = np.empty(uid.size, dtype=bool)
+        unew[0] = True
+        unew[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(unew)
+        lens = np.diff(np.append(starts, uid.size))
+        pa_, pb_ = [], []
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            if ln < 2:
+                continue
+            # types sorted within user by the lexsort: upper triangle
+            reps = np.arange(ln - 1, 0, -1)
+            left = np.repeat(et[s:s + ln - 1], reps)
+            idx = np.arange(int(reps.sum()))
+            seg = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            off = idx - np.repeat(seg, reps)
+            right = et[s:s + ln][np.repeat(np.arange(ln - 1), reps)
+                                 + 1 + off]
+            pa_.append(left)
+            pb_.append(right)
+        # size partials from the SAME exact-deduped rows (type_b = ''
+        # sentinel): a pair may repeat across batches, so audience
+        # sizes must count post-exchange distinct rows, not raw pairs
+        su, sc = np.unique(et, return_counts=True)
+        tab = {"type_a": list(su.tolist()),
+               "type_b": [""] * su.size,
+               "c": list(sc.astype(np.int64).tolist())}
+        if pa_:
+            left = np.concatenate(pa_)
+            right = np.concatenate(pb_)
+            key = np.asarray(
+                [a + "\x00" + b
+                 for a, b in zip(left.tolist(), right.tolist())],
+                dtype=object)
+            u, c = np.unique(key, return_counts=True)
+            ab = [k.split("\x00") for k in u.tolist()]
+            tab["type_a"] += [x[0] for x in ab]
+            tab["type_b"] += [x[1] for x in ab]
+            tab["c"] += list(c.astype(np.int64).tolist())
+        return pa.table({
+            "type_a": pa.array(tab["type_a"], pa.string()),
+            "type_b": pa.array(tab["type_b"], pa.string()),
+            "c": pa.array(tab["c"], pa.int64())})
+
+    pairs = ds.map_batches(pair_partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    parts = exchange_by_key(pairs, "user_id", overlap_partition)
+    agg = parts.groupby(["type_a", "type_b"]).sum("c").to_pandas()
+    sizes = (agg[agg["type_b"] == ""]
+             .set_index("type_a")["sum(c)"])
+    inter = agg[agg["type_b"] != ""]
+    out = {c: [] for c in ("type_a", "type_b", "inter", "union_",
+                           "jac_q")}
+    inter = inter.sort_values(["type_a", "type_b"])
+    for _, r in inter.iterrows():
+        i = int(r["sum(c)"])
+        un = int(sizes[r["type_a"]]) + int(sizes[r["type_b"]]) - i
+        out["type_a"].append(r["type_a"])
+        out["type_b"].append(r["type_b"])
+        out["inter"].append(i)
+        out["union_"].append(un)
+        out["jac_q"].append(i * 1_000_000_000 // un)
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "inter": pa.array(out["inter"], pa.int64()),
+        "union_": pa.array(out["union_"], pa.int64()),
+        "jac_q": pa.array(out["jac_q"], pa.int64()),
+    })
+
+
+COHORT_OVERLAP_SQL = """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       FROM p GROUP BY event_type),
+ix AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM p a JOIN p b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT ix.type_a, ix.type_b, ix.inter,
+       CAST(sa.n + sb.n - ix.inter AS BIGINT) AS union_,
+       CAST(ix.inter * 1000000000
+            // (sa.n + sb.n - ix.inter) AS BIGINT) AS jac_q
+FROM ix
+JOIN sz sa ON sa.event_type = ix.type_a
+JOIN sz sb ON sb.event_type = ix.type_b"""

@@ -59,3 +59,26 @@ def test_funnel_strict_ordering(ray_session, tmp_path):
     assert got.loc[0, "n_users"] == 3       # all three saw a view
     assert got.loc[1, "n_users"] == 1       # only u1 clicked after view
     assert got.loc[2, "n_users"] == 1
+
+
+def test_cohort_overlap_matches_duckdb(ray_session):
+    """Pairwise audience Jaccard vs the distinct-pair self-join oracle;
+    all C(5,2)=10 unordered type pairs appear with inter <= union."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.funnel import COHORT_OVERLAP_SQL, cohort_overlap
+
+    got = cohort_overlap(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(COHORT_OVERLAP_SQL).fetchdf()
+    keys = ["type_a", "type_b"]
+    a = got.sort_values(keys).reset_index(drop=True)
+    b = want.sort_values(keys).reset_index(drop=True)[list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 10
+    assert (a["inter"] <= a["union_"]).all()
+    assert (a["type_a"] < a["type_b"]).all()
