@@ -1545,6 +1545,15 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
                           ("zscore", zs)])
 
 
+def _q_regress_value_hour(sf_dir: str) -> pa.Table:
+    """Grouped OLS regression (value cents on hour-of-day per type):
+    slope and intercept as exact rationals over the shared integer
+    co-moment fold — DuckDB hash-matched."""
+    from rayse.ops.corr import regress_value_on_hour
+
+    return regress_value_on_hour(sf_dir)
+
+
 def _q_cohort_overlap(sf_dir: str) -> pa.Table:
     """Pairwise event-type audience Jaccard (segmentation overlap
     matrix): user-keyed exchange enumerates each user's type pairs;
@@ -1889,6 +1898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_explain": _q_porter_explain,
         "token_count_pct": _q_token_count_pct,
         "cohort_overlap": _q_cohort_overlap,
+        "regress_value_hour": _q_regress_value_hour,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2109,6 +2119,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).TOKEN_COUNT_PCT_SQL,
         "cohort_overlap": __import__(
             "rayse.ops.funnel", fromlist=["x"]).COHORT_OVERLAP_SQL,
+        "regress_value_hour": __import__(
+            "rayse.ops.corr",
+            fromlist=["x"]).REGRESS_VALUE_ON_HOUR_SQL,
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(

@@ -246,3 +246,77 @@ SELECT v.event_id,
                   * {Z_SCALE}::DOUBLE) AS BIGINT) AS z_q
 FROM v JOIN s USING (event_type)
 WHERE s.n * s.sxx - s.sx * s.sx > 0"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression — value (cents) on hour-of-day per event_type:
+# slope and intercept are single exact rationals over the SAME integer
+# co-moments as the correlation (slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²),
+# intercept = (Σy·Σx² − Σx·Σxy)/(n·Σx² − (Σx)²) with x = hour,
+# y = value cents), each quantized with one float division.
+# ---------------------------------------------------------------------------
+
+def regress_value_on_hour(sf_dir: str) -> pa.Table:
+    """(event_type, slope_q, icept_q) at 1e9 scale."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    partials = ds.map_batches(_corr_partial_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    folded = exchange_by_key(partials, "thash", _corr_fold_partition)
+    rows = pa.concat_tables(
+        [t for t in ray.get(folded.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    out_t, out_s, out_i = [], [], []
+    for i in range(rows.num_rows):
+        n = rows["n"][i].as_py()
+        # x = hour (sy-family columns), y = value (sx-family columns)
+        sx_h, sy_v = rows["sy"][i].as_py(), rows["sx"][i].as_py()
+        sxx_h = rows["syy"][i].as_py()
+        sxy = rows["sxy"][i].as_py()
+        den = n * sxx_h - sx_h * sx_h
+        if den == 0:
+            continue
+        num_s = n * sxy - sx_h * sy_v
+        num_i = sy_v * sxx_h - sx_h * sxy
+        out_t.append(rows["event_type"][i].as_py())
+        out_s.append(math.floor(float(num_s) / float(den) * 1e9))
+        out_i.append(math.floor(float(num_i) / float(den) * 1e9))
+    order = np.argsort(np.asarray(out_t, dtype=object), kind="stable")
+    return pa.table({
+        "event_type": pa.array(
+            np.asarray(out_t, dtype=object)[order].tolist(), pa.string()),
+        "slope_q": pa.array(np.asarray(out_s, np.int64)[order],
+                            pa.int64()),
+        "icept_q": pa.array(np.asarray(out_i, np.int64)[order],
+                            pa.int64()),
+    })
+
+
+REGRESS_VALUE_ON_HOUR_SQL = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * CAST({X_SCALE} AS DOUBLE)) AS BIGINT) AS y,
+         (epoch_us(ts) // {US_PER_HOUR}) % 24 AS x
+  FROM events),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM v GROUP BY event_type)
+SELECT event_type,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * 1000000000::DOUBLE) AS BIGINT) AS slope_q,
+       CAST(floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * 1000000000::DOUBLE) AS BIGINT) AS icept_q
+FROM s WHERE n * sxx - sx * sx <> 0"""

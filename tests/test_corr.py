@@ -78,3 +78,34 @@ def test_token_count_pct_matches_duckdb(ray_session):
     assert a["pct_q"].min() == 0 and a["pct_q"].max() < 10**9
     s = a.sort_values(["n_tokens", "doc_id"])
     assert s["pct_q"].is_monotonic_increasing
+
+
+def test_regress_value_on_hour_matches_duckdb(ray_session):
+    """Grouped OLS vs the HUGEINT rational oracle, and against numpy
+    polyfit within quantization tolerance."""
+    import pyarrow.parquet as pq
+
+    from rayse.ops.corr import (REGRESS_VALUE_ON_HOUR_SQL, US_PER_HOUR,
+                                X_SCALE, regress_value_on_hour)
+
+    got = regress_value_on_hour(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(REGRESS_VALUE_ON_HOUR_SQL).fetchdf()
+    a = got.sort_values("event_type").reset_index(drop=True)
+    b = want.sort_values("event_type").reset_index(drop=True)[
+        list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["y"] = np.floor(ev["value"].to_numpy() * float(X_SCALE))
+    ts = ev["ts"].astype("int64").to_numpy()
+    ev["x"] = (ts // US_PER_HOUR) % 24
+    for et, g in ev.groupby("event_type"):
+        sl, ic = np.polyfit(g["x"].to_numpy(float),
+                            g["y"].to_numpy(float), 1)
+        row = a[a.event_type == et].iloc[0]
+        assert abs(row.slope_q / 1e9 - sl) < 1e-5, et
+        assert abs(row.icept_q / 1e9 - ic) < 1e-4, et
