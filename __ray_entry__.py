@@ -1509,8 +1509,8 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
     histogram with driver fold (corpus token counts), the grouped
     in-partition quantile fold (per-type event values), the grouped
     integer co-moment correlation, the row-level z-score
-    standardization, and the integer rank-eval metrics (DCG/IDCG/MRR)
-    — tagged under one window slot on shared (key,
+    standardization, the integer rank-eval metrics (DCG/IDCG/MRR), and
+    the pairwise audience-overlap matrix — tagged under one window slot on shared (key,
     p_label, v) columns. Individual entries remain
     below the window, each DuckDB hash-matched."""
     tok = _as_table(_q_token_quantiles(sf_dir))
@@ -1539,10 +1539,19 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
         "key": pc.cast(zs["event_id"], pa.string()),
         "p_label": pa.array(["z"] * zs.num_rows, pa.string()),
         "v": zs["z_q"]})
+    ch = _as_table(_q_cohort_overlap(sf_dir))
+    chkey = pc.binary_join_element_wise(ch["type_a"], ch["type_b"], "|")
+    chparts = []
+    for m in ("inter", "union_", "jac_q"):
+        chparts.append(pa.table({
+            "key": chkey,
+            "p_label": pa.array([m] * ch.num_rows, pa.string()),
+            "v": ch[m]}))
     return _tagged_union([("tokens", tok), ("events", ev),
                           ("corr", co),
                           ("rankeval", pa.concat_tables(rparts)),
-                          ("zscore", zs)])
+                          ("zscore", zs),
+                          ("cohort", pa.concat_tables(chparts))])
 
 
 def _q_regress_value_hour(sf_dir: str) -> pa.Table:
@@ -2442,7 +2451,13 @@ def oracle_sql() -> dict[str, str]:
                 "CAST(event_id AS VARCHAR) AS key, 'z' AS p_label, "
                 "z_q AS v",
                 __import__("rayse.ops.corr",
-                           fromlist=["x"]).VALUE_ZSCORES_SQL)]),
+                           fromlist=["x"]).VALUE_ZSCORES_SQL)]
+            + [("cohort",
+                f"type_a || '|' || type_b AS key, '{m}' AS p_label, "
+                f"{m} AS v",
+                __import__("rayse.ops.funnel",
+                           fromlist=["x"]).COHORT_OVERLAP_SQL)
+               for m in ("inter", "union_", "jac_q")]),
         "media_byte_features": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_byte_features_sql(),
