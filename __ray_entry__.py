@@ -1326,7 +1326,8 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
     by integer-sum order independence) — under the recursive-CTE oracle,
     plus HITS hubs & authorities (integer L1-normalized power iteration)
     under the unrolled-CTE oracle, plus per-node triangle counts and
-    degrees under the self-join oracle."""
+    degrees under the self-join oracle, plus personalized PageRank
+    (seed-restricted teleport) under its own recursive CTE."""
     from rayse.ops.graph import (hits_fixed_events, pagerank_fixed_events,
                                  pagerank_fixed_sharded_events)
 
@@ -1344,7 +1345,17 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
         ("tri_deg", _q_triangle_counts(sf_dir).select(
             ["node", "deg"]).rename_columns(["vertex", "rank_fp"])),
         ("tri_count", _q_triangle_counts(sf_dir).select(
-            ["node", "n_tri"]).rename_columns(["vertex", "rank_fp"]))])
+            ["node", "n_tri"]).rename_columns(["vertex", "rank_fp"])),
+        ("ppr", _q_ppr_fixed(sf_dir))])
+
+
+def _q_ppr_fixed(sf_dir: str) -> pa.Table:
+    """Personalized PageRank (seed-restricted teleport on the integer
+    fixed-point machinery; seeds = smallest vertex ids) — DuckDB
+    hash-matched against the seed-CASE recursive CTE."""
+    from rayse.ops.graph import ppr_fixed_events
+
+    return ppr_fixed_events(sf_dir)
 
 
 def _q_triangle_counts(sf_dir: str) -> pa.Table:
@@ -1908,6 +1919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_pct": _q_token_count_pct,
         "cohort_overlap": _q_cohort_overlap,
         "regress_value_hour": _q_regress_value_hour,
+        "ppr_fixed": _q_ppr_fixed,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2131,6 +2143,8 @@ def oracle_sql() -> dict[str, str]:
         "regress_value_hour": __import__(
             "rayse.ops.corr",
             fromlist=["x"]).REGRESS_VALUE_ON_HOUR_SQL,
+        "ppr_fixed": __import__(
+            "rayse.ops.graph", fromlist=["x"]).ppr_fixed_sql(),
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(
@@ -2530,6 +2544,8 @@ def oracle_sql() -> dict[str, str]:
             ("tri_count", "node AS vertex, n_tri AS rank_fp", __import__(
                 "rayse.ops.triangles",
                 fromlist=["x"]).TRIANGLE_COUNTS_SQL),
+            ("ppr", "vertex, rank_fp", __import__(
+                "rayse.ops.graph", fromlist=["x"]).ppr_fixed_sql()),
             ("textrank", "vertex, rank_fp", __import__(
                 "rayse.ops.textrank",
                 fromlist=["x"]).textrank_sql(final="vertex"))]),

@@ -559,3 +559,119 @@ def props_extract(sf_dir: str):
                                        pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-restricted teleport) — the recommender /
+# related-items primitive on the same integer fixed-point machinery as
+# ``pagerank_fixed``: teleport mass lands ONLY on the seed set, so
+# ranks measure proximity to the seeds.
+#
+#   rank0[v]  = scale // |S| if v in S else 0
+#   rank'[v]  = ((d_den − d_num)·link[v]) // d_den
+#               + (v ∈ S ? (d_num·scale) // (d_den·|S|) : 0)
+#
+# Deterministic seed choice: the n_seeds smallest vertex ids (SQL:
+# ORDER BY v LIMIT n). All-int64; recursive-CTE oracle bit-exact.
+# ---------------------------------------------------------------------------
+
+PPR_N_SEEDS = 3
+
+
+def ppr_fixed(edges_ds, iters: int = 20, scale: int = 10**12,
+              d_num: int = 15, d_den: int = 100,
+              n_seeds: int = PPR_N_SEEDS) -> pa.Table:
+    """(vertex, rank_fp) under seed-personalized integer PageRank."""
+    import ray
+
+    verts_tbl = edges_ds.map_batches(
+        lambda b: pa.table({"v": pa.array(
+            np.unique(np.concatenate([
+                b["src"].to_numpy(zero_copy_only=False),
+                b["dst"].to_numpy(zero_copy_only=False)])), pa.int64())}),
+        batch_format="pyarrow").groupby("v").count()
+    verts = np.sort(np.asarray([r["v"] for r in verts_tbl.take_all()],
+                               dtype=np.int64))
+    n = verts.size
+    n_seeds = min(n_seeds, n)
+    is_seed = np.zeros(n, dtype=bool)
+    is_seed[:n_seeds] = True               # verts sorted: smallest ids
+    deg_rows = edges_ds.groupby("src").count().take_all()
+    outdeg = np.ones(n, dtype=np.int64)
+    for r in deg_rows:
+        outdeg[np.searchsorted(verts, r["src"])] = r["count()"]
+
+    rank = np.where(is_seed, scale // n_seeds, 0).astype(np.int64)
+    teleport = np.where(
+        is_seed, (d_num * scale) // (d_den * n_seeds), 0).astype(np.int64)
+    for _ in range(iters):
+        ref = ray.put((verts, rank, outdeg))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vs, rk, od = ray.get(ref)
+            src = np.searchsorted(vs, batch["src"].to_numpy(
+                zero_copy_only=False))
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            w = rk[src] // od[src]
+            uniq, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(sums, inv, w)
+            return pa.table({"dst": pa.array(uniq, pa.int64()),
+                             "contrib": pa.array(sums, pa.int64())})
+
+        agg = (edges_ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+               .groupby("dst").sum("contrib").take_all())
+        link = np.zeros(n, dtype=np.int64)
+        for r in agg:
+            link[np.searchsorted(verts, r["dst"])] = r["sum(contrib)"]
+        rank = ((d_den - d_num) * link) // d_den + teleport
+    return pa.table({"vertex": pa.array(verts, pa.int64()),
+                     "rank_fp": pa.array(rank, pa.int64())})
+
+
+def ppr_fixed_events(sf_dir: str, iters: int = 20) -> pa.Table:
+    return ppr_fixed(derived_edges(sf_dir), iters=iters)
+
+
+def ppr_fixed_sql(iters: int = 20, scale: int = 10**12,
+                  d_num: int = 15, d_den: int = 100,
+                  n_seeds: int = PPR_N_SEEDS,
+                  vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    """Oracle for ``ppr_fixed_events``: the seed-restricted recursion as
+    a recursive CTE, seeds = the n smallest vertices."""
+    return f"""
+WITH RECURSIVE
+edges AS (SELECT user_id AS src,
+                 CAST(json_extract(props, '$.k') AS BIGINT)
+                   % {vertex_space} AS dst
+          FROM events),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM edges UNION SELECT dst FROM edges)),
+seeds AS (SELECT v FROM verts ORDER BY v LIMIT {n_seeds}),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges
+        GROUP BY src),
+pr(iter, v, r) AS (
+  SELECT 0, v,
+         CASE WHEN v IN (SELECT v FROM seeds)
+              THEN {scale} // (SELECT n FROM ns) ELSE 0 END
+  FROM verts
+  UNION ALL
+  SELECT p.iter + 1, x.v,
+         (({d_den - d_num}) * x.link) // {d_den}
+         + CASE WHEN x.v IN (SELECT v FROM seeds)
+                THEN ({d_num} * {scale})
+                     // ({d_den} * (SELECT n FROM ns))
+                ELSE 0 END
+  FROM (
+    SELECT vv.v, coalesce(sum(pp.r // d.od), 0) AS link
+    FROM verts vv
+    LEFT JOIN edges e ON e.dst = vv.v
+    LEFT JOIN pr pp ON pp.v = e.src
+    LEFT JOIN deg d ON d.src = e.src
+    GROUP BY vv.v) x
+  JOIN (SELECT max(iter) AS iter FROM pr) p ON TRUE
+  WHERE p.iter < {iters})
+SELECT v AS vertex, CAST(r AS BIGINT) AS rank_fp
+FROM pr WHERE iter = {iters} ORDER BY vertex"""

@@ -79,3 +79,26 @@ def test_triangle_counts_blocksize_invariant(ray_session):
         ctx.target_max_block_size = old
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_ppr_fixed_matches_duckdb(ray_session):
+    """Personalized PageRank vs the seed-CASE recursive CTE; seed
+    vertices hold most of the mass and every non-seed with no inbound
+    path from a seed scores 0."""
+    import duckdb
+
+    from rayse.ops.graph import PPR_N_SEEDS, ppr_fixed_events, ppr_fixed_sql
+
+    got = ppr_fixed_events(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(ppr_fixed_sql()).fetchdf()
+    a = got.sort_values("vertex").reset_index(drop=True)
+    b = want.sort_values("vertex").reset_index(drop=True)[list(a.columns)]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    seeds = a.head(PPR_N_SEEDS)
+    rest = a.iloc[PPR_N_SEEDS:]
+    assert seeds["rank_fp"].sum() > rest["rank_fp"].sum()
+    assert (a["rank_fp"] >= 0).all()
