@@ -1565,6 +1565,15 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
                           ("cohort", pa.concat_tables(chparts))])
 
 
+def _q_profile_events(sf_dir: str) -> pa.Table:
+    """Dataset profiling (per-column n / nulls / exact distinct /
+    min-max in long form): count partials + a value-keyed exchange for
+    distincts — DuckDB hash-matched."""
+    from rayse.ops.profile import profile_events
+
+    return profile_events(sf_dir)
+
+
 def _q_regress_value_hour(sf_dir: str) -> pa.Table:
     """Grouped OLS regression (value cents on hour-of-day per type):
     slope and intercept as exact rationals over the shared integer
@@ -1920,6 +1929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_overlap": _q_cohort_overlap,
         "regress_value_hour": _q_regress_value_hour,
         "ppr_fixed": _q_ppr_fixed,
+        "profile_events": _q_profile_events,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2145,6 +2155,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).REGRESS_VALUE_ON_HOUR_SQL,
         "ppr_fixed": __import__(
             "rayse.ops.graph", fromlist=["x"]).ppr_fixed_sql(),
+        "profile_events": __import__(
+            "rayse.ops.profile", fromlist=["x"]).profile_events_sql(),
         "revenue_by_region": __import__(
             "rayse.ops.relational", fromlist=["x"]).REVENUE_BY_REGION_SQL,
         "customers_without_premium": __import__(
