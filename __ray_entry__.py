@@ -1515,15 +1515,38 @@ def _q_event_quantiles(sf_dir: str) -> pa.Table:
     return event_quantiles(sf_dir)
 
 
+def _q_gram_matrix(sf_dir: str) -> pa.Table:
+    """Distributed integer Gram (scatter) matrix of the embeddings: d x d
+    int64 partials per batch, one bounded d^2-key groupby-sum — DuckDB
+    hash-matched (exact integer arithmetic)."""
+    from rayse.ops.linalg import gram_matrix
+
+    return gram_matrix(sf_dir)
+
+
+def _q_pca_project(sf_dir: str) -> pa.Table:
+    """Top-principal-direction projection: Gram pass + fixed-point power
+    iteration on the d x d (driver, exact ints) + broadcast-eigenvector
+    projection pass — hash-matched against a HUGEINT recursive-CTE
+    mirror of the same iteration."""
+    from rayse.ops.linalg import pca_project
+
+    return pca_project(sf_dir)
+
+
 def _q_quantile_suite(sf_dir: str) -> pa.Table:
     """The scalar summary-statistics machineries — the bounded-domain
     histogram with driver fold (corpus token counts), the grouped
     in-partition quantile fold (per-type event values), the grouped
     integer co-moment correlation, the row-level z-score
-    standardization, the integer rank-eval metrics (DCG/IDCG/MRR), and
-    the pairwise audience-overlap matrix — tagged under one window slot on shared (key,
-    p_label, v) columns. Individual entries remain
-    below the window, each DuckDB hash-matched."""
+    standardization, the integer rank-eval metrics (DCG/IDCG/MRR),
+    the pairwise audience-overlap matrix, the grouped OLS regression
+    (shared co-moment fold), the per-column dataset profile, the
+    bounded-domain percentile ranks, the per-term BM25 score
+    explanation, and the integer Gram-matrix PCA projection — tagged
+    under one window slot on shared (key, p_label, v) columns.
+    Individual entries remain below the window, each DuckDB
+    hash-matched."""
     tok = _as_table(_q_token_quantiles(sf_dir))
     tok = pa.table({
         "key": pa.array([""] * tok.num_rows, pa.string()),
@@ -1558,11 +1581,44 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
             "key": chkey,
             "p_label": pa.array([m] * ch.num_rows, pa.string()),
             "v": ch[m]}))
+    ols = _as_table(_q_regress_value_hour(sf_dir))
+    oparts = [pa.table({
+        "key": ols["event_type"],
+        "p_label": pa.array([m] * ols.num_rows, pa.string()),
+        "v": ols[m]}) for m in ("slope_q", "icept_q")]
+    pr = _as_table(_q_profile_events(sf_dir)).rename_columns(
+        ["key", "p_label", "v"])
+    tp = _as_table(_q_token_count_pct(sf_dir))
+    tparts = [pa.table({
+        "key": pc.cast(tp["doc_id"], pa.string()),
+        "p_label": pa.array([lab] * tp.num_rows, pa.string()),
+        "v": tp[col]}) for lab, col in (("ntok", "n_tokens"),
+                                        ("pct", "pct_q"))]
+    ex = _as_table(_q_porter_explain(sf_dir))
+    exkey = pc.binary_join_element_wise(
+        ex["query"], ex["conv_id"],
+        pc.cast(ex["turn_idx"], pa.string()), "|")
+    exparts = [pa.table({
+        "key": exkey,
+        "p_label": pc.binary_join_element_wise(
+            ex["term"], pc.cast(ex["rank"], pa.string()),
+            pa.array([m] * ex.num_rows, pa.string()), "|"),
+        "v": ex[m]}) for m in ("contrib_q", "tf", "dl")]
+    pca = _as_table(_q_pca_project(sf_dir))
+    pca = pa.table({
+        "key": pc.cast(pca["vec_id"], pa.string()),
+        "p_label": pa.array(["proj"] * pca.num_rows, pa.string()),
+        "v": pca["proj_q"]})
     return _tagged_union([("tokens", tok), ("events", ev),
                           ("corr", co),
                           ("rankeval", pa.concat_tables(rparts)),
                           ("zscore", zs),
-                          ("cohort", pa.concat_tables(chparts))])
+                          ("cohort", pa.concat_tables(chparts)),
+                          ("ols", pa.concat_tables(oparts)),
+                          ("profile", pr),
+                          ("tokpct", pa.concat_tables(tparts)),
+                          ("explain", pa.concat_tables(exparts)),
+                          ("pca", pca)])
 
 
 def _q_profile_events(sf_dir: str) -> pa.Table:
@@ -1930,6 +1986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regress_value_hour": _q_regress_value_hour,
         "ppr_fixed": _q_ppr_fixed,
         "profile_events": _q_profile_events,
+        "gram_matrix": _q_gram_matrix,
+        "pca_project": _q_pca_project,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2483,7 +2541,38 @@ def oracle_sql() -> dict[str, str]:
                 f"{m} AS v",
                 __import__("rayse.ops.funnel",
                            fromlist=["x"]).COHORT_OVERLAP_SQL)
-               for m in ("inter", "union_", "jac_q")]),
+               for m in ("inter", "union_", "jac_q")]
+            + [("ols",
+                f"event_type AS key, '{m}' AS p_label, {m} AS v",
+                __import__("rayse.ops.corr",
+                           fromlist=["x"]).REGRESS_VALUE_ON_HOUR_SQL)
+               for m in ("slope_q", "icept_q")]
+            + [("profile", "col AS key, metric AS p_label, v AS v",
+                __import__("rayse.ops.profile",
+                           fromlist=["x"]).profile_events_sql())]
+            + [("tokpct",
+                f"CAST(doc_id AS VARCHAR) AS key, '{lab}' AS p_label, "
+                f"{col} AS v",
+                __import__("rayse.ops.textstats",
+                           fromlist=["x"]).TOKEN_COUNT_PCT_SQL)
+               for lab, col in (("ntok", "n_tokens"), ("pct", "pct_q"))]
+            + [("explain",
+                "query || '|' || conv_id || '|' || "
+                "CAST(turn_idx AS VARCHAR) AS key, "
+                f"term || '|' || CAST(rank AS VARCHAR) || '|{m}' "
+                f"AS p_label, {m} AS v",
+                __import__("rayse.ops.porter_oracle",
+                           fromlist=["x"]).porter_explain_sql())
+               for m in ("contrib_q", "tf", "dl")]
+            + [("pca",
+                "CAST(vec_id AS VARCHAR) AS key, 'proj' AS p_label, "
+                "proj_q AS v",
+                __import__("rayse.ops.linalg",
+                           fromlist=["x"]).pca_project_sql())]),
+        "gram_matrix": __import__(
+            "rayse.ops.linalg", fromlist=["x"]).GRAM_SQL,
+        "pca_project": __import__(
+            "rayse.ops.linalg", fromlist=["x"]).pca_project_sql(),
         "media_byte_features": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_byte_features_sql(),
