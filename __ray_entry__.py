@@ -1515,6 +1515,24 @@ def _q_event_quantiles(sf_dir: str) -> pa.Table:
     return event_quantiles(sf_dir)
 
 
+def _q_conv_stats(sf_dir: str) -> pa.Table:
+    """Per-conversation summary stats (turns, role mix, words, ts span)
+    — per-batch partials + one conversation-keyed exchange fold; DuckDB
+    hash-matched."""
+    from rayse.ops.convstats import conv_stats
+
+    return conv_stats(sf_dir)
+
+
+def _q_conv_keywords(sf_dir: str) -> pa.Table:
+    """Top-3 TF-IDF keywords per conversation FROM the index's posting
+    lists (vectorized segment decode, df via broadcast-or-hash-join
+    routing, conv_map join for ids) — DuckDB hash-matched."""
+    from rayse.ops.convstats import conv_keywords
+
+    return conv_keywords(_index_for(sf_dir))
+
+
 def _q_gram_matrix(sf_dir: str) -> pa.Table:
     """Distributed integer Gram (scatter) matrix of the embeddings: d x d
     int64 partials per batch, one bounded d^2-key groupby-sum — DuckDB
@@ -1543,7 +1561,8 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
     the pairwise audience-overlap matrix, the grouped OLS regression
     (shared co-moment fold), the per-column dataset profile, the
     bounded-domain percentile ranks, the per-term BM25 score
-    explanation, and the integer Gram-matrix PCA projection — tagged
+    explanation, the integer Gram-matrix PCA projection, and the
+    per-conversation stats + index-derived TF-IDF keywords — tagged
     under one window slot on shared (key, p_label, v) columns.
     Individual entries remain below the window, each DuckDB
     hash-matched."""
@@ -1609,6 +1628,18 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
         "key": pc.cast(pca["vec_id"], pa.string()),
         "p_label": pa.array(["proj"] * pca.num_rows, pa.string()),
         "v": pca["proj_q"]})
+    cs = _as_table(_q_conv_stats(sf_dir))
+    csparts = [pa.table({
+        "key": cs["conv_id"],
+        "p_label": pa.array([m] * cs.num_rows, pa.string()),
+        "v": cs[m]}) for m in ("n_turns", "n_user", "n_words",
+                               "max_turn_words", "duration_us", "awq")]
+    kw = _as_table(_q_conv_keywords(sf_dir))
+    kw = pa.table({
+        "key": kw["conv_id"],
+        "p_label": pc.binary_join_element_wise(
+            pc.cast(kw["rank"], pa.string()), kw["term"], "|"),
+        "v": kw["score_q"]})
     return _tagged_union([("tokens", tok), ("events", ev),
                           ("corr", co),
                           ("rankeval", pa.concat_tables(rparts)),
@@ -1618,7 +1649,9 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
                           ("profile", pr),
                           ("tokpct", pa.concat_tables(tparts)),
                           ("explain", pa.concat_tables(exparts)),
-                          ("pca", pca)])
+                          ("pca", pca),
+                          ("convstats", pa.concat_tables(csparts)),
+                          ("convkw", kw)])
 
 
 def _q_profile_events(sf_dir: str) -> pa.Table:
@@ -1988,6 +2021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": _q_profile_events,
         "gram_matrix": _q_gram_matrix,
         "pca_project": _q_pca_project,
+        "conv_stats": _q_conv_stats,
+        "conv_keywords": _q_conv_keywords,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2568,11 +2603,26 @@ def oracle_sql() -> dict[str, str]:
                 "CAST(vec_id AS VARCHAR) AS key, 'proj' AS p_label, "
                 "proj_q AS v",
                 __import__("rayse.ops.linalg",
-                           fromlist=["x"]).pca_project_sql())]),
+                           fromlist=["x"]).pca_project_sql())]
+            + [("convstats",
+                f"conv_id AS key, '{m}' AS p_label, {m} AS v",
+                __import__("rayse.ops.convstats",
+                           fromlist=["x"]).CONV_STATS_SQL)
+               for m in ("n_turns", "n_user", "n_words",
+                         "max_turn_words", "duration_us", "awq")]
+            + [("convkw",
+                "conv_id AS key, CAST(rank AS VARCHAR) || '|' || term "
+                "AS p_label, score_q AS v",
+                __import__("rayse.ops.convstats",
+                           fromlist=["x"]).conv_keywords_sql())]),
         "gram_matrix": __import__(
             "rayse.ops.linalg", fromlist=["x"]).GRAM_SQL,
         "pca_project": __import__(
             "rayse.ops.linalg", fromlist=["x"]).pca_project_sql(),
+        "conv_stats": __import__(
+            "rayse.ops.convstats", fromlist=["x"]).CONV_STATS_SQL,
+        "conv_keywords": __import__(
+            "rayse.ops.convstats", fromlist=["x"]).conv_keywords_sql(),
         "media_byte_features": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_byte_features_sql(),
