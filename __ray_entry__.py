@@ -1297,13 +1297,35 @@ def _q_phrase_matches_suite(sf_dir: str) -> pa.Table:
 
 def _q_term_stats_suite(sf_dir: str) -> pa.Table:
     """A1-A3 global term dictionary from BOTH indexes (stemmed Porter +
-    whitespace), tagged — one window slot."""
+    whitespace), tagged — one window slot — plus the index-maintenance
+    dictionary diff (full index vs its delete+compacted variant) melted
+    to signed (df, cf) deltas."""
     from rayse.ops.porter_oracle import porter_term_stats
     from rayse.ops.ws_search import ws_term_stats
 
+    d = _as_table(_q_index_diff(sf_dir))
+    delta = pa.table({
+        "term": d["term"],
+        "df": pc.subtract(d["df_b"], d["df_a"]),
+        "cf": pc.subtract(d["cf_b"], d["cf_a"]),
+    })
     return _tagged_union([
         ("porter", porter_term_stats(_index_for(sf_dir))),
-        ("ws", ws_term_stats(_ws_index_for(sf_dir)))])
+        ("ws", ws_term_stats(_ws_index_for(sf_dir))),
+        ("diffdelta", delta)])
+
+
+def _q_index_diff(sf_dir: str) -> pa.Table:
+    """Index-maintenance dictionary diff: every term whose global
+    (df, cf) changed between the full Porter index and its
+    delete+compacted variant — distributed term-hash exchange over both
+    sides' term_stats partials, DuckDB hash-matched against a FULL
+    OUTER JOIN of the filtered/unfiltered corpus re-derivations."""
+    from rayse.ops.indexdiff import index_diff
+    from rayse.ops.porter_oracle import _compacted_index_for
+
+    idir = _index_for(sf_dir)
+    return index_diff(idir, _compacted_index_for(idir))
 
 
 def _q_sampling_suite(sf_dir: str) -> pa.Table:
@@ -2023,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _q_pca_project,
         "conv_stats": _q_conv_stats,
         "conv_keywords": _q_conv_keywords,
+        "index_diff": _q_index_diff,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2671,7 +2694,12 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.porter_oracle",
                 fromlist=["x"]).porter_term_stats_sql()),
             ("ws", "term, df, cf", __import__(
-                "rayse.ops.ws_search", fromlist=["x"]).ws_term_stats_sql())]),
+                "rayse.ops.ws_search", fromlist=["x"]).ws_term_stats_sql()),
+            ("diffdelta", "term, df_b - df_a AS df, cf_b - cf_a AS cf",
+             __import__("rayse.ops.indexdiff",
+                        fromlist=["x"]).index_diff_sql())]),
+        "index_diff": __import__(
+            "rayse.ops.indexdiff", fromlist=["x"]).index_diff_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),
