@@ -795,29 +795,6 @@ def build_index(input_path: str | list[str], out_dir: str,
 
     files = discover_input_files(input_path)
     shards = shard_files(files, shard_target_bytes)
-
-    # Merge actors are created NOW — before the conv_map scan — so their
-    # spin-up cost (process fork + module imports, ~1-2 s for a 32-actor
-    # pool) overlaps the conv_map/collision phase instead of serializing
-    # after phase 1. __init__ only stores paths (corpus stats arrive as a
-    # per-call argument), so creation needs nothing the build hasn't
-    # produced yet; the actors sit idle until the merge phase polls them.
-    # num_cpus=0: a 1-CPU reservation per actor would hand the whole node
-    # to the idle pool and starve the conv_map/tokenize Dataset stages.
-    # The merge phase's parallelism is bounded by the pool SIZE
-    # (merge_concurrency <= node CPUs), and the build runs no other stage
-    # concurrently with the merge, so Ray's CPU accounting is not needed
-    # to keep the merge from oversubscribing.
-    from ray.util import ActorPool
-
-    n_parts = 1 << cfg.part_bits
-    if merge_concurrency is None:
-        merge_concurrency = max(1, min(
-            n_parts, int(ray.cluster_resources().get("CPU", 4))))
-    RemoteMergeWorker = ray.remote(num_cpus=0)(MergeWorker)
-    merge_actors = [RemoteMergeWorker.remote(out_dir, cfg)
-                    for _ in range(merge_concurrency)]
-
     # conv_map FIRST (cheap single-column scan): collision detection must
     # complete before any doc_id is minted by the tokenize stage
     remap: dict = {}
@@ -849,8 +826,17 @@ def build_index(input_path: str | list[str], out_dir: str,
 
     # Stateful actor-pool k-way merge (north rule): raw Ray actors with a
     # dynamic work queue — the part list is fixed, ActorPool load-balances
-    # uneven parts. The actors were created before the conv_map scan (see
-    # above) so their spin-up is already amortized by now.
+    # uneven parts. Created after phase 1 so actor spin-up (process fork +
+    # imports) does not compete with the tokenize scan for cores.
+    from ray.util import ActorPool
+
+    n_parts = 1 << cfg.part_bits
+    if merge_concurrency is None:
+        merge_concurrency = max(1, min(
+            n_parts, int(ray.cluster_resources().get("CPU", 4))))
+    RemoteMergeWorker = ray.remote(num_cpus=1)(MergeWorker)
+    merge_actors = [RemoteMergeWorker.remote(out_dir, cfg)
+                    for _ in range(merge_concurrency)]
     merge_pool = ActorPool(merge_actors)
     metrics = list(merge_pool.map_unordered(
         lambda a, p: a.merge_part.remote(p, stats["avgdl"]),
