@@ -844,7 +844,29 @@ def _q_span_dedup_suite(sf_dir: str) -> pa.Table:
         "n_a": docs["n_dup_grams"],
         "n_b": pa.array([0] * docs.num_rows, pa.int64()),
     })
-    return _tagged_union([("spans", spans), ("docs", docs)])
+    nv = _as_table(_q_gram_novelty(sf_dir))
+    novelty = pa.table({
+        "key": nv["doc_id"].cast(pa.uint64()),
+        "n_a": nv["n_grams"],
+        "n_b": nv["n_novel"],
+    })
+    ppm = pa.table({
+        "key": nv["doc_id"].cast(pa.uint64()),
+        "n_a": nv["novelty_ppm"],
+        "n_b": pa.array([0] * nv.num_rows, pa.int64()),
+    })
+    return _tagged_union([("spans", spans), ("docs", docs),
+                          ("novelty", novelty), ("noveltyppm", ppm)])
+
+
+def _q_gram_novelty(sf_dir: str) -> pa.Table:
+    """Per-document gram novelty (fraction of a doc's word 4-grams that
+    appear nowhere else in the corpus — the inverse of the dedup
+    signal) -> (doc_id, n_grams, n_novel, novelty_ppm); DuckDB
+    hash-matched, also two ``span_dedup_suite`` arms in the window."""
+    from rayse.ops.spandedup import gram_novelty
+
+    return _as_table(gram_novelty(sf_dir))
 
 
 def _q_funnel_counts(sf_dir: str) -> pa.Table:
@@ -1332,13 +1354,14 @@ def _q_sampling_suite(sf_dir: str) -> pa.Table:
     """The three deterministic sampling machineries (uniform splitmix
     rate / per-stratum rates / exact per-stratum quota), tagged — one
     window slot; outputs are sample-sized so the gather is bounded."""
-    from rayse.ops.sampling import (hash_sample, quota_sample,
-                                    stratified_sample)
+    from rayse.ops.sampling import (bottomk_sample, hash_sample,
+                                    quota_sample, stratified_sample)
 
     return _tagged_union([
         ("hash", hash_sample(sf_dir)),
         ("stratified", stratified_sample(sf_dir)),
-        ("quota", quota_sample(sf_dir))])
+        ("quota", quota_sample(sf_dir)),
+        ("bottomk", bottomk_sample(sf_dir))])
 
 
 def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
@@ -1662,6 +1685,24 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
         "p_label": pc.binary_join_element_wise(
             pc.cast(kw["rank"], pa.string()), kw["term"], "|"),
         "v": kw["score_q"]})
+    nb = _as_table(_q_nb_classify(sf_dir))
+    nbparts = [
+        pa.table({
+            "key": pc.cast(nb["doc_id"], pa.string()),
+            "p_label": pc.binary_join_element_wise(
+                pa.array(["s"] * nb.num_rows, pa.string()),
+                nb["pred"], "|"),
+            "v": nb["score_q"]}),
+        pa.table({
+            "key": pc.cast(nb["doc_id"], pa.string()),
+            "p_label": pa.array(["m"] * nb.num_rows, pa.string()),
+            "v": nb["margin_q"]})]
+    kl = _as_table(_q_source_kl(sf_dir))
+    klparts = [pa.table({
+        "key": kl["source"],
+        "p_label": pa.array([m] * kl.num_rows, pa.string()),
+        "v": kl[col]}) for m, col in (("kl", "kl_q"),
+                                      ("ntok", "n_tokens"))]
     return _tagged_union([("tokens", tok), ("events", ev),
                           ("corr", co),
                           ("rankeval", pa.concat_tables(rparts)),
@@ -1673,7 +1714,49 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
                           ("explain", pa.concat_tables(exparts)),
                           ("pca", pca),
                           ("convstats", pa.concat_tables(csparts)),
-                          ("convkw", kw)])
+                          ("convkw", kw),
+                          ("nb", pa.concat_tables(nbparts)),
+                          ("srckl", pa.concat_tables(klparts))])
+
+
+def _q_bottomk_sample(sf_dir: str) -> pa.Table:
+    """Exactly-k global sample by splitmix order statistics (eval-set
+    carving wants exact sizes, not binomial rate counts) — mergeable
+    per-batch bottom-k partials, one bounded exchange; DuckDB
+    hash-matched, also a ``sampling_suite`` arm in the window."""
+    from rayse.ops.sampling import bottomk_sample
+
+    return _as_table(bottomk_sample(sf_dir))
+
+
+def _q_kmv_distinct(sf_dir: str) -> pa.Table:
+    """KMV (k-minimum-values) distinct-word estimate — the bottom-k
+    order-statistics sketch; unlike HLL's float estimate this one is
+    integer-exact (one HUGEINT floor-division), so the ESTIMATE itself
+    is DuckDB hash-matched. Also a ``sketch_suite`` arm in the window."""
+    from rayse.ops.sketch import kmv_distinct_words
+
+    return _as_table(kmv_distinct_words(sf_dir))
+
+
+def _q_nb_classify(sf_dir: str) -> pa.Table:
+    """Multinomial Naive Bayes trained on the corpus's own lang labels
+    and applied back to every document (the fastText/CCNet classifier-
+    filter stage) — integer-exact add-1 contract, DuckDB hash-matched;
+    also a ``quantile_suite`` arm inside the driver window."""
+    from rayse.ops.classify import nb_classify
+
+    return _as_table(nb_classify(sf_dir))
+
+
+def _q_source_kl(sf_dir: str) -> pa.Table:
+    """Per-source KL(P_s || P_corpus) over add-1 unigram models (slice
+    drift / domain-composition monitor) — HUGEINT-exact fold over the
+    vocab-bounded contribution table, DuckDB hash-matched; also a
+    ``quantile_suite`` arm inside the driver window."""
+    from rayse.ops.classify import source_kl
+
+    return source_kl(sf_dir)
 
 
 def _q_profile_events(sf_dir: str) -> pa.Table:
@@ -2045,6 +2128,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _q_pca_project,
         "conv_stats": _q_conv_stats,
         "conv_keywords": _q_conv_keywords,
+        "nb_classify": _q_nb_classify,
+        "source_kl": _q_source_kl,
+        "bottomk_sample": _q_bottomk_sample,
+        "kmv_distinct": _q_kmv_distinct,
+        "gram_novelty": _q_gram_novelty,
         "index_diff": _q_index_diff,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
@@ -2532,7 +2620,15 @@ def oracle_sql() -> dict[str, str]:
             ("docs", "CAST(doc_id AS UBIGINT) AS key, "
              "n_dup_grams AS n_a, CAST(0 AS BIGINT) AS n_b",
              __import__("rayse.ops.spandedup",
-                        fromlist=["x"]).span_dedup_docs_sql())]),
+                        fromlist=["x"]).span_dedup_docs_sql()),
+            ("novelty", "CAST(doc_id AS UBIGINT) AS key, "
+             "n_grams AS n_a, n_novel AS n_b",
+             __import__("rayse.ops.spandedup",
+                        fromlist=["x"]).gram_novelty_sql()),
+            ("noveltyppm", "CAST(doc_id AS UBIGINT) AS key, "
+             "novelty_ppm AS n_a, CAST(0 AS BIGINT) AS n_b",
+             __import__("rayse.ops.spandedup",
+                        fromlist=["x"]).gram_novelty_sql())]),
         "funnel_counts": __import__(
             "rayse.ops.funnel", fromlist=["x"]).funnel_counts_sql(),
         "retention_counts": __import__(
@@ -2637,7 +2733,22 @@ def oracle_sql() -> dict[str, str]:
                 "conv_id AS key, CAST(rank AS VARCHAR) || '|' || term "
                 "AS p_label, score_q AS v",
                 __import__("rayse.ops.convstats",
-                           fromlist=["x"]).conv_keywords_sql())]),
+                           fromlist=["x"]).conv_keywords_sql())]
+            + [("nb",
+                "CAST(doc_id AS VARCHAR) AS key, "
+                "'s|' || pred AS p_label, score_q AS v",
+                __import__("rayse.ops.classify",
+                           fromlist=["x"]).nb_classify_sql()),
+               ("nb",
+                "CAST(doc_id AS VARCHAR) AS key, 'm' AS p_label, "
+                "margin_q AS v",
+                __import__("rayse.ops.classify",
+                           fromlist=["x"]).nb_classify_sql())]
+            + [("srckl",
+                f"source AS key, '{m}' AS p_label, {col} AS v",
+                __import__("rayse.ops.classify",
+                           fromlist=["x"]).source_kl_sql())
+               for m, col in (("kl", "kl_q"), ("ntok", "n_tokens"))]),
         "gram_matrix": __import__(
             "rayse.ops.linalg", fromlist=["x"]).GRAM_SQL,
         "pca_project": __import__(
@@ -2646,6 +2757,16 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.convstats", fromlist=["x"]).CONV_STATS_SQL,
         "conv_keywords": __import__(
             "rayse.ops.convstats", fromlist=["x"]).conv_keywords_sql(),
+        "nb_classify": __import__(
+            "rayse.ops.classify", fromlist=["x"]).nb_classify_sql(),
+        "source_kl": __import__(
+            "rayse.ops.classify", fromlist=["x"]).source_kl_sql(),
+        "bottomk_sample": __import__(
+            "rayse.ops.sampling", fromlist=["x"]).bottomk_sample_sql(),
+        "kmv_distinct": __import__(
+            "rayse.ops.sketch", fromlist=["x"]).kmv_sql(),
+        "gram_novelty": __import__(
+            "rayse.ops.spandedup", fromlist=["x"]).gram_novelty_sql(),
         "media_byte_features": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_byte_features_sql(),
@@ -2707,7 +2828,10 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.sampling",
                 fromlist=["x"]).stratified_sample_sql()),
             ("quota", "doc_id, lang", __import__(
-                "rayse.ops.sampling", fromlist=["x"]).quota_sample_sql())]),
+                "rayse.ops.sampling", fromlist=["x"]).quota_sample_sql()),
+            ("bottomk", "doc_id, lang", __import__(
+                "rayse.ops.sampling",
+                fromlist=["x"]).bottomk_sample_sql())]),
         "pagerank_fixed_suite": _tagged_union_sql([
             ("dense", "vertex, rank_fp", __import__(
                 "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql()),

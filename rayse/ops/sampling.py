@@ -538,3 +538,67 @@ kept AS (
         < (tot.total * 18446744073709551616::HUGEINT) // (h.cf * {t_den}))
 SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text
 FROM kept GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sampling — EXACT-size global sample (the order-statistics
+# sibling of rate-based hash_sample; eval-set carving wants exactly k
+# rows, not a binomial count). Keep the k documents with the smallest
+# (splitmix(doc_id), doc_id) pair: deterministic, engine-independent,
+# and mergeable — per-batch bottom-k partials combine exactly (the
+# global bottom-k of bottom-k's is the global bottom-k), so nothing
+# corpus-sized ever leaves a batch. One single-partition exchange holds
+# only n_batches x k rows.
+# ---------------------------------------------------------------------------
+
+def _bottomk_partial(batch: pa.Table, k: int) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    if ids.size and ids.min() < 0:
+        raise ValueError("bottom-k sampling requires non-negative doc_id")
+    lang = batch["lang"]
+    h = _mix(ids.astype(np.uint64))
+    if ids.size > k:
+        sel = np.lexsort((ids, h))[:k]
+        ids, lang, h = ids[sel], lang.take(pa.array(sel)), h[sel]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": lang,
+        "hkey": pa.array(h, pa.uint64()),
+        "one": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+    })
+
+
+def _bottomk_final(tbl: pa.Table, k: int) -> pa.Table:
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang": pa.array([], pa.string())})
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    h = tbl["hkey"].to_numpy(zero_copy_only=False)
+    sel = np.lexsort((ids, h))[:k]
+    return pa.table({
+        "doc_id": pa.array(ids[sel], pa.int64()),
+        "lang": tbl["lang"].take(pa.array(sel)),
+    })
+
+
+def bottomk_sample(sf_dir: str, k: int = 64):
+    """Exactly-k global sample by splitmix order statistics ->
+    (doc_id, lang)."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    parts = ds.map_batches(_bottomk_partial, fn_kwargs={"k": k},
+                           batch_format="pyarrow", zero_copy_batch=True)
+    return exchange_by_key(parts, "one", _bottomk_final,
+                           proc_kwargs={"k": k}, n_parts=1)
+
+
+def bottomk_sample_sql(k: int = 64) -> str:
+    """Oracle: the k smallest (splitmix(doc_id), doc_id) pairs."""
+    return f"""
+SELECT doc_id, lang FROM documents
+ORDER BY {_mix_sql("doc_id")}, doc_id
+LIMIT {k}"""

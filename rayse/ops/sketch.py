@@ -595,6 +595,10 @@ def sketch_suite(sf_dir: str) -> pa.Table:
         ("hll_day", hd_regs),
         ("hll_window_est", hd_est),
         ("exact_distinct", exact_distinct_by_type(sf_dir)),
+        ("kmv", kmv_distinct_words(sf_dir).to_pandas().pipe(
+            lambda d: pa.table({"idx": pa.array(d["k"], pa.int64()),
+                                "value": pa.array(d["est"],
+                                                  pa.int64())}))),
     ]
     out = []
     for variant, t in parts:
@@ -631,7 +635,10 @@ SELECT 'hll_window_est' AS variant, gkey AS idx, est AS value
 FROM hd_win_est
 UNION ALL
 SELECT 'exact_distinct' AS variant, idx, value
-FROM (\n{exact_distinct_sql()}\n)"""
+FROM (\n{exact_distinct_sql()}\n)
+UNION ALL
+SELECT 'kmv' AS variant, k AS idx, est AS value
+FROM (\n{kmv_sql()}\n)"""
 
 
 # ---------------------------------------------------------------------------
@@ -712,3 +719,75 @@ def exact_distinct_sql() -> str:
 SELECT CAST({fnv} % {_TYPE_MOD}::HUGEINT AS BIGINT) AS idx,
        CAST(count(DISTINCT user_id) AS BIGINT) AS value
 FROM events GROUP BY event_type"""
+
+
+# -- KMV (k minimum values) distinct-count sketch ----------------------------
+# The bottom-k order-statistics estimator (Bar-Yossef et al. 2002): keep
+# the k smallest distinct word hashes; with h_k the k-th smallest on the
+# [0, 2^64) line, distinct ~= (k-1) * 2^64 / h_k. Fully mergeable
+# (bottom-k of bottom-k's), integer-exact (one HUGEINT floor-division),
+# and engine-independent under the shared FNV word hash — so unlike the
+# float HLL estimate, the KMV estimate itself is DuckDB hash-matched.
+
+KMV_K = 256
+
+
+def _kmv_partial(batch: pa.Table, k: int) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    words = np.unique(np.concatenate(
+        [np.asarray((t or "").split(" ")) for t in texts])) \
+        if texts else np.asarray([], dtype=object)
+    h = np.unique(_fnv_words(words))
+    return pa.table({"h": pa.array(h[:k], pa.uint64()),
+                     "one": pa.array(np.zeros(min(h.size, k), np.int64),
+                                     pa.int64())})
+
+
+def _kmv_final(tbl: pa.Table, k: int) -> pa.Table:
+    h = np.unique(tbl["h"].to_numpy(zero_copy_only=False))
+    if h.size >= k:
+        hk = int(h[k - 1])
+        est = ((k - 1) << 64) // hk
+    else:                       # fewer distinct hashes than k: exact
+        est = int(h.size)
+    return pa.table({"k": pa.array([k], pa.int64()),
+                     "est": pa.array([est], pa.int64())})
+
+
+def kmv_distinct_words(sf_dir: str, k: int = KMV_K):
+    """KMV distinct-word estimate -> one row (k, est). Per-batch
+    bottom-k of the batch's distinct word hashes (bounded partials), one
+    single-partition exchange merge."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    parts = ds.map_batches(_kmv_partial, fn_kwargs={"k": k},
+                           batch_format="pyarrow", zero_copy_batch=True)
+    return exchange_by_key(parts, "one", _kmv_final,
+                           proc_kwargs={"k": k}, n_parts=1)
+
+
+def kmv_sql(k: int = KMV_K) -> str:
+    """Oracle: k-th smallest distinct FNV word hash -> the same HUGEINT
+    floor-division estimate (or the exact distinct count when the
+    vocabulary is smaller than k)."""
+    return f"""
+WITH w AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+h AS (
+  SELECT DISTINCT list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+                        [ascii(c)::HUGEINT FOR c IN string_split(w, '')]),
+           (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                     % 18446744073709551616::HUGEINT) AS h
+  FROM w),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM h),
+kth AS (SELECT h FROM h ORDER BY h LIMIT 1 OFFSET {k - 1})
+SELECT {k} AS k,
+       CAST(CASE WHEN nv.n < {k} THEN nv.n::HUGEINT
+                 ELSE ({k - 1}::HUGEINT * 18446744073709551616::HUGEINT)
+                      // kth.h
+            END AS BIGINT) AS est
+FROM nv LEFT JOIN kth ON TRUE"""

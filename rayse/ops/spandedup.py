@@ -605,3 +605,93 @@ SELECT doc_id, min(pos) AS span_start,
        max(pos) + {k} AS span_end,
        CAST(count(*) AS BIGINT) AS n_grams
 FROM isl GROUP BY doc_id, grp"""
+
+
+# ---------------------------------------------------------------------------
+# Gram novelty — the inverse signal of span dedup: what fraction of a
+# document's word k-grams appears NOWHERE else in the corpus (count 1
+# globally)? High novelty = original text; low = boilerplate/templated.
+# Same partials and exchanges as span_dedup_docs (hashes travel, text
+# does not); novelty_ppm = n_novel * 1e6 // n_grams is integer-exact.
+# ---------------------------------------------------------------------------
+
+def _doc_novel_partition(tbl: pa.Table) -> pa.Table:
+    """One gram-hash partition -> per-doc (n_grams, n_novel) partials:
+    all rows of a hash are here, so global-count-1 is decidable locally
+    (one row with n_occ == 1)."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64()),
+                         "n_novel": pa.array([], pa.int64())})
+    h = tbl["gram_hash"].to_numpy(zero_copy_only=False)
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    occ = tbl["n_occ"].to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    hs, docs, occs = h[order], doc[order], occ[order]
+    new = np.empty(hs.size, dtype=bool)
+    new[0] = True
+    new[1:] = hs[1:] != hs[:-1]
+    starts = np.flatnonzero(new)
+    tot = np.add.reduceat(occs, starts)
+    sz = np.diff(np.append(starts, hs.size))
+    novel_row = np.repeat((tot == 1) & (sz == 1), sz)
+    d_order = np.argsort(docs, kind="stable")
+    docs, occs = docs[d_order], occs[d_order]
+    novel = novel_row[d_order].astype(np.int64)
+    dnew = np.empty(docs.size, dtype=bool)
+    dnew[0] = True
+    dnew[1:] = docs[1:] != docs[:-1]
+    dstarts = np.flatnonzero(dnew)
+    return pa.table({
+        "doc_id": pa.array(docs[dstarts], pa.int64()),
+        "n_grams": pa.array(np.add.reduceat(occs, dstarts).astype(np.int64),
+                            pa.int64()),
+        "n_novel": pa.array(np.add.reduceat(novel, dstarts), pa.int64()),
+    })
+
+
+def _novelty_final_partition(tbl: pa.Table) -> pa.Table:
+    """Second exchange: sum per-doc partials, finish the ppm ratio."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64()),
+                         "n_novel": pa.array([], pa.int64()),
+                         "novelty_ppm": pa.array([], pa.int64())})
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    g = tbl["n_grams"].to_numpy(zero_copy_only=False)
+    nv = tbl["n_novel"].to_numpy(zero_copy_only=False)
+    order = np.argsort(doc, kind="stable")
+    doc, g, nv = doc[order], g[order], nv[order]
+    new = np.empty(doc.size, dtype=bool)
+    new[0] = True
+    new[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(new)
+    gs = np.add.reduceat(g, starts)
+    ns = np.add.reduceat(nv, starts)
+    return pa.table({
+        "doc_id": pa.array(doc[starts], pa.int64()),
+        "n_grams": pa.array(gs, pa.int64()),
+        "n_novel": pa.array(ns, pa.int64()),
+        "novelty_ppm": pa.array(ns * 1_000_000 // np.maximum(gs, 1),
+                                pa.int64()),
+    })
+
+
+def gram_novelty(sf_dir: str, window: int = 4):
+    """Per-document novelty -> (doc_id, n_grams, n_novel, novelty_ppm)."""
+    per_part = exchange_by_key(_partials(sf_dir, window), "gram_hash",
+                               _doc_novel_partition)
+    return exchange_by_key(per_part, "doc_id", _novelty_final_partition,
+                           n_parts=32)
+
+
+def gram_novelty_sql(window: int = 4) -> str:
+    """Oracle: position-level novelty flags over the shared FNV gram
+    CTE, integer ppm ratio."""
+    return f"""{_hashed_cte(window)}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (h IN (SELECT h FROM agg WHERE n_occ = 1))
+            AS BIGINT) AS n_novel,
+       CAST(count(*) FILTER (h IN (SELECT h FROM agg WHERE n_occ = 1))
+            * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+FROM hashed GROUP BY doc_id"""

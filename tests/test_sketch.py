@@ -18,6 +18,8 @@ def _con():
     c = duckdb.connect()
     c.execute("CREATE VIEW events AS SELECT * FROM "
               f"read_parquet('{SF}/events.parquet')")
+    c.execute("CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{SF}/documents.parquet')")
     return c
 
 
