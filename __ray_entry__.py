@@ -928,17 +928,29 @@ def _q_html_clean(sf_dir: str):
 
 def _q_text_transform_suite(sf_dir: str) -> pa.Table:
     """M2 HTML cleaning + M11 result formatting + word2vec-style
-    frequent-word subsampling under one window slot: variant-tagged
-    (doc_id, text_out) rows — all three text-to-text document
-    transforms, DuckDB hash-matched."""
+    frequent-word subsampling + C4-style line cleaning under one window
+    slot: variant-tagged (doc_id, text_out) rows — all four
+    text-to-text document transforms, DuckDB hash-matched."""
     clean = _as_table(_q_html_clean(sf_dir)).rename_columns(
         ["doc_id", "text_out"])
     fmt = _as_table(_q_format_texts(sf_dir)).rename_columns(
         ["doc_id", "text_out"])
     sub = _as_table(_q_subsample_frequent(sf_dir)).rename_columns(
         ["doc_id", "text_out"])
+    c4 = _as_table(_q_c4_clean(sf_dir))
     return _tagged_union([("html_clean", clean), ("format", fmt),
-                          ("subsample", sub)])
+                          ("subsample", sub), ("c4", c4)])
+
+
+def _q_c4_clean(sf_dir: str):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 rules over
+    deterministically synthesized line structure): full-line +
+    blocklist filters, GLOBAL duplicate-line removal via a 128-bit
+    hash-pair exchange (markers-only output, broadcast/exchange routed
+    join-back), >=3-kept-lines doc filter — DuckDB hash-matched."""
+    from rayse.ops.c4clean import c4_clean
+
+    return c4_clean(sf_dir)
 
 
 def _q_subsample_frequent(sf_dir: str) -> pa.Table:
@@ -2097,6 +2109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_window": _q_trailing_window,
         "dsir_weights": _q_dsir_weights,
         # ---- end of the driver's 50-entry window ----
+        "c4_clean": _q_c4_clean,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2560,7 +2573,11 @@ def oracle_sql() -> dict[str, str]:
             ("subsample", "doc_id, text AS text_out", __import__(
                 "rayse.ops.sampling",
                 fromlist=["x"]).subsample_frequent_sql()),
+            ("c4", "doc_id, text_out", __import__(
+                "rayse.ops.c4clean", fromlist=["x"]).c4_clean_sql()),
         ]),
+        "c4_clean": __import__(
+            "rayse.ops.c4clean", fromlist=["x"]).c4_clean_sql(),
         "subsample_frequent": __import__(
             "rayse.ops.sampling", fromlist=["x"]).subsample_frequent_sql(),
         "sketch_suite": __import__(

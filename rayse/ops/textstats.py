@@ -173,13 +173,16 @@ def word_bounds(texts: list):
 
 
 def fnv64_slices(buf: np.ndarray, starts: np.ndarray,
-                 lens: np.ndarray) -> np.ndarray:
+                 lens: np.ndarray,
+                 offset: np.uint64 | None = None) -> np.ndarray:
     """FNV-1a 64-bit hash of ``len(starts)`` byte slices of ``buf``, fully
     vectorized: slices sorted by length DESC so at byte position j the
     still-active slices are a prefix — the hash loop is pure slicing (no
     masks, no wasted work on finished slices; total work ∝ Σ lens). Bytes
     are gathered straight from the buffer per position (no padded matrix).
-    Bit-identical to the per-byte scalar loop."""
+    Bit-identical to the per-byte scalar loop. ``offset`` overrides the
+    standard offset basis — a second basis yields an independent hash
+    family over the same slices (the 128-bit dedup-key trick)."""
     total = starts.size
     max_len = int(lens.max()) if lens.size else 0
     ord_len = np.argsort(-lens, kind="stable")
@@ -187,7 +190,8 @@ def fnv64_slices(buf: np.ndarray, starts: np.ndarray,
     start_s = starts[ord_len]
     counts = np.bincount(lens_s, minlength=max_len + 1)
     act = total - np.cumsum(counts)      # active prefix per byte position
-    h = np.full(total, _FNV64_OFFSET, dtype=np.uint64)
+    h = np.full(total, _FNV64_OFFSET if offset is None else offset,
+                dtype=np.uint64)
     for j in range(max_len):
         k = int(act[j])
         h[:k] = (h[:k] ^ buf[start_s[:k] + j]) * _FNV64_PRIME
