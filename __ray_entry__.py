@@ -741,6 +741,16 @@ def _q_rrf_fusion(sf_dir: str) -> pa.Table:
     return rrf_fusion(_index_for(sf_dir), _ws_index_for(sf_dir))
 
 
+def _q_porter_prf_topk(sf_dir: str) -> pa.Table:
+    """Rocchio-style pseudo-relevance-feedback expansion (two-pass BM25
+    through the real index: top-F feedback docs vote expansion terms,
+    rescore at beta=0.5) — DuckDB hash-matched; also a
+    ``porter_rank_matrix`` arm inside the driver window."""
+    from rayse.ops.porter_oracle import porter_prf_topk
+
+    return porter_prf_topk(_index_for(sf_dir))
+
+
 def _q_porter_suffix_topk(sf_dir: str) -> pa.Table:
     """Leading-wildcard retrieval (`*xyz`): reversed-dictionary range
     scan + BM25 union — DuckDB hash-matched (LIKE '%xyz'); also a
@@ -855,8 +865,24 @@ def _q_span_dedup_suite(sf_dir: str) -> pa.Table:
         "n_a": nv["novelty_ppm"],
         "n_b": pa.array([0] * nv.num_rows, pa.int64()),
     })
+    tg = _as_table(_q_top_grams(sf_dir))
+    topg = pa.table({
+        "key": tg["gram_hash"],
+        "n_a": tg["rank"],
+        "n_b": tg["n_occ"],
+    })
     return _tagged_union([("spans", spans), ("docs", docs),
-                          ("novelty", novelty), ("noveltyppm", ppm)])
+                          ("novelty", novelty), ("noveltyppm", ppm),
+                          ("topgrams", topg)])
+
+
+def _q_top_grams(sf_dir: str) -> pa.Table:
+    """Global top-20 word 4-grams by occurrence count (boilerplate
+    detector): per-partition bounded top-k over the gram-hash exchange,
+    <= n_parts*k driver merge — DuckDB hash-matched."""
+    from rayse.ops.spandedup import top_grams
+
+    return top_grams(sf_dir)
 
 
 def _q_gram_novelty(sf_dir: str) -> pa.Table:
@@ -1425,8 +1451,9 @@ def _q_triangle_counts(sf_dir: str) -> pa.Table:
 
 
 def _q_window_agg_suite(sf_dir: str) -> pa.Table:
-    """Both event-windowing machineries — tumbling groupby and the
-    constant-factor hopping explode — tagged under one window slot.
+    """The event-windowing machineries — tumbling groupby, the
+    constant-factor hopping explode, and watermark late-event
+    accounting — tagged under one window slot.
     The hopping arm's integer micros ride the shared value_sum column as
     an exact int->double cast (micros < 2^53). Individual entries remain
     below the window, still oracle-backed and pytest-pinned."""
@@ -1436,9 +1463,27 @@ def _q_window_agg_suite(sf_dir: str) -> pa.Table:
     hop = hop.set_column(
         hop.column_names.index("value_sum_micros"),
         "value_sum", hop["value_sum_micros"].cast(pa.float64()))
+    late = _as_table(_q_late_events(sf_dir))
+    late = pa.table({"event_type": late["event_type"],
+                     "window_start": late["late"],
+                     "n_events": late["n"],
+                     "value_sum": pa.array(
+                         np.zeros(late.num_rows), pa.float64())})
     return _tagged_union([
         ("tumbling", _as_table(tumbling_agg(sf_dir, window_s=3600))),
-        ("hopping", hop)])
+        ("hopping", hop), ("late", late)])
+
+
+def _q_late_events(sf_dir: str) -> pa.Table:
+    """Event-time watermark accounting (Dataflow-model late-data
+    semantics) over deterministically backdated event times: per
+    (event_type, late) counts under watermark = running max - delay in
+    event_id arrival order — exact global ordered scan via bounded
+    bucket prefix maxima + one exchange (no global sort); DuckDB
+    hash-matched."""
+    from rayse.ops.windows import late_events
+
+    return late_events(sf_dir)
 
 
 def _q_porter_facets(sf_dir: str) -> pa.Table:
@@ -1454,13 +1499,16 @@ def _q_porter_facets(sf_dir: str) -> pa.Table:
 
 
 def _q_neardup_pairs_suite(sf_dir: str) -> pa.Table:
-    """All four near-duplicate PAIR machineries — n-gram Jaccard
-    (PPJoin-style), MinHash+LSH banding, SimHash hamming, and
-    embedding-cosine LSH — tagged under one window slot (every output is
-    an (id_a, id_b) pair list; the embedding arm's vec ids ride the same
-    columns). Individual entries remain below the window, each still
-    DuckDB-oracle-backed and pytest-pinned."""
-    from rayse.ops.dedup import (embedding_neardup_pairs, jaccard_pairs,
+    """All five near-duplicate PAIR machineries — n-gram Jaccard
+    (PPJoin-style), MinHash+LSH banding, SimHash hamming,
+    embedding-cosine LSH, and the asymmetric containment join — tagged
+    under one window slot (every output is an (id_a, id_b) pair list;
+    the embedding arm's vec ids and the containment arm's ORDERED
+    (src, dst) pairs ride the same columns). Individual entries remain
+    below the window, each still DuckDB-oracle-backed and
+    pytest-pinned."""
+    from rayse.ops.dedup import (containment_pairs,
+                                 embedding_neardup_pairs, jaccard_pairs,
                                  minhash_lsh_pairs, simhash_pairs)
 
     emb = _as_table(embedding_neardup_pairs(sf_dir, threshold=0.4))
@@ -1470,7 +1518,19 @@ def _q_neardup_pairs_suite(sf_dir: str) -> pa.Table:
         ("minhash", _as_table(minhash_lsh_pairs(sf_dir, shingle_k=3,
                                                 threshold=0.5))),
         ("simhash", _as_table(simhash_pairs(sf_dir, max_hamming=3))),
-        ("embedding", emb.rename_columns(["doc_a", "doc_b"]))])
+        ("embedding", emb.rename_columns(["doc_a", "doc_b"])),
+        ("containment", _as_table(containment_pairs(sf_dir))
+         .rename_columns(["doc_a", "doc_b"]))])
+
+
+def _q_containment_pairs(sf_dir: str) -> pa.Table:
+    """Asymmetric near-containment join (|src∩dst|/|src| >= 0.9 over
+    word 3-gram sets): PPJoin prefix theorem on the source side only,
+    exchange-keyed candidates, count-routed exact verify with a
+    pure-integer rational compare — DuckDB hash-matched."""
+    from rayse.ops.dedup import containment_pairs
+
+    return containment_pairs(sf_dir)
 
 
 def _q_token_count_suite(sf_dir: str) -> pa.Table:
@@ -1715,7 +1775,13 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
         "p_label": pa.array([m] * kl.num_rows, pa.string()),
         "v": kl[col]}) for m, col in (("kl", "kl_q"),
                                       ("ntok", "n_tokens"))]
+    md = _as_table(_q_mad_outliers(sf_dir))
+    mdparts = [pa.table({
+        "key": md["event_type"],
+        "p_label": pa.array([m] * md.num_rows, pa.string()),
+        "v": md[m]}) for m in ("med_vq", "mad_vq", "n_out", "n")]
     return _tagged_union([("tokens", tok), ("events", ev),
+                          ("mad", pa.concat_tables(mdparts)),
                           ("corr", co),
                           ("rankeval", pa.concat_tables(rparts)),
                           ("zscore", zs),
@@ -1729,6 +1795,15 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
                           ("convkw", kw),
                           ("nb", pa.concat_tables(nbparts)),
                           ("srckl", pa.concat_tables(klparts))])
+
+
+def _q_mad_outliers(sf_dir: str) -> pa.Table:
+    """Robust MAD outlier accounting per event_type (median, MAD, and
+    k=3 outlier counts over the quantized value) — ONE histogram
+    exchange, pure-integer rank picks; DuckDB hash-matched."""
+    from rayse.ops.quantiles import mad_outliers
+
+    return mad_outliers(sf_dir)
 
 
 def _q_bottomk_sample(sf_dir: str) -> pa.Table:
@@ -2110,6 +2185,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         # ---- end of the driver's 50-entry window ----
         "c4_clean": _q_c4_clean,
+        "late_events": _q_late_events,
+        "mad_outliers": _q_mad_outliers,
+        "containment_pairs": _q_containment_pairs,
+        "top_grams": _q_top_grams,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2154,6 +2233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "rrf_fusion": _q_rrf_fusion,
+        "porter_prf_topk": _q_porter_prf_topk,
         "porter_suffix_topk": _q_porter_suffix_topk,
         "porter_msm_topk": _q_porter_msm_topk,
         "windowed_agg": _q_windowed_agg,
@@ -2294,7 +2374,12 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.dedup", fromlist=["x"]).simhash_pairs_sql(3)),
             ("embedding", "vec_a AS doc_a, vec_b AS doc_b", __import__(
                 "rayse.ops.dedup",
-                fromlist=["x"]).embedding_neardup_sql(0.4))]),
+                fromlist=["x"]).embedding_neardup_sql(0.4)),
+            ("containment", "src_id AS doc_a, dst_id AS doc_b",
+             __import__("rayse.ops.dedup",
+                        fromlist=["x"]).containment_pairs_sql())]),
+        "containment_pairs": __import__(
+            "rayse.ops.dedup", fromlist=["x"]).containment_pairs_sql(),
         "token_count_suite": _tagged_union_sql([
             ("ws", "doc_id, n_tokens", _DOC_TOKEN_COUNT_SQL),
             ("bpe", "doc_id, n_bpe_tokens AS n_tokens", __import__(
@@ -2412,7 +2497,16 @@ def oracle_sql() -> dict[str, str]:
              "event_type, window_start, n_events, "
              "CAST(value_sum_micros AS DOUBLE) AS value_sum",
              __import__("rayse.ops.windows",
-                        fromlist=["x"]).hopping_agg_sql(3600, 900))]),
+                        fromlist=["x"]).hopping_agg_sql(3600, 900)),
+            ("late",
+             "event_type, late AS window_start, n AS n_events, "
+             "0.0 AS value_sum",
+             __import__("rayse.ops.windows",
+                        fromlist=["x"]).late_events_sql())]),
+        "late_events": __import__(
+            "rayse.ops.windows", fromlist=["x"]).late_events_sql(),
+        "mad_outliers": __import__(
+            "rayse.ops.quantiles", fromlist=["x"]).mad_outliers_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,
@@ -2645,7 +2739,12 @@ def oracle_sql() -> dict[str, str]:
             ("noveltyppm", "CAST(doc_id AS UBIGINT) AS key, "
              "novelty_ppm AS n_a, CAST(0 AS BIGINT) AS n_b",
              __import__("rayse.ops.spandedup",
-                        fromlist=["x"]).gram_novelty_sql())]),
+                        fromlist=["x"]).gram_novelty_sql()),
+            ("topgrams", "gram_hash AS key, rank AS n_a, n_occ AS n_b",
+             __import__("rayse.ops.spandedup",
+                        fromlist=["x"]).top_grams_sql())]),
+        "top_grams": __import__(
+            "rayse.ops.spandedup", fromlist=["x"]).top_grams_sql(),
         "funnel_counts": __import__(
             "rayse.ops.funnel", fromlist=["x"]).funnel_counts_sql(),
         "retention_counts": __import__(
@@ -2696,6 +2795,11 @@ def oracle_sql() -> dict[str, str]:
             ("corr", "event_type AS key, 'r' AS p_label, r_q AS v",
              __import__("rayse.ops.corr",
                         fromlist=["x"]).CORR_VALUE_HOUR_SQL)]
+            + [("mad",
+                f"event_type AS key, '{m}' AS p_label, {m} AS v",
+                __import__("rayse.ops.quantiles",
+                           fromlist=["x"]).mad_outliers_sql())
+               for m in ("med_vq", "mad_vq", "n_out", "n")]
             + [("rankeval",
                 f"query AS key, '{m}' AS p_label, {m} AS v",
                 __import__("rayse.ops.rankeval",
@@ -2811,6 +2915,8 @@ def oracle_sql() -> dict[str, str]:
                 include_rrf=True),
         "rrf_fusion": __import__(
             "rayse.ops.fusion", fromlist=["x"]).rrf_fusion_sql(),
+        "porter_prf_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_prf_sql(),
         "porter_suffix_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_suffix_sql(),
         "porter_msm_topk": __import__(

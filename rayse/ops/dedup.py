@@ -327,7 +327,8 @@ def _count_verify_part(t: pa.Table, threshold: float) -> pa.Table:
 # -- verification routes -----------------------------------------------------
 
 def verify_pairs_distributed(sf_dir: str, cand_pairs, shingle_k: int,
-                             threshold: float):
+                             threshold: float,
+                             verify_part=None, verify_kwargs=None):
     """EXACT Jaccard verification of candidate pairs as a distributed
     semi-join over ``documents.parquet`` — broadcast route (the pattern the
     reference's batched hydration plays, `QueryService.java:739-746`):
@@ -357,12 +358,14 @@ def verify_pairs_distributed(sf_dir: str, cand_pairs, shingle_k: int,
     exploded = _explode_shingles(ds, shingle_k, cand_ref=ref)
     pair_rows = exchange_by_key(exploded, "sh", _cand_pairs_part,
                                 proc_kwargs={"cand_ref": ref})
-    return exchange_by_key(pair_rows, ["a", "b"], _count_verify_part,
-                           proc_kwargs={"threshold": threshold})
+    return exchange_by_key(
+        pair_rows, ["a", "b"], verify_part or _count_verify_part,
+        proc_kwargs=verify_kwargs or {"threshold": threshold})
 
 
 def verify_pairs_hashjoin(sf_dir: str, pairs_ds, shingle_k: int,
-                          threshold: float, num_partitions: int | None = None):
+                          threshold: float, num_partitions: int | None = None,
+                          verify_part=None, verify_kwargs=None):
     """EXACT Jaccard verification with NO driver materialization and NO
     broadcast — the large-candidate-set route: the distinct pair table
     joins the exploded candidate-doc shingles on each side, shared-shingle
@@ -405,17 +408,21 @@ def verify_pairs_hashjoin(sf_dir: str, pairs_ds, shingle_k: int,
     sh_b = sh.map_batches(_as_b, batch_format="pyarrow")
     j1 = pairs_ds.join(sh_a, "inner", P, on=("a",))      # a, b, sh, sa
     j2 = j1.join(sh_b, "inner", P, on=("b", "sh"))       # a, b, sh, sa, sb
-    return exchange_by_key(j2, ["a", "b"], _count_verify_part,
-                           proc_kwargs={"threshold": threshold})
+    return exchange_by_key(
+        j2, ["a", "b"], verify_part or _count_verify_part,
+        proc_kwargs=verify_kwargs or {"threshold": threshold})
 
 
 def verify_pairs(sf_dir: str, cand_ds, shingle_k: int, threshold: float,
                  route: str = "auto",
                  broadcast_max_pairs: int = BROADCAST_MAX_PAIRS,
-                 _cand_stats: dict | None = None):
+                 _cand_stats: dict | None = None,
+                 verify_part=None, verify_kwargs=None):
     """Route candidate verification by candidate count: broadcast partner
     map below ``broadcast_max_pairs`` distinct pairs, distributed
-    hash-joins above (identical outputs — pinned by pytest equality)."""
+    hash-joins above (identical outputs — pinned by pytest equality).
+    ``verify_part``/``verify_kwargs`` swap the final pair-keyed partition
+    proc (default: exact-Jaccard ``_count_verify_part``)."""
     # distinct candidates via the pair-keyed exchange (its output blocks
     # are concrete object-store tables, so the routing count() and the
     # downstream verify share them — no lineage re-execution)
@@ -428,9 +435,12 @@ def verify_pairs(sf_dir: str, cand_ds, shingle_k: int, threshold: float,
     if route == "broadcast":
         cand_pairs = [(r["a"], r["b"]) for r in distinct.take_all()]
         return verify_pairs_distributed(sf_dir, cand_pairs, shingle_k,
-                                        threshold)
+                                        threshold, verify_part=verify_part,
+                                        verify_kwargs=verify_kwargs)
     if route == "hashjoin":
-        return verify_pairs_hashjoin(sf_dir, distinct, shingle_k, threshold)
+        return verify_pairs_hashjoin(sf_dir, distinct, shingle_k, threshold,
+                                     verify_part=verify_part,
+                                     verify_kwargs=verify_kwargs)
     raise ValueError(f"unknown verify route {route!r}")
 
 
@@ -482,6 +492,156 @@ def jaccard_pairs(sf_dir: str, shingle_k: int = 3, threshold: float = 0.5,
                         route=verify_route,
                         broadcast_max_pairs=broadcast_max_pairs,
                         _cand_stats=_cand_stats)
+
+
+# -- containment (asymmetric set-similarity) join ------------------------------
+
+def _prefix_flag_part(t: pa.Table, t_num: int, t_den: int) -> pa.Table:
+    """Like ``_prefix_part`` but keeps EVERY row, flagging the prefix
+    (containment candidate generation needs prefix rows on the source
+    side joined against FULL sets on the destination side)."""
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "sh": pa.array([], pa.int64()),
+                         "in_prefix": pa.array([], pa.bool_())})
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    sh = t["sh"].to_numpy(zero_copy_only=False)
+    df = t["df"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((sh, df, d))
+    d2, sh2 = d[order], sh[order]
+    starts = np.concatenate(([0], np.flatnonzero(d2[1:] != d2[:-1]) + 1))
+    counts = np.diff(np.concatenate((starts, [d2.size])))
+    plen = counts - _ceil_tn_map(counts, t_num, t_den) + 1
+    rank = np.arange(d2.size, dtype=np.int64) - np.repeat(starts, counts)
+    flag = rank < np.repeat(plen, counts)
+    return pa.table({"doc_id": pa.array(d2, pa.int64()),
+                     "sh": pa.array(sh2, pa.int64()),
+                     "in_prefix": pa.array(flag, pa.bool_())})
+
+
+def _containment_group_pairs_part(t: pa.Table) -> pa.Table:
+    """Per-shingle candidate pairs for containment: (prefix doc) x (any
+    doc) per group, normalized to unordered a < b and deduped within the
+    partition. Hot shingles sort OUT of prefixes (maximal df), so their
+    groups contribute pairs only through the rare docs that still hold
+    them in a prefix — df-bounded, not quadratic."""
+    if t.num_rows == 0:
+        return pa.table(_EMPTY_PAIRS)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    sh = t["sh"].to_numpy(zero_copy_only=False)
+    pf = t["in_prefix"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, sh))
+    ids, sh, pf = ids[order], sh[order], pf[order]
+    change = np.empty(ids.size, dtype=bool)
+    change[0] = True
+    change[1:] = sh[1:] != sh[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, ids.size))
+    out_a, out_b = [], []
+    for s, c in zip(starts.tolist(), counts.tolist()):
+        seg_ids = ids[s:s + c]
+        seg_pf = pf[s:s + c]
+        if c < 2 or not seg_pf.any():
+            continue
+        src = seg_ids[seg_pf]
+        a = np.repeat(src, c)
+        b = np.tile(seg_ids, src.size)
+        m = a != b
+        a, b = a[m], b[m]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out_a.append(lo)
+        out_b.append(hi)
+    if not out_a:
+        return pa.table(_EMPTY_PAIRS)
+    ab = np.unique(np.stack((np.concatenate(out_a),
+                             np.concatenate(out_b)), axis=1), axis=0)
+    return pa.table({"a": pa.array(ab[:, 0], pa.int64()),
+                     "b": pa.array(ab[:, 1], pa.int64())})
+
+
+def _containment_verify_part(t: pa.Table, t_num: int,
+                             t_den: int) -> pa.Table:
+    """|A∩B| per unordered pair -> ordered (src_id, dst_id) rows for
+    every direction passing EXACT rational containment
+    ``inter * t_den >= t_num * |src|`` (integer compare; the oracle
+    mirrors it as ``t_den * len(intersect) >= t_num * len(src)``)."""
+    empty = pa.table({"src_id": pa.array([], pa.int64()),
+                      "dst_id": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    sa = t["sa"].to_numpy(zero_copy_only=False)
+    sb = t["sb"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+    new = np.ones(a.size, dtype=bool)
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(new)
+    inter = np.diff(np.concatenate((starts, [a.size])))
+    a0, b0 = a[starts], b[starts]
+    sa0, sb0 = sa[starts], sb[starts]
+    ab_ok = inter * t_den >= t_num * sa0        # a contained in b
+    ba_ok = inter * t_den >= t_num * sb0        # b contained in a
+    return pa.table({
+        "src_id": pa.array(np.concatenate((a0[ab_ok], b0[ba_ok])),
+                           pa.int64()),
+        "dst_id": pa.array(np.concatenate((b0[ab_ok], a0[ba_ok])),
+                           pa.int64())})
+
+
+def containment_pairs(sf_dir: str, shingle_k: int = 3,
+                      t_num: int = 9, t_den: int = 10,
+                      verify_route: str = "auto",
+                      broadcast_max_pairs: int = BROADCAST_MAX_PAIRS):
+    """All ORDERED document pairs (src, dst) with set containment
+    ``|src ∩ dst| / |src| >= t_num/t_den`` over distinct word
+    ``shingle_k``-grams — near-containment detection (quotes, subset
+    pages, partial copies: the asymmetric case Jaccard misses when the
+    destination is much larger than the source).
+
+    Same PPJoin-family machinery as `jaccard_pairs` with the asymmetric
+    prefix theorem: if |A∩B| >= t|A| then A's prefix (ascending global
+    (df, sh) order, length |A| - ceil(t|A|) + 1) must intersect B — so
+    candidates are (prefix row) x (full-set row) per shingle group, and
+    verification is the same exact intersection count tested per
+    DIRECTION with a pure-integer rational compare. All keyed stages are
+    partitioned file exchanges; the verify is count-routed
+    (broadcast / hash-join) exactly like the Jaccard family."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    shingles = _explode_shingles(ds, shingle_k)
+    with_df = exchange_by_key(shingles, "sh", _attach_df_part)
+    flagged = exchange_by_key(with_df, "doc_id", _prefix_flag_part,
+                              proc_kwargs={"t_num": t_num, "t_den": t_den})
+    cands = exchange_by_key(flagged, "sh", _containment_group_pairs_part)
+    return verify_pairs(sf_dir, cands, shingle_k, t_num / t_den,
+                        route=verify_route,
+                        broadcast_max_pairs=broadcast_max_pairs,
+                        verify_part=_containment_verify_part,
+                        verify_kwargs={"t_num": t_num, "t_den": t_den})
+
+
+def containment_pairs_sql(shingle_k: int = 3, t_num: int = 9,
+                          t_den: int = 10) -> str:
+    """Brute-force oracle over distinct word-``shingle_k``-gram sets
+    (short docs: one whole-text gram, the `_word_shingles` convention),
+    the same integer rational compare, both directions."""
+    return f"""
+WITH ct_g AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ct AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(w) < {shingle_k} THEN [array_to_string(w, ' ')]
+         ELSE [array_to_string(list_slice(w, j + 1, j + {shingle_k}), ' ')
+               FOR j IN range(len(w) - {shingle_k - 1})]
+    END) AS s
+  FROM ct_g)
+SELECT a.doc_id AS src_id, b.doc_id AS dst_id
+FROM ct a JOIN ct b ON a.doc_id != b.doc_id
+WHERE {t_den} * len(list_intersect(a.s, b.s)) >= {t_num} * len(a.s)"""
 
 
 # -- connected components ----------------------------------------------------

@@ -1441,6 +1441,7 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
         ("merged", lambda: porter_merged_topk(d, k=k),
          porter_bm25_sql(k=k)),
         ("mlt", lambda: porter_mlt_topk(d, k=k), porter_mlt_sql(k=k)),
+        ("prf", lambda: porter_prf_topk(d, k=k), porter_prf_sql(k=k)),
         ("collapse", lambda: porter_collapse_topk(d, k=k),
          porter_collapse_sql(k=k)),
         ("tfidf", lambda: porter_tfidf_topk(d, k=k),
@@ -2280,6 +2281,170 @@ ranked AS (
   FROM quant)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+PRF_FEEDBACK_DOCS = 3            # F: pseudo-relevant seed docs
+PRF_EXPANSION_TERMS = 3          # E: expansion terms added
+PRF_BETA_NUM, PRF_BETA_DEN = 1, 2   # Rocchio beta = 0.5 (exact binary)
+
+
+def porter_prf_topk(index_dir: str, queries: list[str] | None = None,
+                    k: int = 10, n_feedback: int = PRF_FEEDBACK_DOCS,
+                    n_terms: int = PRF_EXPANSION_TERMS) -> pa.Table:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 / RM-style
+    two-pass retrieval; the classical IR sibling of the reference's M13
+    suggestions): pass 1 takes the BM25 top-``n_feedback`` docs as
+    pseudo-relevant, their term vectors (read from the index) vote the
+    ``n_terms`` most characteristic terms NOT already in the query
+    (sum-tf DESC, df ASC, term ASC — the integer-exact cut the MLT arm
+    uses), and pass 2 rescores the corpus with
+    ``score = bm25(original) + 0.5 * bm25(expansion)`` (beta exact in
+    binary; docs matching only expansion terms are reachable) — DuckDB
+    hash-matched end-to-end."""
+    queries = queries if queries is not None else MLT_SEED_QUERIES
+    reader, params = _porter_reader(index_dir)
+    from ..pipelines.hydrate import _load_remap
+
+    remap = _load_remap(index_dir)
+    n, avgdl = reader.n_docs, reader.avgdl
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    beta = PRF_BETA_NUM / PRF_BETA_DEN
+    for q in queries:
+        orig_terms = _analyzed(q)
+        seeds = porter_bm25_topk(index_dir, queries=[q], k=n_feedback)
+        if seeds.num_rows == 0:
+            continue
+        tf_sum: dict[str, int] = {}
+        for i in range(seeds.num_rows):
+            conv = seeds["conv_id"][i].as_py()
+            turn = int(seeds["turn_idx"][i].as_py())
+            h = int(remap.get(conv, conv_hash(conv)))
+            doc = np.uint64((h << TURN_BITS) | turn)
+            for t, tfv in reader.doc_term_vector(int(doc)):
+                tf_sum[t] = tf_sum.get(t, 0) + int(tfv)
+        orig_set = set(orig_terms)
+        sel = sorted(((-s, reader.df(t), t)
+                      for t, s in tf_sum.items()
+                      if t not in orig_set))[:n_terms]
+        exp_terms = [t for _, _, t in sel]
+
+        def _disjunctive(terms: list[str]) -> tuple:
+            docs_arrs, contrib_arrs = [], []
+            for t in terms:
+                pl = reader.merged(t)
+                if pl is None:
+                    continue
+                idf = float(np.log((1.0 + n) / (1.0 + pl.doc_ids.size))
+                            + 1.0)
+                docs_arrs.append(pl.doc_ids)
+                contrib_arrs.append(idf * bm25_tf(pl.tfs, pl.dls, avgdl,
+                                                  params))
+            if not docs_arrs:
+                return (np.asarray([], np.uint64),
+                        np.asarray([], np.float64))
+            uniq, inv = np.unique(np.concatenate(docs_arrs),
+                                  return_inverse=True)
+            sc = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(sc, inv, np.concatenate(contrib_arrs))
+            return uniq, sc
+
+        od, osc = _disjunctive(orig_terms)
+        ed, esc = _disjunctive(exp_terms)
+        # total = orig + beta * exp over the UNION of doc sets (the SQL
+        # FULL JOIN + coalesce; each side's own sum already fixed above)
+        uniq = np.union1d(od, ed)
+        total = np.zeros(uniq.size, dtype=np.float64)
+        total[np.searchsorted(uniq, od)] += osc
+        total[np.searchsorted(uniq, ed)] += beta * esc
+        score_q = np.floor(total * 1e7).astype(np.int64)
+        for r, cv, tn, sq in _ranked_rows(reader.index_dir, uniq,
+                                          score_q, k):
+            out_q.append(q)
+            out_r.append(r)
+            out_c.append(cv)
+            out_t.append(tn)
+            out_s.append(sq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_prf_sql(queries: list[str] | None = None, k: int = 10,
+                   n_feedback: int = PRF_FEEDBACK_DOCS,
+                   n_terms: int = PRF_EXPANSION_TERMS) -> str:
+    """Oracle for ``porter_prf_topk``: quantized-BM25 seed top-F, the
+    integer (sum-tf DESC, df ASC, term) expansion cut minus the original
+    query terms, and the two-sided rescore combined with FULL JOIN +
+    ``orig + 0.5 * exp``."""
+    queries = queries if queries is not None else MLT_SEED_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in _analyzed(q))
+    bm25 = ("sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)"
+            " * (tf.tf * 2.2"
+            " / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))")
+    beta = PRF_BETA_NUM / PRF_BETA_DEN
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+scored0 AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx, {bm25} AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+seed AS (
+  SELECT query, conv_id, turn_idx FROM (
+    SELECT query, conv_id, turn_idx,
+           row_number() OVER (
+             PARTITION BY query
+             ORDER BY CAST(floor(score * 10000000) AS BIGINT) DESC,
+                      conv_id, turn_idx) AS rn
+    FROM scored0) WHERE rn <= {n_feedback}),
+prf_base AS (
+  SELECT s.query, tf.term, CAST(sum(tf.tf) AS BIGINT) AS tfs,
+         min(df.df) AS dfv
+  FROM seed s
+       JOIN tf ON tf.conv_id = s.conv_id AND tf.turn_idx = s.turn_idx
+       JOIN df USING (term)
+  GROUP BY 1, 2),
+prf_excl AS (
+  SELECT b.query, b.term, b.tfs, b.dfv
+  FROM prf_base b ANTI JOIN qt q
+    ON b.query = q.query AND b.term = q.term),
+prf_terms AS (
+  SELECT query, term FROM (
+    SELECT query, term,
+           row_number() OVER (PARTITION BY query
+                              ORDER BY tfs DESC, dfv ASC, term) AS rn
+    FROM prf_excl) WHERE rn <= {n_terms}),
+exp_scored AS (
+  SELECT pt.query, tf.conv_id, tf.turn_idx, {bm25} AS score
+  FROM prf_terms pt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+prf_comb AS (
+  SELECT coalesce(a.query, b.query) AS query,
+         coalesce(a.conv_id, b.conv_id) AS conv_id,
+         coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+         coalesce(a.score, 0.0) + {beta!r} * coalesce(b.score, 0.0)
+           AS score
+  FROM scored0 a FULL JOIN exp_scored b
+    ON a.query = b.query AND a.conv_id = b.conv_id
+   AND a.turn_idx = b.turn_idx),
+prf_ranked AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q,
+         row_number() OVER (
+           PARTITION BY query
+           ORDER BY CAST(floor(score * 10000000) AS BIGINT) DESC,
+                    conv_id, turn_idx) AS rn
+  FROM prf_comb)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM prf_ranked WHERE rn <= {k}"""
 
 
 def porter_merged_topk(index_dir: str, queries: list[str] | None = None,

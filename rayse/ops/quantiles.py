@@ -129,6 +129,132 @@ def event_quantiles(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts, promote_options="default")
 
 
+def _mad_partition(tbl: pa.Table, k: int) -> pa.Table:
+    """Histogram partials of this partition's types -> robust outlier
+    summary per type, all from the co-located (vq, count) histogram in
+    one pass: median (rank ceil(n/2)), MAD = median of |vq - med| (a
+    second rank pick over the re-sorted deviation histogram), and the
+    count of values with |vq - med| > k * MAD. Pure integers."""
+    empty = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "med_vq": pa.array([], pa.int64()),
+        "mad_vq": pa.array([], pa.int64()),
+        "n_out": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    etype = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    vq = tbl["vq"].to_numpy(zero_copy_only=False)
+    c = tbl["c"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vq, etype))
+    e_s, v_s, c_s = etype[order], vq[order], c[order]
+    new = np.empty(e_s.size, dtype=bool)
+    new[0] = True
+    new[1:] = (e_s[1:] != e_s[:-1]) | (v_s[1:] != v_s[:-1])
+    grp = np.cumsum(new) - 1
+    n_grp = int(grp[-1]) + 1
+    cm = np.zeros(n_grp, np.int64)
+    np.add.at(cm, grp, c_s)
+    ge, gv = e_s[new], v_s[new]
+    tfirst = np.empty(n_grp, dtype=bool)
+    tfirst[0] = True
+    tfirst[1:] = ge[1:] != ge[:-1]
+    tstarts = np.flatnonzero(tfirst)
+    tends = np.append(tstarts[1:], n_grp)
+    out = {"event_type": [], "med_vq": [], "mad_vq": [],
+           "n_out": [], "n": []}
+    for s, e in zip(tstarts.tolist(), tends.tolist()):
+        vals, cnts = gv[s:e], cm[s:e]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        r = (n + 1) // 2                       # ceil(n/2)
+        med = int(vals[int(np.searchsorted(cum, r))])
+        dev = np.abs(vals - med)
+        do = np.argsort(dev, kind="stable")
+        dcum = np.cumsum(cnts[do])
+        mad = int(dev[do][int(np.searchsorted(dcum, r))])
+        n_out = int(cnts[dev > k * mad].sum())
+        out["event_type"].append(ge[s])
+        out["med_vq"].append(med)
+        out["mad_vq"].append(mad)
+        out["n_out"].append(n_out)
+        out["n"].append(n)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "med_vq": pa.array(out["med_vq"], pa.int64()),
+        "mad_vq": pa.array(out["mad_vq"], pa.int64()),
+        "n_out": pa.array(out["n_out"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64())})
+
+
+def mad_outliers(sf_dir: str, k: int = 3) -> pa.Table:
+    """(event_type, med_vq, mad_vq, n_out, n): robust MAD-based outlier
+    accounting of the quantized event value per type — the same ONE
+    histogram exchange as `event_quantiles` (median, MAD, and the
+    outlier count all fold from the co-located histogram; no second
+    scan of the raw events)."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    partials = ds.map_batches(_quantile_partial_batch,
+                              batch_format="pyarrow", zero_copy_batch=True)
+    out = exchange_by_key(partials, "thash", _mad_partition,
+                          proc_kwargs={"k": k})
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return _mad_partition(pa.table(
+            {n: [] for n in _PARTIAL_SCHEMA.names},
+            schema=_PARTIAL_SCHEMA), k)
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def mad_outliers_sql(k: int = 3) -> str:
+    """Oracle: the same discrete rank picks (ceil(n/2)) over the value
+    and deviation histograms, exact integer comparisons throughout."""
+    return f"""
+WITH mo_v AS (
+  SELECT event_type,
+         CAST(floor(value * CAST({VQ_SCALE} AS DOUBLE)) AS BIGINT) AS vq
+  FROM events),
+mo_cnt AS (SELECT event_type, vq, CAST(count(*) AS BIGINT) AS c
+           FROM mo_v GROUP BY 1, 2),
+mo_tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+           FROM mo_cnt GROUP BY 1),
+mo_cum AS (SELECT event_type, vq,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY vq) AS cum
+           FROM mo_cnt),
+mo_med AS (
+  SELECT c.event_type, CAST(min(c.vq) AS BIGINT) AS med
+  FROM mo_cum c JOIN mo_tot t ON c.event_type = t.event_type
+  WHERE c.cum >= (t.n + 1) // 2
+  GROUP BY 1),
+mo_dev AS (
+  SELECT c.event_type, abs(c.vq - m.med) AS d, c.c, m.med
+  FROM mo_cnt c JOIN mo_med m ON c.event_type = m.event_type),
+mo_dcnt AS (SELECT event_type, d, CAST(sum(c) AS BIGINT) AS c
+            FROM mo_dev GROUP BY 1, 2),
+mo_dcum AS (SELECT event_type, d,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY d) AS cum
+            FROM mo_dcnt),
+mo_mad AS (
+  SELECT c.event_type, CAST(min(c.d) AS BIGINT) AS mad
+  FROM mo_dcum c JOIN mo_tot t ON c.event_type = t.event_type
+  WHERE c.cum >= (t.n + 1) // 2
+  GROUP BY 1)
+SELECT d.event_type,
+       CAST(max(d.med) AS BIGINT) AS med_vq,
+       CAST(max(a.mad) AS BIGINT) AS mad_vq,
+       CAST(coalesce(sum(d.c) FILTER (d.d > {k} * a.mad), 0)
+            AS BIGINT) AS n_out,
+       CAST(sum(d.c) AS BIGINT) AS n
+FROM mo_dev d JOIN mo_mad a ON d.event_type = a.event_type
+GROUP BY 1"""
+
+
 _P_VALUES = ", ".join(f"({num}, {den}, '{lab}')"
                       for num, den, lab in P_SPECS)
 

@@ -220,6 +220,51 @@ WHERE h IN (SELECT h FROM agg WHERE n_occ >= {min_count})
 GROUP BY doc_id"""
 
 
+def _top_grams_partition(tbl: pa.Table, k: int) -> pa.Table:
+    """One gram-hash partition -> ITS top-k grams by (n_occ DESC,
+    gram_hash ASC): full per-hash aggregate (all rows of a hash are
+    here), then a bounded cut — the driver merge sees <= n_parts * k
+    rows regardless of vocabulary size."""
+    full = _dup_agg_partition(tbl, min_count=1)
+    if full.num_rows <= k:
+        return full
+    h = full["gram_hash"].to_numpy(zero_copy_only=False)
+    occ = full["n_occ"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((h, -occ))[:k]
+    return full.take(pa.array(order, pa.int64()))
+
+
+def top_grams(sf_dir: str, window: int = 4, k: int = 20) -> pa.Table:
+    """Global top-``k`` word ``window``-grams by total occurrence count
+    (ties broken by ascending gram hash) — the boilerplate detector: the
+    most-repeated spans of a crawl are headers/footers/templates, and
+    this surfaces them WITHOUT any corpus-sized driver state (per-batch
+    gram partials -> one hash exchange -> per-partition top-k -> a
+    <= n_parts*k driver merge). Output: (rank, gram_hash, n_docs,
+    n_occ)."""
+    out = exchange_by_key(_partials(sf_dir, window), "gram_hash",
+                          _top_grams_partition, proc_kwargs={"k": k})
+    t = out.to_pandas()
+    h = t["gram_hash"].to_numpy()
+    occ = t["n_occ"].to_numpy()
+    order = np.lexsort((h, -occ))[:k]
+    t = t.iloc[order]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(t) + 1, dtype=np.int64),
+                         pa.int64()),
+        "gram_hash": pa.array(t["gram_hash"].to_numpy(), pa.uint64()),
+        "n_docs": pa.array(t["n_docs"].to_numpy(), pa.int64()),
+        "n_occ": pa.array(t["n_occ"].to_numpy(), pa.int64())})
+
+
+def top_grams_sql(window: int = 4, k: int = 20) -> str:
+    return f"""{_hashed_cte(window)}
+SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, h ASC) AS BIGINT)
+         AS rank,
+       CAST(h AS UBIGINT) AS gram_hash, n_docs, n_occ
+FROM agg ORDER BY n_occ DESC, h ASC LIMIT {k}"""
+
+
 # ---------------------------------------------------------------------------
 # Length-MAXIMAL duplicate spans (ExactSubstr proper, Lee et al. 2022 §4:
 # the unit of removal is the longest duplicated substring, not the k-gram).

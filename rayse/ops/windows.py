@@ -214,3 +214,139 @@ def hopping_agg_sql(window_s: int = 3600, hop_s: int = 900) -> str:
         FROM events, UNNEST([{offs}]) AS i(i)
         GROUP BY 1, 2
     """
+
+
+# -- watermark late-event accounting ------------------------------------------
+
+WM_DELAY_S = 1800                # watermark lag behind max event time
+WM_SKEW_S = 7200                 # synthesized out-of-order skew bound
+WM_BUCKET = 1 << 13              # events per prefix bucket (driver lever)
+
+
+def late_events(sf_dir: str, delay_s: int = WM_DELAY_S,
+                skew_s: int = WM_SKEW_S, bucket: int = WM_BUCKET):
+    """Event-time watermark accounting (the Dataflow model, Akidau et
+    al. 2015): arrival order is the ``event_id`` sequence; after
+    processing event i the watermark is ``max(t[0..i]) - delay``; event
+    i is LATE iff its event time is below the watermark BEFORE it
+    (``t[i] < max(t[0..i-1]) - delay``). The synthetic log is perfectly
+    time-ordered, so out-of-orderness is synthesized deterministically
+    (the `redact_pii` pattern): event time = ts backdated by
+    ``mix(event_id) % skew``. Output: (event_type, late, n) counts.
+
+    Scale shape: a global ordered scan WITHOUT a global sort. Phase 1
+    folds per-bucket (``event_id // bucket``) max-event-time partials —
+    one bounded row per bucket — and the driver takes the exclusive
+    prefix-max over that bounded table (``bucket`` is the driver-state
+    lever: 2^20 at 10^12 events keeps it ~1M rows). Phase 2 exchanges
+    rows by bucket; inside a partition each bucket's rows sort by
+    event_id and ONE seeded ``np.maximum.accumulate`` yields every
+    row's exact prior watermark: segment seeds are the broadcast prefix
+    maxima, and a segment's carryover into the next is always dominated
+    by the next segment's seed (the prefix already contains every
+    earlier bucket), so the single accumulate is exact across segment
+    boundaries — no per-bucket Python loop."""
+    import ray.data as rd
+
+    from .exchange import _mix, exchange_by_key
+
+    skew_us = skew_s * 1_000_000
+    delay_us = delay_s * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        t = ts - (_mix(eid.astype(np.uint64))
+                  % np.uint64(skew_us)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(eid // bucket, pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "t": pa.array(t, pa.int64()),
+            "event_type": batch["event_type"]})
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    maxima = (stamped.select_columns(["bucket", "t"])
+              .groupby("bucket").max("t").to_pandas())
+    b_sorted = np.sort(maxima["bucket"].to_numpy())
+    mx = maxima.set_index("bucket").loc[b_sorted, "max(t)"].to_numpy()
+    sentinel = np.int64(np.iinfo(np.int64).min // 4)
+    prefix = np.empty(b_sorted.size, dtype=np.int64)
+    if b_sorted.size:
+        prefix[0] = sentinel
+        np.maximum.accumulate(mx[:-1], out=prefix[1:])
+
+    out = exchange_by_key(
+        stamped, "bucket", _late_partition,
+        proc_kwargs={"b_sorted": b_sorted, "prefix": prefix,
+                     "delay_us": delay_us, "sentinel": sentinel})
+    agg = (out.groupby(["event_type", "late"]).sum("n")
+           .to_pandas().sort_values(["event_type", "late"]))
+    return pa.table({
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "late": pa.array(agg["late"].to_numpy(), pa.int64()),
+        "n": pa.array(agg["sum(n)"].to_numpy(), pa.int64())})
+
+
+def _late_partition(tbl: pa.Table, b_sorted: np.ndarray,
+                    prefix: np.ndarray, delay_us: int,
+                    sentinel: np.int64) -> pa.Table:
+    """All rows of this partition's buckets: sort by (bucket, event_id),
+    seed each bucket segment with its exclusive global prefix max, one
+    maximum.accumulate -> per-row prior watermark -> (type, late, n)."""
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "late": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    b = tbl["bucket"].to_numpy(zero_copy_only=False)
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+    t = tbl["t"].to_numpy(zero_copy_only=False)
+    et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    order = np.lexsort((eid, b))
+    b, t, et = b[order], t[order], et[order]
+    seg = np.empty(b.size, dtype=bool)
+    seg[0] = True
+    seg[1:] = b[1:] != b[:-1]
+    shifted = np.empty(t.size, dtype=np.int64)
+    shifted[1:] = t[:-1]
+    starts = np.flatnonzero(seg)
+    pos = np.searchsorted(b_sorted, b[starts])
+    shifted[starts] = prefix[pos] if b_sorted.size else sentinel
+    prev = np.maximum.accumulate(shifted)
+    late = ((prev > sentinel) & (t < prev - delay_us)).astype(np.int64)
+    u, inv = np.unique(et, return_inverse=True)
+    key = inv * 2 + late
+    cnt = np.bincount(key, minlength=2 * u.size)
+    nz = np.flatnonzero(cnt)
+    return pa.table({
+        "event_type": pa.array(u[nz // 2], pa.string()),
+        "late": pa.array((nz % 2).astype(np.int64), pa.int64()),
+        "n": pa.array(cnt[nz].astype(np.int64), pa.int64())})
+
+
+def late_events_sql(delay_s: int = WM_DELAY_S,
+                    skew_s: int = WM_SKEW_S) -> str:
+    """Oracle: the same backdated event times (HUGEINT splitmix mirror)
+    under one ordered window max — exact integer microseconds."""
+    from .sketch import _mix_sql_wide
+
+    return f"""
+WITH le AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) - CAST({_mix_sql_wide('CAST(event_id AS HUGEINT)')}
+                             % {skew_s * 1_000_000} AS BIGINT) AS t
+  FROM events),
+lo AS (
+  SELECT event_type, t,
+         max(t) OVER (ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM le)
+SELECT event_type,
+       CAST(CASE WHEN pm IS NOT NULL AND t < pm - {delay_s * 1_000_000}
+                 THEN 1 ELSE 0 END AS BIGINT) AS late,
+       CAST(count(*) AS BIGINT) AS n
+FROM lo GROUP BY 1, 2"""

@@ -1080,3 +1080,39 @@ def test_ann_sq_matches_duckdb(ray_session):
         hits += len(s1 & s2)
         tot += len(s2)
     assert hits / tot >= 0.8
+
+
+def test_containment_pairs_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.dedup import containment_pairs, containment_pairs_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = (containment_pairs(sf).to_pandas()
+           .sort_values(["src_id", "dst_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(containment_pairs_sql()).fetchdf()
+            .sort_values(["src_id", "dst_id"]).reset_index(drop=True))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want[got.columns])
+    # asymmetry: a pure-subset source must appear src->dst without the
+    # reverse unless sizes match; exact duplicates appear both ways
+    rev = set(zip(want["dst_id"], want["src_id"]))
+    assert any((a, b) not in rev for a, b in
+               zip(want["src_id"], want["dst_id"]))
+
+
+def test_containment_hashjoin_route_equal(ray_session):
+    import pandas as pd
+
+    from rayse.ops.dedup import containment_pairs
+
+    sf = "/root/testdata/sf0.001"
+    a = (containment_pairs(sf).to_pandas()
+         .sort_values(["src_id", "dst_id"]).reset_index(drop=True))
+    b = (containment_pairs(sf, broadcast_max_pairs=0).to_pandas()
+         .sort_values(["src_id", "dst_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

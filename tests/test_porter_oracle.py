@@ -829,3 +829,14 @@ def test_porter_explain_matches_duckdb(porter_index, con):
     nterms = df.groupby(["query", "rank"]).size().reset_index(name="m")
     j = j.merge(nterms, on=["query", "rank"])
     assert ((j["contrib_q"] - j["score_q"]).abs() <= j["m"]).all()
+
+
+def test_porter_prf_matches_duckdb(porter_index, con):
+    """Rocchio PRF end-to-end: top-F feedback docs, the integer
+    (sum-tf DESC, df ASC, term) expansion cut minus the query terms,
+    and the beta=0.5 two-sided rescore — vs the full SQL mirror."""
+    from rayse.ops.porter_oracle import porter_prf_sql, porter_prf_topk
+
+    got = porter_prf_topk(porter_index)
+    want = con.execute(porter_prf_sql()).fetchdf()
+    _cmp(got, want, ["query", "rank"])

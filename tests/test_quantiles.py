@@ -72,3 +72,21 @@ def test_event_quantiles_blocksize_invariant(ray_session):
         ctx.target_max_block_size = old
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_mad_outliers_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.quantiles import mad_outliers, mad_outliers_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = (mad_outliers(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(mad_outliers_sql()).fetchdf()
+            .sort_values("event_type").reset_index(drop=True))
+    assert (got["n_out"] > 0).any()            # non-degenerate
+    pd.testing.assert_frame_equal(got, want[got.columns])

@@ -327,3 +327,29 @@ def test_kn_bigram_nll_matches_duckdb(ray_session):
         "doc_id").reset_index(drop=True)
     assert not (a["knll_q"].to_numpy()
                 == mle["nll2_q"].to_numpy()).all()
+
+
+def test_top_grams_matches_duckdb(ray_session):
+    from rayse.ops.spandedup import top_grams, top_grams_sql
+
+    got = top_grams(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(top_grams_sql()).fetchdf().reset_index(drop=True)
+    assert len(got) == 20 and got["n_occ"].iloc[0] >= 2
+    # rank order must be non-increasing in n_occ with hash tie-break
+    assert (got["n_occ"].diff().dropna() <= 0).all()
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict()))
+
+
+def test_top_grams_k_invariance(ray_session):
+    """top-5 must be the prefix of top-20 (the per-partition cut never
+    loses a global winner)."""
+    from rayse.ops.spandedup import top_grams
+
+    t20 = top_grams(SF, k=20).to_pandas()
+    t5 = top_grams(SF, k=5).to_pandas()
+    pd.testing.assert_frame_equal(t5.reset_index(drop=True),
+                                  t20.head(5).reset_index(drop=True))

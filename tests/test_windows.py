@@ -83,3 +83,32 @@ def test_hopping_agg_matches_duckdb(ray_session):
     # each event lands in exactly window/hop windows
     assert got["n_events"].sum() == 4 * con.execute(
         "SELECT count(*) FROM events").fetchone()[0]
+
+
+def test_late_events_matches_duckdb(ray_session, con):
+    from rayse.ops.windows import late_events, late_events_sql
+
+    got = late_events(SF)
+    want = con.sql(late_events_sql()).df()
+    _cmp(got, want)
+    # the synthesized skew must exercise BOTH branches
+    import pandas as pd
+    df = got.to_pandas() if hasattr(got, "to_pandas") else got
+    if isinstance(df, pd.DataFrame) is False:
+        df = df.to_pandas()
+    assert set(df["late"].unique()) == {0, 1}
+
+
+def test_late_events_bucket_invariant(ray_session):
+    """The bucket size (driver-state lever) must not change the result:
+    the seeded segment-scan is exact across any bucketing."""
+    import pandas as pd
+
+    from rayse.ops.windows import late_events
+
+    a = late_events(SF, bucket=1 << 13).to_pandas()
+    b = late_events(SF, bucket=37).to_pandas()       # prime, many buckets
+    key = ["event_type", "late"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
