@@ -187,6 +187,103 @@ def _mad_partition(tbl: pa.Table, k: int) -> pa.Table:
         "n": pa.array(out["n"], pa.int64())})
 
 
+def _trimmed_partition(tbl: pa.Table, g_num: int, g_den: int) -> pa.Table:
+    """Histogram partials -> two-sided trimmed sums per type: drop the
+    lowest and highest ``floor(n * g_num/g_den)`` values by rank, emit
+    the exact integer sum and count of the middle. Per distinct value,
+    kept multiplicity = clamp(min(cum, n-g) - max(cum - c, g), 0) —
+    pure-integer interval overlap on the rank line."""
+    empty = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "n_kept": pa.array([], pa.int64()),
+        "sum_q": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    etype = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    vq = tbl["vq"].to_numpy(zero_copy_only=False)
+    c = tbl["c"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vq, etype))
+    e_s, v_s, c_s = etype[order], vq[order], c[order]
+    new = np.empty(e_s.size, dtype=bool)
+    new[0] = True
+    new[1:] = (e_s[1:] != e_s[:-1]) | (v_s[1:] != v_s[:-1])
+    grp = np.cumsum(new) - 1
+    cm = np.zeros(int(grp[-1]) + 1, np.int64)
+    np.add.at(cm, grp, c_s)
+    ge, gv = e_s[new], v_s[new]
+    tfirst = np.empty(ge.size, dtype=bool)
+    tfirst[0] = True
+    tfirst[1:] = ge[1:] != ge[:-1]
+    tstarts = np.flatnonzero(tfirst)
+    tends = np.append(tstarts[1:], ge.size)
+    out_e, out_n, out_s = [], [], []
+    for s, e in zip(tstarts.tolist(), tends.tolist()):
+        cnts, vals = cm[s:e], gv[s:e]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        g = (n * g_num) // g_den
+        kept = np.clip(np.minimum(cum, n - g)
+                       - np.maximum(cum - cnts, g), 0, None)
+        out_e.append(ge[s])
+        out_n.append(n - 2 * g)
+        out_s.append(int((vals * kept).sum()))
+    return pa.table({
+        "event_type": pa.array(out_e, pa.string()),
+        "n_kept": pa.array(out_n, pa.int64()),
+        "sum_q": pa.array(out_s, pa.int64())})
+
+
+def trimmed_stats(sf_dir: str, g_num: int = 1, g_den: int = 10) -> pa.Table:
+    """(event_type, n_kept, sum_q): 10%-two-sided-trimmed sum/count of
+    the quantized event value per type — the robust-mean companion of
+    `mad_outliers`, folded from the SAME one-histogram-exchange shape
+    (a production pass would fuse all three folds into one proc; kept
+    separate here for schema clarity — the exchange and partials are
+    shared code)."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    partials = ds.map_batches(_quantile_partial_batch,
+                              batch_format="pyarrow", zero_copy_batch=True)
+    out = exchange_by_key(partials, "thash", _trimmed_partition,
+                          proc_kwargs={"g_num": g_num, "g_den": g_den})
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return _trimmed_partition(pa.table(
+            {n: [] for n in _PARTIAL_SCHEMA.names},
+            schema=_PARTIAL_SCHEMA), g_num, g_den)
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def trimmed_stats_sql(g_num: int = 1, g_den: int = 10) -> str:
+    """Oracle: identical integer rank-interval overlap over the value
+    histogram."""
+    return f"""
+WITH tr_v AS (
+  SELECT event_type,
+         CAST(floor(value * CAST({VQ_SCALE} AS DOUBLE)) AS BIGINT) AS vq
+  FROM events),
+tr_cnt AS (SELECT event_type, vq, CAST(count(*) AS BIGINT) AS c
+           FROM tr_v GROUP BY 1, 2),
+tr_cum AS (SELECT event_type, vq, c,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY vq) AS cum
+           FROM tr_cnt),
+tr_tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(c) * {g_num} // {g_den} AS BIGINT) AS g
+           FROM tr_cnt GROUP BY 1)
+SELECT c.event_type,
+       CAST(max(t.n - 2 * t.g) AS BIGINT) AS n_kept,
+       CAST(sum(c.vq * greatest(least(c.cum, t.n - t.g)
+                                - greatest(c.cum - c.c, t.g), 0))
+            AS BIGINT) AS sum_q
+FROM tr_cum c JOIN tr_tot t ON c.event_type = t.event_type
+GROUP BY 1"""
+
+
 def mad_outliers(sf_dir: str, k: int = 3) -> pa.Table:
     """(event_type, med_vq, mad_vq, n_out, n): robust MAD-based outlier
     accounting of the quantized event value per type — the same ONE

@@ -90,3 +90,40 @@ def test_mad_outliers_matches_duckdb(ray_session):
             .sort_values("event_type").reset_index(drop=True))
     assert (got["n_out"] > 0).any()            # non-degenerate
     pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_trimmed_stats_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.quantiles import trimmed_stats, trimmed_stats_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = (trimmed_stats(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(trimmed_stats_sql()).fetchdf()
+            .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_trimmed_stats_zero_trim_is_full_sum(ray_session):
+    import duckdb
+
+    from rayse.ops.quantiles import trimmed_stats
+    from rayse.ops.rollup import VQ_SCALE
+
+    sf = "/root/testdata/sf0.001"
+    got = trimmed_stats(sf, g_num=0, g_den=1).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(
+        "SELECT event_type, count(*) AS n, CAST(sum(CAST(floor(value * "
+        f"{float(VQ_SCALE)}) AS BIGINT)) AS BIGINT) AS s "
+        "FROM events GROUP BY 1").fetchdf().set_index("event_type")
+    for _, r in got.iterrows():
+        assert r["n_kept"] == want.loc[r["event_type"], "n"]
+        assert r["sum_q"] == want.loc[r["event_type"], "s"]
