@@ -871,9 +871,19 @@ def _q_span_dedup_suite(sf_dir: str) -> pa.Table:
         "n_a": tg["rank"],
         "n_b": tg["n_occ"],
     })
+    wf = _as_table(_q_winnow_fingerprints(sf_dir))
+    winfp = pa.table({
+        "key": wf["doc_id"].cast(pa.uint64()),
+        "n_a": wf["n_fp"],
+        # low 63 bits of the XOR fold (the full uint64 is pinned by the
+        # below-window entry; the suite columns are int64)
+        "n_b": pc.cast(pc.bit_wise_and(
+            wf["fp_xor"], pa.scalar((1 << 63) - 1, pa.uint64())),
+            pa.int64()),
+    })
     return _tagged_union([("spans", spans), ("docs", docs),
                           ("novelty", novelty), ("noveltyppm", ppm),
-                          ("topgrams", topg)])
+                          ("topgrams", topg), ("winnowfp", winfp)])
 
 
 def _q_top_grams(sf_dir: str) -> pa.Table:
@@ -883,6 +893,25 @@ def _q_top_grams(sf_dir: str) -> pa.Table:
     from rayse.ops.spandedup import top_grams
 
     return top_grams(sf_dir)
+
+
+def _q_winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing sketch summaries (Schleimer et al. 2003 / MOSS):
+    per-doc count, min and XOR fold of the rightmost-min-per-window
+    fingerprint picks — batch-local vectorized selection, one bounded
+    doc exchange; DuckDB hash-matched incl. the tie rule."""
+    from rayse.ops.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(sf_dir)
+
+
+def _q_winnow_overlap(sf_dir: str) -> pa.Table:
+    """MOSS-style local-overlap pairs: docs sharing >= 2 distinct
+    winnowed fingerprints (fp exchange -> pair exchange, exact
+    counts) — DuckDB hash-matched."""
+    from rayse.ops.winnow import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(sf_dir)
 
 
 def _q_gram_novelty(sf_dir: str) -> pa.Table:
@@ -1372,7 +1401,19 @@ def _q_term_stats_suite(sf_dir: str) -> pa.Table:
     return _tagged_union([
         ("porter", porter_term_stats(_index_for(sf_dir))),
         ("ws", ws_term_stats(_ws_index_for(sf_dir))),
-        ("diffdelta", delta)])
+        ("diffdelta", delta),
+        ("hh", _as_table(_q_frequent_words(sf_dir)).rename_columns(
+            ["term", "df", "cf"]))])
+
+
+def _q_frequent_words(sf_dir: str) -> pa.Table:
+    """(word, df, cf): exact heavy hitters — every word with cf >= N/500
+    via the two-pass pigeonhole-candidates algorithm (bounded driver
+    state, vocabulary never leaves the workers) — DuckDB hash-matched
+    against the HAVING-threshold oracle."""
+    from rayse.ops.heavyhitters import frequent_words
+
+    return frequent_words(sf_dir)
 
 
 def _q_index_diff(sf_dir: str) -> pa.Table:
@@ -1780,8 +1821,20 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
         "key": md["event_type"],
         "p_label": pa.array([m] * md.num_rows, pa.string()),
         "v": md[m]}) for m in ("med_vq", "mad_vq", "n_out", "n")]
+    tr = _as_table(_q_trimmed_stats(sf_dir))
+    trparts = [pa.table({
+        "key": tr["event_type"],
+        "p_label": pa.array([m] * tr.num_rows, pa.string()),
+        "v": tr[m]}) for m in ("n_kept", "sum_q")]
+    cu = _as_table(_q_cusum_alarms(sf_dir))
+    cuparts = [pa.table({
+        "key": cu["event_type"],
+        "p_label": pa.array([m] * cu.num_rows, pa.string()),
+        "v": cu[m]}) for m in ("n_alarms", "max_c")]
     return _tagged_union([("tokens", tok), ("events", ev),
                           ("mad", pa.concat_tables(mdparts)),
+                          ("trimmed", pa.concat_tables(trparts)),
+                          ("cusum", pa.concat_tables(cuparts)),
                           ("corr", co),
                           ("rankeval", pa.concat_tables(rparts)),
                           ("zscore", zs),
@@ -1804,6 +1857,33 @@ def _q_mad_outliers(sf_dir: str) -> pa.Table:
     from rayse.ops.quantiles import mad_outliers
 
     return mad_outliers(sf_dir)
+
+
+def _q_cusum_alarms(sf_dir: str) -> pa.Table:
+    """(event_type, n_alarms, max_c): Page CUSUM mean-shift detection,
+    distributed as an exact two-level parallel prefix scan (bucket
+    summaries -> carries -> final scan; skew-safe: a hot type splits
+    across its time buckets) — DuckDB hash-matched."""
+    from rayse.ops.cusum import cusum_alarms
+
+    return cusum_alarms(sf_dir)
+
+
+def _q_cusum_rows(sf_dir: str) -> pa.Table:
+    """(event_id, event_type, cus_q): the per-event CUSUM statistic —
+    row-level output of the same scan, DuckDB hash-matched."""
+    from rayse.ops.cusum import cusum_rows
+
+    return _as_table(cusum_rows(sf_dir))
+
+
+def _q_trimmed_stats(sf_dir: str) -> pa.Table:
+    """Two-sided 10%-trimmed sum/count per event_type (robust mean
+    numerator): pure-integer rank-interval overlap over the same
+    histogram exchange — DuckDB hash-matched."""
+    from rayse.ops.quantiles import trimmed_stats
+
+    return trimmed_stats(sf_dir)
 
 
 def _q_bottomk_sample(sf_dir: str) -> pa.Table:
@@ -2084,7 +2164,10 @@ def _q_order_suite(sf_dir: str) -> pa.Table:
     hash-matched against row_number() oracles."""
     cur = _as_table(_q_curriculum_order(sf_dir))
     shf = _as_table(_q_shuffle_order(sf_dir))
-    return _tagged_union([("curriculum", cur), ("shuffle", shf)])
+    zo = _as_table(_q_zorder_rank(sf_dir)).rename_columns(
+        ["doc_id", "rank"])
+    return _tagged_union([("curriculum", cur), ("shuffle", shf),
+                          ("zorder", zo)])
 
 
 def _q_curriculum_order(sf_dir: str) -> pa.Table:
@@ -2101,6 +2184,16 @@ def _q_shuffle_order(sf_dir: str) -> pa.Table:
     from rayse.ops.curriculum import shuffle_order
 
     return shuffle_order(sf_dir)
+
+
+def _q_zorder_rank(sf_dir: str) -> pa.Table:
+    """(event_id, rank): exact z-order (Morton) layout position over
+    (user_id, hour-of-epoch) — the lakehouse OPTIMIZE ZORDER analog,
+    via the bounded range-histogram + one-exchange ranking machinery —
+    DuckDB hash-matched against a bit-interleave row_number oracle."""
+    from rayse.ops.zorder import zorder_rank
+
+    return _as_table(zorder_rank(sf_dir))
 
 
 def _q_trailing_window(sf_dir: str):
@@ -2189,6 +2282,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": _q_mad_outliers,
         "containment_pairs": _q_containment_pairs,
         "top_grams": _q_top_grams,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_overlap": _q_winnow_overlap,
+        "trimmed_stats": _q_trimmed_stats,
+        "zorder_rank": _q_zorder_rank,
+        "frequent_words": _q_frequent_words,
+        "cusum_alarms": _q_cusum_alarms,
+        "cusum_rows": _q_cusum_rows,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2423,7 +2523,10 @@ def oracle_sql() -> dict[str, str]:
                 fromlist=["x"]).curriculum_order_sql()),
             ("shuffle", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
-                fromlist=["x"]).shuffle_order_sql())]),
+                fromlist=["x"]).shuffle_order_sql()),
+            ("zorder", "event_id AS doc_id, rank", __import__(
+                "rayse.ops.zorder",
+                fromlist=["x"]).zorder_rank_sql())]),
         "curriculum_order": __import__(
             "rayse.ops.curriculum", fromlist=["x"]).curriculum_order_sql(),
         "shuffle_order": __import__(
@@ -2507,6 +2610,16 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.windows", fromlist=["x"]).late_events_sql(),
         "mad_outliers": __import__(
             "rayse.ops.quantiles", fromlist=["x"]).mad_outliers_sql(),
+        "trimmed_stats": __import__(
+            "rayse.ops.quantiles", fromlist=["x"]).trimmed_stats_sql(),
+        "zorder_rank": __import__(
+            "rayse.ops.zorder", fromlist=["x"]).zorder_rank_sql(),
+        "frequent_words": __import__(
+            "rayse.ops.heavyhitters", fromlist=["x"]).frequent_words_sql(),
+        "cusum_alarms": __import__(
+            "rayse.ops.cusum", fromlist=["x"]).cusum_alarms_sql(),
+        "cusum_rows": __import__(
+            "rayse.ops.cusum", fromlist=["x"]).cusum_rows_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,
@@ -2742,9 +2855,17 @@ def oracle_sql() -> dict[str, str]:
                         fromlist=["x"]).gram_novelty_sql()),
             ("topgrams", "gram_hash AS key, rank AS n_a, n_occ AS n_b",
              __import__("rayse.ops.spandedup",
-                        fromlist=["x"]).top_grams_sql())]),
+                        fromlist=["x"]).top_grams_sql()),
+            ("winnowfp", "CAST(doc_id AS UBIGINT) AS key, n_fp AS n_a, "
+             "CAST(fp_xor % 9223372036854775808 AS BIGINT) AS n_b",
+             __import__("rayse.ops.winnow",
+                        fromlist=["x"]).winnow_fingerprints_sql())]),
         "top_grams": __import__(
             "rayse.ops.spandedup", fromlist=["x"]).top_grams_sql(),
+        "winnow_fingerprints": __import__(
+            "rayse.ops.winnow", fromlist=["x"]).winnow_fingerprints_sql(),
+        "winnow_overlap": __import__(
+            "rayse.ops.winnow", fromlist=["x"]).winnow_overlap_pairs_sql(),
         "funnel_counts": __import__(
             "rayse.ops.funnel", fromlist=["x"]).funnel_counts_sql(),
         "retention_counts": __import__(
@@ -2800,6 +2921,16 @@ def oracle_sql() -> dict[str, str]:
                 __import__("rayse.ops.quantiles",
                            fromlist=["x"]).mad_outliers_sql())
                for m in ("med_vq", "mad_vq", "n_out", "n")]
+            + [("trimmed",
+                f"event_type AS key, '{m}' AS p_label, {m} AS v",
+                __import__("rayse.ops.quantiles",
+                           fromlist=["x"]).trimmed_stats_sql())
+               for m in ("n_kept", "sum_q")]
+            + [("cusum",
+                f"event_type AS key, '{m}' AS p_label, {m} AS v",
+                __import__("rayse.ops.cusum",
+                           fromlist=["x"]).cusum_alarms_sql())
+               for m in ("n_alarms", "max_c")]
             + [("rankeval",
                 f"query AS key, '{m}' AS p_label, {m} AS v",
                 __import__("rayse.ops.rankeval",
@@ -2941,7 +3072,10 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.ws_search", fromlist=["x"]).ws_term_stats_sql()),
             ("diffdelta", "term, df_b - df_a AS df, cf_b - cf_a AS cf",
              __import__("rayse.ops.indexdiff",
-                        fromlist=["x"]).index_diff_sql())]),
+                        fromlist=["x"]).index_diff_sql()),
+            ("hh", "word AS term, df, cf",
+             __import__("rayse.ops.heavyhitters",
+                        fromlist=["x"]).frequent_words_sql())]),
         "index_diff": __import__(
             "rayse.ops.indexdiff", fromlist=["x"]).index_diff_sql(),
         "sampling_suite": _tagged_union_sql([
