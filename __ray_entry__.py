@@ -679,7 +679,11 @@ def _q_cluster_suite(sf_dir: str) -> pa.Table:
     sd = _as_table(_q_semdedup_keep(sf_dir))
     sd = sd.append_column("dist", pa.array(
         np.zeros(sd.num_rows, np.int64), pa.int64()))
-    return _tagged_union([("kmeans", km), ("semdedup", sd)])
+    sv = _as_table(_q_survivorship_keep(sf_dir)).rename_columns(
+        ["vec_id", "cluster", "dist"])
+    sv = sv.set_column(1, "cluster", pc.cast(sv["cluster"], pa.int32()))
+    return _tagged_union([("kmeans", km), ("semdedup", sd),
+                          ("survivor", sv)])
 
 
 def _q_join_suite(sf_dir: str) -> pa.Table:
@@ -1859,6 +1863,15 @@ def _q_mad_outliers(sf_dir: str) -> pa.Table:
     return mad_outliers(sf_dir)
 
 
+def _q_survivorship_keep(sf_dir: str) -> pa.Table:
+    """(doc_id, cluster_id, n_chars): near-dup survivorship under the
+    keep-richest quality policy (max n_chars, tie min doc_id) per
+    connected component — DuckDB hash-matched."""
+    from rayse.ops.dedup import survivorship_keep_best
+
+    return survivorship_keep_best(sf_dir)
+
+
 def _q_cusum_alarms(sf_dir: str) -> pa.Table:
     """(event_type, n_alarms, max_c): Page CUSUM mean-shift detection,
     distributed as an exact two-level parallel prefix scan (bucket
@@ -2289,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_words": _q_frequent_words,
         "cusum_alarms": _q_cusum_alarms,
         "cusum_rows": _q_cusum_rows,
+        "survivorship_keep": _q_survivorship_keep,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2620,6 +2634,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.cusum", fromlist=["x"]).cusum_alarms_sql(),
         "cusum_rows": __import__(
             "rayse.ops.cusum", fromlist=["x"]).cusum_rows_sql(),
+        "survivorship_keep": __import__(
+            "rayse.ops.dedup",
+            fromlist=["x"]).survivorship_keep_best_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,
@@ -2816,7 +2833,11 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.similarity", fromlist=["x"]).kmeans_assign_sql()),
             ("semdedup", "vec_id, cluster, CAST(0 AS BIGINT) AS dist",
              __import__("rayse.ops.similarity",
-                        fromlist=["x"]).semdedup_keep_sql())]),
+                        fromlist=["x"]).semdedup_keep_sql()),
+            ("survivor", "doc_id AS vec_id, "
+             "CAST(cluster_id AS INTEGER) AS cluster, n_chars AS dist",
+             __import__("rayse.ops.dedup",
+                        fromlist=["x"]).survivorship_keep_best_sql())]),
         "join_suite": _tagged_union_sql([
             ("asof", "event_id, user_id, matched_event_id, "
              "gap_us AS delta_us", __import__(

@@ -1385,3 +1385,77 @@ def _embedding_lsh_pairs(sf_dir: str, threshold: float, n_tables: int,
         return pa.table({"vec_a": batch["a"], "vec_b": batch["b"]})
 
     return pairs.map_batches(strip, batch_format="pyarrow")
+
+
+# -- Survivorship (keep-best) -------------------------------------------------
+
+def survivorship_keep_best(sf_dir: str, shingle_k: int = 1,
+                           threshold: float = 0.9) -> pa.Table:
+    """Near-dup survivorship with a QUALITY policy: per connected
+    component keep the member with the most characters (``n_chars``
+    metadata column — no text scan), ties to the smallest doc_id —
+    the "keep the richest copy" rule real cleaning passes use instead
+    of keep-first. Output: one (doc_id, cluster_id, n_chars) row per
+    cluster, the surviving member.
+
+    Scale shape: the cluster table is the already-reduced dedup output
+    (documented driver bound of ``dedup_clusters``); member metadata
+    arrives via a broadcast-membership filtered scan of the METADATA
+    column only, so nothing corpus-sized moves. Reference relationship:
+    lifts the reference's keep-first SE4 semantics
+    (`IndexerService.java` URL-unique upsert) to a quality policy."""
+    import ray
+    import ray.data as rd
+
+    clusters = dedup_clusters(sf_dir, shingle_k, threshold)
+    ids = clusters["doc_id"].to_numpy(zero_copy_only=False)
+    cid = clusters["cluster_id"].to_numpy(zero_copy_only=False)
+    if ids.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64())})
+    member_ref = ray.put(np.sort(ids))
+
+    def member_meta(batch: pa.Table) -> pa.Table:
+        mem = ray.get(member_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(d, mem)
+        return pa.table({
+            "doc_id": pa.array(d[keep], pa.int64()),
+            "n_chars": pa.array(
+                batch["n_chars"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64())})
+
+    meta = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+            .map_batches(member_meta, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .to_pandas())                       # cluster-table-sized
+    order = np.argsort(meta["doc_id"].to_numpy(), kind="stable")
+    m_ids = meta["doc_id"].to_numpy()[order]
+    m_nc = meta["n_chars"].to_numpy()[order]
+    nc = m_nc[np.searchsorted(m_ids, ids)]
+    # winner per cluster: max n_chars, tie min doc_id
+    sel = np.lexsort((ids, -nc, cid))
+    c_s = cid[sel]
+    first = np.empty(c_s.size, dtype=bool)
+    first[0] = True
+    first[1:] = c_s[1:] != c_s[:-1]
+    win = sel[first]
+    out = np.argsort(ids[win], kind="stable")
+    return pa.table({
+        "doc_id": pa.array(ids[win][out], pa.int64()),
+        "cluster_id": pa.array(cid[win][out], pa.int64()),
+        "n_chars": pa.array(nc[win][out], pa.int64())})
+
+
+def survivorship_keep_best_sql(threshold: float = 0.9) -> str:
+    return f"""
+WITH sv_cl AS ({dedup_clusters_sql(threshold)}),
+sv_rank AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+  FROM sv_cl c JOIN documents d USING (doc_id))
+SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM sv_rank WHERE rn = 1"""
