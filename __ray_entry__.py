@@ -1835,10 +1835,16 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
         "key": cu["event_type"],
         "p_label": pa.array([m] * cu.num_rows, pa.string()),
         "v": cu[m]}) for m in ("n_alarms", "max_c")]
+    dc = _as_table(_q_data_checks(sf_dir))
+    dcparts = [pa.table({
+        "key": dc["check_name"],
+        "p_label": pa.array([m] * dc.num_rows, pa.string()),
+        "v": dc[m]}) for m in ("n_violations", "n_rows")]
     return _tagged_union([("tokens", tok), ("events", ev),
                           ("mad", pa.concat_tables(mdparts)),
                           ("trimmed", pa.concat_tables(trparts)),
                           ("cusum", pa.concat_tables(cuparts)),
+                          ("checks", pa.concat_tables(dcparts)),
                           ("corr", co),
                           ("rankeval", pa.concat_tables(rparts)),
                           ("zscore", zs),
@@ -1861,6 +1867,16 @@ def _q_mad_outliers(sf_dir: str) -> pa.Table:
     from rayse.ops.quantiles import mad_outliers
 
     return mad_outliers(sf_dir)
+
+
+def _q_data_checks(sf_dir: str) -> pa.Table:
+    """(check_name, n_violations, n_rows): Deequ-style constraint
+    validation — RI via exchange ANTI join + broadcast membership,
+    uniqueness via in-partition distinct counts, domain/range/null via
+    partial sums — DuckDB hash-matched."""
+    from rayse.ops.datachecks import data_checks
+
+    return data_checks(sf_dir)
 
 
 def _q_survivorship_keep(sf_dir: str) -> pa.Table:
@@ -2303,6 +2319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_alarms": _q_cusum_alarms,
         "cusum_rows": _q_cusum_rows,
         "survivorship_keep": _q_survivorship_keep,
+        "data_checks": _q_data_checks,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2637,6 +2654,8 @@ def oracle_sql() -> dict[str, str]:
         "survivorship_keep": __import__(
             "rayse.ops.dedup",
             fromlist=["x"]).survivorship_keep_best_sql(),
+        "data_checks": __import__(
+            "rayse.ops.datachecks", fromlist=["x"]).data_checks_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,
@@ -2952,6 +2971,11 @@ def oracle_sql() -> dict[str, str]:
                 __import__("rayse.ops.cusum",
                            fromlist=["x"]).cusum_alarms_sql())
                for m in ("n_alarms", "max_c")]
+            + [("checks",
+                f"check_name AS key, '{m}' AS p_label, {m} AS v",
+                __import__("rayse.ops.datachecks",
+                           fromlist=["x"]).data_checks_sql())
+               for m in ("n_violations", "n_rows")]
             + [("rankeval",
                 f"query AS key, '{m}' AS p_label, {m} AS v",
                 __import__("rayse.ops.rankeval",

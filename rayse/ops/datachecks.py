@@ -1,0 +1,222 @@
+"""Deequ-style data-quality constraint checks over the relational
+tables — the validation pass a production ingest runs before anything
+downstream trusts the data.
+
+Eight checks across four tables, each reported as exact
+(check_name, n_violations, n_rows):
+
+- referential integrity twice, by the two scale routes the join family
+  already provides: ``ri_lineitem_orders`` through the co-partitioned
+  file-exchange ANTI join (big ⋈ big — neither side broadcast), and
+  ``ri_orders_customer`` through broadcast membership (small key side:
+  ``ray.put`` a sorted key array once, ``np.isin`` per batch);
+- uniqueness twice (single-column ``unique_o_orderkey``, composite
+  ``pk_lineitem``): excess rows = n - distinct(keys), distinct counted
+  inside key-hash exchange partitions (per-batch partials can't merge
+  distincts; co-located keys can) and summed;
+- domain / range / sign / null checks: row-local vectorized predicates
+  folded through per-batch partial sums — the embarrassingly-parallel
+  shape.
+
+Everything is an integer count, so the DuckDB oracle (a UNION ALL of
+the same predicates) matches bit-for-bit.
+
+Reference relationship: the reference trusts PostgreSQL constraints
+(UNIQUE/FK in `V2__Add_Metrics_Tables.sql`, `Document.java:17-55`) to
+enforce these at insert time; a lakehouse pipeline has no such gate, so
+validation becomes an explicit distributed operator (beyond-reference
+family, SURVEY §2.7).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ACCEPTED_EVENT_TYPES = ("click", "view", "purchase", "signup")
+VALUE_LO, VALUE_HI = 0.0, 300.0
+
+
+def _count_ds(ds) -> int:
+    return int(ds.count())
+
+
+def _sum_flags(ds, flag_fn) -> int:
+    """Row-local predicate -> exact violation count via partial sums."""
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array([int(flag_fn(batch).sum())],
+                                       pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).sum("v")
+    return int(agg) if agg is not None else 0
+
+
+def _distinct_in_partitions(ds, key_cols: list[str]) -> int:
+    """Exact distinct count of (possibly composite) integer keys:
+    co-locate by key hash, np.unique per partition, sum."""
+    import ray
+
+    from .exchange import exchange_by_key
+
+    def proc(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64())})
+        cols = [tbl[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        if len(cols) == 1:
+            d = np.unique(cols[0]).size
+        else:
+            d = np.unique(np.rec.fromarrays(cols)).size
+        return pa.table({"d": pa.array([d], pa.int64())})
+
+    out = exchange_by_key(ds, key_cols, proc)
+    parts = ray.get(out.to_arrow_refs())
+    return sum(int(t["d"][i].as_py()) for t in parts
+               for i in range(t.num_rows))
+
+
+def _anti_join_count(left_ds, right_ds, left_on: str, right_on: str) -> int:
+    """Left rows with no right match — the exchange ANTI join route."""
+    from .exchange import hash_join
+
+    j = hash_join(left_ds, right_ds, left_on, right_on,
+                  join_type="left anti")
+    return _count_ds(j)
+
+
+def data_checks(sf_dir: str) -> pa.Table:
+    """(check_name, n_violations, n_rows) for the eight-constraint
+    validation suite — see module header for the per-check routes."""
+    import ray
+    import ray.data as rd
+
+    def read(t, cols):
+        return rd.read_parquet(f"{sf_dir}/{t}.parquet", columns=cols)
+
+    rows = {
+        "orders": _count_ds(read("orders", ["o_orderkey"])),
+        "lineitem": _count_ds(read("lineitem", ["l_orderkey"])),
+        "customer": _count_ds(read("customer", ["c_custkey"])),
+        "events": _count_ds(read("events", ["event_id"])),
+    }
+    out: list[tuple[str, int, int]] = []
+
+    # RI big-vs-big: exchange anti join (keys only leave the scan)
+    li_keys = read("lineitem", ["l_orderkey"])
+    ord_keys = read("orders", ["o_orderkey"])
+    out.append(("ri_lineitem_orders",
+                _anti_join_count(li_keys, ord_keys,
+                                 "l_orderkey", "o_orderkey"),
+                rows["lineitem"]))
+
+    # RI small key side: broadcast membership
+    cust = np.sort(np.unique(np.concatenate(
+        [t["c_custkey"].to_numpy(zero_copy_only=False)
+         for t in ray.get(read("customer",
+                                ["c_custkey"]).to_arrow_refs())]
+        or [np.array([], np.int64)])))
+    cust_ref = ray.put(cust)
+
+    def missing_cust(batch: pa.Table) -> np.ndarray:
+        keys = ray.get(cust_ref)
+        return ~np.isin(
+            batch["o_custkey"].to_numpy(zero_copy_only=False), keys)
+
+    out.append(("ri_orders_customer",
+                _sum_flags(read("orders", ["o_custkey"]), missing_cust),
+                rows["orders"]))
+
+    # uniqueness: excess rows over distinct keys
+    out.append(("unique_o_orderkey",
+                rows["orders"] - _distinct_in_partitions(
+                    read("orders", ["o_orderkey"]), ["o_orderkey"]),
+                rows["orders"]))
+    out.append(("pk_lineitem",
+                rows["lineitem"] - _distinct_in_partitions(
+                    read("lineitem", ["l_orderkey", "l_linenumber"]),
+                    ["l_orderkey", "l_linenumber"]),
+                rows["lineitem"]))
+
+    # row-local predicate checks
+    accepted = set(ACCEPTED_EVENT_TYPES)
+
+    def bad_type(batch: pa.Table) -> np.ndarray:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        return ~np.isin(et, list(accepted))
+
+    out.append(("domain_event_type",
+                _sum_flags(read("events", ["event_type"]), bad_type),
+                rows["events"]))
+
+    def bad_value(batch: pa.Table) -> np.ndarray:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return (v < VALUE_LO) | (v >= VALUE_HI)
+
+    out.append(("range_event_value",
+                _sum_flags(read("events", ["value"]), bad_value),
+                rows["events"]))
+
+    def neg_bal(batch: pa.Table) -> np.ndarray:
+        return batch["c_acctbal"].to_numpy(zero_copy_only=False) < 0
+
+    out.append(("nonneg_c_acctbal",
+                _sum_flags(read("customer", ["c_acctbal"]), neg_bal),
+                rows["customer"]))
+
+    def null_props(batch: pa.Table) -> np.ndarray:
+        return pc.is_null(batch["props"]).to_numpy(zero_copy_only=False)
+
+    out.append(("nonnull_props",
+                _sum_flags(read("events", ["props"]), null_props),
+                rows["events"]))
+
+    out.sort()
+    return pa.table({
+        "check_name": pa.array([c for c, _, _ in out], pa.string()),
+        "n_violations": pa.array([v for _, v, _ in out], pa.int64()),
+        "n_rows": pa.array([n for _, _, n in out], pa.int64())})
+
+
+def data_checks_sql() -> str:
+    accepted = ", ".join(f"'{t}'" for t in ACCEPTED_EVENT_TYPES)
+    return f"""
+SELECT * FROM (
+SELECT 'domain_event_type' AS check_name,
+       CAST(count(*) FILTER (WHERE event_type NOT IN ({accepted}))
+            AS BIGINT) AS n_violations,
+       CAST(count(*) AS BIGINT) AS n_rows FROM events
+UNION ALL
+SELECT 'nonneg_c_acctbal',
+       CAST(count(*) FILTER (WHERE c_acctbal < 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'nonnull_props',
+       CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM events
+UNION ALL
+SELECT 'pk_lineitem',
+       CAST(count(*) - count(DISTINCT [l_orderkey, l_linenumber])
+            AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'range_event_value',
+       CAST(count(*) FILTER (WHERE value < {VALUE_LO}
+                             OR value >= {VALUE_HI}) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM events
+UNION ALL
+SELECT 'ri_lineitem_orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL),
+       CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'ri_orders_customer',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL),
+       CAST(count(*) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'unique_o_orderkey',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM orders
+) ORDER BY check_name"""
