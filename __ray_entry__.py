@@ -1869,6 +1869,16 @@ def _q_mad_outliers(sf_dir: str) -> pa.Table:
     return mad_outliers(sf_dir)
 
 
+def _q_kmv_source_ops(sf_dir: str) -> pa.Table:
+    """(src_a, src_b, est_union, est_inter): KMV sketch algebra (Beyer
+    et al. 2007) — per-source bottom-k sketches from ONE corpus pass,
+    pairwise union/intersection estimates from the sketches alone, all
+    integer arithmetic — DuckDB hash-matched."""
+    from rayse.ops.sketch import kmv_source_ops
+
+    return kmv_source_ops(sf_dir)
+
+
 def _q_data_checks(sf_dir: str) -> pa.Table:
     """(check_name, n_violations, n_rows): Deequ-style constraint
     validation — RI via exchange ANTI join + broadcast membership,
@@ -2320,6 +2330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_rows": _q_cusum_rows,
         "survivorship_keep": _q_survivorship_keep,
         "data_checks": _q_data_checks,
+        "kmv_source_ops": _q_kmv_source_ops,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2656,6 +2667,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).survivorship_keep_best_sql(),
         "data_checks": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).data_checks_sql(),
+        "kmv_source_ops": __import__(
+            "rayse.ops.sketch", fromlist=["x"]).kmv_source_ops_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,

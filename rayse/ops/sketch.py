@@ -600,6 +600,16 @@ def sketch_suite(sf_dir: str) -> pa.Table:
                                 "value": pa.array(d["est"],
                                                   pa.int64())}))),
     ]
+    # KMV pair algebra: idx packs the synthetic 'srcN' numbers (the
+    # standalone `kmv_source_ops` entry keeps the general string keys)
+    ko = kmv_source_ops(sf_dir).to_pandas()
+    pair_idx = (ko["src_a"].str[3:].astype(int) * 1000
+                + ko["src_b"].str[3:].astype(int)).to_numpy()
+    for metric, variant in (("est_union", "kmv_union"),
+                            ("est_inter", "kmv_inter")):
+        parts.append((variant, pa.table({
+            "idx": pa.array(pair_idx, pa.int64()),
+            "value": pa.array(ko[metric].to_numpy(), pa.int64())})))
     out = []
     for variant, t in parts:
         out.append(t.add_column(0, "variant", pa.array(
@@ -638,7 +648,17 @@ SELECT 'exact_distinct' AS variant, idx, value
 FROM (\n{exact_distinct_sql()}\n)
 UNION ALL
 SELECT 'kmv' AS variant, k AS idx, est AS value
-FROM (\n{kmv_sql()}\n)"""
+FROM (\n{kmv_sql()}\n)
+UNION ALL
+SELECT 'kmv_union' AS variant,
+       CAST(substr(src_a, 4) AS BIGINT) * 1000
+         + CAST(substr(src_b, 4) AS BIGINT) AS idx,
+       est_union AS value FROM (\n{kmv_source_ops_sql()}\n)
+UNION ALL
+SELECT 'kmv_inter' AS variant,
+       CAST(substr(src_a, 4) AS BIGINT) * 1000
+         + CAST(substr(src_b, 4) AS BIGINT) AS idx,
+       est_inter AS value FROM (\n{kmv_source_ops_sql()}\n)"""
 
 
 # ---------------------------------------------------------------------------
@@ -791,3 +811,173 @@ SELECT {k} AS k,
                       // kth.h
             END AS BIGINT) AS est
 FROM nv LEFT JOIN kth ON TRUE"""
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch ALGEBRA (Beyer et al., SIGMOD 2007): per-source bottom-k
+# sketches support union/intersection estimates between any source pair
+# without revisiting the data — the mergeable-summary property that makes
+# KMV a cluster primitive rather than a one-shot estimator. Sketches are
+# sources x k rows by construction (that boundedness is the point), so the
+# pairwise combine runs on the driver; the corpus is touched exactly once.
+# ---------------------------------------------------------------------------
+
+def _kmv_source_partial(batch: pa.Table, k: int) -> pa.Table:
+    """Per-batch per-source bottom-k distinct word hashes."""
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "shash": pa.array([], pa.uint64()),
+                      "h": pa.array([], pa.uint64())})
+    if batch.num_rows == 0:
+        return empty
+    src = np.asarray(batch["source"].to_pylist(), dtype=object)
+    texts = batch["text"].to_pylist()
+    per_doc = [np.unique(np.asarray((t or "").split(" "), dtype=object))
+               for t in texts]
+    words = np.concatenate(per_doc)
+    sidx = np.repeat(np.arange(len(per_doc)), [a.size for a in per_doc])
+    h = _fnv_words(words)
+    su, sinv = np.unique(src, return_inverse=True)
+    sh = _fnv_words(su)
+    g = sinv[sidx]
+    order = np.lexsort((h, g))
+    g_s, h_s = g[order], h[order]
+    keep = np.ones(g_s.size, dtype=bool)
+    keep[1:] = (g_s[1:] != g_s[:-1]) | (h_s[1:] != h_s[:-1])
+    g_s, h_s = g_s[keep], h_s[keep]
+    # bottom-k within each source segment
+    starts = np.flatnonzero(np.concatenate(
+        ([True], g_s[1:] != g_s[:-1])))
+    rank = np.arange(g_s.size) - np.repeat(
+        starts, np.diff(np.append(starts, g_s.size)))
+    kmask = rank < k
+    g_k, h_k = g_s[kmask], h_s[kmask]
+    return pa.table({"source": pa.array(su[g_k].tolist(), pa.string()),
+                     "shash": pa.array(sh[g_k], pa.uint64()),
+                     "h": pa.array(h_k, pa.uint64())})
+
+
+def _kmv_source_final(tbl: pa.Table, k: int) -> pa.Table:
+    """Merge a source's partials: distinct hashes, keep bottom-k."""
+    if tbl.num_rows == 0:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "h": pa.array([], pa.uint64())})
+    src = np.asarray(tbl["source"].to_pylist(), dtype=object)
+    h = tbl["h"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((h, src))
+    s_s, h_s = src[order], h[order]
+    keep = np.ones(s_s.size, dtype=bool)
+    keep[1:] = (s_s[1:] != s_s[:-1]) | (h_s[1:] != h_s[:-1])
+    s_s, h_s = s_s[keep], h_s[keep]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], s_s[1:] != s_s[:-1])))
+    rank = np.arange(s_s.size) - np.repeat(
+        starts, np.diff(np.append(starts, s_s.size)))
+    kmask = rank < k
+    return pa.table({"source": pa.array(s_s[kmask].tolist(), pa.string()),
+                     "h": pa.array(h_s[kmask], pa.uint64())})
+
+
+def kmv_source_sketches(sf_dir: str, k: int = KMV_K) -> pa.Table:
+    """(source, h): the per-source bottom-k sketch — one corpus pass,
+    bounded output (sources x k)."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    parts = ds.map_batches(_kmv_source_partial, fn_kwargs={"k": k},
+                           batch_format="pyarrow", zero_copy_batch=True)
+    out = exchange_by_key(parts, "shash", _kmv_source_final,
+                          proc_kwargs={"k": k})
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "h": pa.array([], pa.uint64())})
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def kmv_source_ops(sf_dir: str, k: int = KMV_K) -> pa.Table:
+    """(src_a, src_b, est_union, est_inter) for every ordered source
+    pair, from the per-source KMV sketches alone (Beyer et al. 2007):
+    tau = k-th smallest of the combined sketch, union = (k-1)*2^64 //
+    tau (exact when the combined sketch is complete), intersection =
+    matches-under-tau scaled by union/k_eff — all integer arithmetic,
+    reproduced verbatim by the oracle."""
+    t = kmv_source_sketches(sf_dir, k)
+    src = np.asarray(t["source"].to_pylist(), dtype=object)
+    h = t["h"].to_numpy(zero_copy_only=False)
+    names = sorted(set(src.tolist()))
+    sk = {s: np.sort(h[src == s]) for s in names}
+    out_a, out_b, out_u, out_i = [], [], [], []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ka, kb = sk[a], sk[b]
+            union = np.union1d(ka, kb)
+            tot = int(union.size)
+            k_eff = min(k, tot)
+            tau = int(union[k_eff - 1])
+            est_u = tot if tot < k else ((k - 1) << 64) // tau
+            inter = np.intersect1d(ka, kb)
+            n_match = int((inter <= tau).sum())
+            est_i = (n_match * est_u) // k_eff
+            out_a.append(a)
+            out_b.append(b)
+            out_u.append(est_u)
+            out_i.append(est_i)
+    return pa.table({"src_a": pa.array(out_a, pa.string()),
+                     "src_b": pa.array(out_b, pa.string()),
+                     "est_union": pa.array(out_u, pa.int64()),
+                     "est_inter": pa.array(out_i, pa.int64())})
+
+
+def kmv_source_ops_sql(k: int = KMV_K) -> str:
+    return f"""
+WITH kv_w AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+kv_h AS (
+  SELECT DISTINCT source, list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+                        [ascii(c)::HUGEINT FOR c IN string_split(w, '')]),
+           (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                     % 18446744073709551616::HUGEINT) AS h
+  FROM kv_w),
+kv_sk AS (
+  SELECT source, h
+  FROM (SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM kv_h) WHERE rn <= {k}),
+kv_pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM kv_sk) a
+  JOIN (SELECT DISTINCT source FROM kv_sk) b ON a.source < b.source),
+kv_comb AS (
+  SELECT p.sa, p.sb, s.h,
+         CAST(count(DISTINCT s.source) AS BIGINT) AS nsrc
+  FROM kv_pairs p JOIN kv_sk s ON s.source IN (p.sa, p.sb)
+  GROUP BY 1, 2, 3),
+kv_rank AS (
+  SELECT sa, sb, h, nsrc,
+         row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY sa, sb) AS tot
+  FROM kv_comb),
+kv_tau AS (
+  SELECT sa, sb, max(tot) AS tot,
+         least(max(tot), {k}) AS k_eff,
+         max(CASE WHEN rn = least(tot, {k}) THEN h END) AS tau
+  FROM kv_rank GROUP BY 1, 2),
+kv_est AS (
+  SELECT t.sa, t.sb, t.k_eff,
+         CASE WHEN t.tot < {k} THEN t.tot::HUGEINT
+              ELSE ({k - 1}::HUGEINT * 18446744073709551616::HUGEINT)
+                   // t.tau END AS est_u,
+         (SELECT CAST(count(*) AS BIGINT) FROM kv_rank r
+          WHERE r.sa = t.sa AND r.sb = t.sb AND r.nsrc = 2
+            AND r.h <= t.tau) AS n_match
+  FROM kv_tau t)
+SELECT sa AS src_a, sb AS src_b,
+       CAST(est_u AS BIGINT) AS est_union,
+       CAST((n_match::HUGEINT * est_u) // k_eff AS BIGINT) AS est_inter
+FROM kv_est"""
