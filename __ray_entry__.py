@@ -1590,7 +1590,9 @@ def _q_token_count_suite(sf_dir: str) -> pa.Table:
     return _tagged_union([
         ("ws", _as_table(_q_doc_token_count(sf_dir))),
         ("bpe", bpe.rename_columns(["doc_id", "n_tokens"])),
-        ("bpe_applied", _as_table(bpe_encoded_len(sf_dir)))])
+        ("bpe_applied", _as_table(bpe_encoded_len(sf_dir))),
+        ("simpson", _as_table(_q_simpson_diversity(sf_dir))
+         .rename_columns(["doc_id", "n_tokens"]))])
 
 
 def _q_pmi_suite(sf_dir: str) -> pa.Table:
@@ -1867,6 +1869,15 @@ def _q_mad_outliers(sf_dir: str) -> pa.Table:
     from rayse.ops.quantiles import mad_outliers
 
     return mad_outliers(sf_dir)
+
+
+def _q_simpson_diversity(sf_dir: str) -> pa.Table:
+    """(doc_id, simpson_ppm): Simpson repeat-concentration index per
+    document — exact-rational ppm, row-local vectorized, no shuffle —
+    DuckDB hash-matched."""
+    from rayse.ops.textstats import simpson_diversity
+
+    return _as_table(simpson_diversity(sf_dir))
 
 
 def _q_kmv_source_ops(sf_dir: str) -> pa.Table:
@@ -2331,6 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survivorship_keep": _q_survivorship_keep,
         "data_checks": _q_data_checks,
         "kmv_source_ops": _q_kmv_source_ops,
+        "simpson_diversity": _q_simpson_diversity,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2529,7 +2541,10 @@ def oracle_sql() -> dict[str, str]:
                 fromlist=["x"]).bpe_token_count_sql()),
             ("bpe_applied", "doc_id, n_tokens", __import__(
                 "rayse.ops.textstats",
-                fromlist=["x"]).bpe_encoded_len_sql())]),
+                fromlist=["x"]).bpe_encoded_len_sql()),
+            ("simpson", "doc_id, simpson_ppm AS n_tokens", __import__(
+                "rayse.ops.textstats",
+                fromlist=["x"]).simpson_diversity_sql())]),
         "bpe_merges": __import__(
             "rayse.ops.textstats", fromlist=["x"]).learn_bpe_merges_sql(),
         "bpe_encoded_len": __import__(
@@ -2669,6 +2684,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.datachecks", fromlist=["x"]).data_checks_sql(),
         "kmv_source_ops": __import__(
             "rayse.ops.sketch", fromlist=["x"]).kmv_source_ops_sql(),
+        "simpson_diversity": __import__(
+            "rayse.ops.textstats",
+            fromlist=["x"]).simpson_diversity_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,

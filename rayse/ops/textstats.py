@@ -1907,3 +1907,74 @@ nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
 SELECT t.doc_id, t.n_tokens,
        CAST(cum.below * {PCT_SCALE} // nn.n AS BIGINT) AS pct_q
 FROM t JOIN cum USING (n_tokens) CROSS JOIN nn"""
+
+
+# -- Simpson lexical diversity ------------------------------------------------
+
+SIMPSON_SCALE = 1_000_000
+
+
+def simpson_diversity(sf_dir: str):
+    """(doc_id, simpson_ppm): Simpson's repeat-concentration index per
+    document — the probability two token draws (without replacement)
+    are the same word, sum c_i(c_i-1) / (n(n-1)), as an exact-rational
+    ppm quantization (low = lexically diverse, high = repetitive; the
+    diversity complement of `repetition_stats`'s Gopher filters).
+    Row-local and fully vectorized: one np.unique over (doc, token)
+    pairs per batch, no shuffle at all."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "simpson_ppm": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        texts = batch["text"].to_pylist()
+        per_doc = [np.asarray((t or "").split(" "), dtype=object)
+                   for t in texts]
+        toks = np.concatenate(per_doc)
+        didx = np.repeat(np.arange(len(per_doc), dtype=np.int64),
+                         [a.size for a in per_doc])
+        # counts per (doc, token)
+        order = np.lexsort((toks, didx))
+        d_s, t_s = didx[order], toks[order]
+        new = np.ones(d_s.size, dtype=bool)
+        new[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+        grp = np.cumsum(new) - 1
+        c = np.zeros(int(grp[-1]) + 1, np.int64)
+        np.add.at(c, grp, 1)
+        gdoc = d_s[new]
+        s = np.zeros(len(per_doc), np.int64)
+        np.add.at(s, gdoc, c * (c - 1))
+        n = np.array([a.size for a in per_doc], np.int64)
+        denom = n * (n - 1)
+        ppm = np.where(n < 2, SIMPSON_SCALE,
+                       (s * SIMPSON_SCALE) // np.maximum(denom, 1))
+        return pa.table({
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "simpson_ppm": pa.array(ppm, pa.int64())})
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def simpson_diversity_sql() -> str:
+    return f"""
+WITH sd_t AS (
+  SELECT doc_id, u.t AS w
+  FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+sd_c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         FROM sd_t GROUP BY 1, 2),
+sd_s AS (SELECT doc_id, CAST(sum(c * (c - 1)) AS BIGINT) AS s,
+                CAST(sum(c) AS BIGINT) AS n
+         FROM sd_c GROUP BY 1)
+SELECT doc_id,
+       CAST(CASE WHEN n < 2 THEN {SIMPSON_SCALE}
+                 ELSE (s * {SIMPSON_SCALE}) // (n * (n - 1))
+            END AS BIGINT) AS simpson_ppm
+FROM sd_s"""
