@@ -1474,7 +1474,19 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
             ["node", "deg"]).rename_columns(["vertex", "rank_fp"])),
         ("tri_count", _q_triangle_counts(sf_dir).select(
             ["node", "n_tri"]).rename_columns(["vertex", "rank_fp"])),
-        ("ppr", _q_ppr_fixed(sf_dir))])
+        ("ppr", _q_ppr_fixed(sf_dir)),
+        ("kcore", _as_table(_q_kcore_h(sf_dir)).rename_columns(
+            ["vertex", "rank_fp"]))])
+
+
+def _q_kcore_h(sf_dir: str) -> pa.Table:
+    """(node, core_h): k-core decomposition via the Lü et al. h-index
+    iteration — broadcast vertex vector + mergeable neighbor-value
+    histograms per round, monotone-fixpoint early stop — DuckDB
+    hash-matched against the unrolled MATERIALIZED-CTE oracle."""
+    from rayse.ops.kcore import kcore_h
+
+    return kcore_h(sf_dir)
 
 
 def _q_ppr_fixed(sf_dir: str) -> pa.Table:
@@ -2343,6 +2355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_checks": _q_data_checks,
         "kmv_source_ops": _q_kmv_source_ops,
         "simpson_diversity": _q_simpson_diversity,
+        "kcore_h": _q_kcore_h,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2687,6 +2700,8 @@ def oracle_sql() -> dict[str, str]:
         "simpson_diversity": __import__(
             "rayse.ops.textstats",
             fromlist=["x"]).simpson_diversity_sql(),
+        "kcore_h": __import__(
+            "rayse.ops.kcore", fromlist=["x"]).kcore_h_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,
@@ -3184,7 +3199,9 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.graph", fromlist=["x"]).ppr_fixed_sql()),
             ("textrank", "vertex, rank_fp", __import__(
                 "rayse.ops.textrank",
-                fromlist=["x"]).textrank_sql(final="vertex"))]),
+                fromlist=["x"]).textrank_sql(final="vertex")),
+            ("kcore", "node AS vertex, core_h AS rank_fp", __import__(
+                "rayse.ops.kcore", fromlist=["x"]).kcore_h_sql())]),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS qe FROM embeddings

@@ -1,0 +1,196 @@
+"""k-core decomposition (coreness) of the derived link graph via
+h-index iteration.
+
+Coreness — the largest k such that a vertex survives in the k-core — is
+the classic peeling statistic, but peeling is inherently sequential.
+Lü et al. (Nature Communications 2016) showed the core number is the
+fixed point of the LOCAL h-index iteration::
+
+    h_0(v)   = deg(v)
+    h_{t+1}(v) = H({h_t(u) : u ~ v})   (H = the h-index operator)
+
+which converges monotonically from above — exactly the shape the
+PageRank/HITS family already uses: per-iteration the vertex-value
+vector broadcasts (``ray.put``), the DISTINCT undirected edge set
+streams once, and per-batch (vertex, neighbor-value) COUNT partials
+(mergeable histograms — the h-index of a multiset only needs its value
+histogram) fold through one bounded groupby; the driver applies H per
+vertex from the histogram (h = max over desc-sorted rows of
+min(value, cumulative count) — pytest-pinned against the rank
+definition). Driver state is vertex-dense, the same documented bound
+as the dense PageRank variant (the sharded-exchange realization there
+shows the unbounded-vertex path).
+
+Iteration count is FIXED (KCORE_ITERS) so both engines compute the
+identical iterate; convergence at the demo graph is pytest-pinned
+(h_T == h_{T+1}).
+
+Oracle: the same iteration unrolled in SQL — per round, neighbors
+ranked descending by current value, h = max rank with value >= rank.
+
+Reference relationship: extends the Ranker's degree statistics
+(`Ranker.java` in/out-degree) to the density-layering statistic;
+shares the edge derivation with `triangles.py` (same canonical
+distinct undirected edge CTE).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .graph import DEMO_VERTEX_SPACE
+
+KCORE_ITERS = 30
+
+
+def _distinct_edges(sf_dir: str):
+    """Distinct canonical (lo, hi) edges, self-loops dropped — the
+    triangles dedup shape: batch-local canon partials, one lo-keyed
+    exchange for exact distinctness."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+    from .triangles import _canon_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "props"])
+    parts = ds.map_batches(_canon_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def distinct(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        lo = tbl["lo"].to_numpy(zero_copy_only=False)
+        hi = tbl["hi"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        keep = np.ones(lo.size, dtype=bool)
+        keep[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        return pa.table({"lo": pa.array(lo[keep], pa.int64()),
+                         "hi": pa.array(hi[keep], pa.int64())})
+
+    return exchange_by_key(parts, "lo", distinct)
+
+
+def _h_from_hist(v: np.ndarray, val: np.ndarray,
+                 cnt: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Per-vertex h-index from (vertex, value, count) histogram rows:
+    h = max over value-descending rows of min(value, cum count)."""
+    h = np.zeros(verts.size, np.int64)
+    if v.size == 0:
+        return h
+    order = np.lexsort((-val, v))
+    v_s, val_s, c_s = v[order], val[order], cnt[order]
+    start = np.empty(v_s.size, dtype=bool)
+    start[0] = True
+    start[1:] = v_s[1:] != v_s[:-1]
+    gid = np.cumsum(start) - 1
+    starts = np.flatnonzero(start)
+    cum = np.cumsum(c_s)
+    base = np.concatenate(([0], cum[starts[1:] - 1]))
+    local_cum = cum - base[gid]
+    cand = np.minimum(val_s, local_cum)
+    hv = np.zeros(starts.size, np.int64)
+    np.maximum.at(hv, gid, cand)
+    idx = np.searchsorted(verts, v_s[start])
+    h[idx] = hv
+    return h
+
+
+def kcore_h(sf_dir: str, iters: int = KCORE_ITERS) -> pa.Table:
+    """(node, core_h): the h-index iterate after ``iters`` rounds (the
+    core number once converged — pinned at the demo graph)."""
+    import ray
+
+    edges = _distinct_edges(sf_dir).materialize()
+
+    # dense vertex space + initial degrees (vertex-dense driver bound)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            batch["lo"].to_numpy(zero_copy_only=False),
+            batch["hi"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .groupby("v").sum("c").to_pandas())
+    verts = np.sort(deg["v"].to_numpy().astype(np.int64))
+    h = deg.sort_values("v")["sum(c)"].to_numpy().astype(np.int64)
+
+    for _ in range(iters):
+        h_ref = ray.put(h)
+        verts_ref = ray.put(verts)
+
+        def hist_partial(batch: pa.Table, h_ref=h_ref,
+                         verts_ref=verts_ref) -> pa.Table:
+            hv = ray.get(h_ref)
+            vs = ray.get(verts_ref)
+            lo = batch["lo"].to_numpy(zero_copy_only=False)
+            hi = batch["hi"].to_numpy(zero_copy_only=False)
+            tgt = np.concatenate([lo, hi])
+            nb = np.concatenate([hi, lo])
+            val = hv[np.searchsorted(vs, nb)]
+            order = np.lexsort((val, tgt))
+            t_s, v_s = tgt[order], val[order]
+            new = np.ones(t_s.size, dtype=bool)
+            new[1:] = (t_s[1:] != t_s[:-1]) | (v_s[1:] != v_s[:-1])
+            g = np.cumsum(new) - 1
+            c = np.zeros(int(g[-1]) + 1, np.int64)
+            np.add.at(c, g, 1)
+            return pa.table({"v": pa.array(t_s[new], pa.int64()),
+                             "val": pa.array(v_s[new], pa.int64()),
+                             "c": pa.array(c, pa.int64())})
+
+        parts = [t for t in ray.get(
+            edges.map_batches(hist_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_arrow_refs())
+            if t.num_rows]
+        hist = pa.concat_tables(parts)    # <= V x values rows per batch;
+        # the driver fold replaces a per-iteration shuffle (histogram
+        # rows are the already-reduced partials, vertex-dense bound)
+        hv = hist["v"].to_numpy(zero_copy_only=False)
+        hval = hist["val"].to_numpy(zero_copy_only=False)
+        hc = hist["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hval, hv))
+        hv, hval, hc = hv[order], hval[order], hc[order]
+        new = np.ones(hv.size, dtype=bool)
+        new[1:] = (hv[1:] != hv[:-1]) | (hval[1:] != hval[:-1])
+        g = np.cumsum(new) - 1
+        cs = np.zeros(int(g[-1]) + 1, np.int64)
+        np.add.at(cs, g, hc)
+        h_next = _h_from_hist(hv[new], hval[new], cs, verts)
+        if (h_next == h).all():
+            break                        # monotone fixpoint: h_T = h_t
+        h = h_next
+
+    return pa.table({"node": pa.array(verts, pa.int64()),
+                     "core_h": pa.array(h, pa.int64())})
+
+
+def kcore_h_sql(iters: int = KCORE_ITERS) -> str:
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+kc_n{t} AS MATERIALIZED (
+  SELECT ue.a AS v, h.h AS val,
+         CAST(row_number() OVER (PARTITION BY ue.a
+                                 ORDER BY h.h DESC) AS BIGINT) AS rn
+  FROM kc_ue ue JOIN kc_h{t - 1} h ON h.v = ue.b),
+kc_h{t} AS MATERIALIZED (
+  SELECT v, COALESCE(max(CASE WHEN val >= rn THEN rn END), 0) AS h
+  FROM kc_n{t} GROUP BY v)""")
+    return f"""
+WITH kc_e0 AS MATERIALIZED (SELECT user_id AS src,
+                      CAST(json_extract(props, '$.k') AS BIGINT)
+                        % {DEMO_VERTEX_SPACE} AS dst
+               FROM events),
+kc_e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+         FROM kc_e0 WHERE src <> dst),
+kc_ue AS MATERIALIZED (SELECT lo AS a, hi AS b FROM kc_e
+          UNION ALL SELECT hi, lo FROM kc_e),
+kc_h0 AS MATERIALIZED (SELECT a AS v, CAST(count(*) AS BIGINT) AS h
+          FROM kc_ue GROUP BY a),{','.join(rounds)}
+SELECT v AS node, CAST(h AS BIGINT) AS core_h
+FROM kc_h{iters}"""
