@@ -1438,13 +1438,15 @@ def _q_sampling_suite(sf_dir: str) -> pa.Table:
     rate / per-stratum rates / exact per-stratum quota), tagged — one
     window slot; outputs are sample-sized so the gather is bounded."""
     from rayse.ops.sampling import (bottomk_sample, hash_sample,
-                                    quota_sample, stratified_sample)
+                                    quota_sample, stratified_sample,
+                                    weighted_sample)
 
     return _tagged_union([
         ("hash", hash_sample(sf_dir)),
         ("stratified", stratified_sample(sf_dir)),
         ("quota", quota_sample(sf_dir)),
-        ("bottomk", bottomk_sample(sf_dir))])
+        ("bottomk", bottomk_sample(sf_dir)),
+        ("weighted", weighted_sample(sf_dir))])
 
 
 def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
@@ -1477,6 +1479,15 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
         ("ppr", _q_ppr_fixed(sf_dir)),
         ("kcore", _as_table(_q_kcore_h(sf_dir)).rename_columns(
             ["vertex", "rank_fp"]))])
+
+
+def _q_weighted_sample(sf_dir: str) -> pa.Table:
+    """(doc_id, lang): exactly-64 weighted sample (weight = n_chars,
+    integer Efraimidis-Spirakis-analog priority = splitmix // weight) —
+    mergeable bottom-k partials, DuckDB hash-matched."""
+    from rayse.ops.sampling import weighted_sample
+
+    return _as_table(weighted_sample(sf_dir))
 
 
 def _q_kcore_h(sf_dir: str) -> pa.Table:
@@ -2356,6 +2367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_source_ops": _q_kmv_source_ops,
         "simpson_diversity": _q_simpson_diversity,
         "kcore_h": _q_kcore_h,
+        "weighted_sample": _q_weighted_sample,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2702,6 +2714,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).simpson_diversity_sql(),
         "kcore_h": __import__(
             "rayse.ops.kcore", fromlist=["x"]).kcore_h_sql(),
+        "weighted_sample": __import__(
+            "rayse.ops.sampling", fromlist=["x"]).weighted_sample_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,
@@ -3179,7 +3193,10 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.sampling", fromlist=["x"]).quota_sample_sql()),
             ("bottomk", "doc_id, lang", __import__(
                 "rayse.ops.sampling",
-                fromlist=["x"]).bottomk_sample_sql())]),
+                fromlist=["x"]).bottomk_sample_sql()),
+            ("weighted", "doc_id, lang", __import__(
+                "rayse.ops.sampling",
+                fromlist=["x"]).weighted_sample_sql())]),
         "pagerank_fixed_suite": _tagged_union_sql([
             ("dense", "vertex, rank_fp", __import__(
                 "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql()),

@@ -602,3 +602,69 @@ def bottomk_sample_sql(k: int = 64) -> str:
 SELECT doc_id, lang FROM documents
 ORDER BY {_mix_sql("doc_id")}, doc_id
 LIMIT {k}"""
+
+
+# -- Weighted priority sampling ----------------------------------------------
+
+def _weighted_partial(batch: pa.Table, k: int) -> pa.Table:
+    """Per-batch bottom-k by weighted priority = splitmix(doc_id) //
+    n_chars: a heavier document divides its uniform hash by a larger
+    weight, so its priority shrinks and it is proportionally likelier
+    to make the global bottom-k — the integer analog of
+    Efraimidis-Spirakis exponent keys (u^(1/w)), chosen so both engines
+    compute the identical pure-integer order statistic."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    if ids.size and ids.min() < 0:
+        raise ValueError("weighted sampling requires non-negative doc_id")
+    w = batch["n_chars"].to_numpy(zero_copy_only=False)
+    if ids.size and w.min() <= 0:
+        raise ValueError("weights must be positive")
+    lang = batch["lang"]
+    pr = (_mix(ids.astype(np.uint64)) // w.astype(np.uint64))
+    if ids.size > k:
+        sel = np.lexsort((ids, pr))[:k]
+        ids, lang, pr = ids[sel], lang.take(pa.array(sel)), pr[sel]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": lang,
+        "prio": pa.array(pr, pa.uint64()),
+        "one": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+    })
+
+
+def _weighted_final(tbl: pa.Table, k: int) -> pa.Table:
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang": pa.array([], pa.string())})
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    pr = tbl["prio"].to_numpy(zero_copy_only=False)
+    sel = np.lexsort((ids, pr))[:k]
+    return pa.table({
+        "doc_id": pa.array(ids[sel], pa.int64()),
+        "lang": tbl["lang"].take(pa.array(sel)),
+    })
+
+
+def weighted_sample(sf_dir: str, k: int = 64):
+    """Exactly-k WEIGHTED global sample (weight = n_chars, the
+    length-proportional pick a token-budgeted eval carve wants) ->
+    (doc_id, lang); mergeable per-batch bottom-k partials + one
+    single-partition merge, same shape as `bottomk_sample`."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    parts = ds.map_batches(_weighted_partial, fn_kwargs={"k": k},
+                           batch_format="pyarrow", zero_copy_batch=True)
+    return exchange_by_key(parts, "one", _weighted_final,
+                           proc_kwargs={"k": k}, n_parts=1)
+
+
+def weighted_sample_sql(k: int = 64) -> str:
+    """Oracle: the k smallest (splitmix(doc_id) // n_chars, doc_id)."""
+    return f"""
+SELECT doc_id, lang FROM documents
+ORDER BY {_mix_sql("doc_id")} // CAST(n_chars AS HUGEINT), doc_id
+LIMIT {k}"""
