@@ -1481,6 +1481,16 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
             ["vertex", "rank_fp"]))])
 
 
+def _q_g2_collocations(sf_dir: str) -> pa.Table:
+    """(word_a, word_b, df_ab, g2_q): Dunning log-likelihood collocation
+    significance over the 2x2 document-contingency table — the
+    marginal-aware sibling of PMI — DuckDB hash-matched (fixed float op
+    order)."""
+    from rayse.ops.textstats import g2_collocations
+
+    return _as_table(g2_collocations(sf_dir))
+
+
 def _q_weighted_sample(sf_dir: str) -> pa.Table:
     """(doc_id, lang): exactly-64 weighted sample (weight = n_chars,
     integer Efraimidis-Spirakis-analog priority = splitmix // weight) —
@@ -1622,11 +1632,15 @@ def _q_pmi_suite(sf_dir: str) -> pa.Table:
     """Both PMI co-occurrence machineries — document-level distinct-pair
     counts and the bounded-fan-out skip-gram window variant — tagged
     under one window slot; each DuckDB hash-matched."""
-    from rayse.ops.textstats import cooccur_pmi, cooccur_pmi_window
+    from rayse.ops.textstats import (cooccur_pmi, cooccur_pmi_window,
+                                     g2_collocations)
 
+    g2 = _as_table(g2_collocations(sf_dir)).rename_columns(
+        ["word_a", "word_b", "df_ab", "pmi_q"])
     return _tagged_union([
         ("doc", _as_table(cooccur_pmi(sf_dir))),
-        ("window", _as_table(cooccur_pmi_window(sf_dir)))])
+        ("window", _as_table(cooccur_pmi_window(sf_dir))),
+        ("g2", g2)])
 
 
 def _q_dsir_weights(sf_dir: str):
@@ -2368,6 +2382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simpson_diversity": _q_simpson_diversity,
         "kcore_h": _q_kcore_h,
         "weighted_sample": _q_weighted_sample,
+        "g2_collocations": _q_g2_collocations,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2579,7 +2594,10 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.textstats", fromlist=["x"]).cooccur_pmi_sql()),
             ("window", "word_a, word_b, df_ab, pmi_q", __import__(
                 "rayse.ops.textstats",
-                fromlist=["x"]).cooccur_pmi_window_sql())]),
+                fromlist=["x"]).cooccur_pmi_window_sql()),
+            ("g2", "word_a, word_b, df_ab, g2_q AS pmi_q", __import__(
+                "rayse.ops.textstats",
+                fromlist=["x"]).g2_collocations_sql())]),
         "dsir_weights": __import__(
             "rayse.ops.sampling", fromlist=["x"]).dsir_weights_sql(),
         "porter_facets": __import__(
@@ -2716,6 +2734,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.kcore", fromlist=["x"]).kcore_h_sql(),
         "weighted_sample": __import__(
             "rayse.ops.sampling", fromlist=["x"]).weighted_sample_sql(),
+        "g2_collocations": __import__(
+            "rayse.ops.textstats",
+            fromlist=["x"]).g2_collocations_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,

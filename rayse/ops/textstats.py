@@ -1978,3 +1978,116 @@ SELECT doc_id,
                  ELSE (s * {SIMPSON_SCALE}) // (n * (n - 1))
             END AS BIGINT) AS simpson_ppm
 FROM sd_s"""
+
+
+# -- Dunning log-likelihood (G^2) collocations --------------------------------
+
+def _g2_finish_fn(ref, min_df: int):
+    """Dunning (1993) G^2 over the 2x2 document-contingency table of
+    each pair — k11 = df_ab, k12 = df_a - df_ab, k21 = df_b - df_ab,
+    k22 = n - df_a - df_b + df_ab; G^2 = 2 * sum k ln(k n / (R C)) with
+    the 0 ln 0 = 0 convention. Float ops happen in ONE fixed order
+    (((t11 + t12) + t21) + t22, then * 2), mirrored verbatim in SQL, so
+    the 1e6 quantization matches bit-for-bit (the same contract as the
+    PMI ln)."""
+    import ray
+
+    def finish(batch: pa.Table) -> pa.Table:
+        vb, dv, n = ray.get(ref)
+        empty = pa.table({"word_a": pa.array([], pa.string()),
+                          "word_b": pa.array([], pa.string()),
+                          "df_ab": pa.array([], pa.int64()),
+                          "g2_q": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        keep = batch["df_ab"].to_numpy(zero_copy_only=False) >= min_df
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return empty
+        wa = np.asarray(batch["word_a"].to_pylist(), dtype=object)
+        wb = np.asarray(batch["word_b"].to_pylist(), dtype=object)
+        k11 = batch["df_ab"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        da = dv[np.searchsorted(vb, wa)].astype(np.float64)
+        db = dv[np.searchsorted(vb, wb)].astype(np.float64)
+        nn = float(n)
+        k12 = da - k11
+        k21 = db - k11
+        k22 = nn - da - db + k11
+
+        def term(k, r, c):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = k * np.log((k * nn) / (r * c))
+            return np.where(k > 0, t, 0.0)
+
+        t11 = term(k11, da, db)
+        t12 = term(k12, da, nn - db)
+        t21 = term(k21, nn - da, db)
+        t22 = term(k22, nn - da, nn - db)
+        g2 = ((t11 + t12) + t21) + t22
+        g2_q = np.floor(g2 * 2.0 * 1e6).astype(np.int64)
+        return pa.table({"word_a": batch["word_a"],
+                         "word_b": batch["word_b"],
+                         "df_ab": pa.array(k11.astype(np.int64),
+                                           pa.int64()),
+                         "g2_q": pa.array(g2_q, pa.int64())})
+
+    return finish
+
+
+def g2_collocations(sf_dir: str, min_df: int = 2):
+    """(word_a, word_b, df_ab, g2_q): Dunning log-likelihood collocation
+    scores over unordered distinct-document co-occurrence — the
+    significance-tested sibling of `cooccur_pmi` (PMI over-ranks rare
+    pairs; G^2 accounts for the marginals), same exchange-aggregated
+    counts and broadcast df map."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    _, _, ref = _df_broadcast(sf_dir)
+    pairs = exchange_by_key(
+        ds.map_batches(_pair_partials_batch, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "pair_hash", _pair_reduce, n_parts=32)
+    return pairs.map_batches(_g2_finish_fn(ref, min_df),
+                             batch_format="pyarrow")
+
+
+def g2_collocations_sql(min_df: int = 2) -> str:
+    def term(k, r, c):
+        return (f"CASE WHEN {k} > 0 THEN {k} * ln(({k} * nn) "
+                f"/ ({r} * {c})) ELSE 0.0 END")
+
+    t11 = term("k11", "da", "db")
+    t12 = term("k12", "da", "(nn - db)")
+    t21 = term("k21", "(nn - da)", "db")
+    t22 = term("k22", "(nn - da)", "(nn - db)")
+    return f"""
+WITH g2_tok AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+g2_df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM g2_tok GROUP BY w),
+g2_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+g2_pairs AS (
+  SELECT a.w AS word_a, b.w AS word_b, CAST(count(*) AS BIGINT) AS df_ab
+  FROM g2_tok a JOIN g2_tok b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2),
+g2_k AS (
+  SELECT p.word_a, p.word_b, p.df_ab,
+         CAST(p.df_ab AS DOUBLE) AS k11,
+         CAST(d1.df - p.df_ab AS DOUBLE) AS k12,
+         CAST(d2.df - p.df_ab AS DOUBLE) AS k21,
+         CAST(n.n - d1.df - d2.df + p.df_ab AS DOUBLE) AS k22,
+         CAST(d1.df AS DOUBLE) AS da, CAST(d2.df AS DOUBLE) AS db,
+         CAST(n.n AS DOUBLE) AS nn
+  FROM g2_pairs p
+  JOIN g2_df d1 ON d1.w = p.word_a
+  JOIN g2_df d2 ON d2.w = p.word_b
+  CROSS JOIN g2_n n
+  WHERE p.df_ab >= {min_df})
+SELECT word_a, word_b, df_ab,
+       CAST(floor(((({t11} + {t12}) + {t21}) + {t22})
+                  * 2.0 * 1000000.0) AS BIGINT) AS g2_q
+FROM g2_k"""
