@@ -997,8 +997,16 @@ def _q_text_transform_suite(sf_dir: str) -> pa.Table:
     sub = _as_table(_q_subsample_frequent(sf_dir)).rename_columns(
         ["doc_id", "text_out"])
     c4 = _as_table(_q_c4_clean(sf_dir))
+    ck = _as_table(_q_chunk_documents(sf_dir))
+    ck = pa.table({
+        # pack (doc, chunk) into the shared key space (chunk_idx < 1000
+        # at any tested sf; the standalone entry keeps the real columns)
+        "doc_id": pc.add(pc.multiply(ck["doc_id"], pa.scalar(1000)),
+                         ck["chunk_idx"]),
+        "text_out": ck["chunk_text"]})
     return _tagged_union([("html_clean", clean), ("format", fmt),
-                          ("subsample", sub), ("c4", c4)])
+                          ("subsample", sub), ("c4", c4),
+                          ("chunks", ck)])
 
 
 def _q_c4_clean(sf_dir: str):
@@ -1479,6 +1487,15 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
         ("ppr", _q_ppr_fixed(sf_dir)),
         ("kcore", _as_table(_q_kcore_h(sf_dir)).rename_columns(
             ["vertex", "rank_fp"]))])
+
+
+def _q_chunk_documents(sf_dir: str) -> pa.Table:
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_text): sliding-window
+    RAG chunking (64-token windows, stride 48) — row-local vectorized
+    boundaries, DuckDB hash-matched string equality."""
+    from rayse.ops.chunking import chunk_documents
+
+    return _as_table(chunk_documents(sf_dir))
 
 
 def _q_g2_collocations(sf_dir: str) -> pa.Table:
@@ -2383,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_h": _q_kcore_h,
         "weighted_sample": _q_weighted_sample,
         "g2_collocations": _q_g2_collocations,
+        "chunk_documents": _q_chunk_documents,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2737,6 +2755,8 @@ def oracle_sql() -> dict[str, str]:
         "g2_collocations": __import__(
             "rayse.ops.textstats",
             fromlist=["x"]).g2_collocations_sql(),
+        "chunk_documents": __import__(
+            "rayse.ops.chunking", fromlist=["x"]).chunk_documents_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,
@@ -2899,6 +2919,10 @@ def oracle_sql() -> dict[str, str]:
                 fromlist=["x"]).subsample_frequent_sql()),
             ("c4", "doc_id, text_out", __import__(
                 "rayse.ops.c4clean", fromlist=["x"]).c4_clean_sql()),
+            ("chunks", "doc_id * 1000 + chunk_idx AS doc_id, "
+             "chunk_text AS text_out", __import__(
+                 "rayse.ops.chunking",
+                 fromlist=["x"]).chunk_documents_sql()),
         ]),
         "c4_clean": __import__(
             "rayse.ops.c4clean", fromlist=["x"]).c4_clean_sql(),
