@@ -1489,6 +1489,15 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
             ["vertex", "rank_fp"]))])
 
 
+def _q_source_mix_weights(sf_dir: str) -> pa.Table:
+    """(source, n_tokens, w_ppm): temperature-scaled (alpha = 1/2)
+    source mixing weights with EXACT integer sqrt both engines —
+    DuckDB hash-matched."""
+    from rayse.ops.sampling import source_mix_weights
+
+    return source_mix_weights(sf_dir)
+
+
 def _q_chunk_documents(sf_dir: str) -> pa.Table:
     """(doc_id, chunk_idx, n_chunk_tokens, chunk_text): sliding-window
     RAG chunking (64-token windows, stride 48) — row-local vectorized
@@ -1896,11 +1905,17 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
         "key": dc["check_name"],
         "p_label": pa.array([m] * dc.num_rows, pa.string()),
         "v": dc[m]}) for m in ("n_violations", "n_rows")]
+    mx = _as_table(_q_source_mix_weights(sf_dir))
+    mxparts = [pa.table({
+        "key": mx["source"],
+        "p_label": pa.array([m] * mx.num_rows, pa.string()),
+        "v": mx[m]}) for m in ("n_tokens", "w_ppm")]
     return _tagged_union([("tokens", tok), ("events", ev),
                           ("mad", pa.concat_tables(mdparts)),
                           ("trimmed", pa.concat_tables(trparts)),
                           ("cusum", pa.concat_tables(cuparts)),
                           ("checks", pa.concat_tables(dcparts)),
+                          ("mix", pa.concat_tables(mxparts)),
                           ("corr", co),
                           ("rankeval", pa.concat_tables(rparts)),
                           ("zscore", zs),
@@ -2401,6 +2416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "g2_collocations": _q_g2_collocations,
         "chunk_documents": _q_chunk_documents,
+        "source_mix_weights": _q_source_mix_weights,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2757,6 +2773,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).g2_collocations_sql(),
         "chunk_documents": __import__(
             "rayse.ops.chunking", fromlist=["x"]).chunk_documents_sql(),
+        "source_mix_weights": __import__(
+            "rayse.ops.sampling",
+            fromlist=["x"]).source_mix_weights_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,
@@ -3081,6 +3100,11 @@ def oracle_sql() -> dict[str, str]:
                 __import__("rayse.ops.datachecks",
                            fromlist=["x"]).data_checks_sql())
                for m in ("n_violations", "n_rows")]
+            + [("mix",
+                f"source AS key, '{m}' AS p_label, {m} AS v",
+                __import__("rayse.ops.sampling",
+                           fromlist=["x"]).source_mix_weights_sql())
+               for m in ("n_tokens", "w_ppm")]
             + [("rankeval",
                 f"query AS key, '{m}' AS p_label, {m} AS v",
                 __import__("rayse.ops.rankeval",

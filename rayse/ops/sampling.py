@@ -668,3 +668,79 @@ def weighted_sample_sql(k: int = 64) -> str:
 SELECT doc_id, lang FROM documents
 ORDER BY {_mix_sql("doc_id")} // CAST(n_chars AS HUGEINT), doc_id
 LIMIT {k}"""
+
+
+# -- Temperature-scaled source mixing weights ---------------------------------
+
+MIX_SCALE = 1_000_000
+
+
+def source_mix_weights(sf_dir: str) -> pa.Table:
+    """(source, n_tokens, w_ppm): temperature-scaled multinomial mixing
+    weights across sources, w_i ∝ n_i^(1/2) — the standard multilingual
+    / multi-source rebalancing rule (alpha-sampling at T=2) that
+    upweights small sources relative to proportional sampling. The
+    exponent is computed with EXACT integer sqrt (math.isqrt; the SQL
+    mirror corrects floor(sqrt(double)) with a ±1 integer check), so
+    both engines agree bit-for-bit: w_ppm = isqrt(n_i) * 1e6 //
+    Σ_j isqrt(n_j).
+
+    Scale shape: per-batch (source, token-count) partials -> one small
+    groupby (sources-bounded) -> driver isqrt + normalization on the
+    output-sized table."""
+    import math
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        texts = batch["text"].to_pylist()
+        ntok = np.array([len((t or "").split(" ")) for t in texts],
+                        np.int64)
+        u, inv = np.unique(src, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, ntok)
+        return pa.table({"source": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(s, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source").sum("n").to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    n = agg["sum(n)"].to_numpy().astype(np.int64)
+    r = np.array([math.isqrt(int(x)) for x in n], np.int64)
+    tot = int(r.sum())
+    w = (r * MIX_SCALE) // max(tot, 1)
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "n_tokens": pa.array(n, pa.int64()),
+        "w_ppm": pa.array(w, pa.int64())})
+
+
+def _isqrt_sql(n: str) -> str:
+    """Exact integer sqrt of a non-negative BIGINT expression: float
+    floor(sqrt()) corrected by a ±1 integer check."""
+    return f"""(
+  SELECT CASE WHEN (x0 + 1) * (x0 + 1) <= v THEN x0 + 1
+              WHEN x0 * x0 > v THEN x0 - 1
+              ELSE x0 END
+  FROM (SELECT CAST({n} AS BIGINT) AS v,
+               CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT) AS x0))"""
+
+
+def source_mix_weights_sql() -> str:
+    return f"""
+WITH mx_n AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+mx_r AS (SELECT source, n_tokens,
+                {_isqrt_sql('n_tokens')} AS r
+         FROM mx_n),
+mx_t AS (SELECT CAST(sum(r) AS BIGINT) AS tot FROM mx_r)
+SELECT source, n_tokens,
+       CAST((r * {MIX_SCALE}) // greatest(tot, 1) AS BIGINT) AS w_ppm
+FROM mx_r CROSS JOIN mx_t"""
