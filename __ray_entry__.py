@@ -1489,6 +1489,16 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
             ["vertex", "rank_fp"]))])
 
 
+def _q_compression_ratio(sf_dir: str) -> pa.Table:
+    """(doc_id, n_bytes, n_compressed, ratio_ppm): per-doc zlib
+    compression ratio — the Gopher-family redundancy quality signal.
+    No SQL oracle (DuckDB has no zlib): rows-only driver check; the
+    compressor level and outputs are pytest-pinned."""
+    from rayse.ops.textstats import compression_ratio
+
+    return _as_table(compression_ratio(sf_dir))
+
+
 def _q_source_mix_weights(sf_dir: str) -> pa.Table:
     """(source, n_tokens, w_ppm): temperature-scaled (alpha = 1/2)
     source mixing weights with EXACT integer sqrt both engines —
@@ -2417,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g2_collocations": _q_g2_collocations,
         "chunk_documents": _q_chunk_documents,
         "source_mix_weights": _q_source_mix_weights,
+        "compression_ratio": _q_compression_ratio,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,

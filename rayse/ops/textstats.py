@@ -2091,3 +2091,46 @@ SELECT word_a, word_b, df_ab,
        CAST(floor(((({t11} + {t12}) + {t21}) + {t22})
                   * 2.0 * 1000000.0) AS BIGINT) AS g2_q
 FROM g2_k"""
+
+
+# -- Compression-ratio quality signal ------------------------------------------
+
+ZLIB_LEVEL = 6
+
+
+def compression_ratio(sf_dir: str, level: int = ZLIB_LEVEL):
+    """(doc_id, n_bytes, n_compressed, ratio_ppm): per-document zlib
+    compression ratio — the Gopher-family redundancy signal (templated
+    / repetitive text compresses far below prose; a ratio filter is the
+    cheap first cut before span dedup). ratio_ppm = n_compressed * 1e6
+    // n_bytes, pure integers on a DETERMINISTIC compressor (fixed
+    level; value pinned by pytest on a fixed string so an environment
+    zlib change fails loudly instead of silently shifting outputs).
+
+    No SQL oracle (DuckDB has no zlib) — rows-only driver check +
+    pytest value pins, like the multimodal feature entries. Row-local;
+    the per-doc zlib call is a C call, not Python-loop work."""
+    import zlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        raw = [(t or "").encode("utf-8") for t in texts]
+        nb = np.array([len(b) for b in raw], np.int64)
+        nc = np.array([len(zlib.compress(b, level)) for b in raw],
+                      np.int64)
+        ratio = (nc * 1_000_000) // np.maximum(nb, 1)
+        return pa.table({
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "n_compressed": pa.array(nc, pa.int64()),
+            "ratio_ppm": pa.array(ratio, pa.int64())})
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
