@@ -1489,6 +1489,15 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
             ["vertex", "rank_fp"]))])
 
 
+def _q_porter_bm25f_topk(sf_dir: str) -> pa.Table:
+    """BM25F (Robertson et al. 2004): field weight INSIDE the tf
+    saturation + per-role avgdl normalization (one field per turn in
+    this data model) — DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_bm25f_topk
+
+    return porter_bm25f_topk(_index_for(sf_dir))
+
+
 def _q_compression_ratio(sf_dir: str) -> pa.Table:
     """(doc_id, n_bytes, n_compressed, ratio_ppm): per-doc zlib
     compression ratio — the Gopher-family redundancy quality signal.
@@ -2428,6 +2437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "source_mix_weights": _q_source_mix_weights,
         "compression_ratio": _q_compression_ratio,
+        "porter_bm25f_topk": _q_porter_bm25f_topk,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2787,6 +2797,9 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_weights": __import__(
             "rayse.ops.sampling",
             fromlist=["x"]).source_mix_weights_sql(),
+        "porter_bm25f_topk": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_bm25f_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,

@@ -1410,6 +1410,8 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_bm25_sql(k=k, assistant_only=True)),
         ("roleboost", lambda: porter_roleboost_topk(d, k=k),
          porter_bm25_sql(k=k, role_weights=ROLE_BOOST_WEIGHTS)),
+        ("bm25f", lambda: porter_bm25f_topk(d, k=k),
+         porter_bm25f_sql(k=k)),
         ("boolean", lambda: porter_boolean_topk(d, k=k),
          porter_boolean_sql(k=k)),
         ("conjunctive", lambda: porter_conjunctive_topk(d, k=k),
@@ -3314,3 +3316,151 @@ JOIN tf ON tf.term = qt.term AND tf.conv_id = t.conv_id
 JOIN df ON df.term = qt.term
 JOIN dl ON dl.conv_id = t.conv_id AND dl.turn_idx = t.turn_idx
 CROSS JOIN stats s"""
+
+
+# ---------------------------------------------------------------------------
+# BM25F: field-weighted TF with PER-FIELD length normalization (Robertson,
+# Zaragoza & Taylor, CIKM 2004). In the transcript data model a document
+# (turn) belongs to exactly one field (its role), so BM25F's per-field
+# weighted-TF sum collapses to tf' = w_role * tf — the residual vs the A7
+# roleboost arm is that (a) the weight multiplies tf BEFORE saturation
+# (roleboost multiplies the saturated contribution) and (b) length
+# normalization divides by the ROLE's average dl, not the corpus avgdl.
+# Per-role (sum dl, n docs) come from one cached index scan (a production
+# build would record them next to corpus_stats.json; read-only here).
+# ---------------------------------------------------------------------------
+
+BM25F_ROLE_WEIGHTS = {"user": 1.0, "assistant": 1.5}
+
+_ROLE_AVGDL_CACHE: dict[str, np.ndarray] = {}
+
+
+def _role_avgdl_lut(index_dir: str) -> np.ndarray:
+    """256-entry role-code -> average doc length (float division
+    sum/count, exactly the oracle's CAST(sum(dl) AS DOUBLE)/count(*));
+    roles with no docs fall back to 1.0."""
+    if index_dir in _ROLE_AVGDL_CACHE:
+        return _ROLE_AVGDL_CACHE[index_dir]
+    reader, _ = _porter_reader(index_dir)
+    ids_l, dls_l, ros_l = [], [], []
+    for t in sorted(reader.vocabulary()):
+        pl = reader.merged(t)
+        if pl is None:
+            continue
+        if pl.roles is None:
+            raise ValueError("bm25f needs a role-stats index")
+        ids_l.append(pl.doc_ids)
+        dls_l.append(pl.dls)
+        ros_l.append(pl.roles)
+    lut = np.ones(256, np.float64)
+    if ids_l:
+        ids = np.concatenate(ids_l)
+        dls = np.concatenate(dls_l)
+        ros = np.concatenate(ros_l)
+        uniq, first = np.unique(ids, return_index=True)
+        dl_u = dls[first].astype(np.int64)
+        ro_u = ros[first].astype(np.int64)
+        sums = np.zeros(256, np.int64)
+        cnts = np.zeros(256, np.int64)
+        np.add.at(sums, ro_u, dl_u)
+        np.add.at(cnts, ro_u, 1)
+        nz = cnts > 0
+        lut[nz] = sums[nz].astype(np.float64) / cnts[nz]
+    _ROLE_AVGDL_CACHE[index_dir] = lut
+    return lut
+
+
+def porter_bm25f_topk(index_dir: str, queries: list[str] | None = None,
+                      k: int = 10) -> pa.Table:
+    """BM25F ranked retrieval through the Porter index — field weight
+    inside the saturation, per-role avgdl normalization — under the SQL
+    oracle (same quantized ranking tail as every ranked entry)."""
+    from ..index.segments import ROLE_CODES
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, params = _porter_reader(index_dir)
+    avg_lut = _role_avgdl_lut(index_dir)
+    w_lut = np.ones(256, np.float64)
+    for name, w in BM25F_ROLE_WEIGHTS.items():
+        w_lut[ROLE_CODES[name]] = float(w)
+    n = reader.n_docs
+    k1, b = params.k1, params.b
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for q in queries:
+        doc_arrs, contrib_arrs = [], []
+        for t in _analyzed(q):
+            pl = reader.merged(t)
+            if pl is None:
+                continue
+            if pl.roles is None:
+                raise ValueError("bm25f needs a role-stats index")
+            idf = float(np.log((1.0 + n) / (1.0 + pl.doc_ids.size)) + 1.0)
+            f = pl.tfs.astype(np.float64) * w_lut[pl.roles]
+            avg = avg_lut[pl.roles]
+            contrib = idf * (f * (k1 + 1.0)
+                             / (f + k1 * (1.0 - b + b * (
+                                 pl.dls.astype(np.float64) / avg))))
+            doc_arrs.append(pl.doc_ids)
+            contrib_arrs.append(contrib)
+        if not doc_arrs:
+            continue
+        uniq, inv = np.unique(np.concatenate(doc_arrs),
+                              return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(contrib_arrs))
+        score_q = np.floor(scores * 1e7).astype(np.int64)
+        for r, conv, turn, sq in _ranked_rows(reader.index_dir, uniq,
+                                              score_q, k):
+            out_q.append(q)
+            out_r.append(r)
+            out_c.append(conv)
+            out_t.append(turn)
+            out_s.append(sq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_bm25f_sql(queries: list[str] | None = None,
+                     k: int = 10) -> str:
+    """Oracle: identical formula/op order — role = turn parity,
+    per-role avgdl CTE, weight inside the saturation."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in _analyzed(q))
+    wu = float(BM25F_ROLE_WEIGHTS["user"])
+    wa = float(BM25F_ROLE_WEIGHTS["assistant"])
+    w = (f"(CASE WHEN tf.turn_idx % 2 = 1 THEN {wa!r}::DOUBLE "
+         f"ELSE {wu!r}::DOUBLE END)")
+    return f"""{_analysis_ctes()},
+rs AS (SELECT turn_idx % 2 AS par,
+              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       FROM dl GROUP BY 1),
+qt(query, term) AS (VALUES {vals}),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * ((tf.tf * {w}) * 2.2
+                / ((tf.tf * {w})
+                   + 1.2 * (0.25 + 0.75 * (dl.dl / rs.avgdl)))))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       JOIN rs ON rs.par = tf.turn_idx % 2
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
