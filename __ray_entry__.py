@@ -1004,9 +1004,11 @@ def _q_text_transform_suite(sf_dir: str) -> pa.Table:
         "doc_id": pc.add(pc.multiply(ck["doc_id"], pa.scalar(1000)),
                          ck["chunk_idx"]),
         "text_out": ck["chunk_text"]})
+    sp = _as_table(_q_split_assign(sf_dir)).rename_columns(
+        ["doc_id", "text_out"])
     return _tagged_union([("html_clean", clean), ("format", fmt),
                           ("subsample", sub), ("c4", c4),
-                          ("chunks", ck)])
+                          ("chunks", ck), ("split", sp)])
 
 
 def _q_c4_clean(sf_dir: str):
@@ -1487,6 +1489,14 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
         ("ppr", _q_ppr_fixed(sf_dir)),
         ("kcore", _as_table(_q_kcore_h(sf_dir)).rename_columns(
             ["vertex", "rank_fp"]))])
+
+
+def _q_split_assign(sf_dir: str) -> pa.Table:
+    """(doc_id, split): deterministic 80/10/10 train/val/test assignment
+    by splitmix ranges — row-local, DuckDB hash-matched."""
+    from rayse.ops.sampling import split_assign
+
+    return _as_table(split_assign(sf_dir))
 
 
 def _q_porter_bm25f_topk(sf_dir: str) -> pa.Table:
@@ -2438,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_weights": _q_source_mix_weights,
         "compression_ratio": _q_compression_ratio,
         "porter_bm25f_topk": _q_porter_bm25f_topk,
+        "split_assign": _q_split_assign,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2800,6 +2811,8 @@ def oracle_sql() -> dict[str, str]:
         "porter_bm25f_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_bm25f_sql(),
+        "split_assign": __import__(
+            "rayse.ops.sampling", fromlist=["x"]).split_assign_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,
@@ -2966,6 +2979,8 @@ def oracle_sql() -> dict[str, str]:
              "chunk_text AS text_out", __import__(
                  "rayse.ops.chunking",
                  fromlist=["x"]).chunk_documents_sql()),
+            ("split", "doc_id, split AS text_out", __import__(
+                "rayse.ops.sampling", fromlist=["x"]).split_assign_sql()),
         ]),
         "c4_clean": __import__(
             "rayse.ops.c4clean", fromlist=["x"]).c4_clean_sql(),

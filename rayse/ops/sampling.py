@@ -744,3 +744,44 @@ mx_t AS (SELECT CAST(sum(r) AS BIGINT) AS tot FROM mx_r)
 SELECT source, n_tokens,
        CAST((r * {MIX_SCALE}) // greatest(tot, 1) AS BIGINT) AS w_ppm
 FROM mx_r CROSS JOIN mx_t"""
+
+
+# -- Train/val/test split ------------------------------------------------------
+
+SPLIT_BOUNDS = (80, 90)      # [0,80) train, [80,90) val, [90,100) test
+
+
+def split_assign(sf_dir: str, bounds: tuple = SPLIT_BOUNDS):
+    """(doc_id, split): deterministic 80/10/10 train/val/test assignment
+    by splitmix(doc_id) % 100 ranges — the first thing an ML pipeline
+    does to a corpus, made engine-independent the same way as
+    `hash_sample` (re-runs, resumes and different engines agree).
+    Row-local, no shuffle."""
+    import ray.data as rd
+
+    lo, hi = bounds
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size and ids.min() < 0:
+            raise ValueError("split requires non-negative doc_id")
+        h = (_mix(ids.astype(np.uint64)) % np.uint64(100)).astype(np.int64)
+        split = np.where(h < lo, "train",
+                         np.where(h < hi, "val", "test"))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def split_assign_sql(bounds: tuple = SPLIT_BOUNDS) -> str:
+    lo, hi = bounds
+    return f"""
+SELECT doc_id,
+       CASE WHEN {_mix_sql('doc_id')} % 100 < {lo} THEN 'train'
+            WHEN {_mix_sql('doc_id')} % 100 < {hi} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
