@@ -1488,6 +1488,8 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
             ["node", "n_tri"]).rename_columns(["vertex", "rank_fp"])),
         ("ppr", _q_ppr_fixed(sf_dir)),
         ("kcore", _as_table(_q_kcore_h(sf_dir)).rename_columns(
+            ["vertex", "rank_fp"])),
+        ("cc", _as_table(_q_link_components(sf_dir)).rename_columns(
             ["vertex", "rank_fp"]))])
 
 
@@ -1553,6 +1555,16 @@ def _q_weighted_sample(sf_dir: str) -> pa.Table:
     from rayse.ops.sampling import weighted_sample
 
     return _as_table(weighted_sample(sf_dir))
+
+
+def _q_link_components(sf_dir: str) -> pa.Table:
+    """(node, comp_id): connected components of the link graph (min
+    node id label) — the dedup family's routed CC (driver union-find /
+    distributed pointer-jumping) over the shared canonical edge set —
+    DuckDB hash-matched against the recursive min-label CTE."""
+    from rayse.ops.kcore import link_components
+
+    return link_components(sf_dir)
 
 
 def _q_kcore_h(sf_dir: str) -> pa.Table:
@@ -2449,6 +2461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "porter_bm25f_topk": _q_porter_bm25f_topk,
         "split_assign": _q_split_assign,
+        "link_components": _q_link_components,
         "duplicate_spans": _q_duplicate_spans,
         "span_dedup_docs": _q_span_dedup_docs,
         "funnel_counts": _q_funnel_counts,
@@ -2813,6 +2826,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).porter_bm25f_sql(),
         "split_assign": __import__(
             "rayse.ops.sampling", fromlist=["x"]).split_assign_sql(),
+        "link_components": __import__(
+            "rayse.ops.kcore", fromlist=["x"]).link_components_sql(),
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, epoch_us(ts) AS tus, value,
@@ -3326,7 +3341,10 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.textrank",
                 fromlist=["x"]).textrank_sql(final="vertex")),
             ("kcore", "node AS vertex, core_h AS rank_fp", __import__(
-                "rayse.ops.kcore", fromlist=["x"]).kcore_h_sql())]),
+                "rayse.ops.kcore", fromlist=["x"]).kcore_h_sql()),
+            ("cc", "node AS vertex, comp_id AS rank_fp", __import__(
+                "rayse.ops.kcore",
+                fromlist=["x"]).link_components_sql())]),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS qe FROM embeddings

@@ -194,3 +194,57 @@ kc_h0 AS MATERIALIZED (SELECT a AS v, CAST(count(*) AS BIGINT) AS h
           FROM kc_ue GROUP BY a),{','.join(rounds)}
 SELECT v AS node, CAST(h AS BIGINT) AS core_h
 FROM kc_h{iters}"""
+
+
+# ---------------------------------------------------------------------------
+# Connected components of the link graph — reuses the dedup family's
+# routed CC machinery (driver union-find below the pair bound,
+# distributed pointer-jumping min-label propagation above) over the
+# SAME canonical distinct edge set as k-core/triangles, so all three
+# link statistics share one derivation.
+# ---------------------------------------------------------------------------
+
+def link_components(sf_dir: str) -> pa.Table:
+    """(node, comp_id): connected components, comp_id = smallest node id
+    in the component; isolated vertices cannot occur (every vertex here
+    is an edge endpoint)."""
+    import ray
+
+    from .dedup import DRIVER_MAX_PAIRS, _cc_distributed, _cc_driver
+
+    edges_ds = _distinct_edges(sf_dir).materialize()
+    n_pairs = int(edges_ds.count())
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_a", "doc_b"])
+
+    pairs_ds = edges_ds.map_batches(rename, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    if n_pairs <= DRIVER_MAX_PAIRS:
+        parts = [t for t in ray.get(pairs_ds.to_arrow_refs())
+                 if t.num_rows]
+        cc = _cc_driver(pa.concat_tables(parts))
+    else:
+        cc = _cc_distributed(pairs_ds)
+    return pa.table({"node": cc["doc_id"], "comp_id": cc["cluster_id"]})
+
+
+def link_components_sql() -> str:
+    """Recursive min-label propagation over the canonical edge CTE."""
+    return f"""
+WITH RECURSIVE lc_e0 AS (
+  SELECT user_id AS src,
+         CAST(json_extract(props, '$.k') AS BIGINT)
+           % {DEMO_VERTEX_SPACE} AS dst
+  FROM events),
+lc_e AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+         FROM lc_e0 WHERE src <> dst),
+lc_ue AS (SELECT lo AS a, hi AS b FROM lc_e
+          UNION ALL SELECT hi, lo FROM lc_e),
+lc_lbl(node, lbl) AS (
+  SELECT a AS node, least(a, min(b)) AS lbl FROM lc_ue GROUP BY a
+  UNION
+  SELECT e.a AS node, least(l.lbl, e.a) AS lbl
+  FROM lc_ue e JOIN lc_lbl l ON e.b = l.node)
+SELECT node, CAST(min(lbl) AS BIGINT) AS comp_id
+FROM lc_lbl GROUP BY node"""
