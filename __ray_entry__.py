@@ -987,9 +987,10 @@ def _q_html_clean(sf_dir: str):
 
 def _q_text_transform_suite(sf_dir: str) -> pa.Table:
     """M2 HTML cleaning + M11 result formatting + word2vec-style
-    frequent-word subsampling + C4-style line cleaning under one window
-    slot: variant-tagged (doc_id, text_out) rows — all four
-    text-to-text document transforms, DuckDB hash-matched."""
+    frequent-word subsampling + C4-style line cleaning + sliding-window
+    chunking + split assignment + per-source boilerplate removal under
+    one window slot: variant-tagged (doc_id, text_out) rows — every
+    text-to-text document transform, DuckDB hash-matched."""
     clean = _as_table(_q_html_clean(sf_dir)).rename_columns(
         ["doc_id", "text_out"])
     fmt = _as_table(_q_format_texts(sf_dir)).rename_columns(
@@ -1006,9 +1007,11 @@ def _q_text_transform_suite(sf_dir: str) -> pa.Table:
         "text_out": ck["chunk_text"]})
     sp = _as_table(_q_split_assign(sf_dir)).rename_columns(
         ["doc_id", "text_out"])
+    bp = _as_table(_q_boilerplate_clean(sf_dir))
     return _tagged_union([("html_clean", clean), ("format", fmt),
                           ("subsample", sub), ("c4", c4),
-                          ("chunks", ck), ("split", sp)])
+                          ("chunks", ck), ("split", sp),
+                          ("boiler", bp)])
 
 
 def _q_c4_clean(sf_dir: str):
@@ -1020,6 +1023,17 @@ def _q_c4_clean(sf_dir: str):
     from rayse.ops.c4clean import c4_clean
 
     return c4_clean(sf_dir)
+
+
+def _q_boilerplate_clean(sf_dir: str):
+    """Per-source boilerplate-line removal (CCNet / template-stripping
+    analog): every line occurring in >= 2 distinct documents of the
+    same source is removed from ALL of them — hashed-triple
+    (src, h1, h2) grouping through one h1-keyed exchange, shared
+    broadcast/exchange-routed rebuild — DuckDB hash-matched."""
+    from rayse.ops.c4clean import boilerplate_clean
+
+    return boilerplate_clean(sf_dir)
 
 
 def _q_subsample_frequent(sf_dir: str) -> pa.Table:
@@ -2438,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         # ---- end of the driver's 50-entry window ----
         "c4_clean": _q_c4_clean,
+        "boilerplate_clean": _q_boilerplate_clean,
         "late_events": _q_late_events,
         "mad_outliers": _q_mad_outliers,
         "containment_pairs": _q_containment_pairs,
@@ -2996,9 +3011,13 @@ def oracle_sql() -> dict[str, str]:
                  fromlist=["x"]).chunk_documents_sql()),
             ("split", "doc_id, split AS text_out", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).split_assign_sql()),
+            ("boiler", "doc_id, text_out", __import__(
+                "rayse.ops.c4clean", fromlist=["x"]).boilerplate_sql()),
         ]),
         "c4_clean": __import__(
             "rayse.ops.c4clean", fromlist=["x"]).c4_clean_sql(),
+        "boilerplate_clean": __import__(
+            "rayse.ops.c4clean", fromlist=["x"]).boilerplate_sql(),
         "subsample_frequent": __import__(
             "rayse.ops.sampling", fromlist=["x"]).subsample_frequent_sql(),
         "sketch_suite": __import__(

@@ -135,9 +135,9 @@ def _dup_markers_partition(tbl: pa.Table) -> pa.Table:
 
 def _assemble(buf: np.ndarray, s: np.ndarray, ln: np.ndarray,
               ldoc: np.ndarray, keep: np.ndarray, ids: np.ndarray,
-              n_docs: int) -> pa.Table:
+              n_docs: int, min_lines: int = MIN_LINES) -> pa.Table:
     """Kept line slices (doc-major) -> (doc_id, text_out) rows for docs
-    with >= MIN_LINES kept lines. Output-sized Python work only."""
+    with >= ``min_lines`` kept lines. Output-sized Python work only."""
     s, ln, ldoc = s[keep], ln[keep], ldoc[keep]
     kept_per_doc = np.bincount(ldoc, minlength=n_docs)
     mv = buf.tobytes()
@@ -145,7 +145,7 @@ def _assemble(buf: np.ndarray, s: np.ndarray, ln: np.ndarray,
     pos = 0
     for d in range(n_docs):
         k = int(kept_per_doc[d])
-        if k >= MIN_LINES:
+        if k >= min_lines:
             parts = [mv[s[i]:s[i] + ln[i]] for i in range(pos, pos + k)]
             out_ids.append(int(ids[d]))
             out_texts.append(b"\n".join(parts).decode())
@@ -159,7 +159,8 @@ def _pack(doc: np.ndarray, lno: np.ndarray) -> np.ndarray:
         lno.astype(np.uint64)
 
 
-def _clean_batch(batch: pa.Table, rem_sorted: np.ndarray) -> pa.Table:
+def _clean_batch(batch: pa.Table, rem_sorted: np.ndarray,
+                 min_lines: int = MIN_LINES) -> pa.Table:
     """Pass B per-batch map (broadcast route): rebuild each document
     from its surviving, non-removed lines."""
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -171,10 +172,11 @@ def _clean_batch(batch: pa.Table, rem_sorted: np.ndarray) -> pa.Table:
         pos = np.searchsorted(rem_sorted, keys)
         pos[pos == rem_sorted.size] = 0
         keep = rem_sorted[pos] != keys
-    return _assemble(buf, s, ln, ldoc, keep, ids, len(texts))
+    return _assemble(buf, s, ln, ldoc, keep, ids, len(texts), min_lines)
 
 
-def _rebuild_partition(tbl: pa.Table) -> pa.Table:
+def _rebuild_partition(tbl: pa.Table,
+                       min_lines: int = MIN_LINES) -> pa.Table:
     """Pass B partition proc (exchange route): doc rows (text non-null)
     + removal markers (text null, line_no >= 0) co-located by doc_id."""
     if tbl.num_rows == 0:
@@ -196,23 +198,20 @@ def _rebuild_partition(tbl: pa.Table) -> pa.Table:
         pos = np.searchsorted(rem, keys)
         pos[pos == rem.size] = 0
         keep = rem[pos] != keys
-    return _assemble(buf, s, ln, ldoc, keep, ids, len(texts))
+    return _assemble(buf, s, ln, ldoc, keep, ids, len(texts), min_lines)
 
 
-def c4_clean(sf_dir: str, broadcast_limit: int = BROADCAST_LIMIT):
-    """The full C4-style pass over ``documents`` -> Dataset of
-    (doc_id, text_out)."""
+def _remove_marked_lines(docs, marks, broadcast_limit: int,
+                         min_lines: int):
+    """Shared pass B: drop every (doc_id, line_no) in ``marks`` from the
+    ``docs`` Dataset and rebuild (doc_id, text_out). Markers are
+    broadcast (``ray.put`` once) when few, else routed through a
+    doc_id-keyed exchange co-locating markers with their documents —
+    no driver-side text either way."""
     import ray
-    import ray.data as rd
 
     from .exchange import exchange_by_key
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    marks = exchange_by_key(
-        docs.map_batches(_line_hash_partial, batch_format="pyarrow",
-                         zero_copy_batch=True),
-        "h1", _dup_markers_partition)
     n_marks = marks.count()
     if n_marks <= broadcast_limit:
         mk = marks.to_pandas()
@@ -225,7 +224,7 @@ def c4_clean(sf_dir: str, broadcast_limit: int = BROADCAST_LIMIT):
         rem_ref = ray.put(rem)
 
         def clean(batch: pa.Table) -> pa.Table:
-            return _clean_batch(batch, ray.get(rem_ref))
+            return _clean_batch(batch, ray.get(rem_ref), min_lines)
 
         return docs.map_batches(clean, batch_format="pyarrow",
                                 zero_copy_batch=True)
@@ -247,7 +246,24 @@ def c4_clean(sf_dir: str, broadcast_limit: int = BROADCAST_LIMIT):
                                zero_copy_batch=True).union(
         marks.map_batches(as_marker, batch_format="pyarrow",
                           zero_copy_batch=True))
-    return exchange_by_key(unioned, "doc_id", _rebuild_partition)
+    return exchange_by_key(unioned, "doc_id", _rebuild_partition,
+                           proc_kwargs={"min_lines": min_lines})
+
+
+def c4_clean(sf_dir: str, broadcast_limit: int = BROADCAST_LIMIT):
+    """The full C4-style pass over ``documents`` -> Dataset of
+    (doc_id, text_out)."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    marks = exchange_by_key(
+        docs.map_batches(_line_hash_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "h1", _dup_markers_partition)
+    return _remove_marked_lines(docs, marks, broadcast_limit, MIN_LINES)
 
 
 _FNV_FOLD = ("(h, b) -> (xor(h, b) * 1099511628211::HUGEINT)"
@@ -294,3 +310,144 @@ c4_rebuilt AS (
                  AND k.rn = 1
   GROUP BY l.doc_id)
 SELECT doc_id, text_out FROM c4_rebuilt WHERE nl >= {MIN_LINES}"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate-line removal (CCNet, Wenzek et al. 2020 §4.1 /
+# trafilatura-style template stripping): a line occurring in >= T DISTINCT
+# documents of the SAME source is template chrome (nav bars, footers,
+# cookie banners) — remove EVERY occurrence. Differs from `c4_clean`'s
+# global dedup (which keeps the first occurrence) in both scope (per
+# source, not global) and action (all occurrences removed, none kept):
+# dedup de-duplicates content, boilerplate removal deletes template text.
+# Same line unit as c4_clean (full L-word non-blocklist lines) so the
+# two passes compose; docs keep >= 1 surviving line to be emitted.
+#
+# Scale shape: pass A ships (src, h1, h2, doc_id, line_no) — the source
+# as a 64-bit FNV so the exchange stays fixed-width — through ONE
+# `exchange_by_key` on h1 (all occurrences of a line text co-locate
+# regardless of source); each partition counts distinct docs per
+# (src, h1, h2) group with a lexsort and emits ALL rows of
+# over-threshold groups as removal markers (output ∝ boilerplate
+# volume). Pass B is the shared `_remove_marked_lines`. Both engine
+# and oracle group on the hashed triple, so they agree bit-for-bit
+# even under a hash collision.
+# ---------------------------------------------------------------------------
+
+BOILER_THRESHOLD = 2
+
+
+def _fnv64_strings(vals: list) -> np.ndarray:
+    """FNV-1a 64 per string; scalar loop over DISTINCT values only
+    (source cardinality is tiny next to row count)."""
+    arr = np.asarray(vals, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    prime, mask = 0x100000001B3, (1 << 64) - 1
+    hs = np.empty(uniq.size, np.uint64)
+    for i, v in enumerate(uniq):
+        h = 0xCBF29CE484222325
+        for b in str(v).encode():
+            h = ((h ^ b) * prime) & mask
+        hs[i] = h
+    return hs[inv] if arr.size else np.asarray([], np.uint64)
+
+
+def _boiler_hash_partial(batch: pa.Table) -> pa.Table:
+    """Pass A per-batch map: surviving-line hash pair + source hash +
+    (doc_id, line_no) coordinate — text stays in the batch."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    buf, s, ln, ldoc, lno = _doc_lines(batch["text"].to_pylist(), ids)
+    src = _fnv64_strings(batch["source"].to_pylist())
+    return pa.table({
+        "h1": pa.array(fnv64_slices(buf, s, ln), pa.uint64()),
+        "h2": pa.array(fnv64_slices(buf, s, ln, offset=_FNV64_OFFSET2),
+                       pa.uint64()),
+        "src": pa.array(src[ldoc] if ldoc.size else
+                        np.asarray([], np.uint64), pa.uint64()),
+        "doc_id": pa.array(ids[ldoc] if ldoc.size else
+                           np.asarray([], np.int64), pa.int64()),
+        "line_no": pa.array(lno, pa.int64())})
+
+
+def _boiler_markers_partition(tbl: pa.Table,
+                              threshold: int = BOILER_THRESHOLD
+                              ) -> pa.Table:
+    """All rows of each h1 hash-group land here; emit ALL occurrences of
+    every (src, h1, h2) group spanning >= threshold distinct docs."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "line_no": pa.array([], pa.int64())})
+    h1 = tbl["h1"].to_numpy(zero_copy_only=False)
+    h2 = tbl["h2"].to_numpy(zero_copy_only=False)
+    src = tbl["src"].to_numpy(zero_copy_only=False)
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    lno = tbl["line_no"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((lno, doc, h2, h1, src))
+    h1, h2, src, doc, lno = (h1[order], h2[order], src[order],
+                             doc[order], lno[order])
+    new_grp = np.empty(h1.size, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = ((src[1:] != src[:-1]) | (h1[1:] != h1[:-1])
+                   | (h2[1:] != h2[:-1]))
+    gid = np.cumsum(new_grp) - 1
+    new_doc = new_grp.copy()
+    new_doc[1:] |= doc[1:] != doc[:-1]      # doc sorted within group
+    n_distinct = np.bincount(gid[new_doc])
+    boiler = n_distinct[gid] >= threshold
+    return pa.table({"doc_id": pa.array(doc[boiler], pa.int64()),
+                     "line_no": pa.array(lno[boiler], pa.int64())})
+
+
+def boilerplate_clean(sf_dir: str, threshold: int = BOILER_THRESHOLD,
+                      broadcast_limit: int = BROADCAST_LIMIT):
+    """Per-source boilerplate-line removal over ``documents`` ->
+    Dataset of (doc_id, text_out)."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    marks = exchange_by_key(
+        docs.map_batches(_boiler_hash_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "h1", _boiler_markers_partition,
+        proc_kwargs={"threshold": threshold})
+    return _remove_marked_lines(
+        docs.drop_columns(["source"]), marks, broadcast_limit,
+        min_lines=1)
+
+
+def boilerplate_sql(threshold: int = BOILER_THRESHOLD) -> str:
+    """DuckDB oracle: identical line synthesis and hashed-triple
+    grouping (src/h1/h2 hashes, NOT raw text — bit-agreement with the
+    engine even under a collision). ASCII-corpus caveat as
+    `fingerprint_sql`."""
+    return f"""
+WITH bp_w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws, 5 + doc_id % 4 AS L
+  FROM documents),
+bp_lines AS (
+  SELECT doc_id, source, CAST(u.j AS BIGINT) AS line_no,
+         array_to_string(list_slice(ws, u.j*L + 1, u.j*L + L), ' ')
+           AS ltext
+  FROM bp_w, unnest(range(len(ws) // L)) AS u(j)
+  WHERE NOT list_contains(list_slice(ws, u.j*L + 1, u.j*L + L), 'dup')),
+bp_hashed AS (
+  SELECT doc_id, line_no, ltext,
+         {_fnv_expr('source', 0xCBF29CE484222325)} AS src,
+         {_fnv_expr('ltext', 0xCBF29CE484222325)} AS h1,
+         {_fnv_expr('ltext', 0x9E3779B97F4A7C15)} AS h2
+  FROM bp_lines),
+bp_boiler AS (
+  SELECT src, h1, h2 FROM bp_hashed
+  GROUP BY src, h1, h2
+  HAVING count(DISTINCT doc_id) >= {threshold}),
+bp_kept AS (
+  SELECT l.doc_id, l.line_no, l.ltext
+  FROM bp_hashed l
+  WHERE NOT EXISTS (SELECT 1 FROM bp_boiler b
+                    WHERE b.src = l.src AND b.h1 = l.h1
+                      AND b.h2 = l.h2))
+SELECT doc_id, string_agg(ltext, chr(10) ORDER BY line_no) AS text_out
+FROM bp_kept GROUP BY doc_id"""

@@ -7,8 +7,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from rayse.ops.c4clean import (_doc_lines, _line_hash_partial, c4_clean,
-                               c4_clean_sql)
+from rayse.ops.c4clean import (_doc_lines, _line_hash_partial,
+                               boilerplate_clean, boilerplate_sql,
+                               c4_clean, c4_clean_sql)
 
 SF = "/root/testdata/sf0.001"
 
@@ -63,6 +64,49 @@ def test_line_hash_batchsize_invariant():
     pd.testing.assert_frame_equal(
         whole.sort_values(["doc_id", "line_no"]).reset_index(drop=True),
         parts.sort_values(["doc_id", "line_no"]).reset_index(drop=True))
+
+
+def _want_boiler():
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    return (con.execute(boilerplate_sql()).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_boilerplate_matches_duckdb_broadcast(ray_session):
+    got = _norm(boilerplate_clean(SF).to_pandas())
+    want = _want_boiler()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_boilerplate_matches_duckdb_exchange_route(ray_session):
+    got = _norm(boilerplate_clean(SF, broadcast_limit=0).to_pandas())
+    pd.testing.assert_frame_equal(got, _want_boiler()[got.columns])
+
+
+def test_boilerplate_removes_all_occurrences_within_source(
+        ray_session, tmp_path):
+    # the template line appears in two docs of src_a -> removed from
+    # BOTH (unlike c4 dedup, which keeps the first); the same line in
+    # src_b appears once there -> kept. All doc_ids % 4 == 0 (L=5).
+    tpl = "nav home about contact legal"
+    docs = pa.table({
+        "doc_id": pa.array([0, 4, 8], pa.int64()),
+        "text": pa.array([
+            " ".join([tpl, "a0 a1 a2 a3 a4"]),       # src_a, has tpl
+            " ".join([tpl, "b0 b1 b2 b3 b4"]),       # src_a, has tpl
+            " ".join([tpl, "c0 c1 c2 c3 c4"])]),     # src_b, has tpl
+        "source": pa.array(["src_a", "src_a", "src_b"])})
+    import pyarrow.parquet as pq
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (boilerplate_clean(str(tmp_path)).to_pandas()
+           .set_index("doc_id")["text_out"].sort_index())
+    assert list(out.index) == [0, 4, 8]
+    assert out[0] == "a0 a1 a2 a3 a4"
+    assert out[4] == "b0 b1 b2 b3 b4"
+    assert out[8] == "\n".join([tpl, "c0 c1 c2 c3 c4"])
 
 
 def test_global_dedup_keeps_first_occurrence(ray_session, tmp_path):
