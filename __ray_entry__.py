@@ -1403,13 +1403,34 @@ def _q_ws_rank_matrix(sf_dir: str) -> pa.Table:
 
 def _q_phrase_matches_suite(sf_dir: str) -> pa.Table:
     """J6 positional phrase verification through BOTH analyzer pipelines
-    (Porter flagship + whitespace), tagged — one window slot."""
+    (Porter flagship + whitespace) + the percolator's standing-query
+    reverse search over the raw turn stream (no index), tagged — one
+    window slot."""
     from rayse.ops.porter_oracle import porter_phrase_matches
     from rayse.ops.ws_search import ws_phrase_matches
 
+    pc_t = _as_table(_q_percolate(sf_dir)).rename_columns(
+        ["phrase", "conv_id", "turn_idx"])
     return _tagged_union([
         ("porter", porter_phrase_matches(_index_for(sf_dir))),
-        ("ws", ws_phrase_matches(_ws_index_for(sf_dir)))])
+        ("ws", ws_phrase_matches(_ws_index_for(sf_dir))),
+        ("percolate", pc_t)])
+
+
+def _q_percolate(sf_dir: str):
+    """Percolator / prospective search: standing boolean + phrase
+    queries evaluated against every turn of the transcript stream with
+    NO index — queries parsed once on the driver, matched via a
+    per-turn presence bitmask in a map_batches actor pool (ES
+    percolate analog; the reference is forward-only) — DuckDB
+    hash-matched."""
+    import os as _os
+
+    from rayse.ops.percolate import percolate
+
+    idir = _index_for(sf_dir)        # ensures transcripts exist (cached)
+    tdir = _os.path.join(_os.path.dirname(idir), "transcripts")
+    return percolate(tdir)
 
 
 def _q_term_stats_suite(sf_dir: str) -> pa.Table:
@@ -2453,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- end of the driver's 50-entry window ----
         "c4_clean": _q_c4_clean,
         "boilerplate_clean": _q_boilerplate_clean,
+        "percolate": _q_percolate,
         "late_events": _q_late_events,
         "mad_outliers": _q_mad_outliers,
         "containment_pairs": _q_containment_pairs,
@@ -3018,6 +3040,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.c4clean", fromlist=["x"]).c4_clean_sql(),
         "boilerplate_clean": __import__(
             "rayse.ops.c4clean", fromlist=["x"]).boilerplate_sql(),
+        "percolate": __import__(
+            "rayse.ops.percolate", fromlist=["x"]).percolate_sql(),
         "subsample_frequent": __import__(
             "rayse.ops.sampling", fromlist=["x"]).subsample_frequent_sql(),
         "sketch_suite": __import__(
@@ -3310,7 +3334,10 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.porter_oracle",
                 fromlist=["x"]).porter_phrase_sql()),
             ("ws", "phrase, conv_id, turn_idx", __import__(
-                "rayse.ops.ws_search", fromlist=["x"]).ws_phrase_sql())]),
+                "rayse.ops.ws_search", fromlist=["x"]).ws_phrase_sql()),
+            ("percolate", "query_id AS phrase, conv_id, turn_idx",
+             __import__("rayse.ops.percolate",
+                        fromlist=["x"]).percolate_sql())]),
         "term_stats_suite": _tagged_union_sql([
             ("porter", "term, df, cf", __import__(
                 "rayse.ops.porter_oracle",
