@@ -578,6 +578,18 @@ def _q_porter_capped_topk(sf_dir: str) -> pa.Table:
     return porter_capped_topk(_index_for(sf_dir))
 
 
+def _q_porter_pruned_topk(sf_dir: str) -> pa.Table:
+    """Static index pruning (Carmel et al. 2001 champion lists): each
+    term cut to its top-25 postings by (tf DESC, doc_id ASC) impact
+    order before scoring; df/avgdl stay unpruned so each surviving
+    (term, doc) pair contributes its exact BM25 term — DuckDB
+    hash-matched; also a ``porter_rank_matrix`` arm inside the driver
+    window."""
+    from rayse.ops.porter_oracle import porter_pruned_topk
+
+    return porter_pruned_topk(_index_for(sf_dir))
+
+
 def _q_porter_conjunctive_role_topk(sf_dir: str) -> pa.Table:
     """J5 ∘ M6: docs-with-all-words restricted to a role — DuckDB
     hash-matched (completes the role x mode matrix)."""
@@ -2604,6 +2616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_conjunctive_role_topk": _q_porter_conjunctive_role_topk,
         "porter_phrase_role_topk": _q_porter_phrase_role_topk,
         "porter_capped_topk": _q_porter_capped_topk,
+        "porter_pruned_topk": _q_porter_pruned_topk,
         "porter_paged_topk": _q_porter_paged_topk,
         "porter_complex_topk": _q_porter_complex_topk,
         "porter_fallback_topk": _q_porter_fallback_topk,
@@ -2969,6 +2982,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).porter_conjunctive_role_sql(),
         "porter_capped_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_capped_sql(),
+        "porter_pruned_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_pruned_sql(),
         "porter_paged_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_paged_sql(),
         "porter_prefix_topk": __import__(

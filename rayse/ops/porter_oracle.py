@@ -1424,6 +1424,8 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_sloppy_sql(k=k)),
         ("capped", lambda: porter_capped_topk(d, k=k),
          porter_capped_sql(k=k)),
+        ("pruned", lambda: porter_pruned_topk(d, k=k),
+         porter_pruned_sql(k=k)),
         ("paged", lambda: porter_paged_topk(d), porter_paged_sql()),
         ("complex", lambda: porter_complex_topk(d, k=k),
          porter_complex_sql(k=k)),
@@ -1524,6 +1526,116 @@ scored AS (
   JOIN dl ON e.conv_id = dl.conv_id AND e.turn_idx = dl.turn_idx
   CROSS JOIN stats s
   WHERE e.pord <= {cap}
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Static index pruning (Carmel et al. 2001 / champion lists): each term's
+# posting list is cut to its top-f postings by IMPACT (tf DESC, doc_id ASC
+# tie-break) ahead of scoring — the lossy small-index regime web engines
+# serve their first tier from. Global stats (df, avgdl) stay UNPRUNED
+# (champion lists keep exact idf; only candidates shrink), so each
+# surviving (term, doc) pair contributes its exact BM25 term; a doc's
+# pruned score is <= its exhaustive score, equal when every query term
+# kept the doc. f defaults low so the cut binds at test scale.
+# SQL-expressible because the engine's posting order (ascending
+# FNV doc_id) is reproducible via porter_doc_id_sql.
+# ---------------------------------------------------------------------------
+
+def porter_pruned_topk(index_dir: str, queries: list[str] | None = None,
+                       k: int = 10, f: int = 25) -> pa.Table:
+    """BM25 over the impact-pruned index: per term only the top-``f``
+    postings by (tf DESC, doc_id ASC) participate; idf/avgdl from the
+    full index."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, params = _porter_reader(index_dir)
+    n, avgdl = reader.n_docs, reader.avgdl
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    pruned_cache: dict = {}
+    for q in queries:
+        doc_arrs, contrib_arrs = [], []
+        for t in _analyzed(q):
+            hit = pruned_cache.get(t)
+            if hit is None:
+                pl = reader.merged(t)
+                if pl is None:
+                    pruned_cache[t] = ()
+                    continue
+                idf = float(np.log((1.0 + n) / (1.0 + pl.doc_ids.size))
+                            + 1.0)
+                d, tfs, dls = pl.doc_ids, pl.tfs, pl.dls
+                if d.size > f:
+                    # impact order: tf DESC, doc_id ASC — take the top f
+                    top = np.lexsort((d, -tfs.astype(np.int64)))[:f]
+                    d, tfs, dls = d[top], tfs[top], dls[top]
+                hit = pruned_cache[t] = (
+                    d, idf * bm25_tf(tfs, dls, avgdl, params))
+            if hit == ():
+                continue
+            doc_arrs.append(hit[0])
+            contrib_arrs.append(hit[1])
+        if not doc_arrs:
+            continue
+        uniq, inv = np.unique(np.concatenate(doc_arrs),
+                              return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(contrib_arrs))
+        score_q = np.floor(scores * 1e7).astype(np.int64)
+        for r, conv, turn, sq in _ranked_rows(reader.index_dir, uniq,
+                                              score_q, k):
+            out_q.append(q)
+            out_r.append(r)
+            out_c.append(conv)
+            out_t.append(turn)
+            out_s.append(sq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_pruned_sql(queries: list[str] | None = None, k: int = 10,
+                      f: int = 25) -> str:
+    """Oracle for ``porter_pruned_topk``: per-TERM eligibility =
+    row_number over (tf DESC, FNV doc_id ASC) <= f, then standard BM25
+    + quantized ranking. Eligibility partitions by term alone (the
+    champion list is a property of the index, not of the query)."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in _analyzed(q))
+    did = porter_doc_id_sql("tf.conv_id", "tf.turn_idx")
+    return f"""{_analysis_ctes()},
+champ AS (
+  SELECT term, conv_id, turn_idx, tf,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, {did}) AS iord
+  FROM tf),
+qt(query, term) AS (VALUES {vals}),
+scored AS (
+  SELECT qt.query, e.conv_id, e.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (e.tf * 2.2
+                / (e.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM qt JOIN champ e USING (term)
+  JOIN df ON df.term = e.term
+  JOIN dl ON e.conv_id = dl.conv_id AND e.turn_idx = dl.turn_idx
+  CROSS JOIN stats s
+  WHERE e.iord <= {f}
   GROUP BY 1, 2, 3),
 quant AS (
   SELECT query, conv_id, turn_idx,

@@ -401,6 +401,34 @@ def test_porter_capped_matches_duckdb(porter_index, con):
         got.to_pandas()[["query", "rank", "conv_id", "turn_idx"]])
 
 
+def test_porter_pruned_matches_duckdb(porter_index, con):
+    """Static impact pruning (champion lists): top-f postings per term
+    by (tf DESC, doc_id ASC) with UNPRUNED global stats — a surviving
+    doc's score is the sum over its SURVIVING (term, doc) pairs, so it
+    is bounded above by the exhaustive score (equal when every query
+    term kept the doc)."""
+    from rayse.ops.porter_oracle import (porter_bm25_topk,
+                                         porter_pruned_sql,
+                                         porter_pruned_topk)
+
+    got = porter_pruned_topk(porter_index)
+    want = con.execute(porter_pruned_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    # pruning must bind at this f (else this just re-tests bm25) ...
+    full = porter_bm25_topk(porter_index).to_pandas()
+    g = got.to_pandas()
+    assert not full[["query", "rank", "conv_id", "turn_idx"]].equals(
+        g[["query", "rank", "conv_id", "turn_idx"]])
+    # ... and per-pair contributions are exact, so a pruned score never
+    # exceeds the exhaustive score for the same (query, doc)
+    merged = g.merge(full, on=["query", "conv_id", "turn_idx"],
+                     suffixes=("_p", "_f"))
+    assert len(merged) > 0
+    assert (merged["score_q_p"] <= merged["score_q_f"]).all()
+    assert (merged["score_q_p"] == merged["score_q_f"]).any()
+
+
 def test_porter_prefix_matches_duckdb(porter_index, con):
     """Wildcard retrieval: dictionary range-scan expansion + BM25 union
     vs the LIKE-join oracle; the wide 's' expansion and the empty 'zz'
