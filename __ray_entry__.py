@@ -241,6 +241,28 @@ def _q_jaccard_pairs(sf_dir: str):
     return jaccard_pairs(sf_dir, shingle_k=1, threshold=0.9)
 
 
+def _q_ams_f2(sf_dir: str) -> pa.Table:
+    """AMS second-frequency-moment sketch over the token stream (the
+    self-join-size / skew estimator): 64 integer counters via one
+    vectorized sign-matrix pass + groupby, median-of-8-group-means
+    estimate, exact F2 alongside from a hash-keyed exchange — DuckDB
+    bit-exact (integer counters, splitmix signs)."""
+    from rayse.ops.ams import ams_f2
+
+    return ams_f2(sf_dir)
+
+
+def _q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo merge/purge):
+    exact global rank by text-prefix key (curriculum machinery), one
+    owner+halo bucket exchange for the rank-window candidates
+    (exactly (w-1)*n of them — skew-independent), routed exact-Jaccard
+    verify — DuckDB hash-matched against the row_number window join."""
+    from rayse.ops.snm import snm_pairs
+
+    return snm_pairs(sf_dir, threshold=0.5)
+
+
 def _q_minhash_lsh_pairs(sf_dir: str):
     from rayse.ops.dedup import minhash_lsh_pairs
 
@@ -1459,12 +1481,28 @@ def _q_term_stats_suite(sf_dir: str) -> pa.Table:
         "df": pc.subtract(d["df_b"], d["df_a"]),
         "cf": pc.subtract(d["cf_b"], d["cf_a"]),
     })
+    # storage-planner arm: the five per-term compressed-size metrics
+    # melted onto (term, df, cf) with the metric tag folded into `term`
+    # (one oracle embed instead of five)
+    plan = _as_table(_q_postings_plan(sf_dir))
+    melted = []
+    for tag, col in (("docvb", "doc_varint_bytes"),
+                     ("gamma", "doc_gamma_bits"),
+                     ("tfvb", "tf_varint_bytes"),
+                     ("dlvb", "dl_varint_bytes"),
+                     ("posvb", "pos_varint_bytes")):
+        melted.append(pa.table({
+            "term": pc.binary_join_element_wise(
+                plan["term"], pa.array([tag] * plan.num_rows), ":"),
+            "df": plan["df"],
+            "cf": pc.cast(plan[col], pa.int64())}))
     return _tagged_union([
         ("porter", porter_term_stats(_index_for(sf_dir))),
         ("ws", ws_term_stats(_ws_index_for(sf_dir))),
         ("diffdelta", delta),
         ("hh", _as_table(_q_frequent_words(sf_dir)).rename_columns(
-            ["term", "df", "cf"]))])
+            ["term", "df", "cf"])),
+        ("plan", pa.concat_tables(melted))])
 
 
 def _q_frequent_words(sf_dir: str) -> pa.Table:
@@ -1475,6 +1513,18 @@ def _q_frequent_words(sf_dir: str) -> pa.Table:
     from rayse.ops.heavyhitters import frequent_words
 
     return frequent_words(sf_dir)
+
+
+def _q_postings_plan(sf_dir: str) -> pa.Table:
+    """Index storage planner: per-term optimized-layout compressed
+    sizes (doc-gap varint bytes / Elias-gamma bits, tf/dl/positions
+    stream bytes) computed from the segment files themselves — per-chunk
+    vectorized decode partials + term-hash exchange merge over chunk
+    boundary gaps — DuckDB hash-matched against the full analyzed-stream
+    re-costing."""
+    from rayse.ops.idxplan import postings_size_plan
+
+    return postings_size_plan(_index_for(sf_dir))
 
 
 def _q_index_diff(sf_dir: str) -> pa.Table:
@@ -1537,6 +1587,8 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
         ("kcore", _as_table(_q_kcore_h(sf_dir)).rename_columns(
             ["vertex", "rank_fp"])),
         ("cc", _as_table(_q_link_components(sf_dir)).rename_columns(
+            ["vertex", "rank_fp"])),
+        ("lpa", _as_table(_q_lpa_communities(sf_dir)).rename_columns(
             ["vertex", "rank_fp"]))])
 
 
@@ -1702,6 +1754,7 @@ def _q_neardup_pairs_suite(sf_dir: str) -> pa.Table:
     from rayse.ops.dedup import (containment_pairs,
                                  embedding_neardup_pairs, jaccard_pairs,
                                  minhash_lsh_pairs, simhash_pairs)
+    from rayse.ops.snm import snm_pairs
 
     emb = _as_table(embedding_neardup_pairs(sf_dir, threshold=0.4))
     return _tagged_union([
@@ -1712,7 +1765,8 @@ def _q_neardup_pairs_suite(sf_dir: str) -> pa.Table:
         ("simhash", _as_table(simhash_pairs(sf_dir, max_hamming=3))),
         ("embedding", emb.rename_columns(["doc_a", "doc_b"])),
         ("containment", _as_table(containment_pairs(sf_dir))
-         .rename_columns(["doc_a", "doc_b"]))])
+         .rename_columns(["doc_a", "doc_b"])),
+        ("snm", _as_table(snm_pairs(sf_dir, threshold=0.5)))])
 
 
 def _q_containment_pairs(sf_dir: str) -> pa.Table:
@@ -2315,6 +2369,16 @@ def _q_pagerank_fixed(sf_dir: str):
     return pagerank_fixed_events(sf_dir)
 
 
+def _q_lpa_communities(sf_dir: str):
+    """Deterministic synchronous label-propagation communities (two
+    rounds — the pre-consolidation state is the discriminating check;
+    min-label tie-break) over the derived event graph — DuckDB
+    hash-matched against the unrolled-CTE oracle."""
+    from rayse.ops.lpa import lpa_communities_events
+
+    return lpa_communities_events(sf_dir, iters=2)
+
+
 def _q_props_extract(sf_dir: str):
     from rayse.ops.graph import props_extract
 
@@ -2548,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": _q_kmv_distinct,
         "gram_novelty": _q_gram_novelty,
         "index_diff": _q_index_diff,
+        "postings_plan": _q_postings_plan,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2563,6 +2628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": _q_doc_token_count,
         "bpe_token_count": _q_bpe_token_count,
         "jaccard_pairs": _q_jaccard_pairs,
+        "snm_pairs": _q_snm_pairs,
+        "ams_f2": _q_ams_f2,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
@@ -2589,6 +2656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "quota_sample": _q_quota_sample,
         "pagerank_fixed": _q_pagerank_fixed,
+        "lpa_communities": _q_lpa_communities,
         "hits_fixed": _q_hits_fixed,
         "customers_without_premium": _q_customers_without_premium,
         "textrank_keywords": _q_textrank_keywords,
@@ -2688,6 +2756,10 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "snm_pairs": __import__(
+            "rayse.ops.snm", fromlist=["x"]).snm_pairs_sql(threshold=0.5),
+        "ams_f2": __import__(
+            "rayse.ops.ams", fromlist=["x"]).ams_f2_sql(),
         "neardup_pairs_suite": _tagged_union_sql([
             ("jaccard", "doc_a, doc_b", _JACCARD_PAIRS_SQL),
             ("minhash", "doc_a, doc_b", __import__(
@@ -2700,7 +2772,10 @@ def oracle_sql() -> dict[str, str]:
                 fromlist=["x"]).embedding_neardup_sql(0.4)),
             ("containment", "src_id AS doc_a, dst_id AS doc_b",
              __import__("rayse.ops.dedup",
-                        fromlist=["x"]).containment_pairs_sql())]),
+                        fromlist=["x"]).containment_pairs_sql()),
+            ("snm", "doc_a, doc_b", __import__(
+                "rayse.ops.snm",
+                fromlist=["x"]).snm_pairs_sql(threshold=0.5))]),
         "containment_pairs": __import__(
             "rayse.ops.dedup", fromlist=["x"]).containment_pairs_sql(),
         "token_count_suite": _tagged_union_sql([
@@ -2927,6 +3002,8 @@ def oracle_sql() -> dict[str, str]:
                 shingle_k=3, threshold=0.5),
         "pagerank_fixed": __import__(
             "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql(),
+        "lpa_communities": __import__(
+            "rayse.ops.lpa", fromlist=["x"]).lpa_communities_sql(iters=2),
         "hits_fixed": __import__(
             "rayse.ops.graph", fromlist=["x"]).hits_fixed_sql(),
         "embedding_neardup": __import__(
@@ -3364,9 +3441,24 @@ def oracle_sql() -> dict[str, str]:
                         fromlist=["x"]).index_diff_sql()),
             ("hh", "word AS term, df, cf",
              __import__("rayse.ops.heavyhitters",
-                        fromlist=["x"]).frequent_words_sql())]),
+                        fromlist=["x"]).frequent_words_sql())]) +
+        "\nUNION ALL\n"
+        "SELECT 'plan' AS variant, p.term || ':' || m.tag AS term, p.df,"
+        "\n  CASE m.tag WHEN 'docvb' THEN p.doc_varint_bytes"
+        "\n             WHEN 'gamma' THEN p.doc_gamma_bits"
+        "\n             WHEN 'tfvb' THEN p.tf_varint_bytes"
+        "\n             WHEN 'dlvb' THEN p.dl_varint_bytes"
+        "\n             ELSE p.pos_varint_bytes END AS cf"
+        "\nFROM (\n" + __import__(
+            "rayse.ops.idxplan",
+            fromlist=["x"]).postings_size_plan_sql() + "\n) p"
+        "\nCROSS JOIN (VALUES ('docvb'), ('gamma'), ('tfvb'), ('dlvb'),"
+        " ('posvb')) m(tag)",
         "index_diff": __import__(
             "rayse.ops.indexdiff", fromlist=["x"]).index_diff_sql(),
+        "postings_plan": __import__(
+            "rayse.ops.idxplan",
+            fromlist=["x"]).postings_size_plan_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),
@@ -3405,7 +3497,10 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.kcore", fromlist=["x"]).kcore_h_sql()),
             ("cc", "node AS vertex, comp_id AS rank_fp", __import__(
                 "rayse.ops.kcore",
-                fromlist=["x"]).link_components_sql())]),
+                fromlist=["x"]).link_components_sql()),
+            ("lpa", "vertex, community AS rank_fp", __import__(
+                "rayse.ops.lpa",
+                fromlist=["x"]).lpa_communities_sql(iters=2))]),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS qe FROM embeddings

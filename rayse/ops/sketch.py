@@ -610,6 +610,15 @@ def sketch_suite(sf_dir: str) -> pa.Table:
         parts.append((variant, pa.table({
             "idx": pa.array(pair_idx, pa.int64()),
             "value": pa.array(ko[metric].to_numpy(), pa.int64())})))
+    # AMS F2: the R counters plus (idx 0 = median estimate, 1 = exact)
+    from .ams import ams_f2
+    at = ams_f2(sf_dir)
+    parts.append(("ams_counters", pa.table({
+        "idx": at["j"], "value": at["s"]})))
+    parts.append(("ams_f2", pa.table({
+        "idx": pa.array([0, 1], pa.int64()),
+        "value": pa.array([at["f2_est"][0].as_py(),
+                           at["f2_exact"][0].as_py()], pa.int64())})))
     out = []
     for variant, t in parts:
         out.append(t.add_column(0, "variant", pa.array(
@@ -618,6 +627,8 @@ def sketch_suite(sf_dir: str) -> pa.Table:
 
 
 def sketch_suite_sql() -> str:
+    from .ams import ams_f2_sql
+
     m = 1 << HLL_P
     return f"""WITH {cm_sql()},
 {bloom_sql().lstrip()},
@@ -658,7 +669,14 @@ UNION ALL
 SELECT 'kmv_inter' AS variant,
        CAST(substr(src_a, 4) AS BIGINT) * 1000
          + CAST(substr(src_b, 4) AS BIGINT) AS idx,
-       est_inter AS value FROM (\n{kmv_source_ops_sql()}\n)"""
+       est_inter AS value FROM (\n{kmv_source_ops_sql()}\n)
+UNION ALL
+SELECT 'ams_counters' AS variant, j AS idx, s AS value
+FROM (\n{ams_f2_sql()}\n)
+UNION ALL
+SELECT 'ams_f2' AS variant, CAST(j AS BIGINT) AS idx,
+       CASE WHEN j = 0 THEN f2_est ELSE f2_exact END AS value
+FROM (\n{ams_f2_sql()}\n) WHERE j < 2"""
 
 
 # ---------------------------------------------------------------------------
