@@ -1515,6 +1515,17 @@ def _q_frequent_words(sf_dir: str) -> pa.Table:
     return frequent_words(sf_dir)
 
 
+def _q_cori_shards(sf_dir: str) -> pa.Table:
+    """CORI resource ranking (Callan et al. 1995): top-k index shards
+    per query from shard-level df + shard word counts — the broker-side
+    routing table for a doc-partitioned index tier; per-term quantized
+    integer belief sums, DuckDB hash-matched. Also a rank-matrix arm
+    inside the driver window."""
+    from rayse.ops.shardsel import cori_shard_topk
+
+    return cori_shard_topk(_index_for(sf_dir))
+
+
 def _q_postings_plan(sf_dir: str) -> pa.Table:
     """Index storage planner: per-term optimized-layout compressed
     sizes (doc-gap varint bytes / Elias-gamma bits, tf/dl/positions
@@ -2613,6 +2624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty": _q_gram_novelty,
         "index_diff": _q_index_diff,
         "postings_plan": _q_postings_plan,
+        "cori_shards": _q_cori_shards,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3459,6 +3471,8 @@ def oracle_sql() -> dict[str, str]:
         "postings_plan": __import__(
             "rayse.ops.idxplan",
             fromlist=["x"]).postings_size_plan_sql(),
+        "cori_shards": __import__(
+            "rayse.ops.shardsel", fromlist=["x"]).cori_shard_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

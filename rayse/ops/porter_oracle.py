@@ -29,6 +29,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..index.reader import IndexReader
 from ..index.segments import bm25_tf
@@ -1458,7 +1459,33 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_ranker1_sql(k=k)),
         ("rerank", lambda: porter_rerank_topk(d, k=k),
          porter_rerank_sql(k=k)),
+        ("cori", lambda: _cori_matrix_arm(d, k=k), _cori_matrix_sql(k=k)),
     ]
+
+
+def _cori_matrix_arm(index_dir: str, k: int = 10) -> pa.Table:
+    """CORI shard selection reshaped to the matrix row contract: the
+    ranked "documents" are index partitions (conv_id = '', turn_idx =
+    part id) — the broker-side routing table next to the doc-ranking
+    modes."""
+    from .shardsel import cori_shard_topk
+
+    t = cori_shard_topk(index_dir, k=k)
+    return pa.table({
+        "query": t["query"],
+        "rank": t["rank"],
+        "conv_id": pa.array([""] * t.num_rows, pa.string()),
+        "turn_idx": pa.array(pc.cast(t["part"], pa.int32())),
+        "score_q": t["score_q"],
+    })
+
+
+def _cori_matrix_sql(k: int = 10) -> str:
+    from .shardsel import cori_shard_sql
+
+    return (f"SELECT query, rank, '' AS conv_id, "
+            f"CAST(part AS INTEGER) AS turn_idx, score_q\n"
+            f"FROM (\n{cori_shard_sql(k=k)}\n)")
 
 
 def porter_rank_matrix(index_dir: str, k: int = 10) -> pa.Table:
