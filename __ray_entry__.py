@@ -1515,6 +1515,17 @@ def _q_frequent_words(sf_dir: str) -> pa.Table:
     return frequent_words(sf_dir)
 
 
+def _q_qpp_predictors(sf_dir: str) -> pa.Table:
+    """Pre-retrieval query-difficulty predictors (idf/SCQ/SCS/scope
+    families, He & Ounis 2004): broker-side routing signals from
+    dictionary stats + one posting-union count — per-term quantized
+    integer sums, DuckDB hash-matched. Also a relational_suite arm
+    inside the driver window."""
+    from rayse.ops.qpp import qpp_predictors
+
+    return qpp_predictors(_index_for(sf_dir))
+
+
 def _q_cori_shards(sf_dir: str) -> pa.Table:
     """CORI resource ranking (Callan et al. 1995): top-k index shards
     per query from shard-level df + shard word counts — the broker-side
@@ -2435,7 +2446,12 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                 "count_order"])
     tc = _melt(_q_top_customer_revenue(sf_dir), ["c_custkey", "c_name"],
                ["revenue", "n_orders"])
-    return _tagged_union([("pricing", pr), ("topcust", tc)])
+    qp = _as_table(_q_qpp_predictors(sf_dir))
+    qp = pa.table({
+        "k1": qp["query"],
+        "k2": pa.array([""] * qp.num_rows, pa.string()),
+        "metric": qp["metric"], "v": qp["v"]})
+    return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -2625,6 +2641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_diff": _q_index_diff,
         "postings_plan": _q_postings_plan,
         "cori_shards": _q_cori_shards,
+        "qpp_predictors": _q_qpp_predictors,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2832,7 +2849,12 @@ def oracle_sql() -> dict[str, str]:
             ("topcust",
              __import__("rayse.ops.relational",
                         fromlist=["x"]).TOP_CUSTOMER_REVENUE_SQL,
-             ("c_custkey", "c_name"), ("revenue", "n_orders"))]),
+             ("c_custkey", "c_name"), ("revenue", "n_orders"))]) +
+        "\nUNION ALL\n"
+        "SELECT 'qpp' AS variant, query AS k1, '' AS k2, metric, v"
+        "\nFROM (\n" + __import__(
+            "rayse.ops.qpp",
+            fromlist=["x"]).qpp_predictors_sql() + "\n)",
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -3473,6 +3495,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).postings_size_plan_sql(),
         "cori_shards": __import__(
             "rayse.ops.shardsel", fromlist=["x"]).cori_shard_sql(),
+        "qpp_predictors": __import__(
+            "rayse.ops.qpp", fromlist=["x"]).qpp_predictors_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),
