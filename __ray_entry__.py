@@ -1485,17 +1485,21 @@ def _q_term_stats_suite(sf_dir: str) -> pa.Table:
     # melted onto (term, df, cf) with the metric tag folded into `term`
     # (one oracle embed instead of five)
     plan = _as_table(_q_postings_plan(sf_dir))
+    rplan = _as_table(_q_postings_remap(sf_dir))
     melted = []
-    for tag, col in (("docvb", "doc_varint_bytes"),
-                     ("gamma", "doc_gamma_bits"),
-                     ("tfvb", "tf_varint_bytes"),
-                     ("dlvb", "dl_varint_bytes"),
-                     ("posvb", "pos_varint_bytes")):
+    for src, tag, col in (
+            (plan, "docvb", "doc_varint_bytes"),
+            (plan, "gamma", "doc_gamma_bits"),
+            (plan, "tfvb", "tf_varint_bytes"),
+            (plan, "dlvb", "dl_varint_bytes"),
+            (plan, "posvb", "pos_varint_bytes"),
+            (rplan, "rdocvb", "remap_docvb"),
+            (rplan, "rgamma", "remap_gamma")):
         melted.append(pa.table({
             "term": pc.binary_join_element_wise(
-                plan["term"], pa.array([tag] * plan.num_rows), ":"),
-            "df": plan["df"],
-            "cf": pc.cast(plan[col], pa.int64())}))
+                src["term"], pa.array([tag] * src.num_rows), ":"),
+            "df": src["df"],
+            "cf": pc.cast(src[col], pa.int64())}))
     return _tagged_union([
         ("porter", porter_term_stats(_index_for(sf_dir))),
         ("ws", ws_term_stats(_ws_index_for(sf_dir))),
@@ -1513,6 +1517,17 @@ def _q_frequent_words(sf_dir: str) -> pa.Table:
     from rayse.ops.heavyhitters import frequent_words
 
     return frequent_words(sf_dir)
+
+
+def _q_postings_remap(sf_dir: str) -> pa.Table:
+    """Doc-id reassignment planning (Silvestri 2007): per-term doc-gap
+    cost under dense renumbering of the sparse FNV ids — rank offsets
+    from per-part distinct counts (parts own disjoint doc ranges), the
+    same chunk-partial + term-hash fold as the storage planner — DuckDB
+    hash-matched against the dense_rank re-costing."""
+    from rayse.ops.idxplan import postings_remap_plan
+
+    return postings_remap_plan(_index_for(sf_dir))
 
 
 def _q_qpp_predictors(sf_dir: str) -> pa.Table:
@@ -2642,6 +2657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_plan": _q_postings_plan,
         "cori_shards": _q_cori_shards,
         "qpp_predictors": _q_qpp_predictors,
+        "postings_remap": _q_postings_remap,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3487,7 +3503,15 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.idxplan",
             fromlist=["x"]).postings_size_plan_sql() + "\n) p"
         "\nCROSS JOIN (VALUES ('docvb'), ('gamma'), ('tfvb'), ('dlvb'),"
-        " ('posvb')) m(tag)",
+        " ('posvb')) m(tag)"
+        "\nUNION ALL\n"
+        "SELECT 'plan' AS variant, p.term || ':' || m.tag AS term, p.df,"
+        "\n  CASE m.tag WHEN 'rdocvb' THEN p.remap_docvb"
+        "\n             ELSE p.remap_gamma END AS cf"
+        "\nFROM (\n" + __import__(
+            "rayse.ops.idxplan",
+            fromlist=["x"]).postings_remap_plan_sql() + "\n) p"
+        "\nCROSS JOIN (VALUES ('rdocvb'), ('rgamma')) m(tag)",
         "index_diff": __import__(
             "rayse.ops.indexdiff", fromlist=["x"]).index_diff_sql(),
         "postings_plan": __import__(
@@ -3497,6 +3521,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.shardsel", fromlist=["x"]).cori_shard_sql(),
         "qpp_predictors": __import__(
             "rayse.ops.qpp", fromlist=["x"]).qpp_predictors_sql(),
+        "postings_remap": __import__(
+            "rayse.ops.idxplan",
+            fromlist=["x"]).postings_remap_plan_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

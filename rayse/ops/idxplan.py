@@ -192,6 +192,160 @@ def postings_size_plan(index_dir: str) -> pa.Table:
                                                      "ascending")]))
 
 
+# ---------------------------------------------------------------------------
+# Doc-id reassignment planning (Silvestri 2007): re-cost each term's
+# doc-gap stream under DENSE renumbering — doc_id -> its rank in the
+# global doc_id order. The engine's ids are sparse 64-bit FNV values, so
+# gaps carry hash entropy; dense ranks shrink every gap to its
+# information content, the classic reassignment win an index-layout
+# scheduler weighs against the remap cost. Ranks are computed WITHOUT a
+# global sort materialization: parts own disjoint ascending doc ranges,
+# so rank = per-part offset (cumsum of per-part distinct counts, a
+# parts-sized driver array) + local rank within the part (one
+# searchsorted against the part's distinct ids). One task per segment
+# file (the on-disk hive layout IS the part exchange), then the same
+# term-hash fold as ``postings_size_plan`` over chunk boundaries.
+# ---------------------------------------------------------------------------
+
+_REMAP_COLS = ("term", "df", "remap_docvb", "remap_gamma")
+
+
+def _remap_file_partials(path: str) -> tuple[pa.Table, int]:
+    """(per-chunk partials with LOCAL ranks, part's distinct doc count)
+    for one segment file — within-part gap costs are offset-invariant,
+    so only head/tail need globalizing later."""
+    import pyarrow.parquet as pq
+
+    from .textstats import _word_arr_slices, fnv64_slices
+
+    t = pq.read_table(path, columns=["term", "df", "doc_ids"])
+    if t.num_rows == 0:
+        return (pa.table({c: [] for c in _PARTIAL_SCHEMA.names},
+                         schema=_PARTIAL_SCHEMA), 0)
+    counts = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    gaps = decode_varints_concat(t["doc_ids"].to_pylist())
+    cs = np.cumsum(gaps, dtype=np.uint64)
+    prefix = cs[starts] - gaps[starts]
+    docs = cs - np.repeat(prefix, counts)
+    uni = np.unique(docs)
+    rank = np.searchsorted(uni, docs).astype(np.uint64)
+
+    rgaps = np.empty(rank.size, dtype=np.uint64)
+    rgaps[:] = rank
+    rgaps[1:] -= rank[:-1]
+    rgaps[starts] = rank[starts]          # row heads are absolute (local)
+    vb = varint_byte_lengths(rgaps)
+    gb = 2 * _bit_length_u64(rgaps) - 1
+    row_vb = np.add.reduceat(vb, starts)
+    row_gb = np.add.reduceat(gb, starts)
+
+    w = np.asarray(t["term"].to_pylist(), dtype=object)
+    zeros = np.zeros(counts.size, dtype=np.int64)
+    return (pa.table({
+        "term": t["term"],
+        "thash": pa.array(fnv64_slices(*_word_arr_slices(w)), pa.uint64()),
+        "head": pa.array(rank[starts], pa.uint64()),
+        "tail": pa.array(rank[starts + counts - 1], pa.uint64()),
+        "df": pa.array(counts, pa.int64()),
+        "cf": pa.array(zeros, pa.int64()),
+        "inner_vb": pa.array(row_vb - vb[starts], pa.int64()),
+        "inner_gb": pa.array(row_gb - gb[starts], pa.int64()),
+        "tvb": pa.array(zeros, pa.int64()),
+        "dvb": pa.array(zeros, pa.int64()),
+        "pb": pa.array(zeros, pa.int64()),
+    }), int(uni.size))
+
+
+def _remap_globalize(tbl: pa.Table, off: int) -> pa.Table:
+    """Local -> global head/tail ranks (within-part gap sums are
+    offset-invariant, so only these two columns shift)."""
+    if tbl.num_rows == 0:
+        return tbl
+    for col in ("head", "tail"):
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index(col), col,
+            pa.array(tbl[col].to_numpy(zero_copy_only=False)
+                     + np.uint64(off), pa.uint64()))
+    return tbl
+
+
+def postings_remap_plan(index_dir: str) -> pa.Table:
+    """(term, df, remap_docvb, remap_gamma): per-term doc-gap cost under
+    dense doc-id reassignment, term-sorted."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    # NUMERIC part order: offsets must follow ascending doc ranges
+    files = sorted(
+        glob.glob(os.path.join(index_dir, "segments", "part=*",
+                               "segment.parquet")),
+        key=lambda p: int(p.rsplit("part=", 1)[1].split(os.sep)[0]))
+    if not files:
+        raise FileNotFoundError(f"no segment files under {index_dir}")
+
+    # partial tables stay in the object store: only the parts-sized
+    # distinct-count vector reaches the driver for the offset cumsum
+    part_task = ray.remote(num_returns=2)(_remap_file_partials)
+    refs = [part_task.remote(f) for f in files]
+    ns = ray.get([n for _, n in refs])
+    offsets = np.zeros(len(ns), dtype=np.uint64)
+    offsets[1:] = np.cumsum(ns[:-1]).astype(np.uint64)
+
+    adjust = ray.remote(_remap_globalize)
+    adj = [adjust.remote(t, int(off))
+           for (t, _), off in zip(refs, offsets)]
+    partials = rd.from_arrow_refs(adj)
+    out = exchange_by_key(partials, "thash", _plan_fold)
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(parts).combine_chunks()
+    tbl = pa.table({
+        "term": tbl["term"], "df": tbl["df"],
+        "remap_docvb": tbl["doc_varint_bytes"],
+        "remap_gamma": tbl["doc_gamma_bits"],
+    })
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("term",
+                                                     "ascending")]))
+
+
+def postings_remap_plan_sql() -> str:
+    """Oracle: dense rank over the exact FNV doc_id order of the
+    analyzed corpus's posting-bearing docs, then the same varint/gamma
+    re-costing per term."""
+    from .porter_oracle import _analysis_ctes, porter_doc_id_sql
+
+    did = porter_doc_id_sql("tf.conv_id", "tf.turn_idx")
+    return f"""{_analysis_ctes()},
+did AS (SELECT tf.term, tf.conv_id, tf.turn_idx, {did} AS doc_id
+        FROM tf),
+docs AS (SELECT DISTINCT conv_id, turn_idx, doc_id FROM did),
+dr AS (SELECT conv_id, turn_idx,
+              CAST(row_number() OVER (ORDER BY doc_id) - 1 AS UBIGINT)
+                AS rnk
+       FROM docs),
+seq AS (
+  SELECT d.term, r.rnk,
+         lag(r.rnk) OVER (PARTITION BY d.term ORDER BY r.rnk) AS prev
+  FROM did d JOIN dr r USING (conv_id, turn_idx)),
+per AS (
+  SELECT term,
+         CASE WHEN prev IS NULL THEN {_vb_sql('rnk')}
+              ELSE {_vb_sql('rnk - prev')} END AS dvb,
+         CASE WHEN prev IS NULL THEN 64
+              ELSE 2 * length(bin(rnk - prev)) - 1 END AS gb
+  FROM seq)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(dvb) AS BIGINT) AS remap_docvb,
+       CAST(sum(gb) AS BIGINT) AS remap_gamma
+FROM per GROUP BY term"""
+
+
 def _vb_sql(expr: str) -> str:
     """LEB128 byte count of a non-negative integer expression (matches
     `varint_byte_lengths`: ceil(bit_length/7), 0 -> 1 byte)."""

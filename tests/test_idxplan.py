@@ -96,3 +96,44 @@ def test_plan_matches_reencode_of_merged_lists(porter_index, ray_session):
             encode_varints(pl.tfs.astype(np.uint64)))
         assert plan.at[term, "df"] == d.size
         assert plan.at[term, "cf"] == int(pl.tfs.sum())
+
+
+def test_remap_plan_matches_duckdb(porter_index, con):
+    from rayse.ops.idxplan import (postings_remap_plan,
+                                   postings_remap_plan_sql)
+
+    got = postings_remap_plan(porter_index).to_pandas()
+    want = con.execute(postings_remap_plan_sql()).fetchdf()
+    assert len(want) > 0
+    got = got.sort_values("term").reset_index(drop=True)
+    want = (want.sort_values("term").reset_index(drop=True)
+            [list(got.columns)].astype(got.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_remap_matches_reencode_of_ranked_lists(porter_index, ray_session):
+    """Ground truth by construction: rank every posting-bearing doc in
+    global doc_id order, re-encode each term's rank list with the
+    production encoder, compare bytes/bits."""
+    from rayse.index.encoding import delta_encode, encode_varints
+    from rayse.index.reader import IndexReader
+    from rayse.ops.idxplan import postings_remap_plan, postings_size_plan
+
+    plan = postings_remap_plan(porter_index).to_pandas().set_index("term")
+    r = IndexReader(porter_index)
+    universe = np.unique(np.concatenate(
+        [r.merged(t).doc_ids for t in plan.index]))
+    total_remap, total_orig = 0, 0
+    orig = postings_size_plan(porter_index).to_pandas().set_index("term")
+    for term in plan.index:
+        ranks = np.searchsorted(universe, r.merged(term).doc_ids).astype(
+            np.uint64)
+        enc = encode_varints(delta_encode(ranks))
+        assert plan.at[term, "remap_docvb"] == len(enc)
+        gaps = np.diff(ranks.astype(object))
+        gbits = 64 + sum(2 * int(g).bit_length() - 1 for g in gaps)
+        assert plan.at[term, "remap_gamma"] == gbits
+        total_remap += len(enc)
+        total_orig += orig.at[term, "doc_varint_bytes"]
+    # dense reassignment must strictly shrink the sparse-FNV gap stream
+    assert total_remap < total_orig
