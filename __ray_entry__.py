@@ -1519,6 +1519,26 @@ def _q_frequent_words(sf_dir: str) -> pa.Table:
     return frequent_words(sf_dir)
 
 
+def _q_shipping_priority(sf_dir: str) -> pa.Table:
+    """Q3-analog shipping priority: segment-filtered customers, big⋈big
+    lineitem⋈orders through the co-partitioned file-exchange hash join,
+    grouped top-N by per-row-quantized integer revenue — DuckDB
+    hash-matched. Also a relational_suite arm in the driver window."""
+    from rayse.ops.tpch import shipping_priority
+
+    return shipping_priority(sf_dir)
+
+
+def _q_returned_items(sf_dir: str) -> pa.Table:
+    """Q10-analog returned-item reporting: returns-filtered lineitem ⋈
+    date-windowed orders (exchange hash join), grouped top-N customers,
+    broadcast dimension hydration — DuckDB hash-matched. Also a
+    relational_suite arm in the driver window."""
+    from rayse.ops.tpch import returned_items
+
+    return returned_items(sf_dir)
+
+
 def _q_postings_remap(sf_dir: str) -> pa.Table:
     """Doc-id reassignment planning (Silvestri 2007): per-term doc-gap
     cost under dense renumbering of the sparse FNV ids — rank offsets
@@ -2466,7 +2486,12 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
         "k1": qp["query"],
         "k2": pa.array([""] * qp.num_rows, pa.string()),
         "metric": qp["metric"], "v": qp["v"]})
-    return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp)])
+    q3 = _melt(_q_shipping_priority(sf_dir),
+               ["o_orderkey", "o_orderpriority"], ["revenue"])
+    q10 = _melt(_q_returned_items(sf_dir), ["c_custkey", "n_name"],
+                ["revenue"])
+    return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
+                          ("q3", q3), ("q10", q10)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -2658,6 +2683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cori_shards": _q_cori_shards,
         "qpp_predictors": _q_qpp_predictors,
         "postings_remap": _q_postings_remap,
+        "shipping_priority": _q_shipping_priority,
+        "returned_items": _q_returned_items,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2870,7 +2897,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'qpp' AS variant, query AS k1, '' AS k2, metric, v"
         "\nFROM (\n" + __import__(
             "rayse.ops.qpp",
-            fromlist=["x"]).qpp_predictors_sql() + "\n)",
+            fromlist=["x"]).qpp_predictors_sql() + "\n)"
+        "\nUNION ALL\n" + _melt_union_sql([
+            ("q3", __import__("rayse.ops.tpch",
+                              fromlist=["x"]).shipping_priority_sql(),
+             ("o_orderkey", "o_orderpriority"), ("revenue",)),
+            ("q10", __import__("rayse.ops.tpch",
+                               fromlist=["x"]).returned_items_sql(),
+             ("c_custkey", "n_name"), ("revenue",))]),
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -3524,6 +3558,10 @@ def oracle_sql() -> dict[str, str]:
         "postings_remap": __import__(
             "rayse.ops.idxplan",
             fromlist=["x"]).postings_remap_plan_sql(),
+        "shipping_priority": __import__(
+            "rayse.ops.tpch", fromlist=["x"]).shipping_priority_sql(),
+        "returned_items": __import__(
+            "rayse.ops.tpch", fromlist=["x"]).returned_items_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -1,0 +1,235 @@
+"""Classic decision-support join pipelines over the star schema —
+TPC-H Q3 (shipping priority) and Q10 (returned-item reporting) analogs.
+
+These are the join-shape gaps in the relational family: Q3 is a
+selective dim-filter -> fact⋈fact -> grouped top-N; Q10 is fact⋈fact
+-> grouped top-N -> dimension hydration. Join routing follows the
+repo's standing policy (`revenue_by_region`): the big⋈big edge
+(lineitem ⋈ orders) runs through the co-partitioned file-exchange hash
+join (`exchange.hash_join` — both sides spilled by mix(orderkey), one
+vectorized Arrow join per partition), dimension chains collapse to ONE
+broadcast map (`ray.put` once, read in every task), and filters push
+into the parquet read so only surviving columns/rows leave storage.
+
+INTEGER-EXACT contract: revenue quantizes per ROW to 1e-4 currency
+units — round(extendedprice * (1 - discount) * 10000), DuckDB's
+half-away-from-zero — before any sum, so aggregates are
+order-independent int64 and the SQL oracle matches bit-for-bit.
+
+Reference relationship: none (the reference has no relational layer);
+these pin the generic join/topk machinery the engine exposes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUT = "1998-01-01"
+Q10_LO = "1999-01-01"
+Q10_HI = "1999-07-01"
+
+
+def _rev_q(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    """Per-row 1e-4-unit revenue (DuckDB round parity)."""
+    from .relational import _cents
+
+    return _cents(price * (1.0 - disc), 10000.0)
+
+
+def _ts(date: str) -> np.datetime64:
+    return np.datetime64(date)
+
+
+def shipping_priority(sf_dir: str, k: int = 10) -> pa.Table:
+    """(o_orderkey, revenue, o_orderdate, o_orderpriority): top-``k``
+    unshipped-revenue orders in the segment (Q3 analog)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keep = np.sort(pc.filter(
+        cust["c_custkey"],
+        pc.equal(cust["c_mktsegment"], Q3_SEGMENT)).to_numpy(
+            zero_copy_only=False))
+    keep_ref = ray.put(keep)
+    cut = _ts(Q3_CUT)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def filt_orders(batch: pa.Table) -> pa.Table:
+        ck = ray.get(keep_ref)
+        cust_arr = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        dt = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        j = np.searchsorted(ck, cust_arr)
+        j_c = np.minimum(j, ck.size - 1)
+        m = (dt < cut) & (ck[j_c] == cust_arr)
+        return batch.filter(pa.array(m)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def filt_line(batch: pa.Table) -> pa.Table:
+        dt = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(dt > cut))
+        rev = _rev_q(sub["l_extendedprice"].to_numpy(zero_copy_only=False),
+                     sub["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": sub["l_orderkey"],
+                         "rev": pa.array(rev, pa.int64())})
+
+    j = hash_join(
+        line.map_batches(filt_line, batch_format="pyarrow"),
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey")
+    agg = (j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+           .sum("rev"))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        rev = batch["sum(rev)"].to_numpy(zero_copy_only=False)
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -rev))[:k]
+        return pa.table({
+            "o_orderkey": pa.array(key[order], pa.int64()),
+            "revenue": pa.array(rev[order].astype(np.int64), pa.int64()),
+            "o_orderdate": pc.take(batch["o_orderdate"],
+                                   pa.array(order, pa.int64())),
+            "o_orderpriority": pc.take(batch["o_orderpriority"],
+                                       pa.array(order, pa.int64())),
+        })
+
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.map_batches(
+            partial_topk, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows], promote_options="default")
+    rev = tbl["revenue"].to_numpy(zero_copy_only=False)
+    key = tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((key, -rev))[:k]
+    idx = pa.array(order, pa.int64())
+    return pa.table({
+        "o_orderkey": pc.take(tbl["o_orderkey"], idx),
+        "revenue": pc.take(tbl["revenue"], idx),
+        # pin microsecond precision: the exchange spill can degrade the
+        # parquet timestamp unit, and the driver compare hashes epoch ints
+        "o_orderdate": pc.cast(pc.take(tbl["o_orderdate"], idx),
+                               pa.timestamp("us")),
+        "o_orderpriority": pc.take(tbl["o_orderpriority"], idx),
+    })
+
+
+def shipping_priority_sql(k: int = 10) -> str:
+    return f"""
+SELECT o_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUT}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUT}'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT {k}"""
+
+
+def returned_items(sf_dir: str, k: int = 20) -> pa.Table:
+    """(c_custkey, c_name, n_name, revenue): top-``k`` customers by
+    revenue lost to returned items in the window (Q10 analog)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+
+    lo, hi = _ts(Q10_LO), _ts(Q10_HI)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(batch: pa.Table) -> pa.Table:
+        dt = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((dt >= lo) & (dt < hi))).select(
+            ["o_orderkey", "o_custkey"])
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+
+    def filt_line(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = _rev_q(sub["l_extendedprice"].to_numpy(zero_copy_only=False),
+                     sub["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": sub["l_orderkey"],
+                         "rev": pa.array(rev, pa.int64())})
+
+    j = hash_join(
+        line.map_batches(filt_line, batch_format="pyarrow"),
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey")
+    agg = j.groupby("o_custkey").sum("rev")
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        rev = batch["sum(rev)"].to_numpy(zero_copy_only=False)
+        key = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -rev))[:k]
+        return pa.table({
+            "c_custkey": pa.array(key[order], pa.int64()),
+            "revenue": pa.array(rev[order].astype(np.int64), pa.int64()),
+        })
+
+    tops = pa.concat_tables([
+        t for t in ray.get(agg.map_batches(
+            partial_topk, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows], promote_options="default")
+    rev = tops["revenue"].to_numpy(zero_copy_only=False)
+    key = tops["c_custkey"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((key, -rev))[:k]
+    sel_k = key[order]
+    sel_r = rev[order]
+
+    # hydrate the k winners from the broadcast-sized dimension chain
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    c2n = dict(zip(cust["c_custkey"].to_pylist(),
+                   zip(cust["c_name"].to_pylist(),
+                       cust["c_nationkey"].to_pylist())))
+    n2n = dict(zip(nat["n_nationkey"].to_pylist(),
+                   nat["n_name"].to_pylist()))
+    return pa.table({
+        "c_custkey": pa.array(sel_k, pa.int64()),
+        "c_name": pa.array([c2n[int(c)][0] for c in sel_k], pa.string()),
+        "n_name": pa.array([n2n[c2n[int(c)][1]] for c in sel_k],
+                           pa.string()),
+        "revenue": pa.array(sel_r, pa.int64()),
+    })
+
+
+def returned_items_sql(k: int = 20) -> str:
+    return f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_LO}'
+  AND o_orderdate < TIMESTAMP '{Q10_HI}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT {k}"""

