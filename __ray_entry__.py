@@ -2454,6 +2454,36 @@ def _q_top_customer_revenue(sf_dir: str):
     return top_customer_revenue(sf_dir)
 
 
+def _q_interval_coverage(sf_dir: str) -> pa.Table:
+    """(user_id, n_islands, covered_us, max_island_us): merged-interval
+    coverage per user (gaps-and-islands) — one exchange by user, one
+    vectorized sweep per partition — DuckDB hash-matched. Also a
+    relational_suite arm in the driver window."""
+    from rayse.ops.intervals import interval_coverage
+
+    return interval_coverage(sf_dir)
+
+
+def _q_pareto_frontier(sf_dir: str) -> pa.Table:
+    """(l_orderkey, l_linenumber, price_q, qty): global skyline of
+    (min price, max quantity) via per-batch partial frontiers + one tiny
+    merge (no shuffle) — DuckDB hash-matched. Also a relational_suite
+    arm in the driver window."""
+    from rayse.ops.skyline import pareto_frontier
+
+    return pareto_frontier(sf_dir)
+
+
+def _q_frequent_pairs(sf_dir: str) -> pa.Table:
+    """(p1, p2, support): top-k co-occurring part pairs by supporting
+    orders — exchange by order, vectorized per-partition pair
+    generation + partial counts — DuckDB hash-matched. Also a
+    relational_suite arm in the driver window."""
+    from rayse.ops.basket import frequent_pairs
+
+    return frequent_pairs(sf_dir)
+
+
 def _melt(t: pa.Table, keys: list[str], metrics: list[str]) -> pa.Table:
     """Wide -> long: one (k1, k2, metric, v) row per input row x metric
     (keys cast to string, metrics must be int64)."""
@@ -2490,8 +2520,14 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                ["o_orderkey", "o_orderpriority"], ["revenue"])
     q10 = _melt(_q_returned_items(sf_dir), ["c_custkey", "n_name"],
                 ["revenue"])
+    iv = _melt(_q_interval_coverage(sf_dir), ["user_id"],
+               ["n_islands", "covered_us", "max_island_us"])
+    sky = _melt(_q_pareto_frontier(sf_dir), ["l_orderkey", "l_linenumber"],
+                ["price_q", "qty"])
+    fp = _melt(_q_frequent_pairs(sf_dir), ["p1", "p2"], ["support"])
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
-                          ("q3", q3), ("q10", q10)])
+                          ("q3", q3), ("q10", q10), ("coverage", iv),
+                          ("skyline", sky), ("pairs", fp)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -2685,6 +2721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_remap": _q_postings_remap,
         "shipping_priority": _q_shipping_priority,
         "returned_items": _q_returned_items,
+        "interval_coverage": _q_interval_coverage,
+        "pareto_frontier": _q_pareto_frontier,
+        "frequent_pairs": _q_frequent_pairs,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2904,7 +2943,19 @@ def oracle_sql() -> dict[str, str]:
              ("o_orderkey", "o_orderpriority"), ("revenue",)),
             ("q10", __import__("rayse.ops.tpch",
                                fromlist=["x"]).returned_items_sql(),
-             ("c_custkey", "n_name"), ("revenue",))]),
+             ("c_custkey", "n_name"), ("revenue",)),
+            ("coverage", __import__(
+                "rayse.ops.intervals",
+                fromlist=["x"]).INTERVAL_COVERAGE_SQL,
+             ("user_id",),
+             ("n_islands", "covered_us", "max_island_us")),
+            ("skyline", __import__(
+                "rayse.ops.skyline",
+                fromlist=["x"]).PARETO_FRONTIER_SQL,
+             ("l_orderkey", "l_linenumber"), ("price_q", "qty")),
+            ("pairs", __import__(
+                "rayse.ops.basket", fromlist=["x"]).frequent_pairs_sql(),
+             ("p1", "p2"), ("support",))]),
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -3562,6 +3613,13 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.tpch", fromlist=["x"]).shipping_priority_sql(),
         "returned_items": __import__(
             "rayse.ops.tpch", fromlist=["x"]).returned_items_sql(),
+        "interval_coverage": __import__(
+            "rayse.ops.intervals",
+            fromlist=["x"]).INTERVAL_COVERAGE_SQL,
+        "pareto_frontier": __import__(
+            "rayse.ops.skyline", fromlist=["x"]).PARETO_FRONTIER_SQL,
+        "frequent_pairs": __import__(
+            "rayse.ops.basket", fromlist=["x"]).frequent_pairs_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -1,0 +1,145 @@
+"""Interval coverage, Pareto frontier, and frequent-pair tests:
+DuckDB bit-exact match at sf0.001 plus semantic invariants (combiner
+correctness, dominance, touching-interval merge)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "lineitem"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _cmp(got, want, keys):
+    a = got.sort_values(keys).reset_index(drop=True)
+    b = (want.sort_values(keys).reset_index(drop=True)
+         [list(a.columns)].astype(a.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(a, b)
+    return len(a)
+
+
+def test_interval_coverage_matches_duckdb(ray_session, con):
+    from rayse.ops.intervals import INTERVAL_COVERAGE_SQL, interval_coverage
+
+    n = _cmp(interval_coverage(SF).to_pandas(),
+             con.execute(INTERVAL_COVERAGE_SQL).fetchdf(), ["user_id"])
+    assert n > 0
+
+
+def test_interval_touching_merges():
+    """[0,10) and [10,20) merge (s > pmax is strict); [0,10)+[11,20)
+    stay two islands."""
+    from rayse.ops.intervals import _coverage_partition
+
+    def run(starts, eids):
+        # ts in us since epoch; duration = ((eid % 3600) + 60) s
+        t = pa.table({
+            "user_id": pa.array([1] * len(starts), pa.int64()),
+            "event_id": pa.array(eids, pa.int64()),
+            "ts": pa.array(
+                np.array(starts, dtype="datetime64[us]"),
+                pa.timestamp("us")),
+        })
+        return _coverage_partition(t).to_pydict()
+
+    # eid 0 -> 60 s duration. starts at 0 and 60 s: touching -> 1 island
+    out = run([0, 60_000_000], [0, 0])
+    assert out["n_islands"] == [1]
+    assert out["covered_us"] == [120_000_000]
+    # starts at 0 and 61 s: gap of 1 s -> 2 islands
+    out = run([0, 61_000_000], [0, 0])
+    assert out["n_islands"] == [2]
+    assert out["covered_us"] == [120_000_000]
+    assert out["max_island_us"] == [60_000_000]
+
+
+def test_interval_user_isolation():
+    """Adjacent users' intervals never merge across the base-offset
+    boundary (including the chunked path)."""
+    from rayse.ops import intervals
+    from rayse.ops.intervals import _coverage_partition
+
+    t = pa.table({
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "event_id": pa.array([0, 0, 0], pa.int64()),
+        "ts": pa.array(np.array([0, 0, 0], dtype="datetime64[us]"),
+                       pa.timestamp("us")),
+    })
+    out = _coverage_partition(t).to_pydict()
+    assert out["user_id"] == [1, 2, 3]
+    assert out["n_islands"] == [1, 1, 1]
+
+
+def test_pareto_matches_duckdb(ray_session, con):
+    from rayse.ops.skyline import PARETO_FRONTIER_SQL, pareto_frontier
+
+    n = _cmp(pareto_frontier(SF).to_pandas(),
+             con.execute(PARETO_FRONTIER_SQL).fetchdf(),
+             ["price_q", "qty", "l_orderkey", "l_linenumber"])
+    assert n > 0
+
+
+def test_pareto_no_survivor_dominated(ray_session):
+    from rayse.ops.skyline import pareto_frontier
+
+    df = pareto_frontier(SF).to_pandas()
+    p = df["price_q"].to_numpy()
+    q = df["qty"].to_numpy()
+    for i in range(len(df)):
+        dom = ((p <= p[i]) & (q >= q[i])
+               & ((p < p[i]) | (q > q[i])))
+        assert not dom.any()
+
+
+def test_pareto_combiner_exact():
+    """Partial-frontier merge equals the one-shot frontier on a point
+    set with duplicates and equal-price ties."""
+    from rayse.ops.skyline import _frontier
+
+    rng = np.random.RandomState(7)
+    n = 500
+    pq_ = rng.randint(0, 40, n).astype(np.int64)
+    qt = rng.randint(0, 40, n).astype(np.int64)
+    ok = np.arange(n, dtype=np.int64)
+    ln = np.zeros(n, dtype=np.int64)
+
+    whole = _frontier(ok, ln, pq_, qt)
+    a = _frontier(ok[:250], ln[:250], pq_[:250], qt[:250])
+    b = _frontier(ok[250:], ln[250:], pq_[250:], qt[250:])
+    cat = tuple(np.concatenate([x, y]) for x, y in zip(a, b))
+    merged = _frontier(cat[0], cat[1], cat[2], cat[3])
+    for w, m in zip(whole, merged):
+        assert np.array_equal(np.sort(w), np.sort(m))
+
+
+def test_frequent_pairs_matches_duckdb(ray_session, con):
+    from rayse.ops.basket import frequent_pairs, frequent_pairs_sql
+
+    n = _cmp(frequent_pairs(SF).to_pandas(),
+             con.execute(frequent_pairs_sql()).fetchdf(),
+             ["support", "p1", "p2"])
+    assert n > 0
+
+
+def test_pair_generation_dedups_within_order():
+    """A part repeated inside one order contributes each pair once."""
+    from rayse.ops.basket import _pair_counts_partition
+
+    t = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([5, 5, 7, 5, 7], pa.int64()),
+    })
+    out = _pair_counts_partition(t).to_pydict()
+    # one pair (5,7) with count 2 (orders 1 and 2)
+    assert out["pair_key"] == [(5 << 32) | 7]
+    assert out["cnt"] == [2]
