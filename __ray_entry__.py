@@ -2484,6 +2484,26 @@ def _q_frequent_pairs(sf_dir: str) -> pa.Table:
     return frequent_pairs(sf_dir)
 
 
+def _q_chi2_term_source(sf_dir: str) -> pa.Table:
+    """(term, source, n_docs, chi2_q): exact floored-rational chi-square
+    term-source association (feature selection) — DuckDB hash-matched
+    against the HUGEINT contingency oracle. Also a relational_suite arm
+    in the driver window."""
+    from rayse.ops.featsel import chi2_term_source
+
+    return chi2_term_source(sf_dir)
+
+
+def _q_burst_stats(sf_dir: str) -> pa.Table:
+    """(event_type, n_bursts, burst_hours, max_burst): hysteresis
+    burst-episode statistics over the dense global hour grid — DuckDB
+    hash-matched against the window-function oracle. Also a
+    relational_suite arm in the driver window."""
+    from rayse.ops.bursts import burst_stats
+
+    return burst_stats(sf_dir)
+
+
 def _melt(t: pa.Table, keys: list[str], metrics: list[str]) -> pa.Table:
     """Wide -> long: one (k1, k2, metric, v) row per input row x metric
     (keys cast to string, metrics must be int64)."""
@@ -2525,9 +2545,14 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
     sky = _melt(_q_pareto_frontier(sf_dir), ["l_orderkey", "l_linenumber"],
                 ["price_q", "qty"])
     fp = _melt(_q_frequent_pairs(sf_dir), ["p1", "p2"], ["support"])
+    chi = _melt(_q_chi2_term_source(sf_dir), ["term", "source"],
+                ["n_docs", "chi2_q"])
+    bu = _melt(_q_burst_stats(sf_dir), ["event_type"],
+               ["n_bursts", "burst_hours", "max_burst"])
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
                           ("q3", q3), ("q10", q10), ("coverage", iv),
-                          ("skyline", sky), ("pairs", fp)])
+                          ("skyline", sky), ("pairs", fp),
+                          ("chi2", chi), ("bursts", bu)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -2724,6 +2749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": _q_interval_coverage,
         "pareto_frontier": _q_pareto_frontier,
         "frequent_pairs": _q_frequent_pairs,
+        "chi2_term_source": _q_chi2_term_source,
+        "burst_stats": _q_burst_stats,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2955,7 +2982,15 @@ def oracle_sql() -> dict[str, str]:
              ("l_orderkey", "l_linenumber"), ("price_q", "qty")),
             ("pairs", __import__(
                 "rayse.ops.basket", fromlist=["x"]).frequent_pairs_sql(),
-             ("p1", "p2"), ("support",))]),
+             ("p1", "p2"), ("support",)),
+            ("chi2", __import__(
+                "rayse.ops.featsel",
+                fromlist=["x"]).chi2_term_source_sql(),
+             ("term", "source"), ("n_docs", "chi2_q")),
+            ("bursts", __import__(
+                "rayse.ops.bursts", fromlist=["x"]).BURST_STATS_SQL,
+             ("event_type",),
+             ("n_bursts", "burst_hours", "max_burst"))]),
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -3620,6 +3655,11 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.skyline", fromlist=["x"]).PARETO_FRONTIER_SQL,
         "frequent_pairs": __import__(
             "rayse.ops.basket", fromlist=["x"]).frequent_pairs_sql(),
+        "chi2_term_source": __import__(
+            "rayse.ops.featsel",
+            fromlist=["x"]).chi2_term_source_sql(),
+        "burst_stats": __import__(
+            "rayse.ops.bursts", fromlist=["x"]).BURST_STATS_SQL,
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -1,0 +1,185 @@
+"""Burst detection over the event stream (hysteresis two-state labeling).
+
+The streaming burst-episode operator (Kleinberg-style two-state burst
+model, deterministic hysteresis variant so the DP stays integer-exact
+and SQL-expressible): per event type, build the dense hourly count grid
+over the GLOBAL observed hour span (zero hours matter — they end
+bursts), then label each hour with a Schmitt trigger
+
+    enter burst  when  c * n_hours >= 2 * total   (c >= 2x mean)
+    exit  burst  when  c * n_hours <      total   (c <  mean)
+    otherwise hold the previous state (initial state: base)
+
+— all comparisons in cross-multiplied integers, no floats. Bursts are
+maximal runs of the burst state; the output is per-type episode
+statistics (count, total burst hours, longest burst).
+
+Distributed shape: per-batch (type, hour, cnt) partials via np.unique
+(event-cardinality never leaves the task), one vocabulary-sized
+``groupby(type, hour).sum``, then the driver folds the aggregated grid —
+bounded by types x observed-hour-span, the same vertex-dense documented
+bound as `rayse/ops/graph.py` PageRank state — with the forward-fill
+label scan fully vectorized (np.maximum.accumulate index fill).
+
+Reference relationship: none (no temporal analytics in the reference);
+pins the dense-grid + hysteresis-scan machinery next to the windowed
+aggregates of `rayse/ops/windows.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HOUR_US = 3_600_000_000
+
+
+def _hour_partials(batch: pa.Table) -> pa.Table:
+    ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").view("int64")
+    hr = np.floor_divide(ts, HOUR_US)
+    et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    key = np.char.add(np.char.add(et.astype(str), "\x00"),
+                      hr.astype(str))
+    uk, inv, cnt = np.unique(key, return_inverse=True,
+                             return_counts=True)
+    first = np.full(uk.size, -1, np.int64)
+    first[inv[::-1]] = np.arange(len(key) - 1, -1, -1)
+    return pa.table({
+        "event_type": pa.array(et[first].tolist(), pa.string()),
+        "hr": pa.array(hr[first], pa.int64()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def _label_states(c: np.ndarray, total: int, nh: int) -> np.ndarray:
+    """Hysteresis state per hour of one type's dense count vector."""
+    mark = np.full(c.size, -1, np.int64)
+    mark[c * nh >= 2 * total] = 1
+    mark[c * nh < total] = 0
+    has = mark >= 0
+    last_idx = np.maximum.accumulate(
+        np.where(has, np.arange(c.size), -1))
+    return np.where(last_idx >= 0, mark[np.maximum(last_idx, 0)], 0)
+
+
+def burst_stats(sf_dir: str) -> pa.Table:
+    """(event_type, n_bursts, burst_hours, max_burst): burst episodes
+    per event type over the dense global hour grid — DuckDB
+    hash-matched against the window-function hysteresis oracle."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    agg = (ds.map_batches(_hour_partials, batch_format="pyarrow")
+           .groupby(["event_type", "hr"]).sum("cnt"))
+    grid = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+
+    et = np.asarray(grid["event_type"].to_pylist(), dtype=object)
+    hr = grid["hr"].to_numpy(zero_copy_only=False)
+    cnt = grid["sum(cnt)"].to_numpy(zero_copy_only=False)
+    h0, h1 = int(hr.min()), int(hr.max())
+    nh = h1 - h0 + 1
+
+    out_t, out_n, out_h, out_m = [], [], [], []
+    for t in sorted(set(et.tolist())):
+        m = et == t
+        c = np.zeros(nh, np.int64)
+        c[hr[m] - h0] = cnt[m]
+        total = int(c.sum())
+        st = _label_states(c, total, nh)
+        prev = np.r_[0, st[:-1]]
+        ups = np.flatnonzero((st == 1) & (prev == 0))
+        downs = np.flatnonzero((st == 0) & (prev == 1))
+        # run lengths: each up pairs with the next down (or the grid end)
+        if downs.size:
+            ends = np.searchsorted(downs, ups, side="left")
+            end_hr = np.where(ends < downs.size,
+                              downs[np.minimum(ends, downs.size - 1)],
+                              nh)
+        else:
+            end_hr = np.full(ups.size, nh, np.int64)
+        lens = end_hr - ups
+        out_t.append(t)
+        out_n.append(int(ups.size))
+        out_h.append(int(lens.sum()))
+        out_m.append(int(lens.max()) if lens.size else 0)
+
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "n_bursts": pa.array(out_n, pa.int64()),
+        "burst_hours": pa.array(out_h, pa.int64()),
+        "max_burst": pa.array(out_m, pa.int64()),
+    })
+
+
+BURST_STATS_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {HOUR_US}) AS BIGINT) AS hr
+  FROM events
+),
+bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM h),
+grid AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM h) t
+  CROSS JOIN (SELECT unnest(range((SELECT h0 FROM bounds),
+                                  (SELECT h1 FROM bounds) + 1)) AS hr) g
+),
+c AS (SELECT event_type, hr, count(*) AS c FROM h GROUP BY event_type, hr),
+d AS (
+  SELECT grid.event_type, grid.hr, COALESCE(c.c, 0) AS c
+  FROM grid LEFT JOIN c USING (event_type, hr)
+),
+tot AS (
+  SELECT event_type, sum(c) AS total, count(*) AS nh
+  FROM d GROUP BY event_type
+),
+m AS (
+  SELECT d.event_type, d.hr, d.c,
+         CASE WHEN d.c * t.nh >= 2 * t.total THEN 1
+              WHEN d.c * t.nh < t.total THEN 0 END AS mark
+  FROM d JOIN tot t USING (event_type)
+),
+s AS (
+  SELECT event_type, hr,
+         COALESCE(last_value(mark IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW), 0) AS st
+  FROM m
+),
+runs AS (
+  SELECT event_type, hr, st,
+         CASE WHEN st = 1 AND COALESCE(
+                lag(st) OVER (PARTITION BY event_type ORDER BY hr),
+                0) = 0
+              THEN 1 ELSE 0 END AS up
+  FROM s
+),
+rid AS (
+  SELECT event_type, hr, st,
+         sum(up) OVER (PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS r
+  FROM runs
+),
+bursts AS (
+  SELECT event_type, r, count(*) AS len
+  FROM rid WHERE st = 1 GROUP BY event_type, r
+),
+per_type AS (
+  SELECT event_type, count(*) AS n_bursts, sum(len) AS burst_hours,
+         max(len) AS max_burst
+  FROM bursts GROUP BY event_type
+)
+SELECT t.event_type,
+       CAST(COALESCE(p.n_bursts, 0) AS BIGINT) AS n_bursts,
+       CAST(COALESCE(p.burst_hours, 0) AS BIGINT) AS burst_hours,
+       CAST(COALESCE(p.max_burst, 0) AS BIGINT) AS max_burst
+FROM tot t LEFT JOIN per_type p USING (event_type)
+ORDER BY t.event_type
+"""

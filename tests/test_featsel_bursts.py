@@ -1,0 +1,84 @@
+"""Chi-square term-source association and burst detection: DuckDB
+bit-exact match at sf0.001 plus semantic invariants (hysteresis
+transitions, exact-rational floor)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "events"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _cmp(got, want, keys):
+    a = got.sort_values(keys).reset_index(drop=True)
+    b = (want.sort_values(keys).reset_index(drop=True)
+         [list(a.columns)].astype(a.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(a, b)
+    return len(a)
+
+
+def test_chi2_matches_duckdb(ray_session, con):
+    from rayse.ops.featsel import chi2_term_source, chi2_term_source_sql
+
+    # sf0.001 has ~50 docs; lower min_df so terms qualify
+    n = _cmp(chi2_term_source(SF, min_df=5).to_pandas(),
+             con.execute(chi2_term_source_sql(min_df=5)).fetchdf(),
+             ["term", "source"])
+    assert n > 0
+
+
+def test_chi2_exact_rational():
+    """chi2_q is the floored exact rational: recompute one cell with
+    fractions and compare."""
+    from fractions import Fraction
+
+    from rayse.ops.featsel import CHI2_SCALE
+
+    a, b, c, d = 7, 13, 3, 77
+    n = a + b + c + d
+    num = n * (a * d - c * b) ** 2 * CHI2_SCALE
+    den = (a + c) * (b + d) * (a + b) * (c + d)
+    exact = Fraction(n * (a * d - c * b) ** 2, den)
+    assert num // den == int(exact * CHI2_SCALE)
+
+
+def test_burst_matches_duckdb(ray_session, con):
+    from rayse.ops.bursts import BURST_STATS_SQL, burst_stats
+
+    n = _cmp(burst_stats(SF).to_pandas(),
+             con.execute(BURST_STATS_SQL).fetchdf(), ["event_type"])
+    assert n > 0
+
+
+def test_hysteresis_labeling():
+    """Enter at >= 2x mean, exit below mean, hold in between; initial
+    state is base."""
+    from rayse.ops.bursts import _label_states
+
+    # mean = 2 (total 12 over 6 hours): enter at c >= 4, exit at c < 2
+    c = np.array([1, 4, 3, 2, 1, 1], np.int64)
+    st = _label_states(c, int(c.sum()), c.size)
+    assert st.tolist() == [0, 1, 1, 1, 0, 0]
+    # hold-band start stays base
+    c = np.array([3, 3, 3, 3], np.int64)
+    st = _label_states(c, int(c.sum()), c.size)
+    assert st.tolist() == [0, 0, 0, 0]
+
+
+def test_burst_run_lengths(ray_session):
+    """Open burst at the grid end is counted to the end."""
+    from rayse.ops.bursts import burst_stats
+
+    df = burst_stats(SF).to_pandas()
+    assert (df["max_burst"] <= df["burst_hours"]).all()
+    assert ((df["n_bursts"] == 0) == (df["burst_hours"] == 0)).all()
