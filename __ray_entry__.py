@@ -2504,6 +2504,25 @@ def _q_burst_stats(sf_dir: str) -> pa.Table:
     return burst_stats(sf_dir)
 
 
+def _q_markov_transitions(sf_dir: str) -> pa.Table:
+    """(prev_type, next_type, cnt, p_q): first-order Markov transition
+    table with exact floored-rational probabilities — exchange by user,
+    adjacency masks, no per-row loop — DuckDB hash-matched. Also a
+    relational_suite arm in the driver window."""
+    from rayse.ops.seqmine import markov_transitions
+
+    return markov_transitions(sf_dir)
+
+
+def _q_top_paths(sf_dir: str) -> pa.Table:
+    """(t1, t2, t3, cnt): top-k consecutive event-type trigram paths —
+    DuckDB hash-matched against the double-lead() oracle. Also a
+    relational_suite arm (keys t1/t2; full path pinned standalone)."""
+    from rayse.ops.seqmine import top_paths
+
+    return top_paths(sf_dir)
+
+
 def _melt(t: pa.Table, keys: list[str], metrics: list[str]) -> pa.Table:
     """Wide -> long: one (k1, k2, metric, v) row per input row x metric
     (keys cast to string, metrics must be int64)."""
@@ -2549,10 +2568,14 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                 ["n_docs", "chi2_q"])
     bu = _melt(_q_burst_stats(sf_dir), ["event_type"],
                ["n_bursts", "burst_hours", "max_burst"])
+    mk = _melt(_q_markov_transitions(sf_dir), ["prev_type", "next_type"],
+               ["cnt", "p_q"])
+    tp = _melt(_q_top_paths(sf_dir), ["t1", "t2"], ["cnt"])
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
                           ("q3", q3), ("q10", q10), ("coverage", iv),
                           ("skyline", sky), ("pairs", fp),
-                          ("chi2", chi), ("bursts", bu)])
+                          ("chi2", chi), ("bursts", bu),
+                          ("markov", mk), ("paths", tp)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -2751,6 +2774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_pairs": _q_frequent_pairs,
         "chi2_term_source": _q_chi2_term_source,
         "burst_stats": _q_burst_stats,
+        "markov_transitions": _q_markov_transitions,
+        "top_paths": _q_top_paths,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -2990,7 +3015,14 @@ def oracle_sql() -> dict[str, str]:
             ("bursts", __import__(
                 "rayse.ops.bursts", fromlist=["x"]).BURST_STATS_SQL,
              ("event_type",),
-             ("n_bursts", "burst_hours", "max_burst"))]),
+             ("n_bursts", "burst_hours", "max_burst")),
+            ("markov", __import__(
+                "rayse.ops.seqmine",
+                fromlist=["x"]).MARKOV_TRANSITIONS_SQL,
+             ("prev_type", "next_type"), ("cnt", "p_q")),
+            ("paths", __import__(
+                "rayse.ops.seqmine", fromlist=["x"]).top_paths_sql(),
+             ("t1", "t2"), ("cnt",))]),
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -3660,6 +3692,11 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).chi2_term_source_sql(),
         "burst_stats": __import__(
             "rayse.ops.bursts", fromlist=["x"]).BURST_STATS_SQL,
+        "markov_transitions": __import__(
+            "rayse.ops.seqmine",
+            fromlist=["x"]).MARKOV_TRANSITIONS_SQL,
+        "top_paths": __import__(
+            "rayse.ops.seqmine", fromlist=["x"]).top_paths_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),
