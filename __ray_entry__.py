@@ -2523,6 +2523,16 @@ def _q_top_paths(sf_dir: str) -> pa.Table:
     return top_paths(sf_dir)
 
 
+def _q_fs_scores(sf_dir: str) -> pa.Table:
+    """(doc_a, doc_b, agree_lang, agree_source, agree_len, score_q):
+    Fellegi-Sunter likelihood-ratio scores for SNM candidate pairs,
+    exact HUGEINT rationals — DuckDB hash-matched. Also a
+    relational_suite arm in the driver window."""
+    from rayse.ops.linkage import fs_scores
+
+    return fs_scores(sf_dir)
+
+
 def _melt(t: pa.Table, keys: list[str], metrics: list[str]) -> pa.Table:
     """Wide -> long: one (k1, k2, metric, v) row per input row x metric
     (keys cast to string, metrics must be int64)."""
@@ -2571,11 +2581,12 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
     mk = _melt(_q_markov_transitions(sf_dir), ["prev_type", "next_type"],
                ["cnt", "p_q"])
     tp = _melt(_q_top_paths(sf_dir), ["t1", "t2"], ["cnt"])
+    fs = _melt(_q_fs_scores(sf_dir), ["doc_a", "doc_b"], ["score_q"])
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
                           ("q3", q3), ("q10", q10), ("coverage", iv),
                           ("skyline", sky), ("pairs", fp),
                           ("chi2", chi), ("bursts", bu),
-                          ("markov", mk), ("paths", tp)])
+                          ("markov", mk), ("paths", tp), ("fs", fs)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -2776,6 +2787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_stats": _q_burst_stats,
         "markov_transitions": _q_markov_transitions,
         "top_paths": _q_top_paths,
+        "fs_scores": _q_fs_scores,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3022,7 +3034,10 @@ def oracle_sql() -> dict[str, str]:
              ("prev_type", "next_type"), ("cnt", "p_q")),
             ("paths", __import__(
                 "rayse.ops.seqmine", fromlist=["x"]).top_paths_sql(),
-             ("t1", "t2"), ("cnt",))]),
+             ("t1", "t2"), ("cnt",)),
+            ("fs", __import__(
+                "rayse.ops.linkage", fromlist=["x"]).fs_scores_sql(),
+             ("doc_a", "doc_b"), ("score_q",))]),
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -3697,6 +3712,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).MARKOV_TRANSITIONS_SQL,
         "top_paths": __import__(
             "rayse.ops.seqmine", fromlist=["x"]).top_paths_sql(),
+        "fs_scores": __import__(
+            "rayse.ops.linkage", fromlist=["x"]).fs_scores_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),
