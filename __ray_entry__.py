@@ -2533,6 +2533,26 @@ def _q_fs_scores(sf_dir: str) -> pa.Table:
     return fs_scores(sf_dir)
 
 
+def _q_grouping_sets(sf_dir: str) -> pa.Table:
+    """(event_type, dow, n, sum_vq): GROUP BY GROUPING SETS completion
+    of the rollup/cube family — every set re-aggregated from the
+    rollup's output-sized finest level, one raw-stream scan — DuckDB
+    hash-matched (cube_agg covers the machinery in-window)."""
+    from rayse.ops.rollup import grouping_sets_agg
+
+    return grouping_sets_agg(sf_dir)
+
+
+def _q_degree_assortativity(sf_dir: str) -> pa.Table:
+    """(scope, n_edges, r_q): directed out-in degree assortativity of
+    the derived event graph, exact integer co-moments + one float sqrt
+    — DuckDB hash-matched. Also a relational_suite arm in the driver
+    window."""
+    from rayse.ops.graph import degree_assortativity
+
+    return degree_assortativity(sf_dir)
+
+
 def _melt(t: pa.Table, keys: list[str], metrics: list[str]) -> pa.Table:
     """Wide -> long: one (k1, k2, metric, v) row per input row x metric
     (keys cast to string, metrics must be int64)."""
@@ -2582,11 +2602,14 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                ["cnt", "p_q"])
     tp = _melt(_q_top_paths(sf_dir), ["t1", "t2"], ["cnt"])
     fs = _melt(_q_fs_scores(sf_dir), ["doc_a", "doc_b"], ["score_q"])
+    da = _melt(_q_degree_assortativity(sf_dir), ["scope"],
+               ["n_edges", "r_q"])
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
                           ("q3", q3), ("q10", q10), ("coverage", iv),
                           ("skyline", sky), ("pairs", fp),
                           ("chi2", chi), ("bursts", bu),
-                          ("markov", mk), ("paths", tp), ("fs", fs)])
+                          ("markov", mk), ("paths", tp), ("fs", fs),
+                          ("assort", da)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -2788,6 +2811,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_transitions": _q_markov_transitions,
         "top_paths": _q_top_paths,
         "fs_scores": _q_fs_scores,
+        "grouping_sets": _q_grouping_sets,
+        "degree_assortativity": _q_degree_assortativity,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3037,7 +3062,11 @@ def oracle_sql() -> dict[str, str]:
              ("t1", "t2"), ("cnt",)),
             ("fs", __import__(
                 "rayse.ops.linkage", fromlist=["x"]).fs_scores_sql(),
-             ("doc_a", "doc_b"), ("score_q",))]),
+             ("doc_a", "doc_b"), ("score_q",)),
+            ("assort", __import__(
+                "rayse.ops.graph",
+                fromlist=["x"]).degree_assortativity_sql(),
+             ("scope",), ("n_edges", "r_q"))]),
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -3714,6 +3743,11 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.seqmine", fromlist=["x"]).top_paths_sql(),
         "fs_scores": __import__(
             "rayse.ops.linkage", fromlist=["x"]).fs_scores_sql(),
+        "grouping_sets": __import__(
+            "rayse.ops.rollup", fromlist=["x"]).GROUPING_SETS_AGG_SQL,
+        "degree_assortativity": __import__(
+            "rayse.ops.graph",
+            fromlist=["x"]).degree_assortativity_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -675,3 +675,110 @@ pr(iter, v, r) AS (
   WHERE p.iter < {iters})
 SELECT v AS vertex, CAST(r AS BIGINT) AS rank_fp
 FROM pr WHERE iter = {iters} ORDER BY vertex"""
+
+
+def degree_assortativity(sf_dir: str) -> pa.Table:
+    """(scope, n_edges, r_q): directed degree assortativity of the
+    derived event graph — the Pearson correlation, over every directed
+    edge instance (s, d), of x = out_deg(s) with y = in_deg(d)
+    (Newman 2002's out-in variant), quantized at 1e9 with the same
+    exact-integer-co-moment + one-float-sqrt contract as
+    `rayse/ops/corr.py`.
+
+    Shape: two degree folds (groupby src / groupby dst — vertex-sized
+    outputs, the documented driver bound shared with the rank vectors
+    above), ray.put of both degree vectors, ONE streaming pass over the
+    edges emitting per-batch integer co-moment partials, and a tiny
+    driver fold.  DuckDB hash-matched against the HUGEINT oracle."""
+    import math
+
+    import ray
+
+    edges = derived_edges(sf_dir)
+
+    def deg(col: str) -> dict[int, int]:
+        rows = pa.concat_tables(
+            [t for t in ray.get(
+                edges.groupby(col).count().to_arrow_refs())
+             if t.num_rows], promote_options="default")
+        return dict(zip(
+            (int(v) for v in rows[col].to_pylist()),
+            (int(c) for c in rows["count()"].to_pylist())))
+
+    out_deg, in_deg = deg("src"), deg("dst")
+    # dense lookup arrays (vertex ids are bounded: users and k-mod-V)
+    def dense(d: dict[int, int]) -> tuple[np.ndarray, int]:
+        hi = max(d) + 1 if d else 1
+        arr = np.zeros(hi, np.int64)
+        for k, v in d.items():
+            arr[k] = v
+        return arr, hi
+
+    od_arr, od_hi = dense(out_deg)
+    id_arr, id_hi = dense(in_deg)
+    od_ref, id_ref = ray.put(od_arr), ray.put(id_arr)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        od = ray.get(od_ref)
+        idg = ray.get(id_ref)
+        x = od[batch["src"].to_numpy(zero_copy_only=False)]
+        y = idg[batch["dst"].to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "n": pa.array([x.size], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    rows = pa.concat_tables(
+        [t for t in ray.get(edges.map_batches(
+            partials, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows], promote_options="default")
+    n = sum(int(v) for v in rows["n"].to_pylist())
+    sx = sum(int(v) for v in rows["sx"].to_pylist())
+    sy = sum(int(v) for v in rows["sy"].to_pylist())
+    sxx = sum(int(v) for v in rows["sxx"].to_pylist())
+    syy = sum(int(v) for v in rows["syy"].to_pylist())
+    sxy = sum(int(v) for v in rows["sxy"].to_pylist())
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    if d1 == 0 or d2 == 0:
+        return pa.table({"scope": pa.array([], pa.string()),
+                         "n_edges": pa.array([], pa.int64()),
+                         "r_q": pa.array([], pa.int64())})
+    r_q = math.floor(float(num) / math.sqrt(float(d1 * d2)) * 1e9)
+    return pa.table({
+        "scope": pa.array(["all"], pa.string()),
+        "n_edges": pa.array([n], pa.int64()),
+        "r_q": pa.array([r_q], pa.int64()),
+    })
+
+
+def degree_assortativity_sql(
+        vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    return f"""
+WITH edges AS (
+  SELECT user_id AS src,
+         CAST(json_extract(props, '$.k') AS BIGINT)
+           % {vertex_space} AS dst
+  FROM events),
+od AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+idg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst),
+xy AS (
+  SELECT CAST(od.d AS HUGEINT) AS x, CAST(idg.d AS HUGEINT) AS y
+  FROM edges e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy)
+SELECT 'all' AS scope, CAST(n AS BIGINT) AS n_edges,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST((n * sxx - sx * sx)
+                              * (n * syy - sy * sy) AS DOUBLE))
+                  * 1000000000::DOUBLE) AS BIGINT) AS r_q
+FROM s
+WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0"""

@@ -180,3 +180,79 @@ def cube_agg(sf_dir: str) -> pa.Table:
 
 
 CUBE_AGG_SQL = ROLLUP_AGG_SQL.replace("GROUP BY ROLLUP", "GROUP BY CUBE")
+
+
+def grouping_sets_agg(sf_dir: str) -> pa.Table:
+    """``GROUP BY GROUPING SETS ((type, dow), (type), (dow), ())`` with
+    dow = day-of-week (day % 7): the arbitrary-grouping-sets completion
+    of the ROLLUP/CUBE family.  Every set is a re-aggregation of the
+    rollup's output-sized finest (type, day) level — the raw stream is
+    still scanned exactly once; integer sums keep each fold
+    order-independent and the DuckDB GROUPING SETS oracle bit-exact.
+    Sentinels '' / -1 mark aggregated-away keys."""
+    out = rollup_agg(sf_dir)
+    fine = out.filter(pc.and_(pc.not_equal(out["day"], -1),
+                              pc.not_equal(out["event_type"], "")))
+    et = np.asarray(fine["event_type"].to_pylist(), dtype=object)
+    dow = fine["day"].to_numpy(zero_copy_only=False) % 7
+    n = fine["n"].to_numpy(zero_copy_only=False)
+    sv = fine["sum_vq"].to_numpy(zero_copy_only=False)
+
+    def fold(keys: list[np.ndarray]) -> tuple:
+        combo = keys[0].astype(str)
+        for k in keys[1:]:
+            combo = np.char.add(np.char.add(combo, "\x1f"),
+                                k.astype(str))
+        uniq, inv = np.unique(combo, return_inverse=True)
+        fn = np.zeros(uniq.size, np.int64)
+        fv = np.zeros(uniq.size, np.int64)
+        np.add.at(fn, inv, n)
+        np.add.at(fv, inv, sv)
+        first = np.full(uniq.size, -1, np.int64)
+        first[inv[::-1]] = np.arange(inv.size - 1, -1, -1)
+        return first, fn, fv
+
+    parts = []
+    # (type, dow)
+    f, fn, fv = fold([et, dow])
+    parts.append(pa.table({
+        "event_type": pa.array(et[f].tolist(), pa.string()),
+        "dow": pa.array(dow[f], pa.int64()),
+        "n": pa.array(fn, pa.int64()),
+        "sum_vq": pa.array(fv, pa.int64())}))
+    # (type)
+    f, fn, fv = fold([et])
+    parts.append(pa.table({
+        "event_type": pa.array(et[f].tolist(), pa.string()),
+        "dow": pa.array(np.full(fn.size, -1), pa.int64()),
+        "n": pa.array(fn, pa.int64()),
+        "sum_vq": pa.array(fv, pa.int64())}))
+    # (dow)
+    f, fn, fv = fold([dow])
+    parts.append(pa.table({
+        "event_type": pa.array([""] * fn.size, pa.string()),
+        "dow": pa.array(dow[f], pa.int64()),
+        "n": pa.array(fn, pa.int64()),
+        "sum_vq": pa.array(fv, pa.int64())}))
+    # ()
+    parts.append(pa.table({
+        "event_type": pa.array([""], pa.string()),
+        "dow": pa.array([-1], pa.int64()),
+        "n": pa.array([int(n.sum())], pa.int64()),
+        "sum_vq": pa.array([int(sv.sum())], pa.int64())}))
+    return pa.concat_tables(parts)
+
+
+GROUPING_SETS_AGG_SQL = f"""
+WITH v AS (
+  SELECT event_type,
+         (epoch_us(ts) // {DAY_US}) % 7 AS dow,
+         CAST(floor(value * CAST({VQ_SCALE} AS DOUBLE)) AS BIGINT) AS vq
+  FROM events)
+SELECT COALESCE(event_type, '') AS event_type,
+       CAST(COALESCE(dow, -1) AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vq) AS BIGINT) AS sum_vq
+FROM v
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+"""

@@ -143,3 +143,35 @@ def test_pair_generation_dedups_within_order():
     # one pair (5,7) with count 2 (orders 1 and 2)
     assert out["pair_key"] == [(5 << 32) | 7]
     assert out["cnt"] == [2]
+
+
+def test_grouping_sets_matches_duckdb(ray_session):
+    import duckdb as dd
+
+    from rayse.ops.rollup import GROUPING_SETS_AGG_SQL, grouping_sets_agg
+
+    c = dd.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{SF}/events.parquet')")
+    got = grouping_sets_agg(SF).to_pandas()
+    want = c.execute(GROUPING_SETS_AGG_SQL).fetchdf()
+    n = _cmp(got, want, ["event_type", "dow"])
+    assert n > 0
+    # the four sets are all present: (t,d), (t), (d), ()
+    assert ((got["event_type"] == "") & (got["dow"] == -1)).sum() == 1
+
+
+def test_assortativity_matches_duckdb(ray_session):
+    import duckdb as dd
+
+    from rayse.ops.graph import (degree_assortativity,
+                                 degree_assortativity_sql)
+
+    c = dd.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{SF}/events.parquet')")
+    got = degree_assortativity(SF).to_pandas()
+    want = c.execute(degree_assortativity_sql()).fetchdf()
+    n = _cmp(got, want, ["scope"])
+    assert n == 1
+    assert -10**9 <= got["r_q"].iloc[0] <= 10**9
