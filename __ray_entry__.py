@@ -2084,6 +2084,16 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
         "p_label": pa.array([m] * kl.num_rows, pa.string()),
         "v": kl[col]}) for m, col in (("kl", "kl_q"),
                                       ("ntok", "n_tokens"))]
+    vg = _as_table(_q_vocab_growth(sf_dir))
+    vg = pa.table({
+        "key": pc.cast(vg["k"], pa.string()),
+        "p_label": pa.array(["vocab"] * vg.num_rows, pa.string()),
+        "v": vg["vocab"]})
+    rp = _as_table(_q_random_projection(sf_dir))
+    rp = pa.table({
+        "key": pc.cast(rp["vec_id"], pa.string()),
+        "p_label": pc.cast(rp["out_dim"], pa.string()),
+        "v": rp["val"]})
     md = _as_table(_q_mad_outliers(sf_dir))
     mdparts = [pa.table({
         "key": md["event_type"],
@@ -2127,7 +2137,8 @@ def _q_quantile_suite(sf_dir: str) -> pa.Table:
                           ("convstats", pa.concat_tables(csparts)),
                           ("convkw", kw),
                           ("nb", pa.concat_tables(nbparts)),
-                          ("srckl", pa.concat_tables(klparts))])
+                          ("srckl", pa.concat_tables(klparts)),
+                          ("vocab", vg), ("randproj", rp)])
 
 
 def _q_mad_outliers(sf_dir: str) -> pa.Table:
@@ -2533,6 +2544,25 @@ def _q_fs_scores(sf_dir: str) -> pa.Table:
     return fs_scores(sf_dir)
 
 
+def _q_vocab_growth(sf_dir: str) -> pa.Table:
+    """(k, n_docs, vocab): Heaps'-law vocabulary growth at the
+    power-of-two prefix ladder — prefix-k vocab = terms whose MIN
+    containing doc_id <= the k-th doc_id, one groupby(term).min fold —
+    DuckDB hash-matched. Also a quantile_suite arm in the window."""
+    from rayse.ops.vocabgrowth import vocab_growth
+
+    return vocab_growth(sf_dir)
+
+
+def _q_random_projection(sf_dir: str) -> pa.Table:
+    """(vec_id, out_dim, val): exact int64 splitmix sign-sketch
+    projection of every embedding, row-local matmul — DuckDB
+    hash-matched. Also a quantile_suite arm in the window."""
+    from rayse.ops.randproj import random_projection
+
+    return _as_table(random_projection(sf_dir))
+
+
 def _q_grouping_sets(sf_dir: str) -> pa.Table:
     """(event_type, dow, n, sum_vq): GROUP BY GROUPING SETS completion
     of the rollup/cube family — every set re-aggregated from the
@@ -2813,6 +2843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_scores": _q_fs_scores,
         "grouping_sets": _q_grouping_sets,
         "degree_assortativity": _q_degree_assortativity,
+        "vocab_growth": _q_vocab_growth,
+        "random_projection": _q_random_projection,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3557,6 +3589,16 @@ def oracle_sql() -> dict[str, str]:
                 __import__("rayse.ops.funnel",
                            fromlist=["x"]).COHORT_OVERLAP_SQL)
                for m in ("inter", "union_", "jac_q")]
+            + [("vocab",
+                "CAST(k AS VARCHAR) AS key, 'vocab' AS p_label, "
+                "vocab AS v",
+                __import__("rayse.ops.vocabgrowth",
+                           fromlist=["x"]).vocab_growth_sql())]
+            + [("randproj",
+                "CAST(vec_id AS VARCHAR) AS key, "
+                "CAST(out_dim AS VARCHAR) AS p_label, val AS v",
+                __import__("rayse.ops.randproj",
+                           fromlist=["x"]).random_projection_sql())]
             + [("ols",
                 f"event_type AS key, '{m}' AS p_label, {m} AS v",
                 __import__("rayse.ops.corr",
@@ -3748,6 +3790,11 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": __import__(
             "rayse.ops.graph",
             fromlist=["x"]).degree_assortativity_sql(),
+        "vocab_growth": __import__(
+            "rayse.ops.vocabgrowth", fromlist=["x"]).vocab_growth_sql(),
+        "random_projection": __import__(
+            "rayse.ops.randproj",
+            fromlist=["x"]).random_projection_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),
