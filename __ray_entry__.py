@@ -1627,7 +1627,10 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
 
     from rayse.ops.textrank import textrank_vertices
 
+    from rayse.ops.triangles import coeff_from_counts
+
     hits = hits_fixed_events(sf_dir)
+    tri = coeff_from_counts(_q_triangle_counts(sf_dir))
     return _tagged_union([
         ("dense", pagerank_fixed_events(sf_dir)),
         ("sharded", pagerank_fixed_sharded_events(sf_dir)),
@@ -1636,10 +1639,12 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
         ("hits_auth", hits.select(["vertex", "auth_fp"]).rename_columns(
             ["vertex", "rank_fp"])),
         ("textrank", textrank_vertices(sf_dir)),
-        ("tri_deg", _q_triangle_counts(sf_dir).select(
+        ("tri_deg", tri.select(
             ["node", "deg"]).rename_columns(["vertex", "rank_fp"])),
-        ("tri_count", _q_triangle_counts(sf_dir).select(
+        ("tri_count", tri.select(
             ["node", "n_tri"]).rename_columns(["vertex", "rank_fp"])),
+        ("clustcoef", tri.select(
+            ["node", "coeff_ppm"]).rename_columns(["vertex", "rank_fp"])),
         ("ppr", _q_ppr_fixed(sf_dir)),
         ("kcore", _as_table(_q_kcore_h(sf_dir)).rename_columns(
             ["vertex", "rank_fp"])),
@@ -2563,6 +2568,15 @@ def _q_random_projection(sf_dir: str) -> pa.Table:
     return _as_table(random_projection(sf_dir))
 
 
+def _q_clustering_coeff(sf_dir: str) -> pa.Table:
+    """(node, deg, n_tri, coeff_ppm): local clustering coefficient as
+    an exact floored rational over the triangle fold — DuckDB
+    hash-matched. Also a pagerank_fixed_suite arm in the window."""
+    from rayse.ops.triangles import clustering_coeff
+
+    return clustering_coeff(sf_dir)
+
+
 def _q_grouping_sets(sf_dir: str) -> pa.Table:
     """(event_type, dow, n, sum_vq): GROUP BY GROUPING SETS completion
     of the rollup/cube family — every set re-aggregated from the
@@ -2845,6 +2859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _q_degree_assortativity,
         "vocab_growth": _q_vocab_growth,
         "random_projection": _q_random_projection,
+        "clustering_coeff": _q_clustering_coeff,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3795,6 +3810,9 @@ def oracle_sql() -> dict[str, str]:
         "random_projection": __import__(
             "rayse.ops.randproj",
             fromlist=["x"]).random_projection_sql(),
+        "clustering_coeff": __import__(
+            "rayse.ops.triangles",
+            fromlist=["x"]).CLUSTERING_COEFF_SQL,
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),
@@ -3824,6 +3842,9 @@ def oracle_sql() -> dict[str, str]:
             ("tri_count", "node AS vertex, n_tri AS rank_fp", __import__(
                 "rayse.ops.triangles",
                 fromlist=["x"]).TRIANGLE_COUNTS_SQL),
+            ("clustcoef", "node AS vertex, coeff_ppm AS rank_fp",
+             __import__("rayse.ops.triangles",
+                        fromlist=["x"]).CLUSTERING_COEFF_SQL),
             ("ppr", "vertex, rank_fp", __import__(
                 "rayse.ops.graph", fromlist=["x"]).ppr_fixed_sql()),
             ("textrank", "vertex, rank_fp", __import__(

@@ -221,3 +221,35 @@ tn AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS n_tri
        GROUP BY v)
 SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri
 FROM deg d LEFT JOIN tn t USING (node)"""
+
+
+def clustering_coeff(sf_dir: str) -> pa.Table:
+    """(node, deg, n_tri, coeff_ppm): local clustering coefficient —
+    the fraction of a node's neighbor pairs that are connected,
+    ``coeff_ppm = (2 * n_tri * 10^6) // (deg * (deg - 1))`` (0 when
+    deg < 2) — derived on the node-cardinality output of
+    ``triangle_counts`` (same documented vertex-dense bound), so the
+    wedge/close exchanges run exactly once. DuckDB hash-matched."""
+    return coeff_from_counts(triangle_counts(sf_dir))
+
+
+def coeff_from_counts(t: pa.Table) -> pa.Table:
+    """Append coeff_ppm to an existing (node, deg, n_tri) table —
+    lets suite callers reuse one triangle_counts run."""
+    deg = t["deg"].to_numpy(zero_copy_only=False)
+    tri = t["n_tri"].to_numpy(zero_copy_only=False)
+    poss = deg * (deg - 1)
+    coeff = np.zeros(deg.size, np.int64)
+    ok = poss > 0
+    coeff[ok] = (2 * tri[ok] * 1_000_000) // poss[ok]
+    return t.append_column("coeff_ppm", pa.array(coeff, pa.int64()))
+
+
+CLUSTERING_COEFF_SQL = f"""
+WITH base AS ({TRIANGLE_COUNTS_SQL})
+SELECT node, deg, n_tri,
+       CASE WHEN deg >= 2
+            THEN CAST((2 * n_tri * 1000000) // (deg * (deg - 1))
+                      AS BIGINT)
+            ELSE 0 END AS coeff_ppm
+FROM base"""

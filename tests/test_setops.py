@@ -175,3 +175,19 @@ def test_assortativity_matches_duckdb(ray_session):
     n = _cmp(got, want, ["scope"])
     assert n == 1
     assert -10**9 <= got["r_q"].iloc[0] <= 10**9
+
+
+def test_clustering_coeff_matches_duckdb(ray_session):
+    import duckdb as dd
+
+    from rayse.ops.triangles import CLUSTERING_COEFF_SQL, clustering_coeff
+
+    c = dd.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{SF}/events.parquet')")
+    got = clustering_coeff(SF).to_pandas()
+    want = c.execute(CLUSTERING_COEFF_SQL).fetchdf()
+    n = _cmp(got, want, ["node"])
+    assert n > 0
+    # coefficient is a fraction of neighbor pairs: in [0, 1e6]
+    assert got["coeff_ppm"].between(0, 10**6).all()
