@@ -2568,6 +2568,16 @@ def _q_random_projection(sf_dir: str) -> pa.Table:
     return _as_table(random_projection(sf_dir))
 
 
+def _q_er_components(sf_dir: str) -> pa.Table:
+    """(node, comp_id): entity-resolution clusters over all-fields-agree
+    SNM pairs (FS decision rule at the all-agree pattern) through the
+    routed CC machinery — DuckDB hash-matched against the recursive
+    min-label oracle."""
+    from rayse.ops.linkage import er_components
+
+    return er_components(sf_dir)
+
+
 def _q_clustering_coeff(sf_dir: str) -> pa.Table:
     """(node, deg, n_tri, coeff_ppm): local clustering coefficient as
     an exact floored rational over the triangle fold — DuckDB
@@ -2860,6 +2870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "random_projection": _q_random_projection,
         "clustering_coeff": _q_clustering_coeff,
+        "er_components": _q_er_components,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3813,6 +3824,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": __import__(
             "rayse.ops.triangles",
             fromlist=["x"]).CLUSTERING_COEFF_SQL,
+        "er_components": __import__(
+            "rayse.ops.linkage", fromlist=["x"]).er_components_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

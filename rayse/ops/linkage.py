@@ -226,3 +226,69 @@ SELECT doc_a, doc_b,
 FROM pairs CROSS JOIN stats
 ORDER BY doc_a, doc_b
 """
+
+
+def er_components(sf_dir: str) -> pa.Table:
+    """(node, comp_id): entity-resolution clusters — connected
+    components over the SNM candidate pairs whose every compared field
+    agrees (the deterministic FS decision rule at the all-agree
+    pattern), comp_id = smallest doc_id in the cluster. Routes through
+    the shared CC machinery (driver union-find below
+    ``dedup.DRIVER_MAX_PAIRS``, distributed min-label propagation
+    above). DuckDB hash-matched against the recursive min-label
+    oracle."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import DRIVER_MAX_PAIRS, _cc_distributed, _cc_driver
+
+    full = fs_scores(sf_dir)
+    keep = full.filter(
+        pa.compute.and_(
+            pa.compute.and_(
+                pa.compute.equal(full["agree_lang"], 1),
+                pa.compute.equal(full["agree_source"], 1)),
+            pa.compute.equal(full["agree_len"], 1))).select(
+        ["doc_a", "doc_b"])
+    if keep.num_rows == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "comp_id": pa.array([], pa.int64())})
+    if keep.num_rows <= DRIVER_MAX_PAIRS:
+        cc = _cc_driver(keep)
+    else:
+        cc = _cc_distributed(rd.from_arrow(keep))
+    return pa.table({"node": cc["doc_id"], "comp_id": cc["cluster_id"]})
+
+
+def er_components_sql() -> str:
+    from .snm import SNM_WINDOW, _skey_sql
+
+    return f"""
+WITH RECURSIVE er_k AS (
+  SELECT doc_id, {_skey_sql()} AS skey FROM documents),
+er_rk AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY skey, doc_id) AS r
+          FROM er_k),
+er_cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM er_rk a JOIN er_rk b ON b.r > a.r AND b.r < a.r + {SNM_WINDOW}),
+er_f AS (SELECT doc_id, lang, source, n_chars // 16 AS len_bkt
+         FROM documents),
+er_p AS (
+  SELECT DISTINCT c.doc_a, c.doc_b
+  FROM er_cand c
+  JOIN er_f fa ON fa.doc_id = c.doc_a
+  JOIN er_f fb ON fb.doc_id = c.doc_b
+  WHERE fa.lang = fb.lang AND fa.source = fb.source
+    AND fa.len_bkt = fb.len_bkt),
+er_ue AS (SELECT doc_a AS a, doc_b AS b FROM er_p
+          UNION ALL SELECT doc_b, doc_a FROM er_p),
+er_lbl(node, lbl) AS (
+  SELECT a AS node, least(a, min(b)) AS lbl FROM er_ue GROUP BY a
+  UNION
+  SELECT e.a AS node, least(l.lbl, e.a) AS lbl
+  FROM er_ue e JOIN er_lbl l ON e.b = l.node)
+SELECT node, CAST(min(lbl) AS BIGINT) AS comp_id
+FROM er_lbl GROUP BY node
+ORDER BY node"""

@@ -72,3 +72,24 @@ def test_fs_agreement_bits(ray_session):
         assert row["agree_lang"] == int(fa["lang"] == fb["lang"])
         assert row["agree_source"] == int(fa["source"] == fb["source"])
         assert row["agree_len"] == int(fa["len_bkt"] == fb["len_bkt"])
+
+
+def test_er_components_matches_duckdb(ray_session):
+    """sf0.01 has nonzero all-agree SNM pairs; comp_id is the min node."""
+    import duckdb as dd
+
+    from rayse.ops.linkage import er_components, er_components_sql
+
+    sf = "/root/testdata/sf0.01"
+    c = dd.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{sf}/documents.parquet')")
+    got = er_components(sf).to_pandas()
+    want = c.execute(er_components_sql()).fetchdf()
+    a = got.sort_values(["node"]).reset_index(drop=True)
+    b = (want.sort_values(["node"]).reset_index(drop=True)
+         [list(a.columns)].astype(a.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(a, b)
+    if len(a):
+        g = a.groupby("comp_id")["node"].min()
+        assert (g.index == g.values).all()
