@@ -2568,6 +2568,16 @@ def _q_random_projection(sf_dir: str) -> pa.Table:
     return _as_table(random_projection(sf_dir))
 
 
+def _q_editdist_pairs(sf_dir: str) -> pa.Table:
+    """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
+    Levenshtein edits — row-vectorized DP with prefix-min insertion
+    chain and a cap early-out — DuckDB hash-matched against the
+    built-in levenshtein oracle."""
+    from rayse.ops.editdist import editdist_pairs
+
+    return editdist_pairs(sf_dir)
+
+
 def _q_er_components(sf_dir: str) -> pa.Table:
     """(node, comp_id): entity-resolution clusters over all-fields-agree
     SNM pairs (FS decision rule at the all-agree pattern) through the
@@ -2871,6 +2881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_projection": _q_random_projection,
         "clustering_coeff": _q_clustering_coeff,
         "er_components": _q_er_components,
+        "editdist_pairs": _q_editdist_pairs,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3826,6 +3837,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).CLUSTERING_COEFF_SQL,
         "er_components": __import__(
             "rayse.ops.linkage", fromlist=["x"]).er_components_sql(),
+        "editdist_pairs": __import__(
+            "rayse.ops.editdist", fromlist=["x"]).editdist_pairs_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -93,3 +93,32 @@ def test_er_components_matches_duckdb(ray_session):
     if len(a):
         g = a.groupby("comp_id")["node"].min()
         assert (g.index == g.values).all()
+
+
+def test_levenshtein_row_vectorized_exact():
+    from rayse.ops.editdist import levenshtein_np
+
+    cases = [("kitten", "sitting", 3), ("", "abc", 3), ("abc", "", 3),
+             ("abc", "abc", 0), ("abcdef", "abXdYf", 2),
+             ("flaw", "lawn", 2), ("intention", "execution", 5)]
+    for a, b, d in cases:
+        assert levenshtein_np(a, b) == d
+        assert levenshtein_np(b, a) == d
+    # cap early-out returns cap+1 when exceeded
+    assert levenshtein_np("a" * 50, "b" * 50, cap=7) == 8
+
+
+def test_editdist_pairs_matches_duckdb(ray_session):
+    import duckdb as dd
+
+    from rayse.ops.editdist import editdist_pairs, editdist_pairs_sql
+
+    c = dd.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{SF}/documents.parquet')")
+    got = editdist_pairs(SF).to_pandas()
+    want = c.execute(editdist_pairs_sql()).fetchdf()
+    a = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = (want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+         [list(a.columns)].astype(a.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(a, b)
