@@ -2568,6 +2568,15 @@ def _q_random_projection(sf_dir: str) -> pa.Table:
     return _as_table(random_projection(sf_dir))
 
 
+def _q_hourly_autocorr(sf_dir: str) -> pa.Table:
+    """(event_type, n_pairs, r_q): lag-24 autocorrelation of the dense
+    hourly count grid (seasonality detection), exact integer co-moments
+    + one float sqrt at 1e9 — DuckDB hash-matched."""
+    from rayse.ops.bursts import hourly_autocorr
+
+    return hourly_autocorr(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2882,6 +2891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _q_clustering_coeff,
         "er_components": _q_er_components,
         "editdist_pairs": _q_editdist_pairs,
+        "hourly_autocorr": _q_hourly_autocorr,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3839,6 +3849,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.linkage", fromlist=["x"]).er_components_sql(),
         "editdist_pairs": __import__(
             "rayse.ops.editdist", fromlist=["x"]).editdist_pairs_sql(),
+        "hourly_autocorr": __import__(
+            "rayse.ops.bursts", fromlist=["x"]).hourly_autocorr_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -183,3 +183,103 @@ SELECT t.event_type,
 FROM tot t LEFT JOIN per_type p USING (event_type)
 ORDER BY t.event_type
 """
+
+
+AC_LAG = 24
+
+
+def hourly_autocorr(sf_dir: str, lag: int = AC_LAG) -> pa.Table:
+    """(event_type, n_pairs, r_q): seasonality detection — the Pearson
+    autocorrelation of the dense hourly count grid at ``lag`` hours
+    (24 = daily rhythm), per event type, under the exact-integer
+    co-moment + one-float-sqrt 1e9 contract of `rayse/ops/corr.py`.
+    Same grid fold as ``burst_stats`` (types x hour-span driver bound);
+    DuckDB hash-matched against the self-join HUGEINT oracle."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    agg = (ds.map_batches(_hour_partials, batch_format="pyarrow")
+           .groupby(["event_type", "hr"]).sum("cnt"))
+    grid = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+
+    et = np.asarray(grid["event_type"].to_pylist(), dtype=object)
+    hr = grid["hr"].to_numpy(zero_copy_only=False)
+    cnt = grid["sum(cnt)"].to_numpy(zero_copy_only=False)
+    h0, h1 = int(hr.min()), int(hr.max())
+    nh = h1 - h0 + 1
+
+    out_t, out_n, out_r = [], [], []
+    for t in sorted(set(et.tolist())):
+        m = et == t
+        c = np.zeros(nh, np.int64)
+        c[hr[m] - h0] = cnt[m]
+        if nh <= lag:
+            continue
+        x, y = c[:-lag], c[lag:]
+        n = int(x.size)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        sxy = int((x * y).sum())
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 == 0 or d2 == 0:
+            continue
+        out_t.append(t)
+        out_n.append(n)
+        out_r.append(math.floor(
+            float(num) / math.sqrt(float(d1 * d2)) * 1e9))
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "n_pairs": pa.array(out_n, pa.int64()),
+        "r_q": pa.array(out_r, pa.int64()),
+    })
+
+
+def hourly_autocorr_sql(lag: int = AC_LAG) -> str:
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {HOUR_US}) AS BIGINT) AS hr
+  FROM events
+),
+bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM h),
+grid AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM h) t
+  CROSS JOIN (SELECT unnest(range((SELECT h0 FROM bounds),
+                                  (SELECT h1 FROM bounds) + 1)) AS hr) g
+),
+c AS (SELECT event_type, hr, count(*) AS c FROM h GROUP BY event_type, hr),
+d AS (
+  SELECT grid.event_type, grid.hr, COALESCE(c.c, 0) AS c
+  FROM grid LEFT JOIN c USING (event_type, hr)
+),
+xy AS (
+  SELECT a.event_type, CAST(a.c AS HUGEINT) AS x,
+         CAST(b.c AS HUGEINT) AS y
+  FROM d a JOIN d b
+    ON b.event_type = a.event_type AND b.hr = a.hr + {lag}
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST((n * sxx - sx * sx)
+                              * (n * syy - sy * sy) AS DOUBLE))
+                  * 1000000000::DOUBLE) AS BIGINT) AS r_q
+FROM s
+WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+ORDER BY event_type
+"""

@@ -82,3 +82,19 @@ def test_burst_run_lengths(ray_session):
     df = burst_stats(SF).to_pandas()
     assert (df["max_burst"] <= df["burst_hours"]).all()
     assert ((df["n_bursts"] == 0) == (df["burst_hours"] == 0)).all()
+
+
+def test_autocorr_matches_duckdb(ray_session, con):
+    from rayse.ops.bursts import hourly_autocorr, hourly_autocorr_sql
+
+    n = _cmp(hourly_autocorr(SF).to_pandas(),
+             con.execute(hourly_autocorr_sql()).fetchdf(),
+             ["event_type"])
+    assert n > 0
+
+
+def test_autocorr_bounds(ray_session):
+    from rayse.ops.bursts import hourly_autocorr
+
+    df = hourly_autocorr(SF).to_pandas()
+    assert df["r_q"].between(-10**9, 10**9).all()
