@@ -2577,6 +2577,16 @@ def _q_hourly_autocorr(sf_dir: str) -> pa.Table:
     return hourly_autocorr(sf_dir)
 
 
+def _q_rbo_agreement(sf_dir: str) -> pa.Table:
+    """(query, inter_k, rbo_q): truncated rank-biased overlap (Webber
+    et al. 2010) between the Porter and whitespace BM25 top-10 lists —
+    exact-rational weights, DuckDB hash-matched against both engines'
+    composed oracles."""
+    from rayse.ops.fusion import rbo_agreement
+
+    return rbo_agreement(_index_for(sf_dir), _ws_index_for(sf_dir))
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2892,6 +2902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_components": _q_er_components,
         "editdist_pairs": _q_editdist_pairs,
         "hourly_autocorr": _q_hourly_autocorr,
+        "rbo_agreement": _q_rbo_agreement,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3851,6 +3862,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.editdist", fromlist=["x"]).editdist_pairs_sql(),
         "hourly_autocorr": __import__(
             "rayse.ops.bursts", fromlist=["x"]).hourly_autocorr_sql(),
+        "rbo_agreement": __import__(
+            "rayse.ops.fusion", fromlist=["x"]).rbo_agreement_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -91,3 +91,41 @@ def test_rank_eval_matches_duckdb(both_indexes, con):
     # the two engines must actually disagree somewhere (dcg < idcg for
     # at least one query), else the eval is vacuous
     assert (df.dcg_q < df.idcg_q).any()
+
+
+def test_rbo_weights_exact():
+    """Weights reproduce the closed-form identical-list RBO:
+    (RBO_SCALE * sum w_d * d) // (p_den * D) == floor((1-p^k)*SCALE)."""
+    from fractions import Fraction
+
+    from rayse.ops.fusion import (RBO_DEPTH, RBO_P_DEN, RBO_P_NUM,
+                                  RBO_SCALE, _rbo_weights)
+
+    w, d_den = _rbo_weights(RBO_DEPTH)
+    s = sum(wd * d for wd, d in zip(w, range(1, RBO_DEPTH + 1)))
+    max_q = (RBO_SCALE * s) // (RBO_P_DEN * d_den)
+    p = Fraction(RBO_P_NUM, RBO_P_DEN)
+    assert max_q == int((1 - p ** RBO_DEPTH) * RBO_SCALE)
+
+
+def test_rbo_matches_duckdb(both_indexes, con):
+    from rayse.ops.fusion import rbo_agreement, rbo_agreement_sql
+
+    pdir, wdir = both_indexes
+    got = rbo_agreement(pdir, wdir)
+    want = con.execute(rbo_agreement_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query"])
+
+
+def test_rbo_bounds(both_indexes):
+    from fractions import Fraction
+
+    from rayse.ops.fusion import (RBO_DEPTH, RBO_P_DEN, RBO_P_NUM,
+                                  RBO_SCALE, rbo_agreement)
+
+    pdir, wdir = both_indexes
+    df = rbo_agreement(pdir, wdir).to_pandas()
+    p = Fraction(RBO_P_NUM, RBO_P_DEN)
+    cap = int((1 - p ** RBO_DEPTH) * RBO_SCALE)
+    assert df["rbo_q"].between(0, cap).all()
