@@ -2587,6 +2587,16 @@ def _q_rbo_agreement(sf_dir: str) -> pa.Table:
     return rbo_agreement(_index_for(sf_dir), _ws_index_for(sf_dir))
 
 
+def _q_qpp_post(sf_dir: str) -> pa.Table:
+    """(query, metric, v): post-retrieval QPP — integer WIG and
+    one-float-sqrt NQC over the engine's quantized BM25 top-10 —
+    DuckDB hash-matched against the composed score-distribution
+    oracle (completes the pre-retrieval qpp_predictors family)."""
+    from rayse.ops.qpp import qpp_post
+
+    return qpp_post(_index_for(sf_dir))
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2903,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_pairs": _q_editdist_pairs,
         "hourly_autocorr": _q_hourly_autocorr,
         "rbo_agreement": _q_rbo_agreement,
+        "qpp_post": _q_qpp_post,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3864,6 +3875,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.bursts", fromlist=["x"]).hourly_autocorr_sql(),
         "rbo_agreement": __import__(
             "rayse.ops.fusion", fromlist=["x"]).rbo_agreement_sql(),
+        "qpp_post": __import__(
+            "rayse.ops.qpp", fromlist=["x"]).qpp_post_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

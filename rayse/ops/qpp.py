@@ -280,3 +280,89 @@ longf AS (
                     * {QPP_QUANT!r}) AS BIGINT)
   FROM base)
 SELECT query, metric, v FROM longf ORDER BY query, metric"""
+
+
+# ---------------------------------------------------------------------------
+# Post-retrieval QPP — the score-distribution predictors computed AFTER
+# one retrieval pass (Zhou & Croft 2007 WIG; Shtok, Kurland & Carmel
+# 2012 NQC), completing the pre-retrieval family above. Deterministic
+# integer variants over the engine's quantized BM25 top-k scores:
+#
+#   wig_q = sum(score_q) // (k_ret * n_terms)      (mean gain per term)
+#   nqc_q = floor(sqrt(CAST(k_ret*sxx - sx*sx AS DOUBLE))
+#                 * SCALE / sx)                    (score dispersion /
+#                                                   mean — ONE float
+#                                                   sqrt + divide, the
+#                                                   corr.py contract)
+#
+# where k_ret is the number of rows actually retrieved (< k for narrow
+# queries) and sx, sxx are exact integer score sums.
+# ---------------------------------------------------------------------------
+
+QPP_POST_SCALE = 1_000_000
+
+
+def qpp_post(index_dir: str, queries: list[str] | None = None,
+             k: int = 10) -> pa.Table:
+    """(query, metric, v): WIG and NQC over the Porter engine's
+    quantized BM25 top-``k`` — DuckDB hash-matched against the
+    composed-oracle score-distribution oracle."""
+    import math
+
+    from .porter_oracle import PORTER_QUERIES, _analyzed, porter_bm25_topk
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    ranked = porter_bm25_topk(index_dir, queries=queries,
+                              k=k).to_pandas()
+    out_q, out_m, out_v = [], [], []
+    for q in sorted(set(queries)):
+        s = ranked.loc[ranked["query"] == q, "score_q"].to_numpy()
+        if s.size == 0:
+            continue
+        k_ret = int(s.size)
+        sx = int(s.sum())
+        sxx = int((s.astype(object) ** 2).sum())
+        n_terms = max(len(_analyzed(q)), 1)
+        out_q.append(q)
+        out_m.append("wig")
+        out_v.append(sx // (k_ret * n_terms))
+        if sx > 0:
+            var_num = k_ret * sxx - sx * sx
+            nqc = math.floor(
+                math.sqrt(float(var_num)) * QPP_POST_SCALE / sx)
+            out_q.append(q)
+            out_m.append("nqc")
+            out_v.append(nqc)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "metric": pa.array(out_m, pa.string()),
+        "v": pa.array(out_v, pa.int64()),
+    })
+
+
+def qpp_post_sql(queries: list[str] | None = None, k: int = 10) -> str:
+    from .porter_oracle import PORTER_QUERIES, _analyzed, porter_bm25_sql
+
+    queries = queries if queries is not None else PORTER_QUERIES
+    ntv = ", ".join(
+        f"('{q}', {max(len(_analyzed(q)), 1)})" for q in queries)
+    return f"""WITH qp_ranked AS (
+  SELECT query, score_q FROM (
+{porter_bm25_sql(queries=queries, k=k)}
+  )),
+qp_nt(query, n_terms) AS (VALUES {ntv}),
+qp_s AS (
+  SELECT query, CAST(count(*) AS HUGEINT) AS k_ret,
+         CAST(sum(score_q) AS HUGEINT) AS sx,
+         sum(CAST(score_q AS HUGEINT) * score_q) AS sxx
+  FROM qp_ranked GROUP BY query)
+SELECT query, 'wig' AS metric,
+       CAST(sx // (k_ret * n_terms) AS BIGINT) AS v
+FROM qp_s JOIN qp_nt USING (query)
+UNION ALL
+SELECT query, 'nqc' AS metric,
+       CAST(floor(sqrt(CAST(k_ret * sxx - sx * sx AS DOUBLE))
+                  * {QPP_POST_SCALE} / CAST(sx AS DOUBLE)) AS BIGINT)
+         AS v
+FROM qp_s WHERE sx > 0
+ORDER BY query, metric"""

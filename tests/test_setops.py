@@ -191,3 +191,21 @@ def test_clustering_coeff_matches_duckdb(ray_session):
     assert n > 0
     # coefficient is a fraction of neighbor pairs: in [0, 1e6]
     assert got["coeff_ppm"].between(0, 10**6).all()
+
+
+def test_qpp_post_matches_duckdb(ray_session):
+    """Post-retrieval WIG/NQC vs the composed oracle at sf0.001
+    (requires a built Porter index via the entry cache)."""
+    import duckdb as dd
+
+    import __ray_entry__ as e
+    from rayse.ops.qpp import qpp_post, qpp_post_sql
+
+    c = dd.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{SF}/documents.parquet')")
+    got = qpp_post(e._index_for(SF)).to_pandas()
+    want = c.execute(qpp_post_sql()).fetchdf()
+    n = _cmp(got, want, ["query", "metric"])
+    assert n > 0
+    assert set(got["metric"]) == {"wig", "nqc"}
