@@ -2597,6 +2597,16 @@ def _q_qpp_post(sf_dir: str) -> pa.Table:
     return qpp_post(_index_for(sf_dir))
 
 
+def _q_rake_phrases(sf_dir: str) -> pa.Table:
+    """(phrase, n_occ, score_q): top-k RAKE keyphrases (Rose et al.
+    2010) — stopword-island candidates through the production stopword
+    list, quantized deg/freq word scores, two corpus passes — DuckDB
+    hash-matched against the islands oracle."""
+    from rayse.ops.rake import rake_phrases
+
+    return rake_phrases(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2914,6 +2924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_autocorr": _q_hourly_autocorr,
         "rbo_agreement": _q_rbo_agreement,
         "qpp_post": _q_qpp_post,
+        "rake_phrases": _q_rake_phrases,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3877,6 +3888,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.fusion", fromlist=["x"]).rbo_agreement_sql(),
         "qpp_post": __import__(
             "rayse.ops.qpp", fromlist=["x"]).qpp_post_sql(),
+        "rake_phrases": __import__(
+            "rayse.ops.rake", fromlist=["x"]).rake_phrases_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

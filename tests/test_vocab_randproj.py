@@ -67,3 +67,26 @@ def test_randproj_sign_matrix_deterministic():
     assert set(np.unique(s1)) == {-1, 1}
     frac = (s1 == 1).mean()
     assert 0.3 < frac < 0.7
+
+
+def test_rake_matches_duckdb(ray_session, con):
+    from rayse.ops.rake import rake_phrases, rake_phrases_sql
+
+    n = _cmp(rake_phrases(SF).to_pandas(),
+             con.execute(rake_phrases_sql()).fetchdf(),
+             ["score_q", "phrase"])
+    assert n > 0
+
+
+def test_rake_islands_and_cap():
+    """Stopwords break phrases; islands cap at MAX_PHRASE_LEN words;
+    duplicate words inside one phrase count per occurrence."""
+    from rayse.ops.rake import MAX_PHRASE_LEN, _doc_phrases
+
+    phrases, lens = _doc_phrases(
+        ["fast merge the quick sort quick sort batch scan extra"])
+    # 'the' splits; second island truncates to MAX_PHRASE_LEN
+    assert phrases[0] == ["fast", "merge"]
+    assert lens[0] == 2
+    assert phrases[1] == ["quick", "sort", "quick", "sort"]
+    assert lens[1] == MAX_PHRASE_LEN
