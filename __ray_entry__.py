@@ -2607,6 +2607,15 @@ def _q_rake_phrases(sf_dir: str) -> pa.Table:
     return rake_phrases(sf_dir)
 
 
+def _q_edge_reciprocity(sf_dir: str) -> pa.Table:
+    """(scope, n_edges, recip_ppm): directed-edge reciprocity via one
+    canonical-pair exchange (both orientations partition-local) —
+    DuckDB hash-matched."""
+    from rayse.ops.graph import edge_reciprocity
+
+    return edge_reciprocity(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2925,6 +2934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rbo_agreement": _q_rbo_agreement,
         "qpp_post": _q_qpp_post,
         "rake_phrases": _q_rake_phrases,
+        "edge_reciprocity": _q_edge_reciprocity,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3890,6 +3900,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.qpp", fromlist=["x"]).qpp_post_sql(),
         "rake_phrases": __import__(
             "rayse.ops.rake", fromlist=["x"]).rake_phrases_sql(),
+        "edge_reciprocity": __import__(
+            "rayse.ops.graph", fromlist=["x"]).edge_reciprocity_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -782,3 +782,87 @@ SELECT 'all' AS scope, CAST(n AS BIGINT) AS n_edges,
                   * 1000000000::DOUBLE) AS BIGINT) AS r_q
 FROM s
 WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0"""
+
+
+def edge_reciprocity(sf_dir: str) -> pa.Table:
+    """(scope, n_edges, recip_ppm): directed-graph reciprocity — the
+    fraction (ppm, floored) of distinct non-loop directed edges whose
+    reverse edge also exists. One distinct-edge exchange keyed by the
+    canonical (lo, hi) pair: both orientations of a pair land in one
+    partition, so the reverse-existence test is partition-local.
+    DuckDB hash-matched."""
+    import ray
+
+    from .exchange import exchange_by_key
+
+    edges = derived_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        m = s != d
+        s, d = s[m], d[m]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return pa.table({
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "fwd": pa.array(s == lo, pa.bool_()),
+        })
+
+    def part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"n": pa.array([], pa.int64()),
+                          "r": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        lo = tbl["lo"].to_numpy(zero_copy_only=False)
+        hi = tbl["hi"].to_numpy(zero_copy_only=False)
+        fwd = tbl["fwd"].to_numpy(zero_copy_only=False)
+        key = (lo.astype(np.int64) << np.int64(32)) | hi
+        order = np.argsort(key, kind="stable")
+        key, fwd = key[order], fwd[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        has_f = np.logical_or.reduceat(fwd, starts)
+        has_b = np.logical_or.reduceat(~fwd, starts)
+        both = has_f & has_b
+        n_dir = int(has_f.sum()) + int(has_b.sum())
+        n_recip = 2 * int(both.sum())
+        return pa.table({"n": pa.array([n_dir], pa.int64()),
+                         "r": pa.array([n_recip], pa.int64())})
+
+    parts = exchange_by_key(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True), ["lo", "hi"], part)
+    rows = pa.concat_tables(
+        [t for t in __import__("ray").get(parts.to_arrow_refs())
+         if t.num_rows], promote_options="default")
+    n = sum(int(v) for v in rows["n"].to_pylist())
+    r = sum(int(v) for v in rows["r"].to_pylist())
+    if n == 0:
+        return pa.table({"scope": pa.array([], pa.string()),
+                         "n_edges": pa.array([], pa.int64()),
+                         "recip_ppm": pa.array([], pa.int64())})
+    return pa.table({
+        "scope": pa.array(["all"], pa.string()),
+        "n_edges": pa.array([n], pa.int64()),
+        "recip_ppm": pa.array([r * 1_000_000 // n], pa.int64()),
+    })
+
+
+def edge_reciprocity_sql(vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    return f"""
+WITH e0 AS (
+  SELECT user_id AS src,
+         CAST(json_extract(props, '$.k') AS BIGINT)
+           % {vertex_space} AS dst
+  FROM events),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+r AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN EXISTS (SELECT 1 FROM e b
+                               WHERE b.src = e.dst AND b.dst = e.src)
+                  THEN 1 ELSE 0 END) AS nr
+  FROM e)
+SELECT 'all' AS scope, CAST(n AS BIGINT) AS n_edges,
+       CAST(nr * 1000000 // n AS BIGINT) AS recip_ppm
+FROM r WHERE n > 0"""

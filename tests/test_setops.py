@@ -209,3 +209,18 @@ def test_qpp_post_matches_duckdb(ray_session):
     n = _cmp(got, want, ["query", "metric"])
     assert n > 0
     assert set(got["metric"]) == {"wig", "nqc"}
+
+
+def test_reciprocity_matches_duckdb(ray_session):
+    import duckdb as dd
+
+    from rayse.ops.graph import edge_reciprocity, edge_reciprocity_sql
+
+    c = dd.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{SF}/events.parquet')")
+    got = edge_reciprocity(SF).to_pandas()
+    want = c.execute(edge_reciprocity_sql()).fetchdf()
+    n = _cmp(got, want, ["scope"])
+    assert n == 1
+    assert 0 <= got["recip_ppm"].iloc[0] <= 10**6
