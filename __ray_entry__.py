@@ -2616,6 +2616,15 @@ def _q_edge_reciprocity(sf_dir: str) -> pa.Table:
     return edge_reciprocity(sf_dir)
 
 
+def _q_gini_skew(sf_dir: str) -> pa.Table:
+    """(scope, n_keys, gini_ppm): Gini concentration of events-per-user
+    and tokens-per-document — histogram rank-sum, no global sort —
+    DuckDB hash-matched."""
+    from rayse.ops.gini import gini_skew
+
+    return gini_skew(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2935,6 +2944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qpp_post": _q_qpp_post,
         "rake_phrases": _q_rake_phrases,
         "edge_reciprocity": _q_edge_reciprocity,
+        "gini_skew": _q_gini_skew,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3902,6 +3912,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.rake", fromlist=["x"]).rake_phrases_sql(),
         "edge_reciprocity": __import__(
             "rayse.ops.graph", fromlist=["x"]).edge_reciprocity_sql(),
+        "gini_skew": __import__(
+            "rayse.ops.gini", fromlist=["x"]).GINI_SKEW_SQL,
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -224,3 +224,38 @@ def test_reciprocity_matches_duckdb(ray_session):
     n = _cmp(got, want, ["scope"])
     assert n == 1
     assert 0 <= got["recip_ppm"].iloc[0] <= 10**6
+
+
+def test_gini_matches_duckdb(ray_session):
+    import duckdb as dd
+
+    from rayse.ops.gini import GINI_SKEW_SQL, gini_skew
+
+    c = dd.connect()
+    for t in ("events", "documents"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    got = gini_skew(SF).to_pandas()
+    want = c.execute(GINI_SKEW_SQL).fetchdf()
+    n = _cmp(got, want, ["scope"])
+    assert n == 2
+    assert got["gini_ppm"].between(0, 10**6).all()
+
+
+def test_gini_hist_identity():
+    """Histogram rank-sum equals the direct sorted formula, including
+    heavy ties; uniform sizes give G = 0."""
+    from rayse.ops.gini import GINI_SCALE, _gini_from_hist
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(1, 20, 200).astype(np.int64)
+    uk, cnt = np.unique(x, return_counts=True)
+    n, g = _gini_from_hist(uk, cnt.astype(np.int64))
+    xs = np.sort(x)
+    s0 = int(xs.sum())
+    s1 = int((np.arange(1, x.size + 1) * xs).sum())
+    want = ((2 * s1 - (x.size + 1) * s0) * GINI_SCALE) // (x.size * s0)
+    assert (n, g) == (x.size, want)
+    n, g = _gini_from_hist(np.array([7], np.int64),
+                           np.array([50], np.int64))
+    assert g == 0
