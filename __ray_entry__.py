@@ -2625,6 +2625,15 @@ def _q_gini_skew(sf_dir: str) -> pa.Table:
     return gini_skew(sf_dir)
 
 
+def _q_ks_pairs(sf_dir: str) -> pa.Table:
+    """(type_a, type_b, n_a, n_b, ks_ppm): exact two-sample KS distance
+    per event-type pair (cross-multiplied integer CDFs, one histogram
+    fold) — DuckDB hash-matched."""
+    from rayse.ops.kstest import ks_pairs
+
+    return ks_pairs(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2945,6 +2954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_phrases": _q_rake_phrases,
         "edge_reciprocity": _q_edge_reciprocity,
         "gini_skew": _q_gini_skew,
+        "ks_pairs": _q_ks_pairs,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3914,6 +3924,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.graph", fromlist=["x"]).edge_reciprocity_sql(),
         "gini_skew": __import__(
             "rayse.ops.gini", fromlist=["x"]).GINI_SKEW_SQL,
+        "ks_pairs": __import__(
+            "rayse.ops.kstest", fromlist=["x"]).KS_PAIRS_SQL,
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -1,0 +1,146 @@
+"""Two-sample Kolmogorov-Smirnov distances between event-type value
+distributions — the distribution-drift test of the monitoring family
+(the two-sample sibling of `classify.source_kl`).
+
+For every ordered pair of event types, the KS statistic over the
+cents-quantized value distributions:
+
+    D = max over the merged support of |F_a(x) - F_b(x)|
+
+evaluated EXACTLY in integers by cross-multiplying the empirical CDFs:
+``D_num = max |cum_a(x) * n_b - cum_b(x) * n_a|`` and
+``ks_ppm = D_num * 10^6 // (n_a * n_b)`` — no floats anywhere.
+
+Distributed shape: ONE histogram fold (per-batch (type, cents) partial
+counts -> one groupby; the cents domain is bounded, the same
+bounded-histogram contract as `rayse/ops/quantiles.py`); the per-pair
+merged-support scan runs on the types x distinct-cents driver table
+(documented bound), vectorized with searchsorted + cumsum per pair
+over a types^2-sized pair list.
+
+Reference relationship: none; pins the exact-CDF cross-multiply
+machinery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+KS_SCALE = 1_000_000
+
+
+def _cents_hist_batch(batch: pa.Table) -> pa.Table:
+    et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    x = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                 * 100.0).astype(np.int64)
+    key = np.char.add(np.char.add(et.astype(str), "\x1f"),
+                      x.astype(str))
+    uk, inv, cnt = np.unique(key, return_inverse=True,
+                             return_counts=True)
+    first = np.full(uk.size, -1, np.int64)
+    first[inv[::-1]] = np.arange(len(key) - 1, -1, -1)
+    return pa.table({
+        "event_type": pa.array(et[first].tolist(), pa.string()),
+        "x": pa.array(x[first], pa.int64()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def ks_pairs(sf_dir: str) -> pa.Table:
+    """(type_a, type_b, n_a, n_b, ks_ppm): exact two-sample KS distance
+    for every ordered event-type pair over cents-quantized values —
+    DuckDB hash-matched against the window-CDF oracle."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    agg = (ds.map_batches(_cents_hist_batch, batch_format="pyarrow")
+           .groupby(["event_type", "x"]).sum("cnt"))
+    rows = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    et = np.asarray(rows["event_type"].to_pylist(), dtype=object)
+    xs = rows["x"].to_numpy(zero_copy_only=False)
+    cnt = rows["sum(cnt)"].to_numpy(zero_copy_only=False)
+
+    types = sorted(set(et.tolist()))
+    per: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in types:
+        m = et == t
+        o = np.argsort(xs[m], kind="stable")
+        per[t] = (xs[m][o], cnt[m][o])
+
+    out_a, out_b, out_na, out_nb, out_k = [], [], [], [], []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            xa, ca = per[a]
+            xb, cb = per[b]
+            n_a, n_b = int(ca.sum()), int(cb.sum())
+            sup = np.union1d(xa, xb)
+            cum_a = np.r_[0, np.cumsum(ca)][
+                np.searchsorted(xa, sup, side="right")]
+            cum_b = np.r_[0, np.cumsum(cb)][
+                np.searchsorted(xb, sup, side="right")]
+            d = np.abs(cum_a.astype(object) * n_b
+                       - cum_b.astype(object) * n_a)
+            d_num = int(max(d))
+            out_a.append(a)
+            out_b.append(b)
+            out_na.append(n_a)
+            out_nb.append(n_b)
+            out_k.append(d_num * KS_SCALE // (n_a * n_b))
+    return pa.table({
+        "type_a": pa.array(out_a, pa.string()),
+        "type_b": pa.array(out_b, pa.string()),
+        "n_a": pa.array(out_na, pa.int64()),
+        "n_b": pa.array(out_nb, pa.int64()),
+        "ks_ppm": pa.array(out_k, pa.int64()),
+    })
+
+
+KS_PAIRS_SQL = f"""
+WITH v AS (
+  SELECT event_type AS t,
+         CAST(floor(value * 100) AS BIGINT) AS x
+  FROM events
+),
+c AS (SELECT t, x, count(*) AS c FROM v GROUP BY t, x),
+n AS (SELECT t, count(*) AS n FROM v GROUP BY t),
+tp AS (
+  SELECT a.t AS ta, b.t AS tb
+  FROM (SELECT DISTINCT t FROM v) a
+  JOIN (SELECT DISTINCT t FROM v) b ON a.t < b.t
+),
+sup AS (
+  SELECT DISTINCT tp.ta, tp.tb, c.x
+  FROM tp JOIN c ON c.t = tp.ta OR c.t = tp.tb
+),
+cum AS (
+  SELECT sup.ta, sup.tb, sup.x,
+         sum(COALESCE(ca.c, 0)) OVER
+           (PARTITION BY sup.ta, sup.tb ORDER BY sup.x) AS cum_a,
+         sum(COALESCE(cb.c, 0)) OVER
+           (PARTITION BY sup.ta, sup.tb ORDER BY sup.x) AS cum_b
+  FROM sup
+  LEFT JOIN c ca ON ca.t = sup.ta AND ca.x = sup.x
+  LEFT JOIN c cb ON cb.t = sup.tb AND cb.x = sup.x
+),
+d AS (
+  SELECT cum.ta, cum.tb,
+         max(abs(CAST(cum_a AS HUGEINT) * nb.n
+                 - CAST(cum_b AS HUGEINT) * na.n)) AS d_num,
+         any_value(na.n) AS n_a, any_value(nb.n) AS n_b
+  FROM cum
+  JOIN n na ON na.t = cum.ta
+  JOIN n nb ON nb.t = cum.tb
+  GROUP BY cum.ta, cum.tb
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(d_num * {KS_SCALE} // (CAST(n_a AS HUGEINT) * n_b)
+            AS BIGINT) AS ks_ppm
+FROM d
+ORDER BY type_a, type_b
+"""

@@ -98,3 +98,26 @@ def test_autocorr_bounds(ray_session):
 
     df = hourly_autocorr(SF).to_pandas()
     assert df["r_q"].between(-10**9, 10**9).all()
+
+
+def test_ks_matches_duckdb(ray_session, con):
+    from rayse.ops.kstest import KS_PAIRS_SQL, ks_pairs
+
+    n = _cmp(ks_pairs(SF).to_pandas(),
+             con.execute(KS_PAIRS_SQL).fetchdf(), ["type_a", "type_b"])
+    assert n > 0
+
+
+def test_ks_identity_and_bounds(ray_session):
+    """KS of a distribution against itself is 0; all values in
+    [0, 1e6]; symmetric in the pair."""
+    import numpy as np
+
+    from rayse.ops.kstest import ks_pairs
+
+    df = ks_pairs(SF).to_pandas()
+    assert df["ks_ppm"].between(0, 10**6).all()
+    # pairs are ordered (a < b), each unordered pair once
+    pairs = set(zip(df["type_a"], df["type_b"]))
+    assert all(a < b for a, b in pairs)
+    assert len(pairs) == len(df)
