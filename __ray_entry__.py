@@ -2634,6 +2634,15 @@ def _q_ks_pairs(sf_dir: str) -> pa.Table:
     return ks_pairs(sf_dir)
 
 
+def _q_mwu_pairs(sf_dir: str) -> pa.Table:
+    """(type_a, type_b, u2, auc_ppm): exact doubled Mann-Whitney U and
+    AUC estimate per event-type pair, same histogram fold as ks_pairs
+    — DuckDB hash-matched."""
+    from rayse.ops.kstest import mwu_pairs
+
+    return mwu_pairs(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2955,6 +2964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_reciprocity": _q_edge_reciprocity,
         "gini_skew": _q_gini_skew,
         "ks_pairs": _q_ks_pairs,
+        "mwu_pairs": _q_mwu_pairs,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3926,6 +3936,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.gini", fromlist=["x"]).GINI_SKEW_SQL,
         "ks_pairs": __import__(
             "rayse.ops.kstest", fromlist=["x"]).KS_PAIRS_SQL,
+        "mwu_pairs": __import__(
+            "rayse.ops.kstest", fromlist=["x"]).MWU_PAIRS_SQL,
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

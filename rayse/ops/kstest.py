@@ -144,3 +144,88 @@ SELECT ta AS type_a, tb AS type_b,
 FROM d
 ORDER BY type_a, type_b
 """
+
+
+def mwu_pairs(sf_dir: str) -> pa.Table:
+    """(type_a, type_b, u2, auc_ppm): exact Mann-Whitney U (doubled, so
+    half-ties stay integral: u2 = sum_x c_a(x) * (2*cum_b(<x) + c_b(x)))
+    and the AUC estimate ``auc_ppm = u2 * 10^6 // (2 * n_a * n_b)`` per
+    event-type pair — same one-histogram fold as ``ks_pairs``; DuckDB
+    hash-matched."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    agg = (ds.map_batches(_cents_hist_batch, batch_format="pyarrow")
+           .groupby(["event_type", "x"]).sum("cnt"))
+    rows = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    et = np.asarray(rows["event_type"].to_pylist(), dtype=object)
+    xs = rows["x"].to_numpy(zero_copy_only=False)
+    cnt = rows["sum(cnt)"].to_numpy(zero_copy_only=False)
+
+    types = sorted(set(et.tolist()))
+    per: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in types:
+        m = et == t
+        o = np.argsort(xs[m], kind="stable")
+        per[t] = (xs[m][o], cnt[m][o])
+
+    out_a, out_b, out_u, out_auc = [], [], [], []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            xa, ca = per[a]
+            xb, cb = per[b]
+            n_a, n_b = int(ca.sum()), int(cb.sum())
+            cum_b_lt = np.r_[0, np.cumsum(cb)][
+                np.searchsorted(xb, xa, side="left")]
+            tie_b = np.zeros(xa.size, np.int64)
+            j = np.searchsorted(xb, xa, side="left")
+            hit = (j < xb.size) & (xb[np.minimum(j, xb.size - 1)] == xa)
+            tie_b[hit] = cb[np.minimum(j, xb.size - 1)][hit]
+            u2 = int((ca.astype(object)
+                      * (2 * cum_b_lt.astype(object) + tie_b)).sum())
+            out_a.append(a)
+            out_b.append(b)
+            out_u.append(u2)
+            out_auc.append(u2 * 1_000_000 // (2 * n_a * n_b))
+    return pa.table({
+        "type_a": pa.array(out_a, pa.string()),
+        "type_b": pa.array(out_b, pa.string()),
+        "u2": pa.array(out_u, pa.int64()),
+        "auc_ppm": pa.array(out_auc, pa.int64()),
+    })
+
+
+MWU_PAIRS_SQL = """
+WITH v AS (
+  SELECT event_type AS t,
+         CAST(floor(value * 100) AS BIGINT) AS x
+  FROM events
+),
+c AS (SELECT t, x, count(*) AS c FROM v GROUP BY t, x),
+n AS (SELECT t, count(*) AS n FROM v GROUP BY t),
+tp AS (
+  SELECT a.t AS ta, b.t AS tb
+  FROM (SELECT DISTINCT t FROM v) a
+  JOIN (SELECT DISTINCT t FROM v) b ON a.t < b.t
+),
+u AS (
+  SELECT tp.ta, tp.tb,
+         sum(CAST(ca.c AS HUGEINT) *
+             (2 * COALESCE((SELECT sum(cb.c) FROM c cb
+                            WHERE cb.t = tp.tb AND cb.x < ca.x), 0)
+              + COALESCE((SELECT cb.c FROM c cb
+                          WHERE cb.t = tp.tb AND cb.x = ca.x), 0)))
+           AS u2
+  FROM tp JOIN c ca ON ca.t = tp.ta
+  GROUP BY tp.ta, tp.tb
+)
+SELECT ta AS type_a, tb AS type_b, CAST(u2 AS BIGINT) AS u2,
+       CAST(u2 * 1000000 // (2 * CAST(na.n AS HUGEINT) * nb.n)
+            AS BIGINT) AS auc_ppm
+FROM u JOIN n na ON na.t = u.ta JOIN n nb ON nb.t = u.tb
+ORDER BY type_a, type_b
+"""

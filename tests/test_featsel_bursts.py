@@ -121,3 +121,30 @@ def test_ks_identity_and_bounds(ray_session):
     pairs = set(zip(df["type_a"], df["type_b"]))
     assert all(a < b for a, b in pairs)
     assert len(pairs) == len(df)
+
+
+def test_mwu_matches_duckdb(ray_session, con):
+    from rayse.ops.kstest import MWU_PAIRS_SQL, mwu_pairs
+
+    n = _cmp(mwu_pairs(SF).to_pandas(),
+             con.execute(MWU_PAIRS_SQL).fetchdf(), ["type_a", "type_b"])
+    assert n > 0
+
+
+def test_mwu_complement(ray_session):
+    """U2(a,b) + U2(b,a) == 2 * n_a * n_b (hand-built complement on a
+    tiny histogram)."""
+    import numpy as np
+
+    # xa: values [1,1,2]; xb: values [1,3]
+    # pairs a<b: (1,3)x2,(2,3)=3; ties: (1,1)x2 -> u2_ab = 2*3+2=8
+    # u2_ba = pairs b<a: (1,2)=1 -> 2*1 + ties 2 = 4; total 12 = 2*3*2
+    from rayse.ops.kstest import mwu_pairs  # noqa: F401 (import check)
+
+    xa = np.array([1, 1, 2]); xb = np.array([1, 3])
+    def u2(x, y):
+        s = 0
+        for a in x:
+            s += 2 * int((y < a).sum()) + int((y == a).sum())
+        return s
+    assert u2(xa, xb) + u2(xb, xa) == 2 * xa.size * xb.size
