@@ -2643,6 +2643,15 @@ def _q_mwu_pairs(sf_dir: str) -> pa.Table:
     return mwu_pairs(sf_dir)
 
 
+def _q_dedup_report(sf_dir: str) -> pa.Table:
+    """(source, n_docs, n_dup, dup_ppm): per-source exact-duplicate
+    exposure — one content-hash exchange with the source carried —
+    DuckDB hash-matched against the group-by-text oracle."""
+    from rayse.ops.dedupreport import dedup_report
+
+    return dedup_report(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2965,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_skew": _q_gini_skew,
         "ks_pairs": _q_ks_pairs,
         "mwu_pairs": _q_mwu_pairs,
+        "dedup_report": _q_dedup_report,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3938,6 +3948,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.kstest", fromlist=["x"]).KS_PAIRS_SQL,
         "mwu_pairs": __import__(
             "rayse.ops.kstest", fromlist=["x"]).MWU_PAIRS_SQL,
+        "dedup_report": __import__(
+            "rayse.ops.dedupreport", fromlist=["x"]).DEDUP_REPORT_SQL,
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -90,3 +90,25 @@ def test_rake_islands_and_cap():
     assert lens[0] == 2
     assert phrases[1] == ["quick", "sort", "quick", "sort"]
     assert lens[1] == MAX_PHRASE_LEN
+
+
+def test_dedup_report_matches_duckdb(ray_session, con):
+    from rayse.ops.dedupreport import DEDUP_REPORT_SQL, dedup_report
+
+    n = _cmp(dedup_report(SF).to_pandas(),
+             con.execute(DEDUP_REPORT_SQL).fetchdf(), ["source"])
+    assert n > 0
+
+
+def test_dedup_report_partition_counts():
+    """Cross-source duplicate groups count for every involved source;
+    singleton hashes never count."""
+    import pyarrow as pa
+
+    from rayse.ops.dedupreport import _dup_partition
+
+    t = pa.table({"h": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+                  "source": pa.array(["a", "b", "a", "c", "c", "a"],
+                                     pa.string())})
+    out = _dup_partition(t).to_pydict()
+    assert out == {"source": ["a", "b", "c"], "n_dup": [2, 1, 2]}
