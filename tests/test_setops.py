@@ -259,3 +259,70 @@ def test_gini_hist_identity():
     n, g = _gini_from_hist(np.array([7], np.int64),
                            np.array([50], np.int64))
     assert g == 0
+
+
+def test_interval_salted_equals_unsalted(ray_session):
+    from rayse.ops.intervals import interval_coverage
+
+    a = (interval_coverage(SF, salted=True).to_pandas()
+         .sort_values("user_id").reset_index(drop=True))
+    b = (interval_coverage(SF, salted=False).to_pandas()
+         .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_interval_salted_hot_user(ray_session, tmp_path):
+    """One user holding every event across many day-buckets: the salted
+    route must equal the whole-user route (and the brute-force merge),
+    including chains that cross bucket boundaries."""
+    import pyarrow.parquet as pq
+
+    from rayse.ops.intervals import (DUR_BASE_S, DUR_MOD, _US,
+                                     interval_coverage)
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    # spread over ~12 days with clumps near bucket edges
+    day = 86_400_000_000
+    ts = np.sort(rng.randint(0, 12 * day, n).astype(np.int64))
+    # force some events right at bucket boundaries (overhang chains)
+    ts[:200] = (np.arange(200) % 12) * day - 30 * _US \
+        + np.arange(200) * _US
+    ts = np.abs(np.sort(ts))
+    eid = rng.randint(0, 100000, n).astype(np.int64)
+    t = pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(np.ones(n, np.int64), pa.int64()),
+    })
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    a = interval_coverage(str(d), salted=True).to_pandas()
+    b = interval_coverage(str(d), salted=False).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True))
+    # brute force islands
+    s = ts
+    e = s + ((eid % DUR_MOD) + DUR_BASE_S) * _US
+    order = np.lexsort((e, s))
+    s, e = s[order], e[order]
+    cov = 0
+    n_isl = 0
+    mx = 0
+    cur_s, cur_e = None, None
+    for i in range(n):
+        if cur_e is None or s[i] > cur_e:
+            if cur_e is not None:
+                cov += cur_e - cur_s
+                mx = max(mx, cur_e - cur_s)
+            n_isl += 1
+            cur_s, cur_e = s[i], e[i]
+        else:
+            cur_e = max(cur_e, e[i])
+    cov += cur_e - cur_s
+    mx = max(mx, cur_e - cur_s)
+    assert a["n_islands"].iloc[0] == n_isl
+    assert a["covered_us"].iloc[0] == cov
+    assert a["max_island_us"].iloc[0] == mx
