@@ -112,11 +112,15 @@ def _fold_patterns(sf_dir: str, proc) -> pa.Table:
         promote_options="default")
 
 
-def markov_transitions(sf_dir: str) -> pa.Table:
+def markov_transitions(sf_dir: str, salted: bool = True) -> pa.Table:
     """(prev_type, next_type, cnt, p_q): first-order transition counts
     and exact floored-rational probabilities — DuckDB hash-matched
-    against the lag() oracle."""
-    tbl = _fold_patterns(sf_dir, _pairs_proc)
+    against the lag() oracle. ``salted`` (default) routes through the
+    two-stage (user, day-bucket) exchange + boundary stitch below;
+    ``salted=False`` is the whole-user single exchange — bit-identical
+    (pinned by tests)."""
+    tbl = (_fold_patterns_salted(sf_dir, 2) if salted
+           else _fold_patterns(sf_dir, _pairs_proc))
     pats = tbl["pattern"].to_pylist()
     cnt = tbl["sum(cnt)"].to_numpy(zero_copy_only=False)
     prev, nxt = zip(*(p.split(_SEP) for p in pats)) if pats else ((), ())
@@ -154,11 +158,13 @@ ORDER BY p.prev_type, p.next_type
 """
 
 
-def top_paths(sf_dir: str, k: int = TOP_PATHS_K) -> pa.Table:
+def top_paths(sf_dir: str, k: int = TOP_PATHS_K,
+              salted: bool = True) -> pa.Table:
     """(t1, t2, t3, cnt): top-``k`` consecutive event-type trigram paths
     by count (ties: ascending path) — DuckDB hash-matched against the
-    double-lead() oracle."""
-    tbl = _fold_patterns(sf_dir, _tri_proc)
+    double-lead() oracle. ``salted`` as in ``markov_transitions``."""
+    tbl = (_fold_patterns_salted(sf_dir, 3) if salted
+           else _fold_patterns(sf_dir, _tri_proc))
     pats = tbl["pattern"].to_pylist()
     cnt = tbl["sum(cnt)"].to_numpy(zero_copy_only=False)
     order = np.lexsort((np.array(pats, dtype=object), -cnt))[:k]
@@ -185,3 +191,229 @@ FROM seq WHERE t3 IS NOT NULL
 GROUP BY t1, t2, t3
 ORDER BY cnt DESC, t1, t2, t3
 LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted route (default): a single-user firehose must not pin
+# one partition. Stage 1 keys by (user, day-bucket of ts) and emits
+# (a) pattern partials for windows entirely inside one bucket and
+# (b) the first/last (gram-1) rows of each (user, bucket) as boundary
+# rows. Stage 2 keys by user over the boundary rows only — O(non-empty
+# buckets x 2(gram-1)) per user — reconstructs exactly the windows that
+# CROSS a bucket boundary: adjacent rows are stream-consecutive iff
+# (same bucket and ordinal diff 1) or (last ordinal of a bucket
+# followed by ordinal 0 of the next non-empty bucket), and a window
+# counts iff every adjacent pair is consecutive and it spans >1 bucket
+# (in-bucket windows were counted in stage 1).
+# ---------------------------------------------------------------------------
+
+BUCKET_US = 86_400_000_000
+
+
+def _salted_local_grams(t: pa.Table, gram: int) -> pa.Table:
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "kind": pa.array([], pa.int64()),
+        "pattern": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.int64()),
+        "eid": pa.array([], pa.int64()),
+        "bkt": pa.array([], pa.int64()),
+        "ordinal": pa.array([], pa.int64()),
+        "bsize": pa.array([], pa.int64()),
+    })
+    if t.num_rows == 0:
+        return empty
+    user = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").view("int64")
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    bkt = ts // BUCKET_US
+    order = np.lexsort((eid, ts, bkt, user))
+    user, ts, eid, et, bkt = (user[order], ts[order], eid[order],
+                              et[order], bkt[order])
+
+    # in-bucket gram partials: same-user AND same-bucket window
+    vocab, codes = np.unique(et.astype(str), return_inverse=True)
+    nv = np.int64(vocab.size)
+    w = user.size - (gram - 1)
+    parts = []
+    if w > 0:
+        same = np.ones(w, dtype=bool)
+        for off in range(1, gram):
+            same &= (user[off:w + off] == user[:w]) \
+                & (bkt[off:w + off] == bkt[:w])
+        key = codes[:w].astype(np.int64)
+        for off in range(1, gram):
+            key = key * nv + codes[off:w + off]
+        key = key[same]
+        if key.size:
+            uk, cnt = np.unique(key, return_counts=True)
+            rem = uk.copy()
+            segs = []
+            for _ in range(gram):
+                segs.append(rem % nv)
+                rem //= nv
+            segs.reverse()
+            pats = vocab[segs[0]]
+            for p in segs[1:]:
+                pats = np.char.add(np.char.add(pats, _SEP), vocab[p])
+            parts.append(pa.table({
+                "user_id": pa.array(
+                    np.zeros(uk.size, np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(uk.size, np.int64),
+                                 pa.int64()),
+                "pattern": pa.array(pats.tolist(), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "ts": pa.array(np.zeros(uk.size, np.int64), pa.int64()),
+                "eid": pa.array(np.zeros(uk.size, np.int64),
+                                pa.int64()),
+                "bkt": pa.array(np.zeros(uk.size, np.int64),
+                                pa.int64()),
+                "ordinal": pa.array(np.zeros(uk.size, np.int64),
+                                    pa.int64()),
+                "bsize": pa.array(np.zeros(uk.size, np.int64),
+                                  pa.int64()),
+            }))
+
+    # boundary rows: first/last (gram-1) per (user, bucket)
+    new_g = np.r_[True, (user[1:] != user[:-1]) | (bkt[1:] != bkt[:-1])]
+    gstart = np.flatnonzero(new_g)
+    gsize = np.diff(np.r_[gstart, user.size])
+    rowg = np.repeat(gstart, gsize)
+    ordinal = np.arange(user.size) - rowg
+    bsize = np.repeat(gsize, gsize)
+    h = gram - 1
+    is_edge = (ordinal < h) | (ordinal >= bsize - h)
+    ei = np.flatnonzero(is_edge)
+    if ei.size:
+        parts.append(pa.table({
+            "user_id": pa.array(user[ei], pa.int64()),
+            "kind": pa.array(np.ones(ei.size, np.int64), pa.int64()),
+            "pattern": pa.array(et[ei].astype(str).tolist(),
+                                pa.string()),
+            "cnt": pa.array(np.zeros(ei.size, np.int64), pa.int64()),
+            "ts": pa.array(ts[ei], pa.int64()),
+            "eid": pa.array(eid[ei], pa.int64()),
+            "bkt": pa.array(bkt[ei], pa.int64()),
+            "ordinal": pa.array(ordinal[ei], pa.int64()),
+            "bsize": pa.array(bsize[ei], pa.int64()),
+        }))
+    if not parts:
+        return empty
+    return pa.concat_tables(parts)
+
+
+def _salted_stitch(t: pa.Table, gram: int) -> pa.Table:
+    """Stage 2: boundary rows of this partition's users -> pattern
+    partials for windows crossing a bucket boundary."""
+    empty = pa.table({"pattern": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    user = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False)
+    eid = t["eid"].to_numpy(zero_copy_only=False)
+    et = np.asarray(t["pattern"].to_pylist(), dtype=object)
+    bkt = t["bkt"].to_numpy(zero_copy_only=False)
+    ordinal = t["ordinal"].to_numpy(zero_copy_only=False)
+    bsize = t["bsize"].to_numpy(zero_copy_only=False)
+
+    order = np.lexsort((eid, ts, user))
+    user, ts, eid, et, bkt, ordinal, bsize = (
+        user[order], ts[order], eid[order], et[order], bkt[order],
+        ordinal[order], bsize[order])
+
+    w = user.size - (gram - 1)
+    if w <= 0:
+        return empty
+    # stream-consecutive adjacent pairs
+    same_u = user[1:] == user[:-1]
+    same_b = same_u & (bkt[1:] == bkt[:-1])
+    step = same_b & (ordinal[1:] == ordinal[:-1] + 1)
+    jump = same_u & (bkt[1:] != bkt[:-1]) \
+        & (ordinal[:-1] == bsize[:-1] - 1) & (ordinal[1:] == 0)
+    valid = step | jump
+
+    vocab, codes = np.unique(et.astype(str), return_inverse=True)
+    nv = np.int64(vocab.size)
+    ok = np.ones(w, dtype=bool)
+    crosses = np.zeros(w, dtype=bool)
+    for off in range(gram - 1):
+        ok &= valid[off:w + off]
+        crosses |= jump[off:w + off]
+    key = codes[:w].astype(np.int64)
+    for off in range(1, gram):
+        key = key * nv + codes[off:w + off]
+    key = key[ok & crosses]
+    if key.size == 0:
+        return empty
+    uk, cnt = np.unique(key, return_counts=True)
+    rem = uk.copy()
+    segs = []
+    for _ in range(gram):
+        segs.append(rem % nv)
+        rem //= nv
+    segs.reverse()
+    pats = vocab[segs[0]]
+    for p in segs[1:]:
+        pats = np.char.add(np.char.add(pats, _SEP), vocab[p])
+    return pa.table({"pattern": pa.array(pats.tolist(), pa.string()),
+                     "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+def _local2(t: pa.Table) -> pa.Table:
+    return _salted_local_grams(t, 2)
+
+
+def _local3(t: pa.Table) -> pa.Table:
+    return _salted_local_grams(t, 3)
+
+
+def _stitch2(t: pa.Table) -> pa.Table:
+    return _salted_stitch(t, 2)
+
+
+def _stitch3(t: pa.Table) -> pa.Table:
+    return _salted_stitch(t, 3)
+
+
+def _fold_patterns_salted(sf_dir: str, gram: int) -> pa.Table:
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        s = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view("int64")
+        return batch.append_column(
+            "bkt", pa.array(s // BUCKET_US, pa.int64()))
+
+    stage1 = exchange_by_key(
+        ds.map_batches(stamp, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "bkt"], _local2 if gram == 2 else _local3)
+    stage1 = stage1.materialize()
+    local = stage1.filter(lambda r: r["kind"] == 0)
+    edges = stage1.filter(lambda r: r["kind"] == 1)
+    stitched = exchange_by_key(edges, "user_id",
+                               _stitch2 if gram == 2 else _stitch3)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["pattern", "cnt"])
+
+    allp = local.map_batches(strip, batch_format="pyarrow").union(
+        stitched)
+    agg = allp.groupby("pattern").sum("cnt")
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"pattern": pa.array([], pa.string()),
+                         "sum(cnt)": pa.array([], pa.int64())})
+    return pa.concat_tables(tables, promote_options="default")
