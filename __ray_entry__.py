@@ -2652,6 +2652,15 @@ def _q_dedup_report(sf_dir: str) -> pa.Table:
     return dedup_report(sf_dir)
 
 
+def _q_nb_eval(sf_dir: str) -> pa.Table:
+    """(lang, pred, bucket, n): NB confusion x margin-calibration cells
+    in one grouped fold (bucket = bit_length of the margin) — DuckDB
+    hash-matched against the composed classifier oracle."""
+    from rayse.ops.classify import nb_eval
+
+    return nb_eval(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2975,6 +2984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_pairs": _q_ks_pairs,
         "mwu_pairs": _q_mwu_pairs,
         "dedup_report": _q_dedup_report,
+        "nb_eval": _q_nb_eval,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3950,6 +3960,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.kstest", fromlist=["x"]).MWU_PAIRS_SQL,
         "dedup_report": __import__(
             "rayse.ops.dedupreport", fromlist=["x"]).DEDUP_REPORT_SQL,
+        "nb_eval": __import__(
+            "rayse.ops.classify", fromlist=["x"]).nb_eval_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -331,3 +331,96 @@ SELECT r.s AS source,
        CAST(ts.t_s AS BIGINT) AS n_tokens
 FROM r JOIN ts ON ts.s = r.s CROSS JOIN v
 GROUP BY r.s, ts.t_s, v.v"""
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation — confusion cells and margin-bucket calibration
+# in ONE grouped fold (the model-eval companion of rank_eval's IR
+# metrics): per (true label, predicted label, margin bucket) the doc
+# count, where bucket = bit_length(margin_q) (0 for margin 0) — an
+# integer log2 ladder both engines compute exactly.
+# ---------------------------------------------------------------------------
+
+
+def nb_eval(sf_dir: str, label_col: str = "lang") -> pa.Table:
+    """(lang, pred, bucket, n): confusion x margin-bucket cells of the
+    NB classifier against its own training labels — DuckDB hash-matched
+    against the composed classifier oracle."""
+    import ray
+    import ray.data as rd
+
+    classes, priors_q, vocab, q = _nb_model(sf_dir, label_col)
+    ref = ray.put((classes.astype("U"), priors_q, vocab, q))
+
+    def eval_batch(batch: pa.Table) -> pa.Table:
+        cls, pr, vb, qm = ray.get(ref)
+        texts = batch["text"].to_pylist()
+        labels = np.asarray(batch[label_col].to_pylist(), dtype=object)
+        if not texts:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "pred": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        toks = [(t or "").split(" ") for t in texts]
+        counts = np.fromiter((len(x) for x in toks), np.int64,
+                             len(toks))
+        flat = np.concatenate([np.asarray(x, dtype=object)
+                               for x in toks])
+        uf, inv = np.unique(flat, return_inverse=True)
+        rows = qm[np.searchsorted(vb, uf)][inv]
+        starts = np.zeros(counts.size, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        s = np.add.reduceat(rows, starts, axis=0) + pr
+        best = np.argmax(s, axis=1)
+        sc = s[np.arange(s.shape[0]), best]
+        s2 = s.copy()
+        s2[np.arange(s.shape[0]), best] = np.iinfo(np.int64).min
+        margin = sc - s2.max(axis=1)
+        bucket = np.fromiter((int(m).bit_length() for m in margin),
+                             np.int64, margin.size)
+        key = np.char.add(np.char.add(np.char.add(np.char.add(
+            labels.astype(str), "\x1f"), cls[best]), "\x1f"),
+            bucket.astype(str))
+        uk, cnt = np.unique(key, return_counts=True)
+        lg, pd_, bk = zip(*(k.split("\x1f") for k in uk))
+        return pa.table({
+            "lang": pa.array(list(lg), pa.string()),
+            "pred": pa.array(list(pd_), pa.string()),
+            "bucket": pa.array([int(b) for b in bk], pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", label_col])
+    agg = (ds.map_batches(eval_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["lang", "pred", "bucket"]).sum("n"))
+    rows = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    out = pa.table({
+        "lang": rows["lang"], "pred": rows["pred"],
+        "bucket": rows["bucket"],
+        "n": pa.compute.cast(rows["sum(n)"], pa.int64()),
+    })
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(out, sort_keys=[("lang", "ascending"),
+                                          ("pred", "ascending"),
+                                          ("bucket", "ascending")])
+    return out.take(idx)
+
+
+def nb_eval_sql(label_col: str = "lang") -> str:
+    return f"""
+WITH nbp AS (
+{nb_classify_sql(label_col)}
+)
+SELECT d.{label_col} AS lang, nbp.pred,
+       CAST(CASE WHEN nbp.margin_q <= 0 THEN 0
+                 ELSE length(bin(nbp.margin_q)) END AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM nbp JOIN documents d USING (doc_id)
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""

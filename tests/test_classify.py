@@ -91,3 +91,19 @@ def test_source_kl_single_slice_is_zeroish(ray_session, tmp_path):
     got = source_kl(str(d)).to_pandas()
     assert list(got["source"]) == ["only"]
     assert abs(int(got["kl_q"].iloc[0])) <= 1
+
+
+def test_nb_eval_matches_duckdb(ray_session):
+    from rayse.ops.classify import nb_eval, nb_eval_sql
+
+    con = _con()
+    got = nb_eval(SF).to_pandas()
+    want = con.execute(nb_eval_sql()).fetchdf()
+    a = got.sort_values(["lang", "pred", "bucket"]).reset_index(drop=True)
+    b = (want.sort_values(["lang", "pred", "bucket"])
+         .reset_index(drop=True)[list(a.columns)]
+         .astype(a.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(a, b)
+    # confusion marginals cover the corpus exactly once
+    total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert a["n"].sum() == total
