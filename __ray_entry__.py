@@ -2661,6 +2661,15 @@ def _q_nb_eval(sf_dir: str) -> pa.Table:
     return nb_eval(sf_dir)
 
 
+def _q_grep_counts(sf_dir: str) -> pa.Table:
+    """(needle, n_docs, n_occurrences): the LIKE/contains scan operator
+    — vectorized count_substring kernels, per-batch partials, no
+    shuffle — DuckDB hash-matched."""
+    from rayse.ops.textstats import grep_counts
+
+    return grep_counts(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2985,6 +2994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mwu_pairs": _q_mwu_pairs,
         "dedup_report": _q_dedup_report,
         "nb_eval": _q_nb_eval,
+        "grep_counts": _q_grep_counts,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3962,6 +3972,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.dedupreport", fromlist=["x"]).DEDUP_REPORT_SQL,
         "nb_eval": __import__(
             "rayse.ops.classify", fromlist=["x"]).nb_eval_sql(),
+        "grep_counts": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).grep_counts_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -2134,3 +2134,71 @@ def compression_ratio(sf_dir: str, level: int = ZLIB_LEVEL):
 
     return ds.map_batches(batch_fn, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Substring grep — the LIKE/contains scan operator: per fixed needle,
+# how many documents contain it and how many (non-overlapping,
+# left-to-right) occurrences exist. Pure vectorized Arrow kernels
+# (count_substring), per-batch partials, no shuffle. The SQL mirror
+# counts via length(text) - length(replace(...)) — the same
+# non-overlapping greedy semantics.
+# ---------------------------------------------------------------------------
+
+GREP_NEEDLES = ["scan", "hash jo", "agg", "window", "merge batch"]
+
+
+def grep_counts(sf_dir: str,
+                needles: list[str] | None = None) -> pa.Table:
+    """(needle, n_docs, n_occurrences) — DuckDB hash-matched."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    needles = needles if needles is not None else GREP_NEEDLES
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_n, out_d, out_o = [], [], []
+        col = batch["text"]
+        for nd in needles:
+            c = pc.count_substring(col, nd)
+            cnp = c.to_numpy(zero_copy_only=False)
+            out_n.append(nd)
+            out_d.append(int((cnp > 0).sum()))
+            out_o.append(int(cnp.sum()))
+        return pa.table({
+            "needle": pa.array(out_n, pa.string()),
+            "n_docs": pa.array(out_d, pa.int64()),
+            "n_occurrences": pa.array(out_o, pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("needle").sum(["n_docs", "n_occurrences"]))
+    rows = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    out = pa.table({
+        "needle": rows["needle"],
+        "n_docs": pa.compute.cast(rows["sum(n_docs)"], pa.int64()),
+        "n_occurrences": pa.compute.cast(rows["sum(n_occurrences)"],
+                                         pa.int64()),
+    })
+    return out.sort_by("needle")
+
+
+def grep_counts_sql(needles: list[str] | None = None) -> str:
+    needles = needles if needles is not None else GREP_NEEDLES
+    arms = []
+    for nd in needles:
+        esc = nd.replace("'", "''")
+        arms.append(f"""
+SELECT '{esc}' AS needle,
+       CAST(sum(CASE WHEN contains(text, '{esc}') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs,
+       CAST(sum((length(text) - length(replace(text, '{esc}', '')))
+                // length('{esc}')) AS BIGINT) AS n_occurrences
+FROM documents""")
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY needle"

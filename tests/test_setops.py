@@ -326,3 +326,18 @@ def test_interval_salted_hot_user(ray_session, tmp_path):
     assert a["n_islands"].iloc[0] == n_isl
     assert a["covered_us"].iloc[0] == cov
     assert a["max_island_us"].iloc[0] == mx
+
+
+def test_grep_counts_matches_duckdb(ray_session):
+    import duckdb as dd
+
+    from rayse.ops.textstats import grep_counts, grep_counts_sql
+
+    c = dd.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{SF}/documents.parquet')")
+    got = grep_counts(SF).to_pandas()
+    want = c.execute(grep_counts_sql()).fetchdf()
+    n = _cmp(got, want, ["needle"])
+    assert n > 0
+    assert (got["n_occurrences"] >= got["n_docs"]).all()
