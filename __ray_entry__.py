@@ -2670,6 +2670,15 @@ def _q_grep_counts(sf_dir: str) -> pa.Table:
     return grep_counts(sf_dir)
 
 
+def _q_ct_langid(sf_dir: str) -> pa.Table:
+    """(doc_id, pred, dist): Cavnar-Trenkle char-trigram rank-profile
+    language ID (1994) — one trigram-count fold + broadcast profiles,
+    all small exact integers — DuckDB hash-matched."""
+    from rayse.ops.ctlangid import ct_langid
+
+    return ct_langid(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -2995,6 +3004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": _q_dedup_report,
         "nb_eval": _q_nb_eval,
         "grep_counts": _q_grep_counts,
+        "ct_langid": _q_ct_langid,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3974,6 +3984,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.classify", fromlist=["x"]).nb_eval_sql(),
         "grep_counts": __import__(
             "rayse.ops.textstats", fromlist=["x"]).grep_counts_sql(),
+        "ct_langid": __import__(
+            "rayse.ops.ctlangid", fromlist=["x"]).ct_langid_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -107,3 +107,28 @@ def test_nb_eval_matches_duckdb(ray_session):
     # confusion marginals cover the corpus exactly once
     total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
     assert a["n"].sum() == total
+
+
+def test_ct_langid_matches_duckdb(ray_session):
+    from rayse.ops.ctlangid import ct_langid, ct_langid_sql
+
+    con = _con()
+    got = ct_langid(SF).to_pandas()
+    want = con.execute(ct_langid_sql()).fetchdf()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = (want.sort_values("doc_id").reset_index(drop=True)
+         [list(a.columns)].astype(a.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ct_profile_rules():
+    """Top-profile picks by (count desc, trigram asc); ranks 1-based;
+    out-of-profile penalty dominates max in-profile displacement."""
+    import numpy as np
+
+    from rayse.ops.ctlangid import PROFILE_N, _top_profile
+
+    g = np.asarray(["abc", "abd", "abe"], dtype=object)
+    c = np.asarray([5, 5, 9])
+    assert _top_profile(g, c, 2) == ["abe", "abc"]
+    assert PROFILE_N >= 2
