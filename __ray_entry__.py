@@ -2679,6 +2679,15 @@ def _q_ct_langid(sf_dir: str) -> pa.Table:
     return ct_langid(sf_dir)
 
 
+def _q_hapax_ratio(sf_dir: str) -> pa.Table:
+    """(source, vocab, n_hapax, hapax_ppm): per-source lexical richness
+    (once-occurring word fraction) — one (source, word) count fold —
+    DuckDB hash-matched."""
+    from rayse.ops.vocabgrowth import hapax_ratio
+
+    return hapax_ratio(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -3005,6 +3014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_eval": _q_nb_eval,
         "grep_counts": _q_grep_counts,
         "ct_langid": _q_ct_langid,
+        "hapax_ratio": _q_hapax_ratio,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3986,6 +3996,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats", fromlist=["x"]).grep_counts_sql(),
         "ct_langid": __import__(
             "rayse.ops.ctlangid", fromlist=["x"]).ct_langid_sql(),
+        "hapax_ratio": __import__(
+            "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

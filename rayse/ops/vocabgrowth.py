@@ -132,3 +132,94 @@ SELECT c.k, CAST(c.k AS BIGINT) AS n_docs,
 FROM cuts c
 ORDER BY c.k
 """
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena ratio — the vocabulary-richness scalar per source: the
+# fraction (ppm) of a source's distinct words that occur exactly once
+# in it. Same (key, word) count fold family as the growth curve above.
+# ---------------------------------------------------------------------------
+
+
+def _src_word_partials(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    srcs = batch["source"].to_pylist()
+    keys = []
+    for txt, src in zip(texts, srcs):
+        keys.extend(f"{src}\x1f{t}"
+                    for t in (txt or "").split(" ") if t)
+    if not keys:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "word": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    uk, cnt = np.unique(np.asarray(keys, dtype=object),
+                        return_counts=True)
+    src, w = zip(*(k.split("\x1f", 1) for k in uk))
+    return pa.table({
+        "source": pa.array(list(src), pa.string()),
+        "word": pa.array(list(w), pa.string()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def hapax_ratio(sf_dir: str) -> pa.Table:
+    """(source, vocab, n_hapax, hapax_ppm): per-source distinct words,
+    once-occurring words, and the floored ppm ratio — DuckDB
+    hash-matched."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+    agg = (ds.map_batches(_src_word_partials, batch_format="pyarrow")
+           .groupby(["source", "word"]).sum("cnt"))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(src.astype(str), return_inverse=True)
+        v = np.zeros(uk.size, np.int64)
+        h = np.zeros(uk.size, np.int64)
+        np.add.at(v, inv, 1)
+        np.add.at(h, inv, (c == 1).astype(np.int64))
+        return pa.table({
+            "source": pa.array(uk.tolist(), pa.string()),
+            "vocab": pa.array(v, pa.int64()),
+            "n_hapax": pa.array(h, pa.int64()),
+        })
+
+    folded = agg.map_batches(fold, batch_format="pyarrow").groupby(
+        "source").sum(["vocab", "n_hapax"])
+    rows = pa.concat_tables(
+        [t for t in ray.get(folded.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    src = rows["source"].to_pylist()
+    v = rows["sum(vocab)"].to_numpy(zero_copy_only=False)
+    h = rows["sum(n_hapax)"].to_numpy(zero_copy_only=False)
+    order = np.argsort(np.asarray(src, dtype=object), kind="stable")
+    return pa.table({
+        "source": pa.array([src[i] for i in order], pa.string()),
+        "vocab": pa.array(v[order], pa.int64()),
+        "n_hapax": pa.array(h[order], pa.int64()),
+        "hapax_ppm": pa.array(
+            [int(h[i]) * 1_000_000 // int(v[i]) for i in order],
+            pa.int64()),
+    })
+
+
+HAPAX_RATIO_SQL = """
+WITH wc AS (
+  SELECT source, t AS word, count(*) AS cnt
+  FROM documents, UNNEST(string_split(text, ' ')) u(t)
+  WHERE t <> ''
+  GROUP BY source, t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS hapax_ppm
+FROM wc GROUP BY source
+ORDER BY source
+"""

@@ -112,3 +112,11 @@ def test_dedup_report_partition_counts():
                                      pa.string())})
     out = _dup_partition(t).to_pydict()
     assert out == {"source": ["a", "b", "c"], "n_dup": [2, 1, 2]}
+
+
+def test_hapax_matches_duckdb(ray_session, con):
+    from rayse.ops.vocabgrowth import HAPAX_RATIO_SQL, hapax_ratio
+
+    n = _cmp(hapax_ratio(SF).to_pandas(),
+             con.execute(HAPAX_RATIO_SQL).fetchdf(), ["source"])
+    assert n > 0
