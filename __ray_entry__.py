@@ -2688,6 +2688,16 @@ def _q_hapax_ratio(sf_dir: str) -> pa.Table:
     return hapax_ratio(sf_dir)
 
 
+def _q_segment_coverage(sf_dir: str) -> pa.Table:
+    """(c_mktsegment, n_customers, n_with_orders, coverage_ppm): LEFT
+    OUTER join completion of the join family — co-partitioned outer
+    hash join, null-marker matched test, distinct-customer fold —
+    DuckDB hash-matched."""
+    from rayse.ops.tpch import segment_coverage
+
+    return segment_coverage(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -3015,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_counts": _q_grep_counts,
         "ct_langid": _q_ct_langid,
         "hapax_ratio": _q_hapax_ratio,
+        "segment_coverage": _q_segment_coverage,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -3998,6 +4009,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.ctlangid", fromlist=["x"]).ct_langid_sql(),
         "hapax_ratio": __import__(
             "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
+        "segment_coverage": __import__(
+            "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -233,3 +233,100 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT {k}"""
+
+
+def segment_coverage(sf_dir: str) -> pa.Table:
+    """(c_mktsegment, n_customers, n_with_orders, coverage_ppm): the
+    LEFT OUTER join completion of the join family — every customer
+    kept, order existence tested, grouped by segment with the floored
+    ppm coverage rate.
+
+    Shape: customers LEFT OUTER orders through the co-partitioned
+    file-exchange hash join (`exchange.hash_join(join_type='left
+    outer')` — single-sided partitions surface the unmatched rows), a
+    per-batch (segment, has-order) partial count (the join output is
+    order-instance-cardinality; distinct-customer accounting dedupes by
+    c_custkey inside the partition-local batch, which is exact because
+    the join co-partitions by customer), and one segment groupby.
+    DuckDB hash-matched."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "has_o", pa.array(np.ones(batch.num_rows, np.int64),
+                              pa.int64()))
+
+    j = hash_join(cust, orders.map_batches(mark,
+                                           batch_format="pyarrow"),
+                  "c_custkey", "o_custkey", join_type="left outer")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        seg = np.asarray(batch["c_mktsegment"].to_pylist(),
+                         dtype=object)
+        # left outer: unmatched customers carry one row; matched carry
+        # one row per order (Arrow drops the right key, so a constant
+        # has_o marker on the right side is the null-filled signal).
+        matched = pa.compute.is_valid(batch["has_o"]).to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck, seg, matched = ck[order], seg[order], matched[order]
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        any_m = np.logical_or.reduceat(matched, starts)
+        gseg = seg[starts]
+        uk, inv = np.unique(gseg.astype(str), return_inverse=True)
+        n_c = np.zeros(uk.size, np.int64)
+        n_m = np.zeros(uk.size, np.int64)
+        np.add.at(n_c, inv, 1)
+        np.add.at(n_m, inv, any_m.astype(np.int64))
+        return pa.table({
+            "c_mktsegment": pa.array(uk.tolist(), pa.string()),
+            "n_customers": pa.array(n_c, pa.int64()),
+            "n_with_orders": pa.array(n_m, pa.int64()),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("c_mktsegment").sum(["n_customers",
+                                         "n_with_orders"]))
+    rows = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    seg = rows["c_mktsegment"].to_pylist()
+    n_c = rows["sum(n_customers)"].to_numpy(zero_copy_only=False)
+    n_m = rows["sum(n_with_orders)"].to_numpy(zero_copy_only=False)
+    order = np.argsort(np.asarray(seg, dtype=object), kind="stable")
+    return pa.table({
+        "c_mktsegment": pa.array([seg[i] for i in order], pa.string()),
+        "n_customers": pa.array(n_c[order], pa.int64()),
+        "n_with_orders": pa.array(n_m[order], pa.int64()),
+        "coverage_ppm": pa.array(
+            [int(n_m[i]) * 1_000_000 // int(n_c[i]) for i in order],
+            pa.int64()),
+    })
+
+
+SEGMENT_COVERAGE_SQL = """
+WITH cov AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey)
+              THEN 1 ELSE 0 END AS has_o
+  FROM customer c
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(has_o) AS BIGINT) AS n_with_orders,
+       CAST(sum(has_o) * 1000000 // count(*) AS BIGINT)
+         AS coverage_ppm
+FROM cov GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -49,3 +49,13 @@ def test_q10_revenue_positive_and_sorted(ray_session):
     t = returned_items(SF).to_pandas()
     assert (t["revenue"] > 0).all()
     assert (t["revenue"].diff().dropna() <= 0).all()
+
+
+def test_segment_coverage_matches_duckdb(ray_session, con):
+    from rayse.ops.tpch import SEGMENT_COVERAGE_SQL, segment_coverage
+
+    got = segment_coverage(SF).to_pandas()
+    want = con.execute(SEGMENT_COVERAGE_SQL).fetchdf()
+    n = _cmp(got, want, ["c_mktsegment"])
+    assert n > 0
+    assert (got["n_with_orders"] <= got["n_customers"]).all()
