@@ -2698,6 +2698,14 @@ def _q_segment_coverage(sf_dir: str) -> pa.Table:
     return segment_coverage(sf_dir)
 
 
+def _q_key_set_ops(sf_dir: str) -> pa.Table:
+    """(scope, n): INTERSECT / EXCEPT distinct-key counts across the
+    user/customer id domains — DuckDB hash-matched."""
+    from rayse.ops.relational import key_set_ops
+
+    return key_set_ops(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -3026,6 +3034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ct_langid": _q_ct_langid,
         "hapax_ratio": _q_hapax_ratio,
         "segment_coverage": _q_segment_coverage,
+        "key_set_ops": _q_key_set_ops,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -4011,6 +4020,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
         "segment_coverage": __import__(
             "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
+        "key_set_ops": __import__(
+            "rayse.ops.relational", fromlist=["x"]).KEY_SET_OPS_SQL,
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -762,3 +762,53 @@ JOIN (SELECT * FROM events WHERE event_type = '{right_type}') r
   ON l.user_id = r.user_id
  AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - {before_us}
                         AND epoch_us(l.ts) + {after_us}"""
+
+
+def key_set_ops(sf_dir: str) -> pa.Table:
+    """(scope, n): INTERSECT / EXCEPT completion of the set-operation
+    family over the two id domains that share a key space — event
+    user_ids vs customer custkeys: both-sides, users-only, and
+    customers-only distinct-key counts.
+
+    Shape: two distinct-key folds (groupby count, key-cardinality
+    outputs — the same documented bound as the degree folds in
+    `rayse/ops/graph.py`), one sorted searchsorted membership pass.
+    DuckDB hash-matched against INTERSECT / EXCEPT."""
+    import ray
+    import ray.data as rd
+
+    def distinct_keys(table: str, col: str) -> np.ndarray:
+        ds = (rd.read_parquet(f"{sf_dir}/{table}.parquet",
+                              columns=[col]).groupby(col).count())
+        rows = pa.concat_tables(
+            [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows],
+            promote_options="default")
+        return np.sort(rows[col].to_numpy(zero_copy_only=False))
+
+    users = distinct_keys("events", "user_id")
+    custs = distinct_keys("customer", "c_custkey")
+    j = np.searchsorted(custs, users)
+    j_c = np.minimum(j, custs.size - 1)
+    in_both = int(((custs.size > 0) & (custs[j_c] == users)).sum())
+    return pa.table({
+        "scope": pa.array(["both", "customers_only", "users_only"],
+                          pa.string()),
+        "n": pa.array([in_both, custs.size - in_both,
+                       users.size - in_both], pa.int64()),
+    })
+
+
+KEY_SET_OPS_SQL = """
+SELECT 'both' AS scope, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT DISTINCT user_id FROM events
+  INTERSECT SELECT DISTINCT c_custkey FROM customer)
+UNION ALL
+SELECT 'customers_only', CAST(count(*) AS BIGINT) FROM (
+  SELECT DISTINCT c_custkey FROM customer
+  EXCEPT SELECT DISTINCT user_id FROM events)
+UNION ALL
+SELECT 'users_only', CAST(count(*) AS BIGINT) FROM (
+  SELECT DISTINCT user_id FROM events
+  EXCEPT SELECT DISTINCT c_custkey FROM customer)
+ORDER BY scope
+"""

@@ -341,3 +341,18 @@ def test_grep_counts_matches_duckdb(ray_session):
     n = _cmp(got, want, ["needle"])
     assert n > 0
     assert (got["n_occurrences"] >= got["n_docs"]).all()
+
+
+def test_key_set_ops_matches_duckdb(ray_session):
+    import duckdb as dd
+
+    from rayse.ops.relational import KEY_SET_OPS_SQL, key_set_ops
+
+    c = dd.connect()
+    for t in ("events", "customer"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    got = key_set_ops(SF).to_pandas()
+    want = c.execute(KEY_SET_OPS_SQL).fetchdf()
+    n = _cmp(got, want, ["scope"])
+    assert n == 3
