@@ -2706,6 +2706,15 @@ def _q_key_set_ops(sf_dir: str) -> pa.Table:
     return key_set_ops(sf_dir)
 
 
+def _q_haar_energy(sf_dir: str) -> pa.Table:
+    """(event_type, level, energy): exact unnormalized Haar detail
+    energies per dyadic level of the hourly count series — DuckDB
+    hash-matched against the recursive sum-pyramid oracle."""
+    from rayse.ops.bursts import haar_energy
+
+    return haar_energy(sf_dir)
+
+
 def _q_editdist_pairs(sf_dir: str) -> pa.Table:
     """(doc_a, doc_b, dist): SNM candidate pairs within MAX_DIST exact
     Levenshtein edits — row-vectorized DP with prefix-min insertion
@@ -3035,6 +3044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_ratio": _q_hapax_ratio,
         "segment_coverage": _q_segment_coverage,
         "key_set_ops": _q_key_set_ops,
+        "haar_energy": _q_haar_energy,
         "rollup_agg": _q_rollup_agg,
         "subsample_frequent": _q_subsample_frequent,
         "kmeans_assign": _q_kmeans_assign,
@@ -4022,6 +4032,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
         "key_set_ops": __import__(
             "rayse.ops.relational", fromlist=["x"]).KEY_SET_OPS_SQL,
+        "haar_energy": __import__(
+            "rayse.ops.bursts", fromlist=["x"]).haar_energy_sql(),
         "sampling_suite": _tagged_union_sql([
             ("hash", "doc_id, lang", __import__(
                 "rayse.ops.sampling", fromlist=["x"]).hash_sample_sql()),

@@ -283,3 +283,107 @@ FROM s
 WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
 ORDER BY event_type
 """
+
+
+def haar_energy(sf_dir: str) -> pa.Table:
+    """(event_type, level, energy): unnormalized Haar wavelet detail
+    energy per dyadic level of the dense hourly count series (zero-
+    padded to the next power of two) — the multi-resolution activity
+    spectrum: level 1 is hour-to-hour detail, higher levels expose
+    daily/weekly structure. Unnormalized Haar (pairwise sums carry up,
+    pairwise differences squared and summed) keeps every number an
+    exact integer.
+
+    Same grid fold and driver bound as ``burst_stats``; per-type
+    transform is log2(P) vectorized halvings. DuckDB hash-matched
+    against a recursive-CTE sum pyramid (aggregates in the recursive
+    term, the pagerank-oracle idiom) with the detail energies derived
+    from adjacent-pair differences at each level."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    agg = (ds.map_batches(_hour_partials, batch_format="pyarrow")
+           .groupby(["event_type", "hr"]).sum("cnt"))
+    grid = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+
+    et = np.asarray(grid["event_type"].to_pylist(), dtype=object)
+    hr = grid["hr"].to_numpy(zero_copy_only=False)
+    cnt = grid["sum(cnt)"].to_numpy(zero_copy_only=False)
+    h0, h1 = int(hr.min()), int(hr.max())
+    nh = h1 - h0 + 1
+    p = 1
+    while p < nh:
+        p *= 2
+
+    out_t, out_l, out_e = [], [], []
+    for t in sorted(set(et.tolist())):
+        m = et == t
+        a = np.zeros(p, dtype=object)    # python ints: exact squares
+        a[(hr[m] - h0)] = [int(x) for x in cnt[m]]
+        level = 0
+        while a.size > 1:
+            level += 1
+            d = a[0::2] - a[1::2]
+            a = a[0::2] + a[1::2]
+            out_t.append(t)
+            out_l.append(level)
+            out_e.append(int(sum(x * x for x in d)))
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "level": pa.array(out_l, pa.int64()),
+        "energy": pa.array(out_e, pa.int64()),
+    })
+
+
+def haar_energy_sql() -> str:
+    return f"""
+WITH RECURSIVE hh AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {HOUR_US}) AS BIGINT) AS hr
+  FROM events
+),
+hb AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hh),
+hp AS (
+  -- next power of two of the span
+  SELECT h0, CAST(power(2, ceil(log2((h1 - h0 + 1)::DOUBLE)))
+              AS BIGINT) AS p
+  FROM hb
+),
+hgrid AS (
+  SELECT t.event_type, g.i
+  FROM (SELECT DISTINCT event_type FROM hh) t
+  CROSS JOIN (SELECT unnest(range((SELECT p FROM hp))) AS i) g
+),
+hc AS (
+  SELECT event_type, hr - (SELECT h0 FROM hp) AS i, count(*) AS c
+  FROM hh GROUP BY event_type, hr
+),
+hbase AS (
+  SELECT hgrid.event_type, hgrid.i,
+         CAST(COALESCE(hc.c, 0) AS HUGEINT) AS val
+  FROM hgrid LEFT JOIN hc USING (event_type, i)
+),
+pyr(lvl, event_type, i, val) AS (
+  SELECT 0, event_type, i, val FROM hbase
+  UNION ALL
+  SELECT lvl + 1, event_type, i // 2, sum(val)
+  FROM pyr
+  WHERE i IS NOT NULL
+  GROUP BY lvl + 1, event_type, i // 2
+  HAVING count(*) = 2
+),
+diffs AS (
+  SELECT lvl + 1 AS level, event_type, i // 2 AS j,
+         sum(CASE WHEN i % 2 = 0 THEN val ELSE -val END) AS d
+  FROM pyr GROUP BY lvl + 1, event_type, i // 2
+  HAVING count(*) = 2
+)
+SELECT event_type, CAST(level AS BIGINT) AS level,
+       CAST(sum(d * d) AS BIGINT) AS energy
+FROM diffs GROUP BY event_type, level
+ORDER BY event_type, level
+"""

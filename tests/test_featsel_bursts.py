@@ -148,3 +148,46 @@ def test_mwu_complement(ray_session):
             s += 2 * int((y < a).sum()) + int((y == a).sum())
         return s
     assert u2(xa, xb) + u2(xb, xa) == 2 * xa.size * xb.size
+
+
+def test_haar_matches_duckdb(ray_session, con):
+    from rayse.ops.bursts import haar_energy, haar_energy_sql
+
+    n = _cmp(haar_energy(SF).to_pandas(),
+             con.execute(haar_energy_sql()).fetchdf(),
+             ["event_type", "level"])
+    assert n > 0
+
+
+def test_haar_parseval(ray_session):
+    """Unnormalized-Haar identity: sum over levels of energy_l / 2^l
+    plus (total^2) / P equals sum of squares of the base series —
+    checked exactly with Fractions for one type."""
+    from fractions import Fraction
+
+    import duckdb as dd
+
+    from rayse.ops.bursts import HOUR_US, haar_energy
+
+    c = dd.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{SF}/events.parquet')")
+    df = haar_energy(SF).to_pandas()
+    t = df["event_type"].iloc[0]
+    rows = c.execute(
+        f"SELECT CAST(floor(epoch_us(ts) / {HOUR_US}) AS BIGINT) AS h,"
+        f" count(*) AS n FROM events WHERE event_type = '{t}'"
+        f" GROUP BY h").df()
+    span = c.execute(
+        f"SELECT min(hr), max(hr) FROM (SELECT CAST(floor(epoch_us(ts)"
+        f" / {HOUR_US}) AS BIGINT) AS hr FROM events)").fetchone()
+    nh = int(span[1] - span[0] + 1)
+    p = 1
+    while p < nh:
+        p *= 2
+    ss = int((rows["n"].astype(object) ** 2).sum())
+    total = int(rows["n"].sum())
+    lhs = sum(Fraction(int(e), 2 ** int(l))
+              for l, e in zip(df[df["event_type"] == t]["level"],
+                              df[df["event_type"] == t]["energy"]))
+    assert lhs + Fraction(total * total, p) == ss
