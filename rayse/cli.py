@@ -142,6 +142,31 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_diagnose(args) -> int:
+    """Corpus/stream health diagnostics over a testdata-style dir:
+    per-key skew (Gini), burst episodes, seasonality, duplication
+    exposure, or hapax richness — one JSON-line table to stdout."""
+    _ray_init()
+    if args.kind == "skew":
+        from .ops.gini import gini_skew
+        t = gini_skew(args.input)
+    elif args.kind == "bursts":
+        from .ops.bursts import burst_stats
+        t = burst_stats(args.input)
+    elif args.kind == "seasonality":
+        from .ops.bursts import hourly_autocorr
+        t = hourly_autocorr(args.input)
+    elif args.kind == "dup":
+        from .ops.dedupreport import dedup_report
+        t = dedup_report(args.input)
+    else:
+        from .ops.vocabgrowth import hapax_ratio
+        t = hapax_ratio(args.input)
+    for row in t.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near-duplicate keep-set over a documents table dir."""
     from .ops.dedup import near_dedup_keep
@@ -317,6 +342,17 @@ def main(argv=None) -> int:
     ql.add_argument("--kind", choices=["repetition", "nll"],
                     default="repetition")
     ql.set_defaults(fn=cmd_quality)
+
+    dg = sub.add_parser(
+        "diagnose",
+        help="corpus/stream health: skew, bursts, seasonality, dup, "
+             "hapax")
+    dg.add_argument("--input", required=True,
+                    help="testdata-style dir with parquet tables")
+    dg.add_argument("--kind", default="skew",
+                    choices=["skew", "bursts", "seasonality", "dup",
+                             "hapax"])
+    dg.set_defaults(fn=cmd_diagnose)
 
     dd = sub.add_parser("dedup",
                         help="near-duplicate removal keep-set over a "

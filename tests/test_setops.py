@@ -356,3 +356,17 @@ def test_key_set_ops_matches_duckdb(ray_session):
     want = c.execute(KEY_SET_OPS_SQL).fetchdf()
     n = _cmp(got, want, ["scope"])
     assert n == 3
+
+
+def test_cli_diagnose(ray_session, capsys):
+    """The diagnose subcommand prints one JSON row per output row for
+    every kind."""
+    import json as js
+
+    from rayse.cli import main
+
+    for kind in ("skew", "bursts", "seasonality", "dup", "hapax"):
+        rc = main(["diagnose", "--input", SF, "--kind", kind])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert out and all(js.loads(line) for line in out)
