@@ -1651,6 +1651,8 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
         ("cc", _as_table(_q_link_components(sf_dir)).rename_columns(
             ["vertex", "rank_fp"])),
         ("lpa", _as_table(_q_lpa_communities(sf_dir)).rename_columns(
+            ["vertex", "rank_fp"])),
+        ("bfs", _as_table(_q_bfs_hops(sf_dir)).rename_columns(
             ["vertex", "rank_fp"]))])
 
 
@@ -2688,6 +2690,49 @@ def _q_hapax_ratio(sf_dir: str) -> pa.Table:
     return hapax_ratio(sf_dir)
 
 
+def _q_bfs_hops(sf_dir: str) -> pa.Table:
+    """(vertex, hop): single-source BFS shortest-path hop counts via
+    level-synchronous frontier sweeps (broadcast frontier, one edge
+    pass per level) — DuckDB hash-matched against the bounded
+    recursive-walk MIN(hop) oracle. Also a pagerank_fixed_suite arm
+    in the driver window."""
+    from rayse.ops.graph import bfs_hops_events
+
+    return bfs_hops_events(sf_dir)
+
+
+def _q_order_priority_check(sf_dir: str) -> pa.Table:
+    """(o_orderpriority, order_count): TPC-H Q4-analog SEMI join —
+    quarter's orders with >=1 returned line, through the co-partitioned
+    exchange with Arrow-native left-semi per partition — DuckDB
+    hash-matched against the EXISTS oracle. Also a relational_suite
+    arm in the driver window."""
+    from rayse.ops.tpch import order_priority_check
+
+    return order_priority_check(sf_dir)
+
+
+def _q_stump_fit(sf_dir: str) -> pa.Table:
+    """(threshold_cents, predict_above, n_correct, n_total, acc_ppm):
+    exact 1R decision stump on value predicting the purchase label —
+    bounded-histogram fold + driver cumulative scan — DuckDB
+    hash-matched against the window-cumulative argmax oracle. Also a
+    relational_suite arm in the driver window."""
+    from rayse.ops.stump import stump_fit
+
+    return stump_fit(sf_dir)
+
+
+def _q_k_anonymity(sf_dir: str) -> pa.Table:
+    """(event_type, n_groups, n_small_groups, rows_at_risk): k-anonymity
+    audit under the (type, hour, $50-bucket) quasi-identifier — one
+    domain-bounded composite groupby — DuckDB hash-matched. Also a
+    relational_suite arm in the driver window."""
+    from rayse.ops.datachecks import k_anonymity
+
+    return k_anonymity(sf_dir)
+
+
 def _q_segment_coverage(sf_dir: str) -> pa.Table:
     """(c_mktsegment, n_customers, n_with_orders, coverage_ppm): LEFT
     OUTER join completion of the join family — co-partitioned outer
@@ -2815,12 +2860,19 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
     fs = _melt(_q_fs_scores(sf_dir), ["doc_a", "doc_b"], ["score_q"])
     da = _melt(_q_degree_assortativity(sf_dir), ["scope"],
                ["n_edges", "r_q"])
+    q4 = _melt(_q_order_priority_check(sf_dir), ["o_orderpriority"],
+               ["order_count"])
+    st = _melt(_q_stump_fit(sf_dir), ["threshold_cents", "predict_above"],
+               ["n_correct", "n_total", "acc_ppm"])
+    ka = _melt(_q_k_anonymity(sf_dir), ["event_type"],
+               ["n_groups", "n_small_groups", "rows_at_risk"])
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
                           ("q3", q3), ("q10", q10), ("coverage", iv),
                           ("skyline", sky), ("pairs", fp),
                           ("chi2", chi), ("bursts", bu),
                           ("markov", mk), ("paths", tp), ("fs", fs),
-                          ("assort", da)])
+                          ("assort", da), ("q4", q4), ("stump", st),
+                          ("kanon", ka)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3043,6 +3095,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ct_langid": _q_ct_langid,
         "hapax_ratio": _q_hapax_ratio,
         "segment_coverage": _q_segment_coverage,
+        "bfs_hops": _q_bfs_hops,
+        "order_priority_check": _q_order_priority_check,
+        "stump_fit": _q_stump_fit,
+        "k_anonymity": _q_k_anonymity,
         "key_set_ops": _q_key_set_ops,
         "haar_energy": _q_haar_energy,
         "rollup_agg": _q_rollup_agg,
@@ -3298,7 +3354,20 @@ def oracle_sql() -> dict[str, str]:
             ("assort", __import__(
                 "rayse.ops.graph",
                 fromlist=["x"]).degree_assortativity_sql(),
-             ("scope",), ("n_edges", "r_q"))]),
+             ("scope",), ("n_edges", "r_q")),
+            ("q4", __import__(
+                "rayse.ops.tpch",
+                fromlist=["x"]).order_priority_check_sql(),
+             ("o_orderpriority",), ("order_count",)),
+            ("stump", __import__(
+                "rayse.ops.stump", fromlist=["x"]).stump_fit_sql(),
+             ("threshold_cents", "predict_above"),
+             ("n_correct", "n_total", "acc_ppm")),
+            ("kanon", __import__(
+                "rayse.ops.datachecks",
+                fromlist=["x"]).k_anonymity_sql(),
+             ("event_type",),
+             ("n_groups", "n_small_groups", "rows_at_risk"))]),
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -4030,6 +4099,15 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
         "segment_coverage": __import__(
             "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
+        "bfs_hops": __import__(
+            "rayse.ops.graph", fromlist=["x"]).bfs_hops_sql(),
+        "order_priority_check": __import__(
+            "rayse.ops.tpch",
+            fromlist=["x"]).order_priority_check_sql(),
+        "stump_fit": __import__(
+            "rayse.ops.stump", fromlist=["x"]).stump_fit_sql(),
+        "k_anonymity": __import__(
+            "rayse.ops.datachecks", fromlist=["x"]).k_anonymity_sql(),
         "key_set_ops": __import__(
             "rayse.ops.relational", fromlist=["x"]).KEY_SET_OPS_SQL,
         "haar_energy": __import__(
@@ -4078,7 +4156,9 @@ def oracle_sql() -> dict[str, str]:
                 fromlist=["x"]).link_components_sql()),
             ("lpa", "vertex, community AS rank_fp", __import__(
                 "rayse.ops.lpa",
-                fromlist=["x"]).lpa_communities_sql(iters=2))]),
+                fromlist=["x"]).lpa_communities_sql(iters=2)),
+            ("bfs", "vertex, hop AS rank_fp", __import__(
+                "rayse.ops.graph", fromlist=["x"]).bfs_hops_sql())]),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS qe FROM embeddings

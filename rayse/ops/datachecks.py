@@ -220,3 +220,83 @@ SELECT 'unique_o_orderkey',
        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
        CAST(count(*) AS BIGINT) FROM orders
 ) ORDER BY check_name"""
+
+
+K_ANON = 5
+QI_VALUE_BUCKET = 5000          # cents — $50 buckets
+
+
+def k_anonymity(sf_dir: str, k: int = K_ANON) -> pa.Table:
+    """(event_type, n_groups, n_small_groups, rows_at_risk): k-anonymity
+    audit of the events table under the quasi-identifier
+    (event_type, hour-of-day, $50 value bucket) — a privacy gate a
+    training-data pipeline runs before releasing event-derived features.
+    A QI group smaller than ``k`` re-identifies its members; the report
+    counts, per event type, the QI groups, the groups below k, and the
+    rows they expose.
+
+    Distributed shape: the QI is computed row-locally (vectorized hour
+    extraction + integer bucket), group sizes come from ONE groupby over
+    the composite key (bounded by QI-domain cardinality: types x 24 x
+    price-range/50 — domain-bounded, not row-bounded), and the per-type
+    rollup of sizes is a driver fold over that bounded table. DuckDB
+    hash-matched against the same two-level GROUP BY.
+
+    Reference relationship: none (beyond-reference governance family,
+    alongside the Deequ-style checks above and `redact_pii`).
+    """
+    import ray.data as rd
+
+    from .relational import _cents
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def qi(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hour = ((ts.astype("datetime64[us]").astype(np.int64)
+                 // 3_600_000_000) % 24).astype(np.int64)
+        bucket = _cents(batch["value"].to_numpy(
+            zero_copy_only=False)) // QI_VALUE_BUCKET
+        return pa.table({"event_type": batch["event_type"],
+                         "hour": pa.array(hour, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    sizes = (ds.map_batches(qi, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "hour", "bucket"]).count()
+             .take_all())
+    per_type: dict[str, list[int]] = {}
+    for r in sizes:
+        per_type.setdefault(str(r["event_type"]), []).append(
+            int(r["count()"]))
+    types = sorted(per_type)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_groups": pa.array([len(per_type[t]) for t in types],
+                             pa.int64()),
+        "n_small_groups": pa.array(
+            [sum(1 for s in per_type[t] if s < k) for t in types],
+            pa.int64()),
+        "rows_at_risk": pa.array(
+            [sum(s for s in per_type[t] if s < k) for t in types],
+            pa.int64()),
+    })
+
+
+def k_anonymity_sql(k: int = K_ANON) -> str:
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(round(value * 100) AS BIGINT) // {QI_VALUE_BUCKET}
+           AS bucket,
+         count(*) AS sz
+  FROM events GROUP BY 1, 2, 3)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN sz < {k} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(sum(CASE WHEN sz < {k} THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_at_risk
+FROM g GROUP BY event_type ORDER BY event_type"""

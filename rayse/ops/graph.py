@@ -866,3 +866,93 @@ r AS (
 SELECT 'all' AS scope, CAST(n AS BIGINT) AS n_edges,
        CAST(nr * 1000000 // n AS BIGINT) AS recip_ppm
 FROM r WHERE n > 0"""
+
+
+def bfs_hops(edges_ds, max_hops: int = 16) -> pa.Table:
+    """Single-source BFS hop distances — the frontier-expansion iterative
+    primitive the link-analysis family lacked (PageRank/HITS/k-core/LPA
+    are all value-propagation folds; BFS is reachability with a level
+    structure). Seed = the minimum src vertex (deterministic).
+
+    Distributed shape: one streaming pass over the edge Dataset per
+    level. The current frontier is broadcast (ray.put once per level,
+    read per task); each task filters its edge batch to frontier
+    sources with a vectorized searchsorted membership test and emits the
+    batch-deduped destinations; one tiny groupby dedups across tasks.
+    Driver state is the visited set — vertex-bounded, the same
+    documented ~1e8 bound as ``pagerank_fixed``'s dense vector (the
+    sharded realization of ``pagerank_fixed_sharded`` applies unchanged
+    when vertices outgrow one driver heap). Levels run while the
+    frontier is non-empty and hop <= max_hops, so a vertex is labeled
+    with its FIRST discovery level == shortest-path hop count, matching
+    the oracle's min-over-walks semantics exactly (integer levels, no
+    arithmetic to drift).
+
+    Reference relationship: the reference's crawler frontier
+    (`CrawlerMainProcess.java:46-47,245-246` LinkedBlockingQueue +
+    visited set) IS a BFS over the link graph; this is that traversal
+    re-expressed as data-parallel level-synchronous sweeps.
+    """
+    import ray
+
+    seed = int(edges_ds.map_batches(
+        lambda b: pa.table({"m": pa.array(
+            [int(b["src"].to_numpy(zero_copy_only=False).min())]
+            if b.num_rows else [], pa.int64())}),
+        batch_format="pyarrow").min("m"))
+
+    dist: dict[int, int] = {seed: 0}
+    frontier = np.array([seed], dtype=np.int64)
+    hop = 0
+    while frontier.size and hop < max_hops:
+        hop += 1
+        ref = ray.put(np.sort(frontier))
+
+        def expand(batch: pa.Table) -> pa.Table:
+            fr = ray.get(ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(fr, src)
+            idx[idx == fr.size] = 0
+            hit = fr[idx] == src
+            return pa.table({"v": pa.array(
+                np.unique(batch["dst"].to_numpy(
+                    zero_copy_only=False)[hit]), pa.int64())})
+
+        found = (edges_ds.map_batches(expand, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                 .groupby("v").count().take_all())
+        nxt = [int(r["v"]) for r in found if int(r["v"]) not in dist]
+        for v in nxt:
+            dist[v] = hop
+        frontier = np.array(sorted(nxt), dtype=np.int64)
+
+    vs = np.array(sorted(dist), dtype=np.int64)
+    return pa.table({"vertex": pa.array(vs, pa.int64()),
+                     "hop": pa.array([dist[int(v)] for v in vs],
+                                     pa.int64())})
+
+
+def bfs_hops_events(sf_dir: str, max_hops: int = 16) -> pa.Table:
+    return bfs_hops(derived_edges(sf_dir), max_hops=max_hops)
+
+
+def bfs_hops_sql(max_hops: int = 16,
+                 vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    """DuckDB oracle for ``bfs_hops_events``: a recursive walk bounded
+    at max_hops enumerates (vertex, level) pairs; MIN(level) per vertex
+    is the shortest-path hop count — identical to first-discovery level
+    in the level-synchronous sweep."""
+    return f"""
+WITH RECURSIVE
+edges AS (SELECT user_id AS src,
+                 CAST(json_extract(props, '$.k') AS BIGINT)
+                   % {vertex_space} AS dst
+          FROM events),
+walk(v, hop) AS (
+  SELECT (SELECT min(src) FROM edges), 0
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.hop < {max_hops})
+SELECT v AS vertex, CAST(min(hop) AS BIGINT) AS hop
+FROM walk GROUP BY v ORDER BY vertex"""

@@ -330,3 +330,72 @@ SELECT c_mktsegment,
 FROM cov GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+Q4_LO = "1999-01-01"
+Q4_HI = "1999-04-01"
+
+
+def order_priority_check(sf_dir: str) -> pa.Table:
+    """(o_orderpriority, order_count): TPC-H Q4 analog — count of orders
+    placed in one quarter that contain at least one returned line
+    (l_returnflag = 'R'; our lineitem has no commit/receipt dates, so
+    the returned flag stands in for Q4's "late" predicate).
+
+    This is the SEMI-JOIN shape the join family lacked: inner/left/
+    anti/set-ops exist (`shipping_priority`, `segment_coverage`,
+    `customers_without_premium`, `key_set_ops`); Q4 is EXISTS — keep
+    each left row at most once regardless of match multiplicity.
+    Route: both sides filter at the parquet read (only the quarter's
+    orders and the returned lines leave storage), then the
+    co-partitioned file exchange joins with Arrow's native
+    ``join_type='left semi'`` per partition — no distinct pre-pass
+    needed (semi semantics absorb duplicate probes), no row loop,
+    and the probe side never carries payload columns. One tiny
+    priority groupby finishes.
+    """
+    import ray.data as rd
+
+    from .exchange import hash_join
+
+    lo, hi = _ts(Q4_LO), _ts(Q4_HI)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def filt_orders(batch: pa.Table) -> pa.Table:
+        dt = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((dt >= lo) & (dt < hi))).select(
+            ["o_orderkey", "o_orderpriority"])
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_returnflag"])
+
+    def filt_line(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["l_returnflag"], "R")
+        return batch.filter(m).select(["l_orderkey"])
+
+    j = hash_join(
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        line.map_batches(filt_line, batch_format="pyarrow"),
+        "o_orderkey", "l_orderkey", join_type="left semi")
+    rows = j.groupby("o_orderpriority").count().take_all()
+    pr = sorted((str(r["o_orderpriority"]), int(r["count()"]))
+                for r in rows)
+    return pa.table({
+        "o_orderpriority": pa.array([p for p, _ in pr], pa.string()),
+        "order_count": pa.array([c for _, c in pr], pa.int64()),
+    })
+
+
+def order_priority_check_sql() -> str:
+    return f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_LO}'
+  AND o_orderdate < TIMESTAMP '{Q4_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
