@@ -1857,7 +1857,10 @@ def _q_token_count_suite(sf_dir: str) -> pa.Table:
         ("bpe", bpe.rename_columns(["doc_id", "n_tokens"])),
         ("bpe_applied", _as_table(bpe_encoded_len(sf_dir))),
         ("simpson", _as_table(_q_simpson_diversity(sf_dir))
-         .rename_columns(["doc_id", "n_tokens"]))])
+         .rename_columns(["doc_id", "n_tokens"])),
+        ("fre", _as_table(_q_readability(sf_dir)).select(
+            ["doc_id", "fre_milli"]).rename_columns(
+            ["doc_id", "n_tokens"]))])
 
 
 def _q_pmi_suite(sf_dir: str) -> pa.Table:
@@ -2690,6 +2693,47 @@ def _q_hapax_ratio(sf_dir: str) -> pa.Table:
     return hapax_ratio(sf_dir)
 
 
+def _q_readability(sf_dir: str):
+    """(doc_id, n_words, n_sents, n_syll, fre_milli): exact-integer
+    Flesch reading ease per document — three Arrow regex-count kernels,
+    row-local, no shuffle — DuckDB hash-matched. Also a
+    token_count_suite arm in the driver window."""
+    from rayse.ops.textstats import readability
+
+    return readability(sf_dir)
+
+
+def _q_ewma_hourly(sf_dir: str) -> pa.Table:
+    """(event_type, hr, ewma_fp): integer fixed-point EWMA (alpha=1/8)
+    over the dense hourly grid — distributed grid fold + bounded driver
+    recursion — DuckDB hash-matched against the recursive-CTE
+    recurrence. Also a relational_suite arm in the driver window."""
+    from rayse.ops.bursts import ewma_hourly
+
+    return ewma_hourly(sf_dir)
+
+
+def _q_join_cardinality(sf_dir: str) -> pa.Table:
+    """(metric, v): System-R join-size estimate vs exact output
+    cardinality for lineitem ⋈ orders — per-key count folds + one
+    co-partitioned join of the count tables — DuckDB hash-matched.
+    Also a relational_suite arm in the driver window."""
+    from rayse.ops.planstats import join_cardinality
+
+    return join_cardinality(sf_dir)
+
+
+def _q_exchange_balance(sf_dir: str) -> pa.Table:
+    """(scope, n_parts_hit, n_rows, max_part, min_part, imbalance_ppm):
+    partition-occupancy audit of mix(key)%P vs raw key%P — one bounded
+    groupby per scope — DuckDB hash-matched against the HUGEINT
+    splitmix oracle. Also a relational_suite arm in the driver
+    window."""
+    from rayse.ops.planstats import exchange_balance
+
+    return exchange_balance(sf_dir)
+
+
 def _q_bfs_hops(sf_dir: str) -> pa.Table:
     """(vertex, hop): single-source BFS shortest-path hop counts via
     level-synchronous frontier sweeps (broadcast frontier, one edge
@@ -2866,13 +2910,25 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                ["n_correct", "n_total", "acc_ppm"])
     ka = _melt(_q_k_anonymity(sf_dir), ["event_type"],
                ["n_groups", "n_small_groups", "rows_at_risk"])
+    ew = _melt(_q_ewma_hourly(sf_dir), ["event_type", "hr"],
+               ["ewma_fp"])
+    jc = _as_table(_q_join_cardinality(sf_dir))
+    jc = pa.table({
+        "k1": jc["metric"],
+        "k2": pa.array([""] * jc.num_rows, pa.string()),
+        "metric": pa.array(["v"] * jc.num_rows, pa.string()),
+        "v": jc["v"]})
+    eb = _melt(_q_exchange_balance(sf_dir), ["scope"],
+               ["n_parts_hit", "n_rows", "max_part", "min_part",
+                "imbalance_ppm"])
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
                           ("q3", q3), ("q10", q10), ("coverage", iv),
                           ("skyline", sky), ("pairs", fp),
                           ("chi2", chi), ("bursts", bu),
                           ("markov", mk), ("paths", tp), ("fs", fs),
                           ("assort", da), ("q4", q4), ("stump", st),
-                          ("kanon", ka)])
+                          ("kanon", ka), ("ewma", ew), ("joincard", jc),
+                          ("balance", eb)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3095,6 +3151,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ct_langid": _q_ct_langid,
         "hapax_ratio": _q_hapax_ratio,
         "segment_coverage": _q_segment_coverage,
+        "readability": _q_readability,
+        "ewma_hourly": _q_ewma_hourly,
+        "join_cardinality": _q_join_cardinality,
+        "exchange_balance": _q_exchange_balance,
         "bfs_hops": _q_bfs_hops,
         "order_priority_check": _q_order_priority_check,
         "stump_fit": _q_stump_fit,
@@ -3276,7 +3336,10 @@ def oracle_sql() -> dict[str, str]:
                 fromlist=["x"]).bpe_encoded_len_sql()),
             ("simpson", "doc_id, simpson_ppm AS n_tokens", __import__(
                 "rayse.ops.textstats",
-                fromlist=["x"]).simpson_diversity_sql())]),
+                fromlist=["x"]).simpson_diversity_sql()),
+            ("fre", "doc_id, fre_milli AS n_tokens", __import__(
+                "rayse.ops.textstats",
+                fromlist=["x"]).readability_sql())]),
         "bpe_merges": __import__(
             "rayse.ops.textstats", fromlist=["x"]).learn_bpe_merges_sql(),
         "bpe_encoded_len": __import__(
@@ -3367,7 +3430,21 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.datachecks",
                 fromlist=["x"]).k_anonymity_sql(),
              ("event_type",),
-             ("n_groups", "n_small_groups", "rows_at_risk"))]),
+             ("n_groups", "n_small_groups", "rows_at_risk")),
+            ("ewma", __import__(
+                "rayse.ops.bursts", fromlist=["x"]).ewma_hourly_sql(),
+             ("event_type", "hr"), ("ewma_fp",)),
+            ("balance", __import__(
+                "rayse.ops.planstats",
+                fromlist=["x"]).exchange_balance_sql(),
+             ("scope",),
+             ("n_parts_hit", "n_rows", "max_part", "min_part",
+              "imbalance_ppm"))]) +
+        "\nUNION ALL\n"
+        "SELECT 'joincard' AS variant, metric AS k1, '' AS k2, "
+        "'v' AS metric, v\nFROM (\n" + __import__(
+            "rayse.ops.planstats",
+            fromlist=["x"]).join_cardinality_sql() + "\n)",
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -4099,6 +4176,16 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
         "segment_coverage": __import__(
             "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
+        "readability": __import__(
+            "rayse.ops.textstats", fromlist=["x"]).readability_sql(),
+        "ewma_hourly": __import__(
+            "rayse.ops.bursts", fromlist=["x"]).ewma_hourly_sql(),
+        "join_cardinality": __import__(
+            "rayse.ops.planstats",
+            fromlist=["x"]).join_cardinality_sql(),
+        "exchange_balance": __import__(
+            "rayse.ops.planstats",
+            fromlist=["x"]).exchange_balance_sql(),
         "bfs_hops": __import__(
             "rayse.ops.graph", fromlist=["x"]).bfs_hops_sql(),
         "order_priority_check": __import__(

@@ -387,3 +387,99 @@ SELECT event_type, CAST(level AS BIGINT) AS level,
 FROM diffs GROUP BY event_type, level
 ORDER BY event_type, level
 """
+
+
+EWMA_SCALE = 1_000_000
+EWMA_DEN = 8          # alpha = 1/8
+
+
+def ewma_hourly(sf_dir: str) -> pa.Table:
+    """(event_type, hr, ewma_fp): exponentially-weighted moving average
+    of the dense hourly count series, alpha = 1/8, in integer
+    fixed-point — the classic smoother the timeseries family lacked
+    (CUSUM detects level shifts, hysteresis finds bursts, Haar gives
+    the spectrum; EWMA is the trend line dashboards draw):
+
+        s_0 = c_0 * SCALE
+        s_t = (c_t * SCALE + (DEN-1) * s_{t-1}) // DEN
+
+    Floor division makes the recurrence non-associative, so it cannot
+    be a distributed prefix scan like `rayse/ops/cusum.py`; it doesn't
+    need to be — the recursion runs on the DENSE HOURLY GRID, whose
+    length is bounded by the time span (types x hours, the same
+    documented driver bound as ``burst_stats``/``haar_energy``), not by
+    the row count. The distributed work is the grid fold: per-batch
+    (type, hour) partial counts, one bounded groupby. DuckDB
+    hash-matched against the recursive-CTE recurrence bit-for-bit
+    (all int64 floor arithmetic).
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    agg = (ds.map_batches(_hour_partials, batch_format="pyarrow")
+           .groupby(["event_type", "hr"]).sum("cnt"))
+    grid = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+
+    et = np.asarray(grid["event_type"].to_pylist(), dtype=object)
+    hr = grid["hr"].to_numpy(zero_copy_only=False)
+    cnt = grid["sum(cnt)"].to_numpy(zero_copy_only=False)
+    h0, h1 = int(hr.min()), int(hr.max())
+    nh = h1 - h0 + 1
+
+    out_t, out_h, out_s = [], [], []
+    for t in sorted(set(et.tolist())):
+        m = et == t
+        c = np.zeros(nh, np.int64)
+        c[hr[m] - h0] = cnt[m]
+        s = int(c[0]) * EWMA_SCALE
+        out_t.append(t)
+        out_h.append(h0)
+        out_s.append(s)
+        for i in range(1, nh):
+            s = (int(c[i]) * EWMA_SCALE + (EWMA_DEN - 1) * s) // EWMA_DEN
+            out_t.append(t)
+            out_h.append(h0 + i)
+            out_s.append(s)
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "hr": pa.array(out_h, pa.int64()),
+        "ewma_fp": pa.array(out_s, pa.int64()),
+    })
+
+
+def ewma_hourly_sql() -> str:
+    return f"""
+WITH RECURSIVE eh AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {HOUR_US}) AS BIGINT) AS hr
+  FROM events
+),
+eb AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM eh),
+egrid AS (
+  SELECT t.event_type, g.i
+  FROM (SELECT DISTINCT event_type FROM eh) t
+  CROSS JOIN (SELECT unnest(range(0, (SELECT h1 - h0 + 1 FROM eb)))
+              AS i) g
+),
+ec AS (SELECT event_type, hr - (SELECT h0 FROM eb) AS i,
+              count(*) AS c
+       FROM eh GROUP BY 1, 2),
+ed AS (
+  SELECT egrid.event_type, egrid.i,
+         CAST(COALESCE(ec.c, 0) AS BIGINT) AS c
+  FROM egrid LEFT JOIN ec USING (event_type, i)
+),
+rec(event_type, i, s) AS (
+  SELECT event_type, 0::BIGINT, c * {EWMA_SCALE} FROM ed WHERE i = 0
+  UNION ALL
+  SELECT d.event_type, r.i + 1,
+         (d.c * {EWMA_SCALE} + {EWMA_DEN - 1} * r.s) // {EWMA_DEN}
+  FROM rec r JOIN ed d
+    ON d.event_type = r.event_type AND d.i = r.i + 1)
+SELECT event_type, i + (SELECT h0 FROM eb) AS hr,
+       CAST(s AS BIGINT) AS ewma_fp
+FROM rec ORDER BY event_type, hr"""

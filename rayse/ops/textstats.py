@@ -2202,3 +2202,61 @@ SELECT '{esc}' AS needle,
                 // length('{esc}')) AS BIGINT) AS n_occurrences
 FROM documents""")
     return "\nUNION ALL\n".join(arms) + "\nORDER BY needle"
+
+
+def readability_batch(batch: pa.Table) -> pa.Table:
+    """Flesch reading ease per document in exact integer milli-points —
+    the classic readability quality signal (complements the unigram-LM
+    and compression-ratio scores with a purely structural one):
+
+        fre_milli = 206835 - (1015 * W) // S - (84600 * Y) // W
+
+    W = whitespace tokens (the `doc_token_count` contract), S =
+    sentence-terminator runs ``[.!?]+`` (min 1), Y = vowel-group
+    syllable proxy ``[aeiouy]+`` over the lowercased text. Counting is
+    three Arrow kernels (count_substring / count_substring_regex) —
+    zero Python per row; floor divisions match DuckDB ``//`` on
+    non-negative operands, so the oracle is bit-exact."""
+    text = batch["text"]
+    w = pc.add(pc.count_substring(text, " "), 1)
+    w = pc.cast(w, pa.int64()).to_numpy(zero_copy_only=False)
+    s = pc.cast(pc.count_substring_regex(text, r"[.!?]+"),
+                pa.int64()).to_numpy(zero_copy_only=False)
+    s = np.maximum(s, 1)
+    y = pc.cast(pc.count_substring_regex(pc.utf8_lower(text),
+                                         r"[aeiouy]+"),
+                pa.int64()).to_numpy(zero_copy_only=False)
+    fre = 206835 - (1015 * w) // s - (84600 * y) // w
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(w, pa.int64()),
+        "n_sents": pa.array(s, pa.int64()),
+        "n_syll": pa.array(y, pa.int64()),
+        "fre_milli": pa.array(fre, pa.int64()),
+    })
+
+
+def readability(sf_dir: str):
+    """(doc_id, n_words, n_sents, n_syll, fre_milli): row-local
+    vectorized map — embarrassingly parallel, no shuffle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(readability_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def readability_sql() -> str:
+    return """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                       AS BIGINT), 1) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS y
+  FROM documents)
+SELECT doc_id, w AS n_words, s AS n_sents, y AS n_syll,
+       206835 - (1015 * w) // s - (84600 * y) // w AS fre_milli
+FROM f"""
