@@ -716,8 +716,11 @@ def _q_cluster_suite(sf_dir: str) -> pa.Table:
     sv = _as_table(_q_survivorship_keep(sf_dir)).rename_columns(
         ["vec_id", "cluster", "dist"])
     sv = sv.set_column(1, "cluster", pc.cast(sv["cluster"], pa.int32()))
+    rc = _as_table(_q_centroid_classify(sf_dir)).rename_columns(
+        ["vec_id", "cluster", "dist"])
+    rc = rc.set_column(1, "cluster", pc.cast(rc["cluster"], pa.int32()))
     return _tagged_union([("kmeans", km), ("semdedup", sd),
-                          ("survivor", sv)])
+                          ("survivor", sv), ("rocchio", rc)])
 
 
 def _q_join_suite(sf_dir: str) -> pa.Table:
@@ -2693,6 +2696,36 @@ def _q_hapax_ratio(sf_dir: str) -> pa.Table:
     return hapax_ratio(sf_dir)
 
 
+def _q_centroid_classify(sf_dir: str) -> pa.Table:
+    """(label, pred, n): nearest-centroid (Rocchio) confusion matrix —
+    one (label, dim)-sum fold, broadcast centroids, streaming argmin
+    assignment — DuckDB hash-matched against the long-form UNNEST
+    oracle. Also a cluster_suite arm in the driver window."""
+    from rayse.ops.similarity import centroid_classify
+
+    return centroid_classify(sf_dir)
+
+
+def _q_dataset_checksum(sf_dir: str) -> pa.Table:
+    """(pid, n_rows, digest): order-independent per-partition content
+    digests + root — XOR folds of mixed FNV-1a row hashes, exact in any
+    task topology — DuckDB hash-matched (bit_xor + HUGEINT splitmix).
+    Also a relational_suite arm in the driver window."""
+    from rayse.ops.integrity import dataset_checksum
+
+    return dataset_checksum(sf_dir)
+
+
+def _q_zonemap_prune(sf_dir: str) -> pa.Table:
+    """(metric, v): zone-map skipping statistics (blocks/rows pruned vs
+    scanned vs matching) for the value >= $200 predicate under 128-row
+    blocks — distributed block folds, driver sees 5 rows — DuckDB
+    hash-matched. Also a relational_suite arm in the driver window."""
+    from rayse.ops.integrity import zonemap_prune
+
+    return zonemap_prune(sf_dir)
+
+
 def _q_readability(sf_dir: str):
     """(doc_id, n_words, n_sents, n_syll, fre_milli): exact-integer
     Flesch reading ease per document — three Arrow regex-count kernels,
@@ -2921,6 +2954,14 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
     eb = _melt(_q_exchange_balance(sf_dir), ["scope"],
                ["n_parts_hit", "n_rows", "max_part", "min_part",
                 "imbalance_ppm"])
+    ck = _melt(_q_dataset_checksum(sf_dir), ["pid"],
+               ["n_rows", "digest"])
+    zm = _as_table(_q_zonemap_prune(sf_dir))
+    zm = pa.table({
+        "k1": zm["metric"],
+        "k2": pa.array([""] * zm.num_rows, pa.string()),
+        "metric": pa.array(["v"] * zm.num_rows, pa.string()),
+        "v": zm["v"]})
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
                           ("q3", q3), ("q10", q10), ("coverage", iv),
                           ("skyline", sky), ("pairs", fp),
@@ -2928,7 +2969,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("markov", mk), ("paths", tp), ("fs", fs),
                           ("assort", da), ("q4", q4), ("stump", st),
                           ("kanon", ka), ("ewma", ew), ("joincard", jc),
-                          ("balance", eb)])
+                          ("balance", eb), ("checksum", ck),
+                          ("zonemap", zm)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3151,6 +3193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ct_langid": _q_ct_langid,
         "hapax_ratio": _q_hapax_ratio,
         "segment_coverage": _q_segment_coverage,
+        "centroid_classify": _q_centroid_classify,
+        "dataset_checksum": _q_dataset_checksum,
+        "zonemap_prune": _q_zonemap_prune,
         "readability": _q_readability,
         "ewma_hourly": _q_ewma_hourly,
         "join_cardinality": _q_join_cardinality,
@@ -3439,12 +3484,21 @@ def oracle_sql() -> dict[str, str]:
                 fromlist=["x"]).exchange_balance_sql(),
              ("scope",),
              ("n_parts_hit", "n_rows", "max_part", "min_part",
-              "imbalance_ppm"))]) +
+              "imbalance_ppm")),
+            ("checksum", __import__(
+                "rayse.ops.integrity",
+                fromlist=["x"]).dataset_checksum_sql(),
+             ("pid",), ("n_rows", "digest"))]) +
         "\nUNION ALL\n"
         "SELECT 'joincard' AS variant, metric AS k1, '' AS k2, "
         "'v' AS metric, v\nFROM (\n" + __import__(
             "rayse.ops.planstats",
-            fromlist=["x"]).join_cardinality_sql() + "\n)",
+            fromlist=["x"]).join_cardinality_sql() + "\n)"
+        "\nUNION ALL\n"
+        "SELECT 'zonemap' AS variant, metric AS k1, '' AS k2, "
+        "'v' AS metric, v\nFROM (\n" + __import__(
+            "rayse.ops.integrity",
+            fromlist=["x"]).zonemap_prune_sql() + "\n)",
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -3793,7 +3847,11 @@ def oracle_sql() -> dict[str, str]:
             ("survivor", "doc_id AS vec_id, "
              "CAST(cluster_id AS INTEGER) AS cluster, n_chars AS dist",
              __import__("rayse.ops.dedup",
-                        fromlist=["x"]).survivorship_keep_best_sql())]),
+                        fromlist=["x"]).survivorship_keep_best_sql()),
+            ("rocchio", "label AS vec_id, "
+             "CAST(pred AS INTEGER) AS cluster, n AS dist",
+             __import__("rayse.ops.similarity",
+                        fromlist=["x"]).centroid_classify_sql())]),
         "join_suite": _tagged_union_sql([
             ("asof", "event_id, user_id, matched_event_id, "
              "gap_us AS delta_us", __import__(
@@ -4176,6 +4234,14 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
         "segment_coverage": __import__(
             "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
+        "centroid_classify": __import__(
+            "rayse.ops.similarity",
+            fromlist=["x"]).centroid_classify_sql(),
+        "dataset_checksum": __import__(
+            "rayse.ops.integrity",
+            fromlist=["x"]).dataset_checksum_sql(),
+        "zonemap_prune": __import__(
+            "rayse.ops.integrity", fromlist=["x"]).zonemap_prune_sql(),
         "readability": __import__(
             "rayse.ops.textstats", fromlist=["x"]).readability_sql(),
         "ewma_hourly": __import__(

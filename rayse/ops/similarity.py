@@ -874,3 +874,107 @@ ranked AS (
   FROM scored)
 SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, dot_q
 FROM ranked WHERE rank <= {k}"""
+
+
+def centroid_classify(sf_dir: str) -> pa.Table:
+    """(label, pred, n): nearest-centroid (Rocchio) classification
+    confusion matrix over the embeddings table — the supervised
+    companion to ``kmeans_assign`` (same quantize / argmin / truncating
+    -mean contracts, zero iterations): per-label integer centroids from
+    ONE (label, dim)-sum fold, then a streaming assignment pass against
+    the broadcast K x dim matrix, then one bounded confusion groupby.
+
+    Driver state is K x dim int64 (constant in corpus size); ties break
+    to the smaller label (np.argmin first-minimum == SQL row_number
+    ORDER BY dist, k). DuckDB hash-matched against the long-form
+    UNNEST oracle."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        X = _km_quantize(_mat_from_list(batch["embedding"]))
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ks, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((ks.size, X.shape[1]), np.int64)
+        np.add.at(sums, inv, X)
+        cnt = np.bincount(inv)
+        return pa.table({
+            "k": pa.array(np.repeat(ks, X.shape[1]), pa.int64()),
+            "d": pa.array(np.tile(np.arange(X.shape[1]), ks.size),
+                          pa.int64()),
+            "s": pa.array(sums.reshape(-1), pa.int64()),
+            "c": pa.array(np.repeat(cnt.astype(np.int64), X.shape[1]),
+                          pa.int64()),
+        })
+
+    agg = (ds.map_batches(cent_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["k", "d"]).sum(["s", "c"]).to_pandas())
+    labels = np.sort(agg["k"].unique()).astype(np.int64)
+    dim = int(agg["d"].max()) + 1
+    C = np.zeros((labels.size, dim), np.int64)
+    li = np.searchsorted(labels, agg["k"].to_numpy())
+    C[li, agg["d"].to_numpy()] = _trunc_div(
+        agg["sum(s)"].to_numpy(), agg["sum(c)"].to_numpy())
+    ref = ray.put((labels, C))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labs, Cb = ray.get(ref)
+        X = _km_quantize(_mat_from_list(batch["embedding"]))
+        a, _ = _km_assign_rows(X, Cb)
+        true = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        pred = labs[a]
+        key = true * (labs.max() + 1) + pred
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "label": pa.array(uk // (labs.max() + 1), pa.int64()),
+            "pred": pa.array(uk % (labs.max() + 1), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    rows = (ds.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["label", "pred"]).sum("n").take_all())
+    out = sorted((int(r["label"]), int(r["pred"]), int(r["sum(n)"]))
+                 for r in rows)
+    return pa.table({
+        "label": pa.array([a for a, _, _ in out], pa.int64()),
+        "pred": pa.array([b for _, b, _ in out], pa.int64()),
+        "n": pa.array([c for _, _, c in out], pa.int64()),
+    })
+
+
+def centroid_classify_sql() -> str:
+    """Oracle: identical quantize -> truncating per-label mean ->
+    argmin assignment -> confusion groupby, in long form."""
+    scale = _KM_SCALE
+    return f"""
+WITH x AS (
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         CAST(u.i AS BIGINT) AS d,
+         CAST(floor(CAST(e.embedding[CAST(u.i AS INTEGER) + 1] AS DOUBLE)
+                    * {scale}) AS BIGINT) AS xq
+  FROM embeddings e, UNNEST(range(len(e.embedding))) u(i)),
+cent AS (
+  SELECT label AS k, d, sum(xq) // count(*) AS c
+  FROM x GROUP BY 1, 2),
+dist AS (
+  SELECT x.vec_id, c.k,
+         sum((x.xq - c.c) * (x.xq - c.c)) AS dd
+  FROM x JOIN cent c USING (d) GROUP BY 1, 2),
+pred AS (
+  SELECT vec_id, k AS pred
+  FROM (SELECT vec_id, k,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, k) AS rn
+        FROM dist)
+  WHERE rn = 1)
+SELECT CAST(e.label AS BIGINT) AS label, p.pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM embeddings e JOIN pred p USING (vec_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
