@@ -1863,6 +1863,8 @@ def _q_token_count_suite(sf_dir: str) -> pa.Table:
          .rename_columns(["doc_id", "n_tokens"])),
         ("fre", _as_table(_q_readability(sf_dir)).select(
             ["doc_id", "fre_milli"]).rename_columns(
+            ["doc_id", "n_tokens"])),
+        ("dhash", _as_table(_q_media_dhash(sf_dir)).rename_columns(
             ["doc_id", "n_tokens"]))])
 
 
@@ -2696,6 +2698,37 @@ def _q_hapax_ratio(sf_dir: str) -> pa.Table:
     return hapax_ratio(sf_dir)
 
 
+def _q_media_dhash(sf_dir: str):
+    """(media_id, dhash): difference-hash perceptual fingerprint over
+    the fake-decoded byte grid (8x8 floor-mean cells, 56 comparison
+    bits) — row-local vectorized map — DuckDB hash-matched against the
+    long-form cell oracle. Also a token_count_suite arm in the driver
+    window."""
+    from rayse.ops.multimodal import media_dhash_from_documents
+
+    return media_dhash_from_documents(sf_dir)
+
+
+def _q_edge_churn(sf_dir: str) -> pa.Table:
+    """(metric, v): link-graph churn between the event log's two time
+    halves (added/removed/stable distinct edges + Jaccard stability) —
+    global (edge, half) distinct fold, 4 driver rows — DuckDB
+    hash-matched. Also a relational_suite arm in the driver window."""
+    from rayse.ops.graph import edge_churn
+
+    return edge_churn(sf_dir)
+
+
+def _q_checksum_diff(sf_dir: str) -> pa.Table:
+    """(pid, differs, n_rows): partition-granular change detection —
+    base vs deterministically-mutated corpus digests in one streaming
+    pass — DuckDB hash-matched. Also a relational_suite arm in the
+    driver window."""
+    from rayse.ops.integrity import checksum_diff
+
+    return checksum_diff(sf_dir)
+
+
 def _q_centroid_classify(sf_dir: str) -> pa.Table:
     """(label, pred, n): nearest-centroid (Rocchio) confusion matrix —
     one (label, dim)-sum fold, broadcast centroids, streaming argmin
@@ -2956,6 +2989,14 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                 "imbalance_ppm"])
     ck = _melt(_q_dataset_checksum(sf_dir), ["pid"],
                ["n_rows", "digest"])
+    cd = _melt(_q_checksum_diff(sf_dir), ["pid"],
+               ["differs", "n_rows"])
+    ec = _as_table(_q_edge_churn(sf_dir))
+    ec = pa.table({
+        "k1": ec["metric"],
+        "k2": pa.array([""] * ec.num_rows, pa.string()),
+        "metric": pa.array(["v"] * ec.num_rows, pa.string()),
+        "v": ec["v"]})
     zm = _as_table(_q_zonemap_prune(sf_dir))
     zm = pa.table({
         "k1": zm["metric"],
@@ -2970,7 +3011,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("assort", da), ("q4", q4), ("stump", st),
                           ("kanon", ka), ("ewma", ew), ("joincard", jc),
                           ("balance", eb), ("checksum", ck),
-                          ("zonemap", zm)])
+                          ("zonemap", zm), ("ckdiff", cd),
+                          ("churn", ec)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3193,6 +3235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ct_langid": _q_ct_langid,
         "hapax_ratio": _q_hapax_ratio,
         "segment_coverage": _q_segment_coverage,
+        "media_dhash": _q_media_dhash,
+        "edge_churn": _q_edge_churn,
+        "checksum_diff": _q_checksum_diff,
         "centroid_classify": _q_centroid_classify,
         "dataset_checksum": _q_dataset_checksum,
         "zonemap_prune": _q_zonemap_prune,
@@ -3384,7 +3429,10 @@ def oracle_sql() -> dict[str, str]:
                 fromlist=["x"]).simpson_diversity_sql()),
             ("fre", "doc_id, fre_milli AS n_tokens", __import__(
                 "rayse.ops.textstats",
-                fromlist=["x"]).readability_sql())]),
+                fromlist=["x"]).readability_sql()),
+            ("dhash", "media_id AS doc_id, dhash AS n_tokens",
+             __import__("rayse.ops.multimodal",
+                        fromlist=["x"]).media_dhash_sql())]),
         "bpe_merges": __import__(
             "rayse.ops.textstats", fromlist=["x"]).learn_bpe_merges_sql(),
         "bpe_encoded_len": __import__(
@@ -3488,7 +3536,11 @@ def oracle_sql() -> dict[str, str]:
             ("checksum", __import__(
                 "rayse.ops.integrity",
                 fromlist=["x"]).dataset_checksum_sql(),
-             ("pid",), ("n_rows", "digest"))]) +
+             ("pid",), ("n_rows", "digest")),
+            ("ckdiff", __import__(
+                "rayse.ops.integrity",
+                fromlist=["x"]).checksum_diff_sql(),
+             ("pid",), ("differs", "n_rows"))]) +
         "\nUNION ALL\n"
         "SELECT 'joincard' AS variant, metric AS k1, '' AS k2, "
         "'v' AS metric, v\nFROM (\n" + __import__(
@@ -3498,7 +3550,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'zonemap' AS variant, metric AS k1, '' AS k2, "
         "'v' AS metric, v\nFROM (\n" + __import__(
             "rayse.ops.integrity",
-            fromlist=["x"]).zonemap_prune_sql() + "\n)",
+            fromlist=["x"]).zonemap_prune_sql() + "\n)"
+        "\nUNION ALL\n"
+        "SELECT 'churn' AS variant, metric AS k1, '' AS k2, "
+        "'v' AS metric, v\nFROM (\n" + __import__(
+            "rayse.ops.graph",
+            fromlist=["x"]).edge_churn_sql() + "\n)",
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -4234,6 +4291,12 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
         "segment_coverage": __import__(
             "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
+        "media_dhash": __import__(
+            "rayse.ops.multimodal", fromlist=["x"]).media_dhash_sql(),
+        "edge_churn": __import__(
+            "rayse.ops.graph", fromlist=["x"]).edge_churn_sql(),
+        "checksum_diff": __import__(
+            "rayse.ops.integrity", fromlist=["x"]).checksum_diff_sql(),
         "centroid_classify": __import__(
             "rayse.ops.similarity",
             fromlist=["x"]).centroid_classify_sql(),

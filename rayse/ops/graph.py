@@ -956,3 +956,111 @@ walk(v, hop) AS (
   WHERE w.hop < {max_hops})
 SELECT v AS vertex, CAST(min(hop) AS BIGINT) AS hop
 FROM walk GROUP BY v ORDER BY vertex"""
+
+
+def edge_churn(sf_dir: str) -> pa.Table:
+    """(metric, v): link-graph evolution between the two time halves of
+    the event log — distinct edges only-in-first (removed), only-in-
+    second (added), in-both (stable), plus Jaccard stability in ppm.
+    The temporal companion to `rayse/ops/indexdiff.py` (which diffs
+    index snapshots): at 100 TB the link graph is re-derived per crawl
+    epoch and churn is the freshness signal.
+
+    Distributed shape: the halves split row-locally at the midpoint
+    timestamp (two tiny min/max aggregates), presence flags come from
+    ONE (src, dst) groupby over (edge, half) partial counts — the edge
+    table never materializes on the driver; only 4 metric rows do.
+    DuckDB hash-matched."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "props", "ts"])
+    lo = np.datetime64(ds.min("ts"), "us").astype(np.int64)
+    hi = np.datetime64(ds.max("ts"), "us").astype(np.int64)
+    mid_us = (int(lo) + int(hi)) // 2
+
+    def halves(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dst = _props_k(batch["props"]) % DEMO_VERTEX_SPACE
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view("int64")
+        h = (ts >= mid_us).astype(np.int64)
+        key = np.stack([src, dst, h], axis=1)
+        uk = np.unique(key, axis=0)
+        return pa.table({
+            "src": pa.array(uk[:, 0], pa.int64()),
+            "dst": pa.array(uk[:, 1], pa.int64()),
+            "h": pa.array(uk[:, 2], pa.int64()),
+        })
+
+    # global distinct of (src, dst, h) first — per-batch dedup alone
+    # would double-count a (edge, half) seen by two batches
+    distinct = (ds.map_batches(halves, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["src", "dst", "h"]).count()
+                .map_batches(lambda b: b.select(["src", "dst", "h"]),
+                             batch_format="pyarrow"))
+    # after the (src,dst) groupby each edge appears once per half it was
+    # seen in: count() == halves present, sum(h) says which one
+    agg = distinct.groupby(["src", "dst"]).aggregate(*_churn_aggs())
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        n = batch["count()"].to_numpy(zero_copy_only=False)
+        s = batch["sum(h)"].to_numpy(zero_copy_only=False)
+        both = int(((n == 2)).sum())
+        only_first = int(((n == 1) & (s == 0)).sum())
+        only_second = int(((n == 1) & (s == 1)).sum())
+        return pa.table({
+            "stable": pa.array([both], pa.int64()),
+            "removed": pa.array([only_first], pa.int64()),
+            "added": pa.array([only_second], pa.int64()),
+        })
+
+    m = (agg.map_batches(metrics, batch_format="pyarrow")
+         .sum(["stable", "removed", "added"]))
+    stable = int(m["sum(stable)"])
+    removed = int(m["sum(removed)"])
+    added = int(m["sum(added)"])
+    union = stable + removed + added
+    rows = [("added", added), ("jaccard_ppm",
+                               stable * 1_000_000 // union if union else 0),
+            ("removed", removed), ("stable", stable)]
+    return pa.table({
+        "metric": pa.array([k for k, _ in rows], pa.string()),
+        "v": pa.array([v for _, v in rows], pa.int64()),
+    })
+
+
+def _churn_aggs():
+    from ray.data.aggregate import Count, Sum
+
+    return (Count(), Sum("h"))
+
+
+def edge_churn_sql(vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    return f"""
+WITH bounds AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2
+                  AS mid_us FROM events),
+e AS (
+  SELECT DISTINCT user_id AS src,
+         CAST(json_extract(props, '$.k') AS BIGINT)
+           % {vertex_space} AS dst,
+         CASE WHEN epoch_us(ts) >= (SELECT mid_us FROM bounds)
+              THEN 1 ELSE 0 END AS h
+  FROM events),
+f AS (SELECT src, dst, count(*) AS n, sum(h) AS s FROM e GROUP BY 1, 2),
+s AS (SELECT sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS stable,
+             sum(CASE WHEN n = 1 AND s = 0 THEN 1 ELSE 0 END)
+               AS removed,
+             sum(CASE WHEN n = 1 AND s = 1 THEN 1 ELSE 0 END) AS added
+      FROM f)
+SELECT metric, CAST(v AS BIGINT) AS v FROM (
+  SELECT 'added' AS metric, added AS v FROM s
+  UNION ALL SELECT 'jaccard_ppm',
+    CASE WHEN stable + removed + added > 0
+         THEN stable * 1000000 // (stable + removed + added)
+         ELSE 0 END FROM s
+  UNION ALL SELECT 'removed', removed FROM s
+  UNION ALL SELECT 'stable', stable FROM s)
+ORDER BY metric"""

@@ -236,3 +236,99 @@ SELECT metric, CAST(v AS BIGINT) AS v FROM (
   UNION ALL SELECT 'rows_scanned', rows_scanned FROM s
   UNION ALL SELECT 'rows_total', rows_total FROM s)
 ORDER BY metric"""
+
+
+DIFF_MOD = 97            # deterministic mutation: doc_id % 97 == 0
+
+
+def checksum_diff(sf_dir: str) -> pa.Table:
+    """(pid, differs, n_rows): the point of ``dataset_checksum`` —
+    partition-granular change detection between two corpus versions.
+    Version B is a deterministic in-flight mutation (append '!' to
+    every doc with doc_id % 97 == 0); both digests compute in ONE
+    streaming pass (two XOR folds per batch), and the diff report says
+    exactly which content-addressed partitions a re-run would have to
+    reprocess. DuckDB hash-matched."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pid, h_base = _content_hash(batch)
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mut_texts = [
+            (t or "") + "!" if i % DIFF_MOD == 0 else (t or "")
+            for i, t in zip(doc_id.tolist(), batch["text"].to_pylist())]
+        mut = pa.table({"doc_id": batch["doc_id"],
+                        "text": pa.array(mut_texts, pa.string())})
+        _, h_mut = _content_hash(mut)
+        order = np.argsort(pid, kind="stable")
+        pid = pid[order]
+        hb, hm = h_base[order], h_mut[order]
+        uk, starts = np.unique(pid, return_index=True)
+        cnts = np.diff(np.concatenate([starts, [pid.size]]))
+        return pa.table({
+            "pid": pa.array(uk, pa.int64()),
+            "db": pa.array(np.bitwise_xor.reduceat(hb, starts),
+                           pa.int64()),
+            "dm": pa.array(np.bitwise_xor.reduceat(hm, starts),
+                           pa.int64()),
+            "n": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        db = np.bitwise_xor.reduce(
+            group["db"].to_numpy(zero_copy_only=False))
+        dm = np.bitwise_xor.reduce(
+            group["dm"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "pid": group["pid"][:1],
+            "differs": pa.array([int(db != dm)], pa.int64()),
+            "n_rows": pa.array(
+                [int(group["n"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64())})
+
+    rows = sorted(
+        ((int(r["pid"]), int(r["differs"]), int(r["n_rows"]))
+         for r in ds.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+         .groupby("pid").map_groups(fold, batch_format="pyarrow")
+         .take_all()))
+    return pa.table({
+        "pid": pa.array([r[0] for r in rows], pa.int64()),
+        "differs": pa.array([r[1] for r in rows], pa.int64()),
+        "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def checksum_diff_sql() -> str:
+    from .sampling import _mix_sql
+    from .sketch import _mix_sql_wide
+
+    def digest(text_expr: str, name: str) -> str:
+        return f"""xor(
+           list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+                          [ascii(c)::HUGEINT
+                           FOR c IN string_split({text_expr}, '')]),
+             (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+                       % 18446744073709551616::HUGEINT),
+           {_mix_sql('doc_id')}) AS {name}"""
+
+    return f"""
+WITH h AS (
+  SELECT {_mix_sql('doc_id')} % {CHECKSUM_PARTS} AS pid,
+         {digest('text', 'fb')},
+         {digest(f"CASE WHEN doc_id % {DIFF_MOD} = 0 "
+                  "THEN text || '!' ELSE text END", 'fm')},
+         doc_id
+  FROM documents),
+hh AS (SELECT pid, {_mix_sql_wide('fb')} // 2 AS hb,
+              {_mix_sql_wide('fm')} // 2 AS hm
+       FROM h)
+SELECT CAST(pid AS BIGINT) AS pid,
+       CAST(CASE WHEN bit_xor(hb) <> bit_xor(hm) THEN 1 ELSE 0 END
+            AS BIGINT) AS differs,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM hh GROUP BY pid ORDER BY pid"""

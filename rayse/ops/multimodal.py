@@ -283,3 +283,96 @@ def media_frames(media_ds, concurrency: int | None = None,
         FrameSampleStage, fn_constructor_kwargs=dict(n_samples=n_samples),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=64, concurrency=concurrency)
+
+
+DHASH_GRID = 8          # 8x8 cells -> 8 rows x 7 adjacent pairs = 56 bits
+DHASH_MIN_LEN = 64
+
+
+def dhash_batch(batch: pa.Table) -> pa.Table:
+    """Difference-hash perceptual fingerprint per payload — the classic
+    near-duplicate image signature (aHash/dHash family), computed on the
+    FAKE-DECODED byte grid so the whole path is deterministic and
+    SQL-checkable (the real-codec seam stays in ``MediaFeatureExtractor``):
+
+        cell(i)   = pos -> (pos * 64) // L      (equal byte ranges)
+        grid[c]   = sum(bytes in cell c) // count   (floor mean)
+        bit(r,c)  = grid[r*8+c] > grid[r*8+c+1],  c < 7  -> 56-bit hash
+
+    Payloads shorter than 64 bytes are skipped (every cell must be
+    non-empty). Vectorized: one frombuffer + reduceat per batch; the
+    comparisons are one array op. Hamming distance on the output column
+    is the near-dup predicate (`simhash_pairs` banding applies
+    unchanged)."""
+    ids, hashes = [], []
+    for mid, text in zip(batch["media_id"].to_pylist(),
+                         batch["payload"].to_pylist()):
+        b = np.frombuffer(text, np.uint8) if isinstance(text, bytes) \
+            else np.frombuffer(str(text).encode("utf-8"), np.uint8)
+        L = b.size
+        if L < DHASH_MIN_LEN:
+            continue
+        n_cells = DHASH_GRID * DHASH_GRID
+        cell = (np.arange(L, dtype=np.int64) * n_cells) // L
+        starts = np.searchsorted(cell, np.arange(n_cells))
+        sums = np.add.reduceat(b.astype(np.int64), starts)
+        cnts = np.diff(np.concatenate([starts, [L]]))
+        grid = sums // cnts
+        g = grid.reshape(DHASH_GRID, DHASH_GRID)
+        bits = (g[:, :-1] > g[:, 1:]).astype(np.int64).reshape(-1)
+        h = int((bits << np.arange(bits.size, dtype=np.int64)).sum())
+        ids.append(mid)
+        hashes.append(h)
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "dhash": pa.array(hashes, pa.int64())})
+
+
+def media_dhash_from_documents(sf_dir: str):
+    """(media_id, dhash): dHash over the documents-as-payload media table
+    (the SQL-matchable route, like ``media_byte_features``) — row-local
+    map, no shuffle; DuckDB hash-matched."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pc.cast(batch["text"], pa.binary())})
+
+    return (ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(dhash_batch, batch_format="pyarrow",
+                         batch_size=64))
+
+
+def media_dhash_sql() -> str:
+    """Oracle: identical cell map / floor means / adjacent comparisons
+    in long form (ASCII-valid like ``media_byte_features_sql``)."""
+    n = DHASH_GRID * DHASH_GRID
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, len(text) AS L FROM documents
+  WHERE len(text) >= {DHASH_MIN_LEN}),
+b AS (
+  SELECT media_id, CAST(u.i AS BIGINT) AS pos,
+         CAST(ascii(text[CAST(u.i AS INTEGER) + 1]) AS BIGINT) AS byte,
+         L
+  FROM m, UNNEST(range(L)) u(i)),
+c AS (
+  SELECT media_id, (pos * {n}) // L AS cell,
+         sum(byte) // count(*) AS v
+  FROM b GROUP BY 1, 2),
+p AS (
+  SELECT a.media_id,
+         (a.cell // {DHASH_GRID}) * {DHASH_GRID - 1}
+           + (a.cell % {DHASH_GRID}) AS bit,
+         CASE WHEN a.v > bb.v THEN 1 ELSE 0 END AS bit_on
+  FROM c a JOIN c bb
+    ON bb.media_id = a.media_id AND bb.cell = a.cell + 1
+  WHERE a.cell % {DHASH_GRID} < {DHASH_GRID - 1})
+SELECT media_id,
+       CAST(sum(bit_on * power(2, bit)::HUGEINT) AS BIGINT) AS dhash
+FROM p GROUP BY media_id ORDER BY media_id"""
