@@ -2698,6 +2698,27 @@ def _q_hapax_ratio(sf_dir: str) -> pa.Table:
     return hapax_ratio(sf_dir)
 
 
+def _q_forecast_eval(sf_dir: str) -> pa.Table:
+    """(event_type, n_hours, mae24_q, mae1_q, mase_ppm): seasonal-naive
+    forecast evaluation (lag-24 forecast MAE vs naive-1 baseline) over
+    the dense hourly grid — DuckDB hash-matched against the lag-window
+    oracle. Also a relational_suite arm in the driver window."""
+    from rayse.ops.bursts import forecast_eval
+
+    return forecast_eval(sf_dir)
+
+
+def _q_fk_discovery(sf_dir: str) -> pa.Table:
+    """(child, parent, ndv_child, ndv_parent, n_contained,
+    containment_ppm): inclusion-based foreign-key discovery across 7
+    candidate column pairs — distinct-key folds + co-partitioned semi
+    joins — DuckDB hash-matched against the EXISTS oracle. Also a
+    relational_suite arm in the driver window."""
+    from rayse.ops.fkdiscover import fk_discovery
+
+    return fk_discovery(sf_dir)
+
+
 def _q_media_dhash(sf_dir: str):
     """(media_id, dhash): difference-hash perceptual fingerprint over
     the fake-decoded byte grid (8x8 floor-mean cells, 56 comparison
@@ -2991,6 +3012,11 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                ["n_rows", "digest"])
     cd = _melt(_q_checksum_diff(sf_dir), ["pid"],
                ["differs", "n_rows"])
+    fe = _melt(_q_forecast_eval(sf_dir), ["event_type"],
+               ["n_hours", "mae24_q", "mae1_q", "mase_ppm"])
+    fk = _melt(_q_fk_discovery(sf_dir), ["child", "parent"],
+               ["ndv_child", "ndv_parent", "n_contained",
+                "containment_ppm"])
     ec = _as_table(_q_edge_churn(sf_dir))
     ec = pa.table({
         "k1": ec["metric"],
@@ -3012,7 +3038,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("kanon", ka), ("ewma", ew), ("joincard", jc),
                           ("balance", eb), ("checksum", ck),
                           ("zonemap", zm), ("ckdiff", cd),
-                          ("churn", ec)])
+                          ("churn", ec), ("forecast", fe),
+                          ("fk", fk)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3235,6 +3262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ct_langid": _q_ct_langid,
         "hapax_ratio": _q_hapax_ratio,
         "segment_coverage": _q_segment_coverage,
+        "forecast_eval": _q_forecast_eval,
+        "fk_discovery": _q_fk_discovery,
         "media_dhash": _q_media_dhash,
         "edge_churn": _q_edge_churn,
         "checksum_diff": _q_checksum_diff,
@@ -3540,7 +3569,17 @@ def oracle_sql() -> dict[str, str]:
             ("ckdiff", __import__(
                 "rayse.ops.integrity",
                 fromlist=["x"]).checksum_diff_sql(),
-             ("pid",), ("differs", "n_rows"))]) +
+             ("pid",), ("differs", "n_rows")),
+            ("forecast", __import__(
+                "rayse.ops.bursts", fromlist=["x"]).forecast_eval_sql(),
+             ("event_type",),
+             ("n_hours", "mae24_q", "mae1_q", "mase_ppm")),
+            ("fk", __import__(
+                "rayse.ops.fkdiscover",
+                fromlist=["x"]).fk_discovery_sql(),
+             ("child", "parent"),
+             ("ndv_child", "ndv_parent", "n_contained",
+              "containment_ppm"))]) +
         "\nUNION ALL\n"
         "SELECT 'joincard' AS variant, metric AS k1, '' AS k2, "
         "'v' AS metric, v\nFROM (\n" + __import__(
@@ -4291,6 +4330,10 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
         "segment_coverage": __import__(
             "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
+        "forecast_eval": __import__(
+            "rayse.ops.bursts", fromlist=["x"]).forecast_eval_sql(),
+        "fk_discovery": __import__(
+            "rayse.ops.fkdiscover", fromlist=["x"]).fk_discovery_sql(),
         "media_dhash": __import__(
             "rayse.ops.multimodal", fromlist=["x"]).media_dhash_sql(),
         "edge_churn": __import__(

@@ -483,3 +483,86 @@ rec(event_type, i, s) AS (
 SELECT event_type, i + (SELECT h0 FROM eb) AS hr,
        CAST(s AS BIGINT) AS ewma_fp
 FROM rec ORDER BY event_type, hr"""
+
+
+def forecast_eval(sf_dir: str, season: int = 24) -> pa.Table:
+    """(event_type, n_hours, mae24_q, mae1_q, mase_ppm): seasonal-naive
+    forecast evaluation over the dense hourly grid — forecast(t) =
+    count(t - 24), scored by integer MAE against the naive-1 baseline
+    forecast(t) = count(t - 1); mase_ppm = mae24 * 1e6 // mae1 (< 1e6
+    means daily seasonality beats persistence). The forecast-quality
+    cell the timeseries family lacked: autocorr DETECTS the rhythm,
+    this measures how exploitable it is.
+
+    Same distributed grid fold + bounded driver transform as
+    ``hourly_autocorr``; every number is an int64 sum of absolute
+    differences, so the DuckDB lag-window oracle matches bit-for-bit.
+    Types whose grid is shorter than season+1 hours are dropped (the
+    SQL's inner join does the same)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    agg = (ds.map_batches(_hour_partials, batch_format="pyarrow")
+           .groupby(["event_type", "hr"]).sum("cnt"))
+    grid = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+
+    et = np.asarray(grid["event_type"].to_pylist(), dtype=object)
+    hr = grid["hr"].to_numpy(zero_copy_only=False)
+    cnt = grid["sum(cnt)"].to_numpy(zero_copy_only=False)
+    h0, h1 = int(hr.min()), int(hr.max())
+    nh = h1 - h0 + 1
+
+    out = []
+    for t in sorted(set(et.tolist())):
+        m = et == t
+        c = np.zeros(nh, np.int64)
+        c[hr[m] - h0] = cnt[m]
+        if nh <= season:
+            continue
+        mae24 = int(np.abs(c[season:] - c[:-season]).sum())
+        mae1 = int(np.abs(c[season:] - c[season - 1:-1]).sum())
+        n = nh - season
+        out.append((t, n, mae24, mae1,
+                    mae24 * 1_000_000 // mae1 if mae1 else 0))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "n_hours": pa.array([r[1] for r in out], pa.int64()),
+        "mae24_q": pa.array([r[2] for r in out], pa.int64()),
+        "mae1_q": pa.array([r[3] for r in out], pa.int64()),
+        "mase_ppm": pa.array([r[4] for r in out], pa.int64()),
+    })
+
+
+def forecast_eval_sql(season: int = 24) -> str:
+    return f"""
+WITH fh AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {HOUR_US}) AS BIGINT) AS hr
+  FROM events),
+fb AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM fh),
+fgrid AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM fh) t
+  CROSS JOIN (SELECT unnest(range((SELECT h0 FROM fb),
+                                  (SELECT h1 FROM fb) + 1)) AS hr) g),
+fc AS (SELECT event_type, hr, count(*) AS c FROM fh GROUP BY 1, 2),
+fd AS (
+  SELECT fgrid.event_type, fgrid.hr, COALESCE(fc.c, 0) AS c
+  FROM fgrid LEFT JOIN fc USING (event_type, hr)),
+pairs AS (
+  SELECT a.event_type,
+         abs(a.c - s.c) AS e24, abs(a.c - p.c) AS e1
+  FROM fd a
+  JOIN fd s ON s.event_type = a.event_type AND s.hr = a.hr - {season}
+  JOIN fd p ON p.event_type = a.event_type AND p.hr = a.hr - 1)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(e24) AS BIGINT) AS mae24_q,
+       CAST(sum(e1) AS BIGINT) AS mae1_q,
+       CAST(CASE WHEN sum(e1) > 0
+                 THEN sum(e24) * 1000000 // sum(e1) ELSE 0 END
+            AS BIGINT) AS mase_ppm
+FROM pairs GROUP BY event_type ORDER BY event_type"""
