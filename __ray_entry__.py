@@ -2698,6 +2698,27 @@ def _q_hapax_ratio(sf_dir: str) -> pa.Table:
     return hapax_ratio(sf_dir)
 
 
+def _q_perceptron_train(sf_dir: str) -> pa.Table:
+    """(d, w): batch-perceptron weights after 2 epochs (bias at d=-1,
+    final miscount at d=-2) — per-epoch broadcast weights + streaming
+    partial updates, integer-exact — DuckDB hash-matched against the
+    unrolled-epoch oracle. Also a relational_suite arm in the driver
+    window."""
+    from rayse.ops.perceptron import perceptron_train
+
+    return perceptron_train(sf_dir)
+
+
+def _q_link_predict(sf_dir: str) -> pa.Table:
+    """(v_a, v_b, common): top-20 common-neighbor link predictions over
+    non-adjacent pairs — exchange self-join wedge enumeration +
+    broadcast adjacency mask + partial top-k — DuckDB hash-matched.
+    Also a relational_suite arm in the driver window."""
+    from rayse.ops.graph import link_predict
+
+    return link_predict(sf_dir)
+
+
 def _q_forecast_eval(sf_dir: str) -> pa.Table:
     """(event_type, n_hours, mae24_q, mae1_q, mase_ppm): seasonal-naive
     forecast evaluation (lag-24 forecast MAE vs naive-1 baseline) over
@@ -3017,6 +3038,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
     fk = _melt(_q_fk_discovery(sf_dir), ["child", "parent"],
                ["ndv_child", "ndv_parent", "n_contained",
                 "containment_ppm"])
+    pc_ = _melt(_q_perceptron_train(sf_dir), ["d"], ["w"])
+    lp = _melt(_q_link_predict(sf_dir), ["v_a", "v_b"], ["common"])
     ec = _as_table(_q_edge_churn(sf_dir))
     ec = pa.table({
         "k1": ec["metric"],
@@ -3039,7 +3062,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("balance", eb), ("checksum", ck),
                           ("zonemap", zm), ("ckdiff", cd),
                           ("churn", ec), ("forecast", fe),
-                          ("fk", fk)])
+                          ("fk", fk), ("perceptron", pc_),
+                          ("linkpred", lp)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3262,6 +3286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ct_langid": _q_ct_langid,
         "hapax_ratio": _q_hapax_ratio,
         "segment_coverage": _q_segment_coverage,
+        "perceptron_train": _q_perceptron_train,
+        "link_predict": _q_link_predict,
         "forecast_eval": _q_forecast_eval,
         "fk_discovery": _q_fk_discovery,
         "media_dhash": _q_media_dhash,
@@ -3579,7 +3605,14 @@ def oracle_sql() -> dict[str, str]:
                 fromlist=["x"]).fk_discovery_sql(),
              ("child", "parent"),
              ("ndv_child", "ndv_parent", "n_contained",
-              "containment_ppm"))]) +
+              "containment_ppm")),
+            ("perceptron", __import__(
+                "rayse.ops.perceptron",
+                fromlist=["x"]).perceptron_train_sql(),
+             ("d",), ("w",)),
+            ("linkpred", __import__(
+                "rayse.ops.graph", fromlist=["x"]).link_predict_sql(),
+             ("v_a", "v_b"), ("common",))]) +
         "\nUNION ALL\n"
         "SELECT 'joincard' AS variant, metric AS k1, '' AS k2, "
         "'v' AS metric, v\nFROM (\n" + __import__(
@@ -4330,6 +4363,11 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
         "segment_coverage": __import__(
             "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
+        "perceptron_train": __import__(
+            "rayse.ops.perceptron",
+            fromlist=["x"]).perceptron_train_sql(),
+        "link_predict": __import__(
+            "rayse.ops.graph", fromlist=["x"]).link_predict_sql(),
         "forecast_eval": __import__(
             "rayse.ops.bursts", fromlist=["x"]).forecast_eval_sql(),
         "fk_discovery": __import__(

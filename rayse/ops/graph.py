@@ -1064,3 +1064,138 @@ SELECT metric, CAST(v AS BIGINT) AS v FROM (
   UNION ALL SELECT 'removed', removed FROM s
   UNION ALL SELECT 'stable', stable FROM s)
 ORDER BY metric"""
+
+
+LINKPRED_K = 20
+
+
+def link_predict(sf_dir: str, k: int = LINKPRED_K) -> pa.Table:
+    """(v_a, v_b, common): top-``k`` common-neighbor link predictions —
+    the non-adjacent vertex pairs sharing the most neighbors in the
+    UNDIRECTED derived graph, the classic link-prediction baseline
+    (Liben-Nowell & Kleinberg 2003). The missing-edge counterpart of
+    `rayse/ops/triangles.py` (which counts the closed wedges; this
+    ranks the open ones).
+
+    Distributed shape: the undirected distinct adjacency comes from one
+    (lo, hi) groupby fold; wedge enumeration is the big⋈big self-join
+    of the adjacency with itself ON the middle vertex through the
+    co-partitioned file exchange (`exchange.hash_join` — no broadcast
+    of either side); per-pair counts fold in one groupby; adjacency
+    masking uses the broadcast distinct-edge set (edge-count-bounded,
+    the documented demo-graph bound — at open-web scale this mask
+    becomes one more exchange join); per-batch partial top-k caps what
+    reaches the driver at k rows per batch. Ties break (count DESC,
+    v_a, v_b). DuckDB hash-matched."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "props"])
+
+    def und_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dst = _props_k(batch["props"]) % DEMO_VERTEX_SPACE
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        m = lo != hi
+        uk = np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+        return pa.table({"lo": pa.array(uk[:, 0], pa.int64()),
+                         "hi": pa.array(uk[:, 1], pa.int64())})
+
+    edges = (ds.map_batches(und_edges, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["lo", "hi"]).count()
+             .map_batches(lambda b: b.select(["lo", "hi"]),
+                          batch_format="pyarrow"))
+
+    # adjacency (v, n): both directions of each distinct edge
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": pa.array(np.concatenate([lo, hi]), pa.int64()),
+            "n": pa.array(np.concatenate([hi, lo]), pa.int64())})
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow")
+    adj2 = adj.map_batches(
+        lambda b: b.rename_columns(["v2", "n2"]),
+        batch_format="pyarrow")
+
+    # broadcast the distinct-edge mask (demo-graph bound; see docstring)
+    edge_tbl = pa.concat_tables(
+        [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    emask = set(zip(edge_tbl["lo"].to_pylist(),
+                    edge_tbl["hi"].to_pylist()))
+    mask_ref = ray.put(emask)
+
+    from .exchange import hash_join
+
+    wedges = hash_join(adj, adj2, "n", "n2")
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        a = batch["v"].to_numpy(zero_copy_only=False)
+        b = batch["v2"].to_numpy(zero_copy_only=False)
+        m = a < b
+        key = a[m] * (2 ** 32) + b[m]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uk, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counts = (wedges.map_batches(pair_partial, batch_format="pyarrow")
+              .groupby("key").sum("c"))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        ms = ray.get(mask_ref)
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        c = batch["sum(c)"].to_numpy(zero_copy_only=False)
+        va, vb = key // (2 ** 32), key % (2 ** 32)
+        keep = np.fromiter(((int(x), int(y)) not in ms
+                            for x, y in zip(va, vb)), bool, va.size)
+        va, vb, c = va[keep], vb[keep], c[keep]
+        order = np.lexsort((vb, va, -c))[:k]
+        return pa.table({"v_a": pa.array(va[order], pa.int64()),
+                         "v_b": pa.array(vb[order], pa.int64()),
+                         "common": pa.array(c[order], pa.int64())})
+
+    parts = pa.concat_tables(
+        [t for t in ray.get(counts.map_batches(
+            topk_partial, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows], promote_options="default")
+    va = parts["v_a"].to_numpy(zero_copy_only=False)
+    vb = parts["v_b"].to_numpy(zero_copy_only=False)
+    c = parts["common"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vb, va, -c))[:k]
+    return pa.table({"v_a": pa.array(va[order], pa.int64()),
+                     "v_b": pa.array(vb[order], pa.int64()),
+                     "common": pa.array(c[order], pa.int64())})
+
+
+def link_predict_sql(k: int = LINKPRED_K,
+                     vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    return f"""
+WITH e0 AS (
+  SELECT least(user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT)
+                 % {vertex_space}) AS lo,
+         greatest(user_id,
+                  CAST(json_extract(props, '$.k') AS BIGINT)
+                    % {vertex_space}) AS hi
+  FROM events),
+e AS (SELECT DISTINCT lo, hi FROM e0 WHERE lo <> hi),
+adj AS (SELECT lo AS v, hi AS n FROM e
+        UNION ALL SELECT hi, lo FROM e),
+cn AS (
+  SELECT a.v AS v_a, b.v AS v_b, count(*) AS common
+  FROM adj a JOIN adj b ON a.n = b.n AND a.v < b.v
+  GROUP BY 1, 2),
+open_pairs AS (
+  SELECT cn.v_a, cn.v_b, cn.common
+  FROM cn LEFT JOIN e ON e.lo = cn.v_a AND e.hi = cn.v_b
+  WHERE e.lo IS NULL)
+SELECT v_a, v_b, CAST(common AS BIGINT) AS common
+FROM open_pairs
+ORDER BY common DESC, v_a, v_b
+LIMIT {k}"""
