@@ -1656,6 +1656,8 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
         ("lpa", _as_table(_q_lpa_communities(sf_dir)).rename_columns(
             ["vertex", "rank_fp"])),
         ("bfs", _as_table(_q_bfs_hops(sf_dir)).rename_columns(
+            ["vertex", "rank_fp"])),
+        ("bellman", _as_table(_q_bellman_ford(sf_dir)).rename_columns(
             ["vertex", "rank_fp"]))])
 
 
@@ -2698,6 +2700,27 @@ def _q_hapax_ratio(sf_dir: str) -> pa.Table:
     return hapax_ratio(sf_dir)
 
 
+def _q_bellman_ford(sf_dir: str) -> pa.Table:
+    """(vertex, dist): weighted SSSP after 6 Bellman-Ford min-plus
+    rounds (broadcast distance vector, per-batch relax partials, one
+    groupby-min per round) — DuckDB hash-matched against the unrolled
+    min-plus oracle. Also a pagerank_fixed_suite arm in the driver
+    window."""
+    from rayse.ops.graph import bellman_ford
+
+    return bellman_ford(sf_dir)
+
+
+def _q_l_diversity(sf_dir: str) -> pa.Table:
+    """(hour, n_groups, n_undiverse, rows_at_risk): l-diversity privacy
+    audit (distinct sensitive values per QI group) — two domain-bounded
+    composite groupbys — DuckDB hash-matched. Also a relational_suite
+    arm in the driver window."""
+    from rayse.ops.datachecks import l_diversity
+
+    return l_diversity(sf_dir)
+
+
 def _q_perceptron_train(sf_dir: str) -> pa.Table:
     """(d, w): batch-perceptron weights after 2 epochs (bias at d=-1,
     final miscount at d=-2) — per-epoch broadcast weights + streaming
@@ -3040,6 +3063,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                 "containment_ppm"])
     pc_ = _melt(_q_perceptron_train(sf_dir), ["d"], ["w"])
     lp = _melt(_q_link_predict(sf_dir), ["v_a", "v_b"], ["common"])
+    ld = _melt(_q_l_diversity(sf_dir), ["hour"],
+               ["n_groups", "n_undiverse", "rows_at_risk"])
     ec = _as_table(_q_edge_churn(sf_dir))
     ec = pa.table({
         "k1": ec["metric"],
@@ -3063,7 +3088,7 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("zonemap", zm), ("ckdiff", cd),
                           ("churn", ec), ("forecast", fe),
                           ("fk", fk), ("perceptron", pc_),
-                          ("linkpred", lp)])
+                          ("linkpred", lp), ("ldiv", ld)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3286,6 +3311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ct_langid": _q_ct_langid,
         "hapax_ratio": _q_hapax_ratio,
         "segment_coverage": _q_segment_coverage,
+        "bellman_ford": _q_bellman_ford,
+        "l_diversity": _q_l_diversity,
         "perceptron_train": _q_perceptron_train,
         "link_predict": _q_link_predict,
         "forecast_eval": _q_forecast_eval,
@@ -3612,7 +3639,12 @@ def oracle_sql() -> dict[str, str]:
              ("d",), ("w",)),
             ("linkpred", __import__(
                 "rayse.ops.graph", fromlist=["x"]).link_predict_sql(),
-             ("v_a", "v_b"), ("common",))]) +
+             ("v_a", "v_b"), ("common",)),
+            ("ldiv", __import__(
+                "rayse.ops.datachecks",
+                fromlist=["x"]).l_diversity_sql(),
+             ("hour",),
+             ("n_groups", "n_undiverse", "rows_at_risk"))]) +
         "\nUNION ALL\n"
         "SELECT 'joincard' AS variant, metric AS k1, '' AS k2, "
         "'v' AS metric, v\nFROM (\n" + __import__(
@@ -4363,6 +4395,10 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
         "segment_coverage": __import__(
             "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
+        "bellman_ford": __import__(
+            "rayse.ops.graph", fromlist=["x"]).bellman_ford_sql(),
+        "l_diversity": __import__(
+            "rayse.ops.datachecks", fromlist=["x"]).l_diversity_sql(),
         "perceptron_train": __import__(
             "rayse.ops.perceptron",
             fromlist=["x"]).perceptron_train_sql(),
@@ -4455,7 +4491,9 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.lpa",
                 fromlist=["x"]).lpa_communities_sql(iters=2)),
             ("bfs", "vertex, hop AS rank_fp", __import__(
-                "rayse.ops.graph", fromlist=["x"]).bfs_hops_sql())]),
+                "rayse.ops.graph", fromlist=["x"]).bfs_hops_sql()),
+            ("bellman", "vertex, dist AS rank_fp", __import__(
+                "rayse.ops.graph", fromlist=["x"]).bellman_ford_sql())]),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS qe FROM embeddings

@@ -300,3 +300,83 @@ SELECT event_type,
        CAST(sum(CASE WHEN sz < {k} THEN sz ELSE 0 END) AS BIGINT)
          AS rows_at_risk
 FROM g GROUP BY event_type ORDER BY event_type"""
+
+
+L_DIV = 3
+
+
+def l_diversity(sf_dir: str, ell: int = L_DIV) -> pa.Table:
+    """(hour, n_groups, n_undiverse, rows_at_risk): l-diversity audit —
+    the companion privacy gate to ``k_anonymity``: a QI group is unsafe
+    not just when it is SMALL but when its SENSITIVE attribute barely
+    varies (everyone in the group shares one event_type, so membership
+    reveals behaviour). QI = (hour-of-day, $50 value bucket); sensitive
+    = event_type; a group fails if it holds fewer than ``ell`` distinct
+    sensitive values. Reported per hour so the daily privacy profile is
+    visible.
+
+    Distributed shape: distinct (QI, sensitive) triples and QI group
+    sizes come from ONE composite groupby each (domain-bounded like
+    ``k_anonymity``); the per-hour rollup folds the bounded group
+    table. DuckDB hash-matched."""
+    import ray.data as rd
+
+    from .relational import _cents
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def qi(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hour = ((ts.astype("datetime64[us]").astype(np.int64)
+                 // 3_600_000_000) % 24).astype(np.int64)
+        bucket = _cents(batch["value"].to_numpy(
+            zero_copy_only=False)) // QI_VALUE_BUCKET
+        return pa.table({"hour": pa.array(hour, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64()),
+                         "event_type": batch["event_type"]})
+
+    trip = ds.map_batches(qi, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    sizes = trip.groupby(["hour", "bucket"]).count().take_all()
+    divers = (trip.groupby(["hour", "bucket", "event_type"]).count()
+              .map_batches(lambda b: b.select(["hour", "bucket"]),
+                           batch_format="pyarrow")
+              .groupby(["hour", "bucket"]).count().take_all())
+    ndist = {(int(r["hour"]), int(r["bucket"])): int(r["count()"])
+             for r in divers}
+    per_hour: dict[int, list[tuple[int, int]]] = {}
+    for r in sizes:
+        h, b = int(r["hour"]), int(r["bucket"])
+        per_hour.setdefault(h, []).append((int(r["count()"]),
+                                           ndist[(h, b)]))
+    hours = sorted(per_hour)
+    return pa.table({
+        "hour": pa.array(hours, pa.int64()),
+        "n_groups": pa.array([len(per_hour[h]) for h in hours],
+                             pa.int64()),
+        "n_undiverse": pa.array(
+            [sum(1 for _, d in per_hour[h] if d < ell) for h in hours],
+            pa.int64()),
+        "rows_at_risk": pa.array(
+            [sum(s for s, d in per_hour[h] if d < ell) for h in hours],
+            pa.int64()),
+    })
+
+
+def l_diversity_sql(ell: int = L_DIV) -> str:
+    return f"""
+WITH g AS (
+  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(round(value * 100) AS BIGINT) // {QI_VALUE_BUCKET}
+           AS bucket,
+         count(*) AS sz,
+         count(DISTINCT event_type) AS ndist
+  FROM events GROUP BY 1, 2)
+SELECT hour,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN ndist < {ell} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_undiverse,
+       CAST(sum(CASE WHEN ndist < {ell} THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_at_risk
+FROM g GROUP BY hour ORDER BY hour"""

@@ -1199,3 +1199,104 @@ SELECT v_a, v_b, CAST(common AS BIGINT) AS common
 FROM open_pairs
 ORDER BY common DESC, v_a, v_b
 LIMIT {k}"""
+
+
+BF_ROUNDS = 6
+
+
+def bellman_ford(sf_dir: str, rounds: int = BF_ROUNDS) -> pa.Table:
+    """(vertex, dist): weighted single-source shortest paths after
+    ``rounds`` Bellman-Ford relaxations — the MIN-PLUS semiring
+    companion to ``pagerank_fixed`` (sum-product) and ``bfs_hops``
+    (reachability): per round every edge relaxes against the frozen
+    distance vector and a vertex keeps the MINIMUM candidate. Min is
+    order-independent, so rounds mirror exactly into SQL. Edge weight
+    = 1 + (k mod 5) derived deterministically alongside the demo edge;
+    seed = min src vertex; unreached vertices are absent (infinite
+    distance), exactly like the oracle's join semantics.
+
+    Distributed shape per round: broadcast the (vertex, dist) vector
+    (ray.put once), stream edges with per-batch (dst, min candidate)
+    partials, one groupby-min, driver applies element-wise min. Driver
+    state is vertex-bounded (the documented demo bound; the
+    ``pagerank_fixed_sharded`` exchange realization lifts it).
+    Distances <= rounds * 6 — int64 trivially; DuckDB hash-matched
+    against the unrolled min-plus oracle."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "props"])
+
+    def wedges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ks = _props_k(batch["props"])
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(ks % DEMO_VERTEX_SPACE, pa.int64()),
+            "w": pa.array(1 + (ks % 5), pa.int64())})
+
+    edges = ds.map_batches(wedges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    seed = int(edges.min("src"))
+
+    dist: dict[int, int] = {seed: 0}
+    for _ in range(rounds):
+        items = sorted(dist.items())
+        ref = ray.put((np.array([k for k, _ in items], np.int64),
+                       np.array([v for _, v in items], np.int64)))
+
+        def relax(batch: pa.Table) -> pa.Table:
+            vs, dv = ray.get(ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(vs, src)
+            idx_c = np.minimum(idx, vs.size - 1)
+            hit = vs[idx_c] == src
+            cand = dv[idx_c[hit]] + batch["w"].to_numpy(
+                zero_copy_only=False)[hit]
+            dst = batch["dst"].to_numpy(zero_copy_only=False)[hit]
+            order = np.argsort(dst, kind="stable")
+            dst, cand = dst[order], cand[order]
+            uk, starts = np.unique(dst, return_index=True)
+            return pa.table({
+                "v": pa.array(uk, pa.int64()),
+                "c": pa.array(np.minimum.reduceat(cand, starts),
+                              pa.int64())})
+
+        agg = (edges.map_batches(relax, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .groupby("v").min("c").take_all())
+        for r in agg:
+            v, c = int(r["v"]), int(r["min(c)"])
+            if v not in dist or c < dist[v]:
+                dist[v] = c
+
+    vs = sorted(dist)
+    return pa.table({"vertex": pa.array(vs, pa.int64()),
+                     "dist": pa.array([dist[v] for v in vs], pa.int64())})
+
+
+def bellman_ford_sql(rounds: int = BF_ROUNDS,
+                     vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    """Oracle: unrolled min-plus rounds (d_{i+1} = min(d_i, min over
+    in-edges of d_i[src] + w))."""
+    ctes = [f"""edges AS MATERIALIZED (
+  SELECT user_id AS src,
+         CAST(json_extract(props, '$.k') AS BIGINT)
+           % {vertex_space} AS dst,
+         1 + CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS w
+  FROM events),
+d0 AS (SELECT min(src) AS v, CAST(0 AS BIGINT) AS d FROM edges)"""]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+  SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM {prev}
+    UNION ALL
+    SELECT e.dst AS v, p.d + e.w AS d
+    FROM edges e JOIN {prev} p ON p.v = e.src)
+  GROUP BY v)""")
+        prev = f"d{i}"
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT v AS vertex, d AS dist FROM {prev} ORDER BY vertex")
