@@ -167,6 +167,28 @@ def cmd_diagnose(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Governance audit over a testdata-style dir: Deequ-style
+    constraint checks, k-anonymity / l-diversity privacy gates, or
+    partition content checksums — one JSON-line table to stdout."""
+    _ray_init()
+    if args.kind == "checks":
+        from .ops.datachecks import data_checks
+        t = data_checks(args.input)
+    elif args.kind == "kanon":
+        from .ops.datachecks import k_anonymity
+        t = k_anonymity(args.input, k=args.k)
+    elif args.kind == "ldiv":
+        from .ops.datachecks import l_diversity
+        t = l_diversity(args.input, ell=args.k)
+    else:
+        from .ops.integrity import dataset_checksum
+        t = dataset_checksum(args.input)
+    for row in t.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near-duplicate keep-set over a documents table dir."""
     from .ops.dedup import near_dedup_keep
@@ -353,6 +375,18 @@ def main(argv=None) -> int:
                     choices=["skew", "bursts", "seasonality", "dup",
                              "hapax"])
     dg.set_defaults(fn=cmd_diagnose)
+
+    au = sub.add_parser(
+        "audit",
+        help="governance: constraint checks, k-anonymity, l-diversity, "
+             "content checksums")
+    au.add_argument("--input", required=True,
+                    help="testdata-style dir with parquet tables")
+    au.add_argument("--kind", default="checks",
+                    choices=["checks", "kanon", "ldiv", "checksum"])
+    au.add_argument("--k", type=int, default=5,
+                    help="k for kanon / l for ldiv")
+    au.set_defaults(fn=cmd_audit)
 
     dd = sub.add_parser("dedup",
                         help="near-duplicate removal keep-set over a "

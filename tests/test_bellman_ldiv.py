@@ -69,3 +69,17 @@ def test_ldiv_monotone_in_ell(ray_session):
     t5 = l_diversity(SF, ell=5).to_pandas().set_index("hour")
     assert (t5["n_undiverse"] >= t2["n_undiverse"]).all()
     assert (t5["rows_at_risk"] >= t2["rows_at_risk"]).all()
+
+
+def test_cli_audit(ray_session, capsys):
+    """The audit subcommand prints one JSON row per output row for
+    every kind."""
+    import json as js
+
+    from rayse.cli import main
+
+    for kind in ("checks", "kanon", "ldiv", "checksum"):
+        rc = main(["audit", "--input", SF, "--kind", kind])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert out and all(js.loads(line) is not None for line in out)
