@@ -2700,6 +2700,17 @@ def _q_hapax_ratio(sf_dir: str) -> pa.Table:
     return hapax_ratio(sf_dir)
 
 
+def _q_phrase_selectivity(sf_dir: str) -> pa.Table:
+    """(phrase, n_docs, est_docs, actual_docs): term-independence
+    phrase-selectivity estimate (exact integer (prod df) // N^(m-1)
+    from the index's own dictionary) vs the true positional match
+    count — the IR-planner cell — DuckDB hash-matched. Also a
+    relational_suite arm in the driver window."""
+    from rayse.ops.porter_oracle import porter_phrase_selectivity
+
+    return porter_phrase_selectivity(_index_for(sf_dir))
+
+
 def _q_bellman_ford(sf_dir: str) -> pa.Table:
     """(vertex, dist): weighted SSSP after 6 Bellman-Ford min-plus
     rounds (broadcast distance vector, per-batch relax partials, one
@@ -3065,6 +3076,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
     lp = _melt(_q_link_predict(sf_dir), ["v_a", "v_b"], ["common"])
     ld = _melt(_q_l_diversity(sf_dir), ["hour"],
                ["n_groups", "n_undiverse", "rows_at_risk"])
+    ps = _melt(_q_phrase_selectivity(sf_dir), ["phrase"],
+               ["n_docs", "est_docs", "actual_docs"])
     ec = _as_table(_q_edge_churn(sf_dir))
     ec = pa.table({
         "k1": ec["metric"],
@@ -3088,7 +3101,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("zonemap", zm), ("ckdiff", cd),
                           ("churn", ec), ("forecast", fe),
                           ("fk", fk), ("perceptron", pc_),
-                          ("linkpred", lp), ("ldiv", ld)])
+                          ("linkpred", lp), ("ldiv", ld),
+                          ("phrasesel", ps)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3311,6 +3325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ct_langid": _q_ct_langid,
         "hapax_ratio": _q_hapax_ratio,
         "segment_coverage": _q_segment_coverage,
+        "phrase_selectivity": _q_phrase_selectivity,
         "bellman_ford": _q_bellman_ford,
         "l_diversity": _q_l_diversity,
         "perceptron_train": _q_perceptron_train,
@@ -3644,7 +3659,12 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.datachecks",
                 fromlist=["x"]).l_diversity_sql(),
              ("hour",),
-             ("n_groups", "n_undiverse", "rows_at_risk"))]) +
+             ("n_groups", "n_undiverse", "rows_at_risk")),
+            ("phrasesel", __import__(
+                "rayse.ops.porter_oracle",
+                fromlist=["x"]).porter_phrase_selectivity_sql(),
+             ("phrase",),
+             ("n_docs", "est_docs", "actual_docs"))]) +
         "\nUNION ALL\n"
         "SELECT 'joincard' AS variant, metric AS k1, '' AS k2, "
         "'v' AS metric, v\nFROM (\n" + __import__(
@@ -4395,6 +4415,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
         "segment_coverage": __import__(
             "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
+        "phrase_selectivity": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_phrase_selectivity_sql(),
         "bellman_ford": __import__(
             "rayse.ops.graph", fromlist=["x"]).bellman_ford_sql(),
         "l_diversity": __import__(

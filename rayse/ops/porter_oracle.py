@@ -3603,3 +3603,79 @@ ranked AS (
   FROM quant)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Phrase selectivity estimation (planner statistics for positional queries)
+# ---------------------------------------------------------------------------
+
+def porter_phrase_selectivity(index_dir: str,
+                              phrases: list[str] | None = None
+                              ) -> pa.Table:
+    """(phrase, n_docs, est_docs, actual_docs): the optimizer cell for
+    positional queries — the term-independence estimate of how many
+    turns contain all of a phrase's terms,
+
+        est = (prod df_i) // N^(m-1)      (exact integer floor),
+
+    next to the TRUE positional match count from the J6 phrase engine.
+    The gap between them is what makes phrase planning hard (terms
+    co-occur far above independence inside technical phrases); a cost
+    model that trusts ``est`` under-budgets the position verification.
+    Everything reads the index's own term statistics (df from the
+    merged dictionary — no corpus pass) except the actual, which is the
+    production ``phrase_match`` path. DuckDB hash-matched."""
+    from ..query.engine import _PosCache, phrase_match
+
+    phrases = phrases if phrases is not None else PORTER_PHRASES
+    reader, _ = _porter_reader(index_dir)
+    n = int(reader.n_docs)
+    cache = _PosCache()
+    out = []
+    for p in sorted(phrases):
+        terms = _analyzed_seq(p)
+        dfs = []
+        for t in terms:
+            pl = reader.merged(t)
+            dfs.append(int(pl.doc_ids.size) if pl is not None else 0)
+        est = 1
+        for d in dfs:
+            est *= d
+        est //= n ** (len(terms) - 1) if len(terms) > 1 else 1
+        actual = int(phrase_match(reader, terms, cache).size)
+        out.append((p, n, est, actual))
+    return pa.table({
+        "phrase": pa.array([r[0] for r in out], pa.string()),
+        "n_docs": pa.array([r[1] for r in out], pa.int64()),
+        "est_docs": pa.array([r[2] for r in out], pa.int64()),
+        "actual_docs": pa.array([r[3] for r in out], pa.int64()),
+    })
+
+
+def porter_phrase_selectivity_sql(phrases: list[str] | None = None) -> str:
+    """Oracle: df from the analysis CTEs, HUGEINT product estimate,
+    actual from the padded-substring phrase test."""
+    phrases = phrases if phrases is not None else PORTER_PHRASES
+    arms = []
+    for p in sorted(phrases):
+        terms = _analyzed_seq(p)
+        prod = " * ".join(
+            f"(SELECT CAST(coalesce(max(df), 0) AS HUGEINT) FROM df "
+            f"WHERE term = '{t}')" for t in terms)
+        # repeated multiplication, not ** (DuckDB's ** returns DOUBLE)
+        denom = (" * ".join(
+            ["(SELECT CAST(count(*) AS HUGEINT) FROM turns)"]
+            * (len(terms) - 1)) if len(terms) > 1 else "1")
+        stemmed = " ".join(terms)
+        arms.append(f"""
+SELECT '{p}' AS phrase,
+       (SELECT CAST(count(*) AS BIGINT) FROM turns) AS n_docs,
+       CAST(({prod}) // ({denom}) AS BIGINT) AS est_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM ftext
+        WHERE contains(' ' || ft || ' ', ' {stemmed} ')) AS actual_docs""")
+    return f"""{_analysis_ctes()},
+ftext AS (
+  SELECT conv_id, turn_idx,
+         string_agg(term, ' ' ORDER BY rawpos) AS ft
+  FROM ptok GROUP BY 1, 2)
+SELECT * FROM ({" UNION ALL ".join(arms)}) ORDER BY phrase"""

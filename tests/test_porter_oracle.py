@@ -868,3 +868,18 @@ def test_porter_prf_matches_duckdb(porter_index, con):
     got = porter_prf_topk(porter_index)
     want = con.execute(porter_prf_sql()).fetchdf()
     _cmp(got, want, ["query", "rank"])
+
+
+def test_phrase_selectivity_matches_duckdb(porter_index, con):
+    """Planner stats: term-independence estimate vs true positional
+    count, both bit-exact against the composed oracle."""
+    from rayse.ops.porter_oracle import (porter_phrase_selectivity,
+                                         porter_phrase_selectivity_sql)
+
+    got = porter_phrase_selectivity(porter_index).to_pandas()
+    want = con.execute(porter_phrase_selectivity_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want[list(got.columns)].astype(
+            got.dtypes.to_dict()).reset_index(drop=True))
+    assert (got["actual_docs"] <= got["n_docs"]).all()
