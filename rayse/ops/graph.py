@@ -1086,7 +1086,15 @@ def link_predict(sf_dir: str, k: int = LINKPRED_K) -> pa.Table:
     the documented demo-graph bound — at open-web scale this mask
     becomes one more exchange join); per-batch partial top-k caps what
     reaches the driver at k rows per batch. Ties break (count DESC,
-    v_a, v_b). DuckDB hash-matched."""
+    v_a, v_b). DuckDB hash-matched.
+
+    Scale bound to know: wedge volume is sum over middle vertices of
+    deg(v)^2 — a hub explodes its partition (the inherent cost of
+    EXACT common-neighbor counts). The standard web-scale mitigations
+    (cap per-vertex adjacency at a high-percentile degree, or iterate
+    hubs separately through a salted second exchange) trade exactness
+    the oracle contract here refuses; this op keeps exact semantics
+    and documents the bound."""
     import ray
     import ray.data as rd
 

@@ -65,3 +65,47 @@ def test_reciprocity_invariant(ray_session, monkeypatch):
     monkeypatch.setattr(ex, "default_parts", lambda: 3)
     got = _frame(edge_reciprocity(SF))
     pd.testing.assert_frame_equal(base, got)
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_q4_semijoin_invariant(ray_session, n_parts, monkeypatch):
+    import rayse.ops.exchange as ex
+    from rayse.ops.tpch import order_priority_check
+
+    base = _frame(order_priority_check(SF))
+    monkeypatch.setattr(ex, "default_parts", lambda: n_parts)
+    got = _frame(order_priority_check(SF))
+    pd.testing.assert_frame_equal(base, got)
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_fk_discovery_invariant(ray_session, n_parts, monkeypatch):
+    import rayse.ops.exchange as ex
+    from rayse.ops.fkdiscover import fk_discovery
+
+    base = _frame(fk_discovery(SF))
+    monkeypatch.setattr(ex, "default_parts", lambda: n_parts)
+    got = _frame(fk_discovery(SF))
+    pd.testing.assert_frame_equal(base, got)
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_link_predict_invariant(ray_session, n_parts, monkeypatch):
+    import rayse.ops.exchange as ex
+    from rayse.ops.graph import link_predict
+
+    base = _frame(link_predict(SF))
+    monkeypatch.setattr(ex, "default_parts", lambda: n_parts)
+    got = _frame(link_predict(SF))
+    pd.testing.assert_frame_equal(base, got)
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_join_cardinality_invariant(ray_session, n_parts, monkeypatch):
+    import rayse.ops.exchange as ex
+    from rayse.ops.planstats import join_cardinality
+
+    base = _frame(join_cardinality(SF))
+    monkeypatch.setattr(ex, "default_parts", lambda: n_parts)
+    got = _frame(join_cardinality(SF))
+    pd.testing.assert_frame_equal(base, got)
