@@ -102,3 +102,38 @@ def test_zonemap_matches_duckdb(ray_session, con):
     assert m["rows_scanned"] <= m["rows_total"]
     assert m["rows_matching"] <= m["rows_scanned"]
     assert m["n_pruned"] <= m["n_blocks"]
+
+
+def test_checksum_incremental_update(ray_session):
+    """The XOR fold makes digests incrementally maintainable: replacing
+    a document updates its partition digest as
+    old ^ h(old_row) ^ h(new_row) — no rescan of the partition."""
+    import pyarrow as pa
+
+    from rayse.ops.integrity import _content_hash
+
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma delta", "epsilon"],
+                         pa.string())})
+    pid, h = _content_hash(rows)
+    assert len(set(pid)) >= 1
+    # full digest of the version where doc 2 changes
+    rows2 = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma CHANGED", "epsilon"],
+                         pa.string())})
+    pid2, h2 = _content_hash(rows2)
+    assert (pid == pid2).all()        # partition is content-ADDRESSED by id
+    full = {}
+    for p, v in zip(pid2, h2):
+        full[p] = full.get(p, 0) ^ int(v)
+    # incremental: start from version-1 digests, xor out old row 2,
+    # xor in new row 2
+    inc = {}
+    for p, v in zip(pid, h):
+        inc[p] = inc.get(p, 0) ^ int(v)
+    p2 = int(pid[1])
+    inc[p2] ^= int(h[1])
+    inc[p2] ^= int(h2[1])
+    assert inc == full
