@@ -2700,6 +2700,18 @@ def _q_hapax_ratio(sf_dir: str) -> pa.Table:
     return hapax_ratio(sf_dir)
 
 
+def _q_layout_compare(sf_dir: str) -> pa.Table:
+    """(layout, n_blocks, blocks_scanned, rows_scanned, rows_matching):
+    zone-map scan cost of a user predicate under the natural layout vs
+    the Morton (z-order) layout — the payoff measurement for
+    zorder_rank, shared block-fold machinery with zonemap_prune —
+    DuckDB hash-matched. Also a relational_suite arm in the driver
+    window."""
+    from rayse.ops.zorder import layout_compare
+
+    return layout_compare(sf_dir)
+
+
 def _q_phrase_selectivity(sf_dir: str) -> pa.Table:
     """(phrase, n_docs, est_docs, actual_docs): term-independence
     phrase-selectivity estimate (exact integer (prod df) // N^(m-1)
@@ -3078,6 +3090,9 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                ["n_groups", "n_undiverse", "rows_at_risk"])
     ps = _melt(_q_phrase_selectivity(sf_dir), ["phrase"],
                ["n_docs", "est_docs", "actual_docs"])
+    lc = _melt(_q_layout_compare(sf_dir), ["layout"],
+               ["n_blocks", "blocks_scanned", "rows_scanned",
+                "rows_matching"])
     ec = _as_table(_q_edge_churn(sf_dir))
     ec = pa.table({
         "k1": ec["metric"],
@@ -3102,7 +3117,7 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("churn", ec), ("forecast", fe),
                           ("fk", fk), ("perceptron", pc_),
                           ("linkpred", lp), ("ldiv", ld),
-                          ("phrasesel", ps)])
+                          ("phrasesel", ps), ("layout", lc)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3325,6 +3340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ct_langid": _q_ct_langid,
         "hapax_ratio": _q_hapax_ratio,
         "segment_coverage": _q_segment_coverage,
+        "layout_compare": _q_layout_compare,
         "phrase_selectivity": _q_phrase_selectivity,
         "bellman_ford": _q_bellman_ford,
         "l_diversity": _q_l_diversity,
@@ -3664,7 +3680,13 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.porter_oracle",
                 fromlist=["x"]).porter_phrase_selectivity_sql(),
              ("phrase",),
-             ("n_docs", "est_docs", "actual_docs"))]) +
+             ("n_docs", "est_docs", "actual_docs")),
+            ("layout", __import__(
+                "rayse.ops.zorder",
+                fromlist=["x"]).layout_compare_sql(),
+             ("layout",),
+             ("n_blocks", "blocks_scanned", "rows_scanned",
+              "rows_matching"))]) +
         "\nUNION ALL\n"
         "SELECT 'joincard' AS variant, metric AS k1, '' AS k2, "
         "'v' AS metric, v\nFROM (\n" + __import__(
@@ -4415,6 +4437,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.vocabgrowth", fromlist=["x"]).HAPAX_RATIO_SQL,
         "segment_coverage": __import__(
             "rayse.ops.tpch", fromlist=["x"]).SEGMENT_COVERAGE_SQL,
+        "layout_compare": __import__(
+            "rayse.ops.zorder", fromlist=["x"]).layout_compare_sql(),
         "phrase_selectivity": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_phrase_selectivity_sql(),

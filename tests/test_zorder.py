@@ -54,3 +54,30 @@ def test_zorder_rank_matches_duckdb(ray_session):
     # a permutation: every rank 1..n exactly once
     n = len(got)
     assert sorted(got["rank"].tolist()) == list(range(1, n + 1))
+
+
+def test_layout_compare_matches_duckdb(ray_session):
+    """Zone-map scan cost under natural vs z-order layouts — bit-exact
+    vs the oracle, plus the scan-conservation invariants."""
+    import duckdb
+    import pandas as pd
+
+    from rayse.ops.zorder import layout_compare, layout_compare_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = layout_compare(sf).to_pandas()
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{sf}/events.parquet')")
+    want = c.execute(layout_compare_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want[list(got.columns)].astype(
+            got.dtypes.to_dict()).reset_index(drop=True))
+    m = got.set_index("layout")
+    # both layouts hold the same corpus and the same matches
+    assert m.loc["natural", "n_blocks"] == m.loc["zorder", "n_blocks"]
+    assert (m.loc["natural", "rows_matching"]
+            == m.loc["zorder", "rows_matching"])
+    # a scan can never touch fewer rows than actually match
+    assert (m["rows_scanned"] >= m["rows_matching"]).all()
