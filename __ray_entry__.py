@@ -1542,6 +1542,48 @@ def _q_returned_items(sf_dir: str) -> pa.Table:
     return returned_items(sf_dir)
 
 
+def _q_forecast_revenue(sf_dir: str) -> pa.Table:
+    """Q6-analog forecast revenue: the pure scan-filter-aggregate
+    member (no join) — per-block masked partials collapse the whole
+    read to one int64 each; integer-percent discount band so the edges
+    cannot float-flip — DuckDB hash-matched. Also a relational_suite
+    arm in the driver window."""
+    from rayse.ops.tpch import forecast_revenue
+
+    return forecast_revenue(sf_dir)
+
+
+def _q_promo_revenue(sf_dir: str) -> pa.Table:
+    """Q14-analog promotion effect: broadcast part dimension
+    (ray.put once, searchsorted per block), masked partial sums, and
+    an integer-ppm floor-division share of two order-independent
+    sums — DuckDB hash-matched. Also a relational_suite arm."""
+    from rayse.ops.tpch import promo_revenue
+
+    return promo_revenue(sf_dir)
+
+
+def _q_large_orders(sf_dir: str) -> pa.Table:
+    """Q18-analog large-volume customers: per-block quantity
+    pre-combine -> one high-cardinality groupby -> HAVING residue ->
+    exchange hash join with orders -> broadcast customer hydration of
+    the k winners — DuckDB hash-matched. Also a relational_suite
+    arm."""
+    from rayse.ops.tpch import large_orders
+
+    return large_orders(sf_dir)
+
+
+def _q_brand_revenue(sf_dir: str) -> pa.Table:
+    """Q19-analog OR-of-predicate-triples revenue: broadcast
+    (partkey, brand, size) dimension, three vectorized branch masks
+    per block, 3-row int64 rollup — DuckDB hash-matched. Also a
+    relational_suite arm."""
+    from rayse.ops.tpch import brand_revenue
+
+    return brand_revenue(sf_dir)
+
+
 def _q_postings_remap(sf_dir: str) -> pa.Table:
     """Doc-id reassignment planning (Silvestri 2007): per-term doc-gap
     cost under dense renumbering of the sparse FNV ids — rank offsets
@@ -3060,6 +3102,13 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                ["n_edges", "r_q"])
     q4 = _melt(_q_order_priority_check(sf_dir), ["o_orderpriority"],
                ["order_count"])
+    q6 = _melt(_q_forecast_revenue(sf_dir), ["n_items"], ["revenue"])
+    q14 = _melt(_q_promo_revenue(sf_dir), ["promo_ppm"],
+                ["promo_revenue", "total_revenue"])
+    q18 = _melt(_q_large_orders(sf_dir), ["o_orderkey", "c_name"],
+                ["totalprice_c", "sum_qty"])
+    q19 = _melt(_q_brand_revenue(sf_dir), ["branch"],
+                ["revenue", "n_items"])
     st = _melt(_q_stump_fit(sf_dir), ["threshold_cents", "predict_above"],
                ["n_correct", "n_total", "acc_ppm"])
     ka = _melt(_q_k_anonymity(sf_dir), ["event_type"],
@@ -3117,7 +3166,9 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("churn", ec), ("forecast", fe),
                           ("fk", fk), ("perceptron", pc_),
                           ("linkpred", lp), ("ldiv", ld),
-                          ("phrasesel", ps), ("layout", lc)])
+                          ("phrasesel", ps), ("layout", lc),
+                          ("q6", q6), ("q14", q14), ("q18", q18),
+                          ("q19", q19)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3311,6 +3362,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_remap": _q_postings_remap,
         "shipping_priority": _q_shipping_priority,
         "returned_items": _q_returned_items,
+        "forecast_revenue": _q_forecast_revenue,
+        "promo_revenue": _q_promo_revenue,
+        "large_orders": _q_large_orders,
+        "brand_revenue": _q_brand_revenue,
         "interval_coverage": _q_interval_coverage,
         "pareto_frontier": _q_pareto_frontier,
         "frequent_pairs": _q_frequent_pairs,
@@ -3628,6 +3683,18 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.tpch",
                 fromlist=["x"]).order_priority_check_sql(),
              ("o_orderpriority",), ("order_count",)),
+            ("q6", __import__(
+                "rayse.ops.tpch", fromlist=["x"]).forecast_revenue_sql(),
+             ("n_items",), ("revenue",)),
+            ("q14", __import__(
+                "rayse.ops.tpch", fromlist=["x"]).promo_revenue_sql(),
+             ("promo_ppm",), ("promo_revenue", "total_revenue")),
+            ("q18", __import__(
+                "rayse.ops.tpch", fromlist=["x"]).large_orders_sql(),
+             ("o_orderkey", "c_name"), ("totalprice_c", "sum_qty")),
+            ("q19", __import__(
+                "rayse.ops.tpch", fromlist=["x"]).brand_revenue_sql(),
+             ("branch",), ("revenue", "n_items")),
             ("stump", __import__(
                 "rayse.ops.stump", fromlist=["x"]).stump_fit_sql(),
              ("threshold_cents", "predict_above"),
@@ -4373,6 +4440,14 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.tpch", fromlist=["x"]).shipping_priority_sql(),
         "returned_items": __import__(
             "rayse.ops.tpch", fromlist=["x"]).returned_items_sql(),
+        "forecast_revenue": __import__(
+            "rayse.ops.tpch", fromlist=["x"]).forecast_revenue_sql(),
+        "promo_revenue": __import__(
+            "rayse.ops.tpch", fromlist=["x"]).promo_revenue_sql(),
+        "large_orders": __import__(
+            "rayse.ops.tpch", fromlist=["x"]).large_orders_sql(),
+        "brand_revenue": __import__(
+            "rayse.ops.tpch", fromlist=["x"]).brand_revenue_sql(),
         "interval_coverage": __import__(
             "rayse.ops.intervals",
             fromlist=["x"]).INTERVAL_COVERAGE_SQL,

@@ -399,3 +399,353 @@ WHERE o_orderdate >= TIMESTAMP '{Q4_LO}'
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 analog: forecast-revenue-change — the pure scan-filter-aggregate
+# member of the family (no join at all). The entire 100-TB read
+# collapses to one int64 per block: predicate pushed to numpy masks
+# over three pruned columns, per-row 1e-4-unit quantization, then a
+# single global sum. Discounts compare in integer percent
+# (round(d*100)) on BOTH sides so the band edges cannot float-flip.
+# ---------------------------------------------------------------------------
+
+Q6_LO = "1997-01-01"
+Q6_HI = "1998-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 3, 7          # percent band, inclusive
+Q6_QTY_CAP = 24.0
+
+
+def forecast_revenue(sf_dir: str) -> pa.Table:
+    """One row (revenue, n_items): sum of extendedprice*discount over
+    the shipdate window, discount band, and quantity cap (Q6 analog)."""
+    import ray
+    import ray.data as rd
+
+    from .relational import _cents
+
+    lo, hi = _ts(Q6_LO), _ts(Q6_HI)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dt = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dpc = _cents(disc)                       # integer percent
+        m = ((dt >= lo) & (dt < hi) & (qty < Q6_QTY_CAP)
+             & (dpc >= Q6_DISC_LO) & (dpc <= Q6_DISC_HI))
+        rev = _cents(price[m] * disc[m], 10000.0)
+        return pa.table({"revenue": pa.array([int(rev.sum())], pa.int64()),
+                         "n_items": pa.array([int(m.sum())], pa.int64())})
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    return pa.table({
+        "revenue": pa.array([int(pc.sum(parts["revenue"]).as_py() or 0)],
+                            pa.int64()),
+        "n_items": pa.array([int(pc.sum(parts["n_items"]).as_py() or 0)],
+                            pa.int64()),
+    })
+
+
+def forecast_revenue_sql() -> str:
+    return f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_LO}'
+  AND l_shipdate < TIMESTAMP '{Q6_HI}'
+  AND l_quantity < {Q6_QTY_CAP!r}
+  AND CAST(round(l_discount * 100) AS INTEGER)
+      BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 analog: promotion-effect — fact ⋈ small-dim with a ratio output.
+# The part side is a bounded dimension: its (partkey -> is_promo) map is
+# ray.put ONCE and searchsorted inside every task, never reshuffled; the
+# lineitem side never leaves its blocks (per-batch masked partial sums
+# only). The promo share is an integer-ppm floor division of two
+# order-independent int64 sums, so the ratio is hash-exact.
+# ---------------------------------------------------------------------------
+
+Q14_LO = "1997-09-01"
+Q14_HI = "1997-10-01"
+Q14_PROMO_TYPE = "PROMO"
+
+
+def promo_revenue(sf_dir: str) -> pa.Table:
+    """One row (promo_revenue, total_revenue, promo_ppm) over one
+    shipdate month (Q14 analog)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    promo = pc.equal(part["p_type"], Q14_PROMO_TYPE).to_numpy(
+        zero_copy_only=False)
+    order = np.argsort(pk, kind="stable")
+    dim_ref = ray.put((pk[order], promo[order]))
+    lo, hi = _ts(Q14_LO), _ts(Q14_HI)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, is_promo = ray.get(dim_ref)
+        dt = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array((dt >= lo) & (dt < hi)))
+        lpk = sub["l_partkey"].to_numpy(zero_copy_only=False)
+        rev = _rev_q(sub["l_extendedprice"].to_numpy(zero_copy_only=False),
+                     sub["l_discount"].to_numpy(zero_copy_only=False))
+        j = np.minimum(np.searchsorted(keys, lpk), keys.size - 1)
+        hit = (keys.size > 0) & (keys[j] == lpk)
+        pm = hit & is_promo[j]
+        return pa.table({
+            "promo_revenue": pa.array([int(rev[pm].sum())], pa.int64()),
+            "total_revenue": pa.array([int(rev[hit].sum())], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    p = int(pc.sum(parts["promo_revenue"]).as_py() or 0)
+    t = int(pc.sum(parts["total_revenue"]).as_py() or 0)
+    return pa.table({
+        "promo_revenue": pa.array([p], pa.int64()),
+        "total_revenue": pa.array([t], pa.int64()),
+        "promo_ppm": pa.array([p * 1_000_000 // t if t else 0], pa.int64()),
+    })
+
+
+def promo_revenue_sql() -> str:
+    return f"""
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+              AS BIGINT) AS rev,
+         (p_type = '{Q14_PROMO_TYPE}') AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q14_LO}'
+    AND l_shipdate < TIMESTAMP '{Q14_HI}')
+SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+         AS promo_revenue,
+       CAST(sum(rev) AS BIGINT) AS total_revenue,
+       CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) * 1000000
+            // sum(rev) AS BIGINT) AS promo_ppm
+FROM j"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 analog: large-volume customers — the HAVING-on-a-big-groupby
+# member. The quantity rollup pre-combines inside every lineitem block
+# (orderkeys arrive clustered, so the partial shrinks the exchange by
+# ~the lines-per-order factor) before ONE high-cardinality groupby; the
+# surviving orders (a tiny HAVING residue) flow through the
+# co-partitioned hash join against orders, and the customer dimension
+# hydrates the k winners driver-side from a broadcast-sized read.
+# ---------------------------------------------------------------------------
+
+Q18_QTY_CUT = 250 * 100        # qty in integer hundredths
+Q18_K = 20
+
+
+def large_orders(sf_dir: str, k: int = Q18_K) -> pa.Table:
+    """(c_custkey, c_name, o_orderkey, o_orderdate, totalprice_c,
+    sum_qty): top-``k`` orders by totalprice among those whose line
+    quantities sum past the cut (Q18 analog)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+    from .relational import _cents
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = _cents(batch["l_quantity"].to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uk, pa.int64()),
+            "qty": pa.array(np.bincount(inv, qty, uk.size)
+                            .astype(np.int64)),
+        })
+
+    agg = (line.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("l_orderkey").sum("qty"))
+
+    def having(batch: pa.Table) -> pa.Table:
+        q = batch["sum(qty)"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(q > Q18_QTY_CUT))
+        return pa.table({
+            "l_orderkey": sub["l_orderkey"],
+            "sum_qty": pc.cast(sub["sum(qty)"], pa.int64()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        tp = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "o_orderdate": batch["o_orderdate"],
+            "totalprice_c": pa.array(tp, pa.int64()),
+        })
+
+    j = hash_join(
+        agg.map_batches(having, batch_format="pyarrow"),
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey")
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        tp = batch["totalprice_c"].to_numpy(zero_copy_only=False)
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -tp))[:k]
+        return batch.take(pa.array(order, pa.int64()))
+
+    tops = pa.concat_tables(
+        [t for t in ray.get(j.map_batches(
+            partial_topk, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows], promote_options="default")
+    tp = tops["totalprice_c"].to_numpy(zero_copy_only=False)
+    key = tops["l_orderkey"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((key, -tp))[:k]
+    idx = pa.array(order, pa.int64())
+    sel_c = pc.take(tops["o_custkey"], idx).to_pylist()
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    c2n = dict(zip(cust["c_custkey"].to_pylist(),
+                   cust["c_name"].to_pylist()))
+    return pa.table({
+        "c_custkey": pa.array([int(c) for c in sel_c], pa.int64()),
+        "c_name": pa.array([c2n[int(c)] for c in sel_c], pa.string()),
+        "o_orderkey": pc.take(tops["l_orderkey"], idx),
+        "o_orderdate": pc.cast(pc.take(tops["o_orderdate"], idx),
+                               pa.timestamp("us")),
+        "totalprice_c": pc.take(tops["totalprice_c"], idx),
+        "sum_qty": pc.take(tops["sum_qty"], idx),
+    })
+
+
+def large_orders_sql(k: int = Q18_K) -> str:
+    return f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > {Q18_QTY_CUT}
+ORDER BY totalprice_c DESC, o_orderkey
+LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 analog: discounted revenue under OR-of-predicate-triples
+# (brand × size band × quantity band). The part side is again a
+# broadcast dimension — (partkey, brand-code, size) shipped once via
+# ray.put — and each lineitem block resolves its branch membership with
+# two searchsorted gathers and three vectorized masks; the output is a
+# 3-row (branch, revenue, n_items) table of order-independent int64s.
+# ---------------------------------------------------------------------------
+
+Q19_BRANCHES = (
+    ("Brand#13", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#25", 1, 15, 20.0, 30.0),
+)
+
+
+def brand_revenue(sf_dir: str) -> pa.Table:
+    """(branch, revenue, n_items) per predicate triple (Q19 analog)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    size = part["p_size"].to_numpy(zero_copy_only=False)
+    brands = part["p_brand"].to_pandas().to_numpy()
+    order = np.argsort(pk, kind="stable")
+    dim_ref = ray.put((pk[order], brands[order], size[order]))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+    n_b = len(Q19_BRANCHES)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, brand, psize = ray.get(dim_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        rev = _rev_q(batch["l_extendedprice"].to_numpy(
+                         zero_copy_only=False),
+                     batch["l_discount"].to_numpy(zero_copy_only=False))
+        j = np.minimum(np.searchsorted(keys, lpk), keys.size - 1)
+        hit = (keys.size > 0) & (keys[j] == lpk)
+        out_r = np.zeros(n_b, np.int64)
+        out_n = np.zeros(n_b, np.int64)
+        for i, (b, s_lo, s_hi, q_lo, q_hi) in enumerate(Q19_BRANCHES):
+            m = (hit & (brand[j] == b)
+                 & (psize[j] >= s_lo) & (psize[j] <= s_hi)
+                 & (qty >= q_lo) & (qty <= q_hi))
+            out_r[i] = rev[m].sum()
+            out_n[i] = m.sum()
+        return pa.table({
+            "branch": pa.array([b for b, *_ in Q19_BRANCHES], pa.string()),
+            "revenue": pa.array(out_r),
+            "n_items": pa.array(out_n),
+        })
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    gb = parts.group_by("branch").aggregate(
+        [("revenue", "sum"), ("n_items", "sum")])
+    gb = gb.filter(pc.greater(gb["n_items_sum"], 0))  # SQL emits no
+    order = pc.sort_indices(gb["branch"])             # zero-match branch
+    return pa.table({
+        "branch": pc.take(gb["branch"], order),
+        "revenue": pc.cast(pc.take(gb["revenue_sum"], order), pa.int64()),
+        "n_items": pc.cast(pc.take(gb["n_items_sum"], order), pa.int64()),
+    })
+
+
+def brand_revenue_sql() -> str:
+    cases = " ".join(
+        f"WHEN p_brand = '{b}' AND p_size BETWEEN {s_lo} AND {s_hi} "
+        f"AND l_quantity BETWEEN {q_lo!r} AND {q_hi!r} THEN '{b}'"
+        for b, s_lo, s_hi, q_lo, q_hi in Q19_BRANCHES)
+    return f"""
+WITH j AS (
+  SELECT CASE {cases} END AS branch,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+              AS BIGINT) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT branch, CAST(sum(rev) AS BIGINT) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM j WHERE branch IS NOT NULL
+GROUP BY branch ORDER BY branch"""

@@ -59,3 +59,51 @@ def test_segment_coverage_matches_duckdb(ray_session, con):
     n = _cmp(got, want, ["c_mktsegment"])
     assert n > 0
     assert (got["n_with_orders"] <= got["n_customers"]).all()
+
+
+@pytest.fixture(scope="module")
+def con_p():
+    c = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation", "part"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_q6_matches_duckdb(ray_session, con_p):
+    from rayse.ops.tpch import forecast_revenue, forecast_revenue_sql
+
+    got = forecast_revenue(SF).to_pandas()
+    want = con_p.execute(forecast_revenue_sql()).fetchdf()
+    _cmp(got, want, ["revenue"])
+    assert int(got["n_items"].iloc[0]) > 0
+
+
+def test_q14_matches_duckdb(ray_session, con_p):
+    from rayse.ops.tpch import promo_revenue, promo_revenue_sql
+
+    got = promo_revenue(SF).to_pandas()
+    want = con_p.execute(promo_revenue_sql()).fetchdf()
+    _cmp(got, want, ["total_revenue"])
+    r = got.iloc[0]
+    assert 0 <= r["promo_revenue"] <= r["total_revenue"]
+    assert 0 <= r["promo_ppm"] <= 1_000_000
+
+
+def test_q18_matches_duckdb(ray_session, con_p):
+    from rayse.ops.tpch import large_orders, large_orders_sql
+
+    got = large_orders(SF, k=10).to_pandas()
+    want = con_p.execute(large_orders_sql(k=10)).fetchdf()
+    n = _cmp(got, want, ["o_orderkey"])
+    assert n > 0
+    assert (got["totalprice_c"].diff().dropna() <= 0).all()
+
+
+def test_q19_matches_duckdb(ray_session, con_p):
+    from rayse.ops.tpch import brand_revenue, brand_revenue_sql
+
+    got = brand_revenue(SF).to_pandas()
+    want = con_p.execute(brand_revenue_sql()).fetchdf()
+    n = _cmp(got, want, ["branch"])
+    assert n > 0
