@@ -1129,6 +1129,7 @@ def _q_porter_rank_matrix(sf_dir: str) -> pa.Table:
     delete-compacted / segment-merged / more-like-this /
     conversation-collapse / lnc.ltc TF-IDF / Dirichlet and
     Jelinek-Mercer query likelihood / Ranker1 weighted blend /
+    DFR InL2 and parameter-free DPH /
     retrieve-rerank) as one
     variant-tagged table — every path DuckDB hash-matched in one
     driver window slot. The individual entries
@@ -1372,6 +1373,24 @@ def _q_porter_lmjm_topk(sf_dir: str) -> pa.Table:
     from rayse.ops.porter_oracle import porter_lmjm_topk
 
     return porter_lmjm_topk(_index_for(sf_dir))
+
+
+def _q_porter_dfr_topk(sf_dir: str) -> pa.Table:
+    """DFR InL2 ranking (Amati & van Rijsbergen 2002: IDF randomness
+    model, Laplace after-effect, H2 length normalization) — DuckDB
+    hash-matched; also a ``porter_rank_matrix`` arm in the window."""
+    from rayse.ops.porter_oracle import porter_dfr_topk
+
+    return porter_dfr_topk(_index_for(sf_dir))
+
+
+def _q_porter_dph_topk(sf_dir: str) -> pa.Table:
+    """DFR DPH parameter-free hypergeometric ranking with Popper
+    normalization — DuckDB hash-matched; also a ``porter_rank_matrix``
+    arm in the window."""
+    from rayse.ops.porter_oracle import porter_dph_topk
+
+    return porter_dph_topk(_index_for(sf_dir))
 
 
 def _q_porter_prefix_topk(sf_dir: str) -> pa.Table:
@@ -3474,6 +3493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_lmdir_topk": _q_porter_lmdir_topk,
         "porter_ranker1_topk": _q_porter_ranker1_topk,
         "porter_lmjm_topk": _q_porter_lmjm_topk,
+        "porter_dfr_topk": _q_porter_dfr_topk,
+        "porter_dph_topk": _q_porter_dph_topk,
         "porter_fuzzy_topk": _q_porter_fuzzy_topk,
         "porter_sloppy_topk": _q_porter_sloppy_topk,
         "porter_deleted_topk": _q_porter_deleted_topk,
@@ -4020,6 +4041,10 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).porter_ranker1_sql(),
         "porter_lmjm_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_lmjm_sql(),
+        "porter_dfr_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_dfr_sql(),
+        "porter_dph_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_dph_sql(),
         "porter_fuzzy_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_fuzzy_sql(),
         "porter_sloppy_topk": __import__(

@@ -1455,6 +1455,8 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_lmdir_sql(k=k)),
         ("lmjm", lambda: porter_lmjm_topk(d, k=k),
          porter_lmjm_sql(k=k)),
+        ("dfr", lambda: porter_dfr_topk(d, k=k), porter_dfr_sql(k=k)),
+        ("dph", lambda: porter_dph_topk(d, k=k), porter_dph_sql(k=k)),
         ("ranker1", lambda: porter_ranker1_topk(d, k=k),
          porter_ranker1_sql(k=k)),
         ("rerank", lambda: porter_rerank_topk(d, k=k),
@@ -3049,6 +3051,134 @@ def porter_lmdir_sql(queries: list[str] | None = None, k: int = 10) -> str:
 def porter_lmjm_sql(queries: list[str] | None = None, k: int = 10) -> str:
     """Oracle for ``porter_lmjm_topk``."""
     return _ql_sql("jm", queries, k)
+
+
+# ---------------------------------------------------------------------------
+# Divergence-from-randomness ranking (Amati & van Rijsbergen 2002, the
+# Terrier formulations): InL2 — inverse-document-frequency randomness
+# model with Laplace after-effect and logarithmic (H2) length
+# normalization — and DPH, the parameter-free hypergeometric model with
+# Popper normalization. Both consume only (tf, dl, df/cf, N, avgdl) —
+# exactly the statistics the BM25 CTEs already expose — so the oracles
+# reuse ``_analysis_ctes`` verbatim. Unlike the query-likelihood pair,
+# only MATCHING terms contribute (no background mass), so candidates are
+# the plain tf join. Every float op is written in the identical
+# left-to-right order on both sides; ranking is floor-quantized at 1e7
+# like every other ranked mode.
+# ---------------------------------------------------------------------------
+
+DFR_C = 1.0                    # InL2 H2 length-normalization constant
+DPH_F_CLAMP = 0.999999999      # keeps log2(1-f) finite when tf == dl
+DPH_TWO_PI = 6.283185307179586
+
+
+def _dfr_topk(index_dir: str, mode: str, queries: list[str] | None,
+              k: int) -> pa.Table:
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, _ = _porter_reader(index_dir)
+    n_docs = float(reader.n_docs)
+    avgdl = float(reader.avgdl)
+
+    def _search(q: str, kk: int):
+        per_term = []
+        for t in sorted(set(_analyzed(q))):
+            pl = reader.merged(t)
+            if pl is None or pl.doc_ids.size == 0:
+                continue
+            per_term.append((float(reader.cf(t)), pl))
+        if not per_term:
+            return (np.array([], dtype=np.uint64),
+                    np.array([], dtype=np.float64))
+        docs = np.unique(np.concatenate([pl.doc_ids
+                                         for _, pl in per_term]))
+        score = np.zeros(docs.size, np.float64)
+        for cf, pl in per_term:
+            idx = np.searchsorted(docs, pl.doc_ids)
+            tf = pl.tfs.astype(np.float64)
+            dlv = pl.dls.astype(np.float64)
+            df = float(pl.doc_ids.size)
+            if mode == "inl2":
+                tfn = tf * np.log2(1.0 + DFR_C * avgdl / dlv)
+                contrib = (tfn / (tfn + 1.0)
+                           * np.log2((n_docs + 1.0) / (df + 0.5)))
+            else:                                        # dph
+                f = np.minimum(tf / dlv, DPH_F_CLAMP)
+                norm = (1.0 - f) * (1.0 - f) / (tf + 1.0)
+                contrib = norm * (
+                    tf * np.log2(tf * avgdl / dlv * (n_docs / cf))
+                    + 0.5 * np.log2(DPH_TWO_PI * tf * (1.0 - f)))
+            score[idx] += contrib
+        if docs.size > kk:
+            cut = np.argpartition(-score, kk - 1)[:kk]
+            docs, score = docs[cut], score[cut]
+        return docs, score
+
+    return _quantized_search_rows(_search, index_dir, queries, k)
+
+
+def porter_dfr_topk(index_dir: str, queries: list[str] | None = None,
+                    k: int = 10) -> pa.Table:
+    """DFR InL2 top-k, quantized ranking."""
+    return _dfr_topk(index_dir, "inl2", queries, k)
+
+
+def porter_dph_topk(index_dir: str, queries: list[str] | None = None,
+                    k: int = 10) -> pa.Table:
+    """DFR DPH (parameter-free) top-k, quantized ranking."""
+    return _dfr_topk(index_dir, "dph", queries, k)
+
+
+def _dfr_sql(mode: str, queries: list[str] | None, k: int) -> str:
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in sorted(set(_analyzed(q))))
+    if mode == "inl2":
+        tfn = f"(tf.tf * log2(1.0 + {DFR_C!r} * s.avgdl / dl.dl))"
+        expr = (f"{tfn} / ({tfn} + 1.0)"
+                f" * log2((CAST(s.n AS DOUBLE) + 1.0) / (df.df + 0.5))")
+        cf_join = ""
+    else:
+        f = (f"least(CAST(tf.tf AS DOUBLE) / dl.dl, "
+             f"{DPH_F_CLAMP!r}::DOUBLE)")
+        expr = (f"((1.0 - {f}) * (1.0 - {f}) / (tf.tf + 1.0))"
+                f" * (tf.tf * log2(tf.tf * s.avgdl / dl.dl"
+                f" * (CAST(s.n AS DOUBLE) / cf.cf))"
+                f" + 0.5 * log2({DPH_TWO_PI!r}::DOUBLE * tf.tf"
+                f" * (1.0 - {f})))")
+        cf_join = " JOIN cf ON cf.term = qt.term"
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM ptok
+       GROUP BY term),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx, sum({expr}) AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term){cf_join}
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+def porter_dfr_sql(queries: list[str] | None = None, k: int = 10) -> str:
+    """Oracle for ``porter_dfr_topk`` (InL2): tf-join candidates, H2
+    length normalization and Laplace after-effect inline."""
+    return _dfr_sql("inl2", queries, k)
+
+
+def porter_dph_sql(queries: list[str] | None = None, k: int = 10) -> str:
+    """Oracle for ``porter_dph_topk``: hypergeometric estimate with
+    Popper normalization, f clamped below 1 exactly as the Ray side."""
+    return _dfr_sql("dph", queries, k)
 
 
 # ---------------------------------------------------------------------------

@@ -883,3 +883,39 @@ def test_phrase_selectivity_matches_duckdb(porter_index, con):
         want[list(got.columns)].astype(
             got.dtypes.to_dict()).reset_index(drop=True))
     assert (got["actual_docs"] <= got["n_docs"]).all()
+
+
+def test_porter_dfr_matches_duckdb(porter_index, con):
+    """DFR InL2 ranking vs the tf-join oracle; scores are positive
+    (log2((N+1)/(df+.5)) > 0 whenever df < N), and the ordering must
+    differ from BM25 for at least one query."""
+    from rayse.ops.porter_oracle import (porter_bm25_topk,
+                                         porter_dfr_sql,
+                                         porter_dfr_topk)
+
+    got = porter_dfr_topk(porter_index)
+    want = con.execute(porter_dfr_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    df = got.to_pandas()
+    assert (df.score_q > 0).all()
+    plain = porter_bm25_topk(porter_index).to_pandas()
+    cols = ["query", "rank", "conv_id", "turn_idx"]
+    assert not df[cols].equals(plain[cols])
+
+
+def test_porter_dph_matches_duckdb(porter_index, con):
+    """Parameter-free DPH vs its oracle; DPH and InL2 must disagree
+    somewhere (distinct randomness models), and tf == dl docs must not
+    produce NaN/inf rows (the f clamp)."""
+    from rayse.ops.porter_oracle import (porter_dfr_topk,
+                                         porter_dph_sql,
+                                         porter_dph_topk)
+
+    got = porter_dph_topk(porter_index)
+    want = con.execute(porter_dph_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    dfr = porter_dfr_topk(porter_index).to_pandas()
+    cols = ["query", "rank", "conv_id", "turn_idx"]
+    assert not got.to_pandas()[cols].equals(dfr[cols])
