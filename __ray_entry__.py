@@ -1561,6 +1561,56 @@ def _q_returned_items(sf_dir: str) -> pa.Table:
     return returned_items(sf_dir)
 
 
+def _q_adamic_adar(sf_dir: str) -> pa.Table:
+    """Adamic-Adar link prediction: degree-discounted common-neighbor
+    scoring, per-middle weight quantized ONCE to int64 so the wedge
+    exchange's sum order cannot flip the hash — DuckDB hash-matched.
+    Also a relational_suite arm in the driver window."""
+    from rayse.ops.graph import adamic_adar
+
+    return adamic_adar(sf_dir)
+
+
+def _q_benford_digits(sf_dir: str) -> pa.Table:
+    """Benford first-digit audit of the money column: string-exact digit
+    extraction on per-row integer cents, per-block bincount partials,
+    log-law expectation quantized identically both sides — DuckDB
+    hash-matched. Also a relational_suite arm."""
+    from rayse.ops.datachecks import benford_digits
+
+    return benford_digits(sf_dir)
+
+
+def _q_theil_sen(sf_dir: str) -> pa.Table:
+    """Theil-Sen robust trend of the hourly mean-value profile: 100 TB
+    folds to 24 (hour, n, Σcents) partials; the robust line runs
+    driver-side on that bounded profile; medians are LOWER order
+    statistics (pure selection, no interpolation ulp split) — DuckDB
+    hash-matched. Also a relational_suite arm."""
+    from rayse.ops.corr import theil_sen_hourly
+
+    return theil_sen_hourly(sf_dir)
+
+
+def _q_mann_kendall(sf_dir: str) -> pa.Table:
+    """Mann-Kendall monotone-trend test (tie-corrected variance,
+    continuity-corrected z) over the same bounded hourly profile —
+    DuckDB hash-matched. Also a relational_suite arm."""
+    from rayse.ops.corr import mann_kendall_hourly
+
+    return mann_kendall_hourly(sf_dir)
+
+
+def _q_psi_drift(sf_dir: str) -> pa.Table:
+    """Population-stability-index drift between the even-day and
+    odd-day value histograms (row-local slice split — no global pass),
+    per-bucket PSI quantized before any cross-bucket sum — DuckDB
+    hash-matched. Also a relational_suite arm."""
+    from rayse.ops.kstest import psi_drift
+
+    return psi_drift(sf_dir)
+
+
 def _q_forecast_revenue(sf_dir: str) -> pa.Table:
     """Q6-analog forecast revenue: the pure scan-filter-aggregate
     member (no join) — per-block masked partials collapse the whole
@@ -3128,6 +3178,15 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                 ["totalprice_c", "sum_qty"])
     q19 = _melt(_q_brand_revenue(sf_dir), ["branch"],
                 ["revenue", "n_items"])
+    aa = _melt(_q_adamic_adar(sf_dir), ["v_a", "v_b"], ["aa_q"])
+    bf = _melt(_q_benford_digits(sf_dir), ["digit"],
+               ["n", "observed_ppm", "expected_ppm"])
+    tsn = _melt(_q_theil_sen(sf_dir), ["n_hours"],
+                ["n_pairs", "slope_q", "intercept_q"])
+    mkt = _melt(_q_mann_kendall(sf_dir), ["n_points"],
+                ["s_stat", "n_tie_groups", "z_q"])
+    psi = _melt(_q_psi_drift(sf_dir), ["bucket"],
+                ["n_a", "n_b", "psi_q"])
     st = _melt(_q_stump_fit(sf_dir), ["threshold_cents", "predict_above"],
                ["n_correct", "n_total", "acc_ppm"])
     ka = _melt(_q_k_anonymity(sf_dir), ["event_type"],
@@ -3187,7 +3246,9 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("linkpred", lp), ("ldiv", ld),
                           ("phrasesel", ps), ("layout", lc),
                           ("q6", q6), ("q14", q14), ("q18", q18),
-                          ("q19", q19)])
+                          ("q19", q19), ("adamic", aa), ("benford", bf),
+                          ("theilsen", tsn), ("mannkendall", mkt),
+                          ("psi", psi)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3385,6 +3446,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "large_orders": _q_large_orders,
         "brand_revenue": _q_brand_revenue,
+        "adamic_adar": _q_adamic_adar,
+        "benford_digits": _q_benford_digits,
+        "theil_sen": _q_theil_sen,
+        "mann_kendall": _q_mann_kendall,
+        "psi_drift": _q_psi_drift,
         "interval_coverage": _q_interval_coverage,
         "pareto_frontier": _q_pareto_frontier,
         "frequent_pairs": _q_frequent_pairs,
@@ -3716,6 +3782,23 @@ def oracle_sql() -> dict[str, str]:
             ("q19", __import__(
                 "rayse.ops.tpch", fromlist=["x"]).brand_revenue_sql(),
              ("branch",), ("revenue", "n_items")),
+            ("adamic", __import__(
+                "rayse.ops.graph", fromlist=["x"]).adamic_adar_sql(),
+             ("v_a", "v_b"), ("aa_q",)),
+            ("benford", __import__(
+                "rayse.ops.datachecks",
+                fromlist=["x"]).benford_digits_sql(),
+             ("digit",), ("n", "observed_ppm", "expected_ppm")),
+            ("theilsen", __import__(
+                "rayse.ops.corr", fromlist=["x"]).theil_sen_hourly_sql(),
+             ("n_hours",), ("n_pairs", "slope_q", "intercept_q")),
+            ("mannkendall", __import__(
+                "rayse.ops.corr",
+                fromlist=["x"]).mann_kendall_hourly_sql(),
+             ("n_points",), ("s_stat", "n_tie_groups", "z_q")),
+            ("psi", __import__(
+                "rayse.ops.kstest", fromlist=["x"]).psi_drift_sql(),
+             ("bucket",), ("n_a", "n_b", "psi_q")),
             ("stump", __import__(
                 "rayse.ops.stump", fromlist=["x"]).stump_fit_sql(),
              ("threshold_cents", "predict_above"),
@@ -4473,6 +4556,16 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.tpch", fromlist=["x"]).large_orders_sql(),
         "brand_revenue": __import__(
             "rayse.ops.tpch", fromlist=["x"]).brand_revenue_sql(),
+        "adamic_adar": __import__(
+            "rayse.ops.graph", fromlist=["x"]).adamic_adar_sql(),
+        "benford_digits": __import__(
+            "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
+        "theil_sen": __import__(
+            "rayse.ops.corr", fromlist=["x"]).theil_sen_hourly_sql(),
+        "mann_kendall": __import__(
+            "rayse.ops.corr", fromlist=["x"]).mann_kendall_hourly_sql(),
+        "psi_drift": __import__(
+            "rayse.ops.kstest", fromlist=["x"]).psi_drift_sql(),
         "interval_coverage": __import__(
             "rayse.ops.intervals",
             fromlist=["x"]).INTERVAL_COVERAGE_SQL,

@@ -320,3 +320,172 @@ SELECT event_type,
                   / CAST(n * sxx - sx * sx AS DOUBLE)
                   * 1000000000::DOUBLE) AS BIGINT) AS icept_q
 FROM s WHERE n * sxx - sx * sx <> 0"""
+
+
+# ---------------------------------------------------------------------------
+# Robust trend statistics over the hourly profile — Theil-Sen slope
+# (Theil 1950 / Sen 1968) and the Mann-Kendall S test (Mann 1945;
+# Kendall 1975), both over the 24 hourly mean values of the events log.
+# The scale story is the whole point: 100 TB of events fold to 24
+# (hour, n, Σcents) partials per block, merged by one bounded rollup;
+# the robust statistics run driver-side on that 24-point profile in
+# O(1). Exactness: hourly means are ONE float division each on exact
+# int64 (identical both sides); pair slopes / sign comparisons are then
+# identical doubles; the median is the LOWER order statistic (pure
+# selection — no interpolation, so no a+(b-a)/2 vs (a+b)/2 ulp split);
+# quantization is sign-aware half-away (DuckDB round parity).
+# ---------------------------------------------------------------------------
+
+TS_SCALE = 1_000_000
+
+
+def _hourly_means(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(hours, means): the bounded rollup — per-block (hour, n, Σcents)
+    partials, one concat, one bincount fold, one division per hour."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * float(X_SCALE)).astype(np.int64)
+        h = ((ts // US_PER_HOUR) % 24).astype(np.int64)
+        return pa.table({
+            "h": pa.array(np.arange(24), pa.int64()),
+            "n": pa.array(np.bincount(h, None, 24).astype(np.int64)),
+            "s": pa.array(np.bincount(h, x, 24).astype(np.int64)),
+        })
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    h = parts["h"].to_numpy(zero_copy_only=False)
+    n = np.bincount(h, parts["n"].to_numpy(zero_copy_only=False), 24)
+    s = np.bincount(h, parts["s"].to_numpy(zero_copy_only=False), 24)
+    keep = n > 0
+    hours = np.flatnonzero(keep).astype(np.float64)
+    means = s[keep].astype(np.float64) / n[keep]
+    return hours, means
+
+
+def _round_q(x: float, scale: int = TS_SCALE) -> int:
+    """Sign-aware half-away integer quantization (DuckDB round)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) * scale + 0.5), x))
+
+
+def _median_lo(v: np.ndarray) -> float:
+    """Lower median: pure order-statistic selection, no interpolation."""
+    return float(np.sort(v, kind="stable")[(v.size - 1) // 2])
+
+
+def theil_sen_hourly(sf_dir: str) -> pa.Table:
+    """One row (n_hours, n_pairs, slope_q, intercept_q): Theil-Sen
+    robust line over the (hour, mean value-cents) profile."""
+    hours, means = _hourly_means(sf_dir)
+    i, j = np.triu_indices(hours.size, k=1)
+    slopes = (means[j] - means[i]) / (hours[j] - hours[i])
+    slope = _median_lo(slopes)
+    intercept = _median_lo(means - slope * hours)
+    return pa.table({
+        "n_hours": pa.array([hours.size], pa.int64()),
+        "n_pairs": pa.array([slopes.size], pa.int64()),
+        "slope_q": pa.array([_round_q(slope)], pa.int64()),
+        "intercept_q": pa.array([_round_q(intercept)], pa.int64()),
+    })
+
+
+def theil_sen_hourly_sql() -> str:
+    means = f"""
+v AS (SELECT (epoch_us(ts) // {US_PER_HOUR}) % 24 AS h,
+             CAST(floor(value * CAST({X_SCALE} AS DOUBLE)) AS BIGINT)
+               AS xq
+      FROM events),
+m AS (SELECT h, CAST(sum(xq) AS DOUBLE) / count(*) AS mv
+      FROM v GROUP BY h)"""
+    return f"""
+WITH {means},
+sl AS (SELECT (b.mv - a.mv) / (b.h - a.h) AS slope
+       FROM m a JOIN m b ON b.h > a.h),
+slr AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+               count(*) OVER () AS cnt FROM sl),
+med AS (SELECT slope FROM slr WHERE rn = (cnt + 1) // 2),
+res AS (SELECT m.mv - (SELECT slope FROM med) * m.h AS r FROM m),
+rr AS (SELECT r, row_number() OVER (ORDER BY r) AS rn,
+              count(*) OVER () AS cnt FROM res),
+imed AS (SELECT r FROM rr WHERE rn = (cnt + 1) // 2)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_hours,
+       (SELECT CAST(count(*) AS BIGINT) FROM sl) AS n_pairs,
+       CAST(round((SELECT slope FROM med) * {TS_SCALE}) AS BIGINT)
+         AS slope_q,
+       CAST(round((SELECT r FROM imed) * {TS_SCALE}) AS BIGINT)
+         AS intercept_q"""
+
+
+def mann_kendall_hourly(sf_dir: str) -> pa.Table:
+    """One row (n_points, s_stat, n_tie_groups, z_q): the Mann-Kendall
+    monotone-trend test over the hourly mean profile (tie-corrected
+    variance, continuity-corrected z, quantized 1e6)."""
+    import math
+
+    hours, means = _hourly_means(sf_dir)
+    n = hours.size
+    i, j = np.triu_indices(n, k=1)
+    d = means[j] - means[i]
+    s_stat = int((d > 0).sum()) - int((d < 0).sum())
+    _, tcnt = np.unique(means, return_counts=True)
+    ties = tcnt[tcnt > 1]
+    var_num = (n * (n - 1) * (2 * n + 5)
+               - int(np.sum(ties * (ties - 1) * (2 * ties + 5))))
+    var = float(var_num) / 18.0
+    if s_stat > 0:
+        z = (s_stat - 1) / math.sqrt(var)
+    elif s_stat < 0:
+        z = (s_stat + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    return pa.table({
+        "n_points": pa.array([n], pa.int64()),
+        "s_stat": pa.array([s_stat], pa.int64()),
+        "n_tie_groups": pa.array([int(ties.size)], pa.int64()),
+        "z_q": pa.array([_round_q(z)], pa.int64()),
+    })
+
+
+def mann_kendall_hourly_sql() -> str:
+    means = f"""
+v AS (SELECT (epoch_us(ts) // {US_PER_HOUR}) % 24 AS h,
+             CAST(floor(value * CAST({X_SCALE} AS DOUBLE)) AS BIGINT)
+               AS xq
+      FROM events),
+m AS (SELECT h, CAST(sum(xq) AS DOUBLE) / count(*) AS mv
+      FROM v GROUP BY h)"""
+    return f"""
+WITH {means},
+s AS (SELECT CAST(sum(CASE WHEN b.mv > a.mv THEN 1
+                           WHEN b.mv < a.mv THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM m a JOIN m b ON b.h > a.h),
+np_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+tg AS (SELECT count(*) AS t FROM m GROUP BY mv HAVING count(*) > 1),
+tsum AS (SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT),
+                         0) AS ts_,
+                CAST(count(*) AS BIGINT) AS ng FROM tg),
+vr AS (SELECT CAST(np_.n * (np_.n - 1) * (2 * np_.n + 5) - tsum.ts_
+              AS DOUBLE) / 18.0 AS var
+       FROM np_ CROSS JOIN tsum)
+SELECT np_.n AS n_points, s.s_stat, tsum.ng AS n_tie_groups,
+       CAST(round(CASE WHEN s.s_stat > 0
+                       THEN (s.s_stat - 1) / sqrt(vr.var)
+                       WHEN s.s_stat < 0
+                       THEN (s.s_stat + 1) / sqrt(vr.var)
+                       ELSE 0.0 END * {TS_SCALE}) AS BIGINT) AS z_q
+FROM np_ CROSS JOIN s CROSS JOIN tsum CROSS JOIN vr"""

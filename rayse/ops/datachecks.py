@@ -380,3 +380,76 @@ SELECT hour,
        CAST(sum(CASE WHEN ndist < {ell} THEN sz ELSE 0 END) AS BIGINT)
          AS rows_at_risk
 FROM g GROUP BY hour ORDER BY hour"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profiling — the classic anomaly screen for money
+# columns (Benford 1938; Nigrini's audit usage): the distribution of
+# leading significant digits of o_totalprice against the log-law
+# expectation. Digit extraction happens on the per-row integer CENTS
+# (round half-away, the repo money contract), via the decimal string —
+# no float log10 at the row level, so no power-of-ten boundary can
+# float-flip a digit. Per-block bincount partials -> one 9-row rollup.
+# ---------------------------------------------------------------------------
+
+BENFORD_SCALE = 1_000_000
+
+
+def benford_digits(sf_dir: str) -> pa.Table:
+    """(digit, n, observed_ppm, expected_ppm) over orders.o_totalprice."""
+    import ray
+    import ray.data as rd
+
+    from .relational import _cents
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        c = c[c > 0]
+        # leading digit via the decimal string: exact for integers
+        d = c.astype("U20").astype("U1").astype(np.int64)
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10), pa.int64()),
+            "n": pa.array(np.bincount(d, None, 10)[1:].astype(np.int64)),
+        })
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    import pyarrow.compute as pc
+
+    gb = parts.group_by("digit").aggregate([("n", "sum")])
+    order = pc.sort_indices(gb["digit"])
+    dig = pc.take(gb["digit"], order).to_numpy(zero_copy_only=False)
+    n = pc.take(gb["n_sum"], order).to_numpy(zero_copy_only=False)
+    tot = int(n.sum())
+    obs = n * BENFORD_SCALE // max(tot, 1)
+    exp = np.floor(np.log10(1.0 + 1.0 / dig.astype(np.float64))
+                   * BENFORD_SCALE + 0.5).astype(np.int64)
+    keep = n > 0
+    return pa.table({
+        "digit": pa.array(dig[keep], pa.int64()),
+        "n": pa.array(n[keep].astype(np.int64), pa.int64()),
+        "observed_ppm": pa.array(obs[keep].astype(np.int64), pa.int64()),
+        "expected_ppm": pa.array(exp[keep], pa.int64()),
+    })
+
+
+def benford_digits_sql() -> str:
+    return f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE round(o_totalprice * 100) > 0),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+SELECT digit, n,
+       CAST(n * {BENFORD_SCALE} // t.tot AS BIGINT) AS observed_ppm,
+       CAST(floor(log10(1.0 + 1.0 / digit) * {BENFORD_SCALE} + 0.5)
+            AS BIGINT) AS expected_ppm
+FROM g CROSS JOIN t ORDER BY digit"""

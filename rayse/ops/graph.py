@@ -1209,6 +1209,154 @@ ORDER BY common DESC, v_a, v_b
 LIMIT {k}"""
 
 
+AA_SCALE = 1_000_000_000
+
+
+def adamic_adar(sf_dir: str, k: int = LINKPRED_K) -> pa.Table:
+    """(v_a, v_b, aa_q): top-``k`` Adamic-Adar link predictions — the
+    degree-discounted refinement of ``link_predict`` (Adamic & Adar
+    2003): each common neighbor m contributes 1/ln(deg(m)) instead
+    of 1, so hub-mediated wedges count less.
+
+    Float policy: the per-MIDDLE weight quantizes ONCE to int64
+    (floor(1e9/ln(deg)), identical double ops both sides) and the
+    per-pair score is a SUM of int64 — order-independent, so the
+    exchange's arbitrary wedge order cannot flip the hash. Any wedge
+    middle has deg >= 2, so ln(deg) > 0 and the weight is finite.
+    Pipeline shape is link_predict's: distinct-undirected-edge fold,
+    big⋈big adjacency self-join through the file exchange, per-batch
+    weighted partials, one groupby, partial top-k; degree + edge mask
+    ride the same vertex/edge-bounded broadcast (documented demo
+    bound). DuckDB hash-matched."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "props"])
+
+    def und_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dst = _props_k(batch["props"]) % DEMO_VERTEX_SPACE
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        m = lo != hi
+        uk = np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+        return pa.table({"lo": pa.array(uk[:, 0], pa.int64()),
+                         "hi": pa.array(uk[:, 1], pa.int64())})
+
+    edges = (ds.map_batches(und_edges, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["lo", "hi"]).count()
+             .map_batches(lambda b: b.select(["lo", "hi"]),
+                          batch_format="pyarrow"))
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": pa.array(np.concatenate([lo, hi]), pa.int64()),
+            "n": pa.array(np.concatenate([hi, lo]), pa.int64())})
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow")
+    adj2 = adj.map_batches(
+        lambda b: b.rename_columns(["v2", "n2"]),
+        batch_format="pyarrow")
+
+    # edge mask + degree weights from the same edge-bounded gather
+    edge_tbl = pa.concat_tables(
+        [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    lo_np = edge_tbl["lo"].to_numpy(zero_copy_only=False)
+    hi_np = edge_tbl["hi"].to_numpy(zero_copy_only=False)
+    emask = set(zip(lo_np.tolist(), hi_np.tolist()))
+    verts, deg = np.unique(np.concatenate([lo_np, hi_np]),
+                           return_counts=True)
+    wq = np.zeros(deg.size, np.int64)
+    m2 = deg >= 2
+    wq[m2] = np.floor(AA_SCALE / np.log(deg[m2].astype(np.float64))
+                      ).astype(np.int64)
+    mask_ref = ray.put((emask, verts, wq))
+
+    from .exchange import hash_join
+
+    wedges = hash_join(adj, adj2, "n", "n2")
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        _, vs, w = ray.get(mask_ref)
+        a = batch["v"].to_numpy(zero_copy_only=False)
+        b = batch["v2"].to_numpy(zero_copy_only=False)
+        mid = batch["n"].to_numpy(zero_copy_only=False)
+        m = a < b
+        key = a[m] * (2 ** 32) + b[m]
+        wmid = w[np.searchsorted(vs, mid[m])]
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": pa.array(uk, pa.int64()),
+            "s": pa.array(np.bincount(inv, wmid, uk.size)
+                          .astype(np.int64), pa.int64())})
+
+    sums = (wedges.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("key").sum("s"))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        ms, _, _ = ray.get(mask_ref)
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        s = batch["sum(s)"].to_numpy(zero_copy_only=False)
+        va, vb = key // (2 ** 32), key % (2 ** 32)
+        keep = np.fromiter(((int(x), int(y)) not in ms
+                            for x, y in zip(va, vb)), bool, va.size)
+        va, vb, s = va[keep], vb[keep], s[keep]
+        order = np.lexsort((vb, va, -s))[:k]
+        return pa.table({"v_a": pa.array(va[order], pa.int64()),
+                         "v_b": pa.array(vb[order], pa.int64()),
+                         "aa_q": pa.array(s[order].astype(np.int64),
+                                          pa.int64())})
+
+    parts = pa.concat_tables(
+        [t for t in ray.get(sums.map_batches(
+            topk_partial, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows], promote_options="default")
+    va = parts["v_a"].to_numpy(zero_copy_only=False)
+    vb = parts["v_b"].to_numpy(zero_copy_only=False)
+    s = parts["aa_q"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vb, va, -s))[:k]
+    return pa.table({"v_a": pa.array(va[order], pa.int64()),
+                     "v_b": pa.array(vb[order], pa.int64()),
+                     "aa_q": pa.array(s[order], pa.int64())})
+
+
+def adamic_adar_sql(k: int = LINKPRED_K,
+                    vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    return f"""
+WITH e0 AS (
+  SELECT least(user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT)
+                 % {vertex_space}) AS lo,
+         greatest(user_id,
+                  CAST(json_extract(props, '$.k') AS BIGINT)
+                    % {vertex_space}) AS hi
+  FROM events),
+e AS (SELECT DISTINCT lo, hi FROM e0 WHERE lo <> hi),
+adj AS (SELECT lo AS v, hi AS n FROM e
+        UNION ALL SELECT hi, lo FROM e),
+w AS (SELECT v, CAST(floor({AA_SCALE} / ln(count(*))) AS BIGINT) AS wq
+      FROM adj GROUP BY v HAVING count(*) >= 2),
+aa AS (
+  SELECT a.v AS v_a, b.v AS v_b, sum(w.wq) AS aa_q
+  FROM adj a JOIN adj b ON a.n = b.n AND a.v < b.v
+       JOIN w ON w.v = a.n
+  GROUP BY 1, 2),
+open_pairs AS (
+  SELECT aa.v_a, aa.v_b, aa.aa_q
+  FROM aa LEFT JOIN e ON e.lo = aa.v_a AND e.hi = aa.v_b
+  WHERE e.lo IS NULL)
+SELECT v_a, v_b, CAST(aa_q AS BIGINT) AS aa_q
+FROM open_pairs
+ORDER BY aa_q DESC, v_a, v_b
+LIMIT {k}"""
+
+
 BF_ROUNDS = 6
 
 

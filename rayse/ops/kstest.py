@@ -229,3 +229,94 @@ SELECT ta AS type_a, tb AS type_b, CAST(u2 AS BIGINT) AS u2,
 FROM u JOIN n na ON na.t = u.ta JOIN n nb ON nb.t = u.tb
 ORDER BY type_a, type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index drift report (the standard model-monitoring
+# drift metric; see e.g. Siddiqi 2006): value-cents histograms of two
+# row-local time slices (even vs odd epoch-day — no global pass needed
+# to split), PSI term per bucket. Each block contributes one fixed
+# 10x2 bincount partial; the fold is a bounded rollup. Per-bucket PSI
+# quantizes to int64 BEFORE any cross-bucket sum, so downstream totals
+# stay order-independent; zero shares clamp at PSI_EPS on both sides.
+# ---------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+PSI_BUCKET_CENTS = 5000
+PSI_EPS = 1e-6
+PSI_SCALE = 1_000_000_000
+_US_PER_DAY = 86_400_000_000
+
+
+def psi_drift(sf_dir: str) -> pa.Table:
+    """(bucket, n_a, n_b, psi_q): per-bucket PSI between the even-day
+    and odd-day value distributions."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        b = np.minimum(c // PSI_BUCKET_CENTS, PSI_BUCKETS - 1)
+        w = ((ts // _US_PER_DAY) % 2).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(np.arange(PSI_BUCKETS), pa.int64()),
+            "n_a": pa.array(np.bincount(b[w == 0], None, PSI_BUCKETS)
+                            .astype(np.int64)),
+            "n_b": pa.array(np.bincount(b[w == 1], None, PSI_BUCKETS)
+                            .astype(np.int64)),
+        })
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    bk = parts["bucket"].to_numpy(zero_copy_only=False)
+    na = np.bincount(bk, parts["n_a"].to_numpy(zero_copy_only=False),
+                     PSI_BUCKETS)
+    nb = np.bincount(bk, parts["n_b"].to_numpy(zero_copy_only=False),
+                     PSI_BUCKETS)
+    ta, tb = float(na.sum()), float(nb.sum())
+    p = np.maximum(na / ta, PSI_EPS)
+    q = np.maximum(nb / tb, PSI_EPS)
+    term = (p - q) * np.log(p / q)
+    psi_q = (np.sign(term)
+             * np.floor(np.abs(term) * PSI_SCALE + 0.5)).astype(np.int64)
+    keep = (na + nb) > 0
+    return pa.table({
+        "bucket": pa.array(np.flatnonzero(keep), pa.int64()),
+        "n_a": pa.array(na[keep].astype(np.int64), pa.int64()),
+        "n_b": pa.array(nb[keep].astype(np.int64), pa.int64()),
+        "psi_q": pa.array(psi_q[keep], pa.int64()),
+    })
+
+
+def psi_drift_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT least(CAST(floor(value * 100.0) AS BIGINT)
+               // {PSI_BUCKET_CENTS}, {PSI_BUCKETS - 1}) AS bucket,
+         (epoch_us(ts) // {_US_PER_DAY}) % 2 AS w
+  FROM events),
+g AS (SELECT bucket,
+             CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM v GROUP BY bucket),
+t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+             CAST(sum(n_b) AS DOUBLE) AS tb FROM g),
+e AS (SELECT bucket, n_a, n_b,
+             greatest(n_a / t.ta, {PSI_EPS!r}) AS p,
+             greatest(n_b / t.tb, {PSI_EPS!r}) AS q
+      FROM g CROSS JOIN t)
+SELECT bucket, n_a, n_b,
+       CAST(round((p - q) * ln(p / q) * {PSI_SCALE}) AS BIGINT) AS psi_q
+FROM e WHERE n_a + n_b > 0 ORDER BY bucket"""
