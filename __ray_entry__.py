@@ -1611,6 +1611,16 @@ def _q_psi_drift(sf_dir: str) -> pa.Table:
     return psi_drift(sf_dir)
 
 
+def _q_dp_event_counts(sf_dir: str) -> pa.Table:
+    """Sensitivity-1 Laplace count release per event_type (the DP
+    mechanism with a deterministic seed — see the op docstring for the
+    production seed swap) — DuckDB hash-matched. Also a
+    relational_suite arm."""
+    from rayse.ops.datachecks import dp_event_counts
+
+    return dp_event_counts(sf_dir)
+
+
 def _q_forecast_revenue(sf_dir: str) -> pa.Table:
     """Q6-analog forecast revenue: the pure scan-filter-aggregate
     member (no join) — per-block masked partials collapse the whole
@@ -3187,6 +3197,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                 ["s_stat", "n_tie_groups", "z_q"])
     psi = _melt(_q_psi_drift(sf_dir), ["bucket"],
                 ["n_a", "n_b", "psi_q"])
+    dp = _melt(_q_dp_event_counts(sf_dir), ["event_type"],
+               ["n", "noisy_milli"])
     st = _melt(_q_stump_fit(sf_dir), ["threshold_cents", "predict_above"],
                ["n_correct", "n_total", "acc_ppm"])
     ka = _melt(_q_k_anonymity(sf_dir), ["event_type"],
@@ -3248,7 +3260,7 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("q6", q6), ("q14", q14), ("q18", q18),
                           ("q19", q19), ("adamic", aa), ("benford", bf),
                           ("theilsen", tsn), ("mannkendall", mkt),
-                          ("psi", psi)])
+                          ("psi", psi), ("dp", dp)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3447,6 +3459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": _q_large_orders,
         "brand_revenue": _q_brand_revenue,
         "adamic_adar": _q_adamic_adar,
+        "dp_event_counts": _q_dp_event_counts,
         "benford_digits": _q_benford_digits,
         "theil_sen": _q_theil_sen,
         "mann_kendall": _q_mann_kendall,
@@ -3799,6 +3812,10 @@ def oracle_sql() -> dict[str, str]:
             ("psi", __import__(
                 "rayse.ops.kstest", fromlist=["x"]).psi_drift_sql(),
              ("bucket",), ("n_a", "n_b", "psi_q")),
+            ("dp", __import__(
+                "rayse.ops.datachecks",
+                fromlist=["x"]).dp_event_counts_sql(),
+             ("event_type",), ("n", "noisy_milli")),
             ("stump", __import__(
                 "rayse.ops.stump", fromlist=["x"]).stump_fit_sql(),
              ("threshold_cents", "predict_above"),
@@ -4558,6 +4575,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.tpch", fromlist=["x"]).brand_revenue_sql(),
         "adamic_adar": __import__(
             "rayse.ops.graph", fromlist=["x"]).adamic_adar_sql(),
+        "dp_event_counts": __import__(
+            "rayse.ops.datachecks", fromlist=["x"]).dp_event_counts_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

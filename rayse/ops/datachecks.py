@@ -453,3 +453,92 @@ SELECT digit, n,
        CAST(floor(log10(1.0 + 1.0 / digit) * {BENFORD_SCALE} + 0.5)
             AS BIGINT) AS expected_ppm
 FROM g CROSS JOIN t ORDER BY digit"""
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release mechanics: sensitivity-1 Laplace counts
+# per event_type (Dwork et al. 2006). The MECHANISM is real — exact
+# distributed count, Laplace(1/eps) noise via the inverse CDF — but the
+# noise here is SEEDED from the category name (FNV-1a -> splitmix mix ->
+# uniform), not from a secret key, because the oracle contract requires
+# determinism; a production deployment swaps the seed source and keeps
+# every other line. Scale shape: per-block type bincounts -> one
+# type-bounded rollup -> O(types) driver finish.
+# ---------------------------------------------------------------------------
+
+DP_EPS = 1.0
+_DP_M64 = float(1 << 64)
+
+
+def dp_event_counts(sf_dir: str, eps: float = DP_EPS) -> pa.Table:
+    """(event_type, n, noisy_milli): exact count plus the seeded-Laplace
+    release, quantized to milli-counts."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from .exchange import _mix
+    from .textstats import _word_arr_slices, fnv64_slices
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        uk, cnt = np.unique(et, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(uk.tolist(), pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        [t for t in ray.get(ds.map_batches(
+            partial, batch_format="pyarrow",
+            zero_copy_batch=True).to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    gb = parts.group_by("event_type").aggregate([("n", "sum")])
+    types = np.asarray(gb["event_type"].to_pylist(), dtype=object)
+    order = np.argsort(types, kind="stable")
+    types = types[order]
+    n = gb["n_sum"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+
+    h = _mix(fnv64_slices(*_word_arr_slices(types)))
+    u = h.astype(np.float64) / _DP_M64
+    x = u - 0.5
+    noise = (-(1.0 / eps) * np.sign(x)
+             * np.log(1.0 - 2.0 * np.abs(x)))
+    noisy = n.astype(np.float64) + noise
+    nm = np.fromiter(
+        (int(math.copysign(math.floor(abs(v) * 1000 + 0.5), v))
+         for v in noisy), np.int64, noisy.size)
+    return pa.table({
+        "event_type": pa.array(types.tolist(), pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "noisy_milli": pa.array(nm, pa.int64()),
+    })
+
+
+def dp_event_counts_sql(eps: float = DP_EPS) -> str:
+    from .sketch import _mix_sql_wide
+
+    m = "18446744073709551616::HUGEINT"          # 2^64
+    off = "14695981039346656037::HUGEINT"        # FNV-1a offset basis
+    prime = "1099511628211::HUGEINT"             # FNV-1a prime
+    fnv = (f"list_reduce(list_prepend({off}, "
+           f"[ascii(c)::HUGEINT FOR c IN string_split(event_type, '')]),"
+           f" (h, b) -> (xor(h, b) * {prime}) % {m})")
+    mixed = _mix_sql_wide(fnv)
+    return f"""
+WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type),
+s AS (SELECT event_type, n,
+             CAST({mixed} AS DOUBLE) / {_DP_M64!r} - 0.5 AS x
+      FROM g),
+r AS (SELECT event_type, n,
+             n + (-(1.0 / {eps!r}) * sign(x) * ln(1.0 - 2.0 * abs(x)))
+               AS noisy
+      FROM s)
+SELECT event_type, n,
+       CAST(round(noisy * 1000) AS BIGINT) AS noisy_milli
+FROM r ORDER BY event_type"""

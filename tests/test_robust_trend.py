@@ -98,3 +98,26 @@ def test_adamic_adar_discounts_hubs(ray_session):
     aa = adamic_adar(SF).to_pandas()[["v_a", "v_b"]]
     cn = link_predict(SF).to_pandas()[["v_a", "v_b"]]
     assert not aa.equals(cn)
+
+
+def test_dp_event_counts_matches_duckdb(ray_session, con):
+    from rayse.ops.datachecks import dp_event_counts, dp_event_counts_sql
+
+    t = _cmp(dp_event_counts(SF), dp_event_counts_sql(), con,
+             ["event_type"])
+    assert len(t) > 0
+    # noise is bounded in probability but never zero in practice, and
+    # the true counts remain exact in the n column
+    assert (t["n"] > 0).all()
+    assert (t["noisy_milli"] != t["n"] * 1000).any()
+
+
+def test_dp_eps_scales_noise(ray_session):
+    """Smaller epsilon -> strictly larger (same-seed) noise magnitude."""
+    from rayse.ops.datachecks import dp_event_counts
+
+    t1 = dp_event_counts(SF, eps=1.0).to_pandas()
+    t2 = dp_event_counts(SF, eps=0.1).to_pandas()
+    d1 = (t1["noisy_milli"] - t1["n"] * 1000).abs()
+    d2 = (t2["noisy_milli"] - t2["n"] * 1000).abs()
+    assert (d2 >= d1 * 9).all()
