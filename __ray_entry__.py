@@ -1611,6 +1611,17 @@ def _q_psi_drift(sf_dir: str) -> pa.Table:
     return psi_drift(sf_dir)
 
 
+def _q_nation_volume(sf_dir: str) -> pa.Table:
+    """Q7-analog nation-pair trade volume: TWO dimension chains
+    collapsed to broadcasts (supplier->nation on the lineitem side,
+    customer->nation on the orders side), one exchange hash join,
+    bounded nations²×years rollup — DuckDB hash-matched. Also a
+    relational_suite arm."""
+    from rayse.ops.tpch import nation_volume
+
+    return nation_volume(sf_dir)
+
+
 def _q_dp_event_counts(sf_dir: str) -> pa.Table:
     """Sensitivity-1 Laplace count release per event_type (the DP
     mechanism with a deterministic seed — see the op docstring for the
@@ -3199,6 +3210,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                 ["n_a", "n_b", "psi_q"])
     dp = _melt(_q_dp_event_counts(sf_dir), ["event_type"],
                ["n", "noisy_milli"])
+    q7 = _melt(_q_nation_volume(sf_dir), ["supp_nation", "cust_nation"],
+               ["l_year", "revenue", "n_items"])
     st = _melt(_q_stump_fit(sf_dir), ["threshold_cents", "predict_above"],
                ["n_correct", "n_total", "acc_ppm"])
     ka = _melt(_q_k_anonymity(sf_dir), ["event_type"],
@@ -3260,7 +3273,7 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("q6", q6), ("q14", q14), ("q18", q18),
                           ("q19", q19), ("adamic", aa), ("benford", bf),
                           ("theilsen", tsn), ("mannkendall", mkt),
-                          ("psi", psi), ("dp", dp)])
+                          ("psi", psi), ("dp", dp), ("q7", q7)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3458,6 +3471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "large_orders": _q_large_orders,
         "brand_revenue": _q_brand_revenue,
+        "nation_volume": _q_nation_volume,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
         "benford_digits": _q_benford_digits,
@@ -3816,6 +3830,10 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.datachecks",
                 fromlist=["x"]).dp_event_counts_sql(),
              ("event_type",), ("n", "noisy_milli")),
+            ("q7", __import__(
+                "rayse.ops.tpch", fromlist=["x"]).nation_volume_sql(),
+             ("supp_nation", "cust_nation"),
+             ("l_year", "revenue", "n_items")),
             ("stump", __import__(
                 "rayse.ops.stump", fromlist=["x"]).stump_fit_sql(),
              ("threshold_cents", "predict_above"),
@@ -4577,6 +4595,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.graph", fromlist=["x"]).adamic_adar_sql(),
         "dp_event_counts": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).dp_event_counts_sql(),
+        "nation_volume": __import__(
+            "rayse.ops.tpch", fromlist=["x"]).nation_volume_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -749,3 +749,160 @@ SELECT branch, CAST(sum(rev) AS BIGINT) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM j WHERE branch IS NOT NULL
 GROUP BY branch ORDER BY branch"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 analog: nation-pair shipping volume — the TWO-dimension-chain join
+# member. The big⋈big edge (lineitem ⋈ orders) is the one real
+# exchange; BOTH nation lookups collapse to broadcasts: supplier ->
+# nation rides the lineitem side (l_suppkey gather before the join),
+# customer -> nation rides the orders side (o_custkey gather in the
+# same pass that filters the date window). Output is bounded by
+# nations² × years, grouped from per-row 1e-4-unit integers.
+# ---------------------------------------------------------------------------
+
+Q7_LO = "1996-01-01"
+Q7_HI = "1998-01-01"
+
+
+def nation_volume(sf_dir: str, k: int = 20) -> pa.Table:
+    """(supp_nation, cust_nation, l_year, revenue, n_items): top-``k``
+    nation-pair trade volumes in the window (Q7 analog; all pairs with
+    supp != cust nation, ranked by revenue)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    nname = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    n_order = np.argsort(nk, kind="stable")
+    nk, nname = nk[n_order], nname[n_order]
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    snat = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    s_order = np.argsort(sk, kind="stable")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cnat = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    c_order = np.argsort(ck, kind="stable")
+    dims_ref = ray.put((sk[s_order], snat[s_order],
+                        ck[c_order], cnat[c_order]))
+    lo, hi = _ts(Q7_LO), _ts(Q7_HI)
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+
+    def prep_line(batch: pa.Table) -> pa.Table:
+        skeys, snk, _, _ = ray.get(dims_ref)
+        dt = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array((dt >= lo) & (dt < hi)))
+        lsk = sub["l_suppkey"].to_numpy(zero_copy_only=False)
+        rev = _rev_q(sub["l_extendedprice"].to_numpy(
+                         zero_copy_only=False),
+                     sub["l_discount"].to_numpy(zero_copy_only=False))
+        yr = sub["l_shipdate"].to_numpy(
+            zero_copy_only=False).astype("datetime64[Y]").astype(
+                np.int64) + 1970
+        j = np.searchsorted(skeys, lsk)
+        return pa.table({
+            "l_orderkey": sub["l_orderkey"],
+            "supp_nat": pa.array(snk[j], pa.int64()),
+            "l_year": pa.array(yr, pa.int64()),
+            "rev": pa.array(rev, pa.int64()),
+        })
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        _, _, ckeys, cnk = ray.get(dims_ref)
+        ock = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        j = np.searchsorted(ckeys, ock)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "cust_nat": pa.array(cnk[j], pa.int64()),
+        })
+
+    j = hash_join(
+        line.map_batches(prep_line, batch_format="pyarrow"),
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sn = batch["supp_nat"].to_numpy(zero_copy_only=False)
+        cn = batch["cust_nat"].to_numpy(zero_copy_only=False)
+        yr = batch["l_year"].to_numpy(zero_copy_only=False)
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        m = sn != cn
+        key = (sn[m] * 32 + cn[m]) * 4096 + yr[m]
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": pa.array(uk, pa.int64()),
+            "rev": pa.array(np.bincount(inv, rev[m], uk.size)
+                            .astype(np.int64)),
+            "n": pa.array(np.bincount(inv, None, uk.size)
+                          .astype(np.int64)),
+        })
+
+    import ray.data as rd
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("key").aggregate(rd.aggregate.Sum("rev"),
+                                     rd.aggregate.Sum("n")))
+    t1 = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    k1 = t1["key"].to_numpy(zero_copy_only=False)
+    rev = t1["sum(rev)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t1["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    yr = k1 % 4096
+    sn = k1 // 4096 // 32
+    cn = k1 // 4096 % 32
+    order = np.lexsort((yr, cn, sn, -rev))[:k]
+    s_i = np.searchsorted(nk, sn[order])
+    c_i = np.searchsorted(nk, cn[order])
+    return pa.table({
+        "supp_nation": pa.array(nname[s_i].tolist(), pa.string()),
+        "cust_nation": pa.array(nname[c_i].tolist(), pa.string()),
+        "l_year": pa.array(yr[order], pa.int64()),
+        "revenue": pa.array(rev[order], pa.int64()),
+        "n_items": pa.array(n[order], pa.int64()),
+    })
+
+
+def nation_volume_sql(k: int = 20) -> str:
+    return f"""
+WITH j AS (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         sn.n_nationkey AS snk, cn.n_nationkey AS cnk,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+              AS BIGINT) AS rev
+  FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation sn ON s_nationkey = sn.n_nationkey
+       JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '{Q7_LO}'
+    AND l_shipdate < TIMESTAMP '{Q7_HI}'
+    AND sn.n_nationkey <> cn.n_nationkey)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev) AS BIGINT) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM j
+GROUP BY supp_nation, cust_nation, l_year, snk, cnk
+ORDER BY revenue DESC, snk, cnk, l_year
+LIMIT {k}"""

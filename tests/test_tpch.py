@@ -107,3 +107,17 @@ def test_q19_matches_duckdb(ray_session, con_p):
     want = con_p.execute(brand_revenue_sql()).fetchdf()
     n = _cmp(got, want, ["branch"])
     assert n > 0
+
+
+def test_q7_matches_duckdb(ray_session, con_p):
+    c = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation", "supplier"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    from rayse.ops.tpch import nation_volume, nation_volume_sql
+
+    got = nation_volume(SF, k=15).to_pandas()
+    want = c.execute(nation_volume_sql(k=15)).fetchdf()
+    n = _cmp(got, want, ["supp_nation", "cust_nation", "l_year"])
+    assert n > 0
+    assert (got["supp_nation"] != got["cust_nation"]).all()
