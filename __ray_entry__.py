@@ -1375,6 +1375,22 @@ def _q_porter_lmjm_topk(sf_dir: str) -> pa.Table:
     return porter_lmjm_topk(_index_for(sf_dir))
 
 
+def _q_porter_bm25plus_topk(sf_dir: str) -> pa.Table:
+    """BM25+ lower-bounded ranking (Lv & Zhai 2011: δ floor on the tf
+    part) — DuckDB hash-matched; also a ``porter_rank_matrix`` arm."""
+    from rayse.ops.porter_oracle import porter_bm25plus_topk
+
+    return porter_bm25plus_topk(_index_for(sf_dir))
+
+
+def _q_porter_bm25l_topk(sf_dir: str) -> pa.Table:
+    """BM25L shifted length-normalized-count ranking — DuckDB
+    hash-matched; also a ``porter_rank_matrix`` arm."""
+    from rayse.ops.porter_oracle import porter_bm25l_topk
+
+    return porter_bm25l_topk(_index_for(sf_dir))
+
+
 def _q_porter_dfr_topk(sf_dir: str) -> pa.Table:
     """DFR InL2 ranking (Amati & van Rijsbergen 2002: IDF randomness
     model, Laplace after-effect, H2 length normalization) — DuckDB
@@ -3588,6 +3604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_lmjm_topk": _q_porter_lmjm_topk,
         "porter_dfr_topk": _q_porter_dfr_topk,
         "porter_dph_topk": _q_porter_dph_topk,
+        "porter_bm25plus_topk": _q_porter_bm25plus_topk,
+        "porter_bm25l_topk": _q_porter_bm25l_topk,
         "porter_fuzzy_topk": _q_porter_fuzzy_topk,
         "porter_sloppy_topk": _q_porter_sloppy_topk,
         "porter_deleted_topk": _q_porter_deleted_topk,
@@ -4163,6 +4181,11 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_dfr_sql(),
         "porter_dph_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_dph_sql(),
+        "porter_bm25plus_topk": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_bm25plus_sql(),
+        "porter_bm25l_topk": __import__(
+            "rayse.ops.porter_oracle", fromlist=["x"]).porter_bm25l_sql(),
         "porter_fuzzy_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_fuzzy_sql(),
         "porter_sloppy_topk": __import__(

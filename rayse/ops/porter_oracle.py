@@ -1457,6 +1457,10 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
          porter_lmjm_sql(k=k)),
         ("dfr", lambda: porter_dfr_topk(d, k=k), porter_dfr_sql(k=k)),
         ("dph", lambda: porter_dph_topk(d, k=k), porter_dph_sql(k=k)),
+        ("bm25plus", lambda: porter_bm25plus_topk(d, k=k),
+         porter_bm25plus_sql(k=k)),
+        ("bm25l", lambda: porter_bm25l_topk(d, k=k),
+         porter_bm25l_sql(k=k)),
         ("ranker1", lambda: porter_ranker1_topk(d, k=k),
          porter_ranker1_sql(k=k)),
         ("rerank", lambda: porter_rerank_topk(d, k=k),
@@ -3173,6 +3177,120 @@ def porter_dfr_sql(queries: list[str] | None = None, k: int = 10) -> str:
     """Oracle for ``porter_dfr_topk`` (InL2): tf-join candidates, H2
     length normalization and Laplace after-effect inline."""
     return _dfr_sql("inl2", queries, k)
+
+
+# ---------------------------------------------------------------------------
+# Lower-bounded BM25 variants (Lv & Zhai, CIKM 2011): BM25+ adds a
+# floor δ to the tf part so long documents cannot be penalized below a
+# single-occurrence bound; BM25L shifts the length-normalized count
+# c = tf/(1-b+b·dl/avgdl) by δ before the saturation. Both keep the
+# engine's stats and idf v2 (same k1=1.2, b=0.75 as the BM25 oracle) —
+# the point is the tf-normalization change in isolation.
+# ---------------------------------------------------------------------------
+
+BM25PLUS_DELTA = 1.0
+BM25L_DELTA = 0.5
+
+
+def _bm25lb_topk(index_dir: str, mode: str, queries: list[str] | None,
+                 k: int) -> pa.Table:
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, _ = _porter_reader(index_dir)
+    n_docs = float(reader.n_docs)
+    avgdl = float(reader.avgdl)
+
+    def _search(q: str, kk: int):
+        per_term = []
+        for t in sorted(set(_analyzed(q))):
+            pl = reader.merged(t)
+            if pl is None or pl.doc_ids.size == 0:
+                continue
+            per_term.append(pl)
+        if not per_term:
+            return (np.array([], dtype=np.uint64),
+                    np.array([], dtype=np.float64))
+        docs = np.unique(np.concatenate([pl.doc_ids for pl in per_term]))
+        score = np.zeros(docs.size, np.float64)
+        for pl in per_term:
+            idx = np.searchsorted(docs, pl.doc_ids)
+            tf = pl.tfs.astype(np.float64)
+            dlv = pl.dls.astype(np.float64)
+            df = float(pl.doc_ids.size)
+            idf = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+            norm = 0.25 + 0.75 * (dlv / avgdl)
+            if mode == "plus":
+                tfpart = tf * 2.2 / (tf + 1.2 * norm)
+                contrib = idf * (tfpart + BM25PLUS_DELTA)
+            else:                                    # bm25l
+                c = tf / norm
+                contrib = idf * (2.2 * (c + BM25L_DELTA)
+                                 / (1.2 + (c + BM25L_DELTA)))
+            score[idx] += contrib
+        if docs.size > kk:
+            cut = np.argpartition(-score, kk - 1)[:kk]
+            docs, score = docs[cut], score[cut]
+        return docs, score
+
+    return _quantized_search_rows(_search, index_dir, queries, k)
+
+
+def porter_bm25plus_topk(index_dir: str,
+                         queries: list[str] | None = None,
+                         k: int = 10) -> pa.Table:
+    """BM25+ (δ-floored tf part) top-k, quantized ranking."""
+    return _bm25lb_topk(index_dir, "plus", queries, k)
+
+
+def porter_bm25l_topk(index_dir: str, queries: list[str] | None = None,
+                      k: int = 10) -> pa.Table:
+    """BM25L (shifted length-normalized count) top-k, quantized."""
+    return _bm25lb_topk(index_dir, "bm25l", queries, k)
+
+
+def _bm25lb_sql(mode: str, queries: list[str] | None, k: int) -> str:
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in sorted(set(_analyzed(q))))
+    idf = "(ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)"
+    norm = "(0.25 + 0.75 * (dl.dl / s.avgdl))"
+    if mode == "plus":
+        expr = (f"{idf} * (tf.tf * 2.2 / (tf.tf + 1.2 * {norm})"
+                f" + {BM25PLUS_DELTA!r}::DOUBLE)")
+    else:
+        c = f"(tf.tf / {norm})"
+        expr = (f"{idf} * (2.2 * ({c} + {BM25L_DELTA!r}::DOUBLE)"
+                f" / (1.2 + ({c} + {BM25L_DELTA!r}::DOUBLE)))")
+    return f"""{_analysis_ctes()},
+qt(query, term) AS (VALUES {vals}),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx, sum({expr}) AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+quant AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q
+  FROM scored),
+ranked AS (
+  SELECT query, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_q DESC, conv_id, turn_idx) AS rn
+  FROM quant)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+def porter_bm25plus_sql(queries: list[str] | None = None,
+                        k: int = 10) -> str:
+    """Oracle for ``porter_bm25plus_topk``."""
+    return _bm25lb_sql("plus", queries, k)
+
+
+def porter_bm25l_sql(queries: list[str] | None = None,
+                     k: int = 10) -> str:
+    """Oracle for ``porter_bm25l_topk``."""
+    return _bm25lb_sql("bm25l", queries, k)
 
 
 def porter_dph_sql(queries: list[str] | None = None, k: int = 10) -> str:

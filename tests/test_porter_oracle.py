@@ -919,3 +919,36 @@ def test_porter_dph_matches_duckdb(porter_index, con):
     dfr = porter_dfr_topk(porter_index).to_pandas()
     cols = ["query", "rank", "conv_id", "turn_idx"]
     assert not got.to_pandas()[cols].equals(dfr[cols])
+
+
+def test_porter_bm25plus_matches_duckdb(porter_index, con):
+    """BM25+ vs its oracle; the δ floor means every matching doc gains
+    at least δ·idf per term, so scores strictly exceed plain BM25's."""
+    from rayse.ops.porter_oracle import (porter_bm25_topk,
+                                         porter_bm25plus_sql,
+                                         porter_bm25plus_topk)
+
+    got = porter_bm25plus_topk(porter_index)
+    want = con.execute(porter_bm25plus_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    plus = got.to_pandas()
+    plain = porter_bm25_topk(porter_index).to_pandas()
+    j = plus.merge(plain, on=["query", "conv_id", "turn_idx"],
+                   suffixes=("_p", "_b"))
+    assert (j.score_q_p > j.score_q_b).all()
+
+
+def test_porter_bm25l_matches_duckdb(porter_index, con):
+    """BM25L vs its oracle; BM25L and BM25+ must disagree somewhere."""
+    from rayse.ops.porter_oracle import (porter_bm25l_sql,
+                                         porter_bm25l_topk,
+                                         porter_bm25plus_topk)
+
+    got = porter_bm25l_topk(porter_index)
+    want = con.execute(porter_bm25l_sql()).fetchdf()
+    assert len(want) > 0
+    _cmp(got, want, ["query", "rank"])
+    cols = ["query", "rank", "conv_id", "turn_idx", "score_q"]
+    plus = porter_bm25plus_topk(porter_index).to_pandas()
+    assert not got.to_pandas()[cols].equals(plus[cols])
