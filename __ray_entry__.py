@@ -1627,6 +1627,17 @@ def _q_psi_drift(sf_dir: str) -> pa.Table:
     return psi_drift(sf_dir)
 
 
+def _q_twap_daily(sf_dir: str) -> pa.Table:
+    """Day-windowed time-weighted average value per event type: the
+    day boundary makes holding weights bucket-local, so ONE
+    (type-hash, day) exchange finishes every group with no halo —
+    integer cents×microsecond weights, DuckDB hash-matched against the
+    lead()-window oracle. Also a relational_suite arm."""
+    from rayse.ops.windows import twap_daily
+
+    return twap_daily(sf_dir)
+
+
 def _q_nation_volume(sf_dir: str) -> pa.Table:
     """Q7-analog nation-pair trade volume: TWO dimension chains
     collapsed to broadcasts (supplier->nation on the lineitem side,
@@ -3228,6 +3239,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                ["n", "noisy_milli"])
     q7 = _melt(_q_nation_volume(sf_dir), ["supp_nation", "cust_nation"],
                ["l_year", "revenue", "n_items"])
+    tw = _melt(_q_twap_daily(sf_dir), ["event_type", "day"],
+               ["n", "den_us", "twap_milli"])
     st = _melt(_q_stump_fit(sf_dir), ["threshold_cents", "predict_above"],
                ["n_correct", "n_total", "acc_ppm"])
     ka = _melt(_q_k_anonymity(sf_dir), ["event_type"],
@@ -3289,7 +3302,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("q6", q6), ("q14", q14), ("q18", q18),
                           ("q19", q19), ("adamic", aa), ("benford", bf),
                           ("theilsen", tsn), ("mannkendall", mkt),
-                          ("psi", psi), ("dp", dp), ("q7", q7)])
+                          ("psi", psi), ("dp", dp), ("q7", q7),
+                          ("twap", tw)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3488,6 +3502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": _q_large_orders,
         "brand_revenue": _q_brand_revenue,
         "nation_volume": _q_nation_volume,
+        "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
         "benford_digits": _q_benford_digits,
@@ -3852,6 +3867,9 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.tpch", fromlist=["x"]).nation_volume_sql(),
              ("supp_nation", "cust_nation"),
              ("l_year", "revenue", "n_items")),
+            ("twap", __import__(
+                "rayse.ops.windows", fromlist=["x"]).twap_daily_sql(),
+             ("event_type", "day"), ("n", "den_us", "twap_milli")),
             ("stump", __import__(
                 "rayse.ops.stump", fromlist=["x"]).stump_fit_sql(),
              ("threshold_cents", "predict_above"),
@@ -4620,6 +4638,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.datachecks", fromlist=["x"]).dp_event_counts_sql(),
         "nation_volume": __import__(
             "rayse.ops.tpch", fromlist=["x"]).nation_volume_sql(),
+        "twap_daily": __import__(
+            "rayse.ops.windows", fromlist=["x"]).twap_daily_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -350,3 +350,143 @@ SELECT event_type,
                  THEN 1 ELSE 0 END AS BIGINT) AS late,
        CAST(count(*) AS BIGINT) AS n
 FROM lo GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Day-windowed TWAP (time-weighted average price/value — the standard
+# irregular-sampling aggregate in market/telemetry data): each event's
+# value holds until the next event of the same type within the day (the
+# last one holds to day end), so the mean weights values by holding
+# time, not by row count. The day boundary makes the semantic fully
+# bucket-local: ONE exchange by (type-hash, day) and every partition
+# finishes its own (type, day) groups — no halo, no cross-bucket state
+# (the trade-off vs an unbounded-holding TWAP is documented here: value
+# holding truncates at midnight). Integer-exact: cents × microsecond
+# weights summed as int64, one floor division per group.
+# ---------------------------------------------------------------------------
+
+_TWAP_DAY_US = 86_400_000_000
+
+
+def _twap_partition(tbl: pa.Table) -> pa.Table:
+    """All rows of this partition's (type-hash, day) keys: sort by
+    (type, day, t, event_id) — event_id breaks timestamp ties exactly
+    like the oracle's ORDER BY — then per-group holding weights."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "day": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "den_us": pa.array([], pa.int64()),
+                         "twap_milli": pa.array([], pa.int64())})
+    et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    codes, first = None, None
+    uk, codes = np.unique(et, return_inverse=True)
+    day = tbl["day"].to_numpy(zero_copy_only=False)
+    t = tbl["t"].to_numpy(zero_copy_only=False)
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+    c = tbl["c"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, t, day, codes))
+    codes, day, t, c = codes[order], day[order], t[order], c[order]
+    # group = (code, day) run boundaries after the sort
+    new = np.empty(t.size, dtype=bool)
+    new[0] = True
+    new[1:] = (codes[1:] != codes[:-1]) | (day[1:] != day[:-1])
+    nxt = np.empty(t.size, np.int64)
+    nxt[:-1] = t[1:]
+    nxt[-1] = 0
+    ends = np.empty(t.size, dtype=bool)
+    ends[:-1] = new[1:]
+    ends[-1] = True
+    nxt[ends] = (day[ends] + 1) * _TWAP_DAY_US     # hold to day end
+    w = nxt - t
+    starts = np.flatnonzero(new)
+    num = np.add.reduceat(c * w, starts)
+    den = np.add.reduceat(w, starts)
+    n = np.add.reduceat(np.ones(t.size, np.int64), starts)
+    return pa.table({
+        "event_type": pa.array(uk[codes[starts]].tolist(), pa.string()),
+        "day": pa.array(day[starts], pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "den_us": pa.array(den, pa.int64()),
+        "twap_milli": pa.array(num * 1000 // den, pa.int64()),
+    })
+
+
+def twap_daily(sf_dir: str) -> pa.Table:
+    """(event_type, day, n, den_us, twap_milli): day-windowed
+    time-weighted average value per type — DuckDB hash-matched against
+    the lead()-window oracle."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "event_id", "ts",
+                                  "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .textstats import _word_arr_slices, fnv64_slices
+
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "thash": pa.array(
+                fnv64_slices(*_word_arr_slices(et)).astype(np.int64)
+                & ((1 << 63) - 1), pa.int64()),
+            "event_type": batch["event_type"],
+            "event_id": batch["event_id"],
+            "day": pa.array(ts // _TWAP_DAY_US, pa.int64()),
+            "t": pa.array(ts, pa.int64()),
+            "c": pa.array(np.floor(
+                batch["value"].to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64), pa.int64()),
+        })
+
+    out = exchange_by_key(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["thash", "day"], _twap_partition)
+    tbl = pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    day = tbl["day"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((day, et))
+    idx = pa.array(order, pa.int64())
+    import pyarrow.compute as pc
+
+    return pa.table({
+        "event_type": pc.take(tbl["event_type"], idx),
+        "day": pc.take(tbl["day"], idx),
+        "n": pc.take(tbl["n"], idx),
+        "den_us": pc.take(tbl["den_us"], idx),
+        "twap_milli": pc.take(tbl["twap_milli"], idx),
+    })
+
+
+def twap_daily_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t,
+         epoch_us(ts) // {_TWAP_DAY_US} AS day,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events),
+w AS (
+  SELECT event_type, day, c,
+         COALESCE(lead(t) OVER (PARTITION BY event_type, day
+                                ORDER BY t, event_id),
+                  (day + 1) * {_TWAP_DAY_US}) - t AS wt
+  FROM v)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(wt) AS BIGINT) AS den_us,
+       CAST(sum(CAST(c AS HUGEINT) * wt) * 1000
+            // sum(CAST(wt AS HUGEINT)) AS BIGINT) AS twap_milli
+FROM w GROUP BY event_type, day
+ORDER BY event_type, day"""

@@ -109,3 +109,14 @@ def test_join_cardinality_invariant(ray_session, n_parts, monkeypatch):
     monkeypatch.setattr(ex, "default_parts", lambda: n_parts)
     got = _frame(join_cardinality(SF))
     pd.testing.assert_frame_equal(base, got)
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_twap_daily_invariant(ray_session, n_parts, monkeypatch):
+    import rayse.ops.exchange as ex
+    from rayse.ops.windows import twap_daily
+
+    base = _frame(twap_daily(SF))
+    monkeypatch.setattr(ex, "default_parts", lambda: n_parts)
+    got = _frame(twap_daily(SF))
+    pd.testing.assert_frame_equal(base, got)

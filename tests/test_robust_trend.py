@@ -121,3 +121,36 @@ def test_dp_eps_scales_noise(ray_session):
     d1 = (t1["noisy_milli"] - t1["n"] * 1000).abs()
     d2 = (t2["noisy_milli"] - t2["n"] * 1000).abs()
     assert (d2 >= d1 * 9).all()
+
+
+def test_twap_daily_matches_duckdb(ray_session, con):
+    from rayse.ops.windows import twap_daily, twap_daily_sql
+
+    t = _cmp(twap_daily(SF), twap_daily_sql(), con,
+             ["event_type", "day"])
+    assert len(t) > 0
+    # holding weights within a (type, day) tile the day exactly from
+    # the first event to midnight
+    assert (t["den_us"] > 0).all()
+    assert (t["den_us"] <= 86_400_000_000).all()
+
+
+def test_twap_weights_by_holding_time(ray_session):
+    """A value held longer must dominate the TWAP: construct the check
+    from the partition function directly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayse.ops.windows import _TWAP_DAY_US, _twap_partition
+
+    day = 0
+    tbl = pa.table({
+        "event_type": pa.array(["a", "a"], pa.string()),
+        "event_id": pa.array([1, 2], pa.int64()),
+        "day": pa.array([day, day], pa.int64()),
+        "t": pa.array([0, _TWAP_DAY_US - 1000], pa.int64()),
+        "c": pa.array([100, 10_000], pa.int64()),
+    })
+    out = _twap_partition(tbl).to_pandas()
+    # value 100 holds ~the whole day; the spike at the end barely moves it
+    assert abs(out["twap_milli"].iloc[0] - 100_000) < 1_000
