@@ -1627,6 +1627,27 @@ def _q_psi_drift(sf_dir: str) -> pa.Table:
     return psi_drift(sf_dir)
 
 
+def _q_small_quantity_revenue(sf_dir: str) -> pa.Table:
+    """Q17-analog correlated aggregate: per-part average quantity
+    computed once, broadcast back as integer thresholds into a
+    row-local second pass — the SQL's self-join never materializes;
+    5·n·qty_c < Σqty_c is the exact-integer form of qty < 0.2·avg —
+    DuckDB hash-matched. Also a relational_suite arm."""
+    from rayse.ops.tpch import small_quantity_revenue
+
+    return small_quantity_revenue(sf_dir)
+
+
+def _q_top_supplier_revenue(sf_dir: str) -> pa.Table:
+    """Q15-analog equal-to-global-max: per-block supplier revenue
+    partials, one groupby, max and ALL its achievers from the
+    dimension-bounded rollup — DuckDB hash-matched. Also a
+    relational_suite arm."""
+    from rayse.ops.tpch import top_supplier_revenue
+
+    return top_supplier_revenue(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3241,6 +3262,10 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                ["l_year", "revenue", "n_items"])
     tw = _melt(_q_twap_daily(sf_dir), ["event_type", "day"],
                ["n", "den_us", "twap_milli"])
+    q17 = _melt(_q_small_quantity_revenue(sf_dir), ["n_items"],
+                ["revenue_milli"])
+    q15 = _melt(_q_top_supplier_revenue(sf_dir),
+                ["s_suppkey", "s_name"], ["revenue"])
     st = _melt(_q_stump_fit(sf_dir), ["threshold_cents", "predict_above"],
                ["n_correct", "n_total", "acc_ppm"])
     ka = _melt(_q_k_anonymity(sf_dir), ["event_type"],
@@ -3303,7 +3328,7 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("q19", q19), ("adamic", aa), ("benford", bf),
                           ("theilsen", tsn), ("mannkendall", mkt),
                           ("psi", psi), ("dp", dp), ("q7", q7),
-                          ("twap", tw)])
+                          ("twap", tw), ("q17", q17), ("q15", q15)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -3502,6 +3527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": _q_large_orders,
         "brand_revenue": _q_brand_revenue,
         "nation_volume": _q_nation_volume,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "top_supplier_revenue": _q_top_supplier_revenue,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -3870,6 +3897,14 @@ def oracle_sql() -> dict[str, str]:
             ("twap", __import__(
                 "rayse.ops.windows", fromlist=["x"]).twap_daily_sql(),
              ("event_type", "day"), ("n", "den_us", "twap_milli")),
+            ("q17", __import__(
+                "rayse.ops.tpch",
+                fromlist=["x"]).small_quantity_revenue_sql(),
+             ("n_items",), ("revenue_milli",)),
+            ("q15", __import__(
+                "rayse.ops.tpch",
+                fromlist=["x"]).top_supplier_revenue_sql(),
+             ("s_suppkey", "s_name"), ("revenue",)),
             ("stump", __import__(
                 "rayse.ops.stump", fromlist=["x"]).stump_fit_sql(),
              ("threshold_cents", "predict_above"),
@@ -4640,6 +4675,11 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.tpch", fromlist=["x"]).nation_volume_sql(),
         "twap_daily": __import__(
             "rayse.ops.windows", fromlist=["x"]).twap_daily_sql(),
+        "small_quantity_revenue": __import__(
+            "rayse.ops.tpch",
+            fromlist=["x"]).small_quantity_revenue_sql(),
+        "top_supplier_revenue": __import__(
+            "rayse.ops.tpch", fromlist=["x"]).top_supplier_revenue_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -906,3 +906,196 @@ FROM j
 GROUP BY supp_nation, cust_nation, l_year, snk, cnk
 ORDER BY revenue DESC, snk, cnk, l_year
 LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 analog: small-quantity-order revenue — the correlated-aggregate
+# member (per-part average quantity, then the fact filtered against its
+# own group's statistic). Two passes over the pruned lineitem columns:
+# pass 1 pre-combines (partkey, Σqty, n) per block into one
+# high-cardinality groupby; the per-part thresholds then ride ONE
+# broadcast (part-bounded) back into pass 2's row-local filter — the
+# self-join the SQL writes never materializes. Threshold compare is
+# exact-integer: 100·5·qty_c < sum_qty_c ⇔ qty < 0.2·avg (avg = sum/n).
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#13"
+
+
+def small_quantity_revenue(sf_dir: str) -> pa.Table:
+    """One row (revenue, n_items): extendedprice sum (1e-4 units,
+    divided by 7 in milli-units) over brand lineitems with quantity
+    below 20% of their part's average (Q17 analog)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .relational import _cents
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    keep = np.sort(pc.filter(
+        part["p_partkey"],
+        pc.equal(part["p_brand"], Q17_BRAND)).to_numpy(
+            zero_copy_only=False))
+    keep_ref = ray.put(keep)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_quantity",
+                                    "l_extendedprice"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        j = np.minimum(np.searchsorted(ks, lpk), max(ks.size - 1, 0))
+        m = (ks.size > 0) & (ks[j] == lpk)
+        sub = lpk[m]
+        qc = _cents(batch["l_quantity"].to_numpy(
+            zero_copy_only=False))[m]
+        uk, inv = np.unique(sub, return_inverse=True)
+        return pa.table({
+            "p": pa.array(uk, pa.int64()),
+            "sq": pa.array(np.bincount(inv, qc, uk.size)
+                           .astype(np.int64)),
+            "n": pa.array(np.bincount(inv, None, uk.size)
+                          .astype(np.int64)),
+        })
+
+    import ray.data as rd2
+
+    agg = (line.map_batches(qty_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("p").aggregate(rd2.aggregate.Sum("sq"),
+                                   rd2.aggregate.Sum("n")))
+    stats = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    pk = stats["p"].to_numpy(zero_copy_only=False)
+    o = np.argsort(pk, kind="stable")
+    thr_ref = ray.put((pk[o],
+                       stats["sum(sq)"].to_numpy(
+                           zero_copy_only=False).astype(np.int64)[o],
+                       stats["sum(n)"].to_numpy(
+                           zero_copy_only=False).astype(np.int64)[o]))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ks, sq, n = ray.get(thr_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        j = np.minimum(np.searchsorted(ks, lpk), max(ks.size - 1, 0))
+        hit = (ks.size > 0) & (ks[j] == lpk)
+        qc = _cents(batch["l_quantity"].to_numpy(zero_copy_only=False))
+        # qty < 0.2 * (sum/n)  <=>  5 * n * qty_c < sum_qty_c (ints)
+        m = hit & (5 * n[j] * qc < sq[j])
+        pc_ = _cents(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[m], 10000.0)
+        return pa.table({
+            "rev": pa.array([int(pc_.sum())], pa.int64()),
+            "n_items": pa.array([int(m.sum())], pa.int64())})
+
+    parts = pa.concat_tables(
+        ray.get(line.map_batches(rev_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    rev = int(pc.sum(parts["rev"]).as_py() or 0)
+    n = int(pc.sum(parts["n_items"]).as_py() or 0)
+    return pa.table({
+        "revenue_milli": pa.array([rev * 1000 // 7 // 10], pa.int64()),
+        "n_items": pa.array([n], pa.int64()),
+    })
+
+
+def small_quantity_revenue_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT l_partkey AS p,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+  GROUP BY l_partkey),
+f AS (
+  SELECT CAST(round(l_extendedprice * 10000) AS BIGINT) AS pc
+  FROM lineitem JOIN s ON l_partkey = s.p
+  WHERE 5 * s.n * CAST(round(l_quantity * 100) AS BIGINT) < s.sq)
+SELECT CAST(COALESCE(sum(pc), 0) * 1000 // 7 // 10 AS BIGINT)
+         AS revenue_milli,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM f"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 analog: top supplier(s) by window revenue — the
+# equal-to-global-max member. Per-block (suppkey, Σrev) partials ->
+# one groupby -> the max and ITS achievers resolved from the gathered
+# supplier-bounded rollup (suppliers are a dimension; the rollup is
+# dimension-sized, documented). Ties all surface, like the SQL.
+# ---------------------------------------------------------------------------
+
+Q15_LO = "1997-01-01"
+Q15_HI = "1997-04-01"
+
+
+def top_supplier_revenue(sf_dir: str) -> pa.Table:
+    """(s_suppkey, s_name, revenue): every supplier achieving the
+    maximum shipdate-window revenue (Q15 analog)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    lo, hi = _ts(Q15_LO), _ts(Q15_HI)
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dt = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array((dt >= lo) & (dt < hi)))
+        sk = sub["l_suppkey"].to_numpy(zero_copy_only=False)
+        rev = _rev_q(sub["l_extendedprice"].to_numpy(
+                         zero_copy_only=False),
+                     sub["l_discount"].to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(sk, return_inverse=True)
+        return pa.table({
+            "s": pa.array(uk, pa.int64()),
+            "rev": pa.array(np.bincount(inv, rev, uk.size)
+                            .astype(np.int64)),
+        })
+
+    agg = (line.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("s").sum("rev"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    sk = tbl["s"].to_numpy(zero_copy_only=False)
+    rev = tbl["sum(rev)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mx = int(rev.max())
+    m = rev == mx
+    win = np.sort(sk[m])
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    s2n = dict(zip(sup["s_suppkey"].to_pylist(),
+                   sup["s_name"].to_pylist()))
+    return pa.table({
+        "s_suppkey": pa.array(win, pa.int64()),
+        "s_name": pa.array([s2n[int(s)] for s in win], pa.string()),
+        "revenue": pa.array([mx] * win.size, pa.int64()),
+    })
+
+
+def top_supplier_revenue_sql() -> str:
+    return f"""
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+    AND l_shipdate < TIMESTAMP '{Q15_HI}'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue = (SELECT max(revenue) FROM r)
+ORDER BY s_suppkey"""

@@ -121,3 +121,27 @@ def test_q7_matches_duckdb(ray_session, con_p):
     n = _cmp(got, want, ["supp_nation", "cust_nation", "l_year"])
     assert n > 0
     assert (got["supp_nation"] != got["cust_nation"]).all()
+
+
+def test_q17_matches_duckdb(ray_session, con_p):
+    from rayse.ops.tpch import (small_quantity_revenue,
+                                small_quantity_revenue_sql)
+
+    got = small_quantity_revenue(SF).to_pandas()
+    want = con_p.execute(small_quantity_revenue_sql()).fetchdf()
+    _cmp(got, want, ["n_items"])
+
+
+def test_q15_matches_duckdb(ray_session, con_p):
+    c = duckdb.connect()
+    for t in ("lineitem", "supplier"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    from rayse.ops.tpch import (top_supplier_revenue,
+                                top_supplier_revenue_sql)
+
+    got = top_supplier_revenue(SF).to_pandas()
+    want = c.execute(top_supplier_revenue_sql()).fetchdf()
+    n = _cmp(got, want, ["s_suppkey"])
+    assert n >= 1
+    assert got["revenue"].nunique() == 1
