@@ -1648,6 +1648,37 @@ def _q_top_supplier_revenue(sf_dir: str) -> pa.Table:
     return top_supplier_revenue(sf_dir)
 
 
+def _q_local_supplier_volume(sf_dir: str) -> pa.Table:
+    """Q5-analog local supplier volume: the cycle join (customer and
+    supplier in the SAME nation inside one region) collapsed to a
+    single exchange join with both dimension chains broadcast; the
+    cycle predicate is a row-local equality after the join — DuckDB
+    hash-matched."""
+    from rayse.ops.tpch import local_supplier_volume
+
+    return local_supplier_volume(sf_dir)
+
+
+def _q_market_share(sf_dir: str) -> pa.Table:
+    """Q8-analog yearly market share: three broadcast dimension
+    constraints (part type, customer region, supplier-nation flag) on
+    one exchange join; integer numerator/denominator partials, share
+    divides once per year — DuckDB hash-matched."""
+    from rayse.ops.tpch import market_share
+
+    return market_share(sf_dir)
+
+
+def _q_idle_customers(sf_dir: str) -> pa.Table:
+    """Q22-analog anti-join: above-average-balance customers (exact
+    integer threshold broadcast as (sum_cents, n_pos)) with no orders
+    in the recency window, via the co-partitioned LEFT ANTI exchange
+    join — DuckDB hash-matched against the NOT EXISTS oracle."""
+    from rayse.ops.tpch import idle_customers
+
+    return idle_customers(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3529,6 +3560,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_volume": _q_nation_volume,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "top_supplier_revenue": _q_top_supplier_revenue,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "market_share": _q_market_share,
+        "idle_customers": _q_idle_customers,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4680,6 +4714,13 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).small_quantity_revenue_sql(),
         "top_supplier_revenue": __import__(
             "rayse.ops.tpch", fromlist=["x"]).top_supplier_revenue_sql(),
+        "local_supplier_volume": __import__(
+            "rayse.ops.tpch",
+            fromlist=["x"]).local_supplier_volume_sql(),
+        "market_share": __import__(
+            "rayse.ops.tpch", fromlist=["x"]).market_share_sql(),
+        "idle_customers": __import__(
+            "rayse.ops.tpch", fromlist=["x"]).idle_customers_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

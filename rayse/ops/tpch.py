@@ -1099,3 +1099,457 @@ SELECT s_suppkey, s_name, revenue
 FROM r JOIN supplier ON l_suppkey = s_suppkey
 WHERE revenue = (SELECT max(revenue) FROM r)
 ORDER BY s_suppkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 analog: local supplier volume — the cycle-join member (customer and
+# supplier constrained to the SAME nation, nation constrained to a
+# region). The six-table SQL cycle collapses to the standing routing:
+# ONE exchange join (lineitem ⋈ orders on orderkey) with both dimension
+# chains folded into broadcast arrays — orders carry their customer's
+# nation through the join, lineitem rows carry their supplier's nation,
+# and the cycle predicate (c_nationkey = s_nationkey) becomes a
+# row-local equality AFTER the join instead of a second exchange.
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_LO = "1996-01-01"
+Q5_HI = "1997-01-01"
+
+
+def local_supplier_volume(sf_dir: str) -> pa.Table:
+    """(n_name, revenue): Q5 analog — revenue from lineitems whose
+    supplier and ordering customer share a nation inside ``Q5_REGION``,
+    orders placed in [Q5_LO, Q5_HI), ordered by revenue descending."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {k: n for k, n in zip(reg["r_regionkey"].to_pylist(),
+                                 reg["r_name"].to_pylist())}
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = np.asarray(nat["n_nationkey"].to_pylist(), dtype=np.int64)
+    nname = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    nreg = np.asarray(nat["n_regionkey"].to_pylist(), dtype=np.int64)
+    order = np.argsort(nk, kind="stable")
+    nk, nname, nreg = nk[order], nname[order], nreg[order]
+    in_region = np.array([rkey[int(r)] == Q5_REGION for r in nreg])
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    snat = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    so = np.argsort(sk, kind="stable")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cnat = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    co = np.argsort(ck, kind="stable")
+    region_nations = np.sort(nk[in_region])
+    dims_ref = ray.put((sk[so], snat[so], ck[co], cnat[co],
+                        region_nations))
+    lo, hi = _ts(Q5_LO), _ts(Q5_HI)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        _, _, ckeys, cnk, rn = ray.get(dims_ref)
+        dt = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array((dt >= lo) & (dt < hi)))
+        ock = sub["o_custkey"].to_numpy(zero_copy_only=False)
+        cn = cnk[np.searchsorted(ckeys, ock)]
+        j = np.searchsorted(rn, cn)
+        keep = (j < rn.size) & (rn[np.minimum(j, rn.size - 1)] == cn)
+        return pa.table({
+            "o_orderkey": pa.array(
+                sub["o_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "cust_nat": pa.array(cn[keep], pa.int64()),
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def prep_line(batch: pa.Table) -> pa.Table:
+        skeys, snk, _, _, _ = ray.get(dims_ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        rev = _rev_q(batch["l_extendedprice"].to_numpy(
+                         zero_copy_only=False),
+                     batch["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "l_orderkey": pa.array(
+                batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "supp_nat": pa.array(snk[np.searchsorted(skeys, lsk)],
+                                 pa.int64()),
+            "rev": pa.array(rev, pa.int64()),
+        })
+
+    j = hash_join(
+        line.map_batches(prep_line, batch_format="pyarrow"),
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sn = batch["supp_nat"].to_numpy(zero_copy_only=False)
+        cn = batch["cust_nat"].to_numpy(zero_copy_only=False)
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        m = sn == cn
+        uk, inv = np.unique(sn[m], return_inverse=True)
+        return pa.table({
+            "nat": pa.array(uk, pa.int64()),
+            "rev": pa.array(np.bincount(inv, rev[m], uk.size)
+                            .astype(np.int64)),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("nat").sum("rev"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    natk = tbl["nat"].to_numpy(zero_copy_only=False)
+    rev = tbl["sum(rev)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((natk, -rev))
+    names = nname[np.searchsorted(nk, natk[o])]
+    return pa.table({
+        "n_name": pa.array(names.tolist(), pa.string()),
+        "revenue": pa.array(rev[o], pa.int64()),
+    })
+
+
+def local_supplier_volume_sql() -> str:
+    return f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue
+FROM lineitem
+     JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN nation ON c_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_LO}'
+  AND o_orderdate < TIMESTAMP '{Q5_HI}'
+GROUP BY n_name, n_nationkey
+ORDER BY revenue DESC, n_nationkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 analog: market share — the ratio-of-conditional-aggregates member
+# over a THREE-dimension-constrained fact (part type, customer region,
+# supplier nation flag). Same single-exchange routing as Q5: part
+# membership and both nation chains ride broadcasts; the year-grouped
+# numerator/denominator pair are integer partial sums; the share
+# divides once per year on the driver.
+# ---------------------------------------------------------------------------
+
+Q8_NATION = "NATION_7"
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+Q8_LO = "1996-01-01"
+Q8_HI = "1998-01-01"
+
+
+def market_share(sf_dir: str) -> pa.Table:
+    """(o_year, nation_rev, total_rev, mkt_share): Q8 analog — yearly
+    share of ``Q8_NATION``-supplied revenue among ``Q8_TYPE``-part
+    lineitems ordered by ``Q8_REGION`` customers in [Q8_LO, Q8_HI)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {k: n for k, n in zip(reg["r_regionkey"].to_pylist(),
+                                 reg["r_name"].to_pylist())}
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = np.asarray(nat["n_nationkey"].to_pylist(), dtype=np.int64)
+    nname = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    nreg = np.asarray(nat["n_regionkey"].to_pylist(), dtype=np.int64)
+    x_nation = np.int64(nk[np.asarray(
+        [n == Q8_NATION for n in nname])][0])
+    region_nations = np.sort(nk[np.asarray(
+        [rkey[int(r)] == Q8_REGION for r in nreg])])
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pmask = pc.equal(part["p_type"], Q8_TYPE)
+    ppk = np.sort(part.filter(pmask)["p_partkey"].to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    snat = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    so = np.argsort(sk, kind="stable")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cnat = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    co = np.argsort(ck, kind="stable")
+    dims_ref = ray.put((ppk, sk[so], snat[so], ck[co], cnat[co],
+                        region_nations))
+    lo, hi = _ts(Q8_LO), _ts(Q8_HI)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        _, _, _, ckeys, cnk, rn = ray.get(dims_ref)
+        dt = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array((dt >= lo) & (dt < hi)))
+        ock = sub["o_custkey"].to_numpy(zero_copy_only=False)
+        cn = cnk[np.searchsorted(ckeys, ock)]
+        j = np.searchsorted(rn, cn)
+        keep = (j < rn.size) & (rn[np.minimum(j, rn.size - 1)] == cn)
+        yr = sub["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": pa.array(
+                sub["o_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "o_year": pa.array(yr[keep], pa.int64()),
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def prep_line(batch: pa.Table) -> pa.Table:
+        pk, skeys, snk, _, _, _ = ray.get(dims_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        j = np.searchsorted(pk, lpk)
+        keep = (j < pk.size) & (pk[np.minimum(j, pk.size - 1)] == lpk)
+        sub = batch.filter(pa.array(keep))
+        lsk = sub["l_suppkey"].to_numpy(zero_copy_only=False)
+        rev = _rev_q(sub["l_extendedprice"].to_numpy(
+                         zero_copy_only=False),
+                     sub["l_discount"].to_numpy(zero_copy_only=False))
+        is_x = snk[np.searchsorted(skeys, lsk)] == x_nation
+        return pa.table({
+            "l_orderkey": pa.array(
+                sub["l_orderkey"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "rev": pa.array(rev, pa.int64()),
+            "x_rev": pa.array(np.where(is_x, rev, 0), pa.int64()),
+        })
+
+    j = hash_join(
+        line.map_batches(prep_line, batch_format="pyarrow"),
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        yr = batch["o_year"].to_numpy(zero_copy_only=False)
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        xr = batch["x_rev"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(yr, return_inverse=True)
+        return pa.table({
+            "o_year": pa.array(uk, pa.int64()),
+            "num": pa.array(np.bincount(inv, xr, uk.size)
+                            .astype(np.int64)),
+            "den": pa.array(np.bincount(inv, rev, uk.size)
+                            .astype(np.int64)),
+        })
+
+    import ray.data as rd2
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_year").aggregate(rd2.aggregate.Sum("num"),
+                                        rd2.aggregate.Sum("den")))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    yr = tbl["o_year"].to_numpy(zero_copy_only=False)
+    num = tbl["sum(num)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    den = tbl["sum(den)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(yr, kind="stable")
+    return pa.table({
+        "o_year": pa.array(yr[o], pa.int64()),
+        "nation_rev": pa.array(num[o], pa.int64()),
+        "total_rev": pa.array(den[o], pa.int64()),
+        "mkt_share": pa.array(num[o] / den[o], pa.float64()),
+    })
+
+
+def market_share_sql() -> str:
+    return f"""
+WITH f AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+              AS BIGINT) AS rev,
+         CASE WHEN sn.n_name = '{Q8_NATION}' THEN 1 ELSE 0 END AS is_x
+  FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation sn ON s_nationkey = sn.n_nationkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation cn ON c_nationkey = cn.n_nationkey
+       JOIN region ON cn.n_regionkey = r_regionkey
+  WHERE p_type = '{Q8_TYPE}'
+    AND r_name = '{Q8_REGION}'
+    AND o_orderdate >= TIMESTAMP '{Q8_LO}'
+    AND o_orderdate < TIMESTAMP '{Q8_HI}')
+SELECT o_year,
+       CAST(sum(rev * is_x) AS BIGINT) AS nation_rev,
+       CAST(sum(rev) AS BIGINT) AS total_rev,
+       CAST(sum(rev * is_x) AS DOUBLE) / sum(rev) AS mkt_share
+FROM f
+GROUP BY o_year
+ORDER BY o_year"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 analog: idle high-balance customers — the anti-join +
+# scalar-subquery member. The global threshold (mean positive account
+# balance) is ONE tiny aggregate pass broadcast as two integers
+# (sum_cents, n_pos) so the comparison stays exact:
+# bal_cents * n_pos > sum_cents  ⇔  bal > avg. The "no recent orders"
+# predicate is a distributed LEFT ANTI exchange join (pyarrow
+# "left anti" per co-partition) — the order side ships only its
+# custkey column, pre-filtered to the recency window at the read.
+# Every customer has SOME order in this corpus, so the recency window
+# is what makes the anti-join non-vacuous (documented divergence from
+# Q22's "no orders at all").
+# ---------------------------------------------------------------------------
+
+Q22_CUT = "1999-01-01"
+
+
+def idle_customers(sf_dir: str) -> pa.Table:
+    """(n_name, numcust, totacctbal_cents): Q22 analog — customers with
+    above-average positive balance and NO orders on/after ``Q22_CUT``,
+    grouped by nation."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+    from .relational import _cents
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"].to_numpy(
+            zero_copy_only=False), 100.0)
+        pos = cents[cents > 0]
+        return pa.table({
+            "sum_cents": pa.array([int(pos.sum())], pa.int64()),
+            "n_pos": pa.array([int(pos.size)], pa.int64()),
+        })
+
+    import ray.data as rd2
+
+    tot = (cust.map_batches(bal_partial, batch_format="pyarrow")
+           .aggregate(rd2.aggregate.Sum("sum_cents"),
+                      rd2.aggregate.Sum("n_pos")))
+    sum_cents = int(tot["sum(sum_cents)"])
+    n_pos = int(tot["sum(n_pos)"])
+
+    def sel(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"].to_numpy(
+            zero_copy_only=False), 100.0)
+        keep = cents * n_pos > sum_cents
+        sub = batch.filter(pa.array(keep))
+        return pa.table({
+            "c_custkey": pa.array(
+                sub["c_custkey"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "c_nationkey": pa.array(
+                sub["c_nationkey"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "bal_cents": pa.array(cents[keep], pa.int64()),
+        })
+
+    cut = _ts(Q22_CUT)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def recent(batch: pa.Table) -> pa.Table:
+        dt = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": pa.array(
+                batch["o_custkey"].to_numpy(
+                    zero_copy_only=False)[dt >= cut], pa.int64()),
+        })
+
+    j = hash_join(
+        cust.map_batches(sel, batch_format="pyarrow"),
+        orders.map_batches(recent, batch_format="pyarrow"),
+        "c_custkey", "o_custkey", join_type="left anti")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        bal = batch["bal_cents"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(nk, return_inverse=True)
+        return pa.table({
+            "nat": pa.array(uk, pa.int64()),
+            "numcust": pa.array(np.bincount(inv, None, uk.size)
+                                .astype(np.int64)),
+            "bal": pa.array(np.bincount(inv, bal, uk.size)
+                            .astype(np.int64)),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("nat").aggregate(rd2.aggregate.Sum("numcust"),
+                                     rd2.aggregate.Sum("bal")))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    n2n = dict(zip(nat["n_nationkey"].to_pylist(),
+                   nat["n_name"].to_pylist()))
+    natk = tbl["nat"].to_numpy(zero_copy_only=False)
+    o = np.argsort(natk, kind="stable")
+    return pa.table({
+        "n_name": pa.array([n2n[int(n)] for n in natk[o]], pa.string()),
+        "numcust": pa.array(
+            tbl["sum(numcust)"].to_numpy(zero_copy_only=False)[o]
+            .astype(np.int64)),
+        "totacctbal_cents": pa.array(
+            tbl["sum(bal)"].to_numpy(zero_copy_only=False)[o]
+            .astype(np.int64)),
+    })
+
+
+def idle_customers_sql() -> str:
+    return f"""
+WITH thresh AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM customer WHERE round(c_acctbal * 100) > 0),
+sel AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer, thresh
+  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_cents
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '{Q22_CUT}'))
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM sel JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, n_nationkey
+ORDER BY n_nationkey"""
