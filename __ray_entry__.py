@@ -1679,6 +1679,33 @@ def _q_idle_customers(sf_dir: str) -> pa.Table:
     return idle_customers(sf_dir)
 
 
+def _q_spearman(sf_dir: str) -> pa.Table:
+    """Exact Spearman rho (average-tie ranks) between cents-quantized
+    value and hour-of-day off ONE bounded joint-histogram fold —
+    DuckDB hash-matched against the window-rank corr() oracle."""
+    from rayse.ops.rankstats import spearman_value_hour
+
+    return spearman_value_hour(sf_dir)
+
+
+def _q_kendall(sf_dir: str) -> pa.Table:
+    """Exact Kendall tau-b (value vs hour) with histogram-pair
+    concordance counting — zero row-pairs, DuckDB hash-matched against
+    the cell-pair inequality-join oracle."""
+    from rayse.ops.rankstats import kendall_value_hour
+
+    return kendall_value_hour(sf_dir)
+
+
+def _q_kruskal(sf_dir: str) -> pa.Table:
+    """Tie-corrected Kruskal-Wallis H across event types on pooled
+    cents ranks, Fraction-exact final divisions — DuckDB
+    hash-matched."""
+    from rayse.ops.rankstats import kruskal_wallis_types
+
+    return kruskal_wallis_types(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3563,6 +3590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "market_share": _q_market_share,
         "idle_customers": _q_idle_customers,
+        "spearman_value_hour": _q_spearman,
+        "kendall_value_hour": _q_kendall,
+        "kruskal_wallis": _q_kruskal,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4721,6 +4751,15 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.tpch", fromlist=["x"]).market_share_sql(),
         "idle_customers": __import__(
             "rayse.ops.tpch", fromlist=["x"]).idle_customers_sql(),
+        "spearman_value_hour": __import__(
+            "rayse.ops.rankstats",
+            fromlist=["x"]).spearman_value_hour_sql(),
+        "kendall_value_hour": __import__(
+            "rayse.ops.rankstats",
+            fromlist=["x"]).kendall_value_hour_sql(),
+        "kruskal_wallis": __import__(
+            "rayse.ops.rankstats",
+            fromlist=["x"]).kruskal_wallis_types_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(
