@@ -1706,6 +1706,16 @@ def _q_kruskal(sf_dir: str) -> pa.Table:
     return kruskal_wallis_types(sf_dir)
 
 
+def _q_jw_name_pairs(sf_dir: str) -> pa.Table:
+    """Jaro-Winkler blocked ER pairs over part names (block = first
+    token, one exchange on the FNV block hash, block-local scoring with
+    the DuckDB-exact floored-transposition scorer) — hash-matched
+    against the built-in jaro_winkler_similarity oracle."""
+    from rayse.ops.editdist import jw_name_pairs
+
+    return jw_name_pairs(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3593,6 +3603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_value_hour": _q_spearman,
         "kendall_value_hour": _q_kendall,
         "kruskal_wallis": _q_kruskal,
+        "jw_name_pairs": _q_jw_name_pairs,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4760,6 +4771,8 @@ def oracle_sql() -> dict[str, str]:
         "kruskal_wallis": __import__(
             "rayse.ops.rankstats",
             fromlist=["x"]).kruskal_wallis_types_sql(),
+        "jw_name_pairs": __import__(
+            "rayse.ops.editdist", fromlist=["x"]).jw_name_pairs_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(
