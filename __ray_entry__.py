@@ -1716,6 +1716,34 @@ def _q_jw_name_pairs(sf_dir: str) -> pa.Table:
     return jw_name_pairs(sf_dir)
 
 
+def _q_ohlc_daily(sf_dir: str) -> pa.Table:
+    """Daily OHLC candles per event type: per-batch argmin/argmax
+    partials over the composite (ts, event_id) key, grid-bounded
+    driver fold — DuckDB hash-matched against the window row_number
+    oracle."""
+    from rayse.ops.ohlc import ohlc_daily
+
+    return ohlc_daily(sf_dir)
+
+
+def _q_zipf_slope(sf_dir: str) -> pa.Table:
+    """Zipf OLS fit over the global top-k words via per-block partial
+    top-k (vocabulary never lands whole on the driver) — DuckDB
+    hash-matched against the regr_slope oracle."""
+    from rayse.ops.heavyhitters import zipf_slope
+
+    return zipf_slope(sf_dir)
+
+
+def _q_holt_hourly(sf_dir: str) -> pa.Table:
+    """Holt linear-trend smoothing of the dense hourly grid in integer
+    fixed-point with DuckDB `//` truncation parity — hash-matched
+    bit-for-bit against the recursive-CTE recurrence."""
+    from rayse.ops.bursts import holt_hourly
+
+    return holt_hourly(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3604,6 +3632,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_value_hour": _q_kendall,
         "kruskal_wallis": _q_kruskal,
         "jw_name_pairs": _q_jw_name_pairs,
+        "ohlc_daily": _q_ohlc_daily,
+        "zipf_slope": _q_zipf_slope,
+        "holt_hourly": _q_holt_hourly,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4773,6 +4804,12 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).kruskal_wallis_types_sql(),
         "jw_name_pairs": __import__(
             "rayse.ops.editdist", fromlist=["x"]).jw_name_pairs_sql(),
+        "ohlc_daily": __import__(
+            "rayse.ops.ohlc", fromlist=["x"]).ohlc_daily_sql(),
+        "zipf_slope": __import__(
+            "rayse.ops.heavyhitters", fromlist=["x"]).zipf_slope_sql(),
+        "holt_hourly": __import__(
+            "rayse.ops.bursts", fromlist=["x"]).holt_hourly_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -566,3 +566,122 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
                  THEN sum(e24) * 1000000 // sum(e1) ELSE 0 END
             AS BIGINT) AS mase_ppm
 FROM pairs GROUP BY event_type ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoother — the two-state sibling of ``ewma_hourly``
+# (EWMA smooths level only; Holt carries level + trend). Same dense
+# hourly grid, same integer fixed-point contract, but the trend state
+# can go NEGATIVE, so the recurrence divides with TRUNCATION toward
+# zero (DuckDB's `//`), emulated exactly on the Python side — floor
+# division would diverge on the first negative trend.
+# ---------------------------------------------------------------------------
+
+HOLT_SCALE = 1_000_000
+HOLT_DEN = 4          # alpha = beta = 1/4
+
+
+def _trunc_div(a: int, d: int) -> int:
+    """DuckDB `//` parity: integer division truncating toward zero."""
+    return -((-a) // d) if a < 0 else a // d
+
+
+def holt_hourly(sf_dir: str) -> pa.Table:
+    """(event_type, hr, level_fp, trend_fp): Holt's linear (double
+    exponential) smoothing of the dense hourly count series,
+    alpha = beta = 1/4, integer fixed-point:
+
+        l_0 = c_0 * SCALE,  b_0 = (c_1 - c_0) * SCALE
+        l_t = trunc((c_t * SCALE + 3 * (l_{t-1} + b_{t-1})) / 4)
+        b_t = trunc(((l_t - l_{t-1}) + 3 * b_{t-1}) / 4)
+
+    The recursion runs on the types x hours grid (bounded by time
+    span, not rows — the ``ewma_hourly`` contract); distributed work is
+    the per-batch (type, hour) partial-count fold. DuckDB hash-matched
+    bit-for-bit against the recursive-CTE recurrence (`//` truncates
+    toward zero in DuckDB; `_trunc_div` mirrors it)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    agg = (ds.map_batches(_hour_partials, batch_format="pyarrow")
+           .groupby(["event_type", "hr"]).sum("cnt"))
+    grid = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+
+    et = np.asarray(grid["event_type"].to_pylist(), dtype=object)
+    hr = grid["hr"].to_numpy(zero_copy_only=False)
+    cnt = grid["sum(cnt)"].to_numpy(zero_copy_only=False)
+    h0, h1 = int(hr.min()), int(hr.max())
+    nh = h1 - h0 + 1
+
+    out_t, out_h, out_l, out_b = [], [], [], []
+    for t in sorted(set(et.tolist())):
+        m = et == t
+        c = np.zeros(nh, np.int64)
+        c[hr[m] - h0] = cnt[m]
+        lv = int(c[0]) * HOLT_SCALE
+        bv = (int(c[1]) - int(c[0])) * HOLT_SCALE if nh > 1 else 0
+        out_t.append(t)
+        out_h.append(h0)
+        out_l.append(lv)
+        out_b.append(bv)
+        for i in range(1, nh):
+            lp = lv
+            lv = _trunc_div(int(c[i]) * HOLT_SCALE
+                            + (HOLT_DEN - 1) * (lp + bv), HOLT_DEN)
+            bv = _trunc_div((lv - lp) + (HOLT_DEN - 1) * bv, HOLT_DEN)
+            out_t.append(t)
+            out_h.append(h0 + i)
+            out_l.append(lv)
+            out_b.append(bv)
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "hr": pa.array(out_h, pa.int64()),
+        "level_fp": pa.array(out_l, pa.int64()),
+        "trend_fp": pa.array(out_b, pa.int64()),
+    })
+
+
+def holt_hourly_sql() -> str:
+    return f"""
+WITH RECURSIVE eh AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {HOUR_US}) AS BIGINT) AS hr
+  FROM events
+),
+eb AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM eh),
+egrid AS (
+  SELECT t.event_type, g.i
+  FROM (SELECT DISTINCT event_type FROM eh) t
+  CROSS JOIN (SELECT unnest(range(0, (SELECT h1 - h0 + 1 FROM eb)))
+              AS i) g
+),
+ec AS (SELECT event_type, hr - (SELECT h0 FROM eb) AS i,
+              count(*) AS c
+       FROM eh GROUP BY 1, 2),
+ed AS (
+  SELECT egrid.event_type, egrid.i,
+         CAST(COALESCE(ec.c, 0) AS BIGINT) AS c
+  FROM egrid LEFT JOIN ec USING (event_type, i)
+),
+rec(event_type, i, l, b) AS (
+  SELECT d0.event_type, 0::BIGINT, d0.c * {HOLT_SCALE},
+         CASE WHEN (SELECT h1 > h0 FROM eb)
+              THEN (d1.c - d0.c) * {HOLT_SCALE} ELSE 0 END
+  FROM ed d0 LEFT JOIN ed d1
+    ON d1.event_type = d0.event_type AND d1.i = 1
+  WHERE d0.i = 0
+  UNION ALL
+  SELECT d.event_type, r.i + 1,
+         (d.c * {HOLT_SCALE} + {HOLT_DEN - 1} * (r.l + r.b))
+           // {HOLT_DEN},
+         (((d.c * {HOLT_SCALE} + {HOLT_DEN - 1} * (r.l + r.b))
+           // {HOLT_DEN}) - r.l + {HOLT_DEN - 1} * r.b) // {HOLT_DEN}
+  FROM rec r JOIN ed d
+    ON d.event_type = r.event_type AND d.i = r.i + 1)
+SELECT event_type, i + (SELECT h0 FROM eb) AS hr,
+       CAST(l AS BIGINT) AS level_fp, CAST(b AS BIGINT) AS trend_fp
+FROM rec ORDER BY event_type, hr"""

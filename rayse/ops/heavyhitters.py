@@ -136,3 +136,89 @@ SELECT word,
 FROM hh_tok
 GROUP BY word
 HAVING count(*) * {k} >= (SELECT count(*) FROM hh_tok)"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit — OLS slope of ln(frequency) on ln(rank) over the top-k
+# words. The distributed piece is the word-count fold + PER-BLOCK
+# partial top-k (each aggregate block emits only its own top-k by the
+# (cf DESC, word ASC) total order, so the driver merge is k x blocks
+# rows — the `ann_topk` partial-top-k pattern applied to a vocabulary
+# that is unbounded at corpus scale). The regression itself is 2k
+# doubles on the driver.
+# ---------------------------------------------------------------------------
+
+ZIPF_K = 200
+
+
+def _word_count_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    toks = np.concatenate(
+        [np.array((t or "").split(" "), dtype=object) for t in texts]) \
+        if texts else np.array([], dtype=object)
+    uw, cnt = np.unique(toks, return_counts=True)
+    return pa.table({
+        "word": pa.array(list(uw), pa.string()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def _topk_block(batch: pa.Table, k: int) -> pa.Table:
+    w = np.asarray(batch["word"].to_pylist(), dtype=object)
+    c = batch["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((w, -c))[:k]
+    return pa.table({
+        "word": pa.array(w[order].tolist(), pa.string()),
+        "cf": pa.array(c[order], pa.int64()),
+    })
+
+
+def zipf_slope(sf_dir: str, k: int = ZIPF_K) -> pa.Table:
+    """(n_words, slope, intercept): OLS fit of ln(cf) ~ ln(rank) over
+    the global top-``k`` words ranked by (cf DESC, word ASC) — DuckDB
+    hash-matched against the window-rank + regr_slope oracle."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    agg = (ds.map_batches(_word_count_batch, batch_format="pyarrow")
+           .groupby("word").sum("cnt")
+           .map_batches(_topk_block, fn_kwargs={"k": k},
+                        batch_format="pyarrow"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    w = np.asarray(tbl["word"].to_pylist(), dtype=object)
+    c = tbl["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((w, -c))[:k]
+    cf = c[order].astype(np.float64)
+    n = cf.size
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(cf)
+    xm, ym = x.mean(), y.mean()
+    sxx = ((x - xm) ** 2).sum()
+    sxy = ((x - xm) * (y - ym)).sum()
+    slope = sxy / sxx
+    intercept = ym - slope * xm
+    return pa.table({
+        "n_words": pa.array([n], pa.int64()),
+        "slope": pa.array([slope], pa.float64()),
+        "intercept": pa.array([intercept], pa.float64()),
+    })
+
+
+def zipf_slope_sql(k: int = ZIPF_K) -> str:
+    return f"""
+WITH wc AS (
+  SELECT u.t AS word, CAST(count(*) AS BIGINT) AS cf
+  FROM documents, UNNEST(string_split(text, ' ')) u(t)
+  GROUP BY u.t),
+topk AS (
+  SELECT word, cf,
+         row_number() OVER (ORDER BY cf DESC, word) AS rk
+  FROM wc QUALIFY rk <= {k})
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       regr_slope(ln(cf), ln(rk)) AS slope,
+       regr_intercept(ln(cf), ln(rk)) AS intercept
+FROM topk"""
