@@ -3362,6 +3362,18 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                 ["revenue_milli"])
     q15 = _melt(_q_top_supplier_revenue(sf_dir),
                 ["s_suppkey", "s_name"], ["revenue"])
+    q5 = _melt(_q_local_supplier_volume(sf_dir), ["n_name"],
+               ["revenue"])
+    q8 = _melt(_q_market_share(sf_dir), ["o_year"],
+               ["nation_rev", "total_rev"])
+    q22 = _melt(_q_idle_customers(sf_dir), ["n_name"],
+                ["numcust", "totacctbal_cents"])
+    oh = _melt(_q_ohlc_daily(sf_dir), ["event_type", "day"],
+               ["open", "high", "low", "close", "n"])
+    hl = _melt(_q_holt_hourly(sf_dir), ["event_type", "hr"],
+               ["level_fp", "trend_fp"])
+    kd = _melt(_q_kendall(sf_dir), ["n"],
+               ["concordant", "discordant"])
     st = _melt(_q_stump_fit(sf_dir), ["threshold_cents", "predict_above"],
                ["n_correct", "n_total", "acc_ppm"])
     ka = _melt(_q_k_anonymity(sf_dir), ["event_type"],
@@ -3424,7 +3436,10 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("q19", q19), ("adamic", aa), ("benford", bf),
                           ("theilsen", tsn), ("mannkendall", mkt),
                           ("psi", psi), ("dp", dp), ("q7", q7),
-                          ("twap", tw), ("q17", q17), ("q15", q15)])
+                          ("twap", tw), ("q17", q17), ("q15", q15),
+                          ("q5", q5), ("q8", q8), ("q22", q22),
+                          ("ohlc", oh), ("holt", hl),
+                          ("kendall", kd)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -4011,6 +4026,27 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.tpch",
                 fromlist=["x"]).top_supplier_revenue_sql(),
              ("s_suppkey", "s_name"), ("revenue",)),
+            ("q5", __import__(
+                "rayse.ops.tpch",
+                fromlist=["x"]).local_supplier_volume_sql(),
+             ("n_name",), ("revenue",)),
+            ("q8", __import__(
+                "rayse.ops.tpch", fromlist=["x"]).market_share_sql(),
+             ("o_year",), ("nation_rev", "total_rev")),
+            ("q22", __import__(
+                "rayse.ops.tpch", fromlist=["x"]).idle_customers_sql(),
+             ("n_name",), ("numcust", "totacctbal_cents")),
+            ("ohlc", __import__(
+                "rayse.ops.ohlc", fromlist=["x"]).ohlc_daily_sql(),
+             ("event_type", "day"),
+             ("open", "high", "low", "close", "n")),
+            ("holt", __import__(
+                "rayse.ops.bursts", fromlist=["x"]).holt_hourly_sql(),
+             ("event_type", "hr"), ("level_fp", "trend_fp")),
+            ("kendall", __import__(
+                "rayse.ops.rankstats",
+                fromlist=["x"]).kendall_value_hour_sql(),
+             ("n",), ("concordant", "discordant")),
             ("stump", __import__(
                 "rayse.ops.stump", fromlist=["x"]).stump_fit_sql(),
              ("threshold_cents", "predict_above"),
