@@ -1744,6 +1744,33 @@ def _q_holt_hourly(sf_dir: str) -> pa.Table:
     return holt_hourly(sf_dir)
 
 
+def _q_kmeans_silhouette(sf_dir: str) -> pa.Table:
+    """Simplified-silhouette quality per k-means cluster: squared
+    distances to own vs nearest-other centroid in truncating
+    milli-integer form, centroids broadcast, K-bounded fold — DuckDB
+    hash-matched against the shared unrolled-Lloyd chain oracle."""
+    from rayse.ops.similarity import kmeans_silhouette
+
+    return kmeans_silhouette(sf_dir)
+
+
+def _q_attribution(sf_dir: str) -> pa.Table:
+    """First/last-touch purchase attribution through ONE user-hash
+    exchange with a vectorized forward-fill sweep — DuckDB
+    hash-matched against the correlated LIMIT-1 oracle."""
+    from rayse.ops.attribution import attribution_counts
+
+    return attribution_counts(sf_dir)
+
+
+def _q_cumulative_users(sf_dir: str) -> pa.Table:
+    """Daily new/cumulative user curve off the first-seen-day groupby
+    and the bounded day grid — DuckDB hash-matched."""
+    from rayse.ops.attribution import cumulative_users_daily
+
+    return cumulative_users_daily(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3650,6 +3677,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_daily": _q_ohlc_daily,
         "zipf_slope": _q_zipf_slope,
         "holt_hourly": _q_holt_hourly,
+        "kmeans_silhouette": _q_kmeans_silhouette,
+        "attribution_counts": _q_attribution,
+        "cumulative_users": _q_cumulative_users,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4846,6 +4876,15 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.heavyhitters", fromlist=["x"]).zipf_slope_sql(),
         "holt_hourly": __import__(
             "rayse.ops.bursts", fromlist=["x"]).holt_hourly_sql(),
+        "kmeans_silhouette": __import__(
+            "rayse.ops.similarity",
+            fromlist=["x"]).kmeans_silhouette_sql(),
+        "attribution_counts": __import__(
+            "rayse.ops.attribution",
+            fromlist=["x"]).attribution_counts_sql(),
+        "cumulative_users": __import__(
+            "rayse.ops.attribution",
+            fromlist=["x"]).cumulative_users_daily_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -597,11 +597,10 @@ def kmeans_assign(sf_dir: str, k: int = 4, iters: int = 2):
                           zero_copy_batch=True)
 
 
-def kmeans_assign_sql(k: int = 4, iters: int = 2) -> str:
-    """Oracle for ``kmeans_assign``: the identical integer recursion,
-    unrolled (fixed iters) — long-form (vec_id, d, xq) joins, argmin by
-    (dist, k) row_number, truncating // means, LEFT JOIN keeps the
-    previous centroid for empty clusters."""
+def _km_chain_sql(k: int, iters: int) -> list:
+    """Shared unrolled-Lloyd CTE chain (through the final all-centroid
+    distance table ``df``) used by both ``kmeans_assign_sql`` and
+    ``kmeans_silhouette_sql``."""
     scale = _KM_SCALE
     out = [f"""
 WITH x AS (
@@ -635,7 +634,17 @@ c{i} AS (
 df AS (
   SELECT x.vec_id, c.k,
          sum((x.xq - c.c) * (x.xq - c.c)) AS dist
-  FROM x JOIN {prev} c ON x.d = c.d GROUP BY 1, 2)
+  FROM x JOIN {prev} c ON x.d = c.d GROUP BY 1, 2)""")
+    return out
+
+
+def kmeans_assign_sql(k: int = 4, iters: int = 2) -> str:
+    """Oracle for ``kmeans_assign``: the identical integer recursion,
+    unrolled (fixed iters) — long-form (vec_id, d, xq) joins, argmin by
+    (dist, k) row_number, truncating // means, LEFT JOIN keeps the
+    previous centroid for empty clusters."""
+    out = _km_chain_sql(k, iters)
+    out.append("""
 SELECT vec_id, CAST(k AS INTEGER) AS cluster, CAST(dist AS BIGINT) AS dist
 FROM (SELECT vec_id, k, dist,
              row_number() OVER (PARTITION BY vec_id
@@ -978,3 +987,95 @@ SELECT CAST(e.label AS BIGINT) AS label, p.pred,
        CAST(count(*) AS BIGINT) AS n
 FROM embeddings e JOIN pred p USING (vec_id)
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Simplified (centroid-based) silhouette over the integer k-means fit:
+# per vector a2 = squared distance to its own centroid, b2 = squared
+# distance to the nearest OTHER centroid, s = (b2 - a2)/max(a2, b2)
+# quantized to milli in truncating integer division — the clustering
+# quality diagnostic (Rousseeuw 1987's simplified variant on squared
+# distances), O(n*k) instead of the O(n^2) full silhouette, so it
+# streams: centroids broadcast, per-batch partial (cluster, n, sum_s)
+# fold, K-bounded driver finalize.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_silhouette(sf_dir: str, k: int = 4,
+                      iters: int = 2) -> pa.Table:
+    """(cluster, n, sum_s_milli, mean_s_milli): simplified-silhouette
+    quality per cluster of the ``kmeans_assign`` fit — exact integers,
+    DuckDB hash-matched against the shared unrolled-Lloyd chain plus
+    the rn=1/rn=2 distance pair."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ref = ray.put(_kmeans_centroids(ds, sf_dir, k, iters))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        Cb = ray.get(ref)
+        X = _km_quantize(_mat_from_list(batch["embedding"]))
+        diff = X[:, None, :] - Cb[None, :, :]
+        dists = np.einsum("nkd,nkd->nk", diff, diff)
+        order = np.argsort(dists, axis=1, kind="stable")
+        rows = np.arange(X.shape[0])
+        a_k = order[:, 0]
+        a2 = dists[rows, a_k]
+        b2 = dists[rows, order[:, 1]]
+        s_q = (b2 - a2) * 1000 // np.maximum(np.maximum(a2, b2), 1)
+        ks, inv = np.unique(a_k, return_inverse=True)
+        return pa.table({
+            "cluster": pa.array(ks.astype(np.int64), pa.int64()),
+            "n": pa.array(np.bincount(inv, None, ks.size)
+                          .astype(np.int64), pa.int64()),
+            "sum_s": pa.array(np.bincount(inv, s_q, ks.size)
+                              .astype(np.int64), pa.int64()),
+        })
+
+    import ray.data as rd2
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("cluster").aggregate(rd2.aggregate.Sum("n"),
+                                         rd2.aggregate.Sum("sum_s")))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    cl = tbl["cluster"].to_numpy(zero_copy_only=False)
+    n = tbl["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = tbl["sum(sum_s)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(cl, kind="stable")
+    return pa.table({
+        "cluster": pa.array(cl[o].astype(np.int32), pa.int32()),
+        "n": pa.array(n[o], pa.int64()),
+        "sum_s_milli": pa.array(s[o], pa.int64()),
+        "mean_s_milli": pa.array(s[o] // np.maximum(n[o], 1),
+                                 pa.int64()),
+    })
+
+
+def kmeans_silhouette_sql(k: int = 4, iters: int = 2) -> str:
+    out = _km_chain_sql(k, iters)
+    out.append("""
+, r AS (
+  SELECT vec_id, k, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, k) AS rn
+  FROM df),
+ab AS (
+  SELECT a.vec_id, a.k AS cluster, a.dist AS a2, b.dist AS b2
+  FROM r a JOIN r b ON a.vec_id = b.vec_id
+  WHERE a.rn = 1 AND b.rn = 2),
+sq AS (
+  SELECT cluster,
+         (b2 - a2) * 1000 // greatest(a2, b2, 1) AS s_q
+  FROM ab)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s_q) AS BIGINT) AS sum_s_milli,
+       CAST(sum(s_q) // CAST(count(*) AS BIGINT) AS BIGINT)
+         AS mean_s_milli
+FROM sq GROUP BY cluster ORDER BY cluster""")
+    return "".join(out)
