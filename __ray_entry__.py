@@ -1771,6 +1771,16 @@ def _q_cumulative_users(sf_dir: str) -> pa.Table:
     return cumulative_users_daily(sf_dir)
 
 
+def _q_hilbert_rank(sf_dir: str) -> "pa.Table":
+    """Exact global Hilbert-curve ordering of the events log (the
+    locality-stronger sibling of zorder_rank) via the range-histogram
+    exchange rank — DuckDB hash-matched against the unrolled
+    quadrant-rotation walk."""
+    from rayse.ops.hilbert import hilbert_rank
+
+    return hilbert_rank(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3680,6 +3690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_silhouette": _q_kmeans_silhouette,
         "attribution_counts": _q_attribution,
         "cumulative_users": _q_cumulative_users,
+        "hilbert_rank": _q_hilbert_rank,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4885,6 +4896,8 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_users": __import__(
             "rayse.ops.attribution",
             fromlist=["x"]).cumulative_users_daily_sql(),
+        "hilbert_rank": __import__(
+            "rayse.ops.hilbert", fromlist=["x"]).hilbert_rank_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(
