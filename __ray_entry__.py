@@ -1781,6 +1781,33 @@ def _q_hilbert_rank(sf_dir: str) -> "pa.Table":
     return hilbert_rank(sf_dir)
 
 
+def _q_cov_matrix(sf_dir: str) -> pa.Table:
+    """Exact population covariance matrix over lineitem's four numeric
+    columns: one streaming moment-partial pass, bigint driver fold,
+    truncating milli quantization — DuckDB hash-matched against the
+    HUGEINT oracle."""
+    from rayse.ops.covmatrix import cov_matrix
+
+    return cov_matrix(sf_dir)
+
+
+def _q_scd2_intervals(sf_dir: str) -> pa.Table:
+    """SCD-2 state-run intervals per user through one user-hash
+    exchange with a vectorized run-length sweep — DuckDB hash-matched
+    against the gaps-and-islands + lead() oracle."""
+    from rayse.ops.scd import scd2_intervals
+
+    return scd2_intervals(sf_dir)
+
+
+def _q_mode_value(sf_dir: str) -> pa.Table:
+    """Most frequent cents value per event type off the bounded joint
+    histogram, smallest-cents tie-break — DuckDB hash-matched."""
+    from rayse.ops.rankstats import mode_value_per_type
+
+    return mode_value_per_type(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3691,6 +3718,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_counts": _q_attribution,
         "cumulative_users": _q_cumulative_users,
         "hilbert_rank": _q_hilbert_rank,
+        "cov_matrix": _q_cov_matrix,
+        "scd2_intervals": _q_scd2_intervals,
+        "mode_value": _q_mode_value,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4898,6 +4928,13 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).cumulative_users_daily_sql(),
         "hilbert_rank": __import__(
             "rayse.ops.hilbert", fromlist=["x"]).hilbert_rank_sql(),
+        "cov_matrix": __import__(
+            "rayse.ops.covmatrix", fromlist=["x"]).cov_matrix_sql(),
+        "scd2_intervals": __import__(
+            "rayse.ops.scd", fromlist=["x"]).scd2_intervals_sql(),
+        "mode_value": __import__(
+            "rayse.ops.rankstats",
+            fromlist=["x"]).mode_value_per_type_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -278,3 +278,50 @@ hval AS (
              / (CAST(n AS DOUBLE) * n * n - n) AS tc
   FROM tot)
 SELECT k, n, h, h / tc AS h_corrected FROM hval"""
+
+
+def mode_value_per_type(sf_dir: str) -> pa.Table:
+    """(event_type, mode_cents, n_mode): the most frequent
+    cents-quantized value per event type, ties to the smallest cents —
+    straight off the bounded (type, cents) histogram fold, DuckDB
+    hash-matched against the row_number() oracle."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    agg = (ds.map_batches(_type_value_hist_batch,
+                          batch_format="pyarrow")
+           .groupby(["event_type", "x"]).sum("cnt"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    g = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    x = tbl["x"].to_numpy(zero_copy_only=False)
+    c = tbl["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((x, -c, g.astype(str)))
+    gs = g[order]
+    firsts = np.concatenate(
+        ([True], gs[1:] != gs[:-1]))
+    pick = order[firsts]
+    o2 = np.argsort(g[pick].astype(str), kind="stable")
+    pick = pick[o2]
+    return pa.table({
+        "event_type": pa.array(g[pick].tolist(), pa.string()),
+        "mode_cents": pa.array(x[pick], pa.int64()),
+        "n_mode": pa.array(c[pick], pa.int64()),
+    })
+
+
+def mode_value_per_type_sql() -> str:
+    return """
+WITH h AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, x),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY c DESC, x) AS rn
+  FROM h)
+SELECT event_type, x AS mode_cents, c AS n_mode
+FROM r WHERE rn = 1 ORDER BY event_type"""
