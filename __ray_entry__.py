@@ -1808,6 +1808,33 @@ def _q_mode_value(sf_dir: str) -> pa.Table:
     return mode_value_per_type(sf_dir)
 
 
+def _q_xcorr_hourly(sf_dir: str) -> pa.Table:
+    """Lead-lag integer cross-correlation between event-type pairs on
+    the dense hourly grid — DuckDB hash-matched against the grid
+    self-join oracle."""
+    from rayse.ops.bursts import xcorr_hourly
+
+    return xcorr_hourly(sf_dir)
+
+
+def _q_powerlaw_alpha(sf_dir: str) -> pa.Table:
+    """Clauset-style discrete-MLE power-law exponent of the undirected
+    degree distribution via the bounded degree-histogram fold — DuckDB
+    hash-matched."""
+    from rayse.ops.graph import powerlaw_alpha
+
+    return powerlaw_alpha(sf_dir)
+
+
+def _q_time_to_convert(sf_dir: str) -> pa.Table:
+    """Median/p90 seconds from last touch to purchase off the
+    delta-histogram fold through one user-hash exchange — DuckDB
+    hash-matched against the order-statistic oracle."""
+    from rayse.ops.attribution import time_to_convert
+
+    return time_to_convert(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3721,6 +3748,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cov_matrix": _q_cov_matrix,
         "scd2_intervals": _q_scd2_intervals,
         "mode_value": _q_mode_value,
+        "xcorr_hourly": _q_xcorr_hourly,
+        "powerlaw_alpha": _q_powerlaw_alpha,
+        "time_to_convert": _q_time_to_convert,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4935,6 +4965,13 @@ def oracle_sql() -> dict[str, str]:
         "mode_value": __import__(
             "rayse.ops.rankstats",
             fromlist=["x"]).mode_value_per_type_sql(),
+        "xcorr_hourly": __import__(
+            "rayse.ops.bursts", fromlist=["x"]).xcorr_hourly_sql(),
+        "powerlaw_alpha": __import__(
+            "rayse.ops.graph", fromlist=["x"]).powerlaw_alpha_sql(),
+        "time_to_convert": __import__(
+            "rayse.ops.attribution",
+            fromlist=["x"]).time_to_convert_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -214,3 +214,107 @@ d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
 SELECT day, new_users,
        CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
 FROM d ORDER BY day"""
+
+
+def _ttc_partial(tbl: pa.Table) -> pa.Table:
+    """Per-partition (delta_s, cnt) histogram of purchase-minus-last-
+    touch seconds, plus a (-1, n_conv) row carrying the partition's
+    total conversion count."""
+    empty = pa.table({"delta_s": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = tbl["ts"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").view("int64")
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    order = np.lexsort((eid, ts, uid))
+    uid, ts, et = uid[order], ts[order], et[order]
+    n = uid.size
+    idx = np.arange(n, dtype=np.int64)
+    is_touch = np.isin(et, TOUCH_TYPES)
+    is_conv = et == CONV_TYPE
+    n_conv = int(is_conv.sum())
+    if n_conv == 0:
+        return empty
+    new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+    start_row = np.maximum.accumulate(np.where(new_user, idx, 0))
+    lt = np.maximum.accumulate(np.where(is_touch, idx, -1))
+    conv_idx = np.flatnonzero(is_conv)
+    ok = (lt[conv_idx] >= 0) & (lt[conv_idx] >= start_row[conv_idx])
+    deltas = (ts[conv_idx[ok]]
+              - ts[lt[conv_idx[ok]]]) // 1_000_000
+    ud, cnt = np.unique(deltas, return_counts=True)
+    return pa.table({
+        "delta_s": pa.array(np.concatenate((ud, [-1])), pa.int64()),
+        "cnt": pa.array(np.concatenate((cnt.astype(np.int64),
+                                        [n_conv])), pa.int64()),
+    })
+
+
+def time_to_convert(sf_dir: str) -> pa.Table:
+    """(n_conv, n_attr, median_s, p90_s): lower-order-statistic median
+    and p90 of seconds from last touch to purchase, off the
+    delta-seconds histogram fold — DuckDB hash-matched against the
+    correlated LIMIT-1 + row_number order-statistic oracle."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    out = exchange_by_key(ds, "user_id", _ttc_partial)
+    tbl = pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    d = tbl["delta_s"].to_numpy(zero_copy_only=False)
+    c = tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_conv = int(c[d == -1].sum())
+    m = d >= 0
+    ud, inv = np.unique(d[m], return_inverse=True)
+    hist = np.bincount(inv, c[m], ud.size).astype(np.int64)
+    n_attr = int(hist.sum())
+    cum = np.cumsum(hist)
+    med_pos = (n_attr + 1) // 2
+    p90_pos = (9 * n_attr + 9) // 10
+    median_s = int(ud[np.searchsorted(cum, med_pos)])
+    p90_s = int(ud[np.searchsorted(cum, p90_pos)])
+    return pa.table({
+        "n_conv": pa.array([n_conv], pa.int64()),
+        "n_attr": pa.array([n_attr], pa.int64()),
+        "median_s": pa.array([median_s], pa.int64()),
+        "p90_s": pa.array([p90_s], pa.int64()),
+    })
+
+
+def time_to_convert_sql() -> str:
+    touches = ", ".join(f"'{t}'" for t in TOUCH_TYPES)
+    return f"""
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = '{CONV_TYPE}'),
+d AS (
+  SELECT (CAST(epoch_us(p.ts) AS BIGINT)
+          - (SELECT CAST(epoch_us(t.ts) AS BIGINT) FROM events t
+             WHERE t.user_id = p.user_id
+               AND t.event_type IN ({touches})
+               AND (t.ts < p.ts OR (t.ts = p.ts
+                                    AND t.event_id < p.event_id))
+             ORDER BY t.ts DESC, t.event_id DESC LIMIT 1))
+           // 1000000 AS delta_s
+  FROM p),
+o AS (
+  SELECT delta_s,
+         row_number() OVER (ORDER BY delta_s) AS rn,
+         count(*) OVER () AS cnt
+  FROM d WHERE delta_s IS NOT NULL)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_conv,
+       CAST(max(cnt) AS BIGINT) AS n_attr,
+       CAST(max(CASE WHEN rn = (cnt + 1) // 2
+                     THEN delta_s END) AS BIGINT) AS median_s,
+       CAST(max(CASE WHEN rn = (9 * cnt + 9) // 10
+                     THEN delta_s END) AS BIGINT) AS p90_s
+FROM o"""

@@ -685,3 +685,93 @@ rec(event_type, i, l, b) AS (
 SELECT event_type, i + (SELECT h0 FROM eb) AS hr,
        CAST(l AS BIGINT) AS level_fp, CAST(b AS BIGINT) AS trend_fp
 FROM rec ORDER BY event_type, hr"""
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation (raw integer lagged dot products) between
+# event-type pairs on the dense hourly grid — "does type B's traffic
+# follow type A's k hours later?". Exact int64 dot products; the grid
+# is time-span-bounded, so pairs x lags run on the driver.
+# ---------------------------------------------------------------------------
+
+XCORR_MAX_LAG = 6
+
+
+def xcorr_hourly(sf_dir: str, max_lag: int = XCORR_MAX_LAG) -> pa.Table:
+    """(type_a, type_b, lag, dot, n_terms): lagged dot products
+    dot = sum_t a[t] * b[t + lag] over the dense hourly count grid for
+    every ordered pair of distinct event types and lag 0..max_lag —
+    DuckDB hash-matched against the grid self-join oracle."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    agg = (ds.map_batches(_hour_partials, batch_format="pyarrow")
+           .groupby(["event_type", "hr"]).sum("cnt"))
+    grid = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    et = np.asarray(grid["event_type"].to_pylist(), dtype=object)
+    hr = grid["hr"].to_numpy(zero_copy_only=False)
+    cnt = grid["sum(cnt)"].to_numpy(zero_copy_only=False)
+    h0, h1 = int(hr.min()), int(hr.max())
+    nh = h1 - h0 + 1
+    types = sorted(set(et.tolist()))
+    series = {}
+    for t in types:
+        m = et == t
+        c = np.zeros(nh, np.int64)
+        c[hr[m] - h0] = cnt[m]
+        series[t] = c
+    out_a, out_b, out_l, out_d, out_n = [], [], [], [], []
+    for a in types:
+        for b in types:
+            if a == b:
+                continue
+            for lag in range(max_lag + 1):
+                va = series[a][:nh - lag]
+                vb = series[b][lag:]
+                out_a.append(a)
+                out_b.append(b)
+                out_l.append(lag)
+                out_d.append(int(np.dot(va, vb)))
+                out_n.append(nh - lag)
+    return pa.table({
+        "type_a": pa.array(out_a, pa.string()),
+        "type_b": pa.array(out_b, pa.string()),
+        "lag": pa.array(out_l, pa.int64()),
+        "dot": pa.array(out_d, pa.int64()),
+        "n_terms": pa.array(out_n, pa.int64()),
+    })
+
+
+def xcorr_hourly_sql(max_lag: int = XCORR_MAX_LAG) -> str:
+    return f"""
+WITH eh AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {HOUR_US}) AS BIGINT) AS hr
+  FROM events),
+eb AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM eh),
+egrid AS (
+  SELECT t.event_type, g.i
+  FROM (SELECT DISTINCT event_type FROM eh) t
+  CROSS JOIN (SELECT unnest(range(0, (SELECT h1 - h0 + 1 FROM eb)))
+              AS i) g),
+ec AS (SELECT event_type, hr - (SELECT h0 FROM eb) AS i,
+              count(*) AS c
+       FROM eh GROUP BY 1, 2),
+ed AS (
+  SELECT egrid.event_type, egrid.i,
+         CAST(COALESCE(ec.c, 0) AS BIGINT) AS c
+  FROM egrid LEFT JOIN ec USING (event_type, i)),
+lags AS (SELECT CAST(unnest(range(0, {max_lag + 1})) AS BIGINT) AS lag)
+SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+       CAST(sum(a.c * b.c) AS BIGINT) AS dot,
+       CAST((SELECT h1 - h0 + 1 FROM eb) - l.lag AS BIGINT) AS n_terms
+FROM lags l
+     JOIN ed a ON TRUE
+     JOIN ed b ON b.i = a.i + l.lag
+                  AND b.event_type <> a.event_type
+GROUP BY a.event_type, b.event_type, l.lag
+ORDER BY type_a, type_b, lag"""

@@ -1456,3 +1456,97 @@ d0 AS (SELECT min(src) AS v, CAST(0 AS BIGINT) AS d FROM edges)"""]
         prev = f"d{i}"
     return (f"WITH {', '.join(ctes)}\n"
             f"SELECT v AS vertex, d AS dist FROM {prev} ORDER BY vertex")
+
+
+# ---------------------------------------------------------------------------
+# Power-law degree-distribution fit (Clauset-Shalizi-Newman 2009's
+# discrete MLE approximation): alpha = 1 + n / sum(ln(d / (dmin-0.5)))
+# over tail degrees d >= dmin of the undirected demo graph. The
+# distributed piece is the degree fold (adjacency groupby) collapsed to
+# the BOUNDED degree histogram; the MLE is a histogram-weighted log sum
+# on the driver.
+# ---------------------------------------------------------------------------
+
+PL_DMIN = 2
+
+
+def powerlaw_alpha(sf_dir: str, dmin: int = PL_DMIN) -> pa.Table:
+    """(n_tail, dmin, alpha): discrete-MLE power-law exponent of the
+    undirected degree distribution, tail d >= dmin — DuckDB
+    hash-matched against the per-vertex ln-sum oracle."""
+    import ray
+    import ray.data as rd
+
+    edges = derived_edges(sf_dir)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        m = lo != hi
+        key = lo[m] * np.int64(1 << 32) + hi[m]
+        uk = np.unique(key)
+        return pa.table({"key": pa.array(uk, pa.int64())})
+
+    dedup = (edges.map_batches(undirect, batch_format="pyarrow")
+             .groupby("key").count())
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        v = np.concatenate((k // (1 << 32), k % (1 << 32)))
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({
+            "v": pa.array(uv, pa.int64()),
+            "deg": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        d = batch["sum(deg)"].to_numpy(zero_copy_only=False)
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({
+            "deg": pa.array(ud, pa.int64()),
+            "nv": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = (dedup.map_batches(degree_partial, batch_format="pyarrow")
+           .groupby("v").sum("deg")
+           .map_batches(hist_partial, batch_format="pyarrow")
+           .groupby("deg").sum("nv"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    deg = tbl["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nv = tbl["sum(nv)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = deg >= dmin
+    n_tail = int(nv[m].sum())
+    lsum = float((nv[m] * np.log(deg[m] / (dmin - 0.5))).sum())
+    alpha = 1.0 + n_tail / lsum if lsum > 0 else 0.0
+    return pa.table({
+        "n_tail": pa.array([n_tail], pa.int64()),
+        "dmin": pa.array([dmin], pa.int64()),
+        "alpha": pa.array([alpha], pa.float64()),
+    })
+
+
+def powerlaw_alpha_sql(dmin: int = PL_DMIN,
+                       vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    return f"""
+WITH e0 AS (
+  SELECT least(user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT)
+                 % {vertex_space}) AS lo,
+         greatest(user_id,
+                  CAST(json_extract(props, '$.k') AS BIGINT)
+                    % {vertex_space}) AS hi
+  FROM events),
+e AS (SELECT DISTINCT lo, hi FROM e0 WHERE lo <> hi),
+adj AS (SELECT lo AS v, hi AS n FROM e
+        UNION ALL SELECT hi, lo FROM e),
+degs AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+         FROM adj GROUP BY v),
+tail AS (SELECT deg FROM degs WHERE deg >= {dmin})
+SELECT CAST(count(*) AS BIGINT) AS n_tail,
+       CAST({dmin} AS BIGINT) AS dmin,
+       1.0 + count(*) / sum(ln(deg / ({dmin} - 0.5))) AS alpha
+FROM tail"""
