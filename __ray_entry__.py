@@ -1835,6 +1835,16 @@ def _q_time_to_convert(sf_dir: str) -> pa.Table:
     return time_to_convert(sf_dir)
 
 
+def _q_moving_sum_rows(sf_dir: str) -> pa.Table:
+    """Exact ROWS-frame moving sum (4 preceding + current per event
+    type) via the tail-chain two-pass: grid-bounded global tails ->
+    per-(type, day) prefixes -> one exchange with cumsum-difference
+    frames — DuckDB hash-matched against the literal window frame."""
+    from rayse.ops.rowframe import moving_sum_rows
+
+    return moving_sum_rows(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3751,6 +3761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xcorr_hourly": _q_xcorr_hourly,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "time_to_convert": _q_time_to_convert,
+        "moving_sum_rows": _q_moving_sum_rows,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4972,6 +4983,8 @@ def oracle_sql() -> dict[str, str]:
         "time_to_convert": __import__(
             "rayse.ops.attribution",
             fromlist=["x"]).time_to_convert_sql(),
+        "moving_sum_rows": __import__(
+            "rayse.ops.rowframe", fromlist=["x"]).moving_sum_rows_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(
