@@ -1845,6 +1845,31 @@ def _q_moving_sum_rows(sf_dir: str) -> pa.Table:
     return moving_sum_rows(sf_dir)
 
 
+def _q_orders_rfm(sf_dir: str) -> pa.Table:
+    """Recency/frequency/monetary per customer in one partial-combine
+    pass against the corpus-wide latest order day — DuckDB
+    hash-matched."""
+    from rayse.ops.rfm import orders_rfm
+
+    return orders_rfm(sf_dir)
+
+
+def _q_daily_quartiles(sf_dir: str) -> pa.Table:
+    """Lower-order-statistic p25/p50/p75 of cents per day off the
+    bounded (day, cents) histogram — DuckDB hash-matched."""
+    from rayse.ops.rfm import daily_quartiles
+
+    return daily_quartiles(sf_dir)
+
+
+def _q_pivot_type_hour(sf_dir: str) -> pa.Table:
+    """The PIVOT cell: wide type x hour-of-day count matrix off one
+    bounded histogram fold — DuckDB hash-matched against CASE sums."""
+    from rayse.ops.rfm import pivot_type_hour
+
+    return pivot_type_hour(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3762,6 +3787,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "powerlaw_alpha": _q_powerlaw_alpha,
         "time_to_convert": _q_time_to_convert,
         "moving_sum_rows": _q_moving_sum_rows,
+        "orders_rfm": _q_orders_rfm,
+        "daily_quartiles": _q_daily_quartiles,
+        "pivot_type_hour": _q_pivot_type_hour,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4985,6 +5013,12 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).time_to_convert_sql(),
         "moving_sum_rows": __import__(
             "rayse.ops.rowframe", fromlist=["x"]).moving_sum_rows_sql(),
+        "orders_rfm": __import__(
+            "rayse.ops.rfm", fromlist=["x"]).orders_rfm_sql(),
+        "daily_quartiles": __import__(
+            "rayse.ops.rfm", fromlist=["x"]).daily_quartiles_sql(),
+        "pivot_type_hour": __import__(
+            "rayse.ops.rfm", fromlist=["x"]).pivot_type_hour_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -1,0 +1,233 @@
+"""Customer RFM profile, daily value quartiles, and the type x hour
+pivot — three small exact analytics cells over the star schema and the
+events log.
+
+`orders_rfm`: recency/frequency/monetary per customer in one pass of
+per-batch partials (max order-day, count, cents sum) + one groupby;
+recency measures against the corpus-wide latest order day (a 2-integer
+broadcast).
+
+`daily_quartiles`: lower-order-statistic p25/p50/p75 of cents per day
+off the bounded (day, cents) histogram fold (positions ceil(q*n) —
+pure selection, no interpolation).
+
+`pivot_type_hour`: the wide count matrix (event_type, h00..h23) — the
+PIVOT cell; one bounded histogram fold, driver reshape.
+
+All integers; oracles are direct SQL (argmax/row_number/CASE sums).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DAY_US = 86_400_000_000
+
+
+def _rfm_partial(batch: pa.Table) -> pa.Table:
+    from .relational import _cents
+
+    ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    day = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+           .astype("datetime64[us]").view("int64") // DAY_US)
+    cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False),
+                   100.0)
+    uk, inv = np.unique(ck, return_inverse=True)
+    mx = np.full(uk.size, np.iinfo(np.int64).min, np.int64)
+    np.maximum.at(mx, inv, day)
+    return pa.table({
+        "c": pa.array(uk, pa.int64()),
+        "last_day": pa.array(mx, pa.int64()),
+        "freq": pa.array(np.bincount(inv, None, uk.size)
+                         .astype(np.int64), pa.int64()),
+        "mon": pa.array(np.bincount(inv, cents, uk.size)
+                        .astype(np.int64), pa.int64()),
+    })
+
+
+def orders_rfm(sf_dir: str) -> pa.Table:
+    """(c_custkey, rec_days, freq, mon_cents): days since last order
+    (vs the corpus-wide latest order day), order count, and total
+    spend in cents per customer — DuckDB hash-matched."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+    agg = (ds.map_batches(_rfm_partial, batch_format="pyarrow")
+           .groupby("c").aggregate(rd.aggregate.Max("last_day"),
+                                   rd.aggregate.Sum("freq"),
+                                   rd.aggregate.Sum("mon")))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    ck = tbl["c"].to_numpy(zero_copy_only=False)
+    last = tbl["max(last_day)"].to_numpy(zero_copy_only=False)
+    freq = tbl["sum(freq)"].to_numpy(zero_copy_only=False)
+    mon = tbl["sum(mon)"].to_numpy(zero_copy_only=False)
+    ref = int(last.max())
+    o = np.argsort(ck, kind="stable")
+    return pa.table({
+        "c_custkey": pa.array(ck[o], pa.int64()),
+        "rec_days": pa.array((ref - last[o]).astype(np.int64),
+                             pa.int64()),
+        "freq": pa.array(freq[o].astype(np.int64), pa.int64()),
+        "mon_cents": pa.array(mon[o].astype(np.int64), pa.int64()),
+    })
+
+
+def orders_rfm_sql() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(epoch_us(o_orderdate) // {DAY_US} AS BIGINT) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+ref AS (SELECT max(day) AS r FROM o)
+SELECT o_custkey AS c_custkey,
+       CAST((SELECT r FROM ref) - max(day) AS BIGINT) AS rec_days,
+       CAST(count(*) AS BIGINT) AS freq,
+       CAST(sum(cents) AS BIGINT) AS mon_cents
+FROM o GROUP BY o_custkey
+ORDER BY c_custkey"""
+
+
+def _day_cents_hist(batch: pa.Table) -> pa.Table:
+    ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").view("int64")
+    day = ts // DAY_US
+    cents = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+    key = day * np.int64(1 << 32) + (cents + (1 << 31))
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table({
+        "day": pa.array(uk // (1 << 32), pa.int64()),
+        "cents": pa.array(uk % (1 << 32) - (1 << 31), pa.int64()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def daily_quartiles(sf_dir: str) -> pa.Table:
+    """(day, n, p25, p50, p75): lower-order-statistic quartiles of
+    cents-quantized value per day — DuckDB hash-matched against the
+    row_number order-statistic oracle."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+    agg = (ds.map_batches(_day_cents_hist, batch_format="pyarrow")
+           .groupby(["day", "cents"]).sum("cnt"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    day = tbl["day"].to_numpy(zero_copy_only=False)
+    cents = tbl["cents"].to_numpy(zero_copy_only=False)
+    cnt = tbl["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((cents, day))
+    day, cents, cnt = day[order], cents[order], cnt[order]
+    starts = np.concatenate(([True], day[1:] != day[:-1]))
+    sp = np.flatnonzero(starts)
+    ep = np.concatenate((sp[1:], [day.size]))
+    out = {"day": [], "n": [], "p25": [], "p50": [], "p75": []}
+    for s, e in zip(sp, ep):
+        c = cnt[s:e]
+        v = cents[s:e]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        out["day"].append(int(day[s]))
+        out["n"].append(n)
+        out["p25"].append(int(v[np.searchsorted(cum, (n + 3) // 4)]))
+        out["p50"].append(int(v[np.searchsorted(cum, (n + 1) // 2)]))
+        out["p75"].append(int(v[np.searchsorted(cum,
+                                                (3 * n + 3) // 4)]))
+    return pa.table({
+        "day": pa.array(out["day"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+        "p25": pa.array(out["p25"], pa.int64()),
+        "p50": pa.array(out["p50"], pa.int64()),
+        "p75": pa.array(out["p75"], pa.int64()),
+    })
+
+
+def daily_quartiles_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT day, cents,
+         row_number() OVER (PARTITION BY day ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM q)
+SELECT day, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn = (n + 3) // 4 THEN cents END)
+            AS BIGINT) AS p25,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+            AS BIGINT) AS p50,
+       CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END)
+            AS BIGINT) AS p75
+FROM r GROUP BY day ORDER BY day"""
+
+
+def _type_hour_hist(batch: pa.Table) -> pa.Table:
+    et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").view("int64")
+    h = (ts // 3_600_000_000) % 24
+    key = np.char.add(np.char.add(et.astype(str), "\x00"),
+                      h.astype(str))
+    uk, inv, cnt = np.unique(key, return_inverse=True,
+                             return_counts=True)
+    first = np.full(uk.size, -1, np.int64)
+    first[inv[::-1]] = np.arange(len(key) - 1, -1, -1)
+    return pa.table({
+        "event_type": pa.array(et[first].tolist(), pa.string()),
+        "h": pa.array(h[first], pa.int64()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def pivot_type_hour(sf_dir: str) -> pa.Table:
+    """(event_type, h00..h23): the wide hour-of-day count matrix per
+    event type — DuckDB hash-matched against the CASE-sum pivot."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    agg = (ds.map_batches(_type_hour_hist, batch_format="pyarrow")
+           .groupby(["event_type", "h"]).sum("cnt"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    h = tbl["h"].to_numpy(zero_copy_only=False)
+    c = tbl["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    types = sorted(set(et.tolist()))
+    cols = {"event_type": pa.array(types, pa.string())}
+    mat = np.zeros((len(types), 24), np.int64)
+    tidx = {t: i for i, t in enumerate(types)}
+    for e, hh, cc in zip(et, h, c):
+        mat[tidx[e], int(hh)] = int(cc)
+    for hh in range(24):
+        cols[f"h{hh:02d}"] = pa.array(mat[:, hh], pa.int64())
+    return pa.table(cols)
+
+
+def pivot_type_hour_sql() -> str:
+    sums = ",\n       ".join(
+        f"CAST(sum(CASE WHEN h = {hh} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS h{hh:02d}" for hh in range(24))
+    return f"""
+WITH q AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS h
+  FROM events)
+SELECT event_type,
+       {sums}
+FROM q GROUP BY event_type ORDER BY event_type"""
