@@ -259,6 +259,38 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_ops(args) -> int:
+    """Run any registered analytics pipeline from `__ray_entry__
+    .queries()` against an sf directory (``--list`` enumerates them) —
+    the CLI face of the operator registry."""
+    import importlib
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    e = importlib.import_module("__ray_entry__")
+    qs = e.queries()
+    if args.list or not args.name:
+        for k in qs:
+            print(k)
+        return 0
+    if args.name not in qs:
+        print(f"unknown op {args.name!r}; see --list", file=sys.stderr)
+        return 2
+    _ray_init()
+    t = qs[args.name](args.sf)
+    if hasattr(t, "to_arrow_refs"):        # ray Dataset
+        t = t.to_pandas()
+    if hasattr(t, "to_pandas"):            # arrow Table
+        t = t.to_pandas()
+    out = t.head(args.limit) if args.limit else t
+    print(out.to_string(index=False))
+    if args.limit and len(t) > args.limit:
+        print(f"... ({len(t)} rows total)")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayse")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -409,6 +441,15 @@ def main(argv=None) -> int:
     xp.add_argument("--query", required=True)
     xp.add_argument("--top", type=int, default=3)
     xp.set_defaults(fn=cmd_explain)
+
+    op = sub.add_parser("ops",
+                        help="run a registered analytics pipeline "
+                             "from the operator registry")
+    op.add_argument("name", nargs="?", default=None)
+    op.add_argument("--sf", default="/root/testdata/sf0.001")
+    op.add_argument("--limit", type=int, default=20)
+    op.add_argument("--list", action="store_true")
+    op.set_defaults(fn=cmd_ops)
 
     args = p.parse_args(argv)
     return args.fn(args)
