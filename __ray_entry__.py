@@ -1870,6 +1870,24 @@ def _q_pivot_type_hour(sf_dir: str) -> pa.Table:
     return pivot_type_hour(sf_dir)
 
 
+def _q_source_trigram_cos(sf_dir: str) -> pa.Table:
+    """Squared trigram-cosine between source pairs off the bounded
+    per-source trigram fold, all-integer (cos2 in ppm, no sqrt) —
+    DuckDB hash-matched against the HUGEINT self-join oracle."""
+    from rayse.ops.ctlangid import source_trigram_cos
+
+    return source_trigram_cos(sf_dir)
+
+
+def _q_ab_lift(sf_dir: str) -> pa.Table:
+    """A/B conversion-lift cell: user-parity split, per-bucket
+    converter ppm and the shared integer lift ratio — DuckDB
+    hash-matched."""
+    from rayse.ops.attribution import ab_conversion_lift
+
+    return ab_conversion_lift(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3790,6 +3808,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rfm": _q_orders_rfm,
         "daily_quartiles": _q_daily_quartiles,
         "pivot_type_hour": _q_pivot_type_hour,
+        "source_trigram_cos": _q_source_trigram_cos,
+        "ab_lift": _q_ab_lift,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5019,6 +5039,12 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.rfm", fromlist=["x"]).daily_quartiles_sql(),
         "pivot_type_hour": __import__(
             "rayse.ops.rfm", fromlist=["x"]).pivot_type_hour_sql(),
+        "source_trigram_cos": __import__(
+            "rayse.ops.ctlangid",
+            fromlist=["x"]).source_trigram_cos_sql(),
+        "ab_lift": __import__(
+            "rayse.ops.attribution",
+            fromlist=["x"]).ab_conversion_lift_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -318,3 +318,94 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_conv,
        CAST(max(CASE WHEN rn = (9 * cnt + 9) // 10
                      THEN delta_s END) AS BIGINT) AS p90_s
 FROM o"""
+
+
+def ab_conversion_lift(sf_dir: str) -> pa.Table:
+    """(bucket, n_users, n_conv_users, conv_ppm, lift_ppm): the A/B
+    harness cell — users deterministically split by user_id parity,
+    per-bucket converter rate in ppm, and the shared B-vs-A lift ratio
+    — DuckDB hash-matched. Distributed shape: per-batch (user, bucket,
+    any-conversion) partials -> one user groupby -> a 2-row fold."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        conv = (et == CONV_TYPE).astype(np.int64)
+        uk, inv = np.unique(uid, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(uk, pa.int64()),
+            "c": pa.array(np.bincount(inv, conv, uk.size)
+                          .astype(np.int64), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id").sum("c"))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        c = batch["sum(c)"].to_numpy(zero_copy_only=False)
+        b = uid % 2
+        out = []
+        for bv in (0, 1):
+            m = b == bv
+            out.append((bv, int(m.sum()), int((c[m] > 0).sum())))
+        return pa.table({
+            "bucket": pa.array([o[0] for o in out], pa.int64()),
+            "nu": pa.array([o[1] for o in out], pa.int64()),
+            "nc": pa.array([o[2] for o in out], pa.int64()),
+        })
+
+    import ray as _ray
+
+    parts = pa.concat_tables(
+        [t for t in _ray.get(
+            agg.map_batches(fold, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    b = parts["bucket"].to_numpy(zero_copy_only=False)
+    nu = parts["nu"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nc = parts["nc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    stats = {}
+    for bv in (0, 1):
+        m = b == bv
+        stats[bv] = (int(nu[m].sum()), int(nc[m].sum()))
+    ppm = {bv: stats[bv][1] * 1_000_000 // max(stats[bv][0], 1)
+           for bv in (0, 1)}
+    lift = ppm[1] * 1_000_000 // max(ppm[0], 1)
+    return pa.table({
+        "bucket": pa.array([0, 1], pa.int64()),
+        "n_users": pa.array([stats[0][0], stats[1][0]], pa.int64()),
+        "n_conv_users": pa.array([stats[0][1], stats[1][1]],
+                                 pa.int64()),
+        "conv_ppm": pa.array([ppm[0], ppm[1]], pa.int64()),
+        "lift_ppm": pa.array([lift, lift], pa.int64()),
+    })
+
+
+def ab_conversion_lift_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS bucket,
+         max(CASE WHEN event_type = '{CONV_TYPE}'
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(conv) AS BIGINT) AS n_conv_users
+  FROM u GROUP BY bucket),
+p AS (
+  SELECT bucket, n_users, n_conv_users,
+         n_conv_users * 1000000 // greatest(n_users, 1) AS conv_ppm
+  FROM s)
+SELECT bucket, n_users, n_conv_users,
+       CAST(conv_ppm AS BIGINT) AS conv_ppm,
+       CAST((SELECT conv_ppm FROM p WHERE bucket = 1) * 1000000
+            // greatest((SELECT conv_ppm FROM p WHERE bucket = 0), 1)
+            AS BIGINT) AS lift_ppm
+FROM p ORDER BY bucket"""

@@ -161,3 +161,101 @@ best AS (
 SELECT doc_id, pred, CAST(s AS BIGINT) AS dist
 FROM best WHERE rn = 1
 ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Source-pair character-trigram cosine — corpus-level stylistic
+# similarity between sources over the SAME trigram fold as the
+# Cavnar-Trenkle profiles. Exactness: cosine is emitted SQUARED in ppm
+# (cos2_ppm = dot^2 * 1e6 // (n2_a * n2_b)) so the whole statistic
+# stays in integer arithmetic — no sqrt ulp, Python bigints on the
+# driver, HUGEINT in the oracle. The per-source trigram vector is
+# vocabulary-bounded (char^3), the standing bounded-histogram
+# contract.
+# ---------------------------------------------------------------------------
+
+
+def _src_tri_partials(batch: pa.Table) -> pa.Table:
+    srcs = batch["source"].to_pylist()
+    texts = batch["text"].to_pylist()
+    keys = []
+    for s, tx in zip(srcs, texts):
+        keys.extend(f"{s}\x1f{g}" for g in _doc_trigrams(tx or ""))
+    if not keys:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "g": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    uk, cnt = np.unique(np.asarray(keys, dtype=object),
+                        return_counts=True)
+    s, g = zip(*(k.split("\x1f", 1) for k in uk))
+    return pa.table({
+        "source": pa.array(list(s), pa.string()),
+        "g": pa.array(list(g), pa.string()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def source_trigram_cos(sf_dir: str) -> pa.Table:
+    """(src_a, src_b, dot, cos2_ppm): squared trigram-cosine between
+    every ordered source pair — DuckDB hash-matched against the
+    HUGEINT self-join oracle."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    agg = (ds.map_batches(_src_tri_partials, batch_format="pyarrow")
+           .groupby(["source", "g"]).sum("cnt"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    src = np.asarray(tbl["source"].to_pylist(), dtype=object)
+    g = np.asarray(tbl["g"].to_pylist(), dtype=object)
+    c = tbl["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sources = sorted(set(src.tolist()))
+    vecs = {}
+    for s in sources:
+        m = src == s
+        vecs[s] = dict(zip(g[m].tolist(), (int(v) for v in c[m])))
+    n2 = {s: sum(v * v for v in vecs[s].values()) for s in sources}
+    out_a, out_b, out_d, out_c = [], [], [], []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            if len(vb) < len(va):
+                va, vb = vb, va
+            dot = sum(v * vb.get(k, 0) for k, v in va.items())
+            out_a.append(a)
+            out_b.append(b)
+            out_d.append(dot)
+            out_c.append(dot * dot * 1_000_000 // (n2[a] * n2[b]))
+    return pa.table({
+        "src_a": pa.array(out_a, pa.string()),
+        "src_b": pa.array(out_b, pa.string()),
+        "dot": pa.array(out_d, pa.int64()),
+        "cos2_ppm": pa.array(out_c, pa.int64()),
+    })
+
+
+def source_trigram_cos_sql() -> str:
+    return """
+WITH tri AS (
+  SELECT source, substr(text, p + 1, 3) AS g
+  FROM (SELECT source, text,
+               unnest(range(length(text) - 2)) AS p
+        FROM documents WHERE length(text) >= 3)),
+t AS (SELECT source, g, CAST(count(*) AS HUGEINT) AS c
+      FROM tri GROUP BY source, g),
+n2 AS (SELECT source, sum(c * c) AS nn FROM t GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(sum(a.c * b.c) AS HUGEINT) AS dot
+  FROM t a JOIN t b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, CAST(dot AS BIGINT) AS dot,
+       CAST(dot * dot * 1000000 // (na.nn * nb.nn) AS BIGINT)
+         AS cos2_ppm
+FROM pairs
+     JOIN n2 na ON na.source = src_a
+     JOIN n2 nb ON nb.source = src_b
+ORDER BY src_a, src_b"""
