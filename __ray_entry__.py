@@ -1888,6 +1888,15 @@ def _q_ab_lift(sf_dir: str) -> pa.Table:
     return ab_conversion_lift(sf_dir)
 
 
+def _q_media_dedup(sf_dir: str) -> pa.Table:
+    """Binary-payload exact dedup through the actor-pool digest stage
+    (payloads never leave their stage; 60-bit digest-prefix exchange)
+    — DuckDB hash-matched against the built-in sha256 oracle."""
+    from rayse.ops.multimodal import media_payload_dedup
+
+    return media_payload_dedup(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3810,6 +3819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_type_hour": _q_pivot_type_hour,
         "source_trigram_cos": _q_source_trigram_cos,
         "ab_lift": _q_ab_lift,
+        "media_dedup": _q_media_dedup,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5045,6 +5055,9 @@ def oracle_sql() -> dict[str, str]:
         "ab_lift": __import__(
             "rayse.ops.attribution",
             fromlist=["x"]).ab_conversion_lift_sql(),
+        "media_dedup": __import__(
+            "rayse.ops.multimodal",
+            fromlist=["x"]).media_payload_dedup_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -376,3 +376,89 @@ p AS (
 SELECT media_id,
        CAST(sum(bit_on * power(2, bit)::HUGEINT) AS BIGINT) AS dhash
 FROM p GROUP BY media_id ORDER BY media_id"""
+
+
+class DigestStage:
+    """Actor-pool stage: binary payload -> SHA-256 content digest.
+    Same once-per-actor seam as the codec stages (__init__ builds the
+    hasher factory); per batch the digest loop is per-payload C code
+    (hashlib releases the GIL on large buffers)."""
+
+    def __init__(self):
+        import hashlib
+
+        self._h = hashlib.sha256
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        digs = [self._h(p if isinstance(p, bytes) else bytes(p))
+                .hexdigest() for p in payloads]
+        pref = [int(d[:15], 16) for d in digs]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "digest": pa.array(digs, pa.string()),
+            "dpref": pa.array(pref, pa.int64()),
+        })
+
+
+def media_payload_dedup(sf_dir: str) -> pa.Table:
+    """(digest, keep_id, n_copies): exact binary-payload identity
+    groups over the documents-derived media payloads — the multimodal
+    sibling of ``dedup_exact`` (content digests travel, payloads never
+    leave their stage; groups co-locate by ONE exchange on the 60-bit
+    digest prefix). DuckDB hash-matched against the built-in sha256
+    oracle."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pc.cast(batch["text"], pa.binary()),
+        })
+
+    digs = (ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(DigestStage, concurrency=(1, 4),
+                         batch_size=64, batch_format="pyarrow"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["digest"].to_pylist(), dtype=object)
+        mid = batch["media_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        uk, inv = np.unique(d.astype(str), return_inverse=True)
+        keep = np.full(uk.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(keep, inv, mid)
+        return pa.table({
+            "digest": pa.array(uk.tolist(), pa.string()),
+            "keep_id": pa.array(keep, pa.int64()),
+            "n": pa.array(np.bincount(inv, None, uk.size)
+                          .astype(np.int64), pa.int64()),
+        })
+
+    agg = (digs.map_batches(partial, batch_format="pyarrow")
+           .groupby("digest").aggregate(rd.aggregate.Min("keep_id"),
+                                        rd.aggregate.Sum("n")))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    out = pa.table({
+        "digest": tbl["digest"],
+        "keep_id": pc.cast(tbl["min(keep_id)"], pa.int64()),
+        "n_copies": pc.cast(tbl["sum(n)"], pa.int64()),
+    })
+    return out.sort_by([("digest", "ascending")])
+
+
+def media_payload_dedup_sql() -> str:
+    return """
+SELECT sha256(text) AS digest,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+ORDER BY digest"""
