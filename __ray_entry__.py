@@ -1897,6 +1897,16 @@ def _q_media_dedup(sf_dir: str) -> pa.Table:
     return media_payload_dedup(sf_dir)
 
 
+def _q_smj_revenue(sf_dir: str) -> pa.Table:
+    """Per-priority revenue through the range-partitioned SORT-MERGE
+    join route (equal-count cuts off a bounded shifted-key histogram,
+    vectorized searchsorted merge per range) — DuckDB hash-matched and
+    pinned byte-identical to the hash_join route."""
+    from rayse.ops.mergejoin import smj_order_priority_revenue
+
+    return smj_order_priority_revenue(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3820,6 +3830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_trigram_cos": _q_source_trigram_cos,
         "ab_lift": _q_ab_lift,
         "media_dedup": _q_media_dedup,
+        "smj_revenue": _q_smj_revenue,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5058,6 +5069,9 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_payload_dedup_sql(),
+        "smj_revenue": __import__(
+            "rayse.ops.mergejoin",
+            fromlist=["x"]).smj_order_priority_revenue_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(
