@@ -1907,6 +1907,15 @@ def _q_smj_revenue(sf_dir: str) -> pa.Table:
     return smj_order_priority_revenue(sf_dir)
 
 
+def _q_bloom_join(sf_dir: str) -> pa.Table:
+    """Bloom semi-join reduction: broadcast bit-array prefilter drops
+    non-member lineitem rows BEFORE the exchange join; the exact join
+    erases false positives, so the plain SQL oracle hash-matches."""
+    from rayse.ops.mergejoin import bloom_join_revenue
+
+    return bloom_join_revenue(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3831,6 +3840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_lift": _q_ab_lift,
         "media_dedup": _q_media_dedup,
         "smj_revenue": _q_smj_revenue,
+        "bloom_join": _q_bloom_join,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5072,6 +5082,9 @@ def oracle_sql() -> dict[str, str]:
         "smj_revenue": __import__(
             "rayse.ops.mergejoin",
             fromlist=["x"]).smj_order_priority_revenue_sql(),
+        "bloom_join": __import__(
+            "rayse.ops.mergejoin",
+            fromlist=["x"]).bloom_join_revenue_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

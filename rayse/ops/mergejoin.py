@@ -238,3 +238,115 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join reduction — the classic distributed-join optimization:
+# build a Bloom filter over the FILTERED small side's keys, broadcast
+# the bit array once, and drop non-members of the big side BEFORE it
+# pays the exchange. False positives only cost spill bytes (the exact
+# join still removes them), so correctness is oblivious to the filter —
+# which is why the demo query hash-matches the plain SQL oracle while
+# shipping ~1/5 of the lineitem rows through the join.
+# ---------------------------------------------------------------------------
+
+BLOOMJ_BITS_LOG2 = 20
+BLOOMJ_K = 3
+BLOOMJ_PRIORITY = "1-URGENT"
+
+
+def _bloom_hashes(keys: np.ndarray, k: int, bits_log2: int):
+    """k splitmix64-derived hash positions per key, vectorized."""
+    x = keys.astype(np.uint64)
+    mask = np.uint64((1 << bits_log2) - 1)
+    out = []
+    for i in range(k):
+        z = x + np.uint64((0x9E3779B97F4A7C15 * (i + 1))
+                          & 0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        out.append((z & mask).astype(np.int64))
+    return out
+
+
+def bloom_join_revenue(sf_dir: str) -> pa.Table:
+    """(n_items, revenue): urgent-order lineitem revenue through the
+    Bloom-prefiltered exchange join — DuckDB hash-matched against the
+    plain join+filter oracle (the Bloom layer is invisible to the
+    result, by construction)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+    from .relational import _cents
+
+    orders_t = pq.read_table(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    sel = orders_t.filter(
+        pc.equal(orders_t["o_orderpriority"], BLOOMJ_PRIORITY))
+    keys = sel["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    bits = np.zeros(1 << (BLOOMJ_BITS_LOG2 - 6), np.uint64)
+    for pos in _bloom_hashes(keys, BLOOMJ_K, BLOOMJ_BITS_LOG2):
+        # bitwise_or.at, NOT fancy-index |= (which drops all but one
+        # update per duplicate word index -> false negatives)
+        np.bitwise_or.at(
+            bits, pos >> 6,
+            np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+    bits_ref = ray.put(bits)
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bb = ray.get(bits_ref)
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        member = np.ones(k.size, bool)
+        for pos in _bloom_hashes(k, BLOOMJ_K, BLOOMJ_BITS_LOG2):
+            member &= (bb[pos >> 6]
+                       >> (pos.astype(np.uint64) & np.uint64(63))
+                       & np.uint64(1)).astype(bool)
+        sub = batch.filter(pa.array(member))
+        rev = _cents(sub["l_extendedprice"].to_numpy(
+            zero_copy_only=False)
+            * (1.0 - sub["l_discount"].to_numpy(zero_copy_only=False)),
+            10000.0)
+        return pa.table({
+            "l_orderkey": pa.array(
+                sub["l_orderkey"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "rev": pa.array(rev, pa.int64()),
+        })
+
+    sel_ds = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array(np.sort(keys), pa.int64())}))
+    j = hash_join(line.map_batches(prefilter, batch_format="pyarrow"),
+                  sel_ds, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "rev": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .aggregate(rd.aggregate.Sum("n"), rd.aggregate.Sum("rev")))
+    return pa.table({
+        "n_items": pa.array([int(agg["sum(n)"] or 0)], pa.int64()),
+        "revenue": pa.array([int(agg["sum(rev)"] or 0)], pa.int64()),
+    })
+
+
+def bloom_join_revenue_sql() -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '{BLOOMJ_PRIORITY}'"""

@@ -54,3 +54,26 @@ def test_smj_skewed_hot_key(ray_session):
     got = merge_join(left, right, "k", "rk", n_parts=8).to_pandas()
     assert len(got) == n            # every key has exactly one match
     assert (got["w"].to_numpy() == got["k"].to_numpy() * 10).all()
+
+
+def test_bloom_no_false_negatives():
+    # every inserted key must test positive (the join-correctness
+    # contract; false positives are allowed, negatives are not)
+    import numpy as np
+
+    from rayse.ops.mergejoin import (BLOOMJ_BITS_LOG2, BLOOMJ_K,
+                                     _bloom_hashes)
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 1 << 50, 20000).astype(np.int64)
+    bits = np.zeros(1 << (BLOOMJ_BITS_LOG2 - 6), np.uint64)
+    for pos in _bloom_hashes(keys, BLOOMJ_K, BLOOMJ_BITS_LOG2):
+        np.bitwise_or.at(
+            bits, pos >> 6,
+            np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+    member = np.ones(keys.size, bool)
+    for pos in _bloom_hashes(keys, BLOOMJ_K, BLOOMJ_BITS_LOG2):
+        member &= (bits[pos >> 6]
+                   >> (pos.astype(np.uint64) & np.uint64(63))
+                   & np.uint64(1)).astype(bool)
+    assert member.all()
