@@ -3546,6 +3546,29 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                ["level_fp", "trend_fp"])
     kd = _melt(_q_kendall(sf_dir), ["n"],
                ["concordant", "discordant"])
+    smj = _melt(_q_smj_revenue(sf_dir), ["o_orderpriority"],
+                ["n_items", "revenue"])
+    blj = _melt(_q_bloom_join(sf_dir), ["n_items"], ["revenue"])
+    rfm = _melt(_q_orders_rfm(sf_dir), ["c_custkey"],
+                ["rec_days", "freq", "mon_cents"])
+    dq = _melt(_q_daily_quartiles(sf_dir), ["day"],
+               ["n", "p25", "p50", "p75"])
+    cu = _melt(_q_cumulative_users(sf_dir), ["day"],
+               ["new_users", "cum_users"])
+    ab = _melt(_q_ab_lift(sf_dir), ["bucket"],
+               ["n_users", "n_conv_users", "conv_ppm", "lift_ppm"])
+    xc = _melt(_q_xcorr_hourly(sf_dir), ["type_a", "type_b"],
+               ["lag", "dot", "n_terms"])
+    mo = _melt(_q_mode_value(sf_dir), ["event_type"],
+               ["mode_cents", "n_mode"])
+    tc = _melt(_q_time_to_convert(sf_dir), ["n_conv"],
+               ["n_attr", "median_s", "p90_s"])
+    md = _melt(_q_media_dedup(sf_dir), ["digest"],
+               ["keep_id", "n_copies"])
+    tg = _melt(_q_source_trigram_cos(sf_dir), ["src_a", "src_b"],
+               ["dot", "cos2_ppm"])
+    cv = _melt(_q_cov_matrix(sf_dir), ["col_a", "col_b"],
+               ["n", "cov_milli"])
     st = _melt(_q_stump_fit(sf_dir), ["threshold_cents", "predict_above"],
                ["n_correct", "n_total", "acc_ppm"])
     ka = _melt(_q_k_anonymity(sf_dir), ["event_type"],
@@ -3611,7 +3634,13 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("twap", tw), ("q17", q17), ("q15", q15),
                           ("q5", q5), ("q8", q8), ("q22", q22),
                           ("ohlc", oh), ("holt", hl),
-                          ("kendall", kd)])
+                          ("kendall", kd), ("smj", smj),
+                          ("bloomjoin", blj), ("rfm", rfm),
+                          ("quartiles", dq), ("cumusers", cu),
+                          ("ablift", ab), ("xcorr", xc),
+                          ("mode", mo), ("ttc", tc),
+                          ("mediadedup", md), ("trigcos", tg),
+                          ("cov", cv)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -4238,6 +4267,51 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.rankstats",
                 fromlist=["x"]).kendall_value_hour_sql(),
              ("n",), ("concordant", "discordant")),
+            ("smj", __import__(
+                "rayse.ops.mergejoin",
+                fromlist=["x"]).smj_order_priority_revenue_sql(),
+             ("o_orderpriority",), ("n_items", "revenue")),
+            ("bloomjoin", __import__(
+                "rayse.ops.mergejoin",
+                fromlist=["x"]).bloom_join_revenue_sql(),
+             ("n_items",), ("revenue",)),
+            ("rfm", __import__(
+                "rayse.ops.rfm", fromlist=["x"]).orders_rfm_sql(),
+             ("c_custkey",), ("rec_days", "freq", "mon_cents")),
+            ("quartiles", __import__(
+                "rayse.ops.rfm", fromlist=["x"]).daily_quartiles_sql(),
+             ("day",), ("n", "p25", "p50", "p75")),
+            ("cumusers", __import__(
+                "rayse.ops.attribution",
+                fromlist=["x"]).cumulative_users_daily_sql(),
+             ("day",), ("new_users", "cum_users")),
+            ("ablift", __import__(
+                "rayse.ops.attribution",
+                fromlist=["x"]).ab_conversion_lift_sql(),
+             ("bucket",),
+             ("n_users", "n_conv_users", "conv_ppm", "lift_ppm")),
+            ("xcorr", __import__(
+                "rayse.ops.bursts", fromlist=["x"]).xcorr_hourly_sql(),
+             ("type_a", "type_b"), ("lag", "dot", "n_terms")),
+            ("mode", __import__(
+                "rayse.ops.rankstats",
+                fromlist=["x"]).mode_value_per_type_sql(),
+             ("event_type",), ("mode_cents", "n_mode")),
+            ("ttc", __import__(
+                "rayse.ops.attribution",
+                fromlist=["x"]).time_to_convert_sql(),
+             ("n_conv",), ("n_attr", "median_s", "p90_s")),
+            ("mediadedup", __import__(
+                "rayse.ops.multimodal",
+                fromlist=["x"]).media_payload_dedup_sql(),
+             ("digest",), ("keep_id", "n_copies")),
+            ("trigcos", __import__(
+                "rayse.ops.ctlangid",
+                fromlist=["x"]).source_trigram_cos_sql(),
+             ("src_a", "src_b"), ("dot", "cos2_ppm")),
+            ("cov", __import__(
+                "rayse.ops.covmatrix", fromlist=["x"]).cov_matrix_sql(),
+             ("col_a", "col_b"), ("n", "cov_milli")),
             ("stump", __import__(
                 "rayse.ops.stump", fromlist=["x"]).stump_fit_sql(),
              ("threshold_cents", "predict_above"),
