@@ -3561,8 +3561,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                ["lag", "dot", "n_terms"])
     mo = _melt(_q_mode_value(sf_dir), ["event_type"],
                ["mode_cents", "n_mode"])
-    tc = _melt(_q_time_to_convert(sf_dir), ["n_conv"],
-               ["n_attr", "median_s", "p90_s"])
+    ttc = _melt(_q_time_to_convert(sf_dir), ["n_conv"],
+                ["n_attr", "median_s", "p90_s"])
     md = _melt(_q_media_dedup(sf_dir), ["digest"],
                ["keep_id", "n_copies"])
     tg = _melt(_q_source_trigram_cos(sf_dir), ["src_a", "src_b"],
@@ -3638,7 +3638,7 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("bloomjoin", blj), ("rfm", rfm),
                           ("quartiles", dq), ("cumusers", cu),
                           ("ablift", ab), ("xcorr", xc),
-                          ("mode", mo), ("ttc", tc),
+                          ("mode", mo), ("ttc", ttc),
                           ("mediadedup", md), ("trigcos", tg),
                           ("cov", cv)])
 
