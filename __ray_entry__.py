@@ -1916,6 +1916,14 @@ def _q_bloom_join(sf_dir: str) -> pa.Table:
     return bloom_join_revenue(sf_dir)
 
 
+def _q_fertility(sf_dir: str) -> pa.Table:
+    """Tokenizer fertility (chars per BPE-regex token, milli) per
+    language in one partial-combine pass — DuckDB hash-matched."""
+    from rayse.ops.textstats import fertility_by_lang
+
+    return fertility_by_lang(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3870,6 +3878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": _q_media_dedup,
         "smj_revenue": _q_smj_revenue,
         "bloom_join": _q_bloom_join,
+        "fertility_by_lang": _q_fertility,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5159,6 +5168,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join": __import__(
             "rayse.ops.mergejoin",
             fromlist=["x"]).bloom_join_revenue_sql(),
+        "fertility_by_lang": __import__(
+            "rayse.ops.textstats",
+            fromlist=["x"]).fertility_by_lang_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

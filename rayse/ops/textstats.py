@@ -2260,3 +2260,80 @@ WITH f AS (
 SELECT doc_id, w AS n_words, s AS n_sents, y AS n_syll,
        206835 - (1015 * w) // s - (84600 * y) // w AS fre_milli
 FROM f"""
+
+
+def fertility_by_lang(sf_dir: str) -> pa.Table:
+    """(lang, n_docs, sum_chars, sum_bpe, fertility_milli): tokenizer
+    fertility (chars per BPE-regex token, milli-quantized truncating)
+    per language — the tokenizer-efficiency diagnostic a multilingual
+    training-data pipeline reads before fixing a vocab. One streaming
+    pass of per-batch (lang, n_docs, chars, bpe) partials; DuckDB
+    hash-matched."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        nch = pc.cast(pc.utf8_length(batch["text"]),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        global _BPE_RE
+        if _BPE_RE is None:
+            import re
+
+            _BPE_RE = re.compile(BPE_PATTERN)
+        nbpe = np.fromiter(
+            (len(_BPE_RE.findall(t or ""))
+             for t in batch["text"].to_pylist()),
+            dtype=np.int64, count=len(batch))
+        uk, inv = np.unique(lang.astype(str), return_inverse=True)
+        return pa.table({
+            "lang": pa.array(uk.tolist(), pa.string()),
+            "n_docs": pa.array(np.bincount(inv, None, uk.size)
+                               .astype(np.int64), pa.int64()),
+            "chars": pa.array(np.bincount(inv, nch, uk.size)
+                              .astype(np.int64), pa.int64()),
+            "bpe": pa.array(np.bincount(inv, nbpe, uk.size)
+                            .astype(np.int64), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang").aggregate(rd.aggregate.Sum("n_docs"),
+                                      rd.aggregate.Sum("chars"),
+                                      rd.aggregate.Sum("bpe")))
+    import ray as _ray
+
+    tbl = pa.concat_tables(
+        [t for t in _ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    lang = np.asarray(tbl["lang"].to_pylist(), dtype=object)
+    nd = tbl["sum(n_docs)"].to_numpy(zero_copy_only=False)
+    ch = tbl["sum(chars)"].to_numpy(zero_copy_only=False)
+    bp = tbl["sum(bpe)"].to_numpy(zero_copy_only=False)
+    o = np.argsort(lang.astype(str), kind="stable")
+    return pa.table({
+        "lang": pa.array(lang[o].tolist(), pa.string()),
+        "n_docs": pa.array(nd[o].astype(np.int64), pa.int64()),
+        "sum_chars": pa.array(ch[o].astype(np.int64), pa.int64()),
+        "sum_bpe": pa.array(bp[o].astype(np.int64), pa.int64()),
+        "fertility_milli": pa.array(
+            ch[o].astype(np.int64) * 1000
+            // np.maximum(bp[o].astype(np.int64), 1), pa.int64()),
+    })
+
+
+def fertility_by_lang_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS nch,
+         CAST(len(regexp_extract_all(text, '{BPE_PATTERN}'))
+              AS BIGINT) AS nbpe
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nch) AS BIGINT) AS sum_chars,
+       CAST(sum(nbpe) AS BIGINT) AS sum_bpe,
+       CAST(sum(nch) * 1000 // greatest(sum(nbpe), 1) AS BIGINT)
+         AS fertility_milli
+FROM t GROUP BY lang ORDER BY lang"""
