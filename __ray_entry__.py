@@ -1924,6 +1924,14 @@ def _q_fertility(sf_dir: str) -> pa.Table:
     return fertility_by_lang(sf_dir)
 
 
+def _q_customer_distribution(sf_dir: str) -> pa.Table:
+    """Q13-analog order-count distribution: two bounded chained folds,
+    zero-order customers by subtraction — DuckDB hash-matched."""
+    from rayse.ops.tpch import customer_distribution
+
+    return customer_distribution(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3879,6 +3887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "smj_revenue": _q_smj_revenue,
         "bloom_join": _q_bloom_join,
         "fertility_by_lang": _q_fertility,
+        "customer_distribution": _q_customer_distribution,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5171,6 +5180,9 @@ def oracle_sql() -> dict[str, str]:
         "fertility_by_lang": __import__(
             "rayse.ops.textstats",
             fromlist=["x"]).fertility_by_lang_sql(),
+        "customer_distribution": __import__(
+            "rayse.ops.tpch",
+            fromlist=["x"]).customer_distribution_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -1553,3 +1553,74 @@ SELECT n_name,
 FROM sel JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name, n_nationkey
 ORDER BY n_nationkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 analog: customer order-count distribution — the histogram-of-a-
+# groupby member (two chained aggregations at different grain). The
+# distributed shape is two bounded folds: per-customer order counts
+# (one groupby) collapse per block into (c_count, n_customers)
+# partials; zero-order customers enter as total_customers − distinct
+# ordering customers, both single integers.
+# ---------------------------------------------------------------------------
+
+
+def customer_distribution(sf_dir: str) -> pa.Table:
+    """(c_count, custdist): how many customers placed exactly c_count
+    orders (including zero) — Q13 analog, DuckDB hash-matched against
+    the LEFT OUTER double-aggregation oracle."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    n_customers = pq.read_metadata(
+        f"{sf_dir}/customer.parquet").num_rows
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(ck, return_counts=True)
+        return pa.table({
+            "c": pa.array(uk.astype(np.int64), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = batch["sum(n)"].to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(n, return_counts=True)
+        return pa.table({
+            "c_count": pa.array(uk.astype(np.int64), pa.int64()),
+            "cd": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = (orders.map_batches(count_partial, batch_format="pyarrow")
+           .groupby("c").sum("n")
+           .map_batches(hist_partial, batch_format="pyarrow")
+           .groupby("c_count").sum("cd"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    cc = tbl["c_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cd = tbl["sum(cd)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_with = int(cd.sum())
+    if n_customers > n_with:
+        cc = np.concatenate((cc, [0]))
+        cd = np.concatenate((cd, [n_customers - n_with]))
+    o = np.lexsort((cc, -cd))
+    return pa.table({
+        "c_count": pa.array(cc[o], pa.int64()),
+        "custdist": pa.array(cd[o], pa.int64()),
+    })
+
+
+def customer_distribution_sql() -> str:
+    return """
+WITH co AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+ORDER BY custdist DESC, c_count"""
