@@ -1932,6 +1932,16 @@ def _q_customer_distribution(sf_dir: str) -> pa.Table:
     return customer_distribution(sf_dir)
 
 
+def _q_routed_joins(sf_dir: str) -> pa.Table:
+    """Adaptive join routing (broadcast vs exchange-hash by right-side
+    row count) — the routing DECISION is pinned: the oracle mirrors the
+    threshold rule, so a wrong route flips the tag and fails the
+    hash."""
+    from rayse.ops.router import routed_joins
+
+    return routed_joins(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3888,6 +3898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join": _q_bloom_join,
         "fertility_by_lang": _q_fertility,
         "customer_distribution": _q_customer_distribution,
+        "routed_joins": _q_routed_joins,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5183,6 +5194,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_distribution": __import__(
             "rayse.ops.tpch",
             fromlist=["x"]).customer_distribution_sql(),
+        "routed_joins": __import__(
+            "rayse.ops.router", fromlist=["x"]).routed_joins_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(
