@@ -1942,6 +1942,15 @@ def _q_routed_joins(sf_dir: str) -> pa.Table:
     return routed_joins(sf_dir)
 
 
+def _q_seq_patterns(sf_dir: str) -> pa.Table:
+    """MATCH_RECOGNIZE analog: regex patterns over per-user compacted
+    event-code strings through one user-hash exchange — DuckDB
+    hash-matched against the string_agg + regexp_matches oracle."""
+    from rayse.ops.seqmine import sequence_pattern_counts
+
+    return sequence_pattern_counts(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3899,6 +3908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fertility_by_lang": _q_fertility,
         "customer_distribution": _q_customer_distribution,
         "routed_joins": _q_routed_joins,
+        "seq_patterns": _q_seq_patterns,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5196,6 +5206,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).customer_distribution_sql(),
         "routed_joins": __import__(
             "rayse.ops.router", fromlist=["x"]).routed_joins_sql(),
+        "seq_patterns": __import__(
+            "rayse.ops.seqmine",
+            fromlist=["x"]).sequence_pattern_counts_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -417,3 +417,95 @@ def _fold_patterns_salted(sf_dir: str, gram: int) -> pa.Table:
         return pa.table({"pattern": pa.array([], pa.string()),
                          "sum(cnt)": pa.array([], pa.int64())})
     return pa.concat_tables(tables, promote_options="default")
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching (MATCH_RECOGNIZE / CEP analog): each user's
+# event-type history compacts to a one-char-per-event code string in
+# strict (ts, event_id) order, and regex patterns over that alphabet
+# count matching users — "clicked, browsed any number of times, then
+# purchased" as a grep. ONE user-hash exchange; the per-user string
+# build and regex probe are partition-local. Patterns stay in the
+# RE2-compatible subset (literals, classes, closures) so Python re and
+# DuckDB regexp_matches agree.
+# ---------------------------------------------------------------------------
+
+SEQ_CODE = {"click": "c", "view": "v", "purchase": "p",
+            "signup": "s", "error": "e"}
+SEQ_PATTERNS = ("cv*p", "c[ve]*p", "s.*p", "ee", "pv*p")
+
+
+def _seqpat_proc(tbl: pa.Table, patterns: tuple) -> pa.Table:
+    import re
+
+    empty = pa.table({"pattern": pa.array([], pa.string()),
+                      "n_users": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = tbl["ts"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").view("int64")
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    order = np.lexsort((eid, ts, uid))
+    uid, et = uid[order], et[order]
+    codes = np.array([SEQ_CODE.get(t, "x") for t in et], dtype="U1")
+    starts = np.flatnonzero(
+        np.concatenate(([True], uid[1:] != uid[:-1])))
+    ends = np.concatenate((starts[1:], [uid.size]))
+    seqs = ["".join(codes[s:e]) for s, e in zip(starts, ends)]
+    res = [re.compile(p) for p in patterns]
+    counts = [sum(1 for s in seqs if r.search(s)) for r in res]
+    return pa.table({
+        "pattern": pa.array(list(patterns), pa.string()),
+        "n_users": pa.array(counts, pa.int64()),
+    })
+
+
+def sequence_pattern_counts(sf_dir: str) -> pa.Table:
+    """(pattern, n_users): users whose (ts, event_id)-ordered type
+    code string matches each regex pattern — DuckDB hash-matched
+    against the string_agg + regexp_matches oracle."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    out = exchange_by_key(ds, "user_id", _seqpat_proc,
+                          proc_kwargs={"patterns": SEQ_PATTERNS})
+    tbl = pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    pat = np.asarray(tbl["pattern"].to_pylist(), dtype=object)
+    n = tbl["n_users"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out_p, out_n = [], []
+    for p in SEQ_PATTERNS:
+        m = pat == p
+        out_p.append(p)
+        out_n.append(int(n[m].sum()))
+    return pa.table({
+        "pattern": pa.array(out_p, pa.string()),
+        "n_users": pa.array(out_n, pa.int64()),
+    })
+
+
+def sequence_pattern_counts_sql() -> str:
+    code_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in SEQ_CODE.items())
+    pats = ", ".join(f"('{p}')" for p in SEQ_PATTERNS)
+    return f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(CASE event_type {code_case} ELSE 'x' END, ''
+                    ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id),
+pats(pattern) AS (VALUES {pats})
+SELECT p.pattern,
+       CAST(count(*) FILTER (regexp_matches(s.seq, p.pattern))
+            AS BIGINT) AS n_users
+FROM pats p CROSS JOIN seqs s
+GROUP BY p.pattern
+ORDER BY p.pattern"""
