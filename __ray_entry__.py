@@ -1951,6 +1951,15 @@ def _q_seq_patterns(sf_dir: str) -> pa.Table:
     return sequence_pattern_counts(sf_dir)
 
 
+def _q_er_clusters(sf_dir: str) -> pa.Table:
+    """ER clusters: union-find over the >=0.9 Jaro-Winkler pair graph
+    (driver/distributed routing per the dedup family) — DuckDB
+    hash-matched against the recursive min-label oracle."""
+    from rayse.ops.editdist import er_clusters
+
+    return er_clusters(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3909,6 +3918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_distribution": _q_customer_distribution,
         "routed_joins": _q_routed_joins,
         "seq_patterns": _q_seq_patterns,
+        "er_clusters": _q_er_clusters,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5209,6 +5219,8 @@ def oracle_sql() -> dict[str, str]:
         "seq_patterns": __import__(
             "rayse.ops.seqmine",
             fromlist=["x"]).sequence_pattern_counts_sql(),
+        "er_clusters": __import__(
+            "rayse.ops.editdist", fromlist=["x"]).er_clusters_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -272,3 +272,51 @@ SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
        jaro_winkler_similarity(a.p_name, b.p_name) AS jw
 FROM t a JOIN t b ON a.blk = b.blk AND b.p_partkey > a.p_partkey
 ORDER BY part_a, part_b"""
+
+
+ER_JW_THRESHOLD = 0.9
+
+
+def er_clusters(sf_dir: str) -> pa.Table:
+    """(p_partkey, canon): entity-resolution clusters — connected
+    components of the Jaro-Winkler pair graph at >= ER_JW_THRESHOLD,
+    canonical id = smallest member. Composition of the blocked JW
+    scorer and the dedup family's union-find (driver route under the
+    pair bound, distributed min-label above it — the `link_components`
+    routing). The 0.9 threshold sits >= 4e-3 away from every observed
+    pair score, so the float compare is boundary-safe on both sides.
+    DuckDB hash-matched against the recursive min-label oracle."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import DRIVER_MAX_PAIRS, _cc_distributed, _cc_driver
+
+    pairs = jw_name_pairs(sf_dir)
+    jw = pairs["jw"].to_numpy()
+    keep = pairs.filter(pa.array(jw >= ER_JW_THRESHOLD)).select(
+        ["part_a", "part_b"]).rename_columns(["doc_a", "doc_b"])
+    if keep.num_rows <= DRIVER_MAX_PAIRS:
+        cc = _cc_driver(keep)
+    else:
+        cc = _cc_distributed(rd.from_arrow(keep))
+    return pa.table({
+        "p_partkey": cc["doc_id"],
+        "canon": cc["cluster_id"],
+    }).sort_by([("p_partkey", "ascending")])
+
+
+def er_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE er_p AS (
+  SELECT part_a, part_b FROM (
+{jw_name_pairs_sql()}
+  ) WHERE jw >= {ER_JW_THRESHOLD}),
+er_ue AS (SELECT part_a AS a, part_b AS b FROM er_p
+          UNION ALL SELECT part_b, part_a FROM er_p),
+er_lbl(node, lbl) AS (
+  SELECT a AS node, least(a, min(b)) AS lbl FROM er_ue GROUP BY a
+  UNION
+  SELECT e.a AS node, least(l.lbl, e.a) AS lbl
+  FROM er_ue e JOIN er_lbl l ON e.b = l.node)
+SELECT node AS p_partkey, CAST(min(lbl) AS BIGINT) AS canon
+FROM er_lbl GROUP BY node ORDER BY node"""
