@@ -1960,6 +1960,24 @@ def _q_er_clusters(sf_dir: str) -> pa.Table:
     return er_clusters(sf_dir)
 
 
+def _q_mutual_information(sf_dir: str) -> pa.Table:
+    """Mutual information (and normalized MI) between event type and
+    hour-of-day off one bounded joint-histogram fold — DuckDB-matched
+    within float tolerance."""
+    from rayse.ops.rankstats import mutual_information_type_hour
+
+    return mutual_information_type_hour(sf_dir)
+
+
+def _q_cohort_revenue(sf_dir: str) -> pa.Table:
+    """Cohort-LTV curve: per-customer first-order month via one
+    groupby, fact join through the co-partitioned exchange, exact
+    integer month offsets — DuckDB hash-matched."""
+    from rayse.ops.rfm import cohort_revenue
+
+    return cohort_revenue(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3919,6 +3937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routed_joins": _q_routed_joins,
         "seq_patterns": _q_seq_patterns,
         "er_clusters": _q_er_clusters,
+        "mutual_information": _q_mutual_information,
+        "cohort_revenue": _q_cohort_revenue,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5221,6 +5241,11 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).sequence_pattern_counts_sql(),
         "er_clusters": __import__(
             "rayse.ops.editdist", fromlist=["x"]).er_clusters_sql(),
+        "mutual_information": __import__(
+            "rayse.ops.rankstats",
+            fromlist=["x"]).mutual_information_sql(),
+        "cohort_revenue": __import__(
+            "rayse.ops.rfm", fromlist=["x"]).cohort_revenue_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

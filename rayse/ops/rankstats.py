@@ -325,3 +325,88 @@ r AS (
   FROM h)
 SELECT event_type, x AS mode_cents, c AS n_mode
 FROM r WHERE rn = 1 ORDER BY event_type"""
+
+
+def mutual_information_type_hour(sf_dir: str) -> pa.Table:
+    """(n, mi_nats, nmi): mutual information between event_type and
+    hour-of-day off ONE bounded joint-histogram fold — exact integer
+    counts, the log-sum in float64 (DuckDB-matched within rtol), plus
+    the min-marginal-entropy-normalized variant."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view("int64")
+        h = (ts // 3_600_000_000) % 24
+        key = np.char.add(np.char.add(et.astype(str), "\x00"),
+                          h.astype(str))
+        uk, inv, cnt = np.unique(key, return_inverse=True,
+                                 return_counts=True)
+        first = np.full(uk.size, -1, np.int64)
+        first[inv[::-1]] = np.arange(len(key) - 1, -1, -1)
+        return pa.table({
+            "event_type": pa.array(et[first].tolist(), pa.string()),
+            "h": pa.array(h[first], pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = (ds.map_batches(hist, batch_format="pyarrow")
+           .groupby(["event_type", "h"]).sum("cnt"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    g = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    h = tbl["h"].to_numpy(zero_copy_only=False)
+    c = tbl["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(c.sum())
+    ug, gi = np.unique(g, return_inverse=True)
+    uh, hi = np.unique(h, return_inverse=True)
+    cg = np.bincount(gi, c, ug.size)
+    ch = np.bincount(hi, c, uh.size)
+    mi = 0.0
+    for cc, a, b in zip(c, cg[gi], ch[hi]):
+        mi += (cc / n) * math.log(cc * n / (a * b))
+    hg = -sum((a / n) * math.log(a / n) for a in cg)
+    hh = -sum((b / n) * math.log(b / n) for b in ch)
+    nmi = mi / min(hg, hh) if min(hg, hh) > 0 else 0.0
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "mi_nats": pa.array([mi], pa.float64()),
+        "nmi": pa.array([nmi], pa.float64()),
+    })
+
+
+def mutual_information_sql() -> str:
+    return """
+WITH q AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS h
+  FROM events),
+j AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+      FROM q GROUP BY event_type, h),
+mg AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS a
+       FROM j GROUP BY event_type),
+mh AS (SELECT h, CAST(sum(c) AS BIGINT) AS b FROM j GROUP BY h),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+mi AS (
+  SELECT sum((CAST(j.c AS DOUBLE) / n)
+             * ln(CAST(j.c AS DOUBLE) * n / (a * CAST(b AS DOUBLE))))
+           AS mi_nats
+  FROM j JOIN mg USING (event_type) JOIN mh USING (h), tot),
+ents AS (
+  SELECT (SELECT -sum((CAST(a AS DOUBLE) / n)
+                      * ln(CAST(a AS DOUBLE) / n))
+          FROM mg, tot) AS hg,
+         (SELECT -sum((CAST(b AS DOUBLE) / n)
+                      * ln(CAST(b AS DOUBLE) / n))
+          FROM mh, tot) AS hh)
+SELECT (SELECT n FROM tot) AS n, mi_nats,
+       mi_nats / least(hg, hh) AS nmi
+FROM mi, ents"""

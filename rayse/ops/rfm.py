@@ -231,3 +231,119 @@ WITH q AS (
 SELECT event_type,
        {sums}
 FROM q GROUP BY event_type ORDER BY event_type"""
+
+
+MONTH_DAYS = 0  # months computed from calendar fields, not day counts
+
+
+def cohort_revenue(sf_dir: str) -> pa.Table:
+    """(cohort_month, month_offset, n_orders, revenue_cents): classic
+    cohort-LTV curve — orders grouped by their customer's first-order
+    calendar month and the month offset since it. Two-pass shape: the
+    per-customer cohort month is ONE groupby fold; the fact join rides
+    the co-partitioned exchange (`hash_join` on custkey); months are
+    year*12+month integers so offsets are exact. DuckDB hash-matched
+    against the window-min oracle."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import hash_join
+    from .relational import _cents
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        ym = (d.astype("datetime64[M]").astype(np.int64)
+              + 1970 * 12)
+        cents = _cents(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False), 100.0)
+        return pa.table({
+            "o_custkey": pa.array(
+                batch["o_custkey"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "ym": pa.array(ym, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    stamped = orders.map_batches(stamp, batch_format="pyarrow")
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        ym = batch["ym"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        mn = np.full(uk.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, ym)
+        return pa.table({
+            "ck": pa.array(uk, pa.int64()),
+            "cm": pa.array(mn, pa.int64()),
+        })
+
+    firsts = (stamped.map_batches(first_partial,
+                                  batch_format="pyarrow")
+              .groupby("ck").min("cm"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": batch["ck"],
+            "cohort": pa.compute.cast(batch["min(cm)"], pa.int64()),
+        })
+
+    j = hash_join(stamped,
+                  firsts.map_batches(rename, batch_format="pyarrow"),
+                  "o_custkey", "ck")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        co = batch["cohort"].to_numpy(zero_copy_only=False)
+        ym = batch["ym"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        off = ym - co
+        key = co * 4096 + off
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": pa.array(uk, pa.int64()),
+            "n": pa.array(np.bincount(inv, None, uk.size)
+                          .astype(np.int64), pa.int64()),
+            "rev": pa.array(np.bincount(inv, cents, uk.size)
+                            .astype(np.int64), pa.int64()),
+        })
+
+    import ray.data as rd2
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("key").aggregate(rd2.aggregate.Sum("n"),
+                                     rd2.aggregate.Sum("rev")))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    k = tbl["key"].to_numpy(zero_copy_only=False)
+    n = tbl["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rev = tbl["sum(rev)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    co, off = k // 4096, k % 4096
+    o = np.lexsort((off, co))
+    return pa.table({
+        "cohort_month": pa.array(co[o], pa.int64()),
+        "month_offset": pa.array(off[o], pa.int64()),
+        "n_orders": pa.array(n[o], pa.int64()),
+        "revenue_cents": pa.array(rev[o], pa.int64()),
+    })
+
+
+def cohort_revenue_sql() -> str:
+    return """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS ym,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+w AS (SELECT *, min(ym) OVER (PARTITION BY o_custkey) AS cohort
+      FROM o)
+SELECT cohort AS cohort_month,
+       CAST(ym - cohort AS BIGINT) AS month_offset,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM w GROUP BY cohort, ym - cohort
+ORDER BY cohort_month, month_offset"""
