@@ -1978,6 +1978,15 @@ def _q_cohort_revenue(sf_dir: str) -> pa.Table:
     return cohort_revenue(sf_dir)
 
 
+def _q_max_concurrent(sf_dir: str) -> pa.Table:
+    """Distributed sweep-line: peak concurrent 30-min-gap sessions via
+    boundary deltas, day-bucketed segmented prefix-scan combine —
+    DuckDB hash-matched against the running-sum window oracle."""
+    from rayse.ops.sweepline import max_concurrent_sessions
+
+    return max_concurrent_sessions(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3939,6 +3948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": _q_er_clusters,
         "mutual_information": _q_mutual_information,
         "cohort_revenue": _q_cohort_revenue,
+        "max_concurrent": _q_max_concurrent,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5246,6 +5256,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).mutual_information_sql(),
         "cohort_revenue": __import__(
             "rayse.ops.rfm", fromlist=["x"]).cohort_revenue_sql(),
+        "max_concurrent": __import__(
+            "rayse.ops.sweepline",
+            fromlist=["x"]).max_concurrent_sessions_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -78,3 +78,14 @@ def test_jw_pairs_invariant(ray_session, n_parts, monkeypatch):
     monkeypatch.setattr(ex, "default_parts", lambda: n_parts)
     got = _frame(jw_name_pairs(SF))
     pd.testing.assert_frame_equal(base, got)
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_max_concurrent_invariant(ray_session, n_parts, monkeypatch):
+    import rayse.ops.exchange as ex
+    from rayse.ops.sweepline import max_concurrent_sessions
+
+    base = _frame(max_concurrent_sessions(SF))
+    monkeypatch.setattr(ex, "default_parts", lambda: n_parts)
+    got = _frame(max_concurrent_sessions(SF))
+    pd.testing.assert_frame_equal(base, got)
