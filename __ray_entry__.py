@@ -1987,6 +1987,15 @@ def _q_max_concurrent(sf_dir: str) -> pa.Table:
     return max_concurrent_sessions(sf_dir)
 
 
+def _q_modularity(sf_dir: str) -> pa.Table:
+    """Exact Newman modularity of the LPA communities in truncating
+    milli integers (4m·intra − ΣD², all exact) — DuckDB hash-matched
+    over the unrolled-LPA label oracle."""
+    from rayse.ops.lpa import modularity_events
+
+    return modularity_events(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3949,6 +3958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_information": _q_mutual_information,
         "cohort_revenue": _q_cohort_revenue,
         "max_concurrent": _q_max_concurrent,
+        "modularity": _q_modularity,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5259,6 +5269,8 @@ def oracle_sql() -> dict[str, str]:
         "max_concurrent": __import__(
             "rayse.ops.sweepline",
             fromlist=["x"]).max_concurrent_sessions_sql(),
+        "modularity": __import__(
+            "rayse.ops.lpa", fromlist=["x"]).modularity_events_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -140,3 +140,130 @@ lp{t} AS (
     return ("WITH " + ",".join(parts) +
             f"\nSELECT v AS vertex, CAST(l AS BIGINT) AS community "
             f"FROM lp{iters} ORDER BY vertex")
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the LPA partition — the quality score for the
+# community detection above, EXACT: Q = (4m·Σm_c − ΣD_c²) / (4m²) over
+# the distinct undirected self-loop-free edge set, emitted as a
+# truncating milli integer so the oracle (the same rational in HUGEINT
+# over the unrolled-LPA labels) hash-matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def modularity_events(sf_dir: str, iters: int = LPA_ITERS) -> pa.Table:
+    """(n_communities, m_edges, intra_edges, q_milli): modularity of
+    the LPA communities on the distinct undirected demo graph."""
+    import ray
+    import ray.data as rd
+
+    from .graph import derived_edges
+
+    lab_t = lpa_communities_events(sf_dir, iters=iters)
+    verts = lab_t["vertex"].to_numpy(zero_copy_only=False)
+    comm = lab_t["community"].to_numpy(zero_copy_only=False)
+    order = np.argsort(verts, kind="stable")
+    verts, comm = verts[order], comm[order]
+    lab_ref = ray.put((verts, comm))
+
+    edges = derived_edges(sf_dir)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        m = lo != hi
+        key = lo[m] * np.int64(1 << 32) + hi[m]
+        return pa.table({"key": pa.array(np.unique(key), pa.int64())})
+
+    dedup = (edges.map_batches(undirect, batch_format="pyarrow")
+             .groupby("key").count())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vs, cs = ray.get(lab_ref)
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        lo, hi = k // (1 << 32), k % (1 << 32)
+        cl = cs[np.searchsorted(vs, lo)]
+        ch = cs[np.searchsorted(vs, hi)]
+        intra = int((cl == ch).sum())
+        # per-community degree contributions of this block's edges
+        allc = np.concatenate((cl, ch))
+        uc, cnt = np.unique(allc, return_counts=True)
+        return pa.table({
+            "c": pa.array(np.concatenate(([-1], uc)), pa.int64()),
+            "deg": pa.array(np.concatenate(([0], cnt)).astype(np.int64),
+                            pa.int64()),
+            "m": pa.array(np.concatenate(
+                ([k.size], np.zeros(uc.size))).astype(np.int64),
+                pa.int64()),
+            "intra": pa.array(np.concatenate(
+                ([intra], np.zeros(uc.size))).astype(np.int64),
+                pa.int64()),
+        })
+
+    import ray.data as rd2
+
+    agg = (dedup.map_batches(partial, batch_format="pyarrow")
+           .groupby("c").aggregate(rd2.aggregate.Sum("deg"),
+                                   rd2.aggregate.Sum("m"),
+                                   rd2.aggregate.Sum("intra")))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    c = tbl["c"].to_numpy(zero_copy_only=False)
+    deg = tbl["sum(deg)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mm = tbl["sum(m)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ii = tbl["sum(intra)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m_edges = int(mm[c == -1].sum())
+    intra = int(ii[c == -1].sum())
+    real = c != -1
+    n_comms = int(real.sum())
+    sum_d2 = sum(int(d) ** 2 for d in deg[real])
+    num = 1000 * (4 * m_edges * intra - sum_d2)
+    den = 4 * m_edges * m_edges
+    q_milli = -((-num) // den) if num < 0 else num // den
+    return pa.table({
+        "n_communities": pa.array([n_comms], pa.int64()),
+        "m_edges": pa.array([m_edges], pa.int64()),
+        "intra_edges": pa.array([intra], pa.int64()),
+        "q_milli": pa.array([q_milli], pa.int64()),
+    })
+
+
+def modularity_events_sql(iters: int = LPA_ITERS) -> str:
+    from .graph import DEMO_VERTEX_SPACE
+
+    return f"""
+WITH lab AS (
+  SELECT vertex, community FROM (
+{lpa_communities_sql(iters=iters)}
+  )),
+me0 AS (
+  SELECT least(user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT)
+                 % {DEMO_VERTEX_SPACE}) AS lo,
+         greatest(user_id,
+                  CAST(json_extract(props, '$.k') AS BIGINT)
+                    % {DEMO_VERTEX_SPACE}) AS hi
+  FROM events),
+me AS (SELECT DISTINCT lo, hi FROM me0 WHERE lo <> hi),
+lb AS (
+  SELECT me.lo, me.hi, a.community AS ca, b.community AS cb
+  FROM me JOIN lab a ON me.lo = a.vertex
+       JOIN lab b ON me.hi = b.vertex),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+              CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)
+                   AS HUGEINT) AS intra
+       FROM lb),
+dc AS (
+  SELECT community, CAST(count(*) AS HUGEINT) AS d
+  FROM (SELECT ca AS community FROM lb
+        UNION ALL SELECT cb FROM lb)
+  GROUP BY community)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_communities,
+       CAST(m AS BIGINT) AS m_edges,
+       CAST(intra AS BIGINT) AS intra_edges,
+       CAST((1000 * (4 * m * intra - (SELECT sum(d * d) FROM dc)))
+            // (4 * m * m) AS BIGINT) AS q_milli
+FROM mm"""
