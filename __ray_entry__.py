@@ -1996,6 +1996,15 @@ def _q_modularity(sf_dir: str) -> pa.Table:
     return modularity_events(sf_dir)
 
 
+def _q_pair_lift(sf_dir: str) -> pa.Table:
+    """Association lift for the top-support part pairs as exact
+    integer ppm (support·n·1e6 // c_a·c_b) off the order-local
+    exchange — DuckDB hash-matched."""
+    from rayse.ops.basket import pair_lift
+
+    return pair_lift(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3959,6 +3968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_revenue": _q_cohort_revenue,
         "max_concurrent": _q_max_concurrent,
         "modularity": _q_modularity,
+        "pair_lift": _q_pair_lift,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5271,6 +5281,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).max_concurrent_sessions_sql(),
         "modularity": __import__(
             "rayse.ops.lpa", fromlist=["x"]).modularity_events_sql(),
+        "pair_lift": __import__(
+            "rayse.ops.basket", fromlist=["x"]).pair_lift_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(
