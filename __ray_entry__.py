@@ -2005,6 +2005,14 @@ def _q_pair_lift(sf_dir: str) -> pa.Table:
     return pair_lift(sf_dir)
 
 
+def _q_ann_label_topk(sf_dir: str) -> pa.Table:
+    """Grouped exact cosine retrieval: top-k per (query, label) with
+    Q x labels x k partials — DuckDB hash-matched."""
+    from rayse.ops.similarity import ann_label_topk
+
+    return ann_label_topk(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3969,6 +3977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_concurrent": _q_max_concurrent,
         "modularity": _q_modularity,
         "pair_lift": _q_pair_lift,
+        "ann_label_topk": _q_ann_label_topk,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5283,6 +5292,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.lpa", fromlist=["x"]).modularity_events_sql(),
         "pair_lift": __import__(
             "rayse.ops.basket", fromlist=["x"]).pair_lift_sql(),
+        "ann_label_topk": __import__(
+            "rayse.ops.similarity",
+            fromlist=["x"]).ann_label_topk_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

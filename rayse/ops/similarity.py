@@ -1079,3 +1079,86 @@ SELECT CAST(cluster AS INTEGER) AS cluster,
          AS mean_s_milli
 FROM sq GROUP BY cluster ORDER BY cluster""")
     return "".join(out)
+
+
+def ann_label_topk(sf_dir: str, n_queries: int = 5,
+                   k: int = 3) -> pa.Table:
+    """(q_id, label, rank, vec_id): exact cosine top-k PER LABEL GROUP
+    for each query — the grouped-retrieval variant of ``ann_topk``
+    (per-batch partials bounded by Q x labels x k; ties to ascending
+    vec_id) — DuckDB hash-matched."""
+    import ray
+    import ray.data as rd
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    q_ref = ray.put(q_mat)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = _ids_from(batch["vec_id"])
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        m = _mat_from_list(batch["embedding"])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qm @ m.T
+        rows = {"q_id": [], "label": [], "vec_id": [], "sim": []}
+        for qi in range(qm.shape[0]):
+            s = sims[qi]
+            for lv in np.unique(lab):
+                sel = np.flatnonzero(lab == lv)
+                idx = sel[np.lexsort((ids[sel], -s[sel]))[:k]]
+                rows["q_id"].extend([int(q_ids[qi])] * idx.size)
+                rows["label"].extend([int(lv)] * idx.size)
+                rows["vec_id"].extend(ids[idx].tolist())
+                rows["sim"].extend(s[idx].tolist())
+        return pa.table({
+            "q_id": pa.array(rows["q_id"], pa.int64()),
+            "label": pa.array(rows["label"], pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "sim": pa.array(rows["sim"], pa.float64())})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    by_g: dict = {}
+    for row in parts:
+        by_g.setdefault((row["q_id"], row["label"]), []).append(
+            (row["sim"], row["vec_id"]))
+    out = {"q_id": [], "label": [], "rank": [], "vec_id": []}
+    for (qid, lv) in sorted(by_g):
+        cand = by_g[(qid, lv)]
+        sims = np.array([c[0] for c in cand])
+        vids = np.array([c[1] for c in cand])
+        idx = np.lexsort((vids, -sims))[:k]
+        for r, i in enumerate(idx, 1):
+            out["q_id"].append(qid)
+            out["label"].append(lv)
+            out["rank"].append(r)
+            out["vec_id"].append(int(vids[i]))
+    return pa.table({
+        "q_id": pa.array(out["q_id"], pa.int64()),
+        "label": pa.array(out["label"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+    })
+
+
+def ann_label_topk_sql(n_queries: int = 5, k: int = 3) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {n_queries}),
+scored AS (
+  SELECT q.q_id, CAST(e.label AS BIGINT) AS label, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT q_id, label, vec_id,
+         row_number() OVER (PARTITION BY q_id, label
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT q_id, label, CAST(rank AS INTEGER) AS rank, vec_id
+FROM ranked WHERE rank <= {k}
+ORDER BY q_id, label, rank"""
