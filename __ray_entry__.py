@@ -2013,6 +2013,24 @@ def _q_ann_label_topk(sf_dir: str) -> pa.Table:
     return ann_label_topk(sf_dir)
 
 
+def _q_decayed_popularity(sf_dir: str) -> pa.Table:
+    """Exponentially time-decayed part popularity in 2^20 fixed point
+    (integer right-shift decay, exact and order-independent) — DuckDB
+    hash-matched."""
+    from rayse.ops.rfm import decayed_popularity
+
+    return decayed_popularity(sf_dir)
+
+
+def _q_rich_club(sf_dir: str) -> pa.Table:
+    """Rich-club coefficient per degree threshold — exact integer ppm
+    off the degree fold + membership-filtered edge counts — DuckDB
+    hash-matched."""
+    from rayse.ops.graph import rich_club
+
+    return rich_club(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3978,6 +3996,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity": _q_modularity,
         "pair_lift": _q_pair_lift,
         "ann_label_topk": _q_ann_label_topk,
+        "decayed_popularity": _q_decayed_popularity,
+        "rich_club": _q_rich_club,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5295,6 +5315,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_label_topk": __import__(
             "rayse.ops.similarity",
             fromlist=["x"]).ann_label_topk_sql(),
+        "decayed_popularity": __import__(
+            "rayse.ops.rfm", fromlist=["x"]).decayed_popularity_sql(),
+        "rich_club": __import__(
+            "rayse.ops.graph", fromlist=["x"]).rich_club_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -1550,3 +1550,131 @@ SELECT CAST(count(*) AS BIGINT) AS n_tail,
        CAST({dmin} AS BIGINT) AS dmin,
        1.0 + count(*) / sum(ln(deg / ({dmin} - 0.5))) AS alpha
 FROM tail"""
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient (Zhou & Mondragon 2004): for each degree
+# threshold kk, phi(kk) = 2·E_kk / (N_kk·(N_kk−1)) over the subgraph
+# of vertices with degree > kk — "do the hubs stick together?". All
+# integers off the degree fold + one membership-filtered edge count
+# per threshold (thresholds bounded by the distinct-degree set).
+# ---------------------------------------------------------------------------
+
+RC_THRESHOLDS = (1, 2, 4, 8, 16)
+
+
+def rich_club(sf_dir: str,
+              thresholds: tuple = RC_THRESHOLDS) -> pa.Table:
+    """(kk, n_nodes, e_club, phi_ppm): rich-club coefficient per
+    degree threshold on the distinct undirected demo graph — DuckDB
+    hash-matched."""
+    import ray
+    import ray.data as rd
+
+    edges = derived_edges(sf_dir)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        m = lo != hi
+        key = lo[m] * np.int64(1 << 32) + hi[m]
+        return pa.table({"key": pa.array(np.unique(key), pa.int64())})
+
+    dedup = (edges.map_batches(undirect, batch_format="pyarrow")
+             .groupby("key").count()).materialize()
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        kk = batch["key"].to_numpy(zero_copy_only=False)
+        v = np.concatenate((kk // (1 << 32), kk % (1 << 32)))
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({
+            "v": pa.array(uv, pa.int64()),
+            "deg": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    deg_t = pa.concat_tables(
+        [t for t in ray.get(
+            dedup.map_batches(degree_partial, batch_format="pyarrow")
+            .groupby("v").sum("deg").to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    verts = deg_t["v"].to_numpy(zero_copy_only=False)
+    deg = deg_t["sum(deg)"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    order = np.argsort(verts, kind="stable")
+    verts, deg = verts[order], deg[order]
+    ref = ray.put((verts, deg))
+
+    ths = np.asarray(thresholds, np.int64)
+
+    def club_partial(batch: pa.Table) -> pa.Table:
+        vs, dg = ray.get(ref)
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        lo, hi = k // (1 << 32), k % (1 << 32)
+        dl = dg[np.searchsorted(vs, lo)]
+        dh = dg[np.searchsorted(vs, hi)]
+        counts = [int(((dl > t) & (dh > t)).sum()) for t in ths]
+        return pa.table({
+            "kk": pa.array(ths, pa.int64()),
+            "e": pa.array(counts, pa.int64()),
+        })
+
+    agg = (dedup.map_batches(club_partial, batch_format="pyarrow")
+           .groupby("kk").sum("e"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    kk = tbl["kk"].to_numpy(zero_copy_only=False)
+    e = tbl["sum(e)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(kk, kind="stable")
+    kk, e = kk[o], e[o]
+    n_nodes = np.array([int((deg > t).sum()) for t in kk], np.int64)
+    phi = np.array(
+        [int(ev) * 2 * 1_000_000 // (int(n) * (int(n) - 1))
+         if n > 1 else 0 for ev, n in zip(e, n_nodes)], np.int64)
+    return pa.table({
+        "kk": pa.array(kk, pa.int64()),
+        "n_nodes": pa.array(n_nodes, pa.int64()),
+        "e_club": pa.array(e, pa.int64()),
+        "phi_ppm": pa.array(phi, pa.int64()),
+    })
+
+
+def rich_club_sql(thresholds: tuple = RC_THRESHOLDS,
+                  vertex_space: int = DEMO_VERTEX_SPACE) -> str:
+    ths = ", ".join(f"({t})" for t in thresholds)
+    return f"""
+WITH rc_e0 AS (
+  SELECT least(user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT)
+                 % {vertex_space}) AS lo,
+         greatest(user_id,
+                  CAST(json_extract(props, '$.k') AS BIGINT)
+                    % {vertex_space}) AS hi
+  FROM events),
+rc_e AS (SELECT DISTINCT lo, hi FROM rc_e0 WHERE lo <> hi),
+rc_adj AS (SELECT lo AS v, hi AS n FROM rc_e
+           UNION ALL SELECT hi, lo FROM rc_e),
+rc_deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+           FROM rc_adj GROUP BY v),
+ths(kk) AS (VALUES {ths})
+SELECT CAST(t.kk AS BIGINT) AS kk,
+       (SELECT CAST(count(*) AS BIGINT) FROM rc_deg
+        WHERE deg > t.kk) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM rc_e JOIN rc_deg a ON rc_e.lo = a.v
+             JOIN rc_deg b ON rc_e.hi = b.v
+        WHERE a.deg > t.kk AND b.deg > t.kk) AS e_club,
+       CASE WHEN (SELECT count(*) FROM rc_deg WHERE deg > t.kk) > 1
+            THEN (SELECT CAST(count(*) AS HUGEINT)
+                  FROM rc_e JOIN rc_deg a ON rc_e.lo = a.v
+                       JOIN rc_deg b ON rc_e.hi = b.v
+                  WHERE a.deg > t.kk AND b.deg > t.kk) * 2 * 1000000
+                 // ((SELECT CAST(count(*) AS HUGEINT) FROM rc_deg
+                      WHERE deg > t.kk)
+                     * ((SELECT count(*) FROM rc_deg
+                         WHERE deg > t.kk) - 1))
+            ELSE 0 END::BIGINT AS phi_ppm
+FROM ths t
+ORDER BY kk"""

@@ -347,3 +347,100 @@ SELECT cohort AS cohort_month,
        CAST(sum(cents) AS BIGINT) AS revenue_cents
 FROM w GROUP BY cohort, ym - cohort
 ORDER BY cohort_month, month_offset"""
+
+
+DECAY_FP = 1 << 20
+
+
+def decayed_popularity(sf_dir: str, k: int = 25) -> pa.Table:
+    """(p_partkey, pop_fp): top-k parts by exponentially time-decayed
+    order popularity — each lineitem contributes 2^-age_months in
+    2^20 fixed point (integer right-shift, so the decay is EXACT and
+    order-independent); ties to ascending part. One partial-combine
+    pass + per-block partial top-k — DuckDB hash-matched."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    # reference month = corpus-wide max order month (statistics scan)
+    meta = pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate"])
+    ref_ym = int(meta["o_orderdate"].to_numpy(zero_copy_only=False)
+                 .astype("datetime64[M]").astype(np.int64).max())
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def o_stamp(batch: pa.Table) -> pa.Table:
+        ym = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[M]").astype(np.int64))
+        age = np.minimum(ref_ym - ym, 62)
+        return pa.table({
+            "o_orderkey": pa.array(
+                batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "w_fp": pa.array(DECAY_FP >> age, pa.int64()),
+        })
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"])
+
+    from .exchange import hash_join
+
+    j = hash_join(line,
+                  orders.map_batches(o_stamp, batch_format="pyarrow"),
+                  "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        w = batch["w_fp"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "p": pa.array(uk.astype(np.int64), pa.int64()),
+            "w": pa.array(np.bincount(inv, w, uk.size)
+                          .astype(np.int64), pa.int64()),
+        })
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        p = batch["p"].to_numpy(zero_copy_only=False)
+        w = batch["sum(w)"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((p, -w))[:k]
+        return pa.table({
+            "p": pa.array(p[idx], pa.int64()),
+            "w": pa.array(w[idx].astype(np.int64), pa.int64()),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("p").sum("w")
+           .map_batches(topk_block, batch_format="pyarrow"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    p = tbl["p"].to_numpy(zero_copy_only=False)
+    w = tbl["w"].to_numpy(zero_copy_only=False)
+    idx = np.lexsort((p, -w))[:k]
+    return pa.table({
+        "p_partkey": pa.array(p[idx], pa.int64()),
+        "pop_fp": pa.array(w[idx].astype(np.int64), pa.int64()),
+    })
+
+
+def decayed_popularity_sql(k: int = 25) -> str:
+    return f"""
+WITH ref AS (
+  SELECT max(CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                  AS BIGINT)) AS rm
+  FROM orders),
+w AS (
+  SELECT o_orderkey,
+         {DECAY_FP} // power(
+           2, least((SELECT rm FROM ref)
+                    - (year(o_orderdate) * 12 + month(o_orderdate)),
+                    62))::BIGINT AS w_fp
+  FROM orders)
+SELECT l_partkey AS p_partkey,
+       CAST(sum(w_fp) AS BIGINT) AS pop_fp
+FROM lineitem JOIN w ON l_orderkey = o_orderkey
+GROUP BY l_partkey
+ORDER BY pop_fp DESC, p_partkey
+LIMIT {k}"""
