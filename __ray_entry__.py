@@ -2031,6 +2031,15 @@ def _q_rich_club(sf_dir: str) -> pa.Table:
     return rich_club(sf_dir)
 
 
+def _q_type_user_jaccard(sf_dir: str) -> pa.Table:
+    """Exact pairwise Jaccard between event-type user sets off the
+    bounded per-user bitmask histogram (the ground truth the KMV
+    set-operation estimates approximate) — DuckDB hash-matched."""
+    from rayse.ops.sketch import type_user_jaccard
+
+    return type_user_jaccard(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -3998,6 +4007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_label_topk": _q_ann_label_topk,
         "decayed_popularity": _q_decayed_popularity,
         "rich_club": _q_rich_club,
+        "type_user_jaccard": _q_type_user_jaccard,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5319,6 +5329,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.rfm", fromlist=["x"]).decayed_popularity_sql(),
         "rich_club": __import__(
             "rayse.ops.graph", fromlist=["x"]).rich_club_sql(),
+        "type_user_jaccard": __import__(
+            "rayse.ops.sketch",
+            fromlist=["x"]).type_user_jaccard_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -999,3 +999,108 @@ SELECT sa AS src_a, sb AS src_b,
        CAST(est_u AS BIGINT) AS est_union,
        CAST((n_match::HUGEINT * est_u) // k_eff AS BIGINT) AS est_inter
 FROM kv_est"""
+
+
+# ---------------------------------------------------------------------------
+# Exact pairwise Jaccard between event-type user sets via the BITMASK-
+# COMBINATION histogram: one per-user type-bitmask fold (users bounded
+# per partition; combos bounded at 2^|types|), then every pairwise
+# |A∩B| / |A∪B| reads off the 32-row combo table — the exact
+# ground-truth the KMV set-operation estimates (`kmv_source_ops`)
+# approximate, at histogram cost instead of sort cost.
+# ---------------------------------------------------------------------------
+
+
+def _bitmask_partial(batch: pa.Table) -> pa.Table:
+    uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    ut, ti = np.unique(et.astype(str), return_inverse=True)
+    uu, ui = np.unique(uid, return_inverse=True)
+    # per-(user, type-name) presence -> emit (user, type) pairs
+    key = np.unique(ui * np.int64(64) + ti)
+    return pa.table({
+        "user_id": pa.array(uu[key // 64], pa.int64()),
+        "t": pa.array([str(ut[i]) for i in (key % 64)], pa.string()),
+    })
+
+
+def type_user_jaccard(sf_dir: str) -> pa.Table:
+    """(type_a, type_b, n_inter, n_union, jaccard_ppm): EXACT Jaccard
+    similarity between every event-type pair's user sets, computed
+    from the bounded per-user bitmask histogram — DuckDB
+    hash-matched."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    # distinct (user, type) then per-user bitmask histogram
+    pairs = (ds.map_batches(_bitmask_partial, batch_format="pyarrow")
+             .groupby(["user_id", "t"]).count())
+
+    def mask_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = np.asarray(batch["t"].to_pylist(), dtype=object)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "t": pa.array(t.tolist(), pa.string()),
+        })
+
+    tbl = pa.concat_tables(
+        [t for t in ray.get(
+            pairs.map_batches(mask_partial, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+    t = np.asarray(tbl["t"].to_pylist(), dtype=object)
+    types = sorted(set(t.tolist()))
+    tidx = {v: i for i, v in enumerate(types)}
+    ti = np.array([tidx[v] for v in t], np.int64)
+    uu, ui = np.unique(uid, return_inverse=True)
+    masks = np.zeros(uu.size, np.int64)
+    np.bitwise_or.at(masks, ui, np.int64(1) << ti)
+    um, cnt = np.unique(masks, return_counts=True)
+    out = {"type_a": [], "type_b": [], "n_inter": [], "n_union": [],
+           "jaccard_ppm": []}
+    for a in range(len(types)):
+        for b in range(a + 1, len(types)):
+            ba, bb = 1 << a, 1 << b
+            inter = int(cnt[(um & ba > 0) & (um & bb > 0)].sum())
+            union = int(cnt[(um & ba > 0) | (um & bb > 0)].sum())
+            out["type_a"].append(types[a])
+            out["type_b"].append(types[b])
+            out["n_inter"].append(inter)
+            out["n_union"].append(union)
+            out["jaccard_ppm"].append(
+                inter * 1_000_000 // union if union else 0)
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "n_inter": pa.array(out["n_inter"], pa.int64()),
+        "n_union": pa.array(out["n_union"], pa.int64()),
+        "jaccard_ppm": pa.array(out["jaccard_ppm"], pa.int64()),
+    })
+
+
+def type_user_jaccard_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM t a JOIN t b ON a.event_type < b.event_type),
+s AS (
+  SELECT p.type_a, p.type_b,
+         CAST((SELECT count(*) FROM d x JOIN d y
+               ON x.user_id = y.user_id
+               WHERE x.event_type = p.type_a
+                 AND y.event_type = p.type_b) AS BIGINT) AS n_inter,
+         CAST((SELECT count(DISTINCT user_id) FROM d
+               WHERE event_type IN (p.type_a, p.type_b))
+              AS BIGINT) AS n_union
+  FROM p)
+SELECT type_a, type_b, n_inter, n_union,
+       CAST(CASE WHEN n_union > 0
+                 THEN n_inter * 1000000 // n_union
+                 ELSE 0 END AS BIGINT) AS jaccard_ppm
+FROM s ORDER BY type_a, type_b"""
