@@ -255,12 +255,10 @@ def jw_name_pairs(sf_dir: str) -> pa.Table:
     parts = rd.read_parquet(f"{sf_dir}/part.parquet",
                             columns=["p_partkey", "p_name"])
     stamped = parts.map_batches(_jw_stamp_batch, batch_format="pyarrow")
-    out = exchange_by_key(stamped, "blk_h", _jw_part_proc)
-    tbl = pa.concat_tables(
-        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows],
-        promote_options="default")
-    return tbl.sort_by([("part_a", "ascending"),
-                        ("part_b", "ascending")])
+    # pair-sized result streams back as a Dataset (consumers that need
+    # the whole pair set — er_clusters' union-find — collect it
+    # themselves under their own documented bound)
+    return exchange_by_key(stamped, "blk_h", _jw_part_proc)
 
 
 def jw_name_pairs_sql() -> str:
@@ -291,7 +289,10 @@ def er_clusters(sf_dir: str) -> pa.Table:
 
     from .dedup import DRIVER_MAX_PAIRS, _cc_distributed, _cc_driver
 
-    pairs = jw_name_pairs(sf_dir)
+    pairs = pa.concat_tables(
+        [t for t in __import__("ray").get(
+            jw_name_pairs(sf_dir).to_arrow_refs()) if t.num_rows],
+        promote_options="default")
     jw = pairs["jw"].to_numpy()
     keep = pairs.filter(pa.array(jw >= ER_JW_THRESHOLD)).select(
         ["part_a", "part_b"]).rename_columns(["doc_a", "doc_b"])

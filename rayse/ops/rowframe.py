@@ -176,13 +176,11 @@ def moving_sum_rows(sf_dir: str) -> pa.Table:
         prefixes[(t, d)] = tuple(int(v) for v in prev[-(FRAME - 1):])
         run[t] = np.concatenate((prev, tails[(t, d)]))[-(FRAME - 1):]
 
-    # pass 2: one (type-hash, day) exchange, frame-local moving sums
-    out = exchange_by_key(stamped, ["thash", "day"], _frame_proc,
-                          proc_kwargs={"prefixes": prefixes})
-    tbl = pa.concat_tables(
-        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows],
-        promote_options="default")
-    return tbl.sort_by([("event_id", "ascending")])
+    # pass 2: one (type-hash, day) exchange, frame-local moving sums.
+    # The result is ROW-SIZED, so it streams back as a Dataset — no
+    # driver materialization (consumers sort/collect as needed).
+    return exchange_by_key(stamped, ["thash", "day"], _frame_proc,
+                           proc_kwargs={"prefixes": prefixes})
 
 
 def moving_sum_rows_sql() -> str:

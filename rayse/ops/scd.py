@@ -73,15 +73,9 @@ def scd2_intervals(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id",
                                   "event_type"])
-    out = exchange_by_key(ds, "user_id", _scd_partial)
-    tbl = pa.concat_tables(
-        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows],
-        promote_options="default")
-    idx = pa.compute.sort_indices(
-        tbl, sort_keys=[("user_id", "ascending"),
-                        ("valid_from_us", "ascending"),
-                        ("state", "ascending")])
-    return tbl.take(idx)
+    # row-sized result: stream back as a Dataset (no driver
+    # materialization; the oracle compare sorts rows itself)
+    return exchange_by_key(ds, "user_id", _scd_partial)
 
 
 def scd2_intervals_sql() -> str:
