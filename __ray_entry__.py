@@ -2040,6 +2040,23 @@ def _q_type_user_jaccard(sf_dir: str) -> pa.Table:
     return type_user_jaccard(sf_dir)
 
 
+def _q_bounce_rate(sf_dir: str) -> pa.Table:
+    """Daily bounce rate of 30-min-gap sessions (single-event share in
+    ppm) via the user exchange — DuckDB hash-matched."""
+    from rayse.ops.sweepline import bounce_rate_daily
+
+    return bounce_rate_daily(sf_dir)
+
+
+def _q_order_gaps(sf_dir: str) -> pa.Table:
+    """Purchase-cadence statistics: lower-order median/p90 of
+    consecutive-order day gaps off the bounded gap histogram — DuckDB
+    hash-matched."""
+    from rayse.ops.rfm import order_gap_stats
+
+    return order_gap_stats(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -4008,6 +4025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_popularity": _q_decayed_popularity,
         "rich_club": _q_rich_club,
         "type_user_jaccard": _q_type_user_jaccard,
+        "bounce_rate": _q_bounce_rate,
+        "order_gaps": _q_order_gaps,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5332,6 +5351,11 @@ def oracle_sql() -> dict[str, str]:
         "type_user_jaccard": __import__(
             "rayse.ops.sketch",
             fromlist=["x"]).type_user_jaccard_sql(),
+        "bounce_rate": __import__(
+            "rayse.ops.sweepline",
+            fromlist=["x"]).bounce_rate_daily_sql(),
+        "order_gaps": __import__(
+            "rayse.ops.rfm", fromlist=["x"]).order_gap_stats_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -444,3 +444,83 @@ FROM lineitem JOIN w ON l_orderkey = o_orderkey
 GROUP BY l_partkey
 ORDER BY pop_fp DESC, p_partkey
 LIMIT {k}"""
+
+
+def _gap_partial(tbl: pa.Table) -> pa.Table:
+    """Per-partition histogram of consecutive-order day gaps (orders
+    are customer-local under the exchange)."""
+    empty = pa.table({"gap_days": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    ck = tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    day = (tbl["o_orderdate"].to_numpy(zero_copy_only=False)
+           .astype("datetime64[us]").view("int64") // DAY_US)
+    ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    order = np.lexsort((ok, day, ck))
+    ck, day = ck[order], day[order]
+    same = ck[1:] == ck[:-1]
+    gaps = (day[1:] - day[:-1])[same]
+    ug, cnt = np.unique(gaps, return_counts=True)
+    return pa.table({
+        "gap_days": pa.array(ug, pa.int64()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def order_gap_stats(sf_dir: str) -> pa.Table:
+    """(n_gaps, median_days, p90_days): lower-order statistics of the
+    consecutive-order day-gap distribution across customers (orders
+    tie-broken by orderkey within a day) — DuckDB hash-matched against
+    the lag-window oracle."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+    out = exchange_by_key(ds, "o_custkey", _gap_partial)
+    agg = out.groupby("gap_days").sum("cnt")
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    g = tbl["gap_days"].to_numpy(zero_copy_only=False)
+    c = tbl["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(g, kind="stable")
+    g, c = g[o], c[o]
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    med = int(g[np.searchsorted(cum, (n + 1) // 2)])
+    p90 = int(g[np.searchsorted(cum, (9 * n + 9) // 10)])
+    return pa.table({
+        "n_gaps": pa.array([n], pa.int64()),
+        "median_days": pa.array([med], pa.int64()),
+        "p90_days": pa.array([p90], pa.int64()),
+    })
+
+
+def order_gap_stats_sql() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(epoch_us(o_orderdate) // {DAY_US} AS BIGINT) AS day,
+         o_orderkey
+  FROM orders),
+d AS (
+  SELECT day - lag(day) OVER (PARTITION BY o_custkey
+                              ORDER BY day, o_orderkey) AS gap
+  FROM o),
+v AS (SELECT gap FROM d WHERE gap IS NOT NULL),
+r AS (
+  SELECT gap, row_number() OVER (ORDER BY gap) AS rn,
+         count(*) OVER () AS n
+  FROM v)
+SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap END)
+            AS BIGINT) AS median_days,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END)
+            AS BIGINT) AS p90_days
+FROM r"""

@@ -157,3 +157,93 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
              WHERE run = (SELECT max(run) FROM scan))
             AS BIGINT) AS t_at_peak_us
 FROM scan"""
+
+
+def _bounce_partial(tbl: pa.Table) -> pa.Table:
+    """Per-partition (day, n_sessions, n_bounces) partials — sessions
+    are user-local (the exchange contract), day = session start day."""
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "n_sessions": pa.array([], pa.int64()),
+                      "n_bounces": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = tbl["ts"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").view("int64")
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((eid, ts, uid))
+    uid, ts = uid[order], ts[order]
+    new_sess = np.concatenate(
+        ([True], (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > GAP_US)))
+    starts = np.flatnonzero(new_sess)
+    lens = np.diff(np.concatenate((starts, [uid.size])))
+    day = ts[starts] // DAY_US
+    ud, inv = np.unique(day, return_inverse=True)
+    return pa.table({
+        "day": pa.array(ud, pa.int64()),
+        "n_sessions": pa.array(np.bincount(inv, None, ud.size)
+                               .astype(np.int64), pa.int64()),
+        "n_bounces": pa.array(np.bincount(inv, lens == 1, ud.size)
+                              .astype(np.int64), pa.int64()),
+    })
+
+
+def bounce_rate_daily(sf_dir: str) -> pa.Table:
+    """(day, n_sessions, n_bounces, bounce_ppm): share of single-event
+    30-min-gap sessions per session-start day — DuckDB hash-matched
+    against the gaps-and-islands oracle."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    out = exchange_by_key(ds, "user_id", _bounce_partial)
+    agg = (out.groupby("day")
+           .aggregate(rd.aggregate.Sum("n_sessions"),
+                      rd.aggregate.Sum("n_bounces")))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    day = tbl["day"].to_numpy(zero_copy_only=False)
+    ns = tbl["sum(n_sessions)"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    nb = tbl["sum(n_bounces)"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    o = np.argsort(day, kind="stable")
+    return pa.table({
+        "day": pa.array(day[o], pa.int64()),
+        "n_sessions": pa.array(ns[o], pa.int64()),
+        "n_bounces": pa.array(nb[o], pa.int64()),
+        "bounce_ppm": pa.array(
+            nb[o] * 1_000_000 // np.maximum(ns[o], 1), pa.int64()),
+    })
+
+
+def bounce_rate_daily_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tu, event_id
+  FROM events),
+r AS (
+  SELECT *, lag(tu) OVER (PARTITION BY user_id
+                          ORDER BY tu, event_id) AS prev
+  FROM e),
+g AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR tu - prev > {GAP_US}
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id
+                    ORDER BY tu, event_id) AS sess
+  FROM r),
+s AS (
+  SELECT user_id, sess,
+         CAST(min(tu) // {DAY_US} AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_ev
+  FROM g GROUP BY user_id, sess)
+SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000
+            // greatest(count(*), 1) AS BIGINT) AS bounce_ppm
+FROM s GROUP BY day ORDER BY day"""
