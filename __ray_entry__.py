@@ -2057,6 +2057,15 @@ def _q_order_gaps(sf_dir: str) -> pa.Table:
     return order_gap_stats(sf_dir)
 
 
+def _q_sliding_distinct(sf_dir: str) -> pa.Table:
+    """Exact trailing-7-day distinct users per day via per-user
+    coverage islands + boundary cumsum (the exact counterpart of the
+    HLL daily window) — DuckDB hash-matched."""
+    from rayse.ops.sweepline import sliding_distinct_users
+
+    return sliding_distinct_users(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -4027,6 +4036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_user_jaccard": _q_type_user_jaccard,
         "bounce_rate": _q_bounce_rate,
         "order_gaps": _q_order_gaps,
+        "sliding_distinct_users": _q_sliding_distinct,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5356,6 +5366,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).bounce_rate_daily_sql(),
         "order_gaps": __import__(
             "rayse.ops.rfm", fromlist=["x"]).order_gap_stats_sql(),
+        "sliding_distinct_users": __import__(
+            "rayse.ops.sweepline",
+            fromlist=["x"]).sliding_distinct_users_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -247,3 +247,91 @@ SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000
             // greatest(count(*), 1) AS BIGINT) AS bounce_ppm
 FROM s GROUP BY day ORDER BY day"""
+
+
+WINDOW_DAYS = 7
+
+
+def _coverage_partial(tbl: pa.Table) -> pa.Table:
+    """Per-user coverage boundaries: a user with an active day d is
+    'in window' for days [d, d+6]; merged islands (gap > 6 splits)
+    emit one +1/-1 delta pair each."""
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "delta": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = tbl["ts"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").view("int64")
+    day = ts // DAY_US
+    key = np.unique(uid * np.int64(1 << 32)
+                    + (day - day.min()))        # distinct (user, day)
+    u = key // (1 << 32)
+    d = key % (1 << 32) + day.min()
+    new_island = np.concatenate(
+        ([True], (u[1:] != u[:-1])
+         | (d[1:] - d[:-1] > WINDOW_DAYS - 1)))
+    starts = np.flatnonzero(new_island)
+    ends = np.concatenate((starts[1:], [u.size])) - 1
+    t = np.concatenate((d[starts], d[ends] + WINDOW_DAYS))
+    delta = np.concatenate((np.ones(starts.size, np.int64),
+                            -np.ones(starts.size, np.int64)))
+    return pa.table({"day": pa.array(t, pa.int64()),
+                     "delta": pa.array(delta, pa.int64())})
+
+
+def sliding_distinct_users(sf_dir: str) -> pa.Table:
+    """(day, n_users_7d): EXACT trailing-7-day distinct user count per
+    day — the exact counterpart of the HLL daily window
+    (`sketch.hll_daily_window`). Per-user coverage islands through one
+    user exchange, one bounded (day, delta) fold, driver cumsum on the
+    day grid — DuckDB hash-matched."""
+    import ray
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    bounds = exchange_by_key(ds, "user_id", _coverage_partial)
+    agg = bounds.groupby("day").sum("delta")
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    d = tbl["day"].to_numpy(zero_copy_only=False)
+    dl = tbl["sum(delta)"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    o = np.argsort(d, kind="stable")
+    d, dl = d[o], dl[o]
+    # event-day span (coverage extends past it; clamp to real days)
+    lo = int(d.min())
+    hi = int(d.max()) - WINDOW_DAYS   # last REAL event day
+    grid = np.arange(lo, hi + 1)
+    deltas = np.zeros(grid.size + 1, np.int64)
+    idx = np.searchsorted(grid, d)
+    for i, dd in zip(idx, dl):
+        if i < deltas.size:
+            deltas[i] += dd
+    counts = np.cumsum(deltas[:-1])
+    return pa.table({
+        "day": pa.array(grid, pa.int64()),
+        "n_users_7d": pa.array(counts, pa.int64()),
+    })
+
+
+def sliding_distinct_users_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day
+  FROM events),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+grid AS (
+  SELECT CAST(unnest(range((SELECT lo FROM span),
+                           (SELECT hi FROM span) + 1)) AS BIGINT)
+           AS day)
+SELECT g.day,
+       CAST((SELECT count(DISTINCT user_id) FROM e
+             WHERE e.day BETWEEN g.day - {WINDOW_DAYS - 1} AND g.day)
+            AS BIGINT) AS n_users_7d
+FROM grid g ORDER BY g.day"""

@@ -22,7 +22,7 @@ CASES = [
     "er_clusters", "mutual_information", "cohort_revenue",
     "max_concurrent", "modularity", "pair_lift", "ann_label_topk",
     "decayed_popularity", "rich_club", "type_user_jaccard",
-    "bounce_rate", "order_gaps",
+    "bounce_rate", "order_gaps", "sliding_distinct_users",
 ]
 
 
