@@ -2066,6 +2066,23 @@ def _q_sliding_distinct(sf_dir: str) -> pa.Table:
     return sliding_distinct_users(sf_dir)
 
 
+def _q_monthly_share(sf_dir: str) -> pa.Table:
+    """Monthly revenue with exact integer share-of-total and running
+    share — DuckDB hash-matched."""
+    from rayse.ops.rfm import monthly_revenue_share
+
+    return monthly_revenue_share(sf_dir)
+
+
+def _q_partitioned_write_prune(sf_dir: str) -> pa.Table:
+    """Partitioned-sink round trip: hive-partitioned write, then a
+    partition-pruned + column-pruned re-read answers the selective
+    rollup — DuckDB hash-matched against the filtered oracle."""
+    from rayse.ops.mergejoin import partitioned_write_prune
+
+    return partitioned_write_prune(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -4037,6 +4054,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate": _q_bounce_rate,
         "order_gaps": _q_order_gaps,
         "sliding_distinct_users": _q_sliding_distinct,
+        "monthly_revenue_share": _q_monthly_share,
+        "partitioned_write_prune": _q_partitioned_write_prune,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5369,6 +5388,12 @@ def oracle_sql() -> dict[str, str]:
         "sliding_distinct_users": __import__(
             "rayse.ops.sweepline",
             fromlist=["x"]).sliding_distinct_users_sql(),
+        "monthly_revenue_share": __import__(
+            "rayse.ops.rfm",
+            fromlist=["x"]).monthly_revenue_share_sql(),
+        "partitioned_write_prune": __import__(
+            "rayse.ops.mergejoin",
+            fromlist=["x"]).partitioned_write_prune_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -350,3 +350,70 @@ SELECT CAST(count(*) AS BIGINT) AS n_items,
                      AS BIGINT)) AS BIGINT) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '{BLOOMJ_PRIORITY}'"""
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-sink round trip: write a fact table hive-partitioned by a
+# key, then answer a partition-selective query by reading ONLY that
+# partition's files with only the needed columns — the resumable-output
+# + pruned-read contract of the build pipeline exercised as a
+# standalone, oracle-checked operator.
+# ---------------------------------------------------------------------------
+
+PWP_PRIORITY = "1-URGENT"
+
+
+def partitioned_write_prune(sf_dir: str) -> pa.Table:
+    """(o_orderpriority, n_orders, revenue_cents): write orders
+    hive-partitioned by priority under /tmp, then compute the urgent
+    partition's rollup from a partition-pruned, column-pruned re-read
+    — DuckDB hash-matched against the filtered oracle."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from .relational import _cents
+
+    out_dir = os.path.join(
+        "/tmp", f"rayse_pwp_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority",
+                                  "o_totalprice"])
+    ds.write_parquet(out_dir, partition_cols=["o_orderpriority"])
+
+    # pruned re-read: one partition directory, two columns
+    part_dir = os.path.join(out_dir,
+                            f"o_orderpriority={PWP_PRIORITY}")
+    sel = rd.read_parquet(part_dir,
+                          columns=["o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False), 100.0)
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "rev": pa.array([int(cents.sum())], pa.int64()),
+        })
+
+    agg = (sel.map_batches(partial, batch_format="pyarrow")
+           .aggregate(rd.aggregate.Sum("n"), rd.aggregate.Sum("rev")))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return pa.table({
+        "o_orderpriority": pa.array([PWP_PRIORITY], pa.string()),
+        "n_orders": pa.array([int(agg["sum(n)"] or 0)], pa.int64()),
+        "revenue_cents": pa.array([int(agg["sum(rev)"] or 0)],
+                                  pa.int64()),
+    })
+
+
+def partitioned_write_prune_sql() -> str:
+    return f"""
+SELECT '{PWP_PRIORITY}' AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders WHERE o_orderpriority = '{PWP_PRIORITY}'"""

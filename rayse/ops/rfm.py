@@ -524,3 +524,65 @@ SELECT CAST(max(n) AS BIGINT) AS n_gaps,
        CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END)
             AS BIGINT) AS p90_days
 FROM r"""
+
+
+def monthly_revenue_share(sf_dir: str) -> pa.Table:
+    """(ym, revenue_cents, pct_ppm, cum_ppm): monthly order revenue
+    with exact integer share-of-total and running share — one bounded
+    month fold — DuckDB hash-matched."""
+    import ray
+    import ray.data as rd
+
+    from .relational import _cents
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ym = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[M]").astype(np.int64) + 1970 * 12)
+        cents = _cents(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False), 100.0)
+        uk, inv = np.unique(ym, return_inverse=True)
+        return pa.table({
+            "ym": pa.array(uk, pa.int64()),
+            "rev": pa.array(np.bincount(inv, cents, uk.size)
+                            .astype(np.int64), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("ym").sum("rev"))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    ym = tbl["ym"].to_numpy(zero_copy_only=False)
+    rev = tbl["sum(rev)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(ym, kind="stable")
+    ym, rev = ym[o], rev[o]
+    total = int(rev.sum())
+    cum = np.cumsum(rev)
+    return pa.table({
+        "ym": pa.array(ym, pa.int64()),
+        "revenue_cents": pa.array(rev, pa.int64()),
+        "pct_ppm": pa.array(
+            [int(r) * 1_000_000 // total for r in rev], pa.int64()),
+        "cum_ppm": pa.array(
+            [int(c) * 1_000_000 // total for c in cum], pa.int64()),
+    })
+
+
+def monthly_revenue_share_sql() -> str:
+    return """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS ym,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY ym),
+t AS (SELECT CAST(sum(revenue_cents) AS HUGEINT) AS total FROM m)
+SELECT ym, revenue_cents,
+       CAST(CAST(revenue_cents AS HUGEINT) * 1000000
+            // (SELECT total FROM t) AS BIGINT) AS pct_ppm,
+       CAST(CAST(sum(revenue_cents) OVER (ORDER BY ym) AS HUGEINT)
+            * 1000000 // (SELECT total FROM t) AS BIGINT) AS cum_ppm
+FROM m ORDER BY ym"""

@@ -23,6 +23,7 @@ CASES = [
     "max_concurrent", "modularity", "pair_lift", "ann_label_topk",
     "decayed_popularity", "rich_club", "type_user_jaccard",
     "bounce_rate", "order_gaps", "sliding_distinct_users",
+    "monthly_revenue_share", "partitioned_write_prune",
 ]
 
 
