@@ -2083,6 +2083,24 @@ def _q_partitioned_write_prune(sf_dir: str) -> pa.Table:
     return partitioned_write_prune(sf_dir)
 
 
+def _q_min_cost_supplier(sf_dir: str) -> pa.Table:
+    """Q2-analog correlated min with join-back: cheapest in-region
+    supplier per sliced part via the per-batch lexicographic
+    (cost, suppkey) argmin partial fold — DuckDB hash-matched."""
+    from rayse.ops.tpch2 import min_cost_supplier
+
+    return min_cost_supplier(sf_dir)
+
+
+def _q_profit_by_nation_year(sf_dir: str) -> pa.Table:
+    """Q9-analog profit rollup: part-name-filtered revenue by supplier
+    nation and order year through the co-partitioned orderkey exchange
+    — DuckDB hash-matched."""
+    from rayse.ops.tpch2 import profit_by_nation_year
+
+    return profit_by_nation_year(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -4056,6 +4074,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users": _q_sliding_distinct,
         "monthly_revenue_share": _q_monthly_share,
         "partitioned_write_prune": _q_partitioned_write_prune,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "profit_by_nation_year": _q_profit_by_nation_year,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5394,6 +5414,12 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_write_prune": __import__(
             "rayse.ops.mergejoin",
             fromlist=["x"]).partitioned_write_prune_sql(),
+        "min_cost_supplier": __import__(
+            "rayse.ops.tpch2",
+            fromlist=["x"]).min_cost_supplier_sql(),
+        "profit_by_nation_year": __import__(
+            "rayse.ops.tpch2",
+            fromlist=["x"]).profit_by_nation_year_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(
