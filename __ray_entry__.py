@@ -2101,6 +2101,32 @@ def _q_profit_by_nation_year(sf_dir: str) -> pa.Table:
     return profit_by_nation_year(sf_dir)
 
 
+def _q_knn_classify(sf_dir: str) -> pa.Table:
+    """k-NN majority-label classification on integer-quantized L2
+    distances with per-batch partial top-k — DuckDB hash-matched."""
+    from rayse.ops.knn import knn_classify
+
+    return knn_classify(sf_dir)
+
+
+def _q_dtw_profiles(sf_dir: str) -> pa.Table:
+    """Integer DTW between per-type hourly profiles off the bounded
+    grid fold — hash-matched against the recursive-CTE wavefront
+    oracle (two-deep frontier+halo recursion)."""
+    from rayse.ops.dtw import dtw_profiles
+
+    return dtw_profiles(sf_dir)
+
+
+def _q_t_closeness(sf_dir: str) -> pa.Table:
+    """t-closeness privacy audit: exact rational ordered-EMD per QI
+    group vs the global sensitive distribution — DuckDB
+    hash-matched."""
+    from rayse.ops.datachecks import t_closeness
+
+    return t_closeness(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -4076,6 +4102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_write_prune": _q_partitioned_write_prune,
         "min_cost_supplier": _q_min_cost_supplier,
         "profit_by_nation_year": _q_profit_by_nation_year,
+        "knn_classify": _q_knn_classify,
+        "dtw_profiles": _q_dtw_profiles,
+        "t_closeness": _q_t_closeness,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5420,6 +5449,13 @@ def oracle_sql() -> dict[str, str]:
         "profit_by_nation_year": __import__(
             "rayse.ops.tpch2",
             fromlist=["x"]).profit_by_nation_year_sql(),
+        "knn_classify": __import__(
+            "rayse.ops.knn", fromlist=["x"]).knn_classify_sql(),
+        "dtw_profiles": __import__(
+            "rayse.ops.dtw", fromlist=["x"]).dtw_profiles_sql(),
+        "t_closeness": __import__(
+            "rayse.ops.datachecks",
+            fromlist=["x"]).t_closeness_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

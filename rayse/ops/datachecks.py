@@ -382,6 +382,133 @@ SELECT hour,
 FROM g GROUP BY hour ORDER BY hour"""
 
 
+def t_closeness(sf_dir: str) -> pa.Table:
+    """(event_type, hour, n, emd_ppm): t-closeness audit — the third
+    privacy gate (Li, Li & Venkatasubramanian 2007): a QI group leaks
+    even when large and diverse if its SENSITIVE-attribute distribution
+    diverges from the table-wide one. QI = (event_type, hour-of-day);
+    sensitive = the ordered $50 value bucket; the distance is the
+    ordered-domain Earth-Mover's Distance, EMD = Σ|cum_g − cum_all| /
+    (m−1) over the m-bucket domain.
+
+    Integer-exact: with group size n_g and table size n the per-bucket
+    term is |cum_g(k)·n − cum_all(k)·n_g| (common denominator n_g·n),
+    and emd_ppm = 1e6·Σ // (n_g·n·(m−1)) — truncating, so DuckDB
+    HUGEINT mirrors it bit-for-bit. (At full 100 TB scale n² exceeds
+    int64; the production variant renormalizes per group to 2^30
+    fixed-point before the fold — the test contract pins the exact
+    rational form.)
+
+    Distributed shape: ONE domain-bounded (QI, bucket) histogram
+    groupby; the global histogram, cumulative sums and EMD fold over
+    that bounded table on the driver — grid-sized state, never
+    row-sized. DuckDB hash-matched."""
+    import ray.data as rd
+
+    from .relational import _cents
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def qi(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hour = ((ts.astype("datetime64[us]").astype(np.int64)
+                 // 3_600_000_000) % 24).astype(np.int64)
+        bucket = _cents(batch["value"].to_numpy(
+            zero_copy_only=False)) // QI_VALUE_BUCKET
+        return pa.table({"event_type": batch["event_type"],
+                         "hour": pa.array(hour, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    hist = (ds.map_batches(qi, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "hour", "bucket"]).count()
+            .take_all())
+    et = np.asarray([str(r["event_type"]) for r in hist], dtype=object)
+    hr = np.asarray([int(r["hour"]) for r in hist], np.int64)
+    bk = np.asarray([int(r["bucket"]) for r in hist], np.int64)
+    sz = np.asarray([int(r["count()"]) for r in hist], np.int64)
+
+    dom = np.unique(bk)
+    m = dom.size
+    tot = np.zeros(m, np.int64)
+    np.add.at(tot, np.searchsorted(dom, bk), sz)
+    n = int(sz.sum())
+    cum_all = np.cumsum(tot)
+
+    gkey = np.char.add(np.char.add(et.astype(str), "|"),
+                       hr.astype(str))
+    ug, ginv = np.unique(gkey, return_inverse=True)
+    out_t, out_h, out_n, out_e = [], [], [], []
+    for gi in np.argsort(ug, kind="stable"):
+        rows = np.flatnonzero(ginv == gi)
+        hist_g = np.zeros(m, np.int64)
+        hist_g[np.searchsorted(dom, bk[rows])] = sz[rows]
+        ng = int(hist_g.sum())
+        cum_g = np.cumsum(hist_g)
+        d = int(np.abs(cum_g.astype(object) * n
+                       - cum_all.astype(object) * ng).sum())
+        den = ng * n * max(m - 1, 1)
+        out_t.append(str(et[rows[0]]))
+        out_h.append(int(hr[rows[0]]))
+        out_n.append(ng)
+        out_e.append(d * 1_000_000 // den)
+    order = np.lexsort((np.asarray(out_h), np.asarray(out_t,
+                                                      dtype=object)))
+    return pa.table({
+        "event_type": pa.array(np.asarray(out_t, dtype=object)[order]
+                               .tolist(), pa.string()),
+        "hour": pa.array(np.asarray(out_h, np.int64)[order],
+                         pa.int64()),
+        "n": pa.array(np.asarray(out_n, np.int64)[order], pa.int64()),
+        "emd_ppm": pa.array(np.asarray(out_e, np.int64)[order],
+                            pa.int64()),
+    })
+
+
+def t_closeness_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(round(value * 100) AS BIGINT) // {QI_VALUE_BUCKET}
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM events GROUP BY 1, 2, 3),
+dom AS (SELECT DISTINCT bucket FROM h),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM dom),
+tot AS (SELECT bucket, CAST(sum(sz) AS BIGINT) AS c
+        FROM h GROUP BY 1),
+nall AS (SELECT CAST(sum(sz) AS BIGINT) AS n FROM h),
+grp AS (SELECT event_type, hour, CAST(sum(sz) AS BIGINT) AS ng
+        FROM h GROUP BY 1, 2),
+grid AS (
+  SELECT g.event_type, g.hour, g.ng, d.bucket,
+         coalesce(h.sz, 0) AS sz, t.c
+  FROM grp g CROSS JOIN dom d
+       JOIN tot t ON t.bucket = d.bucket
+       LEFT JOIN h ON h.event_type = g.event_type
+                  AND h.hour = g.hour AND h.bucket = d.bucket),
+cums AS (
+  SELECT event_type, hour, ng, bucket,
+         CAST(sum(sz) OVER (PARTITION BY event_type, hour
+                            ORDER BY bucket) AS HUGEINT) AS cg,
+         CAST(sum(c) OVER (PARTITION BY event_type, hour
+                           ORDER BY bucket) AS HUGEINT) AS ca
+  FROM grid),
+dsum AS (
+  SELECT event_type, hour, ng,
+         sum(abs(cg * (SELECT n FROM nall) - ca * ng)) AS d
+  FROM cums GROUP BY 1, 2, 3)
+SELECT event_type, CAST(hour AS BIGINT) AS hour,
+       CAST(ng AS BIGINT) AS n,
+       CAST(CAST(d AS HUGEINT) * 1000000
+            // (CAST(ng AS HUGEINT) * (SELECT n FROM nall)
+                * greatest((SELECT m FROM mm) - 1, 1))
+            AS BIGINT) AS emd_ppm
+FROM dsum ORDER BY event_type, hour"""
+
+
 # ---------------------------------------------------------------------------
 # Benford first-digit profiling — the classic anomaly screen for money
 # columns (Benford 1938; Nigrini's audit usage): the distribution of
