@@ -792,6 +792,24 @@ def _q_porter_prf_topk(sf_dir: str) -> pa.Table:
     return porter_prf_topk(_index_for(sf_dir))
 
 
+def _q_porter_searchafter_topk(sf_dir: str) -> pa.Table:
+    """search_after cursor pagination: page 2 via the boundary-tuple
+    filter + fresh top-k (never offset slicing) — hash-matched against
+    the rank-window oracle (cursor ≡ offset theorem)."""
+    from rayse.ops.porter_oracle import porter_searchafter_topk
+
+    return porter_searchafter_topk(_index_for(sf_dir))
+
+
+def _q_porter_convscope_topk(sf_dir: str) -> pa.Table:
+    """Conversation-scope retrieval (has_parent analog): BM25 top-k for
+    query A within conversations conjunctively matching query B — the
+    scope set rides a broadcast semi-join — DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_convscope_topk
+
+    return porter_convscope_topk(_index_for(sf_dir))
+
+
 def _q_porter_suffix_topk(sf_dir: str) -> pa.Table:
     """Leading-wildcard retrieval (`*xyz`): reversed-dictionary range
     scan + BM25 union — DuckDB hash-matched (LIKE '%xyz'); also a
@@ -4105,6 +4123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": _q_knn_classify,
         "dtw_profiles": _q_dtw_profiles,
         "t_closeness": _q_t_closeness,
+        "porter_searchafter_topk": _q_porter_searchafter_topk,
+        "porter_convscope_topk": _q_porter_convscope_topk,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5234,6 +5254,12 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.fusion", fromlist=["x"]).rrf_fusion_sql(),
         "porter_prf_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_prf_sql(),
+        "porter_searchafter_topk": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_searchafter_sql(),
+        "porter_convscope_topk": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_convscope_sql(),
         "porter_suffix_topk": __import__(
             "rayse.ops.porter_oracle", fromlist=["x"]).porter_suffix_sql(),
         "porter_msm_topk": __import__(

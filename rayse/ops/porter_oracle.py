@@ -3927,3 +3927,231 @@ ftext AS (
          string_agg(term, ' ' ORDER BY rawpos) AS ft
   FROM ptok GROUP BY 1, 2)
 SELECT * FROM ({" UNION ALL ".join(arms)}) ORDER BY phrase"""
+
+
+# ---------------------------------------------------------------------------
+# search_after cursor pagination (ES search_after / Lucene searchAfter —
+# the scale-correct deep-paging mechanism O2's offset slice is not): page
+# 2 is retrieved by FILTERING on the page-1 boundary tuple
+# (score_q, conv_id, turn_idx) and taking a fresh top-page_size, never by
+# ranking 2×page_size rows and slicing. On a sharded engine every shard
+# applies the cursor filter locally and returns page_size rows — offset
+# paging ships page×size rows per shard and grows without bound with
+# depth. The pin is the equivalence theorem: cursor-filtered retrieval
+# must hash-match the rank-window oracle exactly.
+# ---------------------------------------------------------------------------
+
+def porter_searchafter_topk(index_dir: str,
+                            queries: list[str] | None = None,
+                            page_size: int = 10) -> pa.Table:
+    """Page 2 by search_after cursor: global rank continues
+    (page_size+1 ..) — DuckDB hash-matched against the rank-window
+    oracle, proving cursor ≡ offset on the quantized total order."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, params = _porter_reader(index_dir)
+    n, avgdl = reader.n_docs, reader.avgdl
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for q in queries:
+        doc_arrs, contrib_arrs = [], []
+        for t in _analyzed(q):
+            pl = reader.merged(t)
+            if pl is None:
+                continue
+            idf = float(np.log((1.0 + n) / (1.0 + pl.doc_ids.size))
+                        + 1.0)
+            doc_arrs.append(pl.doc_ids)
+            contrib_arrs.append(idf * bm25_tf(pl.tfs, pl.dls, avgdl,
+                                              params))
+        if not doc_arrs:
+            continue
+        uniq, inv = np.unique(np.concatenate(doc_arrs),
+                              return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(contrib_arrs))
+        score_q = np.floor(scores * 1e7).astype(np.int64)
+
+        page1 = _ranked_rows(reader.index_dir, uniq, score_q, page_size)
+        if len(page1) < page_size:
+            continue          # no deeper page exists
+        _, c_conv, c_turn, c_sq = page1[-1]
+
+        # the cursor filter: strictly-after in (score_q DESC, conv_id
+        # ASC, turn_idx ASC). Below-boundary scores pass outright; the
+        # boundary score's ties resolve by (conv, turn) — only THAT
+        # subset pays a conv-id resolution (shard-local and
+        # boundary-sized at scale).
+        below = score_q < c_sq
+        at = np.flatnonzero(score_q == c_sq)
+        keep_at = []
+        if at.size:
+            cmap = resolve_conv_ids(reader.index_dir, uniq[at])
+            for i in at.tolist():
+                d = int(uniq[i])
+                tup = (cmap[d >> TURN_BITS], d & ((1 << TURN_BITS) - 1))
+                if tup > (c_conv, c_turn):
+                    keep_at.append(i)
+        sel = np.concatenate([np.flatnonzero(below),
+                              np.asarray(keep_at, np.int64)])
+        if sel.size == 0:
+            continue
+        for r, conv, turn, sq in _ranked_rows(
+                reader.index_dir, uniq[sel], score_q[sel], page_size):
+            out_q.append(q)
+            out_r.append(page_size + r)
+            out_c.append(conv)
+            out_t.append(turn)
+            out_s.append(sq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_searchafter_sql(queries: list[str] | None = None,
+                           page_size: int = 10) -> str:
+    """Oracle: ranks page_size+1 .. 2*page_size of the full quantized
+    ranking — the window the cursor filter must reproduce — emitted
+    only for queries whose page 1 is FULL (a short first page means no
+    cursor exists, matching the Ray side's early-exit)."""
+    inner = porter_bm25_sql(queries, 2 * page_size)
+    return f"""
+WITH ranked_out AS ({inner}),
+full_p1 AS (
+  SELECT query FROM ranked_out GROUP BY query
+  HAVING count(*) FILTER (WHERE rank <= {page_size}) = {page_size})
+SELECT r.* FROM ranked_out r JOIN full_p1 USING (query)
+WHERE r.rank BETWEEN {page_size + 1} AND {2 * page_size}"""
+
+
+# ---------------------------------------------------------------------------
+# Conversation-scope retrieval (ES has_parent / Lucene join: the
+# parent-child query shape): rank turns matching query A, restricted to
+# CONVERSATIONS in which some turn conjunctively matches query B. The
+# scope set is an index-answered conjunctive probe whose result
+# collapses to conversation hashes — a broadcast semi-join at scale
+# (conv set « corpus; ships once, filters row-locally) — then the rank
+# probe proceeds normally. No reference analog (the reference has no
+# cross-document grouping, `QueryService.java` ranks pages
+# independently); this is the transcript-native operator its
+# conversations invite.
+# ---------------------------------------------------------------------------
+
+CONVSCOPE_PAIRS = [("table scan", "hash join"),
+                   ("spark", "slow"),
+                   ("window agg", "customer query plan")]
+
+
+def porter_convscope_topk(index_dir: str,
+                          pairs: list[tuple] | None = None,
+                          k: int = 10) -> pa.Table:
+    """(pair, rank, conv_id, turn_idx, score_q): BM25 top-k for the
+    rank query among turns of conversations containing a conjunctive
+    match of the scope query — DuckDB hash-matched."""
+    pairs = pairs if pairs is not None else CONVSCOPE_PAIRS
+    reader, params = _porter_reader(index_dir)
+    n, avgdl = reader.n_docs, reader.avgdl
+    out_p, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for rank_q, scope_q in pairs:
+        label = f"{rank_q} @ {scope_q}"
+        # scope: docs containing ALL scope terms -> conv hash set
+        scope_docs = None
+        for t in _analyzed(scope_q):
+            pl = reader.merged(t)
+            d = pl.doc_ids if pl is not None else np.asarray(
+                [], np.uint64)
+            scope_docs = d if scope_docs is None else np.intersect1d(
+                scope_docs, d)
+        if scope_docs is None or scope_docs.size == 0:
+            continue
+        scope_convs = np.unique(
+            scope_docs >> np.uint64(TURN_BITS))
+
+        doc_arrs, contrib_arrs = [], []
+        for t in _analyzed(rank_q):
+            pl = reader.merged(t)
+            if pl is None:
+                continue
+            idf = float(np.log((1.0 + n) / (1.0 + pl.doc_ids.size))
+                        + 1.0)
+            doc_arrs.append(pl.doc_ids)
+            contrib_arrs.append(idf * bm25_tf(pl.tfs, pl.dls, avgdl,
+                                              params))
+        if not doc_arrs:
+            continue
+        uniq, inv = np.unique(np.concatenate(doc_arrs),
+                              return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(contrib_arrs))
+        # the broadcast semi-join: conv membership, row-local
+        m = np.isin(uniq >> np.uint64(TURN_BITS), scope_convs)
+        uniq, scores = uniq[m], scores[m]
+        if uniq.size == 0:
+            continue
+        score_q = np.floor(scores * 1e7).astype(np.int64)
+        for r, conv, turn, sq in _ranked_rows(reader.index_dir, uniq,
+                                              score_q, k):
+            out_p.append(label)
+            out_r.append(r)
+            out_c.append(conv)
+            out_t.append(turn)
+            out_s.append(sq)
+    return pa.table({
+        "pair": pa.array(out_p, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_convscope_sql(pairs: list[tuple] | None = None,
+                         k: int = 10) -> str:
+    """Oracle for ``porter_convscope_topk``: scope = conv_ids with a
+    turn matching ALL scope terms (count-distinct HAVING), rank = the
+    standard quantized BM25 semi-joined to that conv set."""
+    pairs = pairs if pairs is not None else CONVSCOPE_PAIRS
+    rvals = ", ".join(
+        f"('{rq} @ {sq}', '{t}')"
+        for rq, sq in pairs for t in _analyzed(rq))
+    svals = ", ".join(
+        f"('{rq} @ {sq}', '{t}')"
+        for rq, sq in pairs for t in _analyzed(sq))
+    return f"""{_analysis_ctes()},
+rqt(pid, term) AS (VALUES {rvals}),
+sqt(pid, term) AS (VALUES {svals}),
+scnt AS (SELECT pid, CAST(count(*) AS BIGINT) AS m
+         FROM sqt GROUP BY pid),
+sturn AS (
+  SELECT s.pid, tf.conv_id
+  FROM sqt s JOIN tf USING (term)
+  GROUP BY s.pid, tf.conv_id, tf.turn_idx
+  HAVING count(DISTINCT tf.term)
+         = (SELECT m FROM scnt WHERE pid = s.pid)),
+sconv AS (SELECT DISTINCT pid, conv_id FROM sturn),
+scored AS (
+  SELECT rqt.pid, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM rqt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.conv_id = dl.conv_id AND tf.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+scoped AS (
+  SELECT sc.pid, sc.conv_id, sc.turn_idx,
+         CAST(floor(sc.score * 10000000) AS BIGINT) AS score_q
+  FROM scored sc JOIN sconv v
+    ON sc.pid = v.pid AND sc.conv_id = v.conv_id),
+ranked AS (
+  SELECT pid, conv_id, turn_idx, score_q,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY score_q DESC, conv_id,
+                                     turn_idx) AS rn
+  FROM scoped)
+SELECT pid AS pair, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx,
+       score_q
+FROM ranked WHERE rn <= {k}"""

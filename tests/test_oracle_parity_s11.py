@@ -13,6 +13,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 CASES = [
     "min_cost_supplier", "profit_by_nation_year",
     "knn_classify", "dtw_profiles", "t_closeness",
+    "porter_searchafter_topk", "porter_convscope_topk",
 ]
 
 
