@@ -2145,6 +2145,23 @@ def _q_t_closeness(sf_dir: str) -> pa.Table:
     return t_closeness(sf_dir)
 
 
+def _q_gazetteer_tags(sf_dir: str) -> pa.Table:
+    """Dictionary tagging with OVERLAPPING multi-pattern matching
+    (per-length sliding-window comparator in actor state) — DuckDB
+    hash-matched against the position-scan oracle."""
+    from rayse.ops.gazetteer import gazetteer_tags
+
+    return gazetteer_tags(sf_dir)
+
+
+def _q_tree_depth2(sf_dir: str) -> pa.Table:
+    """Greedy depth-2 decision tree off ONE joint domain-bounded
+    histogram (hist-mode trainer) — DuckDB hash-matched."""
+    from rayse.ops.stump import tree_depth2
+
+    return tree_depth2(sf_dir)
+
+
 def _q_twap_daily(sf_dir: str) -> pa.Table:
     """Day-windowed time-weighted average value per event type: the
     day boundary makes holding weights bucket-local, so ONE
@@ -4125,6 +4142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness": _q_t_closeness,
         "porter_searchafter_topk": _q_porter_searchafter_topk,
         "porter_convscope_topk": _q_porter_convscope_topk,
+        "gazetteer_tags": _q_gazetteer_tags,
+        "tree_depth2": _q_tree_depth2,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5482,6 +5501,11 @@ def oracle_sql() -> dict[str, str]:
         "t_closeness": __import__(
             "rayse.ops.datachecks",
             fromlist=["x"]).t_closeness_sql(),
+        "gazetteer_tags": __import__(
+            "rayse.ops.gazetteer",
+            fromlist=["x"]).gazetteer_tags_sql(),
+        "tree_depth2": __import__(
+            "rayse.ops.stump", fromlist=["x"]).tree_depth2_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(
