@@ -2145,6 +2145,16 @@ def _q_t_closeness(sf_dir: str) -> pa.Table:
     return t_closeness(sf_dir)
 
 
+def _q_min_spanning_forest(sf_dir: str) -> pa.Table:
+    """Distributed Borůvka minimum spanning forest (per-component
+    argmin folds + driver union-find) hash-matched against a
+    Prim-with-restart recursive oracle — an algorithm-equivalence
+    theorem under the strict (h, u, v) edge order."""
+    from rayse.ops.mst import min_spanning_forest
+
+    return min_spanning_forest(sf_dir)
+
+
 def _q_gazetteer_tags(sf_dir: str) -> pa.Table:
     """Dictionary tagging with OVERLAPPING multi-pattern matching
     (per-length sliding-window comparator in actor state) — DuckDB
@@ -4144,6 +4154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_convscope_topk": _q_porter_convscope_topk,
         "gazetteer_tags": _q_gazetteer_tags,
         "tree_depth2": _q_tree_depth2,
+        "min_spanning_forest": _q_min_spanning_forest,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5506,6 +5517,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).gazetteer_tags_sql(),
         "tree_depth2": __import__(
             "rayse.ops.stump", fromlist=["x"]).tree_depth2_sql(),
+        "min_spanning_forest": __import__(
+            "rayse.ops.mst",
+            fromlist=["x"]).min_spanning_forest_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -14,7 +14,7 @@ CASES = [
     "min_cost_supplier", "profit_by_nation_year",
     "knn_classify", "dtw_profiles", "t_closeness",
     "porter_searchafter_topk", "porter_convscope_topk",
-    "gazetteer_tags", "tree_depth2",
+    "gazetteer_tags", "tree_depth2", "min_spanning_forest",
 ]
 
 
