@@ -2145,6 +2145,23 @@ def _q_t_closeness(sf_dir: str) -> pa.Table:
     return t_closeness(sf_dir)
 
 
+def _q_moving_median_daily(sf_dir: str) -> pa.Table:
+    """Trailing-7-row doubled median of daily revenue per type (grid
+    fold first, frame walk on the bounded grid) — DuckDB
+    hash-matched."""
+    from rayse.ops.movmed import moving_median_daily
+
+    return moving_median_daily(sf_dir)
+
+
+def _q_hbos_outliers(sf_dir: str) -> pa.Table:
+    """HBOS outlier top-k: integer inverse-density sum over two
+    broadcast feature histograms — DuckDB hash-matched."""
+    from rayse.ops.movmed import hbos_outliers
+
+    return hbos_outliers(sf_dir)
+
+
 def _q_min_spanning_forest(sf_dir: str) -> pa.Table:
     """Distributed Borůvka minimum spanning forest (per-component
     argmin folds + driver union-find) hash-matched against a
@@ -4155,6 +4172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gazetteer_tags": _q_gazetteer_tags,
         "tree_depth2": _q_tree_depth2,
         "min_spanning_forest": _q_min_spanning_forest,
+        "moving_median_daily": _q_moving_median_daily,
+        "hbos_outliers": _q_hbos_outliers,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5520,6 +5539,11 @@ def oracle_sql() -> dict[str, str]:
         "min_spanning_forest": __import__(
             "rayse.ops.mst",
             fromlist=["x"]).min_spanning_forest_sql(),
+        "moving_median_daily": __import__(
+            "rayse.ops.movmed",
+            fromlist=["x"]).moving_median_daily_sql(),
+        "hbos_outliers": __import__(
+            "rayse.ops.movmed", fromlist=["x"]).hbos_outliers_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -15,6 +15,7 @@ CASES = [
     "knn_classify", "dtw_profiles", "t_closeness",
     "porter_searchafter_topk", "porter_convscope_topk",
     "gazetteer_tags", "tree_depth2", "min_spanning_forest",
+    "moving_median_daily", "hbos_outliers",
 ]
 
 
