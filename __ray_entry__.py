@@ -2145,6 +2145,26 @@ def _q_t_closeness(sf_dir: str) -> pa.Table:
     return t_closeness(sf_dir)
 
 
+def _q_isotonic_hourly(sf_dir: str) -> pa.Table:
+    """Isotonic (monotone) fit of hourly mean value via the exact
+    max-min closed form — floor commutes with max/min, so the
+    quantized fit is bit-exact in both engines — DuckDB
+    hash-matched."""
+    from rayse.ops.isotonic import isotonic_hourly
+
+    return isotonic_hourly(sf_dir)
+
+
+def _q_huffman_codes(sf_dir: str) -> pa.Table:
+    """Canonical Huffman code lengths+values for the top-16 words
+    (ordered merge rule, closed-form canonical assignment) —
+    hash-matched against a carried-forward recursive-CTE merge
+    oracle."""
+    from rayse.ops.huffman import huffman_codes
+
+    return huffman_codes(sf_dir)
+
+
 def _q_moving_median_daily(sf_dir: str) -> pa.Table:
     """Trailing-7-row doubled median of daily revenue per type (grid
     fold first, frame walk on the bounded grid) — DuckDB
@@ -4174,6 +4194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_spanning_forest": _q_min_spanning_forest,
         "moving_median_daily": _q_moving_median_daily,
         "hbos_outliers": _q_hbos_outliers,
+        "isotonic_hourly": _q_isotonic_hourly,
+        "huffman_codes": _q_huffman_codes,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5544,6 +5566,11 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).moving_median_daily_sql(),
         "hbos_outliers": __import__(
             "rayse.ops.movmed", fromlist=["x"]).hbos_outliers_sql(),
+        "isotonic_hourly": __import__(
+            "rayse.ops.isotonic",
+            fromlist=["x"]).isotonic_hourly_sql(),
+        "huffman_codes": __import__(
+            "rayse.ops.huffman", fromlist=["x"]).huffman_codes_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

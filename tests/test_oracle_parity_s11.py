@@ -16,6 +16,7 @@ CASES = [
     "porter_searchafter_topk", "porter_convscope_topk",
     "gazetteer_tags", "tree_depth2", "min_spanning_forest",
     "moving_median_daily", "hbos_outliers",
+    "isotonic_hourly", "huffman_codes",
 ]
 
 
