@@ -2145,6 +2145,32 @@ def _q_t_closeness(sf_dir: str) -> pa.Table:
     return t_closeness(sf_dir)
 
 
+def _q_feature_hash_vectors(sf_dir: str):
+    """Hashing-trick vectorizer: signed FNV bag-of-words buckets,
+    fully row-local (no vocabulary state), streamed back as a Dataset
+    — DuckDB hash-matched."""
+    from rayse.ops.fhash import feature_hash_vectors
+
+    return feature_hash_vectors(sf_dir)
+
+
+def _q_graph_feature_prop(sf_dir: str) -> pa.Table:
+    """Two rounds of GraphSAGE-style neighbor mean aggregation
+    (edges stream, feature vector broadcasts) — DuckDB hash-matched
+    against chained truncating-mean joins."""
+    from rayse.ops.gprop import graph_feature_prop
+
+    return graph_feature_prop(sf_dir)
+
+
+def _q_upsert_merge(sf_dir: str) -> pa.Table:
+    """MERGE INTO last-write-wins upsert with kept/updated/inserted
+    disposition via doubled argmax partials — DuckDB hash-matched."""
+    from rayse.ops.upsert import upsert_merge
+
+    return upsert_merge(sf_dir)
+
+
 def _q_isotonic_hourly(sf_dir: str) -> pa.Table:
     """Isotonic (monotone) fit of hourly mean value via the exact
     max-min closed form — floor commutes with max/min, so the
@@ -4196,6 +4222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hbos_outliers": _q_hbos_outliers,
         "isotonic_hourly": _q_isotonic_hourly,
         "huffman_codes": _q_huffman_codes,
+        "feature_hash_vectors": _q_feature_hash_vectors,
+        "graph_feature_prop": _q_graph_feature_prop,
+        "upsert_merge": _q_upsert_merge,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5571,6 +5600,14 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).isotonic_hourly_sql(),
         "huffman_codes": __import__(
             "rayse.ops.huffman", fromlist=["x"]).huffman_codes_sql(),
+        "feature_hash_vectors": __import__(
+            "rayse.ops.fhash",
+            fromlist=["x"]).feature_hash_vectors_sql(),
+        "graph_feature_prop": __import__(
+            "rayse.ops.gprop",
+            fromlist=["x"]).graph_feature_prop_sql(),
+        "upsert_merge": __import__(
+            "rayse.ops.upsert", fromlist=["x"]).upsert_merge_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

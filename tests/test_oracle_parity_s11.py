@@ -17,6 +17,7 @@ CASES = [
     "gazetteer_tags", "tree_depth2", "min_spanning_forest",
     "moving_median_daily", "hbos_outliers",
     "isotonic_hourly", "huffman_codes",
+    "feature_hash_vectors", "graph_feature_prop", "upsert_merge",
 ]
 
 
