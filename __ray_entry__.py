@@ -2145,6 +2145,15 @@ def _q_t_closeness(sf_dir: str) -> pa.Table:
     return t_closeness(sf_dir)
 
 
+def _q_ivm_distinct_retract(sf_dir: str) -> pa.Table:
+    """IVM retraction theorem: distinct-per-type after deleting the
+    last day, reconstructed ONLY from multiplicity subtraction,
+    hash-matched against the direct recompute oracle."""
+    from rayse.ops.ivm import ivm_distinct_retract
+
+    return ivm_distinct_retract(sf_dir)
+
+
 def _q_feature_hash_vectors(sf_dir: str):
     """Hashing-trick vectorizer: signed FNV bag-of-words buckets,
     fully row-local (no vocabulary state), streamed back as a Dataset
@@ -4225,6 +4234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hash_vectors": _q_feature_hash_vectors,
         "graph_feature_prop": _q_graph_feature_prop,
         "upsert_merge": _q_upsert_merge,
+        "ivm_distinct_retract": _q_ivm_distinct_retract,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5608,6 +5618,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).graph_feature_prop_sql(),
         "upsert_merge": __import__(
             "rayse.ops.upsert", fromlist=["x"]).upsert_merge_sql(),
+        "ivm_distinct_retract": __import__(
+            "rayse.ops.ivm",
+            fromlist=["x"]).ivm_distinct_retract_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(
