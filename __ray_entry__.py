@@ -2145,6 +2145,15 @@ def _q_t_closeness(sf_dir: str) -> pa.Table:
     return t_closeness(sf_dir)
 
 
+def _q_bootstrap_resamples(sf_dir: str) -> pa.Table:
+    """Poisson bootstrap (Chamandy et al. 2012): row-local exact
+    inverse-CDF multiplicities from hard-coded integer Poisson(1)
+    thresholds — DuckDB hash-matched."""
+    from rayse.ops.bootstrap import bootstrap_resamples
+
+    return bootstrap_resamples(sf_dir)
+
+
 def _q_ivm_distinct_retract(sf_dir: str) -> pa.Table:
     """IVM retraction theorem: distinct-per-type after deleting the
     last day, reconstructed ONLY from multiplicity subtraction,
@@ -4235,6 +4244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_feature_prop": _q_graph_feature_prop,
         "upsert_merge": _q_upsert_merge,
         "ivm_distinct_retract": _q_ivm_distinct_retract,
+        "bootstrap_resamples": _q_bootstrap_resamples,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5621,6 +5631,9 @@ def oracle_sql() -> dict[str, str]:
         "ivm_distinct_retract": __import__(
             "rayse.ops.ivm",
             fromlist=["x"]).ivm_distinct_retract_sql(),
+        "bootstrap_resamples": __import__(
+            "rayse.ops.bootstrap",
+            fromlist=["x"]).bootstrap_resamples_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

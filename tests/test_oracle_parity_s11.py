@@ -18,7 +18,7 @@ CASES = [
     "moving_median_daily", "hbos_outliers",
     "isotonic_hourly", "huffman_codes",
     "feature_hash_vectors", "graph_feature_prop", "upsert_merge",
-    "ivm_distinct_retract",
+    "ivm_distinct_retract", "bootstrap_resamples",
 ]
 
 
