@@ -2145,6 +2145,22 @@ def _q_t_closeness(sf_dir: str) -> pa.Table:
     return t_closeness(sf_dir)
 
 
+def _q_weighted_median_price(sf_dir: str) -> pa.Table:
+    """Quantity-weighted lower median per return flag off one
+    domain-bounded histogram fold — DuckDB hash-matched."""
+    from rayse.ops.wmedian import weighted_median_price
+
+    return weighted_median_price(sf_dir)
+
+
+def _q_group_kfold(sf_dir: str) -> pa.Table:
+    """Leakage-free GroupKFold by user hash with a proved-zero
+    straddle count — DuckDB hash-matched."""
+    from rayse.ops.wmedian import group_kfold
+
+    return group_kfold(sf_dir)
+
+
 def _q_bootstrap_resamples(sf_dir: str) -> pa.Table:
     """Poisson bootstrap (Chamandy et al. 2012): row-local exact
     inverse-CDF multiplicities from hard-coded integer Poisson(1)
@@ -4245,6 +4261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_merge": _q_upsert_merge,
         "ivm_distinct_retract": _q_ivm_distinct_retract,
         "bootstrap_resamples": _q_bootstrap_resamples,
+        "weighted_median_price": _q_weighted_median_price,
+        "group_kfold": _q_group_kfold,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5634,6 +5652,11 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_resamples": __import__(
             "rayse.ops.bootstrap",
             fromlist=["x"]).bootstrap_resamples_sql(),
+        "weighted_median_price": __import__(
+            "rayse.ops.wmedian",
+            fromlist=["x"]).weighted_median_price_sql(),
+        "group_kfold": __import__(
+            "rayse.ops.wmedian", fromlist=["x"]).group_kfold_sql(),
         "benford_digits": __import__(
             "rayse.ops.datachecks", fromlist=["x"]).benford_digits_sql(),
         "theil_sen": __import__(

@@ -19,6 +19,7 @@ CASES = [
     "isotonic_hourly", "huffman_codes",
     "feature_hash_vectors", "graph_feature_prop", "upsert_merge",
     "ivm_distinct_retract", "bootstrap_resamples",
+    "weighted_median_price", "group_kfold",
 ]
 
 
