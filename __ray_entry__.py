@@ -810,6 +810,24 @@ def _q_porter_convscope_topk(sf_dir: str) -> pa.Table:
     return porter_convscope_topk(_index_for(sf_dir))
 
 
+def _q_porter_synonym_topk(sf_dir: str) -> pa.Table:
+    """Synonym-group retrieval with Lucene SynonymQuery semantics
+    (summed tf, MAX df per group — no double-idf) — DuckDB
+    hash-matched."""
+    from rayse.ops.porter_oracle import porter_synonym_topk
+
+    return porter_synonym_topk(_index_for(sf_dir))
+
+
+def _q_porter_lossynorm_topk(sf_dir: str) -> pa.Table:
+    """BM25 under 4-significant-bit lossy length norms (the Lucene
+    SmallFloat one-byte-norm quirk as a pinned contract) — DuckDB
+    hash-matched."""
+    from rayse.ops.porter_oracle import porter_lossynorm_topk
+
+    return porter_lossynorm_topk(_index_for(sf_dir))
+
+
 def _q_porter_suffix_topk(sf_dir: str) -> pa.Table:
     """Leading-wildcard retrieval (`*xyz`): reversed-dictionary range
     scan + BM25 union — DuckDB hash-matched (LIKE '%xyz'); also a
@@ -4263,6 +4281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_resamples": _q_bootstrap_resamples,
         "weighted_median_price": _q_weighted_median_price,
         "group_kfold": _q_group_kfold,
+        "porter_synonym_topk": _q_porter_synonym_topk,
+        "porter_lossynorm_topk": _q_porter_lossynorm_topk,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5395,6 +5415,12 @@ def oracle_sql() -> dict[str, str]:
         "porter_searchafter_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_searchafter_sql(),
+        "porter_synonym_topk": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_synonym_sql(),
+        "porter_lossynorm_topk": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_lossynorm_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),

@@ -4155,3 +4155,228 @@ ranked AS (
 SELECT pid AS pair, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx,
        score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Synonym-aware retrieval with Lucene SynonymQuery SEMANTICS (not mere
+# term expansion, which porter_prf/mlt already pin): all members of a
+# synonym group score as ONE pseudo-term — per-doc tf = Σ member tfs,
+# doc frequency = MAX member df — so a document matching two synonyms
+# of the same concept is NOT double-idf-counted (the documented reason
+# Lucene replaced BooleanQuery expansion with SynonymQuery). The
+# synonym table maps ANALYZED stems, broadcast to the query path like
+# the stopword set (ST3).
+# ---------------------------------------------------------------------------
+
+PORTER_SYNONYMS = {"join": ["join", "merg"],
+                   "fast": ["fast", "slow"],
+                   "tabl": ["tabl", "row"],
+                   "data": ["data", "stream"]}
+
+SYNONYM_QUERIES = ["join filter", "fast batch", "table data"]
+
+
+def porter_synonym_topk(index_dir: str,
+                        queries: list[str] | None = None,
+                        synonyms: dict | None = None,
+                        k: int = 10) -> pa.Table:
+    """(query, rank, conv_id, turn_idx, score_q): BM25 where each
+    analyzed term expands to its synonym group under SynonymQuery
+    semantics (summed tf, max df) — DuckDB hash-matched."""
+    queries = queries if queries is not None else SYNONYM_QUERIES
+    synonyms = synonyms if synonyms is not None else PORTER_SYNONYMS
+    reader, params = _porter_reader(index_dir)
+    n, avgdl = reader.n_docs, reader.avgdl
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for q in queries:
+        doc_arrs, contrib_arrs = [], []
+        for t in _analyzed(q):
+            members = synonyms.get(t, [t])
+            pls = [(m, reader.merged(m)) for m in members]
+            pls = [(m, pl) for m, pl in pls if pl is not None]
+            if not pls:
+                continue
+            df_g = max(pl.doc_ids.size for _, pl in pls)
+            docs = np.concatenate([pl.doc_ids for _, pl in pls])
+            tfs = np.concatenate([pl.tfs for _, pl in pls])
+            dls = np.concatenate([pl.dls for _, pl in pls])
+            uniq, inv = np.unique(docs, return_inverse=True)
+            tf_g = np.zeros(uniq.size, np.int64)
+            np.add.at(tf_g, inv, tfs.astype(np.int64))
+            dl_u = np.zeros(uniq.size, dls.dtype)
+            dl_u[inv] = dls          # same doc -> same dl
+            idf = float(np.log((1.0 + n) / (1.0 + df_g)) + 1.0)
+            doc_arrs.append(uniq)
+            contrib_arrs.append(idf * bm25_tf(tf_g, dl_u, avgdl,
+                                              params))
+        if not doc_arrs:
+            continue
+        uniq, inv = np.unique(np.concatenate(doc_arrs),
+                              return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(contrib_arrs))
+        score_q = np.floor(scores * 1e7).astype(np.int64)
+        for r, conv, turn, sq in _ranked_rows(reader.index_dir, uniq,
+                                              score_q, k):
+            out_q.append(q)
+            out_r.append(r)
+            out_c.append(conv)
+            out_t.append(turn)
+            out_s.append(sq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_synonym_sql(queries: list[str] | None = None,
+                       synonyms: dict | None = None,
+                       k: int = 10) -> str:
+    """Oracle: per (query, group) summed tf joined with the group MAX
+    df, then the standard quantized BM25 tail."""
+    queries = queries if queries is not None else SYNONYM_QUERIES
+    synonyms = synonyms if synonyms is not None else PORTER_SYNONYMS
+    rows = []
+    for q in queries:
+        for gi, t in enumerate(_analyzed(q)):
+            for m in synonyms.get(t, [t]):
+                rows.append(f"('{q}', {gi}, '{m}')")
+    vals = ", ".join(rows)
+    return f"""{_analysis_ctes()},
+qg(query, grp, term) AS (VALUES {vals}),
+tfg AS (
+  SELECT qg.query, qg.grp, tf.conv_id, tf.turn_idx,
+         CAST(sum(tf.tf) AS BIGINT) AS tfg
+  FROM qg JOIN tf USING (term)
+  GROUP BY 1, 2, 3, 4),
+dfg AS (
+  SELECT qg.query, qg.grp, max(df.df) AS dfg
+  FROM qg JOIN df USING (term)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT t.query, t.conv_id, t.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + g.dfg)) + 1.0)
+             * (t.tfg * 2.2
+                / (t.tfg + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+           AS score
+  FROM tfg t
+       JOIN dfg g ON t.query = g.query AND t.grp = g.grp
+       JOIN dl ON t.conv_id = dl.conv_id AND t.turn_idx = dl.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q,
+         row_number() OVER (
+           PARTITION BY query
+           ORDER BY CAST(floor(score * 10000000) AS BIGINT) DESC,
+                    conv_id, turn_idx) AS rn
+  FROM scored)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Lossy length norms (Lucene SmallFloat-style): production engines do
+# not store exact doc lengths in the ranking hot path — Lucene packs
+# the norm into ONE byte (SmallFloat.intToByte4) and ranks with the
+# decoded approximation. This cell pins that engine quirk as its own
+# contract: dl quantizes to 4 SIGNIFICANT BITS (b = bit_length(dl);
+# keep the top-4 bits, zero the rest — the same mantissa truncation,
+# sans Lucene's exact bias table), and the BM25 ranking under the
+# quantized norms must hash-match an oracle applying the identical
+# truncation. avgdl stays exact (as in Lucene's BM25Similarity, which
+# averages true field lengths). The ranking DIFFERS from the exact-dl
+# one on boundary docs — that difference is the documented price of a
+# one-byte norm, here made reproducible.
+# ---------------------------------------------------------------------------
+
+def _lossy_dl(dls: np.ndarray) -> np.ndarray:
+    from .sketch import _bit_length_u64
+
+    d = dls.astype(np.int64)
+    b = _bit_length_u64(d.astype(np.uint64))
+    shift = np.maximum(b - 4, 0)
+    return (d >> shift) << shift
+
+
+def porter_lossynorm_topk(index_dir: str,
+                          queries: list[str] | None = None,
+                          k: int = 10) -> pa.Table:
+    """BM25 top-k under 4-significant-bit lossy length norms — DuckDB
+    hash-matched against the identically-truncated oracle."""
+    queries = queries if queries is not None else PORTER_QUERIES
+    reader, params = _porter_reader(index_dir)
+    n, avgdl = reader.n_docs, reader.avgdl
+    out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
+    for q in queries:
+        doc_arrs, contrib_arrs = [], []
+        for t in _analyzed(q):
+            pl = reader.merged(t)
+            if pl is None:
+                continue
+            idf = float(np.log((1.0 + n) / (1.0 + pl.doc_ids.size))
+                        + 1.0)
+            doc_arrs.append(pl.doc_ids)
+            contrib_arrs.append(idf * bm25_tf(pl.tfs, _lossy_dl(pl.dls),
+                                              avgdl, params))
+        if not doc_arrs:
+            continue
+        uniq, inv = np.unique(np.concatenate(doc_arrs),
+                              return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(contrib_arrs))
+        score_q = np.floor(scores * 1e7).astype(np.int64)
+        for r, conv, turn, sq in _ranked_rows(reader.index_dir, uniq,
+                                              score_q, k):
+            out_q.append(q)
+            out_r.append(r)
+            out_c.append(conv)
+            out_t.append(turn)
+            out_s.append(sq)
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "rank": pa.array(out_r, pa.int32()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+        "score_q": pa.array(out_s, pa.int64()),
+    })
+
+
+def porter_lossynorm_sql(queries: list[str] | None = None,
+                         k: int = 10) -> str:
+    queries = queries if queries is not None else PORTER_QUERIES
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q in queries for t in _analyzed(q))
+    return f"""{_analysis_ctes()},
+dlq AS (
+  SELECT conv_id, turn_idx, dl,
+         CASE WHEN length(bin(dl)) <= 4 THEN dl
+              ELSE (dl >> (length(bin(dl)) - 4))
+                   << (length(bin(dl)) - 4) END AS dll
+  FROM dl),
+qt(query, term) AS (VALUES {vals}),
+scored AS (
+  SELECT qt.query, tf.conv_id, tf.turn_idx,
+         sum((ln((1.0 + s.n) / (1.0 + df.df)) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (d.dll / s.avgdl)))))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dlq d ON tf.conv_id = d.conv_id
+                 AND tf.turn_idx = d.turn_idx
+       CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT query, conv_id, turn_idx,
+         CAST(floor(score * 10000000) AS BIGINT) AS score_q,
+         row_number() OVER (
+           PARTITION BY query
+           ORDER BY CAST(floor(score * 10000000) AS BIGINT) DESC,
+                    conv_id, turn_idx) AS rn
+  FROM scored)
+SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
+FROM ranked WHERE rn <= {k}"""

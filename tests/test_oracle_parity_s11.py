@@ -20,6 +20,7 @@ CASES = [
     "feature_hash_vectors", "graph_feature_prop", "upsert_merge",
     "ivm_distinct_retract", "bootstrap_resamples",
     "weighted_median_price", "group_kfold",
+    "porter_synonym_topk", "porter_lossynorm_topk",
 ]
 
 
