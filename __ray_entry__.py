@@ -810,13 +810,14 @@ def _q_porter_convscope_topk(sf_dir: str) -> pa.Table:
     return porter_convscope_topk(_index_for(sf_dir))
 
 
-def _q_porter_synonym_topk(sf_dir: str) -> pa.Table:
+def _q_porter_synquery_topk(sf_dir: str) -> pa.Table:
     """Synonym-group retrieval with Lucene SynonymQuery semantics
-    (summed tf, MAX df per group — no double-idf) — DuckDB
+    (summed tf, MAX df per group — no double-idf; distinct from the
+    expansion-style ``porter_synonym_topk`` rank-matrix arm) — DuckDB
     hash-matched."""
-    from rayse.ops.porter_oracle import porter_synonym_topk
+    from rayse.ops.porter_oracle import porter_synquery_topk
 
-    return porter_synonym_topk(_index_for(sf_dir))
+    return porter_synquery_topk(_index_for(sf_dir))
 
 
 def _q_porter_lossynorm_topk(sf_dir: str) -> pa.Table:
@@ -3985,6 +3986,42 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
         "k2": pa.array([""] * zm.num_rows, pa.string()),
         "metric": pa.array(["v"] * zm.num_rows, pa.string()),
         "v": zm["v"]})
+    q2 = _melt(_q_min_cost_supplier(sf_dir), ["p_partkey", "s_name"],
+               ["s_acctbal_cents", "cost_micro", "s_suppkey"])
+    q9 = _melt(_q_profit_by_nation_year(sf_dir), ["nation", "o_year"],
+               ["profit"])
+    kn = _melt(_q_knn_classify(sf_dir), ["q_id"],
+               ["pred_label", "votes", "kth_dist"])
+    dt = _melt(_q_dtw_profiles(sf_dir), ["type_a", "type_b"], ["dtw"])
+    tc2 = _melt(_q_t_closeness(sf_dir), ["event_type", "hour"],
+                ["n", "emd_ppm"])
+    t2 = _melt(_q_tree_depth2(sf_dir), ["node", "feature"],
+               ["threshold", "predict_above", "n_correct", "n_node",
+                "acc_ppm"])
+    ms = _melt(_q_min_spanning_forest(sf_dir), ["u", "v"], ["w"])
+    mm_ = _melt(_q_moving_median_daily(sf_dir), ["event_type", "day"],
+                ["rev_cents", "med2_cents"])
+    hb = _melt(_q_hbos_outliers(sf_dir), ["event_id"], ["score_ppm"])
+    iso = _melt(_q_isotonic_hourly(sf_dir), ["hour"],
+                ["n", "mean_q", "fit_q"])
+    hf = _melt(_q_huffman_codes(sf_dir), ["word"],
+               ["cf", "code_len", "code"])
+    gp = _melt(_q_graph_feature_prop(sf_dir), ["v"],
+               ["x0", "x1", "x2"])
+    up = _melt(_q_upsert_merge(sf_dir), ["user_id", "src"],
+               ["val_cents"])
+    iv2 = _melt(_q_ivm_distinct_retract(sf_dir), ["event_type"],
+                ["n_full", "n_base", "n_delta"])
+    bo = _melt(_q_bootstrap_resamples(sf_dir), ["b"],
+               ["n", "sum_cents"])
+    wm = _melt(_q_weighted_median_price(sf_dir), ["l_returnflag"],
+               ["total_qty", "wmedian_cents"])
+    kf = _melt(_q_group_kfold(sf_dir), ["fold"],
+               ["n_users", "n_events", "n_straddle"])
+    gz = _melt(_q_gazetteer_tags(sf_dir), ["doc_id", "needle"],
+               ["n_hits"])
+    fh = _melt(_as_table(_q_feature_hash_vectors(sf_dir)),
+               ["doc_id", "bucket"], ["val"])
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
                           ("q3", q3), ("q10", q10), ("coverage", iv),
                           ("skyline", sky), ("pairs", fp),
@@ -4011,7 +4048,14 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("ablift", ab), ("xcorr", xc),
                           ("mode", mo), ("ttc", ttc),
                           ("mediadedup", md), ("trigcos", tg),
-                          ("cov", cv)])
+                          ("cov", cv), ("q2", q2), ("q9", q9),
+                          ("knn", kn), ("dtw", dt), ("tclose", tc2),
+                          ("tree2", t2), ("msf", ms), ("movmed", mm_),
+                          ("hbos", hb), ("isotonic", iso),
+                          ("huffman", hf), ("gprop", gp),
+                          ("upsert", up), ("ivm", iv2), ("boot", bo),
+                          ("wmed", wm), ("kfold", kf), ("gaz", gz),
+                          ("fhash", fh)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -4281,7 +4325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_resamples": _q_bootstrap_resamples,
         "weighted_median_price": _q_weighted_median_price,
         "group_kfold": _q_group_kfold,
-        "porter_synonym_topk": _q_porter_synonym_topk,
+        "porter_synquery_topk": _q_porter_synquery_topk,
         "porter_lossynorm_topk": _q_porter_lossynorm_topk,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
@@ -4798,7 +4842,84 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'churn' AS variant, metric AS k1, '' AS k2, "
         "'v' AS metric, v\nFROM (\n" + __import__(
             "rayse.ops.graph",
-            fromlist=["x"]).edge_churn_sql() + "\n)",
+            fromlist=["x"]).edge_churn_sql() + "\n)"
+        "\nUNION ALL\n" + _melt_union_sql([
+            ("q2", __import__(
+                "rayse.ops.tpch2",
+                fromlist=["x"]).min_cost_supplier_sql(),
+             ("p_partkey", "s_name"),
+             ("s_acctbal_cents", "cost_micro", "s_suppkey")),
+            ("q9", __import__(
+                "rayse.ops.tpch2",
+                fromlist=["x"]).profit_by_nation_year_sql(),
+             ("nation", "o_year"), ("profit",)),
+            ("knn", __import__(
+                "rayse.ops.knn", fromlist=["x"]).knn_classify_sql(),
+             ("q_id",), ("pred_label", "votes", "kth_dist")),
+            ("dtw", __import__(
+                "rayse.ops.dtw", fromlist=["x"]).dtw_profiles_sql(),
+             ("type_a", "type_b"), ("dtw",)),
+            ("tclose", __import__(
+                "rayse.ops.datachecks",
+                fromlist=["x"]).t_closeness_sql(),
+             ("event_type", "hour"), ("n", "emd_ppm")),
+            ("tree2", __import__(
+                "rayse.ops.stump", fromlist=["x"]).tree_depth2_sql(),
+             ("node", "feature"),
+             ("threshold", "predict_above", "n_correct", "n_node",
+              "acc_ppm")),
+            ("msf", __import__(
+                "rayse.ops.mst",
+                fromlist=["x"]).min_spanning_forest_sql(),
+             ("u", "v"), ("w",)),
+            ("movmed", __import__(
+                "rayse.ops.movmed",
+                fromlist=["x"]).moving_median_daily_sql(),
+             ("event_type", "day"), ("rev_cents", "med2_cents")),
+            ("hbos", __import__(
+                "rayse.ops.movmed",
+                fromlist=["x"]).hbos_outliers_sql(),
+             ("event_id",), ("score_ppm",)),
+            ("isotonic", __import__(
+                "rayse.ops.isotonic",
+                fromlist=["x"]).isotonic_hourly_sql(),
+             ("hour",), ("n", "mean_q", "fit_q")),
+            ("huffman", __import__(
+                "rayse.ops.huffman",
+                fromlist=["x"]).huffman_codes_sql(),
+             ("word",), ("cf", "code_len", "code")),
+            ("gprop", __import__(
+                "rayse.ops.gprop",
+                fromlist=["x"]).graph_feature_prop_sql(),
+             ("v",), ("x0", "x1", "x2")),
+            ("upsert", __import__(
+                "rayse.ops.upsert",
+                fromlist=["x"]).upsert_merge_sql(),
+             ("user_id", "src"), ("val_cents",)),
+            ("ivm", __import__(
+                "rayse.ops.ivm",
+                fromlist=["x"]).ivm_distinct_retract_sql(),
+             ("event_type",), ("n_full", "n_base", "n_delta")),
+            ("boot", __import__(
+                "rayse.ops.bootstrap",
+                fromlist=["x"]).bootstrap_resamples_sql(),
+             ("b",), ("n", "sum_cents")),
+            ("wmed", __import__(
+                "rayse.ops.wmedian",
+                fromlist=["x"]).weighted_median_price_sql(),
+             ("l_returnflag",), ("total_qty", "wmedian_cents")),
+            ("kfold", __import__(
+                "rayse.ops.wmedian",
+                fromlist=["x"]).group_kfold_sql(),
+             ("fold",), ("n_users", "n_events", "n_straddle")),
+            ("gaz", __import__(
+                "rayse.ops.gazetteer",
+                fromlist=["x"]).gazetteer_tags_sql(),
+             ("doc_id", "needle"), ("n_hits",)),
+            ("fhash", __import__(
+                "rayse.ops.fhash",
+                fromlist=["x"]).feature_hash_vectors_sql(),
+             ("doc_id", "bucket"), ("val",))]),
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -5415,9 +5536,9 @@ def oracle_sql() -> dict[str, str]:
         "porter_searchafter_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_searchafter_sql(),
-        "porter_synonym_topk": __import__(
+        "porter_synquery_topk": __import__(
             "rayse.ops.porter_oracle",
-            fromlist=["x"]).porter_synonym_sql(),
+            fromlist=["x"]).porter_synquery_sql(),
         "porter_lossynorm_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_lossynorm_sql(),

@@ -1466,7 +1466,33 @@ def _matrix_arms(index_dir: str | None, k: int = 10):
         ("rerank", lambda: porter_rerank_topk(d, k=k),
          porter_rerank_sql(k=k)),
         ("cori", lambda: _cori_matrix_arm(d, k=k), _cori_matrix_sql(k=k)),
+        ("searchafter", lambda: porter_searchafter_topk(d),
+         porter_searchafter_sql()),
+        ("convscope", lambda: _convscope_matrix_arm(d, k=k),
+         _convscope_matrix_sql(k=k)),
+        ("synquery", lambda: porter_synquery_topk(d, k=k),
+         porter_synquery_sql(k=k)),
+        ("lossynorm", lambda: porter_lossynorm_topk(d, k=k),
+         porter_lossynorm_sql(k=k)),
     ]
+
+
+def _convscope_matrix_arm(index_dir: str, k: int = 10) -> pa.Table:
+    """Conversation-scope retrieval reshaped to the matrix row contract
+    (the pair label rides the query column)."""
+    t = porter_convscope_topk(index_dir, k=k)
+    return pa.table({
+        "query": t["pair"],
+        "rank": t["rank"],
+        "conv_id": t["conv_id"],
+        "turn_idx": t["turn_idx"],
+        "score_q": t["score_q"],
+    })
+
+
+def _convscope_matrix_sql(k: int = 10) -> str:
+    return (f"SELECT pair AS query, rank, conv_id, turn_idx, score_q\n"
+            f"FROM (\n{porter_convscope_sql(k=k)}\n)")
 
 
 def _cori_matrix_arm(index_dir: str, k: int = 10) -> pa.Table:
@@ -4168,23 +4194,23 @@ FROM ranked WHERE rn <= {k}"""
 # the stopword set (ST3).
 # ---------------------------------------------------------------------------
 
-PORTER_SYNONYMS = {"join": ["join", "merg"],
+SYNQUERY_GROUPS = {"join": ["join", "merg"],
                    "fast": ["fast", "slow"],
                    "tabl": ["tabl", "row"],
                    "data": ["data", "stream"]}
 
-SYNONYM_QUERIES = ["join filter", "fast batch", "table data"]
+SYNQUERY_QUERIES = ["join filter", "fast batch", "table data"]
 
 
-def porter_synonym_topk(index_dir: str,
+def porter_synquery_topk(index_dir: str,
                         queries: list[str] | None = None,
                         synonyms: dict | None = None,
                         k: int = 10) -> pa.Table:
     """(query, rank, conv_id, turn_idx, score_q): BM25 where each
     analyzed term expands to its synonym group under SynonymQuery
     semantics (summed tf, max df) — DuckDB hash-matched."""
-    queries = queries if queries is not None else SYNONYM_QUERIES
-    synonyms = synonyms if synonyms is not None else PORTER_SYNONYMS
+    queries = queries if queries is not None else SYNQUERY_QUERIES
+    synonyms = synonyms if synonyms is not None else SYNQUERY_GROUPS
     reader, params = _porter_reader(index_dir)
     n, avgdl = reader.n_docs, reader.avgdl
     out_q, out_r, out_c, out_t, out_s = [], [], [], [], []
@@ -4232,13 +4258,13 @@ def porter_synonym_topk(index_dir: str,
     })
 
 
-def porter_synonym_sql(queries: list[str] | None = None,
+def porter_synquery_sql(queries: list[str] | None = None,
                        synonyms: dict | None = None,
                        k: int = 10) -> str:
     """Oracle: per (query, group) summed tf joined with the group MAX
     df, then the standard quantized BM25 tail."""
-    queries = queries if queries is not None else SYNONYM_QUERIES
-    synonyms = synonyms if synonyms is not None else PORTER_SYNONYMS
+    queries = queries if queries is not None else SYNQUERY_QUERIES
+    synonyms = synonyms if synonyms is not None else SYNQUERY_GROUPS
     rows = []
     for q in queries:
         for gi, t in enumerate(_analyzed(q)):

@@ -20,7 +20,10 @@ CASES = [
     "feature_hash_vectors", "graph_feature_prop", "upsert_merge",
     "ivm_distinct_retract", "bootstrap_resamples",
     "weighted_median_price", "group_kfold",
-    "porter_synonym_topk", "porter_lossynorm_topk",
+    "porter_synquery_topk", "porter_lossynorm_topk",
+    # the two driver-window suite entries that carry this session's
+    # cells as arms — pinned whole so the window composition is tested
+    "relational_suite", "porter_rank_matrix",
 ]
 
 
