@@ -2180,6 +2180,23 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_conformal_intervals(sf_dir: str) -> pa.Table:
+    """Split conformal prediction: exact finite-sample rank quantile
+    of |value − calibration median| per type, test coverage in ppm —
+    DuckDB hash-matched."""
+    from rayse.ops.conformal import conformal_intervals
+
+    return conformal_intervals(sf_dir)
+
+
+def _q_mutual_knn_pairs(sf_dir: str) -> pa.Table:
+    """Mutual-kNN graph edges over quantized-L2 neighbours (the
+    clustering graph-construction step) — DuckDB hash-matched."""
+    from rayse.ops.conformal import mutual_knn_pairs
+
+    return mutual_knn_pairs(sf_dir)
+
+
 def _q_bootstrap_resamples(sf_dir: str) -> pa.Table:
     """Poisson bootstrap (Chamandy et al. 2012): row-local exact
     inverse-CDF multiplicities from hard-coded integer Poisson(1)
@@ -4022,6 +4039,9 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                ["n_hits"])
     fh = _melt(_as_table(_q_feature_hash_vectors(sf_dir)),
                ["doc_id", "bucket"], ["val"])
+    cf = _melt(_q_conformal_intervals(sf_dir), ["event_type"],
+               ["n_cal", "n_test", "q_cents", "covered_ppm"])
+    mk2 = _melt(_q_mutual_knn_pairs(sf_dir), ["a"], ["b"])
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
                           ("q3", q3), ("q10", q10), ("coverage", iv),
                           ("skyline", sky), ("pairs", fp),
@@ -4055,7 +4075,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("huffman", hf), ("gprop", gp),
                           ("upsert", up), ("ivm", iv2), ("boot", bo),
                           ("wmed", wm), ("kfold", kf), ("gaz", gz),
-                          ("fhash", fh)])
+                          ("fhash", fh), ("conformal", cf),
+                          ("mknn", mk2)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -4327,6 +4348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_kfold": _q_group_kfold,
         "porter_synquery_topk": _q_porter_synquery_topk,
         "porter_lossynorm_topk": _q_porter_lossynorm_topk,
+        "conformal_intervals": _q_conformal_intervals,
+        "mutual_knn_pairs": _q_mutual_knn_pairs,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4919,7 +4942,16 @@ def oracle_sql() -> dict[str, str]:
             ("fhash", __import__(
                 "rayse.ops.fhash",
                 fromlist=["x"]).feature_hash_vectors_sql(),
-             ("doc_id", "bucket"), ("val",))]),
+             ("doc_id", "bucket"), ("val",)),
+            ("conformal", __import__(
+                "rayse.ops.conformal",
+                fromlist=["x"]).conformal_intervals_sql(),
+             ("event_type",),
+             ("n_cal", "n_test", "q_cents", "covered_ppm")),
+            ("mknn", __import__(
+                "rayse.ops.conformal",
+                fromlist=["x"]).mutual_knn_pairs_sql(),
+             ("a",), ("b",))]),
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -5542,6 +5574,12 @@ def oracle_sql() -> dict[str, str]:
         "porter_lossynorm_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_lossynorm_sql(),
+        "conformal_intervals": __import__(
+            "rayse.ops.conformal",
+            fromlist=["x"]).conformal_intervals_sql(),
+        "mutual_knn_pairs": __import__(
+            "rayse.ops.conformal",
+            fromlist=["x"]).mutual_knn_pairs_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
