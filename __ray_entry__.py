@@ -2180,6 +2180,16 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_scc_components(sf_dir: str) -> pa.Table:
+    """Strongly connected components by the distributed coloring
+    algorithm (forward min-label fixpoint + in-class backward sweep
+    per outer round) — hash-matched against the mutual-reachability
+    closure oracle."""
+    from rayse.ops.scc import scc_components
+
+    return scc_components(sf_dir)
+
+
 def _q_conformal_intervals(sf_dir: str) -> pa.Table:
     """Split conformal prediction: exact finite-sample rank quantile
     of |value − calibration median| per type, test coverage in ppm —
@@ -4042,6 +4052,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
     cf = _melt(_q_conformal_intervals(sf_dir), ["event_type"],
                ["n_cal", "n_test", "q_cents", "covered_ppm"])
     mk2 = _melt(_q_mutual_knn_pairs(sf_dir), ["a"], ["b"])
+    sc = _melt(_q_scc_components(sf_dir), ["v"],
+               ["comp", "comp_size"])
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
                           ("q3", q3), ("q10", q10), ("coverage", iv),
                           ("skyline", sky), ("pairs", fp),
@@ -4076,7 +4088,7 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("upsert", up), ("ivm", iv2), ("boot", bo),
                           ("wmed", wm), ("kfold", kf), ("gaz", gz),
                           ("fhash", fh), ("conformal", cf),
-                          ("mknn", mk2)])
+                          ("mknn", mk2), ("scc", sc)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -4350,6 +4362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_lossynorm_topk": _q_porter_lossynorm_topk,
         "conformal_intervals": _q_conformal_intervals,
         "mutual_knn_pairs": _q_mutual_knn_pairs,
+        "scc_components": _q_scc_components,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4951,7 +4964,10 @@ def oracle_sql() -> dict[str, str]:
             ("mknn", __import__(
                 "rayse.ops.conformal",
                 fromlist=["x"]).mutual_knn_pairs_sql(),
-             ("a",), ("b",))]),
+             ("a",), ("b",)),
+            ("scc", __import__(
+                "rayse.ops.scc", fromlist=["x"]).scc_components_sql(),
+             ("v",), ("comp", "comp_size"))]),
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -5580,6 +5596,8 @@ def oracle_sql() -> dict[str, str]:
         "mutual_knn_pairs": __import__(
             "rayse.ops.conformal",
             fromlist=["x"]).mutual_knn_pairs_sql(),
+        "scc_components": __import__(
+            "rayse.ops.scc", fromlist=["x"]).scc_components_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
