@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_selinger_plan(sf_dir: str) -> pa.Table:
+    """Selinger DP join ordering over exactly-computed distributed
+    statistics (System-R estimates, C_out cost, connected-subset DP)
+    — DuckDB hash-matched stats AND search."""
+    from rayse.ops.selinger import selinger_plan
+
+    return selinger_plan(sf_dir)
+
+
 def _q_scc_components(sf_dir: str) -> pa.Table:
     """Strongly connected components by the distributed coloring
     algorithm (forward min-label fixpoint + in-class backward sweep
@@ -4054,6 +4063,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
     mk2 = _melt(_q_mutual_knn_pairs(sf_dir), ["a"], ["b"])
     sc = _melt(_q_scc_components(sf_dir), ["v"],
                ["comp", "comp_size"])
+    sel = _melt(_q_selinger_plan(sf_dir), ["subset", "best_split"],
+                ["n_rows_est", "best_cost"])
     return _tagged_union([("pricing", pr), ("topcust", tc), ("qpp", qp),
                           ("q3", q3), ("q10", q10), ("coverage", iv),
                           ("skyline", sky), ("pairs", fp),
@@ -4088,7 +4099,8 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
                           ("upsert", up), ("ivm", iv2), ("boot", bo),
                           ("wmed", wm), ("kfold", kf), ("gaz", gz),
                           ("fhash", fh), ("conformal", cf),
-                          ("mknn", mk2), ("scc", sc)])
+                          ("mknn", mk2), ("scc", sc),
+                          ("selinger", sel)])
 
 
 def _q_order_suite(sf_dir: str) -> pa.Table:
@@ -4363,6 +4375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_intervals": _q_conformal_intervals,
         "mutual_knn_pairs": _q_mutual_knn_pairs,
         "scc_components": _q_scc_components,
+        "selinger_plan": _q_selinger_plan,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -4967,7 +4980,12 @@ def oracle_sql() -> dict[str, str]:
              ("a",), ("b",)),
             ("scc", __import__(
                 "rayse.ops.scc", fromlist=["x"]).scc_components_sql(),
-             ("v",), ("comp", "comp_size"))]),
+             ("v",), ("comp", "comp_size")),
+            ("selinger", __import__(
+                "rayse.ops.selinger",
+                fromlist=["x"]).selinger_plan_sql(),
+             ("subset", "best_split"),
+             ("n_rows_est", "best_cost"))]),
         "order_suite": _tagged_union_sql([
             ("curriculum", "doc_id, rank", __import__(
                 "rayse.ops.curriculum",
@@ -5598,6 +5616,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).mutual_knn_pairs_sql(),
         "scc_components": __import__(
             "rayse.ops.scc", fromlist=["x"]).scc_components_sql(),
+        "selinger_plan": __import__(
+            "rayse.ops.selinger",
+            fromlist=["x"]).selinger_plan_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
