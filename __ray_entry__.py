@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_media_audio_frames(sf_dir: str):
+    """Framewise audio DSP features (integer energy + zero-crossing
+    count) through the actor-pool stage over text-derived PCM —
+    DuckDB hash-matched."""
+    from rayse.ops.multimodal import media_audio_frames
+
+    return media_audio_frames(sf_dir)
+
+
 def _q_selinger_plan(sf_dir: str) -> pa.Table:
     """Selinger DP join ordering over exactly-computed distributed
     statistics (System-R estimates, C_out cost, connected-subset DP)
@@ -4376,6 +4385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_knn_pairs": _q_mutual_knn_pairs,
         "scc_components": _q_scc_components,
         "selinger_plan": _q_selinger_plan,
+        "media_audio_frames": _q_media_audio_frames,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5619,6 +5629,9 @@ def oracle_sql() -> dict[str, str]:
         "selinger_plan": __import__(
             "rayse.ops.selinger",
             fromlist=["x"]).selinger_plan_sql(),
+        "media_audio_frames": __import__(
+            "rayse.ops.multimodal",
+            fromlist=["x"]).media_audio_frames_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),

@@ -462,3 +462,112 @@ SELECT sha256(text) AS digest,
 FROM documents
 GROUP BY sha256(text)
 ORDER BY digest"""
+
+
+# ---------------------------------------------------------------------------
+# Audio framewise DSP features — the audio member of the hard-oracle
+# media family (media_frames pins byte-window sampling; this pins the
+# SIGNAL-PROCESSING stage): payload bytes read as centered int8 PCM
+# (s = byte − 128), split into non-overlapping 32-sample frames, and
+# each frame reduced to integer energy Σs² and zero-crossing count
+# (adjacent sign(s≥0) flips) — the two classic voice-activity
+# features. The stage is an actor pool (DSP state — here the frame
+# geometry — prepared once in __init__); frames are dropped unless
+# FULL (the streaming framer's boundary rule). ASCII-corpus caveat as
+# the other media oracles.
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 32
+AUDIO_MAX_FRAMES = 4
+
+
+class AudioFrameStage:
+    """Actor-pool stage: payload -> (media_id, frame_idx, energy, zcr)."""
+
+    def __init__(self, frame: int = AUDIO_FRAME,
+                 max_frames: int = AUDIO_MAX_FRAMES):
+        self.frame = frame
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        out_i, out_f, out_e, out_z = [], [], [], []
+        for mid, p in zip(ids.tolist(), payloads):
+            s = (np.frombuffer(p or b"", np.uint8).astype(np.int64)
+                 - 128)
+            nf = min(s.size // self.frame, self.max_frames)
+            if nf == 0:
+                continue
+            fr = s[:nf * self.frame].reshape(nf, self.frame)
+            energy = (fr * fr).sum(axis=1)
+            sgn = fr >= 0
+            zcr = (sgn[:, 1:] != sgn[:, :-1]).sum(axis=1)
+            out_i.extend([int(mid)] * nf)
+            out_f.extend(range(nf))
+            out_e.extend(energy.tolist())
+            out_z.extend(zcr.tolist())
+        return pa.table({
+            "media_id": pa.array(out_i, pa.int64()),
+            "frame_idx": pa.array(out_f, pa.int64()),
+            "energy": pa.array(out_e, pa.int64()),
+            "zcr": pa.array(out_z, pa.int64()),
+        })
+
+
+def media_audio_frames(sf_dir: str):
+    """Dataset of framewise (media_id, frame_idx, energy, zcr) over
+    text-derived PCM — DuckDB hash-matched."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pc.cast(batch["text"], pa.binary()),
+        })
+
+    return (ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(AudioFrameStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2,
+                         zero_copy_batch=True))
+
+
+def media_audio_frames_sql(frame: int = AUDIO_FRAME,
+                           max_frames: int = AUDIO_MAX_FRAMES) -> str:
+    return f"""
+WITH pos AS (
+  SELECT d.doc_id AS media_id,
+         CAST(u.p AS BIGINT) AS p,
+         ascii(substr(d.text, CAST(u.p AS INTEGER), 1)) - 128 AS s
+  FROM documents d,
+       UNNEST(range(1, CAST(least(length(d.text),
+                                  {frame * max_frames}) AS BIGINT)
+                       + 1)) u(p)),
+fr AS (
+  SELECT media_id, (p - 1) // {frame} AS frame_idx, p, s FROM pos),
+full_fr AS (
+  SELECT media_id, frame_idx FROM fr
+  GROUP BY 1, 2 HAVING count(*) = {frame}),
+energy AS (
+  SELECT fr.media_id, fr.frame_idx,
+         CAST(sum(fr.s * fr.s) AS BIGINT) AS energy
+  FROM fr JOIN full_fr USING (media_id, frame_idx)
+  GROUP BY 1, 2),
+zc AS (
+  SELECT a.media_id, a.frame_idx,
+         CAST(count(*) FILTER (
+           WHERE (a.s >= 0) <> (b.s >= 0)) AS BIGINT) AS zcr
+  FROM fr a JOIN fr b
+    ON a.media_id = b.media_id AND a.frame_idx = b.frame_idx
+   AND b.p = a.p + 1
+       JOIN full_fr ff ON a.media_id = ff.media_id
+                      AND a.frame_idx = ff.frame_idx
+  GROUP BY 1, 2)
+SELECT e.media_id, e.frame_idx, e.energy, zc.zcr
+FROM energy e JOIN zc USING (media_id, frame_idx)
+ORDER BY media_id, frame_idx"""
