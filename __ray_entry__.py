@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_quantile_normalize(sf_dir: str) -> pa.Table:
+    """Quantile normalization: per-source rank map onto the global
+    distribution via cross-multiplied CDF matching (no division) —
+    DuckDB hash-matched."""
+    from rayse.ops.qnorm import quantile_normalize
+
+    return quantile_normalize(sf_dir)
+
+
 def _q_media_audio_frames(sf_dir: str):
     """Framewise audio DSP features (integer energy + zero-crossing
     count) through the actor-pool stage over text-derived PCM —
@@ -4386,6 +4395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_components": _q_scc_components,
         "selinger_plan": _q_selinger_plan,
         "media_audio_frames": _q_media_audio_frames,
+        "quantile_normalize": _q_quantile_normalize,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5632,6 +5642,9 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_frames": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_audio_frames_sql(),
+        "quantile_normalize": __import__(
+            "rayse.ops.qnorm",
+            fromlist=["x"]).quantile_normalize_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),

@@ -22,7 +22,7 @@ CASES = [
     "weighted_median_price", "group_kfold",
     "porter_synquery_topk", "porter_lossynorm_topk",
     "conformal_intervals", "mutual_knn_pairs", "scc_components",
-    "selinger_plan", "media_audio_frames",
+    "selinger_plan", "media_audio_frames", "quantile_normalize",
     # the two driver-window suite entries that carry this session's
     # cells as arms — pinned whole so the window composition is tested
     "relational_suite", "porter_rank_matrix",
