@@ -2180,6 +2180,23 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_bitvector_rank_select(sf_dir: str) -> pa.Table:
+    """Succinct rank/select dictionary: bounded per-day directory +
+    pushdown-filtered in-bucket residuals — DuckDB hash-matched."""
+    from rayse.ops.succinct import bitvector_rank_select
+
+    return bitvector_rank_select(sf_dir)
+
+
+def _q_support_points(sf_dir: str) -> pa.Table:
+    """Convex support-function sample: per integer direction the
+    exact-dot extreme point via per-batch argmax partials — DuckDB
+    hash-matched."""
+    from rayse.ops.succinct import support_points
+
+    return support_points(sf_dir)
+
+
 def _q_quantile_normalize(sf_dir: str) -> pa.Table:
     """Quantile normalization: per-source rank map onto the global
     distribution via cross-multiplied CDF matching (no division) —
@@ -4396,6 +4413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selinger_plan": _q_selinger_plan,
         "media_audio_frames": _q_media_audio_frames,
         "quantile_normalize": _q_quantile_normalize,
+        "bitvector_rank_select": _q_bitvector_rank_select,
+        "support_points": _q_support_points,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5645,6 +5664,12 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": __import__(
             "rayse.ops.qnorm",
             fromlist=["x"]).quantile_normalize_sql(),
+        "bitvector_rank_select": __import__(
+            "rayse.ops.succinct",
+            fromlist=["x"]).bitvector_rank_select_sql(),
+        "support_points": __import__(
+            "rayse.ops.succinct",
+            fromlist=["x"]).support_points_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
