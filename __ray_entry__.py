@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_activity_selection(sf_dir: str) -> pa.Table:
+    """Earliest-end greedy interval scheduling per user (one user
+    exchange, chain-walk recursive oracle; optimality pinned
+    greedy==DP in pytest) — DuckDB hash-matched."""
+    from rayse.ops.activity import activity_selection
+
+    return activity_selection(sf_dir)
+
+
 def _q_bitvector_rank_select(sf_dir: str) -> pa.Table:
     """Succinct rank/select dictionary: bounded per-day directory +
     pushdown-filtered in-bucket residuals — DuckDB hash-matched."""
@@ -4415,6 +4424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize": _q_quantile_normalize,
         "bitvector_rank_select": _q_bitvector_rank_select,
         "support_points": _q_support_points,
+        "activity_selection": _q_activity_selection,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5670,6 +5680,9 @@ def oracle_sql() -> dict[str, str]:
         "support_points": __import__(
             "rayse.ops.succinct",
             fromlist=["x"]).support_points_sql(),
+        "activity_selection": __import__(
+            "rayse.ops.activity",
+            fromlist=["x"]).activity_selection_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),

@@ -23,7 +23,7 @@ CASES = [
     "porter_synquery_topk", "porter_lossynorm_topk",
     "conformal_intervals", "mutual_knn_pairs", "scc_components",
     "selinger_plan", "media_audio_frames", "quantile_normalize",
-    "bitvector_rank_select", "support_points",
+    "bitvector_rank_select", "support_points", "activity_selection",
     # the two driver-window suite entries that carry this session's
     # cells as arms — pinned whole so the window composition is tested
     "relational_suite", "porter_rank_matrix",
