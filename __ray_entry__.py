@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_maximal_independent_set(sf_dir: str) -> pa.Table:
+    """Deterministic-Luby MIS (local-min-priority rounds, edges
+    stream, vectors broadcast) — DuckDB hash-matched replay plus
+    independence/maximality pytest pins."""
+    from rayse.ops.mis import maximal_independent_set
+
+    return maximal_independent_set(sf_dir)
+
+
 def _q_activity_selection(sf_dir: str) -> pa.Table:
     """Earliest-end greedy interval scheduling per user (one user
     exchange, chain-walk recursive oracle; optimality pinned
@@ -4425,6 +4434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitvector_rank_select": _q_bitvector_rank_select,
         "support_points": _q_support_points,
         "activity_selection": _q_activity_selection,
+        "maximal_independent_set": _q_maximal_independent_set,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5683,6 +5693,9 @@ def oracle_sql() -> dict[str, str]:
         "activity_selection": __import__(
             "rayse.ops.activity",
             fromlist=["x"]).activity_selection_sql(),
+        "maximal_independent_set": __import__(
+            "rayse.ops.mis",
+            fromlist=["x"]).maximal_independent_set_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
