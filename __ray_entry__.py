@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_temporal_reachability(sf_dir: str) -> pa.Table:
+    """Time-respecting earliest-arrival reachability (foremost
+    journeys): gated min-label rounds over timestamped edges —
+    DuckDB hash-matched against the carried recursive fixpoint."""
+    from rayse.ops.temporal import temporal_reachability
+
+    return temporal_reachability(sf_dir)
+
+
 def _q_maximal_independent_set(sf_dir: str) -> pa.Table:
     """Deterministic-Luby MIS (local-min-priority rounds, edges
     stream, vectors broadcast) — DuckDB hash-matched replay plus
@@ -4435,6 +4444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "support_points": _q_support_points,
         "activity_selection": _q_activity_selection,
         "maximal_independent_set": _q_maximal_independent_set,
+        "temporal_reachability": _q_temporal_reachability,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5696,6 +5706,9 @@ def oracle_sql() -> dict[str, str]:
         "maximal_independent_set": __import__(
             "rayse.ops.mis",
             fromlist=["x"]).maximal_independent_set_sql(),
+        "temporal_reachability": __import__(
+            "rayse.ops.temporal",
+            fromlist=["x"]).temporal_reachability_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),

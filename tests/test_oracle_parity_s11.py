@@ -24,7 +24,7 @@ CASES = [
     "conformal_intervals", "mutual_knn_pairs", "scc_components",
     "selinger_plan", "media_audio_frames", "quantile_normalize",
     "bitvector_rank_select", "support_points", "activity_selection",
-    "maximal_independent_set",
+    "maximal_independent_set", "temporal_reachability",
     # the two driver-window suite entries that carry this session's
     # cells as arms — pinned whole so the window composition is tested
     "relational_suite", "porter_rank_matrix",
