@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_wl_refinement(sf_dir: str) -> pa.Table:
+    """1-WL color refinement (two unrolled rounds, canonical-string
+    FNV rehash of own color + sorted neighbour multiset) — DuckDB
+    hash-matched."""
+    from rayse.ops.wl import wl_refinement
+
+    return wl_refinement(sf_dir)
+
+
 def _q_temporal_reachability(sf_dir: str) -> pa.Table:
     """Time-respecting earliest-arrival reachability (foremost
     journeys): gated min-label rounds over timestamped edges —
@@ -4445,6 +4454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_selection": _q_activity_selection,
         "maximal_independent_set": _q_maximal_independent_set,
         "temporal_reachability": _q_temporal_reachability,
+        "wl_refinement": _q_wl_refinement,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5709,6 +5719,8 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reachability": __import__(
             "rayse.ops.temporal",
             fromlist=["x"]).temporal_reachability_sql(),
+        "wl_refinement": __import__(
+            "rayse.ops.wl", fromlist=["x"]).wl_refinement_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
