@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_deepwalk_corpus(sf_dir: str) -> pa.Table:
+    """Deterministic DeepWalk corpus: lockstep broadcast-frontier
+    walks with splitmix neighbour draws — DuckDB hash-matched against
+    the recursive offset-pick oracle."""
+    from rayse.ops.deepwalk import deepwalk_corpus
+
+    return deepwalk_corpus(sf_dir)
+
+
 def _q_wl_refinement(sf_dir: str) -> pa.Table:
     """1-WL color refinement (two unrolled rounds, canonical-string
     FNV rehash of own color + sorted neighbour multiset) — DuckDB
@@ -4455,6 +4464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_independent_set": _q_maximal_independent_set,
         "temporal_reachability": _q_temporal_reachability,
         "wl_refinement": _q_wl_refinement,
+        "deepwalk_corpus": _q_deepwalk_corpus,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5721,6 +5731,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).temporal_reachability_sql(),
         "wl_refinement": __import__(
             "rayse.ops.wl", fromlist=["x"]).wl_refinement_sql(),
+        "deepwalk_corpus": __import__(
+            "rayse.ops.deepwalk",
+            fromlist=["x"]).deepwalk_corpus_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
