@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_greedy_set_cover(sf_dir: str) -> pa.Table:
+    """Greedy set cover (data-subset selection): covered-vocab
+    broadcast + per-batch argmax partials per round — DuckDB
+    hash-matched; multi-round path pinned on a synthetic corpus."""
+    from rayse.ops.setcover import greedy_set_cover
+
+    return greedy_set_cover(sf_dir)
+
+
 def _q_deepwalk_corpus(sf_dir: str) -> pa.Table:
     """Deterministic DeepWalk corpus: lockstep broadcast-frontier
     walks with splitmix neighbour draws — DuckDB hash-matched against
@@ -4465,6 +4474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_reachability": _q_temporal_reachability,
         "wl_refinement": _q_wl_refinement,
         "deepwalk_corpus": _q_deepwalk_corpus,
+        "greedy_set_cover": _q_greedy_set_cover,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5734,6 +5744,9 @@ def oracle_sql() -> dict[str, str]:
         "deepwalk_corpus": __import__(
             "rayse.ops.deepwalk",
             fromlist=["x"]).deepwalk_corpus_sql(),
+        "greedy_set_cover": __import__(
+            "rayse.ops.setcover",
+            fromlist=["x"]).greedy_set_cover_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),

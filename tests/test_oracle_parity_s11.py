@@ -25,7 +25,7 @@ CASES = [
     "selinger_plan", "media_audio_frames", "quantile_normalize",
     "bitvector_rank_select", "support_points", "activity_selection",
     "maximal_independent_set", "temporal_reachability",
-    "wl_refinement", "deepwalk_corpus",
+    "wl_refinement", "deepwalk_corpus", "greedy_set_cover",
     # the two driver-window suite entries that carry this session's
     # cells as arms — pinned whole so the window composition is tested
     "relational_suite", "porter_rank_matrix",
