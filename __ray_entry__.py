@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_node2vec_corpus(sf_dir: str) -> pa.Table:
+    """Deterministic node2vec: biased second-order walks (return/
+    common/outward integer weights, splitmix draws) — DuckDB
+    hash-matched against the carried (prev, cur) recursion."""
+    from rayse.ops.node2vec import node2vec_corpus
+
+    return node2vec_corpus(sf_dir)
+
+
 def _q_greedy_set_cover(sf_dir: str) -> pa.Table:
     """Greedy set cover (data-subset selection): covered-vocab
     broadcast + per-batch argmax partials per round — DuckDB
@@ -4475,6 +4484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_refinement": _q_wl_refinement,
         "deepwalk_corpus": _q_deepwalk_corpus,
         "greedy_set_cover": _q_greedy_set_cover,
+        "node2vec_corpus": _q_node2vec_corpus,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5747,6 +5757,9 @@ def oracle_sql() -> dict[str, str]:
         "greedy_set_cover": __import__(
             "rayse.ops.setcover",
             fromlist=["x"]).greedy_set_cover_sql(),
+        "node2vec_corpus": __import__(
+            "rayse.ops.node2vec",
+            fromlist=["x"]).node2vec_corpus_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
