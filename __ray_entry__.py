@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_porter_gapphrase(sf_dir: str) -> pa.Table:
+    """Gap-phrase (wildcard-slot SpanNear) matching: exact in-order
+    stream-offset predicate via the generalized key-intersection —
+    DuckDB hash-matched."""
+    from rayse.ops.porter_oracle import porter_gapphrase_matches
+
+    return porter_gapphrase_matches(_index_for(sf_dir))
+
+
 def _q_node2vec_corpus(sf_dir: str) -> pa.Table:
     """Deterministic node2vec: biased second-order walks (return/
     common/outward integer weights, splitmix draws) — DuckDB
@@ -4485,6 +4494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deepwalk_corpus": _q_deepwalk_corpus,
         "greedy_set_cover": _q_greedy_set_cover,
         "node2vec_corpus": _q_node2vec_corpus,
+        "porter_gapphrase": _q_porter_gapphrase,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5760,6 +5770,9 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_corpus": __import__(
             "rayse.ops.node2vec",
             fromlist=["x"]).node2vec_corpus_sql(),
+        "porter_gapphrase": __import__(
+            "rayse.ops.porter_oracle",
+            fromlist=["x"]).porter_gapphrase_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),

@@ -4406,3 +4406,92 @@ ranked AS (
   FROM scored)
 SELECT query, CAST(rn AS INTEGER) AS rank, conv_id, turn_idx, score_q
 FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Gap-phrase (wildcard-slot) matching — Lucene SpanNearQuery with an
+# exact in-order distance (the "table * scan" query): term₀ at stream
+# position p and term₁ at exactly p + gap. Sits between the exact
+# phrase (gap 1, `phrase_match`) and the sloppy window (≤ slop,
+# `sloppy_match`): the EXACT-offset in-order predicate neither of
+# them expresses. The engine-side matcher generalizes
+# `engine.phrase_match`'s (candidate_rank << 32 | position − offset)
+# key-intersection to arbitrary offsets — no per-doc loop.
+# ---------------------------------------------------------------------------
+
+GAP_PATTERNS = [("tabl", "scan", 2), ("hash", "merg", 2),
+                ("group", "filter", 3)]
+
+
+def porter_gapphrase_matches(index_dir: str,
+                             patterns: list[tuple] | None = None
+                             ) -> pa.Table:
+    """(pattern, conv_id, turn_idx): turns where term_b occurs exactly
+    ``gap`` stream positions after term_a — DuckDB hash-matched."""
+    from ..query.engine import _PosCache, _intersect_sorted
+
+    patterns = patterns if patterns is not None else GAP_PATTERNS
+    reader, _ = _porter_reader(index_dir)
+    cache = _PosCache()
+    out_p, out_c, out_t = [], [], []
+    SHIFT = np.uint64(32)
+    for ta, tb, gap in patterns:
+        label = f"{ta} *{gap - 1} {tb}"
+        pls = [reader.merged(ta), reader.merged(tb)]
+        if any(pl is None for pl in pls):
+            continue
+        cand = _intersect_sorted(pls[0].doc_ids, pls[1].doc_ids)
+        if cand.size == 0:
+            continue
+        offsets = [0, gap]
+        start_keys = None
+        for pl, off in zip(pls, offsets):
+            pos_lists = cache.get(pl)
+            j = np.searchsorted(pl.doc_ids, cand)
+            lens = np.array([pos_lists[int(x)].size for x in j],
+                            np.int64)
+            ranks = np.repeat(np.arange(cand.size, dtype=np.uint64),
+                              lens)
+            pos = (np.concatenate([pos_lists[int(x)] for x in j])
+                   if j.size else np.empty(0, np.uint64))
+            keys = (ranks << SHIFT) | ((pos - np.uint64(off))
+                                       & np.uint64(0xFFFFFFFF))
+            keys.sort()
+            start_keys = keys if start_keys is None else \
+                _intersect_sorted(start_keys, keys)
+            if start_keys.size == 0:
+                break
+        if start_keys is None or start_keys.size == 0:
+            continue
+        hit = cand[np.unique(start_keys >> SHIFT).astype(np.int64)]
+        cmap = resolve_conv_ids(reader.index_dir, hit)
+        for d in hit.tolist():
+            out_p.append(label)
+            out_c.append(cmap[int(d) >> TURN_BITS])
+            out_t.append(int(d) & ((1 << TURN_BITS) - 1))
+    return pa.table({
+        "pattern": pa.array(out_p, pa.string()),
+        "conv_id": pa.array(out_c, pa.string()),
+        "turn_idx": pa.array(out_t, pa.int32()),
+    })
+
+
+def porter_gapphrase_sql(patterns: list[tuple] | None = None) -> str:
+    patterns = patterns if patterns is not None else GAP_PATTERNS
+    vals = ", ".join(f"('{ta} *{gap - 1} {tb}', '{ta}', '{tb}', {gap})"
+                     for ta, tb, gap in patterns)
+    return f"""{_analysis_ctes()},
+spos AS (
+  SELECT conv_id, turn_idx, term,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY rawpos) - 1 AS sp
+  FROM ptok),
+gp(pattern, ta, tb, gap) AS (VALUES {vals})
+SELECT DISTINCT gp.pattern, a.conv_id, a.turn_idx
+FROM gp
+     JOIN spos a ON a.term = gp.ta
+     JOIN spos b ON b.term = gp.tb
+               AND b.conv_id = a.conv_id
+               AND b.turn_idx = a.turn_idx
+               AND b.sp = a.sp + gp.gap
+ORDER BY gp.pattern, a.conv_id, a.turn_idx"""
