@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_lcs_pairs(sf_dir: str) -> pa.Table:
+    """LCS (the diff primitive) between doc pairs on the bounded token
+    grid — hash-matched against the MAX-semiring recursive wavefront
+    oracle (borders join the frontier at their own diagonal)."""
+    from rayse.ops.lcs import lcs_pairs
+
+    return lcs_pairs(sf_dir)
+
+
 def _q_porter_gapphrase(sf_dir: str) -> pa.Table:
     """Gap-phrase (wildcard-slot SpanNear) matching: exact in-order
     stream-offset predicate via the generalized key-intersection —
@@ -4495,6 +4504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_set_cover": _q_greedy_set_cover,
         "node2vec_corpus": _q_node2vec_corpus,
         "porter_gapphrase": _q_porter_gapphrase,
+        "lcs_pairs": _q_lcs_pairs,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5773,6 +5783,8 @@ def oracle_sql() -> dict[str, str]:
         "porter_gapphrase": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_gapphrase_sql(),
+        "lcs_pairs": __import__(
+            "rayse.ops.lcs", fromlist=["x"]).lcs_pairs_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),

@@ -26,7 +26,7 @@ CASES = [
     "bitvector_rank_select", "support_points", "activity_selection",
     "maximal_independent_set", "temporal_reachability",
     "wl_refinement", "deepwalk_corpus", "greedy_set_cover",
-    "node2vec_corpus", "porter_gapphrase",
+    "node2vec_corpus", "porter_gapphrase", "lcs_pairs",
     # the two driver-window suite entries that carry this session's
     # cells as arms — pinned whole so the window composition is tested
     "relational_suite", "porter_rank_matrix",
