@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_source_shapley(sf_dir: str) -> pa.Table:
+    """Exact integer Shapley data valuation of player sources for
+    vocabulary coverage (2^n lattice over the bitmask histogram) —
+    DuckDB hash-matched."""
+    from rayse.ops.shapley import source_shapley
+
+    return source_shapley(sf_dir)
+
+
 def _q_lcs_pairs(sf_dir: str) -> pa.Table:
     """LCS (the diff primitive) between doc pairs on the bounded token
     grid — hash-matched against the MAX-semiring recursive wavefront
@@ -4505,6 +4514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_corpus": _q_node2vec_corpus,
         "porter_gapphrase": _q_porter_gapphrase,
         "lcs_pairs": _q_lcs_pairs,
+        "source_shapley": _q_source_shapley,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5785,6 +5795,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).porter_gapphrase_sql(),
         "lcs_pairs": __import__(
             "rayse.ops.lcs", fromlist=["x"]).lcs_pairs_sql(),
+        "source_shapley": __import__(
+            "rayse.ops.shapley",
+            fromlist=["x"]).source_shapley_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
