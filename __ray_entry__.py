@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_stable_matching(sf_dir: str) -> pa.Table:
+    """Gale-Shapley deferred acceptance (parallel proposal rounds,
+    supplier-optimal) — DuckDB hash-matched; the no-blocking-pair
+    stability theorem asserted in pytest."""
+    from rayse.ops.stable import stable_matching
+
+    return stable_matching(sf_dir)
+
+
 def _q_source_shapley(sf_dir: str) -> pa.Table:
     """Exact integer Shapley data valuation of player sources for
     vocabulary coverage (2^n lattice over the bitmask histogram) —
@@ -4515,6 +4524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter_gapphrase": _q_porter_gapphrase,
         "lcs_pairs": _q_lcs_pairs,
         "source_shapley": _q_source_shapley,
+        "stable_matching": _q_stable_matching,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5798,6 +5808,9 @@ def oracle_sql() -> dict[str, str]:
         "source_shapley": __import__(
             "rayse.ops.shapley",
             fromlist=["x"]).source_shapley_sql(),
+        "stable_matching": __import__(
+            "rayse.ops.stable",
+            fromlist=["x"]).stable_matching_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
