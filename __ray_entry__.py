@@ -2180,6 +2180,14 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_knapsack_select(sf_dir: str) -> pa.Table:
+    """Token-budget 0/1 knapsack: the sampled optimal-value frontier
+    via the carried-dp-curve recursion — DuckDB hash-matched."""
+    from rayse.ops.knapsack import knapsack_select
+
+    return knapsack_select(sf_dir)
+
+
 def _q_stable_matching(sf_dir: str) -> pa.Table:
     """Gale-Shapley deferred acceptance (parallel proposal rounds,
     supplier-optimal) — DuckDB hash-matched; the no-blocking-pair
@@ -4525,6 +4533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcs_pairs": _q_lcs_pairs,
         "source_shapley": _q_source_shapley,
         "stable_matching": _q_stable_matching,
+        "knapsack_select": _q_knapsack_select,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5811,6 +5820,9 @@ def oracle_sql() -> dict[str, str]:
         "stable_matching": __import__(
             "rayse.ops.stable",
             fromlist=["x"]).stable_matching_sql(),
+        "knapsack_select": __import__(
+            "rayse.ops.knapsack",
+            fromlist=["x"]).knapsack_select_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
