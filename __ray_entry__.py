@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_lis_per_user(sf_dir: str) -> pa.Table:
+    """Longest increasing subsequence per user: O(n log n) patience
+    scan vs the O(n²) lockstep recursion oracle — two algorithms, one
+    answer — DuckDB hash-matched."""
+    from rayse.ops.lis import lis_per_user
+
+    return lis_per_user(sf_dir)
+
+
 def _q_knapsack_select(sf_dir: str) -> pa.Table:
     """Token-budget 0/1 knapsack: the sampled optimal-value frontier
     via the carried-dp-curve recursion — DuckDB hash-matched."""
@@ -4534,6 +4543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_shapley": _q_source_shapley,
         "stable_matching": _q_stable_matching,
         "knapsack_select": _q_knapsack_select,
+        "lis_per_user": _q_lis_per_user,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5823,6 +5833,8 @@ def oracle_sql() -> dict[str, str]:
         "knapsack_select": __import__(
             "rayse.ops.knapsack",
             fromlist=["x"]).knapsack_select_sql(),
+        "lis_per_user": __import__(
+            "rayse.ops.lis", fromlist=["x"]).lis_per_user_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
