@@ -2180,6 +2180,14 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_ef_gamma_audit(sf_dir: str) -> pa.Table:
+    """Elias-Fano vs Elias-gamma per-term postings-size audit (the
+    quasi-succinct encoding decision) — DuckDB hash-matched."""
+    from rayse.ops.eliasfano import ef_gamma_audit
+
+    return ef_gamma_audit(sf_dir)
+
+
 def _q_lis_per_user(sf_dir: str) -> pa.Table:
     """Longest increasing subsequence per user: O(n log n) patience
     scan vs the O(n²) lockstep recursion oracle — two algorithms, one
@@ -4544,6 +4552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stable_matching": _q_stable_matching,
         "knapsack_select": _q_knapsack_select,
         "lis_per_user": _q_lis_per_user,
+        "ef_gamma_audit": _q_ef_gamma_audit,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5835,6 +5844,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).knapsack_select_sql(),
         "lis_per_user": __import__(
             "rayse.ops.lis", fromlist=["x"]).lis_per_user_sql(),
+        "ef_gamma_audit": __import__(
+            "rayse.ops.eliasfano",
+            fromlist=["x"]).ef_gamma_audit_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
