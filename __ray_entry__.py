@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_weighted_interval_schedule(sf_dir: str) -> pa.Table:
+    """Weighted interval scheduling DP per user (the value-aware
+    answer the earliest-end greedy provably cannot give) — DuckDB
+    hash-matched via the lockstep carried-prefix recursion."""
+    from rayse.ops.wis import weighted_interval_schedule
+
+    return weighted_interval_schedule(sf_dir)
+
+
 def _q_ef_gamma_audit(sf_dir: str) -> pa.Table:
     """Elias-Fano vs Elias-gamma per-term postings-size audit (the
     quasi-succinct encoding decision) — DuckDB hash-matched."""
@@ -4553,6 +4562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knapsack_select": _q_knapsack_select,
         "lis_per_user": _q_lis_per_user,
         "ef_gamma_audit": _q_ef_gamma_audit,
+        "weighted_interval_schedule": _q_weighted_interval_schedule,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5847,6 +5857,9 @@ def oracle_sql() -> dict[str, str]:
         "ef_gamma_audit": __import__(
             "rayse.ops.eliasfano",
             fromlist=["x"]).ef_gamma_audit_sql(),
+        "weighted_interval_schedule": __import__(
+            "rayse.ops.wis",
+            fromlist=["x"]).weighted_interval_schedule_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
