@@ -2180,6 +2180,14 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_absorption_probability(sf_dir: str) -> pa.Table:
+    """K-step conversion probability per state (absorbing-chain
+    fixed point, 2^20 truncating integers) — DuckDB hash-matched."""
+    from rayse.ops.absorb import absorption_probability
+
+    return absorption_probability(sf_dir)
+
+
 def _q_weighted_interval_schedule(sf_dir: str) -> pa.Table:
     """Weighted interval scheduling DP per user (the value-aware
     answer the earliest-end greedy provably cannot give) — DuckDB
@@ -4563,6 +4571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lis_per_user": _q_lis_per_user,
         "ef_gamma_audit": _q_ef_gamma_audit,
         "weighted_interval_schedule": _q_weighted_interval_schedule,
+        "absorption_probability": _q_absorption_probability,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5860,6 +5869,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_interval_schedule": __import__(
             "rayse.ops.wis",
             fromlist=["x"]).weighted_interval_schedule_sql(),
+        "absorption_probability": __import__(
+            "rayse.ops.absorb",
+            fromlist=["x"]).absorption_probability_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),
