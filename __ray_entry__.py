@@ -2180,6 +2180,15 @@ def _q_group_kfold(sf_dir: str) -> pa.Table:
     return group_kfold(sf_dir)
 
 
+def _q_border_per_user(sf_dir: str) -> pa.Table:
+    """KMP longest border / minimal period of each user's event-code
+    string — algorithm-vs-DEFINITION pin (linear failure function vs
+    direct prefix==suffix max) — DuckDB hash-matched."""
+    from rayse.ops.border import border_per_user
+
+    return border_per_user(sf_dir)
+
+
 def _q_absorption_probability(sf_dir: str) -> pa.Table:
     """K-step conversion probability per state (absorbing-chain
     fixed point, 2^20 truncating integers) — DuckDB hash-matched."""
@@ -4572,6 +4581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ef_gamma_audit": _q_ef_gamma_audit,
         "weighted_interval_schedule": _q_weighted_interval_schedule,
         "absorption_probability": _q_absorption_probability,
+        "border_per_user": _q_border_per_user,
         "twap_daily": _q_twap_daily,
         "adamic_adar": _q_adamic_adar,
         "dp_event_counts": _q_dp_event_counts,
@@ -5872,6 +5882,9 @@ def oracle_sql() -> dict[str, str]:
         "absorption_probability": __import__(
             "rayse.ops.absorb",
             fromlist=["x"]).absorption_probability_sql(),
+        "border_per_user": __import__(
+            "rayse.ops.border",
+            fromlist=["x"]).border_per_user_sql(),
         "porter_convscope_topk": __import__(
             "rayse.ops.porter_oracle",
             fromlist=["x"]).porter_convscope_sql(),

@@ -29,7 +29,7 @@ CASES = [
     "node2vec_corpus", "porter_gapphrase", "lcs_pairs",
     "source_shapley", "stable_matching", "knapsack_select",
     "lis_per_user", "ef_gamma_audit", "weighted_interval_schedule",
-    "absorption_probability",
+    "absorption_probability", "border_per_user",
     # the two driver-window suite entries that carry this session's
     # cells as arms — pinned whole so the window composition is tested
     "relational_suite", "porter_rank_matrix",
