@@ -4210,7 +4210,7 @@ def _q_relational_suite(sf_dir: str) -> pa.Table:
     q2 = _melt(_q_min_cost_supplier(sf_dir), ["p_partkey", "s_name"],
                ["s_acctbal_cents", "cost_micro", "s_suppkey"])
     q9 = _melt(_q_profit_by_nation_year(sf_dir), ["nation", "o_year"],
-               ["profit"])
+               ["profit_rev_only"])
     kn = _melt(_q_knn_classify(sf_dir), ["q_id"],
                ["pred_label", "votes", "kth_dist"])
     dt = _melt(_q_dtw_profiles(sf_dir), ["type_a", "type_b"], ["dtw"])
@@ -5107,7 +5107,7 @@ def oracle_sql() -> dict[str, str]:
             ("q9", __import__(
                 "rayse.ops.tpch2",
                 fromlist=["x"]).profit_by_nation_year_sql(),
-             ("nation", "o_year"), ("profit",)),
+             ("nation", "o_year"), ("profit_rev_only",)),
             ("knn", __import__(
                 "rayse.ops.knn", fromlist=["x"]).knn_classify_sql(),
              ("q_id",), ("pred_label", "votes", "kth_dist")),

@@ -79,6 +79,12 @@ def conformal_intervals(sf_dir: str) -> pa.Table:
         mc, mt = m & (sp == 0), m & (sp == 1)
         cc, nc = cents[mc], n[mc]
         ct, nt = cents[mt], n[mt]
+        # the oracle's q⋈cov inner joins drop a type missing either
+        # split (no calibration rows -> no quantile; no test rows -> no
+        # coverage row): mirror that dropping here so both engines agree
+        # by construction on degenerate splits (ADVICE r4)
+        if int(nc.sum()) == 0 or int(nt.sum()) == 0:
+            continue
         o = np.argsort(cc)
         cc, nc = cc[o], nc[o]
         n_cal = int(nc.sum())

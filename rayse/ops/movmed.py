@@ -53,10 +53,13 @@ def moving_median_daily(sf_dir: str) -> pa.Table:
         key = np.char.add(np.char.add(et.astype(str), "|"),
                           day.astype(str))
         uk, inv = np.unique(key, return_inverse=True)
+        # integer accumulation (np.add.at on int64, not a float64
+        # bincount): per-key cent sums stay exact past 2^53 (ADVICE r4)
+        sums = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(sums, inv, cents)
         return pa.table({
             "key": pa.array(uk.tolist(), pa.string()),
-            "rev": pa.array(np.bincount(inv, cents, uk.size)
-                            .astype(np.int64), pa.int64()),
+            "rev": pa.array(sums, pa.int64()),
         })
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")

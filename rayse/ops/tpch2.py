@@ -211,7 +211,7 @@ LIMIT {k}"""
 
 
 def profit_by_nation_year(sf_dir: str) -> pa.Table:
-    """(nation, o_year, profit): 1e-4-unit revenue of '{Q9_NEEDLE}'
+    """(nation, o_year, profit_rev_only): 1e-4-unit revenue of '{Q9_NEEDLE}'
     parts by supplier nation and order year, nation asc / year desc —
     DuckDB hash-matched."""
     import pyarrow.parquet as pq
@@ -313,7 +313,7 @@ def profit_by_nation_year(sf_dir: str) -> pa.Table:
     return pa.table({
         "nation": pa.array(nm[order].tolist(), pa.string()),
         "o_year": pa.array(yr[order], pa.int64()),
-        "profit": pa.array(rev[order], pa.int64()),
+        "profit_rev_only": pa.array(rev[order], pa.int64()),
     })
 
 
@@ -322,7 +322,7 @@ def profit_by_nation_year_sql() -> str:
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                     AS BIGINT)) AS BIGINT) AS profit
+                     AS BIGINT)) AS BIGINT) AS profit_rev_only
 FROM lineitem
      JOIN orders ON l_orderkey = o_orderkey
      JOIN supplier ON l_suppkey = s_suppkey
