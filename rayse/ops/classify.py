@@ -150,6 +150,170 @@ def _nb_model(sf_dir: str, label_col: str):
     return classes, priors_q, vocab, q
 
 
+def _nb_doc_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (whash, word, doc_id, tf) doc-term rows for the
+    exchange-routed scoring join (each document lives whole in one row,
+    so tf is the full document term frequency)."""
+    texts = batch["text"].to_pylist()
+    if not texts:
+        return pa.table({"whash": pa.array([], pa.uint64()),
+                         "word": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "tf": pa.array([], pa.int64())})
+    toks = [(t or "").split(" ") for t in texts]
+    counts = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+    doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False),
+                    counts)
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
+    key = np.char.add(np.char.add(doc.astype("U20"), "\x00"),
+                      flat.astype("U"))
+    _, first, tf = np.unique(key, return_index=True, return_counts=True)
+    u_words = flat[first]
+    h = fnv64_slices(*_word_slices(u_words))
+    return pa.table({
+        "whash": pa.array(h, pa.uint64()),
+        "word": pa.array(u_words.tolist(), pa.string()),
+        "doc_id": pa.array(doc[first], pa.int64()),
+        "tf": pa.array(tf.astype(np.int64), pa.int64()),
+    })
+
+
+def _nb_score_partition(tbl: pa.Table, t_c: np.ndarray,
+                        n_vocab: int) -> pa.Table:
+    """One whash partition holding BOTH the model's (word, class, cnt)
+    rows (doc_id = -(ci+1)) and the doc-term rows of its words: compute
+    each local word's quantized per-class log-prob q(w,c) =
+    floor(ln((cnt+1)/(T_c+V)) * 1e9) — identical operands to the
+    broadcast route, so bit-identical doubles — then per-(doc, class)
+    integer partial sums of tf * q."""
+    C = t_c.size
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "ci": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    words = np.asarray(tbl["word"].to_pylist(), dtype=object)
+    tf = tbl["tf"].to_numpy(zero_copy_only=False)
+    is_model = doc < 0
+    m_words = words[is_model]
+    # partition-local vocab (model rows cover every scoring word: the
+    # model trains on the same corpus)
+    vocab_p = np.unique(m_words)
+    cnt = np.zeros((vocab_p.size, C), dtype=np.int64)
+    wi_m = np.searchsorted(vocab_p, m_words)
+    ci_m = (-doc[is_model]) - 1
+    cnt[wi_m, ci_m] = tf[is_model]
+    q = np.floor(np.log((cnt + 1).astype(np.float64)
+                        / (t_c + n_vocab).astype(np.float64)) * 1e9) \
+        .astype(np.int64)
+    d_doc = doc[~is_model]
+    if d_doc.size == 0:
+        return empty
+    d_tf = tf[~is_model]
+    contrib = d_tf[:, None] * q[np.searchsorted(vocab_p,
+                                                words[~is_model])]
+    o = np.argsort(d_doc, kind="stable")
+    d_doc, contrib = d_doc[o], contrib[o]
+    new = np.empty(d_doc.size, dtype=bool)
+    new[0] = True
+    new[1:] = d_doc[1:] != d_doc[:-1]
+    starts = np.flatnonzero(new)
+    sums = np.add.reduceat(contrib, starts, axis=0)     # (n_docs_p, C)
+    docs_p = d_doc[starts]
+    return pa.table({
+        "doc_id": pa.array(np.repeat(docs_p, C), pa.int64()),
+        "ci": pa.array(np.tile(np.arange(C, dtype=np.int64),
+                               docs_p.size), pa.int64()),
+        "s": pa.array(sums.reshape(-1), pa.int64()),
+    })
+
+
+def _nb_final_partition(tbl: pa.Table, classes: np.ndarray,
+                        priors_q: np.ndarray) -> pa.Table:
+    """Second exchange reducer (by doc_id): sum the integer per-class
+    partials, add priors, argmax with class-ascending tie-break, margin
+    vs the runner-up — the broadcast route's exact finish."""
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pred": pa.array([], pa.string()),
+                         "score_q": pa.array([], pa.int64()),
+                         "margin_q": pa.array([], pa.int64())})
+    C = classes.size
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    ci = tbl["ci"].to_numpy(zero_copy_only=False)
+    s = tbl["s"].to_numpy(zero_copy_only=False)
+    docs_u, dinv = np.unique(doc, return_inverse=True)
+    mat = np.zeros((docs_u.size, C), dtype=np.int64)
+    np.add.at(mat, (dinv, ci), s)
+    mat += priors_q
+    best = np.argmax(mat, axis=1)
+    sc = mat[np.arange(mat.shape[0]), best]
+    m2 = mat.copy()
+    m2[np.arange(mat.shape[0]), best] = np.iinfo(np.int64).min
+    margin = sc - m2.max(axis=1)
+    return pa.table({
+        "doc_id": pa.array(docs_u, pa.int64()),
+        "pred": pa.array(classes[best].tolist(), pa.string()),
+        "score_q": pa.array(sc, pa.int64()),
+        "margin_q": pa.array(margin, pa.int64()),
+    })
+
+
+def _nb_classify_exchange(sf_dir: str, label_col: str, cnt_ds,
+                          classes: np.ndarray, priors_q: np.ndarray):
+    """The unbounded-vocab scoring route (`unigram_nll`'s shape): doc-term
+    partials and model count rows meet in whash partitions where q(w,c)
+    is computed locally; per-(doc, class) integer partials take a second
+    exchange by doc_id. No driver-side vocabulary at any size — the
+    driver holds only the C-sized class totals and priors."""
+    import ray.data as rd
+
+    from .exchange import exchange_by_key
+
+    C = classes.size
+    cls_idx = {c: i for i, c in enumerate(classes.tolist())}
+    # per-class token totals: C rows off the bounded count Dataset
+    t_c = np.zeros(C, dtype=np.int64)
+    for r in cnt_ds.groupby("label").sum("cnt").take_all():
+        t_c[cls_idx[r["label"]]] = int(r["sum(cnt)"])
+    # vocab size: every word's rows live in ONE exchange output block,
+    # so per-block distinct-word counts sum exactly (map_batches with
+    # the default batch_size=None sees whole blocks)
+    n_vocab = int(sum(
+        r["nv"] for r in cnt_ds.map_batches(
+            lambda b: pa.table({"nv": pa.array(
+                [len(set(b["word"].to_pylist()))], pa.int64())}),
+            batch_format="pyarrow").take_all()))
+
+    def model_rows(batch: pa.Table) -> pa.Table:
+        words = np.asarray(batch["word"].to_pylist(), dtype=object)
+        h = (fnv64_slices(*_word_slices(words)) if words.size
+             else np.asarray([], dtype=np.uint64))
+        ci = np.fromiter((cls_idx[c] for c in batch["label"].to_pylist()),
+                         np.int64, batch.num_rows)
+        return pa.table({
+            "whash": pa.array(h, pa.uint64()),
+            "word": batch["word"],
+            "doc_id": pa.array(-(ci + 1), pa.int64()),
+            "tf": pa.array(batch["cnt"], pa.int64()),
+        })
+
+    m_rows = cnt_ds.map_batches(model_rows, batch_format="pyarrow")
+    d_rows = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]) \
+        .map_batches(_nb_doc_partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    per_part = exchange_by_key(d_rows.union(m_rows), "whash",
+                               _nb_score_partition,
+                               proc_kwargs={"t_c": t_c,
+                                            "n_vocab": n_vocab})
+    return exchange_by_key(per_part, "doc_id", _nb_final_partition,
+                           n_parts=32,
+                           proc_kwargs={"classes": classes.astype("U"),
+                                        "priors_q": priors_q})
+
+
 def nb_classify(sf_dir: str, label_col: str = "lang",
                 vocab_broadcast_limit: int = 2_000_000):
     """Multinomial Naive Bayes (add-1) trained on ``label_col`` and
@@ -157,19 +321,39 @@ def nb_classify(sf_dir: str, label_col: str = "lang",
 
     Scale shape: training = one bounded exchange of (word, label)
     partials; scoring = ``ray.put`` of the (V x C) int64 matrix read by
-    every batch (vocab-bounded; above ``vocab_broadcast_limit`` score
-    through the whash exchange as in ``unigram_nll`` — doc-term partials
-    and model rows meet per-word, per-doc integer partials take a second
-    exchange). Self-contained corpora keep every scoring token in-vocab
-    (the model trains on the same corpus)."""
+    every batch (vocab-bounded). Above ``vocab_broadcast_limit`` the
+    scoring join routes through the partitioned whash exchange exactly
+    like ``textstats.unigram_nll`` — doc-term partials and model count
+    rows meet per-word, per-(doc, class) integer partials take a second
+    exchange by doc_id — bit-identical to the broadcast route (integer
+    sums of identically-quantized q values; pinned by the limit-0
+    equality test). Self-contained corpora keep every scoring token
+    in-vocab (the model trains on the same corpus)."""
     import ray
     import ray.data as rd
 
+    if vocab_broadcast_limit <= 0:
+        # routed path without a driver-side vocab pull: priors from a
+        # C-sized groupby, everything else inside the exchanges
+        rows = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[label_col]) \
+            .groupby(label_col).count().take_all()
+        classes = np.sort(np.asarray([r[label_col] for r in rows],
+                                     dtype=object))
+        by = {r[label_col]: int(r["count()"]) for r in rows}
+        n_c = np.asarray([by[c] for c in classes.tolist()], np.int64)
+        priors_q = np.floor(np.log(n_c.astype(np.float64)
+                                   / float(n_c.sum())) * 1e9) \
+            .astype(np.int64)
+        cnt_ds = _label_word_counts(sf_dir, label_col).materialize()
+        return _nb_classify_exchange(sf_dir, label_col, cnt_ds,
+                                     classes, priors_q)
+
     classes, priors_q, vocab, q = _nb_model(sf_dir, label_col)
-    if vocab.size > vocab_broadcast_limit:  # pragma: no cover - routing
-        raise NotImplementedError(
-            "exchange-routed NB scoring: follow unigram_nll's whash "
-            "exchange with per-class contribution columns")
+    if vocab.size > vocab_broadcast_limit:
+        cnt_ds = _label_word_counts(sf_dir, label_col).materialize()
+        return _nb_classify_exchange(sf_dir, label_col, cnt_ds,
+                                     classes, priors_q)
     ref = ray.put((classes.astype("U"), priors_q, vocab, q))
 
     def score(batch: pa.Table) -> pa.Table:

@@ -31,6 +31,19 @@ def test_nb_classify_matches_duckdb(ray_session):
     assert (a["margin_q"] >= 0).all()
 
 
+def test_nb_classify_exchange_route_bit_identical(ray_session):
+    """vocab_broadcast_limit=0 forces the whash-exchange scoring route
+    (no driver vocab at any point); it must be bit-identical to the
+    broadcast route — integer sums of identically-quantized q values."""
+    from rayse.ops.classify import nb_classify
+
+    a = nb_classify(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = nb_classify(SF, vocab_broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)[list(a.columns)]
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_nb_classify_brute_force(ray_session):
     """Replay the add-1 NB math in plain floats per document; the
     quantized argmax must agree wherever the float margin is clear."""
