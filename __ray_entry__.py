@@ -2356,6 +2356,16 @@ def _q_quantile_normalize(sf_dir: str) -> pa.Table:
     return quantile_normalize(sf_dir)
 
 
+def _q_media_wav_frames(sf_dir: str):
+    """Framewise audio DSP features where every payload is a REAL WAV
+    container encoded AND decoded by the stdlib ``wave`` codec inside
+    the actor-pool stage (codec round-trip = identity on samples, so
+    the raw-PCM oracle hash-matches) — DuckDB hash-matched."""
+    from rayse.ops.multimodal import media_wav_frames
+
+    return media_wav_frames(sf_dir)
+
+
 def _q_media_audio_frames(sf_dir: str):
     """Framewise audio DSP features (integer energy + zero-crossing
     count) through the actor-pool stage over text-derived PCM —
@@ -4562,6 +4572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_components": _q_scc_components,
         "selinger_plan": _q_selinger_plan,
         "media_audio_frames": _q_media_audio_frames,
+        "media_wav_frames": _q_media_wav_frames,
         "quantile_normalize": _q_quantile_normalize,
         "bitvector_rank_select": _q_bitvector_rank_select,
         "support_points": _q_support_points,
@@ -5826,6 +5837,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.selinger",
             fromlist=["x"]).selinger_plan_sql(),
         "media_audio_frames": __import__(
+            "rayse.ops.multimodal",
+            fromlist=["x"]).media_audio_frames_sql(),
+        "media_wav_frames": __import__(
             "rayse.ops.multimodal",
             fromlist=["x"]).media_audio_frames_sql(),
         "quantile_normalize": __import__(

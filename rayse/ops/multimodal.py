@@ -57,10 +57,49 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     }, schema=MEDIA_SCHEMA)
 
 
+def wav_encode_pcm8(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode mono 8-bit PCM samples into a REAL RIFF/WAVE container
+    (stdlib ``wave`` — a genuine public codec, no external libs)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(
+            samples, dtype=np.uint8).tobytes())
+    return buf.getvalue()
+
+
+def wav_decode_pcm8(payload: bytes) -> np.ndarray:
+    """Decode a mono 8-bit-PCM WAV container back to its uint8 samples —
+    the REAL audio half of the decode seam (parses the actual RIFF
+    header/chunks via stdlib ``wave``)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 1 or w.getnchannels() != 1:
+            raise ValueError("wav_decode_pcm8 handles mono 8-bit PCM only")
+        return np.frombuffer(w.readframes(w.getnframes()), np.uint8)
+
+
 def _decode_real(payload: bytes, kind: str):
-    """The real decode seam — requires PIL / soundfile, absent here."""
+    """The real decode seam. Audio: stdlib WAV/PCM is a real codec and
+    IS implemented (``wav_decode_pcm8`` -> centered float signal, padded
+    or truncated to the 256-sample encoder input). Images: no codec lib
+    in this container -> still a declared NotImplementedError seam."""
+    if kind == "audio":
+        s = wav_decode_pcm8(payload).astype(np.float64) - 128.0
+        if s.size >= 256:
+            return s[:256]
+        out = np.zeros(256, dtype=np.float64)
+        out[:s.size] = s
+        return out
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
+        "image codecs are not available in this environment; "
         "FeatureExtractStage uses the deterministic fake decoder")
 
 
@@ -489,13 +528,17 @@ class AudioFrameStage:
         self.frame = frame
         self.max_frames = max_frames
 
+    def _samples(self, p) -> np.ndarray:
+        """Decode hook: raw payload bytes ARE the uint8 samples here;
+        ``WavAudioFrameStage`` overrides with the real WAV codec."""
+        return np.frombuffer(p or b"", np.uint8)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
         payloads = batch["payload"].to_pylist()
         out_i, out_f, out_e, out_z = [], [], [], []
         for mid, p in zip(ids.tolist(), payloads):
-            s = (np.frombuffer(p or b"", np.uint8).astype(np.int64)
-                 - 128)
+            s = self._samples(p).astype(np.int64) - 128
             nf = min(s.size // self.frame, self.max_frames)
             if nf == 0:
                 continue
@@ -513,6 +556,55 @@ class AudioFrameStage:
             "energy": pa.array(out_e, pa.int64()),
             "zcr": pa.array(out_z, pa.int64()),
         })
+
+
+class WavAudioFrameStage(AudioFrameStage):
+    """Actor-pool stage whose payloads are REAL WAV containers: the
+    stdlib ``wave`` codec (imported once per actor in __init__) parses
+    the RIFF header and hands the PCM samples to the same framewise
+    energy/zcr DSP as the raw-PCM stage."""
+
+    def __init__(self, frame: int = AUDIO_FRAME,
+                 max_frames: int = AUDIO_MAX_FRAMES):
+        super().__init__(frame, max_frames)
+        import wave            # codec load: once per actor
+
+        self._codec = wave
+
+    def _samples(self, p) -> np.ndarray:
+        if not p:
+            return np.asarray([], dtype=np.uint8)
+        return wav_decode_pcm8(p if isinstance(p, bytes) else bytes(p))
+
+
+def media_wav_frames(sf_dir: str):
+    """Framewise (media_id, frame_idx, energy, zcr) where each payload
+    is a REAL WAV file: documents.text's ascii bytes are encoded into a
+    RIFF/WAVE container by the stdlib codec, shipped as the binary
+    payload column, and decoded back inside the actor-pool stage by the
+    same codec before the DSP. Because encode∘decode is the identity on
+    the sample bytes, the raw-PCM oracle (``media_audio_frames_sql``)
+    hash-matches — the decode seam is now exercised by a genuine codec
+    round-trip, not a fake."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pa.array(
+                [wav_encode_pcm8(np.frombuffer(t.encode("ascii"),
+                                               np.uint8))
+                 for t in batch["text"].to_pylist()], pa.binary()),
+        })
+
+    return (ds.map_batches(to_wav, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(WavAudioFrameStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2,
+                         zero_copy_batch=True))
 
 
 def media_audio_frames(sf_dir: str):
