@@ -3505,6 +3505,17 @@ def _q_pagerank_fixed(sf_dir: str):
     return pagerank_fixed_events(sf_dir)
 
 
+def _q_lpa_communities_sharded(sf_dir: str):
+    """LPA with no driver-side vertex state: label shards co-partition
+    with the once-spilled undirected edge list, votes exchange by
+    receiving vertex (the sharded-PageRank template applied to votes) —
+    bit-identical to the dense route, DuckDB hash-matched against the
+    same unrolled-CTE oracle."""
+    from rayse.ops.lpa import lpa_communities_sharded_events
+
+    return lpa_communities_sharded_events(sf_dir, iters=2)
+
+
 def _q_lpa_communities(sf_dir: str):
     """Deterministic synchronous label-propagation communities (two
     rounds — the pre-consolidation state is the discriminating check;
@@ -4697,6 +4708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": _q_quota_sample,
         "pagerank_fixed": _q_pagerank_fixed,
         "lpa_communities": _q_lpa_communities,
+        "lpa_sharded": _q_lpa_communities_sharded,
         "hits_fixed": _q_hits_fixed,
         "customers_without_premium": _q_customers_without_premium,
         "textrank_keywords": _q_textrank_keywords,
@@ -5385,6 +5397,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed": __import__(
             "rayse.ops.graph", fromlist=["x"]).pagerank_fixed_sql(),
         "lpa_communities": __import__(
+            "rayse.ops.lpa", fromlist=["x"]).lpa_communities_sql(iters=2),
+        "lpa_sharded": __import__(
             "rayse.ops.lpa", fromlist=["x"]).lpa_communities_sql(iters=2),
         "hits_fixed": __import__(
             "rayse.ops.graph", fromlist=["x"]).hits_fixed_sql(),

@@ -103,6 +103,166 @@ def lpa_communities(edges_ds, iters: int = LPA_ITERS) -> pa.Table:
                      "community": pa.array(labels, pa.int64())})
 
 
+def _lpa_vote_reduce(tbl: pa.Table) -> pa.Table:
+    """Vote-exchange reducer: one partition holds ALL (v, l, c) vote
+    rows of its vertices; sum per (v, l), then each vertex's winner
+    under (count DESC, label ASC) — vectorized lexsort + reduceat."""
+    if tbl.num_rows == 0:
+        return pa.table({"v": pa.array([], pa.int64()),
+                         "l": pa.array([], pa.int64())})
+    v = tbl["v"].to_numpy(zero_copy_only=False)
+    l = tbl["l"].to_numpy(zero_copy_only=False)
+    c = tbl["c"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((l, v))
+    v, l, c = v[o], l[o], c[o]
+    new = np.empty(v.size, dtype=bool)
+    new[0] = True
+    new[1:] = (v[1:] != v[:-1]) | (l[1:] != l[:-1])
+    starts = np.flatnonzero(new)
+    gv, gl = v[starts], l[starts]
+    gc = np.add.reduceat(c, starts)
+    o2 = np.lexsort((gl, -gc, gv))
+    gv, gl = gv[o2], gl[o2]
+    first = np.empty(gv.size, dtype=bool)
+    first[0] = True
+    first[1:] = gv[1:] != gv[:-1]
+    return pa.table({"v": pa.array(gv[first], pa.int64()),
+                     "l": pa.array(gl[first], pa.int64())})
+
+
+def lpa_communities_sharded(edges_ds, iters: int = LPA_ITERS,
+                            n_parts: int | None = None,
+                            tmp_root: str = "/tmp"):
+    """LPA with NO driver-side vertex state (the
+    ``pagerank_fixed_sharded`` template applied to votes, closing the
+    round-4 review item): the undirected edge list spills ONCE
+    partitioned by the label-source endpoint; each iteration writes the
+    label rows partitioned the same way, joins edge shard to label
+    shard inside one task (vote partials = labels crossing each edge),
+    and exchanges votes by receiving vertex where the (count DESC,
+    label ASC) argmax runs per partition. Bit-identical to
+    ``lpa_communities`` — vote counts are integers and the argmax is
+    order-independent — with no 2^32 vertex-id pack (two-column lexsort
+    reduction) and no vertex-dense driver vector at any size. Returns a
+    Dataset of (vertex, community)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    from .exchange import (default_parts, exchange_by_key,
+                           partition_of)
+
+    P = n_parts if n_parts is not None else min(default_parts(), 64)
+    root = os.path.join(tmp_root,
+                        f"rayse_lpa_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    edir = os.path.join(root, "und")
+
+    def stamp_und(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        u = np.concatenate((src, dst))       # label source endpoint
+        v = np.concatenate((dst, src))       # vote receiver
+        return pa.table({
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "_part": pa.array(partition_of([u], P), pa.int64()),
+        })
+
+    edges_ds.map_batches(stamp_und, batch_format="pyarrow",
+                         zero_copy_batch=True).write_parquet(
+        edir, partition_cols=["_part"])
+    edge_pids = sorted(int(os.path.basename(p).split("=")[1])
+                       for p in glob.glob(os.path.join(edir, "_part=*")))
+
+    def vrows(b: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array(np.unique(np.concatenate([
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False)])), pa.int64())})
+
+    from .graph import _pr_distinct_v
+
+    verts = exchange_by_key(
+        edges_ds.map_batches(vrows, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "v", _pr_distinct_v).materialize()
+    if verts.count() == 0:
+        shutil.rmtree(root, ignore_errors=True)
+        return rd.from_arrow(pa.table({
+            "vertex": pa.array([], pa.int64()),
+            "community": pa.array([], pa.int64())}))
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"v": b["v"], "l": b["v"]})
+
+    @ray.remote
+    def vote_shard(pid: int, ldir: str) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        e = pads.dataset(os.path.join(edir, f"_part={pid}")).to_table(
+            columns=["u", "v"], use_threads=False)
+        lt = pads.dataset(os.path.join(ldir, f"_part={pid}")).to_table(
+            columns=["v", "l"], use_threads=False)
+        lv = lt["v"].to_numpy(zero_copy_only=False)
+        ll = lt["l"].to_numpy(zero_copy_only=False)
+        o = np.argsort(lv)
+        lv, ll = lv[o], ll[o]
+        u = e["u"].to_numpy(zero_copy_only=False)
+        v = e["v"].to_numpy(zero_copy_only=False)
+        lab = ll[np.searchsorted(lv, u)]
+        # two-column (v, lab) count reduction — no 32-bit pack
+        o2 = np.lexsort((lab, v))
+        v, lab = v[o2], lab[o2]
+        new = np.empty(v.size, dtype=bool)
+        if v.size:
+            new[0] = True
+            new[1:] = (v[1:] != v[:-1]) | (lab[1:] != lab[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate([starts, [v.size]]))
+        return pa.table({
+            "v": pa.array(v[starts], pa.int64()),
+            "l": pa.array(lab[starts], pa.int64()),
+            "c": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    labels = verts.map_batches(init_labels, batch_format="pyarrow")
+    try:
+        for it in range(iters):
+            ldir = os.path.join(root, f"lab_{it}")
+
+            def stamp_lab(b: pa.Table) -> pa.Table:
+                v = b["v"].to_numpy(zero_copy_only=False)
+                return b.append_column(
+                    "_part", pa.array(partition_of([v], P), pa.int64()))
+
+            labels.map_batches(stamp_lab,
+                               batch_format="pyarrow").write_parquet(
+                ldir, partition_cols=["_part"])
+            refs = [vote_shard.remote(pid, ldir) for pid in edge_pids]
+            ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            votes = rd.from_arrow_refs(refs)
+            labels = exchange_by_key(votes, "v", _lpa_vote_reduce,
+                                     n_parts=P,
+                                     tmp_root=tmp_root).materialize()
+            shutil.rmtree(ldir, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["v"], "community": b["l"]})
+
+    return labels.map_batches(out, batch_format="pyarrow")
+
+
+def lpa_communities_sharded_events(sf_dir: str, iters: int = LPA_ITERS):
+    from .graph import derived_edges
+
+    return lpa_communities_sharded(derived_edges(sf_dir), iters=iters)
+
+
 def lpa_communities_events(sf_dir: str, iters: int = LPA_ITERS) -> pa.Table:
     from .graph import derived_edges
 

@@ -24,6 +24,37 @@ def test_lpa_matches_duckdb(ray_session):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_lpa_sharded_bit_identical(ray_session):
+    """The no-driver-vertex-state route equals the dense route exactly —
+    including on a hot-key graph (one vertex on most edges), the skew
+    case the exchange must absorb."""
+    import ray.data as rd
+
+    from rayse.ops.lpa import (lpa_communities, lpa_communities_events,
+                               lpa_communities_sharded,
+                               lpa_communities_sharded_events)
+
+    for iters in (1, 3):
+        a = lpa_communities_events(SF, iters=iters).to_pandas() \
+            .sort_values("vertex").reset_index(drop=True)
+        b = lpa_communities_sharded_events(SF, iters=iters).to_pandas() \
+            .sort_values("vertex").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    # hot graph: star around vertex 0 + a triangle + a self-loop
+    pairs = [(0, i) for i in range(1, 40)] + \
+            [(100, 101), (101, 102), (102, 100), (7, 7)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.int64()),
+        "dst": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+    a = lpa_communities(edges, iters=3).to_pandas() \
+        .sort_values("vertex").reset_index(drop=True)
+    b = lpa_communities_sharded(edges, iters=3).to_pandas() \
+        .sort_values("vertex").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_lpa_two_triangles(ray_session):
     """Disconnected triangles converge to their own minimum labels; a
     one-edge bridge renames but does not merge them (in-triangle votes

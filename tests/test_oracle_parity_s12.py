@@ -11,6 +11,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 CASES = [
     "media_wav_frames",
+    "lpa_sharded",
 ]
 
 
