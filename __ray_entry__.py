@@ -860,10 +860,16 @@ def _q_unigram_nll(sf_dir: str):
 def _q_contamination(sf_dir: str):
     """Benchmark decontamination: non-benchmark docs sharing any word
     4-gram with the held-out benchmark texts (the eval-leakage check) —
-    DuckDB hash-matched (exact FNV gram hashes both sides)."""
+    DuckDB hash-matched (exact FNV gram hashes both sides). Two arms:
+    the broadcast route AND the forced bloom-prefilter + exact
+    hash-join route (bench_broadcast_limit=0), hash-gated under the
+    same oracle."""
     from rayse.ops.spandedup import contamination
 
-    return contamination(sf_dir)
+    return _tagged_union([
+        ("broadcast", _as_table(contamination(sf_dir))),
+        ("bloom", _as_table(contamination(sf_dir,
+                                          bench_broadcast_limit=0)))])
 
 
 def _q_quota_sample(sf_dir: str):
@@ -1356,13 +1362,25 @@ def _q_lm_nll_suite(sf_dir: str) -> pa.Table:
     from rayse.ops.textstats import (bigram_nll, kn_bigram_nll,
                                      unigram_nll)
 
+    from rayse.ops.classify import nb_classify
+
     uni = _as_table(unigram_nll(sf_dir))
     bi = _as_table(bigram_nll(sf_dir))
     kn = _as_table(kn_bigram_nll(sf_dir))
+    # the *_xchg arms force the distributed scoring branches
+    # (broadcast limit 0) under the SAME oracles — the scale routes are
+    # window-hash-gated, not just pytest-pinned
+    unix = _as_table(unigram_nll(sf_dir, vocab_broadcast_limit=0))
+    bix = _as_table(bigram_nll(sf_dir, q_broadcast_limit=0))
+    nbx = _as_table(nb_classify(sf_dir, vocab_broadcast_limit=0))
     return _tagged_union([
         ("unigram", uni),
         ("bigram", bi.rename_columns(["doc_id", "nll_q"])),
-        ("kneser_ney", kn.rename_columns(["doc_id", "nll_q"]))])
+        ("kneser_ney", kn.rename_columns(["doc_id", "nll_q"])),
+        ("unigram_xchg", unix),
+        ("bigram_xchg", bix.rename_columns(["doc_id", "nll_q"])),
+        ("nb_xchg", nbx.select(["doc_id", "score_q"])
+         .rename_columns(["doc_id", "nll_q"]))])
 
 
 def _q_kn_bigram_nll(sf_dir: str):
@@ -2880,6 +2898,9 @@ def _q_neardup_pairs_suite(sf_dir: str) -> pa.Table:
     return _tagged_union([
         ("jaccard", _as_table(jaccard_pairs(sf_dir, shingle_k=1,
                                             threshold=0.9))),
+        ("jaccard_xchg", _as_table(jaccard_pairs(
+            sf_dir, shingle_k=1, threshold=0.9,
+            verify_route="hashjoin"))),
         ("minhash", _as_table(minhash_lsh_pairs(sf_dir, shingle_k=3,
                                                 threshold=0.5))),
         ("simhash", _as_table(simhash_pairs(sf_dir, max_hamming=3))),
@@ -4818,6 +4839,7 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.ams", fromlist=["x"]).ams_f2_sql(),
         "neardup_pairs_suite": _tagged_union_sql([
             ("jaccard", "doc_a, doc_b", _JACCARD_PAIRS_SQL),
+            ("jaccard_xchg", "doc_a, doc_b", _JACCARD_PAIRS_SQL),
             ("minhash", "doc_a, doc_b", __import__(
                 "rayse.ops.dedup", fromlist=["x"]).minhash_lsh_pairs_sql(
                     shingle_k=3, threshold=0.5)),
@@ -5558,6 +5580,12 @@ def oracle_sql() -> dict[str, str]:
                 "rayse.ops.textstats", fromlist=["x"]).unigram_nll_sql()),
             ("bigram", "doc_id, nll2_q AS nll_q", __import__(
                 "rayse.ops.textstats", fromlist=["x"]).bigram_nll_sql()),
+            ("unigram_xchg", "doc_id, nll_q", __import__(
+                "rayse.ops.textstats", fromlist=["x"]).unigram_nll_sql()),
+            ("bigram_xchg", "doc_id, nll2_q AS nll_q", __import__(
+                "rayse.ops.textstats", fromlist=["x"]).bigram_nll_sql()),
+            ("nb_xchg", "doc_id, score_q AS nll_q", __import__(
+                "rayse.ops.classify", fromlist=["x"]).nb_classify_sql()),
             ("kneser_ney", "doc_id, knll_q AS nll_q", __import__(
                 "rayse.ops.textstats",
                 fromlist=["x"]).kn_bigram_nll_sql())]),
@@ -5591,8 +5619,12 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.relational", fromlist=["x"]).asof_join_events_sql(),
         "range_join": __import__(
             "rayse.ops.relational", fromlist=["x"]).range_join_events_sql(),
-        "contamination": __import__(
-            "rayse.ops.spandedup", fromlist=["x"]).contamination_sql(),
+        "contamination": _tagged_union_sql([
+            ("broadcast", "doc_id, n_contaminated_grams", __import__(
+                "rayse.ops.spandedup", fromlist=["x"]).contamination_sql()),
+            ("bloom", "doc_id, n_contaminated_grams", __import__(
+                "rayse.ops.spandedup",
+                fromlist=["x"]).contamination_sql())]),
         "stratified_sample": __import__(
             "rayse.ops.sampling", fromlist=["x"]).stratified_sample_sql(),
         "quota_sample": __import__(

@@ -1,10 +1,14 @@
 """Local driver-style correctness harness: run queries() vs oracle_sql()
-at sf0.01, compare rows/schema/values (columns sorted by name, rows sorted)."""
-import sys, json, hashlib, time
+at sf0.01 (override with ORACLE_SF=/root/testdata/sf0.1 to sweep at a
+10x corpus — catches bounds that only bind at scale: broadcast limits,
+32-bit packs, count-routing flips), compare rows/schema/values (columns
+sorted by name, rows sorted)."""
+import os, sys, json, hashlib, time
 sys.path.insert(0, "/root/repo")
 import ray, duckdb, pandas as pd, numpy as np, pyarrow as pa
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("ORACLE_SF", "/root/testdata/sf0.01")
+N_CPUS = int(os.environ.get("ORACLE_CPUS", "16"))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -29,7 +33,7 @@ def norm(df):
 
 def main():
     only = sys.argv[1:] if len(sys.argv) > 1 else None
-    ray.init(address="local", num_cpus=16, include_dashboard=False,
+    ray.init(address="local", num_cpus=N_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import __ray_entry__ as e
     qs, os_ = e.queries(), e.oracle_sql()
@@ -72,7 +76,7 @@ def main():
            if v.get("err") or not (v.get("rows") and v.get("schema") and v.get("hash"))}
     print(f"\nTOTAL {len(names)} checked in {time.time()-t_start:.0f}s, "
           f"{len(bad)} bad: {list(bad)}", flush=True)
-    json.dump(results, open("/tmp/check_oracles.json", "w"), indent=1)
+    json.dump(results, open(os.environ.get("ORACLE_OUT", "/tmp/check_oracles.json"), "w"), indent=1)
     ray.shutdown()
 
 if __name__ == "__main__":
