@@ -96,6 +96,23 @@ def run_bench() -> dict:
                 n_q += 1
         timings["query_set"] = time.perf_counter() - t0
 
+        # distributed serving (actor pool + driver k-way merge), cache
+        # OFF so the metric tracks real per-query serving work — makes
+        # serve.py regressions visible round-over-round
+        from rayse.query.serve import SearchCluster
+
+        cluster = SearchCluster(idx_dir, pool_size=min(8, NUM_CPUS),
+                                cache_entries=0)
+        cluster.search_many(queries[:4], 10)          # actor warm-up
+        t0 = time.perf_counter()
+        n_sq = 0
+        for _ in range(3):
+            cluster.search_many(queries, 10)
+            n_sq += len(queries)
+        timings["serve_set"] = time.perf_counter() - t0
+        serve_qps = round(n_sq / timings["serve_set"], 1)
+        cluster.shutdown()
+
         # sf-dir ops
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import __ray_entry__ as entrymod
@@ -118,6 +135,7 @@ def run_bench() -> dict:
             "bench_turns": n_turns,
             "turns_per_sec": round(n_turns / timings["index_build"], 1),
             "queries_per_sec": round(n_q / timings["query_set"], 1),
+            "serve_qps": serve_qps,
         }
     finally:
         ray.shutdown()
