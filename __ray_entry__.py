@@ -2804,6 +2804,16 @@ def _q_link_components(sf_dir: str) -> pa.Table:
     return link_components(sf_dir)
 
 
+def _q_kcore_sharded(sf_dir: str):
+    """Coreness via the sharded no-driver-vertex-state h-index
+    iteration (co-partitioned edge/value shards + vote exchange) —
+    bit-identical to the dense route, DuckDB hash-matched against the
+    same unrolled iteration oracle."""
+    from rayse.ops.kcore import kcore_h_sharded
+
+    return kcore_h_sharded(sf_dir)
+
+
 def _q_kcore_h(sf_dir: str) -> pa.Table:
     """(node, core_h): k-core decomposition via the Lü et al. h-index
     iteration — broadcast vertex vector + mergeable neighbor-value
@@ -4609,6 +4619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_source_ops": _q_kmv_source_ops,
         "simpson_diversity": _q_simpson_diversity,
         "kcore_h": _q_kcore_h,
+        "kcore_sharded": _q_kcore_sharded,
         "weighted_sample": _q_weighted_sample,
         "g2_collocations": _q_g2_collocations,
         "chunk_documents": _q_chunk_documents,
@@ -5152,6 +5163,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.textstats",
             fromlist=["x"]).simpson_diversity_sql(),
         "kcore_h": __import__(
+            "rayse.ops.kcore", fromlist=["x"]).kcore_h_sql(),
+        "kcore_sharded": __import__(
             "rayse.ops.kcore", fromlist=["x"]).kcore_h_sql(),
         "weighted_sample": __import__(
             "rayse.ops.sampling", fromlist=["x"]).weighted_sample_sql(),

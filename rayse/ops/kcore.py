@@ -169,6 +169,180 @@ def kcore_h(sf_dir: str, iters: int = KCORE_ITERS) -> pa.Table:
                      "core_h": pa.array(h, pa.int64())})
 
 
+def _kcore_reduce_part(tbl: pa.Table) -> pa.Table:
+    """Vote-exchange reducer: one partition holds every (v, val, cnt)
+    neighbor-histogram row of its vertices PLUS each vertex's old-h row
+    (tagged val = -1, cnt = h_old). Computes h-index per vertex (split
+    counts for equal values cannot change the max — see module note)
+    and a changed flag for the driver's fixpoint check."""
+    if tbl.num_rows == 0:
+        return pa.table({"v": pa.array([], pa.int64()),
+                         "h": pa.array([], pa.int64()),
+                         "changed": pa.array([], pa.int64())})
+    v = tbl["v"].to_numpy(zero_copy_only=False)
+    val = tbl["val"].to_numpy(zero_copy_only=False)
+    cnt = tbl["c"].to_numpy(zero_copy_only=False)
+    is_old = val < 0
+    verts = np.sort(v[is_old])
+    old = np.zeros(verts.size, np.int64)
+    old[np.searchsorted(verts, v[is_old])] = cnt[is_old]
+    h = _h_from_hist(v[~is_old], val[~is_old], cnt[~is_old], verts)
+    return pa.table({
+        "v": pa.array(verts, pa.int64()),
+        "h": pa.array(h, pa.int64()),
+        "changed": pa.array((h != old).astype(np.int64), pa.int64()),
+    })
+
+
+def kcore_h_sharded(sf_dir: str, iters: int = KCORE_ITERS):
+    """Coreness with NO driver-side vertex state (the sharded template
+    of ``pagerank_fixed_sharded`` / ``lpa_communities_sharded`` applied
+    to the h-index iteration): the distinct undirected edge list spills
+    once partitioned by its value-source endpoint; each iteration
+    co-partitions the (v, h) rows with the edge shards, emits
+    (v, neighbor-h, count) histogram partials inside one task per
+    shard, and exchanges them — together with the tagged old-h rows —
+    by receiving vertex where the h-index fold runs per partition.
+    Stops at the same monotone fixpoint as the dense route (sum of
+    per-vertex changed flags = 0), so results are bit-identical.
+    Returns a Dataset of (node, core_h)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    from .exchange import default_parts, exchange_by_key, partition_of
+
+    P = min(default_parts(), 64)
+    root = os.path.join(
+        tmp_root := "/tmp",
+        f"rayse_kc_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    edir = os.path.join(root, "und")
+
+    edges = _distinct_edges(sf_dir)
+
+    def stamp_und(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        u = np.concatenate((lo, hi))         # value-source endpoint
+        v = np.concatenate((hi, lo))         # histogram receiver
+        return pa.table({
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "_part": pa.array(partition_of([u], P), pa.int64()),
+        })
+
+    edges.map_batches(stamp_und, batch_format="pyarrow",
+                      zero_copy_batch=True).write_parquet(
+        edir, partition_cols=["_part"])
+    edge_pids = sorted(int(os.path.basename(p).split("=")[1])
+                       for p in glob.glob(os.path.join(edir, "_part=*")))
+    if not edge_pids:
+        shutil.rmtree(root, ignore_errors=True)
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "core_h": pa.array([], pa.int64())}))
+
+    # h_0 = degree, computed in the same exchange shape (no driver vec).
+    # NOTE: degrees come from the edges Dataset, not a re-read of the
+    # spill dir — pyarrow dataset discovery skips `_part=*` directories
+    # (underscore ignore-prefix); the shard tasks read them explicitly.
+    def deg_rows(b: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            b["lo"].to_numpy(zero_copy_only=False),
+            b["hi"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    def deg_reduce(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        uv, inv = np.unique(v, return_inverse=True)
+        s = np.zeros(uv.size, np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"v": pa.array(uv, pa.int64()),
+                         "h": pa.array(s, pa.int64())})
+
+    vals = exchange_by_key(
+        edges.map_batches(deg_rows, batch_format="pyarrow"),
+        "v", deg_reduce, n_parts=P).materialize()
+
+    @ray.remote
+    def hist_shard(pid: int, hdir: str) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        e = pads.dataset(os.path.join(edir, f"_part={pid}")).to_table(
+            columns=["u", "v"], use_threads=False)
+        ht = pads.dataset(os.path.join(hdir, f"_part={pid}")).to_table(
+            columns=["v", "h"], use_threads=False)
+        hv = ht["v"].to_numpy(zero_copy_only=False)
+        hh = ht["h"].to_numpy(zero_copy_only=False)
+        o = np.argsort(hv)
+        hv, hh = hv[o], hh[o]
+        u = e["u"].to_numpy(zero_copy_only=False)
+        v = e["v"].to_numpy(zero_copy_only=False)
+        val = hh[np.searchsorted(hv, u)]
+        o2 = np.lexsort((val, v))
+        v, val = v[o2], val[o2]
+        new = np.ones(v.size, dtype=bool)
+        if v.size:
+            new[1:] = (v[1:] != v[:-1]) | (val[1:] != val[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate([starts, [v.size]]))
+        return pa.table({
+            "v": pa.array(v[starts], pa.int64()),
+            "val": pa.array(val[starts], pa.int64()),
+            "c": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def old_rows(b: pa.Table) -> pa.Table:
+        m = b.num_rows
+        return pa.table({
+            "v": b["v"],
+            "val": pa.array(np.full(m, -1, np.int64), pa.int64()),
+            "c": pa.array(b["h"], pa.int64()),
+        })
+
+    try:
+        for it in range(iters):
+            hdir = os.path.join(root, f"h_{it}")
+
+            def stamp_h(b: pa.Table) -> pa.Table:
+                v = b["v"].to_numpy(zero_copy_only=False)
+                return b.append_column(
+                    "_part", pa.array(partition_of([v], P), pa.int64()))
+
+            vals.map_batches(stamp_h,
+                             batch_format="pyarrow").write_parquet(
+                hdir, partition_cols=["_part"])
+            refs = [hist_shard.remote(pid, hdir) for pid in edge_pids]
+            ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            hist = rd.from_arrow_refs(refs)
+            olds = vals.map_batches(old_rows, batch_format="pyarrow")
+            nxt = exchange_by_key(hist.union(olds), "v",
+                                  _kcore_reduce_part, n_parts=P,
+                                  tmp_root=tmp_root).materialize()
+            shutil.rmtree(hdir, ignore_errors=True)
+            changed = int(nxt.sum("changed") or 0)
+            vals = nxt.drop_columns(["changed"]).materialize()
+            if changed == 0:
+                break                     # monotone fixpoint (dense rule)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["v"], "core_h": b["h"]})
+
+    return vals.map_batches(out, batch_format="pyarrow")
+
+
 def kcore_h_sql(iters: int = KCORE_ITERS) -> str:
     rounds = []
     for t in range(1, iters + 1):

@@ -40,6 +40,21 @@ def test_kcore_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want[got.columns])
 
 
+def test_kcore_sharded_bit_identical(ray_session):
+    """The no-driver-vertex-state route equals the dense route exactly,
+    including at a truncated iteration count (pre-fixpoint iterates
+    must match, not just the converged answer)."""
+    from rayse.ops.kcore import kcore_h, kcore_h_sharded
+
+    sf = "/root/testdata/sf0.001"
+    for iters in (2, 30):
+        a = (kcore_h(sf, iters=iters).to_pandas()
+             .sort_values("node").reset_index(drop=True))
+        b = (kcore_h_sharded(sf, iters=iters).to_pandas()
+             .sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_kcore_converged_at_demo_graph(ray_session):
     from rayse.ops.kcore import KCORE_ITERS, kcore_h
 

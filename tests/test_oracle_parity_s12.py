@@ -12,6 +12,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 CASES = [
     "media_wav_frames",
     "lpa_sharded",
+    "kcore_sharded",
 ]
 
 
