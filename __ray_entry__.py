@@ -2312,6 +2312,16 @@ def _q_deepwalk_corpus(sf_dir: str) -> pa.Table:
     return deepwalk_corpus(sf_dir)
 
 
+def _q_wl_sharded(sf_dir: str):
+    """1-WL refinement through the sharded no-driver-vertex-state route
+    (co-partitioned edge/color shards, per-partition canonical-string
+    rehash, exchange-joined class sizes) — bit-identical to the dense
+    route, DuckDB hash-matched against the same unrolled oracle."""
+    from rayse.ops.wl import wl_refinement_sharded
+
+    return wl_refinement_sharded(sf_dir)
+
+
 def _q_wl_refinement(sf_dir: str) -> pa.Table:
     """1-WL color refinement (two unrolled rounds, canonical-string
     FNV rehash of own color + sorted neighbour multiset) — DuckDB
@@ -3848,6 +3858,16 @@ def _q_perceptron_train(sf_dir: str) -> pa.Table:
     return perceptron_train(sf_dir)
 
 
+def _q_link_predict_xchg(sf_dir: str) -> pa.Table:
+    """Common-neighbor link prediction with the adjacency mask forced
+    through the exchange anti-join route (edge_broadcast_limit=0 — no
+    driver/broadcast edge set) — bit-identical to the broadcast route,
+    DuckDB hash-matched against the same oracle."""
+    from rayse.ops.graph import link_predict
+
+    return link_predict(sf_dir, edge_broadcast_limit=0)
+
+
 def _q_link_predict(sf_dir: str) -> pa.Table:
     """(v_a, v_b, common): top-20 common-neighbor link predictions over
     non-adjacent pairs — exchange self-join wedge enumeration +
@@ -4762,6 +4782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_independent_set": _q_maximal_independent_set,
         "temporal_reachability": _q_temporal_reachability,
         "wl_refinement": _q_wl_refinement,
+        "wl_sharded": _q_wl_sharded,
         "deepwalk_corpus": _q_deepwalk_corpus,
         "greedy_set_cover": _q_greedy_set_cover,
         "node2vec_corpus": _q_node2vec_corpus,
@@ -4817,6 +4838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity": _q_l_diversity,
         "perceptron_train": _q_perceptron_train,
         "link_predict": _q_link_predict,
+        "link_predict_xchg": _q_link_predict_xchg,
         "forecast_eval": _q_forecast_eval,
         "fk_discovery": _q_fk_discovery,
         "media_dhash": _q_media_dhash,
@@ -5722,6 +5744,8 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).temporal_reachability_sql(),
         "wl_refinement": __import__(
             "rayse.ops.wl", fromlist=["x"]).wl_refinement_sql(),
+        "wl_sharded": __import__(
+            "rayse.ops.wl", fromlist=["x"]).wl_refinement_sql(),
         "deepwalk_corpus": __import__(
             "rayse.ops.deepwalk",
             fromlist=["x"]).deepwalk_corpus_sql(),
@@ -6106,6 +6130,8 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.perceptron",
             fromlist=["x"]).perceptron_train_sql(),
         "link_predict": __import__(
+            "rayse.ops.graph", fromlist=["x"]).link_predict_sql(),
+        "link_predict_xchg": __import__(
             "rayse.ops.graph", fromlist=["x"]).link_predict_sql(),
         "forecast_eval": __import__(
             "rayse.ops.bursts", fromlist=["x"]).forecast_eval_sql(),

@@ -1069,7 +1069,8 @@ ORDER BY metric"""
 LINKPRED_K = 20
 
 
-def link_predict(sf_dir: str, k: int = LINKPRED_K) -> pa.Table:
+def link_predict(sf_dir: str, k: int = LINKPRED_K,
+                 edge_broadcast_limit: int = 1_000_000) -> pa.Table:
     """(v_a, v_b, common): top-``k`` common-neighbor link predictions —
     the non-adjacent vertex pairs sharing the most neighbors in the
     UNDIRECTED derived graph, the classic link-prediction baseline
@@ -1082,10 +1083,11 @@ def link_predict(sf_dir: str, k: int = LINKPRED_K) -> pa.Table:
     of the adjacency with itself ON the middle vertex through the
     co-partitioned file exchange (`exchange.hash_join` — no broadcast
     of either side); per-pair counts fold in one groupby; adjacency
-    masking uses the broadcast distinct-edge set (edge-count-bounded,
-    the documented demo-graph bound — at open-web scale this mask
-    becomes one more exchange join); per-batch partial top-k caps what
-    reaches the driver at k rows per batch. Ties break (count DESC,
+    masking routes by edge count: a broadcast distinct-edge set below
+    ``edge_broadcast_limit``, and above it (or at limit <= 0) an
+    exchange anti-join where tagged edge rows meet the candidate
+    counts per key partition — bit-identical, pytest-pinned; partial
+    top-k caps what reaches the driver at k rows per batch/partition. Ties break (count DESC,
     v_a, v_b). DuckDB hash-matched.
 
     Scale bound to know: wedge volume is sum over middle vertices of
@@ -1131,15 +1133,7 @@ def link_predict(sf_dir: str, k: int = LINKPRED_K) -> pa.Table:
         lambda b: b.rename_columns(["v2", "n2"]),
         batch_format="pyarrow")
 
-    # broadcast the distinct-edge mask (demo-graph bound; see docstring)
-    edge_tbl = pa.concat_tables(
-        [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows],
-        promote_options="default")
-    emask = set(zip(edge_tbl["lo"].to_pylist(),
-                    edge_tbl["hi"].to_pylist()))
-    mask_ref = ray.put(emask)
-
-    from .exchange import hash_join
+    from .exchange import exchange_by_key, hash_join
 
     wedges = hash_join(adj, adj2, "n", "n2")
 
@@ -1154,6 +1148,77 @@ def link_predict(sf_dir: str, k: int = LINKPRED_K) -> pa.Table:
 
     counts = (wedges.map_batches(pair_partial, batch_format="pyarrow")
               .groupby("key").sum("c"))
+
+    edges = edges.materialize()
+    if edge_broadcast_limit <= 0 or edges.count() > edge_broadcast_limit:
+        # exchange-masked route (no driver/broadcast edge set at any
+        # size): candidate counts and tagged edge rows (c = -1) meet in
+        # key partitions; the reducer drops adjacent keys and keeps a
+        # local (count DESC, v_a, v_b) top-k, so the driver merges at
+        # most n_parts x k rows. Bit-identical to the broadcast route
+        # (each key lives whole in one partition).
+        def edge_marker(batch: pa.Table) -> pa.Table:
+            lo = batch["lo"].to_numpy(zero_copy_only=False)
+            hi = batch["hi"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "key": pa.array(lo * (2 ** 32) + hi, pa.int64()),
+                "c": pa.array(np.full(lo.size, -1, np.int64),
+                              pa.int64())})
+
+        def cnt_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({"key": batch["key"],
+                             "c": pa.array(batch["sum(c)"], pa.int64())})
+
+        unioned = counts.map_batches(cnt_rows, batch_format="pyarrow") \
+            .union(edges.map_batches(edge_marker, batch_format="pyarrow"))
+
+        def mask_topk_part(tbl: pa.Table, k: int) -> pa.Table:
+            if tbl.num_rows == 0:
+                return pa.table({"v_a": pa.array([], pa.int64()),
+                                 "v_b": pa.array([], pa.int64()),
+                                 "common": pa.array([], pa.int64())})
+            key = tbl["key"].to_numpy(zero_copy_only=False)
+            c = tbl["c"].to_numpy(zero_copy_only=False)
+            o = np.argsort(key, kind="stable")
+            key, c = key[o], c[o]
+            new = np.empty(key.size, dtype=bool)
+            new[0] = True
+            new[1:] = key[1:] != key[:-1]
+            starts = np.flatnonzero(new)
+            adjacent = np.minimum.reduceat(c, starts) < 0
+            cnt = np.maximum.reduceat(c, starts)
+            keep = (~adjacent) & (cnt > 0)
+            gk, gc = key[starts][keep], cnt[keep]
+            va, vb = gk // (2 ** 32), gk % (2 ** 32)
+            order = np.lexsort((vb, va, -gc))[:k]
+            return pa.table({"v_a": pa.array(va[order], pa.int64()),
+                             "v_b": pa.array(vb[order], pa.int64()),
+                             "common": pa.array(gc[order], pa.int64())})
+
+        parts_ds = exchange_by_key(unioned, "key", mask_topk_part,
+                                   proc_kwargs={"k": k})
+        parts = pa.concat_tables(
+            [t for t in ray.get(parts_ds.to_arrow_refs())
+             if t.num_rows] or
+            [pa.table({"v_a": pa.array([], pa.int64()),
+                       "v_b": pa.array([], pa.int64()),
+                       "common": pa.array([], pa.int64())})],
+            promote_options="default")
+        va = parts["v_a"].to_numpy(zero_copy_only=False)
+        vb = parts["v_b"].to_numpy(zero_copy_only=False)
+        c = parts["common"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vb, va, -c))[:k]
+        return pa.table({"v_a": pa.array(va[order], pa.int64()),
+                         "v_b": pa.array(vb[order], pa.int64()),
+                         "common": pa.array(c[order], pa.int64())})
+
+    # broadcast the distinct-edge mask (edge-count-bounded small side)
+    edge_tbl = pa.concat_tables(
+        [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    emask = set(zip(edge_tbl["lo"].to_pylist(),
+                    edge_tbl["hi"].to_pylist()))
+    mask_ref = ray.put(emask)
 
     def topk_partial(batch: pa.Table) -> pa.Table:
         ms = ray.get(mask_ref)

@@ -13,6 +13,8 @@ CASES = [
     "media_wav_frames",
     "lpa_sharded",
     "kcore_sharded",
+    "wl_sharded",
+    "link_predict_xchg",
 ]
 
 

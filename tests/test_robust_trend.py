@@ -100,6 +100,20 @@ def test_adamic_adar_discounts_hubs(ray_session):
     assert not aa.equals(cn)
 
 
+def test_link_predict_exchange_mask_bit_identical(ray_session):
+    """edge_broadcast_limit=0 forces the exchange anti-join adjacency
+    mask (no driver/broadcast edge set); it must equal the broadcast
+    route exactly, ties included."""
+    import pandas as pd
+
+    from rayse.ops.graph import link_predict
+
+    a = link_predict(SF).to_pandas()
+    b = link_predict(SF, edge_broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
 def test_dp_event_counts_matches_duckdb(ray_session, con):
     from rayse.ops.datachecks import dp_event_counts, dp_event_counts_sql
 
