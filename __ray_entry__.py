@@ -2340,6 +2340,15 @@ def _q_temporal_reachability(sf_dir: str) -> pa.Table:
     return temporal_reachability(sf_dir)
 
 
+def _q_mis_sharded(sf_dir: str):
+    """Deterministic-Luby MIS through the sharded no-driver-vertex-state
+    route (two exchange passes per round) — bit-identical to the dense
+    route, DuckDB hash-matched against the same recursive oracle."""
+    from rayse.ops.mis import maximal_independent_set_sharded
+
+    return maximal_independent_set_sharded(sf_dir)
+
+
 def _q_maximal_independent_set(sf_dir: str) -> pa.Table:
     """Deterministic-Luby MIS (local-min-priority rounds, edges
     stream, vectors broadcast) — DuckDB hash-matched replay plus
@@ -4780,6 +4789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "support_points": _q_support_points,
         "activity_selection": _q_activity_selection,
         "maximal_independent_set": _q_maximal_independent_set,
+        "mis_sharded": _q_mis_sharded,
         "temporal_reachability": _q_temporal_reachability,
         "wl_refinement": _q_wl_refinement,
         "wl_sharded": _q_wl_sharded,
@@ -5737,6 +5747,9 @@ def oracle_sql() -> dict[str, str]:
             "rayse.ops.activity",
             fromlist=["x"]).activity_selection_sql(),
         "maximal_independent_set": __import__(
+            "rayse.ops.mis",
+            fromlist=["x"]).maximal_independent_set_sql(),
+        "mis_sharded": __import__(
             "rayse.ops.mis",
             fromlist=["x"]).maximal_independent_set_sql(),
         "temporal_reachability": __import__(

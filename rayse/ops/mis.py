@@ -116,6 +116,236 @@ def maximal_independent_set(sf_dir: str) -> pa.Table:
     })
 
 
+def _mis_select_part(tbl: pa.Table, rnd: int) -> pa.Table:
+    """Selection-exchange reducer: each vertex's own (p, st, rnd) state
+    row (own = 1) plus the priorities of its still-active neighbours;
+    an active vertex whose priority beats the min joins the MIS."""
+    if tbl.num_rows == 0:
+        return pa.table({"v": pa.array([], pa.int64()),
+                         "p": pa.array([], pa.int64()),
+                         "st": pa.array([], pa.int64()),
+                         "rnd": pa.array([], pa.int64())})
+    v = tbl["v"].to_numpy(zero_copy_only=False)
+    p = tbl["p"].to_numpy(zero_copy_only=False)
+    st = tbl["st"].to_numpy(zero_copy_only=False)
+    rj = tbl["rnd"].to_numpy(zero_copy_only=False)
+    own = tbl["own"].to_numpy(zero_copy_only=False).astype(bool)
+    verts = np.sort(v[own])
+    o_p = np.zeros(verts.size, np.int64)
+    o_st = np.zeros(verts.size, np.int64)
+    o_rj = np.zeros(verts.size, np.int64)
+    oi = np.searchsorted(verts, v[own])
+    o_p[oi], o_st[oi], o_rj[oi] = p[own], st[own], rj[own]
+    mn = np.full(verts.size, np.iinfo(np.int64).max, np.int64)
+    nb = ~own
+    if nb.any():
+        np.minimum.at(mn, np.searchsorted(verts, v[nb]), p[nb])
+    new_mis = (o_st == 0) & (o_p < mn)
+    o_st[new_mis] = 1
+    o_rj[new_mis] = rnd
+    return pa.table({"v": pa.array(verts, pa.int64()),
+                     "p": pa.array(o_p, pa.int64()),
+                     "st": pa.array(o_st, pa.int64()),
+                     "rnd": pa.array(o_rj, pa.int64())})
+
+
+def _mis_dominate_part(tbl: pa.Table) -> pa.Table:
+    """Domination-exchange reducer: active vertices adjacent to any MIS
+    member drop out (status 2)."""
+    if tbl.num_rows == 0:
+        return pa.table({"v": pa.array([], pa.int64()),
+                         "p": pa.array([], pa.int64()),
+                         "st": pa.array([], pa.int64()),
+                         "rnd": pa.array([], pa.int64())})
+    v = tbl["v"].to_numpy(zero_copy_only=False)
+    p = tbl["p"].to_numpy(zero_copy_only=False)
+    st = tbl["st"].to_numpy(zero_copy_only=False)
+    rj = tbl["rnd"].to_numpy(zero_copy_only=False)
+    own = tbl["own"].to_numpy(zero_copy_only=False).astype(bool)
+    verts = np.sort(v[own])
+    o_p = np.zeros(verts.size, np.int64)
+    o_st = np.zeros(verts.size, np.int64)
+    o_rj = np.zeros(verts.size, np.int64)
+    oi = np.searchsorted(verts, v[own])
+    o_p[oi], o_st[oi], o_rj[oi] = p[own], st[own], rj[own]
+    has_mis_nbr = np.zeros(verts.size, dtype=bool)
+    nb = ~own
+    if nb.any():
+        has_mis_nbr[np.searchsorted(verts, v[nb])] = True
+    o_st[(o_st == 0) & has_mis_nbr] = 2
+    return pa.table({"v": pa.array(verts, pa.int64()),
+                     "p": pa.array(o_p, pa.int64()),
+                     "st": pa.array(o_st, pa.int64()),
+                     "rnd": pa.array(o_rj, pa.int64())})
+
+
+def maximal_independent_set_sharded(sf_dir: str):
+    """Deterministic-Luby MIS with NO driver-side vertex state (the
+    ``kcore_h_sharded`` template, two exchange passes per round): edge
+    shards spilled once by priority-source endpoint; per round the
+    (v, priority, status) rows co-partition with them, active-neighbour
+    priorities exchange to the selection reducer, then new statuses
+    re-spill and MIS-neighbour flags exchange to the domination
+    reducer. Bit-identical to the dense route (same strict-local-min
+    rule, same round numbering). Returns a Dataset of
+    (v, in_mis, round_joined)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    from .exchange import default_parts, exchange_by_key, partition_of
+    from .mst import _canonical_edges
+
+    P = min(default_parts(), 64)
+    root = os.path.join(
+        "/tmp", f"rayse_mis_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    edir = os.path.join(root, "und")
+
+    edges = _canonical_edges(sf_dir)
+
+    def stamp_und(b: pa.Table) -> pa.Table:
+        eu = b["u"].to_numpy(zero_copy_only=False)
+        ev = b["v"].to_numpy(zero_copy_only=False)
+        u = np.concatenate((eu, ev))
+        v = np.concatenate((ev, eu))
+        return pa.table({
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "_part": pa.array(partition_of([u], P), pa.int64()),
+        })
+
+    edges.map_batches(stamp_und, batch_format="pyarrow",
+                      zero_copy_batch=True).write_parquet(
+        edir, partition_cols=["_part"])
+    edge_pids = sorted(int(os.path.basename(d).split("=")[1])
+                       for d in glob.glob(os.path.join(edir, "_part=*")))
+    if not edge_pids:
+        shutil.rmtree(root, ignore_errors=True)
+        return rd.from_arrow(pa.table({
+            "v": pa.array([], pa.int64()),
+            "in_mis": pa.array([], pa.int64()),
+            "round_joined": pa.array([], pa.int64())}))
+
+    def vert_rows(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            b["u"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"v": pa.array(u, pa.int64())})
+
+    def init_state(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64()),
+                             "st": pa.array([], pa.int64()),
+                             "rnd": pa.array([], pa.int64())})
+        u = np.unique(tbl["v"].to_numpy(zero_copy_only=False))
+        pr = (_mix(u.astype(np.uint64)) >> np.uint64(1)).astype(np.int64)
+        return pa.table({
+            "v": pa.array(u, pa.int64()),
+            "p": pa.array(pr, pa.int64()),
+            "st": pa.array(np.zeros(u.size, np.int64), pa.int64()),
+            "rnd": pa.array(np.full(u.size, -1, np.int64), pa.int64()),
+        })
+
+    state = exchange_by_key(
+        edges.map_batches(vert_rows, batch_format="pyarrow"),
+        "v", init_state, n_parts=P).materialize()
+
+    @ray.remote
+    def emit_shard(pid: int, sdir: str, mode: str) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        e = pads.dataset(os.path.join(edir, f"_part={pid}")).to_table(
+            columns=["u", "v"], use_threads=False)
+        stt = pads.dataset(os.path.join(sdir, f"_part={pid}")).to_table(
+            columns=["v", "p", "st"], use_threads=False)
+        sv = stt["v"].to_numpy(zero_copy_only=False)
+        sp = stt["p"].to_numpy(zero_copy_only=False)
+        ss = stt["st"].to_numpy(zero_copy_only=False)
+        o = np.argsort(sv)
+        sv, sp, ss = sv[o], sp[o], ss[o]
+        u = e["u"].to_numpy(zero_copy_only=False)
+        v = e["v"].to_numpy(zero_copy_only=False)
+        ui = np.searchsorted(sv, u)
+        if mode == "select":
+            m = ss[ui] == 0          # active sources only
+        else:
+            m = ss[ui] == 1          # MIS sources only
+        n = int(m.sum())
+        return pa.table({
+            "v": pa.array(v[m], pa.int64()),
+            "p": pa.array(sp[ui][m], pa.int64()),
+            "st": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "rnd": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "own": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    def own_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": b["v"], "p": b["p"], "st": b["st"], "rnd": b["rnd"],
+            "own": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+        })
+
+    def n_active(ds) -> int:
+        return int(ds.map_batches(
+            lambda b: pa.table({"a": pa.array(
+                [int((b["st"].to_numpy(zero_copy_only=False) == 0)
+                     .sum())], pa.int64())}),
+            batch_format="pyarrow").sum("a") or 0)
+
+    def spill_state(ds, sdir: str) -> None:
+        def stamp_s(b: pa.Table) -> pa.Table:
+            v = b["v"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "_part", pa.array(partition_of([v], P), pa.int64()))
+
+        ds.map_batches(stamp_s, batch_format="pyarrow").write_parquet(
+            sdir, partition_cols=["_part"])
+
+    rnd = 0
+    try:
+        while n_active(state) > 0:
+            rnd += 1
+            sdir = os.path.join(root, f"st_{rnd}_a")
+            spill_state(state, sdir)
+            refs = [emit_shard.remote(pid, sdir, "select")
+                    for pid in edge_pids]
+            ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            state = exchange_by_key(
+                rd.from_arrow_refs(refs).union(
+                    state.map_batches(own_rows, batch_format="pyarrow")),
+                "v", _mis_select_part, n_parts=P,
+                proc_kwargs={"rnd": rnd}).materialize()
+            shutil.rmtree(sdir, ignore_errors=True)
+
+            sdir = os.path.join(root, f"st_{rnd}_b")
+            spill_state(state, sdir)
+            refs = [emit_shard.remote(pid, sdir, "dominate")
+                    for pid in edge_pids]
+            ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            state = exchange_by_key(
+                rd.from_arrow_refs(refs).union(
+                    state.map_batches(own_rows, batch_format="pyarrow")),
+                "v", _mis_dominate_part, n_parts=P).materialize()
+            shutil.rmtree(sdir, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    def out(b: pa.Table) -> pa.Table:
+        st = b["st"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": b["v"],
+            "in_mis": pa.array((st == 1).astype(np.int64), pa.int64()),
+            "round_joined": pa.array(b["rnd"], pa.int64()),
+        })
+
+    return state.map_batches(out, batch_format="pyarrow")
+
+
 def maximal_independent_set_sql() -> str:
     from .sketch import _mix_sql_wide
 

@@ -35,3 +35,35 @@ def test_mis_properties(ray_session):
             nbr_has[b] = True
     for x, m in mis.items():
         assert m or nbr_has[x], x
+
+
+def test_mis_sharded_bit_identical(ray_session):
+    """The no-driver-vertex-state MIS equals the dense route exactly —
+    statuses AND round numbers (the per-round semantics match, not
+    just the final set)."""
+    import pandas as pd
+
+    from rayse.ops.mis import (maximal_independent_set,
+                               maximal_independent_set_sharded)
+
+    sf = "/root/testdata/sf0.001"
+    a = (maximal_independent_set(sf).to_pandas()
+         .sort_values("v").reset_index(drop=True))
+    b = (maximal_independent_set_sharded(sf).to_pandas()
+         .sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_wl_sharded_bit_identical(ray_session):
+    """Sharded 1-WL refinement equals the dense route exactly,
+    including class sizes."""
+    import pandas as pd
+
+    from rayse.ops.wl import wl_refinement, wl_refinement_sharded
+
+    sf = "/root/testdata/sf0.001"
+    a = (wl_refinement(sf).to_pandas()
+         .sort_values("v").reset_index(drop=True))
+    b = (wl_refinement_sharded(sf).to_pandas()
+         .sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -15,6 +15,7 @@ CASES = [
     "kcore_sharded",
     "wl_sharded",
     "link_predict_xchg",
+    "mis_sharded",
 ]
 
 
