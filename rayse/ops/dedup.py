@@ -762,11 +762,18 @@ def _cc_distributed(pairs_ds, num_partitions: int | None = None,
     else:
         raise RuntimeError(f"min-label propagation did not converge in "
                            f"{max_rounds} rounds")
-    rows = labels.take_all()
-    rows.sort(key=lambda r: r["node"])
+    import ray as _ray
+
+    parts = [t for t in _ray.get(labels.to_arrow_refs()) if t.num_rows]
+    tbl = (pa.concat_tables(parts, promote_options="default") if parts
+           else pa.table({"node": pa.array([], pa.int64()),
+                          "lbl": pa.array([], pa.int64())}))
+    node = tbl["node"].to_numpy(zero_copy_only=False)
+    lbl = tbl["lbl"].to_numpy(zero_copy_only=False)
+    order = np.argsort(node, kind="stable")
     return pa.table({
-        "doc_id": pa.array([r["node"] for r in rows], pa.int64()),
-        "cluster_id": pa.array([r["lbl"] for r in rows], pa.int64()),
+        "doc_id": pa.array(node[order], pa.int64()),
+        "cluster_id": pa.array(lbl[order], pa.int64()),
     })
 
 
@@ -795,10 +802,16 @@ def dedup_clusters(sf_dir: str, shingle_k: int = 3, threshold: float = 0.5,
         route = "driver" if n_pairs <= driver_max_pairs else "distributed"
     if route == "driver":
         if pairs is None:
-            pairs = pa.Table.from_pylist(
-                pairs_ds.take_all(),
-                schema=pa.schema([("doc_a", pa.int64()),
-                                  ("doc_b", pa.int64())]))
+            # arrow-ref gather, NOT take_all(): per-row Python dicts at
+            # millions of pairs dominate the whole op
+            import ray
+
+            parts = [t for t in ray.get(pairs_ds.to_arrow_refs())
+                     if t.num_rows]
+            pairs = (pa.concat_tables(parts, promote_options="default")
+                     if parts else
+                     pa.table({"doc_a": pa.array([], pa.int64()),
+                               "doc_b": pa.array([], pa.int64())}))
         if pairs.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "cluster_id": pa.array([], pa.int64())})
