@@ -2743,6 +2743,16 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
             ["vertex", "rank_fp"])),
         ("lpa", _as_table(_q_lpa_communities(sf_dir)).rename_columns(
             ["vertex", "rank_fp"])),
+        ("lpa_sharded", _as_table(_q_lpa_communities_sharded(sf_dir))
+         .rename_columns(["vertex", "rank_fp"])),
+        ("kcore_sharded", _as_table(_q_kcore_sharded(sf_dir))
+         .rename_columns(["vertex", "rank_fp"])),
+        ("wl_sharded", _as_table(_q_wl_sharded(sf_dir))
+         .select(["v", "wl_color"])
+         .rename_columns(["vertex", "rank_fp"])),
+        ("mis_sharded", _as_table(_q_mis_sharded(sf_dir))
+         .select(["v", "in_mis"])
+         .rename_columns(["vertex", "rank_fp"])),
         ("bfs", _as_table(_q_bfs_hops(sf_dir)).rename_columns(
             ["vertex", "rank_fp"])),
         ("bellman", _as_table(_q_bellman_ford(sf_dir)).rename_columns(
@@ -6232,6 +6242,18 @@ def oracle_sql() -> dict[str, str]:
             ("lpa", "vertex, community AS rank_fp", __import__(
                 "rayse.ops.lpa",
                 fromlist=["x"]).lpa_communities_sql(iters=2)),
+            ("lpa_sharded", "vertex, community AS rank_fp", __import__(
+                "rayse.ops.lpa",
+                fromlist=["x"]).lpa_communities_sql(iters=2)),
+            ("kcore_sharded", "node AS vertex, core_h AS rank_fp",
+             __import__("rayse.ops.kcore",
+                        fromlist=["x"]).kcore_h_sql()),
+            ("wl_sharded", "v AS vertex, wl_color AS rank_fp",
+             __import__("rayse.ops.wl",
+                        fromlist=["x"]).wl_refinement_sql()),
+            ("mis_sharded", "v AS vertex, in_mis AS rank_fp",
+             __import__("rayse.ops.mis",
+                        fromlist=["x"]).maximal_independent_set_sql()),
             ("bfs", "vertex, hop AS rank_fp", __import__(
                 "rayse.ops.graph", fromlist=["x"]).bfs_hops_sql()),
             ("bellman", "vertex, dist AS rank_fp", __import__(
