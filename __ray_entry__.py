@@ -2712,7 +2712,10 @@ def _q_pagerank_fixed_suite(sf_dir: str) -> pa.Table:
     plus HITS hubs & authorities (integer L1-normalized power iteration)
     under the unrolled-CTE oracle, plus per-node triangle counts and
     degrees under the self-join oracle, plus personalized PageRank
-    (seed-restricted teleport) under its own recursive CTE."""
+    (seed-restricted teleport) under its own recursive CTE. Round 5
+    adds the no-driver-vertex-state sharded realizations of LPA,
+    k-core, 1-WL and Luby MIS as hash-gated arms under the same
+    oracles as their dense twins."""
     from rayse.ops.graph import (hits_fixed_events, pagerank_fixed_events,
                                  pagerank_fixed_sharded_events)
 
